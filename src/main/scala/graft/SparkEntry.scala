@@ -1,13 +1,497 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{FieldBounds, Tables, Validation}
+import graft.etl.Flatten
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.profile.Profile
+import graft.stream.{DelayedJoin, DqAlerts}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.4 for the key inventory.
+  *
+  * Every query here is deterministic (explicit ORDER BY, order-independent
+  * float handling: per-row arithmetic kept unrounded, order-dependent
+  * aggregates either exact-in-double, summed as integer cents, or rounded)
+  * and has a DuckDB-equivalent oracle in [[oracleSql]] with identical column
+  * names and types.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** Dollar doubles → exact integer cents (per-row round is deterministic;
+    * integer sums are associative, so Spark and DuckDB agree bit-for-bit
+    * where rounded double sums would not).
+    */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // Events-as-streams mapping used by the delayed-join batch analogs:
+  // 'view' events play decisions, 'purchase' events play rewards
+  // (reference join-service semantics; the reference's Δ = 10 s is far below
+  // this corpus's event density, so the batch analogs use Δ = 1 h to make
+  // the join semantics observable — the streaming op keeps 10 s).
+  private val AnalogDeltaMs = 3600000L
+  private def decisions(ev: DataFrame): DataFrame =
+    ev.where(col("event_type") === "view")
+      .select(col("user_id").as("key"), col("event_id").as("decision_id"),
+        unix_millis(col("ts")).as("insert_ms"))
+  private def rewards(ev: DataFrame): DataFrame =
+    ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("value").as("reward"),
+        unix_millis(col("ts")).as("insert_ms"))
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  private def withK(ev: DataFrame): DataFrame =
+    ev.withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+
+  private val lineitemBounds = Map(
+    "l_discount" -> FieldBounds(Some(0.0), Some(0.05)),
+    "l_extendedprice" -> FieldBounds(Some(0.0), Some(100000.0)),
+    "l_quantity" -> FieldBounds(Some(1.0), Some(50.0)),
+    "l_tax" -> FieldBounds(Some(0.0), Some(0.06)))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("ctr_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- 2.A sources ----
+    "scan_parquet" -> ((s, d) =>
+      t(s, d, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")),
+
+    // ---- 2.B ETL ----
+    "etl_from_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          from_json(col("props"), propsSchema).getField("k").as("k"))
+        .orderBy("event_id")),
+
+    "etl_project_alias" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
+        concat(col("l_returnflag"), col("l_linestatus")).as("flag_status"))
+        .orderBy("ok", "ln")),
+
+    "etl_struct_flatten" -> { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("order", StructType(Seq(
+          StructField("key", LongType),
+          StructField("cust", StructType(Seq(StructField("id", LongType))))))),
+        StructField("status", StringType)))
+      val j = concat(
+        lit("{\"order\":{\"key\":"), col("o_orderkey").cast("string"),
+        lit(",\"cust\":{\"id\":"), col("o_custkey").cast("string"),
+        lit("}},\"status\":\""), col("o_orderstatus"), lit("\"}"))
+      val parsed = t(s, d, "orders").select(from_json(j, schema).as("d"))
+      Flatten.select(parsed, "d", schema, Flatten.columnPaths(schema))
+        .orderBy("order__key")
+    },
+
+    "etl_array_flatten" -> { (s, d) =>
+      val schema = StructType(Seq(StructField("results", ArrayType(StructType(Seq(
+        StructField("line", IntegerType), StructField("qty", DoubleType)))))))
+      val nested = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").as("order_key"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("line"), col("l_quantity").as("qty")))).as("results"))
+      nested.select(
+        (col("order_key") +: Flatten.columnPaths(schema).map(p =>
+          Flatten.extract(nested("results"), schema.fields.head.dataType,
+            p.split("__").toList.drop(1)).as(p))): _*)
+        .orderBy("order_key")
+    },
+
+    // ---- 2.E validation ----
+    "validate_required" -> { (s, d) =>
+      val ev = withK(t(s, d, "events"))
+      val rules = Seq("event_id", "user_id", "event_type", "value", "k")
+        .map(f => Validation.Rule(f, "missing", col(f).isNull))
+      val (valid, _) = Validation.split(ev, rules)
+      valid.agg(count(lit(1)).as("n"))
+        .select(lit("_valid").as("loc"), lit("ok").as("type"), col("n"))
+        .unionAll(Validation.violationCounts(ev, rules))
+        .orderBy("loc", "type")
+    },
+
+    "validate_bounds" -> ((s, d) =>
+      Validation.violationCounts(
+        t(s, d, "lineitem"), Validation.boundsRules(lineitemBounds))
+        .orderBy("loc", "type")),
+
+    // ---- 2.D profiling ----
+    "profile_summarize" -> ((s, d) =>
+      Profile.summarize(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        exact = true)
+        .orderBy("column_name")),
+
+    // ---- flagship batch analytics ----
+    "ctr_join" -> { (s, d) =>
+      val e = withK(t(s, d, "events")).select("k", "event_type")
+      val v = e.where(col("event_type") === "view")
+        .groupBy("k").agg(count(lit(1)).as("n_views"))
+      val c = e.where(col("event_type") === "click")
+        .groupBy("k").agg(count(lit(1)).as("n_clicks"))
+      v.join(c, Seq("k"), "left")
+        .select(col("k"), col("n_views"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          round(coalesce(col("n_clicks"), lit(0L)).cast("double") / col("n_views"), 4)
+            .as("ctr"))
+        .orderBy("k")
+    },
+
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(year(col("l_shipdate")) < 1999)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
+          (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / lit(100.0))
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "multi_join_agg" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / lit(100.0))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // ---- 2.C delayed-join batch analogs ----
+    "delayed_left_join" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs)
+        .select("key", "decision_id", "reward", "decision_insert_ms", "reward_delta_ms")
+        .orderBy("decision_id", "reward_delta_ms", "reward")
+    },
+
+    "join_coalesce_default" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs)
+        .groupBy("decision_id").agg(max(col("reward")).as("reward"))
+        .orderBy("decision_id")
+    },
+
+    "join_delta_ms" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs)
+        .where(col("reward_delta_ms").isNotNull)
+        .groupBy("decision_id").agg(min(col("reward_delta_ms")).as("min_delta_ms"))
+        .orderBy("decision_id")
+    },
+
+    "last_reward_dedup" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      DelayedJoin.lastRewardWins(
+          DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs), Seq("decision_id"))
+        .select("decision_id", "reward", "reward_delta_ms")
+        .orderBy("decision_id")
+    },
+
+    "override_anti_join" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val overrides = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
+        .where(col("n") >= 20)
+      DelayedJoin.withoutOverridden(decisions(ev), overrides)
+        .select("decision_id").orderBy("decision_id")
+    },
+
+    // ---- 2.D alert feed (batch analog of the 1-min alert window) ----
+    "dq_alert_counts" -> { (s, d) =>
+      val viol = t(s, d, "events").where(col("value") > 300)
+        .select(col("ts"), lit("value").as("loc"), lit("range").as("type"))
+      DqAlerts.alertCounts(viol)
+        .select(unix_millis(col("window_start")).as("bucket_ms"),
+          col("loc"), col("type"), col("n"))
+        .orderBy("bucket_ms")
+    },
+
+    // ---- 2.H dedup ----
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents")).orderBy("keep_id")),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhash(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+
+    // ---- 2.H similarity ----
+    "sim_topk" -> { (s, d) =>
+      val embs = t(s, d, "embeddings")
+      val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
+      Similarity.topK(embs, q, 10).orderBy(col("sim").desc, col("vec_id"))
+    },
+
+    "sim_nn_label" -> ((s, d) =>
+      Similarity.nnWithinPartition(t(s, d, "embeddings")).orderBy("a_id")),
+
+    "sim_ann_lsh" -> { (s, d) =>
+      val embs = t(s, d, "embeddings")
+      val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
+      Similarity.annTopK(embs, q, 10).orderBy(col("sim").desc, col("vec_id"))
+    },
+
+    // ---- 2.H text analysis ----
+    "text_stats" -> ((s, d) =>
+      TextStats.langStats(t(s, d, "documents")).orderBy("lang")),
+
+    "lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
+
+    "quality_score" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "token_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_ws"),
+        TextStats.alphaTokenCount(col("text")).as("n_alpha"),
+        TextStats.bpeEstimate(col("text")).as("n_bpe"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- 2.H multimodal ----
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.asBinary(t(s, d, "documents")))
+        .orderBy("media_id"))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — identical column names/types and deterministic
+  // ordering. Keys absent here (dedup_minhash, dedup_simhash, sim_ann_lsh)
+  // use engine-specific hashing and get the driver's rows-only check.
+  // ------------------------------------------------------------------
+
+  private val delayedJoinFrom =
+    """FROM events d LEFT JOIN events r
+      | ON d.user_id = r.user_id AND r.event_type = 'purchase'
+      | AND epoch_ms(r.ts) BETWEEN epoch_ms(d.ts) - 3600000 AND epoch_ms(d.ts) + 3600000
+      | WHERE d.event_type = 'view'""".stripMargin.replace("\n", " ")
+
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, substr(text,1,40) AS blk, string_split(text,' ') AS w FROM documents),
+      |s AS (SELECT doc_id, blk, list_distinct(list_transform(
+      |  generate_series(1, greatest(len(w)-4, 1)),
+      |  i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS sh FROM t)""".stripMargin.replace("\n", " ")
+
+  private val allStop: String = TextStats.stopwords.values.flatten.toSeq
+    .distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private def stopList(lang: String): String =
+    TextStats.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "etl_from_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
+
+    "etl_project_alias" ->
+      ("SELECT l_orderkey AS ok, l_linenumber AS ln, " +
+        "l_extendedprice * (1 - l_discount) AS net_price, " +
+        "l_returnflag || l_linestatus AS flag_status FROM lineitem ORDER BY ok, ln"),
+
+    "etl_struct_flatten" ->
+      ("WITH src AS (SELECT '{\"order\":{\"key\":' || o_orderkey || ',\"cust\":{\"id\":' || " +
+        "o_custkey || '}},\"status\":\"' || o_orderstatus || '\"}' AS j FROM orders) " +
+        "SELECT CAST(json_extract_string(j,'$.order.key') AS BIGINT) AS order__key, " +
+        "CAST(json_extract_string(j,'$.order.cust.id') AS BIGINT) AS order__cust__id, " +
+        "json_extract_string(j,'$.status') AS status FROM src ORDER BY order__key"),
+
+    "etl_array_flatten" ->
+      ("SELECT l_orderkey AS order_key, " +
+        "list(l_linenumber ORDER BY l_linenumber, l_quantity) AS results__line, " +
+        "list(l_quantity ORDER BY l_linenumber, l_quantity) AS results__qty " +
+        "FROM lineitem GROUP BY l_orderkey ORDER BY order_key"),
+
+    "validate_required" ->
+      ("SELECT '_valid' AS loc, 'ok' AS type, count(*) AS n FROM events " +
+        "WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL " +
+        "AND value IS NOT NULL AND json_extract_string(props,'$.k') IS NOT NULL " +
+        "UNION ALL (SELECT 'event_id', 'missing', count(*) FROM events WHERE event_id IS NULL HAVING count(*) > 0) " +
+        "UNION ALL (SELECT 'user_id', 'missing', count(*) FROM events WHERE user_id IS NULL HAVING count(*) > 0) " +
+        "UNION ALL (SELECT 'event_type', 'missing', count(*) FROM events WHERE event_type IS NULL HAVING count(*) > 0) " +
+        "UNION ALL (SELECT 'value', 'missing', count(*) FROM events WHERE value IS NULL HAVING count(*) > 0) " +
+        "UNION ALL (SELECT 'k', 'missing', count(*) FROM events WHERE json_extract_string(props,'$.k') IS NULL HAVING count(*) > 0) " +
+        "ORDER BY loc, type"),
+
+    "validate_bounds" ->
+      ("SELECT * FROM (" +
+        "SELECT 'l_discount' AS loc, 'range' AS type, count(*) AS n FROM lineitem WHERE l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05) HAVING count(*) > 0 " +
+        "UNION ALL SELECT 'l_extendedprice', 'range', count(*) FROM lineitem WHERE l_extendedprice IS NOT NULL AND (l_extendedprice < 0 OR l_extendedprice > 100000) HAVING count(*) > 0 " +
+        "UNION ALL SELECT 'l_quantity', 'range', count(*) FROM lineitem WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) HAVING count(*) > 0 " +
+        "UNION ALL SELECT 'l_tax', 'range', count(*) FROM lineitem WHERE l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.06) HAVING count(*) > 0" +
+        ") ORDER BY loc, type"),
+
+    "profile_summarize" -> {
+      def leg(c: String) =
+        s"SELECT '$c' AS column_name, CAST(min($c) AS DOUBLE) AS col_min, " +
+          s"CAST(max($c) AS DOUBLE) AS col_max, round(avg($c), 4) AS col_avg, " +
+          s"round(quantile_cont($c, 0.25), 4) AS q25, round(quantile_cont($c, 0.5), 4) AS q50, " +
+          s"round(quantile_cont($c, 0.75), 4) AS q75, count($c) AS col_cnt, " +
+          s"count(*) - count($c) AS null_cnt, count(DISTINCT $c) AS n_distinct FROM lineitem"
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(leg).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
+    },
+
+    "ctr_join" ->
+      ("WITH e AS (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k, event_type FROM events), " +
+        "v AS (SELECT k, count(*) AS n_views FROM e WHERE event_type='view' GROUP BY k), " +
+        "c AS (SELECT k, count(*) AS n_clicks FROM e WHERE event_type='click' GROUP BY k) " +
+        "SELECT v.k AS k, v.n_views AS n_views, COALESCE(c.n_clicks, 0) AS n_clicks, " +
+        "round(CAST(COALESCE(c.n_clicks, 0) AS DOUBLE) / v.n_views, 4) AS ctr " +
+        "FROM v LEFT JOIN c ON v.k = c.k ORDER BY k"),
+
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 6) AS avg_disc, " +
+        "count(*) AS count_order FROM lineitem WHERE year(l_shipdate) < 1999 " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "multi_join_agg" ->
+      ("SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue, " +
+        "count(*) AS n_items FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+
+    "delayed_left_join" ->
+      ("SELECT d.user_id AS key, d.event_id AS decision_id, COALESCE(r.value, 0.0) AS reward, " +
+        "epoch_ms(d.ts) AS decision_insert_ms, epoch_ms(r.ts) - epoch_ms(d.ts) AS reward_delta_ms " +
+        delayedJoinFrom + " ORDER BY decision_id, reward_delta_ms, reward"),
+
+    "join_coalesce_default" ->
+      ("SELECT d.event_id AS decision_id, COALESCE(max(r.value), 0.0) AS reward " +
+        delayedJoinFrom + " GROUP BY d.event_id ORDER BY decision_id"),
+
+    "join_delta_ms" ->
+      ("SELECT d.event_id AS decision_id, min(epoch_ms(r.ts) - epoch_ms(d.ts)) AS min_delta_ms " +
+        delayedJoinFrom + " AND r.event_id IS NOT NULL GROUP BY d.event_id " +
+        "HAVING min(epoch_ms(r.ts) - epoch_ms(d.ts)) IS NOT NULL ORDER BY decision_id"),
+
+    "last_reward_dedup" ->
+      ("WITH j AS (SELECT d.event_id AS decision_id, COALESCE(r.value, 0.0) AS reward, " +
+        "epoch_ms(r.ts) - epoch_ms(d.ts) AS reward_delta_ms " + delayedJoinFrom + "), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY decision_id " +
+        "ORDER BY reward_delta_ms DESC NULLS LAST, reward DESC) AS rn FROM j) " +
+        "SELECT decision_id, reward, reward_delta_ms FROM rk WHERE rn = 1 ORDER BY decision_id"),
+
+    "override_anti_join" ->
+      ("SELECT d.event_id AS decision_id FROM events d WHERE d.event_type = 'view' " +
+        "AND d.user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error' " +
+        "GROUP BY user_id HAVING count(*) >= 20) ORDER BY decision_id"),
+
+    "dq_alert_counts" ->
+      ("SELECT epoch_ms(CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS bucket_ms, " +
+        "'value' AS loc, 'range' AS type, count(*) AS n FROM events WHERE value > 300 " +
+        "GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket_ms"),
+
+    "dedup_exact" ->
+      ("SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
+        "GROUP BY text ORDER BY keep_id"),
+
+    "dedup_ngram_jaccard" ->
+      (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4 " +
+        "ORDER BY doc_a, doc_b"),
+
+    "sim_topk" ->
+      ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1) " +
+        "SELECT vec_id, round(list_inner_product(CAST(embedding AS DOUBLE[]), qv) / " +
+        "(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * " +
+        "sqrt(list_inner_product(qv, qv))), 6) AS sim " +
+        "FROM embeddings, q ORDER BY sim DESC, vec_id LIMIT 10"),
+
+    "sim_nn_label" ->
+      ("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "j AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * " +
+        "sqrt(list_inner_product(b.v, b.v))), 6) AS sim " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn FROM j) " +
+        "SELECT a_id, b_id, sim FROM rk WHERE rn = 1 ORDER BY a_id"),
+
+    "text_stats" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens, " +
+        "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+
+    "lang_id" ->
+      ("WITH s AS (SELECT lang, " +
+        s"len(list_intersect(string_split(text,' '), ${stopList("de")})) AS s_de, " +
+        s"len(list_intersect(string_split(text,' '), ${stopList("en")})) AS s_en, " +
+        s"len(list_intersect(string_split(text,' '), ${stopList("es")})) AS s_es, " +
+        s"len(list_intersect(string_split(text,' '), ${stopList("fr")})) AS s_fr FROM documents), " +
+        "b AS (SELECT lang, s_de, s_en, s_es, s_fr, greatest(s_de, s_en, s_es, s_fr) AS best FROM s) " +
+        "SELECT lang, CASE WHEN s_de > 0 AND s_de = best THEN 'de' " +
+        "WHEN s_en > 0 AND s_en = best THEN 'en' WHEN s_es > 0 AND s_es = best THEN 'es' " +
+        "WHEN s_fr > 0 AND s_fr = best THEN 'fr' ELSE 'und' END AS pred_lang, " +
+        "count(*) AS n FROM b GROUP BY 1, 2 ORDER BY lang, pred_lang"),
+
+    "quality_score" ->
+      ("SELECT doc_id, round(0.3 * least(1.0, length(text) / 500.0) + " +
+        "0.4 * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))) + " +
+        s"0.3 * (len(list_filter(string_split(text,' '), t -> list_contains($allStop, t))) * 1.0 / " +
+        "len(string_split(text,' '))), 4) AS quality FROM documents ORDER BY doc_id"),
+
+    "token_count" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_alpha, " +
+        "CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id"),
+
+    "doc_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, least(length(text), 64)), " +
+        "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id"),
+
+    "multimodal_meta" ->
+      ("SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "CAST(64 + strlen(text) % 576 AS INTEGER) AS width, " +
+        "CAST(floor((64 + strlen(text) % 576) * 3 / 4.0) AS INTEGER) AS height, " +
+        "CAST(1 + floor(strlen(text) / 1000.0) AS INTEGER) AS n_frames " +
+        "FROM documents ORDER BY media_id")
+  )
 }

@@ -1,0 +1,25 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the warehouse tables (see /root/repo/TESTDATA.md).
+  *
+  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's reader
+  * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a raw nanosecond
+  * LONG (`spark.sql.legacy.parquet.nanosAsLong`) and normalise to a
+  * microsecond TimestampType at the edge, so all engine code sees plain
+  * TimestampType. `ts div 1000` truncates exactly like DuckDB's
+  * TIMESTAMP_NS→TIMESTAMP cast, keeping oracle comparisons exact.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}

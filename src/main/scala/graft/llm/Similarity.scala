@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Float elements are cast to double *before* any arithmetic and folds run
+  * left-to-right over the array, so scores are bit-identical across engines
+  * that evaluate the same formula (the DuckDB oracle does).
+  *
+  * Scale path: brute-force top-k is a map + single top-k reduce (no shuffle
+  * of the corpus; `ORDER BY … LIMIT k` is planned as TakeOrderedAndProject,
+  * per-partition heaps + driver merge of k×partitions rows). The
+  * bucketed/IVF variants cut the scanned fraction for repeated queries.
+  */
+object Similarity {
+
+  /** Left-to-right fold dot product of two array<float|double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbours of a single query vector (given as
+    * a one-row DataFrame `(qvec)`): the exact baseline. The query side is
+    * broadcast; ties broken by id.
+    */
+  def topK(embs: DataFrame, query: DataFrame, k: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           scale: Int = 6): DataFrame =
+    embs.crossJoin(broadcast(query))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("qvec")), scale).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Nearest neighbour per vector within a coarse partition (here the
+    * `label` column stands in for an IVF cluster assignment): the shuffle is
+    * by partition key only, never all-pairs global.
+    */
+  def nnWithinPartition(embs: DataFrame, partCol: String = "label",
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        scale: Int = 6): DataFrame = {
+    val a = embs.select(col(partCol).as("p"), col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    val b = embs.select(col(partCol).as("p"), col(idCol).as("b_id"), col(vecCol).as("b_v"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    a.join(b, Seq("p")).where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), round(cosine(col("a_v"), col("b_v")), scale).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
+  /** Random-hyperplane LSH bucket key (`nBits` sign bits). Planes are
+    * pseudo-random but fully deterministic: plane p, dimension d has
+    * component (xxhash64(p·4099+d) mod 2001 − 1000)/1000.
+    */
+  def lshKey(vecCol: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { p =>
+      val proj = aggregate(
+        zip_with(vecCol,
+          transform(sequence(lit(0), size(vecCol) - 1),
+            d => (pmod(xxhash64(lit(p) * lit(4099) + d), lit(2001L)) - lit(1000L))
+              .cast("double") / lit(1000.0)),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via LSH buckets: score only vectors whose bucket key matches
+    * the query's (multi-probe = also buckets at hamming distance 1). Returns
+    * the same schema as topK; recall < 1 by construction — the ScalaTest
+    * suite measures it against the brute-force baseline.
+    */
+  def annTopK(embs: DataFrame, query: DataFrame, k: Int, nBits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              scale: Int = 6): DataFrame = {
+    val keyed = embs.withColumn("bkey", lshKey(col(vecCol), nBits))
+    val qKeyed = query.withColumn("qkey", lshKey(col("qvec"), nBits))
+    // multi-probe: the query's bucket plus every bucket at hamming distance 1
+    val flips = (0 until nBits).map(b => col("qkey").bitwiseXOR(lit(1L << b)))
+    val probes = qKeyed.select(col("qvec"),
+      explode(array((col("qkey") +: flips): _*)).as("bkey"))
+    keyed.join(broadcast(probes), "bkey")
+      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), scale).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

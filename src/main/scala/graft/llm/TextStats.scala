@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for large-scale training-data pipelines:
+  * tokenization stats, language-ID heuristic, quality scoring, document
+  * fingerprinting. All pure built-in columnar expressions (whole-stage
+  * codegen, no UDFs) — a scan over 100 TB of text stays one shuffle-free
+  * stage until the final aggregate.
+  */
+object TextStats {
+
+  /** Whitespace tokens. The corpus is single-space separated; for general
+    * text swap in the regex split.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Word-ish tokens per a BPE-style pre-tokenizer regex (letters runs /
+    * digit runs), an upper bound proxy for subword counts.
+    */
+  def alphaTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+")).cast("long")
+
+  /** Crude byte-based BPE token estimate (~4 UTF-8 bytes per token). */
+  def bpeEstimate(text: Column): Column =
+    ceil(octet_length(text) / lit(4.0)).cast("long")
+
+  /** Stopword sets for the n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "de", "un"),
+    "de" -> Seq("der", "die", "und", "ein", "ist"),
+    "es" -> Seq("el", "la", "y", "de", "un"))
+
+  /** Language-ID: distinct-stopword hits per language; predict the language
+    * with the most hits (ties broken by language code order), `und` if no
+    * hits. Deterministic, SQL-expressible.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, size(array_intersect(toks, array(words.map(lit): _*))))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), other) =>
+      when(score > 0 && score === best, lit(lang)).otherwise(other)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation + lexical diversity +
+    * stopword density (the classic cheap quality gates). Rounded so the
+    * result is float-order independent.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val lenScore = least(lit(1.0), length(text) / lit(500.0))
+    val uniqRatio = size(array_distinct(toks)) / n.cast("double")
+    val allStop = array((stopwords.values.flatten.toSeq.distinct.sorted).map(lit): _*)
+    val stopRatio = size(filter(toks, t => array_contains(allStop, t))) / n.cast("double")
+    round(lit(0.3) * lenScore + lit(0.4) * uniqRatio + lit(0.3) * stopRatio, 4)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the first `maxLen` chars
+    * (mod 1e9+7, base 31): a stable 63-bit document fingerprint computable
+    * identically in any engine with integer arithmetic.
+    */
+  def fingerprint(textCol: String, maxLen: Int = 64): Column =
+    expr(
+      s"aggregate(sequence(1, least(length($textCol), $maxLen)), 0L, " +
+      s"(acc, i) -> (acc * 31 + ascii(substring($textCol, i, 1))) % 1000000007)")
+
+  /** Per-language corpus stats: doc count, char volume, token stats. */
+  def langStats(docs: DataFrame, textCol: String = "text",
+                langCol: String = "lang", charsCol: String = "n_chars"): DataFrame =
+    docs.groupBy(col(langCol).as("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(charsCol)).as("sum_chars"),
+      round(avg(tokenCount(col(textCol))), 4).as("avg_tokens"),
+      max(tokenCount(col(textCol))).as("max_tokens"))
+}

@@ -1,0 +1,159 @@
+package graft.stream
+
+import graft.core.{Decision, JoinedDecision, Reward}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The contextual-bandit delayed join (reference: join-service/app/main.py:
+  * 59-96; spec README.md:14-27): a decision joins every reward with the same
+  * key whose timestamp lies within ±Δ, the result is emitted once the
+  * decision's window closes (≥ d.ts + Δ), and a decision with no reward
+  * emits exactly one row with reward = 0.0.
+  *
+  * Streaming implementation: union both streams keyed by `key`, buffer in
+  * `flatMapGroupsWithState` with an event-time timeout at the earliest
+  * pending decision's deadline. This is the semantically faithful form —
+  * a stream-stream outer join would emit on watermark close of *both* sides
+  * rather than exactly per-decision, and cannot express the override
+  * tombstones (J7) or last-reward-wins (J6) variants.
+  *
+  * Scale: state is partitioned by key across executors; per-key state holds
+  * only the ±Δ window of events, and the timeout GC's it — bounded memory
+  * regardless of stream length.
+  */
+object DelayedJoin {
+
+  val DefaultDeltaMs: Long = 10000L // EXP_UNIT_MS (reference main.py:22)
+
+  /** Union-stream element. kind: 0 = decision, 1 = reward, 2 = override. */
+  final case class In(key: String, kind: Int, context: String, action: String,
+      probability: Double, reward: Double, insert_ms: Long)
+
+  final case class State(
+      decisions: List[In], rewards: List[In], overridden: Boolean)
+
+  object In {
+    def apply(d: Decision): In =
+      In(d.key, 0, d.context, d.action, d.probability, 0.0, d.insert_ms)
+    def apply(r: Reward): In = In(r.key, 1, "", "", 0.0, r.reward, r.insert_ms)
+    def overrideKey(key: String, ms: Long): In = In(key, 2, "", "", 0.0, 0.0, ms)
+  }
+
+  final case class Config(
+      deltaMs: Long = DefaultDeltaMs,
+      lastRewardWins: Boolean = false, // J6 exercise variant
+      honorOverrides: Boolean = false) // J7 exercise variant
+
+  /** Per-key state transition. `watermarkMs` is the event-time watermark;
+    * decisions with deadline (ts + Δ) ≤ watermark are emitted and dropped.
+    */
+  private def step(cfg: Config)(key: String, in: Iterator[In],
+      state: GroupState[State]): Iterator[JoinedDecision] = {
+    val prev = state.getOption.getOrElse(State(Nil, Nil, overridden = false))
+    val incoming = in.toList
+    val overridden = prev.overridden ||
+      (cfg.honorOverrides && incoming.exists(_.kind == 2))
+    val decisions = prev.decisions ++ incoming.filter(_.kind == 0)
+    val rewards = prev.rewards ++ incoming.filter(_.kind == 1)
+    val wm = state.getCurrentWatermarkMs()
+
+    val (due, pending) = decisions.partition(_.insert_ms + cfg.deltaMs <= wm)
+    val out: List[JoinedDecision] =
+      if (overridden) Nil
+      else due.flatMap { d =>
+        val matched = rewards
+          .filter(r => math.abs(r.insert_ms - d.insert_ms) <= cfg.deltaMs)
+          .sortBy(r => (r.insert_ms, r.reward))
+        val chosen = if (cfg.lastRewardWins) matched.takeRight(1) else matched
+        if (chosen.isEmpty)
+          List(JoinedDecision(d.key, d.context, d.action, d.probability,
+            0.0, d.insert_ms, None)) // J3 coalesce default
+        else chosen.map(r =>
+          JoinedDecision(d.key, d.context, d.action, d.probability,
+            r.reward, d.insert_ms, Some(r.insert_ms - d.insert_ms))) // J4
+      }
+
+    // GC: a reward can still match a future decision only while
+    // r.ts + Δ > watermark (future decisions have ts ≳ watermark).
+    val liveRewards = rewards.filter(_.insert_ms + cfg.deltaMs > wm)
+    if (pending.isEmpty && liveRewards.isEmpty && !overridden) {
+      state.remove()
+    } else {
+      state.update(State(pending, liveRewards, overridden))
+      val nextDeadline =
+        if (pending.nonEmpty) pending.map(_.insert_ms + cfg.deltaMs).min
+        else wm + cfg.deltaMs // reward-only/override state: revisit to GC
+      state.setTimeoutTimestamp(math.max(nextDeadline, wm + 1))
+    }
+    out.iterator
+  }
+
+  /** Streaming delayed join over a pre-unioned input stream carrying an
+    * event-time column `ts` (TimestampType, = insert_ms). Callers build the
+    * union with [[unionStreams]].
+    */
+  def joined(spark: SparkSession, input: Dataset[In], cfg: Config = Config())
+      : Dataset[JoinedDecision] = {
+    import spark.implicits._
+    input
+      .withColumn("ts", timestamp_millis(col("insert_ms")))
+      .withWatermark("ts", s"${cfg.deltaMs} milliseconds")
+      .as[(String, Int, String, String, Double, Double, Long, java.sql.Timestamp)]
+      .map(t => In(t._1, t._2, t._3, t._4, t._5, t._6, t._7))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        step(cfg))
+  }
+
+  def unionStreams(spark: SparkSession, decisions: Dataset[Decision],
+                   rewards: Dataset[Reward]): Dataset[In] = {
+    import spark.implicits._
+    decisions.map(In(_): In).union(rewards.map(In(_): In))
+  }
+
+  // ------------------------------------------------------------------
+  // Batch analogs (the oracle-checkable semantics of J2–J7)
+  // ------------------------------------------------------------------
+
+  /** J2–J5 batch analog: LEFT join decisions→rewards on key within ±Δ,
+    * multi-reward fan-out, reward defaulted to 0.0 and delta NULL on miss.
+    * Expects `decisions(key, insert_ms, …payload)` and
+    * `rewards(key, reward, insert_ms)`; payload columns pass through.
+    */
+  def batch(decisions: DataFrame, rewards: DataFrame,
+            deltaMs: Long = DefaultDeltaMs): DataFrame = {
+    val payload = decisions.columns.filterNot(Set("key", "insert_ms")).toSeq
+    val d = decisions.alias("d")
+    val r = rewards
+      .select(col("key"), col("reward"), col("insert_ms").as("r_insert_ms"))
+      .alias("r")
+    d.join(r,
+        col("d.key") === col("r.key") &&
+          col("r.r_insert_ms").between(
+            col("d.insert_ms") - deltaMs, col("d.insert_ms") + deltaMs),
+        "left")
+      .select(
+        (col("d.key").as("key") +:
+          payload.map(c => col(s"d.$c").as(c))) ++ Seq(
+          coalesce(col("r.reward"), lit(0.0)).as("reward"),
+          col("d.insert_ms").as("decision_insert_ms"),
+          (col("r.r_insert_ms") - col("d.insert_ms")).as("reward_delta_ms")): _*)
+  }
+
+  /** J6 batch analog: exactly one row per decision, keeping the reward with
+    * the greatest insert_ms (ties by reward value); reward 0.0 on miss.
+    */
+  def lastRewardWins(joined: DataFrame, decisionIdCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(decisionIdCols.map(col): _*)
+      .orderBy(col("reward_delta_ms").desc_nulls_last, col("reward").desc)
+    joined.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+  }
+
+  /** J7 batch analog: suppress decisions whose key appears in `overrides`. */
+  def withoutOverridden(decisions: DataFrame, overrides: DataFrame,
+                        keyCol: String = "key"): DataFrame =
+    decisions.join(overrides.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+}
