@@ -27,9 +27,14 @@ object DelayedJoin {
 
   val DefaultDeltaMs: Long = 10000L // EXP_UNIT_MS (reference main.py:22)
 
-  /** Union-stream element. kind: 0 = decision, 1 = reward, 2 = override. */
+  /** Union-stream element. kind: 0 = decision, 1 = reward, 2 = override.
+    * `ts` is the event-time column (derived from insert_ms inside
+    * [[joined]]); it must be a field of the grouped type so the watermark
+    * attribute survives into flatMapGroupsWithState.
+    */
   final case class In(key: String, kind: Int, context: String, action: String,
-      probability: Double, reward: Double, insert_ms: Long)
+      probability: Double, reward: Double, insert_ms: Long,
+      ts: java.sql.Timestamp = null)
 
   final case class State(
       decisions: List[In], rewards: List[In], overridden: Boolean)
@@ -99,9 +104,8 @@ object DelayedJoin {
     import spark.implicits._
     input
       .withColumn("ts", timestamp_millis(col("insert_ms")))
+      .as[In]
       .withWatermark("ts", s"${cfg.deltaMs} milliseconds")
-      .as[(String, Int, String, String, Double, Double, Long, java.sql.Timestamp)]
-      .map(t => In(t._1, t._2, t._3, t._4, t._5, t._6, t._7))
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         step(cfg))

@@ -1,0 +1,90 @@
+package graft
+
+import graft.stream.DelayedJoin
+import graft.stream.DelayedJoin.{Config, In}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** J1–J7 streaming semantics (fixture scenarios from FIXTURES.md §2 /
+  * reference join-service/README.md:14-27,108-124). Δ = 10 000 ms.
+  * A far-future reward on a throwaway key pushes the watermark so the
+  * event-time timeouts fire deterministically.
+  */
+class DelayedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = 1000000L
+  private val Delta = 10000L
+
+  private def run(cfg: Config, events: Seq[In], name: String): Seq[(String, Double, Option[Long])] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[In]
+    val q: StreamingQuery = DelayedJoin.joined(spark, input.toDS(), cfg)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(In.apply(graft.core.Reward("_wm", 0.0, T0 + 30 * Delta)))
+      q.processAllAvailable()
+      // one more empty-ish batch so timeouts set in the previous batch fire
+      input.addData(In.apply(graft.core.Reward("_wm", 0.0, T0 + 31 * Delta)))
+      q.processAllAvailable()
+      spark.table(name)
+        .select("key", "reward", "reward_delta_ms")
+        .as[(String, Double, Option[Long])].collect().toSeq.sorted
+    } finally q.stop()
+  }
+
+  private def d(key: String, ms: Long) =
+    In(graft.core.Decision(key, "ctx", "act", 0.5, ms))
+  private def r(key: String, ms: Long, v: Double) =
+    In(graft.core.Reward(key, v, ms))
+
+  test("delayed join core semantics J1-J5") {
+    val out = run(Config(deltaMs = Delta), Seq(
+      d("k1", T0), r("k1", T0 + 3000, 5.0),          // reward in window
+      d("k2", T0),                                    // no reward -> 0.0
+      d("k3", T0), r("k3", T0 + 1000, 1.0), r("k3", T0 + 2000, 2.0), // fan-out
+      r("k4", T0, 1.0), d("k4", T0 + 2000),           // reward before decision
+      d("k5", T0), r("k5", T0 + 11000, 9.0)           // reward after window
+    ), "dj_core")
+    assert(out == Seq(
+      ("k1", 5.0, Some(3000L)),
+      ("k2", 0.0, None),
+      ("k3", 1.0, Some(1000L)),
+      ("k3", 2.0, Some(2000L)),
+      ("k4", 1.0, Some(-2000L)),
+      ("k5", 0.0, None)))
+  }
+
+  test("last-reward-wins variant J6 emits exactly one row per decision") {
+    val out = run(Config(deltaMs = Delta, lastRewardWins = true), Seq(
+      d("k3", T0), r("k3", T0 + 1000, 1.0), r("k3", T0 + 2000, 2.0),
+      d("k2", T0)
+    ), "dj_lastwins")
+    assert(out == Seq(("k2", 0.0, None), ("k3", 2.0, Some(2000L))))
+  }
+
+  test("override tombstone J7 suppresses the decision") {
+    val out = run(Config(deltaMs = Delta, honorOverrides = true), Seq(
+      d("k6", T0), In.overrideKey("k6", T0 + 1000),
+      d("k7", T0) // not overridden, still emits
+    ), "dj_override")
+    assert(out == Seq(("k7", 0.0, None)))
+  }
+
+  test("batch analog fans out and defaults like the stream") {
+    val dec = Seq(("a", 1L, 100000L), ("b", 2L, 100000L))
+      .toDF("key", "decision_id", "insert_ms")
+    val rew = Seq(("a", 1.5, 103000L), ("a", 2.5, 104000L))
+      .toDF("key", "reward", "insert_ms")
+    val j = DelayedJoin.batch(dec, rew, 10000L)
+      .select("decision_id", "reward", "reward_delta_ms")
+      .as[(Long, Double, Option[Long])].collect().toSeq.sorted
+    assert(j == Seq((1L, 1.5, Some(3000L)), (1L, 2.5, Some(4000L)), (2L, 0.0, None)))
+    val last = DelayedJoin.lastRewardWins(
+        DelayedJoin.batch(dec, rew, 10000L), Seq("decision_id"))
+      .select("decision_id", "reward").as[(Long, Double)].collect().toSeq.sorted
+    assert(last == Seq((1L, 2.5), (2L, 0.0)))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Shared 60-char prefix (the ngram blocker keys on the first 40 chars);
+  // the near-dup differs only in its tail.
+  private val prefix = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 6).trim
+  private val base = prefix + " t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+  private val nearDup = prefix + " t1 t2 t3 zz t5 t6 t7 t8 t9 t10"
+  private lazy val docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup),
+    (4L, "completely different words entirely another planet qq rr ss tt uu vv " * 5)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs).orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(groups == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH surfaces the planted near-dup pair") {
+    val pairs = Dedup.minhash(docs, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc clean
+  }
+
+  test("simhash finds near-dups by hamming distance") {
+    val pairs = Dedup.simhash(docs, maxHamming = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard verifies exact similarity on blocked candidates") {
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head._3 == 1.0) // identical docs: jaccard exactly 1
+  }
+
+  test("cosine top-k returns exact neighbours in order") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1.0f, 0.0f))).toDF("qvec")
+    val top = Similarity.topK(embs, q, 3).as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1) == Seq(1L, 3L, 2L))
+    assert(top.head._2 == 1.0)
+  }
+
+  test("LSH ANN finds the exact match and respects k") {
+    val embs = spark.range(100).select(col("id").as("vec_id"),
+      array((0 until 8).map(i => (sin(col("id") * (i + 1)) * 10).cast("float")): _*)
+        .as("embedding"))
+    val q = embs.where(col("vec_id") === 42).select(col("embedding").as("qvec"))
+    val ann = Similarity.annTopK(embs, q, 5).as[(Long, Double)].collect().toSeq
+    assert(ann.nonEmpty && ann.size <= 5)
+    assert(ann.head._1 == 42L && ann.head._2 == 1.0) // query itself retrieved
+  }
+
+  test("language id and quality score behave on obvious inputs") {
+    val d = Seq((1L, "the cat sat of the mat and a dog is"),
+      (2L, "xyz qqq zzz")).toDF("doc_id", "text")
+    val pred = d.select(col("doc_id"), TextStats.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(pred(1L) == "en" && pred(2L) == "und")
+    val q = d.select(TextStats.qualityScore(col("text"))).as[Double].collect()
+    assert(q.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint matches the reference formula") {
+    val fp = Seq(Tuple1("ab")).toDF("text")
+      .select(TextStats.fingerprint("text")).as[Long].collect().head
+    assert(fp == (97L * 31 + 98) % 1000000007) // ascii('a')=97 then 'b'
+  }
+
+  test("multimodal decode plumbing produces frames from binary payloads") {
+    val media = Multimodal.asBinary(
+      Seq((7L, "x" * 2500)).toDF("doc_id", "text"))
+    val meta = Multimodal.decodeMeta(media).collect().head
+    assert(meta.getAs[Long]("n_bytes") == 2500L)
+    assert(meta.getAs[Int]("n_frames") == 3)
+    val frames = Multimodal.decodeFrames(spark, media, Multimodal.fakeFrameDecoder)
+    val rows = frames.as[(Long, Int, Seq[Float])].collect().toSeq
+    assert(rows.map(_._2) == Seq(0, 1, 2))
+    assert(rows.forall(_._3.length == 8))
+  }
+}
