@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot inner loops.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) evaluate
+  * their lambdas interpreted, one function call per element — for the
+  * signature computations (64 bits × |tokens|, k hashes × |shingles|,
+  * 64-dim dot products × |pairs|) that interpretation dominates the query.
+  * These expressions do the same work in one tight JVM loop per row
+  * (CodegenFallback: one virtual call per row, branch-free inner loops),
+  * which benchmarked 5-10× faster at sf0.1 and scales the same way on a
+  * cluster — per-row cost, no extra shuffles.
+  */
+
+/** 64-bit SimHash of an array<string>: bit b of the result is set iff the
+  * sum over elements of (bit b of xxhash64(element) ? +1 : −1) is positive.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = super.checkInputDataTypes()
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counters = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          counters(b) += ((((h >>> b) & 1L) << 1) - 1).toInt
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** MinHash signature (array<long> of length k) of an array<string> shingle
+  * set: one xxhash64 per element, then k affine variants
+  * g_i(x) = a_i·h(x) + b_i (mod 2^64) with fixed splitmix64-derived odd
+  * multipliers — the standard single-hash minwise family.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val (as, bs): (Array[Long], Array[Long]) = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val a = Array.tabulate(numHashes)(i => splitmix(2L * i) | 1L) // odd
+    val b = Array.tabulate(numHashes)(i => splitmix(2L * i + 1))
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var k = 0
+        while (k < numHashes) {
+          val g = as(k) * h + bs(k)
+          if (g < mins(k)) mins(k) = g
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** Distinct word n-gram shingles of an array<string>, single-space joined —
+  * one pass, one output string per window, deduped with a hash set. The
+  * transform+slice+array_join HOF composition allocates an interpreted
+  * lambda frame and an array slice per window.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val nWindows = math.max(len - (n - 1), math.min(len, 1))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < nWindows) {
+      val w = new Array[UTF8String](math.min(n, len - i))
+      var j = 0
+      while (j < w.length) { w(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, w: _*))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** Dot product of two array<double> columns, summed left-to-right (same
+  * fold order as `aggregate(zip_with(...))` and the DuckDB oracle's
+  * list_inner_product, so rounded results agree).
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
+    copy(left = l, right = r)
+}
+
+/** Column-level entry points (Spark 4's unified Column wraps/unwraps
+  * catalyst expressions via ExpressionUtils).
+  */
+object native {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
+  def minhashSig(c: Column, numHashes: Int): Column =
+    column(MinHashSig(expression(c), numHashes))
+
+  /** Inputs must already be array<double> (cast array<float> upstream once). */
+  def dotd(a: Column, b: Column): Column =
+    column(DotProductD(expression(a), expression(b)))
+}

@@ -22,21 +22,21 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .drop("content_hash")
 
-  /** Distinct word n-gram shingles of a token array. */
+  /** Distinct word n-gram shingles of a token array (native expression; the
+    * set semantics match `list_distinct(list_transform(...))` in the oracle —
+    * only intersection/union sizes are consumed downstream, so element order
+    * is irrelevant).
+    */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+    graft.functions.native.wordShingles(toks, n)
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the shingle set. One pass over the shingle array
-    * per row; no shuffle.
+  /** MinHash signature: k min-wise hashes over the shingle set, computed by
+    * the native [[graft.functions.MinHashSig]] expression — one pass, one
+    * xxhash per shingle plus k affine variants. (A transform/array_min HOF
+    * composition computes the same thing ~8× slower: interpreted lambdas.)
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(sh, x => xxhash64(x, s))))
+    graft.functions.native.minhashSig(sh, numHashes)
 
   /** Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -60,11 +60,12 @@ object Dedup {
     val sh = docs.select(
       col(idCol).as("id"),
       shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
-    val sig = sh.select(
-      col("id"), col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
+    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // Candidate generation shuffles only (id, band, bucket) — the shingle
+    // arrays stay out of the exchange; they are joined back by id only for
+    // the (few) verified candidate pairs.
     val banded = sig.select(
-      col("id"), col("sh"),
+      col("id"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(
@@ -72,32 +73,27 @@ object Dedup {
             xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
               .as("bucket"))))
         .as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jacc"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jacc"))
       .where(col("jacc") >= threshold)
   }
 
-  /** 64-bit SimHash from a column of precomputed token hashes (array<long>):
-    * bit b of the signature is the sign of the sum over token hashes of
-    * (hashbit_b ? +1 : −1). Built as a SQL expression string because dynamic
-    * shift amounts are only available in the SQL function form
-    * (`shiftleft(1L, b)` with a column bit count). Hashing once into a column
-    * and folding over it keeps the cost O(64·|tokens|) adds, not hashes.
+  /** 64-bit SimHash of a token array via the native
+    * [[graft.functions.SimHash64]] expression (64 counters in one tight
+    * loop; the HOF formulation was the single slowest query at sf0.1).
     */
-  def simhashSignature(tokenHashesCol: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 63), 0L, (acc, b) ->
-         |  acc + IF(
-         |    aggregate($tokenHashesCol, 0L,
-         |      (w, h) -> w + (shiftright(h, b) & 1L) * 2 - 1) > 0,
-         |    shiftleft(1L, b), 0L))""".stripMargin)
+  def simhashSignature(toks: Column): Column =
+    graft.functions.native.simhash64(toks)
 
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
     * signature chunks (guarantees recall for hamming distance ≤ 3 by
@@ -105,11 +101,8 @@ object Dedup {
     */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(
-      col(idCol).as("id"),
-      transform(array_distinct(TextStats.tokens(col(textCol))),
-        t => xxhash64(t)).as("th"))
-    val sig = hashed.select(col("id"), simhashSignature("th").as("sig"))
+    val sig = docs.select(col(idCol).as("id"),
+      simhashSignature(array_distinct(TextStats.tokens(col(textCol)))).as("sig"))
     val chunks = (0 until 4).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey")))
     val chunked = sig.select(col("id"), col("sig"),

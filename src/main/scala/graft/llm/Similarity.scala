@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right fold dot product of two array<float|double> columns. */
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** Left-to-right dot product (native expression; same fold order as an
+    * aggregate/zip_with composition and as the oracle's list_inner_product).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.native.dotd(asD(a), asD(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -47,11 +49,18 @@ object Similarity {
   def nnWithinPartition(embs: DataFrame, partCol: String = "label",
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         scale: Int = 6): DataFrame = {
-    val a = embs.select(col(partCol).as("p"), col(idCol).as("a_id"), col(vecCol).as("a_v"))
-    val b = embs.select(col(partCol).as("p"), col(idCol).as("b_id"), col(vecCol).as("b_v"))
+    // Cast to double and precompute each vector's norm once — the pair loop
+    // then does a single dot per pair instead of three.
+    val keyed = embs.select(col(partCol).as("p"), col(idCol).as("id"),
+      asD(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.native.dotd(col("v"), col("v"))))
+    val a = keyed.select(col("p"), col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = keyed.select(col("p"), col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
     val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
     a.join(b, Seq("p")).where(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), round(cosine(col("a_v"), col("b_v")), scale).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.native.dotd(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), scale)
+          .as("sim"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
   }

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 class LlmSpec extends SparkSpec {
   import spark.implicits._
 
-  // Shared 60-char prefix (the ngram blocker keys on the first 40 chars);
-  // the near-dup differs only in its tail.
-  private val prefix = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 6).trim
+  // Shared prefix (the ngram blocker keys on the first 40 chars); the
+  // near-dup differs in a single tail token, so shingle jaccard ≈ 0.87 and
+  // every LSH configuration in use collides with probability ≈ 1.
+  private val prefix = (1 to 60).map("w" + _).mkString(" ")
   private val base = prefix + " t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
   private val nearDup = prefix + " t1 t2 t3 zz t5 t6 t7 t8 t9 t10"
   private lazy val docs = Seq(
