@@ -65,6 +65,14 @@ object SparkEntry {
     "scan_parquet" -> ((s, d) =>
       t(s, d, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")),
 
+    // S5: keyed read with limit + server-ts annotation (reference
+    // storage.py:48-58); ORDER BY before LIMIT keeps it deterministic.
+    "scan_limit" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), col("props").as("data"),
+          unix_millis(col("ts")).as("__ts"))
+        .orderBy("event_id").limit(100)),
+
     // ---- 2.B ETL ----
     "etl_from_json" -> ((s, d) =>
       t(s, d, "events")
@@ -149,7 +157,9 @@ object SparkEntry {
 
     "q1_agg" -> ((s, d) =>
       t(s, d, "lineitem")
-        .where(year(col("l_shipdate")) < 1999)
+        // direct comparison (not year()) so the predicate pushes down to the
+        // parquet scan's row-group min/max stats
+        .where(col("l_shipdate") < expr("TIMESTAMP_NTZ '1999-01-01 00:00:00'"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"), // integral doubles: exact
@@ -226,6 +236,16 @@ object SparkEntry {
         .select(unix_millis(col("window_start")).as("bucket_ms"),
           col("loc"), col("type"), col("n"))
         .orderBy("bucket_ms")
+    },
+
+    // J1 batch analog: per-record TTL validity window — records "live" at a
+    // fixed reference instant T (mid-corpus): insert_ms ≤ T ≤ insert_ms + Δ.
+    "stream_window_filter" -> { (s, d) =>
+      val T = 1705276800000L // 2024-01-15 00:00:00 UTC
+      t(s, d, "events")
+        .select(col("event_id"), unix_millis(col("ts")).as("insert_ms"))
+        .where(lit(T).between(col("insert_ms"), col("insert_ms") + AnalogDeltaMs))
+        .orderBy("event_id")
     },
 
     // ---- 2.H dedup ----
@@ -319,6 +339,15 @@ object SparkEntry {
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
+    "scan_limit" ->
+      ("SELECT event_id, props AS data, epoch_ms(ts) AS __ts FROM events " +
+        "ORDER BY event_id LIMIT 100"),
+
+    "stream_window_filter" ->
+      ("SELECT event_id, epoch_ms(ts) AS insert_ms FROM events " +
+        "WHERE 1705276800000 BETWEEN epoch_ms(ts) AND epoch_ms(ts) + 3600000 " +
+        "ORDER BY event_id"),
+
     "etl_from_json" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
         "FROM events ORDER BY event_id"),
@@ -384,7 +413,7 @@ object SparkEntry {
         "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price, " +
         "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price, " +
         "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 6) AS avg_disc, " +
-        "count(*) AS count_order FROM lineitem WHERE year(l_shipdate) < 1999 " +
+        "count(*) AS count_order FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
 
     "multi_join_agg" ->

@@ -1,0 +1,59 @@
+package graft.core
+
+import graft.functions.{DotProductD, MinHashSig, SimHash64, WordShingles}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/** Session construction with the engine's recommended configuration, and SQL
+  * registration of the native expressions so `spark.sql` users get them too.
+  *
+  * Use either
+  * `GraftSession.builder().master("local[32]").getOrCreate()` or a plain
+  * builder with `.withExtensions(new GraftExtensions)`.
+  */
+object GraftSession {
+
+  def builder(shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
+
+  /** Register the engine's SQL functions on an existing session. */
+  def registerFunctions(spark: SparkSession): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** SparkSessionExtensions hook: registers graft_* SQL functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_minhash_sig" -> (exprs =>
+      MinHashSig(exprs.head, intLit(exprs(1), "numHashes"))),
+    "graft_word_shingles" -> (exprs =>
+      WordShingles(exprs.head, intLit(exprs(1), "n"))),
+    "graft_dotd" -> (exprs => DotProductD(exprs.head, exprs(1))))
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.core.GraftSession
+import graft.stream.DqAlerts
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class SessionAndStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_* SQL functions are usable from spark.sql") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash64(array('a','b')) AS sh, " +
+        "size(graft_minhash_sig(array('a','b'), 8)) AS mh, " +
+        "graft_word_shingles(array('a','b','c'), 2) AS ws, " +
+        "graft_dotd(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp").collect().head
+    assert(r.getAs[Long]("sh") != 0L)
+    assert(r.getAs[Int]("mh") == 8)
+    assert(r.getAs[scala.collection.Seq[String]]("ws").toSet == Set("a b", "b c"))
+    assert(r.getAs[Double]("dp") == 11.0)
+  }
+
+  test("streaming DQ alert counts emit per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val viol = input.toDF().toDF("ts", "loc", "type")
+    val q = DqAlerts.alertCounts(viol, "1 minute", watermark = Some("1 minute"))
+      .writeStream.format("memory").queryName("dq_stream").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 00:00:10"), "f1", "range"),
+        (ts("2024-01-01 00:00:40"), "f1", "range"),
+        (ts("2024-01-01 00:01:10"), "f2", "range"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:10:00"), "f9", "range")) // push watermark
+      q.processAllAvailable()
+      val rows = spark.table("dq_stream")
+        .select("loc", "n").as[(String, Long)].collect().toSet
+      assert(rows.contains(("f1", 2L)) && rows.contains(("f2", 1L)))
+    } finally q.stop()
+  }
+
+  test("bronze JSON log can be ingested as a stream through the same ETL") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val bronze = input.toDF().toDF("ts", "data")
+    val parsed = graft.etl.Etl.parse(bronze, graft.core.Contracts.clicks)
+    val flat = graft.etl.Etl.flatten(parsed, graft.core.Contracts.clicks)
+    val q = flat.writeStream.format("memory").queryName("etl_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, """{"query_id":"q1","document_id":42}"""))
+      q.processAllAvailable()
+      val rows = spark.table("etl_stream")
+        .select("query_id", "document_id").as[(String, Long)].collect().toSeq
+      assert(rows == Seq(("q1", 42L)))
+    } finally q.stop()
+  }
+
+  private val fieldName = Gen.choose(1, 3).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  test("property: flatten paths are unique, ordered, and lossless") {
+    import org.apache.spark.sql.types._
+    val leaf: Gen[DataType] = Gen.oneOf(LongType, StringType, DoubleType)
+    def genType(depth: Int): Gen[DataType] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        2 -> Gen.lzy(genStruct(depth - 1)),
+        1 -> Gen.lzy(genType(depth - 1).map(ArrayType(_))))
+    def genStruct(depth: Int): Gen[StructType] =
+      Gen.choose(1, 4).flatMap { n =>
+        Gen.listOfN(n, fieldName).flatMap { names =>
+          Gen.sequence[List[DataType], DataType](
+            names.indices.map(_ => genType(depth)).toList).map { types =>
+            StructType(names.distinct.zip(types).map { case (nm, t) => StructField(nm, t) })
+          }
+        }
+      }
+    // raw ScalaCheck sampling (no scalatest bridge in the offline cache)
+    val schemas = (0 until 50).flatMap(i =>
+      genStruct(3).apply(Gen.Parameters.default, Seed(i.toLong)))
+    assert(schemas.size >= 40)
+    schemas.foreach { schema =>
+      val paths = graft.etl.Flatten.columnPaths(schema)
+      assert(paths.distinct == paths)          // unique
+      // stable: recomputing yields the same ordered list
+      assert(graft.etl.Flatten.columnPaths(schema) == paths)
+      // append-only under extension: adding a field only appends or inserts
+      // *new* names; existing relative order is preserved
+      val extended = StructType(schema.fields :+ StructField("zzz_new", LongType))
+      val extPaths = graft.etl.Flatten.columnPaths(extended)
+      assert(extPaths.filter(paths.contains) == paths)
+      // migration accepts the extension and keeps the stored prefix
+      val evolved = graft.etl.Migrate.evolve(paths, extended)
+      assert(evolved.take(paths.size) == paths)
+    }
+  }
+}
