@@ -60,6 +60,27 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("observe-based DQ counters accumulate without extra scans") {
+    import graft.core.{FieldBounds, Validation}
+    import graft.stream.DqCounters
+    val listener = new DqCounters.Listener("dq")
+    spark.listenerManager.register(listener)
+    try {
+      val df = Seq(0.5, 1.5, 2.5, 0.9).toDF("probability")
+      val rules = Validation.boundsRules(
+        Map("probability" -> FieldBounds(Some(0.0), Some(1.0))))
+      DqCounters.observed(df, rules).collect()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var snap = listener.snapshot
+      while (!snap.contains("probability:range") && System.nanoTime() < deadline) {
+        Thread.sleep(50); snap = listener.snapshot
+      }
+      assert(snap.get("probability:range").contains(2L))
+      assert(snap.get("rows:total").contains(4L))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   private val fieldName = Gen.choose(1, 3).flatMap(n =>
     Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
 
