@@ -140,6 +140,14 @@ object SparkEntry {
         exact = true)
         .orderBy("column_name")),
 
+    // Scale-mode profile: HLL distinct + approximate percentiles (DuckDB's
+    // approx_unique analog). Engine-specific approximations → rows-only check.
+    "profile_summarize_approx" -> ((s, d) =>
+      Profile.summarize(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        exact = false)
+        .orderBy("column_name")),
+
     // ---- flagship batch analytics ----
     "ctr_join" -> { (s, d) =>
       val e = withK(t(s, d, "events")).select("k", "event_type")

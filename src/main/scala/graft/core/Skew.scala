@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join helper: salting for hot keys.
+  *
+  * AQE's skew-join split (enabled by GraftSession) handles most runtime
+  * skew; explicit salting is for the pathological case — a handful of keys
+  * holding a double-digit percentage of rows (e.g. one `user_id` with 10⁹
+  * events at 100 TB) where even a split partition of one key overwhelms an
+  * executor. The left (large) side is split into `salt` sub-keys; the right
+  * side is replicated `salt` times, so the hot key's rows spread across
+  * `salt` tasks.
+  */
+object Skew {
+
+  /** Equi-join `left` (large, possibly skewed) with `right` (smaller) on
+    * `key`, spreading every left key over `salt` partitions. Inner and
+    * left-outer supported (semantics identical to the unsalted join).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salt: Int,
+                 joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"unsupported salted join type $joinType")
+    val saltedLeft = left.withColumn("_salt",
+      (rand(seed = 42) * salt).cast("int"))
+    val replicatedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
+  /** Top-n heavy-hitter keys with counts — the diagnostic used to decide
+    * whether salting is warranted. One aggregate, no collect of data rows.
+    */
+  def heavyHitters(df: DataFrame, key: Column, n: Int = 20): DataFrame =
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc).limit(n)
+}

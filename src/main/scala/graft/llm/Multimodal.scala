@@ -42,6 +42,19 @@ object Multimodal {
       (lit(1) + floor(nb / lit(1000.0))).cast("int").as("n_frames"))
   }
 
+  /** Partition sizing for the decode stage: repartition so each task holds
+    * ~`targetBytesPerPartition` of payload (decoded frames are usually an
+    * order of magnitude larger than the encoded bytes — size for the decoded
+    * footprint). Range-partitioning by a random key gives near-uniform byte
+    * volume per task without a skewed-hash hot spot.
+    */
+  def repartitionForDecode(media: DataFrame,
+                           targetBytesPerPartition: Long = 64L << 20): DataFrame = {
+    val total = media.select(sum(length(col("content")).cast("long"))).head.getLong(0)
+    val parts = math.max(1, (total / targetBytesPerPartition).toInt)
+    media.repartition(parts)
+  }
+
   /** The real-decoder boundary: per-partition imperative decode of binary
     * payloads into frame feature rows. `decoder` maps raw bytes to fixed-size
     * frame features; partitions should be pre-sized (repartition by byte

@@ -81,6 +81,43 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("salted join matches the unsalted join exactly") {
+    import graft.core.Skew
+    val left = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
+    val right = Seq((0, "a"), (1, "b"), (2, "c"), (99, "z")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .select("k", "v", "name").as[(Int, Int, Option[String])].collect().toSeq.sorted
+      val salted = Skew.saltedJoin(left, right, "k", salt = 8, joinType = jt)
+        .select("k", "v", "name").as[(Int, Int, Option[String])].collect().toSeq.sorted
+      assert(salted == plain, s"joinType=$jt")
+    }
+    val hh = Skew.heavyHitters(left, col("k"), 3).collect()
+    assert(hh.length == 3 && hh.head.getLong(1) >= hh.last.getLong(1))
+  }
+
+  test("DQ closed loop: profile -> bounds -> validation -> alert counts") {
+    import graft.core.Validation
+    import graft.profile.Profile
+    // 1. profile the "good" corpus
+    val good = (1 to 100).map(i => 50.0 + (i % 10)).toDF("salary")
+    val (bounds, required) = Profile.toBounds(Profile.summarize(good, Seq("salary"), exact = true))
+    assert(required == Seq("salary"))
+    // 2. generated bounds become validation rules on the next batch
+    val rules = Validation.boundsRules(bounds) ++
+      required.map(f => Validation.Rule(f, "missing", col(f).isNull))
+    val next = Seq(Some(55.0), Some(200.0), None, Some(51.0)).toDF("salary")
+      .withColumn("ts", expr("timestamp'2024-01-01 00:00:30'"))
+    val (valid, invalid) = Validation.split(next, rules)
+    assert(valid.count() == 2 && invalid.count() == 2)
+    // 3. violations feed the windowed alert stream (batch analog here)
+    val viol = invalid.select(col("ts"), explode(col("_violations")).as("v"))
+      .select(col("ts"), col("v.loc"), col("v.type"))
+    val alerts = graft.stream.DqAlerts.alertCounts(viol)
+      .select("loc", "type", "n").as[(String, String, Long)].collect().toSet
+    assert(alerts == Set(("salary", "range", 1L), ("salary", "missing", 1L)))
+  }
+
   private val fieldName = Gen.choose(1, 3).flatMap(n =>
     Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
 
