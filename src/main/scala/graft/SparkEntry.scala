@@ -285,6 +285,13 @@ object SparkEntry {
       Similarity.annTopK(embs, q, 10).orderBy(col("sim").desc, col("vec_id"))
     },
 
+    "sim_ivf_topk" -> { (s, d) =>
+      val embs = t(s, d, "embeddings")
+      val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
+      Similarity.ivfTopK(embs, q, 10, kClusters = 16, nprobe = 4)
+        .orderBy(col("sim").desc, col("vec_id"))
+    },
+
     // ---- 2.H text analysis ----
     "text_stats" -> ((s, d) =>
       TextStats.langStats(t(s, d, "documents")).orderBy("lang")),

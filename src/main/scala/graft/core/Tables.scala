@@ -22,4 +22,10 @@ object Tables {
     if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Register every warehouse table as a temp view so `spark.sql` queries
+    * run against the same canonical loaders.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -133,6 +133,47 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Random-hyperplane LSH bucket key of an array<double> vector: bit p of
+  * the result is the sign of the dot product with pseudo-random plane p,
+  * whose components are splitmix64-derived in [-1, 1). Deterministic across
+  * runs and engines; one tight O(nBits·dim) loop per row.
+  */
+case class HyperplaneLshKey(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 63)
+  override def dataType: DataType = LongType
+
+  @inline private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var key = 0L
+    var p = 0
+    while (p < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val h = splitmix(p.toLong * 4099L + d)
+        // map to [-1, 1): top 53 bits as a double fraction
+        val comp = (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
+        acc += v.getDouble(d) * comp
+        d += 1
+      }
+      if (acc > 0) key |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(key)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneLshKey = copy(child = c)
+}
+
 /** Dot product of two array<double> columns, summed left-to-right (same
   * fold order as `aggregate(zip_with(...))` and the DuckDB oracle's
   * list_inner_product, so rounded results agree).
@@ -163,6 +204,7 @@ object native {
 
   def simhash64(c: Column): Column = column(SimHash64(expression(c)))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
+  def lshKey(c: Column, nBits: Int): Column = column(HyperplaneLshKey(expression(c), nBits))
   def minhashSig(c: Column, numHashes: Int): Column =
     column(MinHashSig(expression(c), numHashes))
 

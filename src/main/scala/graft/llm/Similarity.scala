@@ -65,22 +65,61 @@ object Similarity {
       .where(col("rn") === 1).drop("rn")
   }
 
-  /** Random-hyperplane LSH bucket key (`nBits` sign bits). Planes are
-    * pseudo-random but fully deterministic: plane p, dimension d has
-    * component (xxhash64(p·4099+d) mod 2001 − 1000)/1000.
+  /** Random-hyperplane LSH bucket key (`nBits` sign bits); native expression
+    * with deterministic splitmix64 planes.
     */
-  def lshKey(vecCol: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { p =>
-      val proj = aggregate(
-        zip_with(vecCol,
-          transform(sequence(lit(0), size(vecCol) - 1),
-            d => (pmod(xxhash64(lit(p) * lit(4099) + d), lit(2001L)) - lit(1000L))
-              .cast("double") / lit(1000.0)),
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+  def lshKey(vecCol: Column, nBits: Int): Column =
+    graft.functions.native.lshKey(asD(vecCol), nBits)
+
+  /** Distributed IVF index: k-means with deterministic init
+    * (cluster₀ = id mod k) and `iters` Lloyd iterations. Everything is
+    * joins + aggregates: assignment is a broadcast of the k centroids
+    * (k ≪ corpus), the centroid update is a posexplode + per-(cluster,dim)
+    * mean — shuffle keyed on (cluster, dim), never all-pairs.
+    * Returns (assignments(id, cluster), centroids(cluster, cvec)).
+    */
+  def ivfIndex(embs: DataFrame, kClusters: Int, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val v = embs.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
+    var assign = v.select(col("id"), pmod(col("id"), lit(kClusters)).cast("int").as("cluster"))
+    var centroids: DataFrame = null
+    for (_ <- 0 to iters) {
+      centroids = v.join(assign, "id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+      assign = v.crossJoin(broadcast(centroids))
+        .select(col("id"), col("cluster"),
+          graft.functions.native.dotd(col("v"), col("cvec"))
+            ./(sqrt(graft.functions.native.dotd(col("cvec"), col("cvec"))) + lit(1e-12))
+            .as("sim"))
+        .groupBy("id").agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"))
     }
-    bits.reduce(_ + _)
+    (assign, centroids)
+  }
+
+  /** ANN top-k through the IVF index: rank the query against the k centroids,
+    * search only the `nprobe` nearest clusters. Scanned fraction ≈
+    * nprobe/kClusters of the corpus.
+    */
+  def ivfTopK(embs: DataFrame, query: DataFrame, k: Int, kClusters: Int = 16,
+              nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding", scale: Int = 6): DataFrame = {
+    val (assign, centroids) = ivfIndex(embs, kClusters, iters = 1, idCol, vecCol)
+    val probed = query.crossJoin(broadcast(centroids))
+      .select(col("qvec"), col("cluster"),
+        (graft.functions.native.dotd(asD(col("qvec")), col("cvec")) /
+          (sqrt(graft.functions.native.dotd(col("cvec"), col("cvec"))) + lit(1e-12))).as("sim"))
+      .orderBy(col("sim").desc).limit(nprobe)
+      .select(col("qvec"), col("cluster"))
+    embs.join(assign.withColumnRenamed("id", idCol), idCol)
+      .join(broadcast(probed), "cluster")
+      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), scale).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** ANN top-k via LSH buckets: score only vectors whose bucket key matches

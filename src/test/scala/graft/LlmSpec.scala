@@ -66,6 +66,36 @@ class LlmSpec extends SparkSpec {
     assert(ann.head._1 == 42L && ann.head._2 == 1.0) // query itself retrieved
   }
 
+  test("IVF index clusters planted structure and ivfTopK finds true neighbours") {
+    // 4 well-separated clusters in 8 dims: center c has 1.0 in dims {2c, 2c+1}
+    val vecs = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val id = c * 25 + i
+      val v = Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13))
+      v(2 * c) = 1.0f; v(2 * c + 1) = 0.8f
+      (id.toLong, v.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val (assign, centroids) = Similarity.ivfIndex(embs, kClusters = 4, iters = 2)
+    assert(centroids.count() == 4)
+    // members of one planted cluster end up co-assigned
+    val clustersOfPlanted = assign.where(col("id") < 25)
+      .select("cluster").distinct().count()
+    assert(clustersOfPlanted <= 2)
+    val q = embs.where(col("vec_id") === 10).select(col("embedding").as("qvec"))
+    val ivf = Similarity.ivfTopK(embs, q, 10, kClusters = 4, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    val brute = Similarity.topK(embs, q, 10).as[(Long, Double)].collect().toSeq
+    assert(ivf.head._1 == 10L && ivf.head._2 == 1.0)
+    // recall@10 vs brute force on separable data
+    assert(ivf.map(_._1).toSet.intersect(brute.map(_._1).toSet).size >= 6)
+  }
+
+  test("registerAll exposes tables to spark.sql") {
+    graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    assert(spark.sql("SELECT count(*) FROM region").collect().head.getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM events WHERE value > 0").collect().head.getLong(0) > 0L)
+  }
+
   test("language id and quality score behave on obvious inputs") {
     val d = Seq((1L, "the cat sat of the mat and a dog is"),
       (2L, "xyz qqq zzz")).toDF("doc_id", "text")
