@@ -315,6 +315,24 @@ object SparkEntry {
         TextStats.bpeEstimate(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    // Text normalization: the cheap cleanup pass every corpus pipeline runs
+    // before dedup/tokenization (case-fold, squeeze whitespace, strip
+    // non-alphanumerics).
+    "text_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ").as("norm_text"))
+        .orderBy("doc_id")),
+
+    // Corpus-wide token frequency (the explode+count shape; top 50).
+    "word_freq" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(50)),
+
     "doc_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
@@ -524,6 +542,14 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_alpha, " +
         "CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id"),
+
+    "text_normalize" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
+        "' +', ' ', 'g') AS norm_text FROM documents ORDER BY doc_id"),
+
+    "word_freq" ->
+      ("SELECT word, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word " +
+        "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"),
 
     "doc_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
