@@ -53,6 +53,44 @@ class EtlSpec extends SparkSpec {
     assert(back.select("results__score").as[Seq[Double]].collect().head == Seq(1.0))
   }
 
+  test("sink writes hive-partitioned silver and reads back complete") {
+    val bronze = Seq((1L, goodJson), (2L, goodJson)).toDF("ts", "data")
+    val (silver, _) = Etl.run(bronze, Contracts.searches)
+    val out = tmpDir("etlpart") + "/searches"
+    Etl.sink(silver.withColumn("shard", $"user__id" % 2), out, partitionBy = Seq("shard"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.columns.contains("shard"))
+  }
+
+  test("schema evolution end-to-end: old silver reads under the evolved contract") {
+    import org.apache.spark.sql.types._
+    // v1 contract writes silver without the (future) results columns
+    val v1 = Contracts.clicks
+    val bronze1 = Seq((1L, """{"query_id":"q1","document_id":5}""")).toDF("ts", "data")
+    val (silver1, _) = Etl.run(bronze1, v1)
+    val dir = tmpDir("evolve") + "/clicks"
+    Etl.sink(silver1, dir)
+    // v2 appends a nested field; stored column list evolves append-only
+    val v2schema = new StructType(v1.schema.fields :+
+      StructField("referrer", StructType(Seq(StructField("url", StringType)))))
+    val evolved = graft.etl.Migrate.evolve(v1.columnPaths, v2schema)
+    assert(evolved == v1.columnPaths :+ "referrer__url")
+    // old parquet reads under the evolved layout, new column null-filled
+    val back = graft.etl.Migrate.readWithColumns(spark, dir, evolved,
+      Map("referrer__url" -> StringType))
+    assert(back.columns.toSeq == evolved)
+    val row = back.collect().head
+    assert(row.getAs[String]("query_id") == "q1" && row.isNullAt(evolved.size - 1))
+    // and a v2 bronze row flattens with the new column populated
+    val v2 = v1.copy(schema = v2schema)
+    val bronze2 = Seq((2L,
+      """{"query_id":"q2","document_id":6,"referrer":{"url":"http://x"}}""")).toDF("ts", "data")
+    val (silver2, _) = Etl.run(bronze2, v2, Some(evolved))
+    assert(silver2.columns.toSeq == evolved)
+    assert(silver2.select("referrer__url").as[String].collect().head == "http://x")
+  }
+
   test("malformed JSON routes to the invalid side, not a crash") {
     val bronze = Seq((1L, "{not json"), (2L, goodJson)).toDF("ts", "data")
     val (silver, invalid) = Etl.run(bronze, Contracts.searches)
