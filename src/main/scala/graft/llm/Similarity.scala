@@ -83,8 +83,15 @@ object Similarity {
       : (DataFrame, DataFrame) = {
     val v = embs.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
     var assign = v.select(col("id"), pmod(col("id"), lit(kClusters)).cast("int").as("cluster"))
+    var prev: DataFrame = null
     var centroids: DataFrame = null
     for (_ <- 0 to iters) {
+      // Cache each round's (id, cluster) relation — it is tiny relative to
+      // the corpus, and without it the lineage (scan + join + agg) re-executes
+      // once per subsequent Lloyd round.
+      assign = assign.cache()
+      if (prev != null) prev.unpersist()
+      prev = assign
       centroids = v.join(assign, "id")
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
@@ -108,7 +115,10 @@ object Similarity {
   def ivfTopK(embs: DataFrame, query: DataFrame, k: Int, kClusters: Int = 16,
               nprobe: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding", scale: Int = 6): DataFrame = {
-    val (assign, centroids) = ivfIndex(embs, kClusters, iters = 1, idCol, vecCol)
+    // One centroid pass over the mod-k init is enough for probe routing —
+    // extra Lloyd rounds sharpen clusters but don't change top-k much, and
+    // each round is a full corpus pass.
+    val (assign, centroids) = ivfIndex(embs, kClusters, iters = 0, idCol, vecCol)
     val probed = query.crossJoin(broadcast(centroids))
       .select(col("qvec"), col("cluster"),
         (graft.functions.native.dotd(asD(col("qvec")), col("cvec")) /
