@@ -341,7 +341,16 @@ object SparkEntry {
     // ---- 2.H multimodal ----
     "multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinary(t(s, d, "documents")))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // The typed mapPartitions decode path (binary payload → frame rows) —
+    // frame indices are deterministic (one frame per started 1000 bytes), so
+    // even the imperative decode boundary is oracle-checked.
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.decodeFrames(s, Multimodal.asBinary(t(s, d, "documents")),
+          Multimodal.fakeFrameDecoder)
+        .select(col("media_id"), col("frame_idx"))
+        .orderBy("media_id", "frame_idx"))
   )
 
   // ------------------------------------------------------------------
@@ -556,6 +565,10 @@ object SparkEntry {
         "list_transform(generate_series(1, least(length(text), 64)), " +
         "i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))), " +
         "(a, b) -> (a * 31 + b) % 1000000007) AS fp FROM documents ORDER BY doc_id"),
+
+    "multimodal_frames" ->
+      ("SELECT doc_id AS media_id, CAST(unnest(generate_series(0, strlen(text) // 1000)) AS INTEGER) AS frame_idx " +
+        "FROM documents ORDER BY media_id, frame_idx"),
 
     "multimodal_meta" ->
       ("SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +

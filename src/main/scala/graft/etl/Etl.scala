@@ -57,4 +57,18 @@ object Etl {
     val w = silver.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(out)
   }
+
+  /** Bucketed silver sink: co-locates the table on `bucketCol` so joins and
+    * aggregations on that key skip the shuffle entirely (both sides bucketed
+    * with the same count → SortMergeJoin with zero Exchange). At 100 TB this
+    * is the difference between a join that moves the fact table and one that
+    * moves nothing.
+    */
+  def sinkBucketed(silver: DataFrame, tableName: String, bucketCol: String,
+                   numBuckets: Int): Unit =
+    silver.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

@@ -91,6 +91,21 @@ class EtlSpec extends SparkSpec {
     assert(silver2.select("referrer__url").as[String].collect().head == "http://x")
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("key", "v")
+      val dims = (0 to 49).map(i => (i.toLong, s"d$i")).toDF("key", "name")
+      Etl.sinkBucketed(facts, "b_facts", "key", 8)
+      Etl.sinkBucketed(dims, "b_dims", "key", 8)
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "key")
+      assert(joined.count() == 1000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("SortMergeJoin"), finalPlan)
+      assert(!finalPlan.contains("Exchange hashpartitioning"), finalPlan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("malformed JSON routes to the invalid side, not a crash") {
     val bronze = Seq((1L, "{not json"), (2L, goodJson)).toDF("ts", "data")
     val (silver, invalid) = Etl.run(bronze, Contracts.searches)
