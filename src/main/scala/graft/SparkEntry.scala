@@ -116,6 +116,14 @@ object SparkEntry {
         .orderBy("order_key")
     },
 
+    // Untyped-JSON column as a Spark 4 VARIANT (§1.2: untyped object →
+    // VariantType): parse once, typed extraction at query time.
+    "etl_variant_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .orderBy("event_id")),
+
     // ---- 2.E validation ----
     "validate_required" -> { (s, d) =>
       val ev = withK(t(s, d, "events"))
@@ -178,6 +186,47 @@ object SparkEntry {
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+
+    // Running aggregates per key (the classic sessionization/window shape).
+    "window_running" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(run).as("run_n"),
+        round(sum(col("value")).over(run), 4).as("run_v"),
+        (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap_ms"))
+        .orderBy("event_id")
+    },
+
+    // ROLLUP aggregation (subtotals + grand total; grouping-set nulls are
+    // coalesced to '_all' so the row set is engine-independent).
+    "rollup_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg((sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("_all")).as("flag"),
+          coalesce(col("l_linestatus"), lit("_all")).as("status"),
+          col("sum_price"), col("n"))
+        .orderBy("flag", "status")),
+
+    // As-of join (scalable union + carry-forward formulation): latest
+    // purchase at-or-before each view, same user, within 1 h.
+    "asof_join" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val left = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("key"), unix_millis(col("ts")).as("ts"),
+          col("event_id").as("decision_id"))
+      val right = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), unix_millis(col("ts")).as("ts"),
+          col("value"))
+      graft.analytics.AsOfJoin.asOf(left, right, AnalogDeltaMs)
+        .select(col("decision_id"), col("value"), col("age_ms"))
+        .orderBy("decision_id")
+    },
 
     "multi_join_agg" -> { (s, d) =>
       val li = t(s, d, "lineitem")
@@ -411,6 +460,38 @@ object SparkEntry {
         "list(l_linenumber ORDER BY l_linenumber, l_quantity) AS results__line, " +
         "list(l_quantity ORDER BY l_linenumber, l_quantity) AS results__qty " +
         "FROM lineitem GROUP BY l_orderkey ORDER BY order_key"),
+
+    "etl_variant_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
+
+    "window_running" ->
+      ("SELECT event_id, user_id, " +
+        "ROW_NUMBER() OVER w AS rn, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_v, " +
+        "epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY event_id"),
+
+    "rollup_agg" ->
+      ("SELECT COALESCE(l_returnflag, '_all') AS flag, COALESCE(l_linestatus, '_all') AS status, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price, " +
+        "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY flag, status"),
+
+    "asof_join" ->
+      ("WITH u AS (" +
+        "SELECT user_id AS key, epoch_ms(ts) AS ts, 0 AS kind, NULL AS decision_id, value AS rv " +
+        "FROM events WHERE event_type = 'purchase' " +
+        "UNION ALL SELECT user_id, epoch_ms(ts), 1, event_id, NULL FROM events WHERE event_type = 'view'), " +
+        "c AS (SELECT *, " +
+        "last_value(CASE WHEN kind = 0 THEN rv END IGNORE NULLS) OVER w AS value, " +
+        "last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS right_ts " +
+        "FROM u WINDOW w AS (PARTITION BY key ORDER BY ts, kind, rv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT decision_id, value, ts - right_ts AS age_ms FROM c " +
+        "WHERE kind = 1 AND right_ts IS NOT NULL AND ts - right_ts <= 3600000 " +
+        "ORDER BY decision_id"),
 
     "validate_required" ->
       ("SELECT '_valid' AS loc, 'ok' AS type, count(*) AS n FROM events " +

@@ -73,6 +73,45 @@ class DelayedJoinSpec extends SparkSpec {
     assert(out == Seq(("k7", 0.0, None)))
   }
 
+  test("as-of join picks the latest at-or-before value within tolerance") {
+    val left = Seq((1L, 1000L, 10L), (1L, 5000L, 11L), (2L, 1000L, 12L))
+      .toDF("key", "ts", "decision_id")
+    val right = Seq((1L, 500L, 1.0), (1L, 900L, 2.0), (1L, 4000L, 3.0),
+      (2L, 990L, 4.0), (1L, 6000L, 9.0)).toDF("key", "ts", "value")
+    val out = graft.analytics.AsOfJoin.asOf(left, right, toleranceMs = 2000L)
+      .select("decision_id", "value", "age_ms")
+      .as[(Long, Double, Long)].collect().toSeq.sorted
+    // d10@1000: latest ≤1000 is 2.0@900 (age 100); d11@5000: 3.0@4000 (age
+    // 1000, the 6000 reward is in the future); d12@1000: 4.0@990 (age 10)
+    assert(out == Seq((10L, 2.0, 100L), (11L, 3.0, 1000L), (12L, 4.0, 10L)))
+    // tolerance drops stale matches; keepUnmatched surfaces them as NULLs
+    val strict = graft.analytics.AsOfJoin.asOf(left, right, toleranceMs = 50L,
+      keepUnmatched = true)
+    assert(strict.count() == 3 && strict.where($"value".isNotNull).count() == 1)
+  }
+
+  test("changefeed sink: foreachBatch receives only inserts (diff>0 analog)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[In]
+    val received = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val q = DelayedJoin.joined(spark, input.toDS(), Config(deltaMs = Delta))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.core.JoinedDecision], _: Long) =>
+        val rows = batch.collect().map(j => (j.key, j.reward))
+        received.synchronized { received ++= rows }
+        ()
+      }.start()
+    try {
+      input.addData(d("c1", T0), r("c1", T0 + 1000, 7.0))
+      q.processAllAvailable()
+      input.addData(r("_wm", T0 + 30 * Delta, 0.0))
+      q.processAllAvailable()
+      input.addData(r("_wm", T0 + 31 * Delta, 0.0))
+      q.processAllAvailable()
+      assert(received.synchronized(received.toSeq) == Seq(("c1", 7.0)))
+    } finally q.stop()
+  }
+
   test("batch analog fans out and defaults like the stream") {
     val dec = Seq(("a", 1L, 100000L), ("b", 2L, 100000L))
       .toDF("key", "decision_id", "insert_ms")

@@ -94,6 +94,17 @@ class EtlSpec extends SparkSpec {
   test("bucketed tables join without any shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // the in-memory catalog forgets tables across JVMs but their warehouse
+      // dirs persist; clear both so saveAsTable(Overwrite) starts clean
+      for (t <- Seq("b_facts", "b_dims")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
       val facts = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("key", "v")
       val dims = (0 to 49).map(i => (i.toLong, s"d$i")).toDF("key", "name")
       Etl.sinkBucketed(facts, "b_facts", "key", 8)
