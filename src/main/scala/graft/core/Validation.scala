@@ -70,9 +70,23 @@ object Validation {
     df.select(explode(violationArray(rs)).as("v"))
       .select(col("v.loc").as("loc"), col("v.type").as("type"))
 
-  /** Per-(loc,type) violation counts — the Prometheus counter snapshot. */
-  def violationCounts(df: DataFrame, rs: Seq[Rule]): DataFrame =
-    violations(df, rs).groupBy("loc", "type").agg(count(lit(1)).as("n"))
+  /** Per-(loc,type) violation counts — the Prometheus counter snapshot.
+    * One wide aggregate (a conditional sum per rule), not explode+groupBy:
+    * a single map-side-combined pass with #rules output values, no shuffle
+    * of per-violation rows. Zero-count rules are omitted, matching the
+    * counter semantics (a counter that never fired doesn't exist).
+    */
+  def violationCounts(df: DataFrame, rs: Seq[Rule]): DataFrame = {
+    val aggs = rs.zipWithIndex.map { case (r, i) =>
+      sum(when(r.violated, 1L).otherwise(0L)).as(s"_v$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rs.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.loc).as("loc"), lit(r.kind).as("type"), col(s"_v$i").as("n"))
+    }
+    wide.select(explode(array(rows: _*)).as("v")).select("v.*")
+      .where(col("n") > 0)
+  }
 
   /** Default-value injection (V3, reference contracts.py:9-12):
     * `coalesce(col, default)` per configured field.
