@@ -201,6 +201,21 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // Gap-based sessionization via the built-in session_window (streaming-
+    // capable with a watermark; here the batch shape). A new session starts
+    // when the gap since the previous event reaches 30 min (window end is
+    // exclusive, matched in µs by the oracle's lag/cumsum formulation).
+    "sessionize" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          (unix_micros(col("sw.end")) - unix_micros(col("sw.start")) - lit(1800000000L))
+            .as("duration_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")),
+
     // ROLLUP aggregation (subtotals + grand total; grouping-set nulls are
     // coalesced to '_all' so the row set is engine-independent).
     "rollup_agg" -> ((s, d) =>
@@ -473,6 +488,15 @@ object SparkEntry {
         "epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
         "ORDER BY event_id"),
+
+    "sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
+        "g AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g) " +
+        "SELECT user_id, min(t) AS session_start_us, max(t) - min(t) AS duration_us, " +
+        "count(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"),
 
     "rollup_agg" ->
       ("SELECT COALESCE(l_returnflag, '_all') AS flag, COALESCE(l_linestatus, '_all') AS status, " +

@@ -81,6 +81,27 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("streaming sessionization: session_window + watermark emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:00:30"), 1L),
+        (ts("2024-01-01 00:05:00"), 1L)) // third event: separate session
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:30:00"), 9L)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream").as[(Long, Long)].collect().toSet
+      assert(rows.contains((1L, 2L)) && rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
+
   test("salted join matches the unsalted join exactly") {
     import graft.core.Skew
     val left = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
