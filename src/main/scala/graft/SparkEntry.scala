@@ -201,6 +201,26 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // Pivot: per-user event-type count matrix (explicit value list keeps the
+    // output schema deterministic; nulls filled to 0 to match the oracle's
+    // conditional sums).
+    "pivot_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // Set operation: user-days with views but no purchase (EXCEPT shape —
+    // planned as a left-anti join on distinct keys, nothing materialized).
+    "set_ops" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      def userDays(kind: String) = ev.where(col("event_type") === kind)
+        .select(col("user_id"), unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+      userDays("view").except(userDays("purchase")).orderBy("user_id", "day_ms")
+    },
+
     // Gap-based sessionization via the built-in session_window (streaming-
     // capable with a watermark; here the batch shape). A new session starts
     // when the gap since the previous event reaches 30 min (window end is
@@ -488,6 +508,21 @@ object SparkEntry {
         "epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
         "ORDER BY event_id"),
+
+    "pivot_agg" ->
+      ("SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view " +
+        "FROM events GROUP BY user_id ORDER BY user_id"),
+
+    "set_ops" ->
+      ("SELECT user_id, epoch_ms(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS day_ms " +
+        "FROM events WHERE event_type = 'view' " +
+        "EXCEPT SELECT user_id, epoch_ms(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) " +
+        "FROM events WHERE event_type = 'purchase' ORDER BY user_id, day_ms"),
 
     "sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), " +
