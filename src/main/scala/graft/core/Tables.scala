@@ -18,8 +18,16 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // Opt-in warehouse cache (spark.graft.cacheTables=true): repeated loads
+    // of the same table resolve to one in-memory copy via the CacheManager's
+    // plan-equality lookup. For repeated-query workloads over tables that fit
+    // executor memory (dims, hot silver tables) — not for the 100 TB fact
+    // table, which is why it is off by default.
+    if (spark.conf.getOption("spark.graft.cacheTables").contains("true")) df.cache()
     else df
   }
 
