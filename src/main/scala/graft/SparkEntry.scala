@@ -263,6 +263,33 @@ object SparkEntry {
         .orderBy("decision_id")
     },
 
+    // Part-dimension join: broadcast the filtered dimension, revenue per
+    // brand (filter pushed to the dimension scan, fact side never shuffled
+    // before the aggregate's partial phase).
+    "part_brand_rev" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part").where(col("p_size") <= 20)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / lit(100.0))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    },
+
+    // Supplier-side join chain with per-nation rollup of supplier activity.
+    "supplier_nation_rev" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count_distinct(col("s_suppkey")).as("n_suppliers"),
+          (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / lit(100.0))
+            .as("revenue"))
+        .orderBy("n_name")
+    },
+
     "multi_join_agg" -> { (s, d) =>
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")
@@ -597,6 +624,17 @@ object SparkEntry {
         "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 6) AS avg_disc, " +
         "count(*) AS count_order FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "part_brand_rev" ->
+      ("SELECT p_brand, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue, " +
+        "count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_size <= 20 GROUP BY p_brand ORDER BY p_brand"),
+
+    "supplier_nation_rev" ->
+      ("SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers, " +
+        "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"),
 
     "multi_join_agg" ->
       ("SELECT n_name, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue, " +

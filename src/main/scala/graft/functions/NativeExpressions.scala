@@ -176,10 +176,12 @@ case class HyperplaneLshKey(child: Expression, nBits: Int)
 
 /** Dot product of two array<double> columns, summed left-to-right (same
   * fold order as `aggregate(zip_with(...))` and the DuckDB oracle's
-  * list_inner_product, so rounded results agree).
+  * list_inner_product, so rounded results agree). Implements doGenCode so
+  * the loop is inlined into whole-stage codegen — similarity scans stay one
+  * fused pipeline with no interpreted-eval call per row.
   */
 case class DotProductD(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -191,6 +193,24 @@ case class DotProductD(left: Expression, right: Expression)
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     java.lang.Double.valueOf(acc)
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
     copy(left = l, right = r)
