@@ -112,6 +112,30 @@ class DelayedJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state machine handles volume: 500 keys x 20 events, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[In]
+    val q = DelayedJoin.joined(spark, input.toDS(), Config(deltaMs = Delta))
+      .writeStream.format("memory").queryName("dj_volume").outputMode("append").start()
+    try {
+      // per key: one decision + 19 rewards, only 2 rewards inside ±Δ
+      val events = (0 until 500).flatMap { k =>
+        d(s"u$k", T0) +: (1 to 19).map(i =>
+          r(s"u$k", T0 + i * 7000L, i.toDouble))
+      }
+      events.grouped(2000).foreach { chunk => input.addData(chunk: _*) }
+      q.processAllAvailable()
+      input.addData(r("_wm", T0 + 100 * Delta, 0.0))
+      q.processAllAvailable()
+      input.addData(r("_wm", T0 + 101 * Delta, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("dj_volume")
+      // rewards at +7000 only (14000, 21000… are outside +Δ=10000): 1 match/key
+      assert(out.where($"key" =!= "_wm").count() == 500)
+      assert(out.where($"reward" === 1.0).count() === 500)
+    } finally q.stop()
+  }
+
   test("batch analog fans out and defaults like the stream") {
     val dec = Seq(("a", 1L, 100000L), ("b", 2L, 100000L))
       .toDF("key", "decision_id", "insert_ms")
