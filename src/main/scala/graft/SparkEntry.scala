@@ -380,6 +380,22 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
 
+    // Embedding-cosine near-duplicate pairs, blocked by the coarse partition
+    // (label = IVF-cluster stand-in) so the pair space stays bounded.
+    "dedup_embedding" -> { (s, d) =>
+      val e = t(s, d, "embeddings")
+        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(graft.functions.native.dotd(col("v"), col("v"))))
+      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(graft.functions.native.dotd(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+            .as("sim"))
+        .where(col("sim") >= 0.4)
+        .orderBy("vec_a", "vec_b")
+    },
+
     // ---- 2.H similarity ----
     "sim_topk" -> { (s, d) =>
       val embs = t(s, d, "embeddings")
@@ -684,6 +700,15 @@ object SparkEntry {
         "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4 " +
         "ORDER BY doc_a, doc_b"),
+
+    "dedup_embedding" ->
+      ("WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "round(list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * " +
+        "sqrt(list_inner_product(b.v, b.v))), 6) AS sim " +
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
+        "WHERE round(list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * " +
+        "sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4 ORDER BY vec_a, vec_b"),
 
     "sim_topk" ->
       ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1) " +
