@@ -453,6 +453,33 @@ object SparkEntry {
           " +", " ").as("norm_text"))
         .orderBy("doc_id")),
 
+    // TF-IDF: explode → tf per (doc,term) → df per term → smoothed idf →
+    // top-3 terms per doc. The full multi-stage corpus pipeline in one
+    // query; every shuffle is keyed on (doc,term) or term.
+    "tfidf_top_terms" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val tf = docs.select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    },
+
+    // EXISTS / semi-join shape: orders containing a high-value item.
+    "exists_semi_join" -> { (s, d) =>
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem").where(col("l_extendedprice") > 90000)
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
     // Corpus-wide token frequency (the explode+count shape; top 50).
     "word_freq" -> ((s, d) =>
       t(s, d, "documents")
@@ -762,6 +789,21 @@ object SparkEntry {
     "word_freq" ->
       ("SELECT word, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word " +
         "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"),
+
+    "tfidf_top_terms" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, tf.term, " +
+        "round(tf.tf * ln(((SELECT count(*) FROM documents) + 1) / (dfreq.df + 1)), 6) AS score " +
+        "FROM tf JOIN dfreq ON tf.term = dfreq.term), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM sc) " +
+        "SELECT doc_id, term, score FROM rk WHERE rn <= 3 ORDER BY doc_id, score DESC, term"),
+
+    "exists_semi_join" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000) " +
+        "ORDER BY o_orderkey"),
 
     "doc_fingerprint" ->
       ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
