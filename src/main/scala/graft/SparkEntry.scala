@@ -26,7 +26,7 @@ object SparkEntry {
     * integer sums are associative, so Spark and DuckDB agree bit-for-bit
     * where rounded double sums would not).
     */
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def cents(c: Column): Column = graft.functions.Rounding.cents(c)
 
   // Events-as-streams mapping used by the delayed-join batch analogs:
   // 'view' events play decisions, 'purchase' events play rewards
@@ -166,7 +166,7 @@ object SparkEntry {
       v.join(c, Seq("k"), "left")
         .select(col("k"), col("n_views"),
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
-          round(coalesce(col("n_clicks"), lit(0L)).cast("double") / col("n_views"), 4)
+          graft.functions.Rounding.dround(coalesce(col("n_clicks"), lit(0L)).cast("double") / col("n_views"), 4)
             .as("ctr"))
         .orderBy("k")
     },
@@ -182,8 +182,8 @@ object SparkEntry {
           (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_base_price"),
           (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / lit(100.0))
             .as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          graft.functions.Rounding.dround(avg(col("l_quantity")), 4).as("avg_qty"),
+          graft.functions.Rounding.dround(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -196,9 +196,31 @@ object SparkEntry {
         col("event_id"), col("user_id"),
         row_number().over(w).as("rn"),
         count(lit(1)).over(run).as("run_n"),
-        round(sum(col("value")).over(run), 4).as("run_v"),
+        graft.functions.Rounding.dround(sum(col("value")).over(run), 4).as("run_v"),
         (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap_ms"))
         .orderBy("event_id")
+    },
+
+    // Statistical aggregates (profiling-adjacent): correlation, covariance,
+    // stddev per group.
+    "stats_corr" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.Rounding.dround(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          graft.functions.Rounding.dround(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
+          graft.functions.Rounding.dround(stddev_samp(col("l_extendedprice")), 4).as("std_price"))
+        .orderBy("l_returnflag")),
+
+    // Quantile bucketing: decile of customers by account balance (total
+    // order via the custkey tiebreak keeps bucket membership exact).
+    "ntile_buckets" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), graft.functions.Rounding.dround(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy("decile")
     },
 
     // Pivot: per-user event-type count matrix (explicit value list keeps the
@@ -390,7 +412,7 @@ object SparkEntry {
       val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(graft.functions.native.dotd(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          graft.functions.Rounding.dround(graft.functions.native.dotd(col("va"), col("vb")) / (col("na") * col("nb")), 6)
             .as("sim"))
         .where(col("sim") >= 0.4)
         .orderBy("vec_a", "vec_b")
@@ -466,7 +488,7 @@ object SparkEntry {
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
       tf.join(dfreq, "term").crossJoin(broadcast(n))
         .withColumn("score",
-          round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+          graft.functions.Rounding.dround(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"))
         .orderBy(col("doc_id"), col("score").desc, col("term"))
@@ -578,6 +600,17 @@ object SparkEntry {
         "epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER w AS gap_ms " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
         "ORDER BY event_id"),
+
+    "stats_corr" ->
+      ("SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
+        "round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc, " +
+        "round(stddev_samp(l_extendedprice), 4) AS std_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "ntile_buckets" ->
+      ("WITH t AS (SELECT c_acctbal, NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile FROM customer) " +
+        "SELECT decile, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal " +
+        "FROM t GROUP BY decile ORDER BY decile"),
 
     "pivot_agg" ->
       ("SELECT user_id, " +

@@ -84,7 +84,7 @@ object Dedup {
       .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jacc"))
+        graft.functions.Rounding.dround(jaccard(col("sh_a"), col("sh_b")), 4).as("jacc"))
       .where(col("jacc") >= threshold)
   }
 
@@ -135,7 +135,7 @@ object Dedup {
     val b = sh.alias("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        round(jaccard(col("a.sh"), col("b.sh")), 4).as("jacc"))
+        graft.functions.Rounding.dround(jaccard(col("a.sh"), col("b.sh")), 4).as("jacc"))
       .where(col("jacc") >= threshold)
   }
 }

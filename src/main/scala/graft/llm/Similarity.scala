@@ -38,7 +38,7 @@ object Similarity {
            scale: Int = 6): DataFrame =
     embs.crossJoin(broadcast(query))
       .select(col(idCol),
-        round(cosine(col(vecCol), col("qvec")), scale).as("sim"))
+        graft.functions.Rounding.dround(cosine(col(vecCol), col("qvec")), scale).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
@@ -59,7 +59,7 @@ object Similarity {
     val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
     a.join(b, Seq("p")).where(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(graft.functions.native.dotd(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), scale)
+        graft.functions.Rounding.dround(graft.functions.native.dotd(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), scale)
           .as("sim"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
@@ -127,7 +127,7 @@ object Similarity {
       .select(col("qvec"), col("cluster"))
     embs.join(assign.withColumnRenamed("id", idCol), idCol)
       .join(broadcast(probed), "cluster")
-      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), scale).as("sim"))
+      .select(col(idCol), graft.functions.Rounding.dround(cosine(col(vecCol), col("qvec")), scale).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -147,7 +147,7 @@ object Similarity {
     val probes = qKeyed.select(col("qvec"),
       explode(array((col("qkey") +: flips): _*)).as("bkey"))
     keyed.join(broadcast(probes), "bkey")
-      .select(col(idCol), round(cosine(col(vecCol), col("qvec")), scale).as("sim"))
+      .select(col(idCol), graft.functions.Rounding.dround(cosine(col(vecCol), col("qvec")), scale).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }

@@ -61,7 +61,7 @@ object TextStats {
     val uniqRatio = size(array_distinct(toks)) / n.cast("double")
     val allStop = array((stopwords.values.flatten.toSeq.distinct.sorted).map(lit): _*)
     val stopRatio = size(filter(toks, t => array_contains(allStop, t))) / n.cast("double")
-    round(lit(0.3) * lenScore + lit(0.4) * uniqRatio + lit(0.3) * stopRatio, 4)
+    graft.functions.Rounding.dround(lit(0.3) * lenScore + lit(0.4) * uniqRatio + lit(0.3) * stopRatio, 4)
   }
 
   /** Polynomial rolling-hash fingerprint of the first `maxLen` chars
@@ -79,6 +79,6 @@ object TextStats {
     docs.groupBy(col(langCol).as("lang")).agg(
       count(lit(1)).as("n_docs"),
       sum(col(charsCol)).as("sum_chars"),
-      round(avg(tokenCount(col(textCol))), 4).as("avg_tokens"),
+      graft.functions.Rounding.dround(avg(tokenCount(col(textCol))), 4).as("avg_tokens"),
       max(tokenCount(col(textCol))).as("max_tokens"))
 }

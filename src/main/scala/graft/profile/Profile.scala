@@ -38,7 +38,7 @@ object Profile {
       Seq(
         min(d).as(s"_${i}_min"),
         max(d).as(s"_${i}_max"),
-        round(avg(d), avgScale).as(s"_${i}_avg"),
+        graft.functions.Rounding.dround(avg(d), avgScale).as(s"_${i}_avg"),
         pct.as(s"_${i}_q"),
         count(col(c)).as(s"_${i}_cnt"),
         count(when(col(c).isNull, 1)).as(s"_${i}_null"),
@@ -51,9 +51,9 @@ object Profile {
         col(s"_${i}_min").as("col_min"),
         col(s"_${i}_max").as("col_max"),
         col(s"_${i}_avg").as("col_avg"),
-        round(element_at(col(s"_${i}_q"), 1).cast("double"), avgScale).as("q25"),
-        round(element_at(col(s"_${i}_q"), 2).cast("double"), avgScale).as("q50"),
-        round(element_at(col(s"_${i}_q"), 3).cast("double"), avgScale).as("q75"),
+        graft.functions.Rounding.dround(element_at(col(s"_${i}_q"), 1).cast("double"), avgScale).as("q25"),
+        graft.functions.Rounding.dround(element_at(col(s"_${i}_q"), 2).cast("double"), avgScale).as("q50"),
+        graft.functions.Rounding.dround(element_at(col(s"_${i}_q"), 3).cast("double"), avgScale).as("q75"),
         col(s"_${i}_cnt").as("col_cnt"),
         col(s"_${i}_null").as("null_cnt"),
         col(s"_${i}_nd").as("n_distinct"))
