@@ -10,6 +10,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * A far-future reward on a throwaway key pushes the watermark so the
   * event-time timeouts fire deterministically.
   */
+/** Cross-restart sink buffer for the checkpoint-recovery test (foreachBatch
+  * closures must reference a stable JVM-global, not a test-local that a
+  * restarted query would re-capture).
+  */
+object RecoveredRows {
+  val buf = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+}
+
 class DelayedJoinSpec extends SparkSpec {
   import spark.implicits._
 
@@ -134,6 +142,41 @@ class DelayedJoinSpec extends SparkSpec {
       assert(out.where($"key" =!= "_wm").count() == 500)
       assert(out.where($"reward" === 1.0).count() === 500)
     } finally q.stop()
+  }
+
+  test("state survives a query restart from checkpoint (file source)") {
+    import org.apache.spark.sql.types._
+    val srcDir = tmpDir("djsrc")
+    val ckpt = tmpDir("djckpt")
+    val schema = org.apache.spark.sql.Encoders.product[In].schema
+    def writeBatch(name: String, events: Seq[In]): Unit =
+      events.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    def startQuery() = DelayedJoin.joined(spark,
+        spark.readStream.schema(schema).parquet(srcDir).as[In],
+        Config(deltaMs = Delta))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.core.JoinedDecision], _: Long) =>
+        val rows = batch.collect().map(j => (j.key, j.reward))
+        RecoveredRows.synchronized { RecoveredRows.buf ++= rows }
+        ()
+      }.start()
+
+    // run 1: buffer a decision+reward, stop BEFORE the window closes
+    writeBatch("b1", Seq(d("rk1", T0), r("rk1", T0 + 2000, 3.5)))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(RecoveredRows.synchronized(RecoveredRows.buf.isEmpty)) // not yet due
+
+    // run 2: fresh query from the same checkpoint; watermark push triggers
+    // the emission — proving the buffered decision lived in the state store
+    writeBatch("b2", Seq(r("_wm", T0 + 30 * Delta, 0.0)))
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      writeBatch("b3", Seq(r("_wm", T0 + 31 * Delta, 0.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(RecoveredRows.synchronized(RecoveredRows.buf.toSet) == Set(("rk1", 3.5)))
   }
 
   test("batch analog fans out and defaults like the stream") {
