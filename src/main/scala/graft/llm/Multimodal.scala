@@ -50,7 +50,9 @@ object Multimodal {
     */
   def repartitionForDecode(media: DataFrame,
                            targetBytesPerPartition: Long = 64L << 20): DataFrame = {
-    val total = media.select(sum(length(col("content")).cast("long"))).head.getLong(0)
+    val total = media
+      .select(coalesce(sum(length(col("content")).cast("long")), lit(0L)))
+      .head.getLong(0)
     val parts = math.max(1, (total / targetBytesPerPartition).toInt)
     media.repartition(parts)
   }

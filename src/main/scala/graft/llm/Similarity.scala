@@ -85,13 +85,18 @@ object Similarity {
     var assign = v.select(col("id"), pmod(col("id"), lit(kClusters)).cast("int").as("cluster"))
     var prev: DataFrame = null
     var centroids: DataFrame = null
-    for (_ <- 0 to iters) {
-      // Cache each round's (id, cluster) relation — it is tiny relative to
-      // the corpus, and without it the lineage (scan + join + agg) re-executes
-      // once per subsequent Lloyd round.
-      assign = assign.cache()
-      if (prev != null) prev.unpersist()
-      prev = assign
+    for (it <- 0 to iters) {
+      // Iterative-algorithm caching done right: cache AND materialize each
+      // round's (id, cluster) relation (tiny — two ints per vector) before
+      // dropping the previous round's. A lazy cache() alone never
+      // materializes inside the loop, so unpersisting the predecessor would
+      // silently reintroduce the per-round lineage re-execution.
+      if (it > 0) {
+        assign = assign.cache()
+        assign.count()
+        if (prev != null) prev.unpersist()
+        prev = assign
+      }
       centroids = v.join(assign, "id")
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))

@@ -23,6 +23,32 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(r.getAs[Double]("dp") == 11.0)
   }
 
+  test("late data beyond the watermark is dropped from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = input.toDF().toDF("ts", "loc")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute"), col("loc"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("loc"), col("n"))
+      .writeStream.format("memory").queryName("late_stream").outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 00:00:10"), "a"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:30:00"), "wm")) // watermark → 00:29
+      q.processAllAvailable()
+      // this event's window (00:00) closed long ago: must be dropped
+      input.addData((ts("2024-01-01 00:00:20"), "a"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 01:00:00"), "wm2"))
+      q.processAllAvailable()
+      val aRows = spark.table("late_stream").where($"loc" === "a")
+        .as[(String, Long)].collect().toSeq
+      assert(aRows == Seq(("a", 1L))) // late duplicate never counted
+    } finally q.stop()
+  }
+
   test("streaming DQ alert counts emit per closed window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, String)]
