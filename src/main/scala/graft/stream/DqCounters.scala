@@ -58,5 +58,19 @@ object DqCounters {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.sum() }
       b.result()
     }
+
+    /** Prometheus exposition-format rendering of the counter registry —
+      * what a `/metrics` endpoint would serve (the reference's counter is
+      * `validation_checks_total{loc,type}`, dataops/app/constants.py:4-5).
+      */
+    def renderPrometheus(metric: String = "graft_validation_checks_total"): String = {
+      val lines = snapshot.toSeq.sortBy(_._1).map { case (key, n) =>
+        key.split(":", 2) match {
+          case Array(loc, kind) => s"""$metric{loc="$loc",type="$kind"} $n"""
+          case _ => s"""$metric{loc="$key",type=""} $n"""
+        }
+      }
+      (s"# TYPE $metric counter" +: lines).mkString("", "\n", "\n")
+    }
   }
 }

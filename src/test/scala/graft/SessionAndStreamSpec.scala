@@ -104,6 +104,9 @@ class SessionAndStreamSpec extends SparkSpec {
       }
       assert(snap.get("probability:range").contains(2L))
       assert(snap.get("rows:total").contains(4L))
+      val prom = listener.renderPrometheus()
+      assert(prom.contains("""graft_validation_checks_total{loc="probability",type="range"} 2"""))
+      assert(prom.startsWith("# TYPE graft_validation_checks_total counter"))
     } finally spark.listenerManager.unregister(listener)
   }
 
