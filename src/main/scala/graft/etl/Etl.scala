@@ -23,6 +23,7 @@ object Etl {
   def parse(bronze: DataFrame, contract: Contract): DataFrame =
     bronze.select(
       col("ts").as("__ts"),
+      col("data"), // raw payload rides along for the invalid-side quarantine
       from_json(col("data"), contract.schema).as("d"))
 
   /** E2–E4: flatten the parsed struct to the contract's ordered column list
@@ -41,13 +42,15 @@ object Etl {
           paths: Option[Seq[String]] = None): (DataFrame, DataFrame) = {
     val parsed = parse(bronze, contract)
     // Validation sees top-level parsed fields by name.
-    val top = parsed.select(col("__ts"), col("d"), col("d.*"))
+    val top = parsed.select(col("__ts"), col("data"), col("d"), col("d.*"))
     val (valid, invalid) = Validation.split(top, Validation.rules(contract))
     val defaulted = contract.defaults.foldLeft(valid) { case (df, (f, dflt)) =>
       df.withColumn("d", col("d").withField(f, coalesce(col(s"d.$f"), dflt)))
     }
+    // Quarantine keeps the ORIGINAL payload — re-serializing the parse would
+    // lose it entirely for malformed documents (from_json → null).
     (flatten(defaulted, contract, paths),
-     invalid.select(col("__ts"), col("_violations"), to_json(col("d")).as("data")))
+     invalid.select(col("__ts"), col("_violations"), col("data")))
   }
 
   /** S2: silver sink. One call site so partitioning/compaction policy is

@@ -117,11 +117,12 @@ class EtlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
-  test("malformed JSON routes to the invalid side, not a crash") {
+  test("malformed JSON routes to the invalid side with its raw payload intact") {
     val bronze = Seq((1L, "{not json"), (2L, goodJson)).toDF("ts", "data")
     val (silver, invalid) = Etl.run(bronze, Contracts.searches)
     assert(silver.count() == 1)
-    assert(invalid.count() == 1)
+    val inv = invalid.select("data").as[String].collect().toSeq
+    assert(inv == Seq("{not json")) // quarantine preserves the original bytes
   }
 
   test("flatten handles struct-in-array-in-struct nesting") {
