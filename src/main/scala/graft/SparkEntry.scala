@@ -194,7 +194,7 @@ object SparkEntry {
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "events").select(
         col("event_id"), col("user_id"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         count(lit(1)).over(run).as("run_n"),
         graft.functions.Rounding.dround(sum(col("value")).over(run), 4).as("run_v"),
         (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap_ms"))
@@ -217,7 +217,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
       t(s, d, "customer")
-        .withColumn("decile", ntile(10).over(w))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"), graft.functions.Rounding.dround(avg(col("c_acctbal")), 4).as("avg_bal"))
         .orderBy("decile")

@@ -62,6 +62,12 @@ def main(sf_dir, out_dir):
         if sorted(ocols) != sorted(gcols):
             failures.append((name, f"columns differ: oracle={sorted(ocols)} spark={sorted(gcols)}"))
             continue
+        otypes = dict(zip(ocols, [str(t) for t in orc.types]))
+        gtypes = dict(zip(gcols, [str(t) for t in got.types]))
+        tdiff = {c: (otypes[c], gtypes[c]) for c in otypes if otypes[c] != gtypes[c]}
+        if tdiff:
+            failures.append((name, f"column types differ: {tdiff}"))
+            continue
         co, cg = canon(orows), canon(grows)
         if len(co) != len(cg):
             failures.append((name, f"row count differs: oracle={len(co)} spark={len(cg)}"))
