@@ -91,6 +91,17 @@ class EtlSpec extends SparkSpec {
     assert(silver2.select("referrer__url").as[String].collect().head == "http://x")
   }
 
+  test("bronze JSON-lines file source feeds the same ETL") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("bronze")
+    Files.writeString(Paths.get(dir, "log.jsonl"),
+      s"""{"ts": 1, "data": ${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(goodJson)}}\n""")
+    val bronze = graft.etl.Sources.bronzeJson(spark, dir)
+    val (silver, invalid) = Etl.run(bronze, Contracts.searches)
+    assert(silver.count() == 1 && invalid.count() == 0)
+    assert(silver.select("query_id").as[String].collect().head == "123")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
