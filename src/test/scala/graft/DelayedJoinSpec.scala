@@ -144,6 +144,27 @@ class DelayedJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two separate decision/reward streams union into the join") {
+    implicit val sqlCtx = spark.sqlContext
+    val decIn = MemoryStream[graft.core.Decision]
+    val rewIn = MemoryStream[graft.core.Reward]
+    val unioned = DelayedJoin.unionStreams(spark, decIn.toDS(), rewIn.toDS())
+    val q = DelayedJoin.joined(spark, unioned, Config(deltaMs = Delta))
+      .writeStream.format("memory").queryName("dj_union").outputMode("append").start()
+    try {
+      decIn.addData(graft.core.Decision("u1", "ctx", "act", 0.9, T0))
+      rewIn.addData(graft.core.Reward("u1", 4.5, T0 + 2000))
+      q.processAllAvailable()
+      rewIn.addData(graft.core.Reward("_wm", 0.0, T0 + 30 * Delta))
+      q.processAllAvailable()
+      rewIn.addData(graft.core.Reward("_wm", 0.0, T0 + 31 * Delta))
+      q.processAllAvailable()
+      val out = spark.table("dj_union")
+        .select("key", "reward", "probability").as[(String, Double, Double)].collect().toSeq
+      assert(out == Seq(("u1", 4.5, 0.9)))
+    } finally q.stop()
+  }
+
   test("state survives a query restart from checkpoint (file source)") {
     import org.apache.spark.sql.types._
     val srcDir = tmpDir("djsrc")
