@@ -98,11 +98,18 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share at least one of four 16-bit
     * signature chunks (guarantees recall for hamming distance ≤ 3 by
     * pigeonhole), verified with an exact popcount of the XOR.
+    *
+    * Features are word shingles, not unigrams: bag-of-words simhash calls
+    * any two documents over the same small vocabulary near-identical, which
+    * both misses the point of near-dup detection and explodes the candidate
+    * join (measured 1.5M candidates over 5k docs on a 41-word vocabulary;
+    * shingles cut it to the true near-dup neighbourhood).
     */
   def simhash(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+              idCol: String = "doc_id", maxHamming: Int = 3,
+              shingleLen: Int = 5): DataFrame = {
     val sig = docs.select(col(idCol).as("id"),
-      simhashSignature(array_distinct(TextStats.tokens(col(textCol)))).as("sig"))
+      simhashSignature(shingles(TextStats.tokens(col(textCol)), shingleLen)).as("sig"))
     val chunks = (0 until 4).map(c => struct(lit(c).as("chunk"),
       shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey")))
     val chunked = sig.select(col("id"), col("sig"),
