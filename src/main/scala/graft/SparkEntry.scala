@@ -418,6 +418,18 @@ object SparkEntry {
         .orderBy("vec_a", "vec_b")
     },
 
+    // Per-label mean embedding (centroid) via the custom VectorSumD
+    // aggregate — map-side-combined vector partials, one shuffle.
+    "embed_centroids" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .groupBy("label")
+        .agg(graft.functions.native.vecsum(col("embedding").cast("array<double>")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          transform(col("s"), x => graft.functions.Rounding.dround(x / col("n"), 6))
+            .as("centroid"), col("n"))
+        .orderBy("label")),
+
     // ---- 2.H similarity ----
     "sim_topk" -> { (s, d) =>
       val embs = t(s, d, "embeddings")
@@ -769,6 +781,14 @@ object SparkEntry {
         "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
         "WHERE round(list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * " +
         "sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4 ORDER BY vec_a, vec_b"),
+
+    "embed_centroids" ->
+      ("WITH u AS (SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x " +
+        "FROM embeddings, generate_series(1, 64) AS t(i) WHERE i <= len(embedding)), " +
+        "m AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY label, pos), " +
+        "n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label) " +
+        "SELECT label, list(m.m ORDER BY pos) AS centroid, n.n AS n " +
+        "FROM m JOIN n USING (label) GROUP BY label, n.n ORDER BY label"),
 
     "sim_topk" ->
       ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1) " +

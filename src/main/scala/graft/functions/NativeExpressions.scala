@@ -231,4 +231,8 @@ object native {
   /** Inputs must already be array<double> (cast array<float> upstream once). */
   def dotd(a: Column, b: Column): Column =
     column(DotProductD(expression(a), expression(b)))
+
+  /** Aggregate: elementwise sum of array<double> vectors (map-side combined). */
+  def vecsum(c: Column): Column =
+    column(VectorSumD(expression(c)).toAggregateExpression())
 }

@@ -97,12 +97,13 @@ object Similarity {
         if (prev != null) prev.unpersist()
         prev = assign
       }
+      // One shuffle keyed on cluster, map-side-combined vector partials
+      // (the posexplode formulation shuffles one row per (vector, dim) and
+      // needs a second shuffle to re-assemble the arrays).
       centroids = v.join(assign, "id")
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cvec"))
+        .agg(graft.functions.native.vecsum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), transform(col("s"), x => x / col("n")).as("cvec"))
       assign = v.crossJoin(broadcast(centroids))
         .select(col("id"), col("cluster"),
           graft.functions.native.dotd(col("v"), col("cvec"))

@@ -90,6 +90,18 @@ class LlmSpec extends SparkSpec {
     assert(ivf.map(_._1).toSet.intersect(brute.map(_._1).toSet).size >= 6)
   }
 
+  test("VectorSumD aggregates elementwise with partial merge") {
+    val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0)))
+      .toDF("g", "v").repartition(3) // force partial buffers + merge
+    val out = df.groupBy("g").agg(graft.functions.native.vecsum(col("v")).as("s"))
+      .orderBy("g").as[(Int, Seq[Double])].collect().toSeq
+    assert(out == Seq((1, Seq(4.0, 6.0)), (2, Seq(10.0, 20.0))))
+    // empty group input → null, not a crash
+    val empty = Seq.empty[(Int, Seq[Double])].toDF("g", "v")
+      .groupBy("g").agg(graft.functions.native.vecsum(col("v")))
+    assert(empty.count() == 0)
+  }
+
   test("registerAll exposes tables to spark.sql") {
     graft.core.Tables.registerAll(spark, "/root/testdata/sf0.001")
     assert(spark.sql("SELECT count(*) FROM region").collect().head.getLong(0) == 5L)
