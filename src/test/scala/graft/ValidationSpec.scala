@@ -47,6 +47,42 @@ class ValidationSpec extends SparkSpec {
     assert(required == Seq("x"))
   }
 
+  test("flatten rejects unknown fields and non-descendable paths") {
+    import graft.etl.Flatten
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a", StructType(Seq(StructField("b", LongType))))))
+    intercept[IllegalArgumentException] {
+      Flatten.extract(col("x"), schema, List("a", "b", "c")) // descend into a leaf
+    }
+    intercept[IllegalArgumentException] {
+      Flatten.extract(col("x"), schema, List("nope"))
+    }
+  }
+
+  test("reference contracts carry their declared bounds and requireds") {
+    val d = Contracts.decisions
+    assert(d.bounds("probability") == FieldBounds(Some(0.0), Some(1.0)))
+    assert(d.required == Seq("key", "context", "action", "probability"))
+    assert(Contracts.searches.defaults.contains("timestamp_micros"))
+    // the agrawal contract mirrors the dataops table shape
+    assert(Contracts.agrawal.schema.fieldNames.toSeq ==
+      Seq("salary", "commission", "age", "elevel", "car", "zipcode", "hvalue", "hyears", "loan"))
+  }
+
+  test("GraftSession builder config and extensions wire up") {
+    // can't start a second context cheaply; assert builder-produced settings
+    // via a session derived from the active one + explicit registration
+    import graft.core.GraftSession
+    GraftSession.registerFunctions(spark)
+    assert(spark.sql("SELECT graft_dotd(array(1.0d), array(2.0d))").collect().head.getDouble(0) == 2.0)
+    // bad literal arg for minhash k is rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(array('a'), 'oops')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integer literal") ||
+      e.getMessage.toLowerCase.contains("oops"))
+  }
+
   test("migration is append-only and old parquet reads null-filled") {
     val prev = StructType(Seq(StructField("a", LongType),
       StructField("b", StructType(Seq(StructField("c", LongType))))))
