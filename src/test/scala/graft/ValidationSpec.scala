@@ -47,6 +47,34 @@ class ValidationSpec extends SparkSpec {
     assert(required == Seq("x"))
   }
 
+  test("dround matches binary-value rounding on the boundary that breaks Spark round()") {
+    import graft.functions.Rounding
+    // 0.42574999999999996 * 1e4 == 4257.5 exactly in fp: DuckDB rounds to
+    // 0.4258; Spark's decimal-string round() yields 0.4257. dround must take
+    // the binary path. (Regression for the quality_score sf0.1 mismatch.)
+    val vals = Seq(0.42574999999999996, 2.5, -2.5, 0.494999999, 1.0051234)
+      .toDF("x")
+    val got = vals.select(Rounding.dround($"x", 4).as("r")).as[Double].collect().toSeq
+    assert(got == Seq(0.4258, 2.5, -2.5, 0.495, 1.0051))
+    // x*100*100 hits the same exact-4257.5 product → rounds up, consistently
+    assert(vals.select(Rounding.cents($"x" * 100)).as[Long].collect().toSeq ==
+      Seq(4258, 25000, -25000, 4950, 10051))
+  }
+
+  test("table cache flag resolves repeated loads to one in-memory relation") {
+    import graft.core.Tables
+    spark.conf.set("spark.graft.cacheTables", "true")
+    try {
+      val a = Tables(spark, "/root/testdata/sf0.001", "region")
+      a.count() // materialize
+      val b = Tables(spark, "/root/testdata/sf0.001", "region")
+      assert(b.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+    } finally {
+      spark.conf.unset("spark.graft.cacheTables")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("flatten rejects unknown fields and non-descendable paths") {
     import graft.etl.Flatten
     import org.apache.spark.sql.types._
