@@ -52,7 +52,7 @@ object Multimodal {
                            targetBytesPerPartition: Long = 64L << 20): DataFrame = {
     val total = media
       .select(coalesce(sum(length(col("content")).cast("long")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     val parts = math.max(1, (total / targetBytesPerPartition).toInt)
     media.repartition(parts)
   }
