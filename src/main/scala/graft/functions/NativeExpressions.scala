@@ -174,9 +174,9 @@ case class HyperplaneLshKey(child: Expression, nBits: Int)
   override protected def withNewChildInternal(c: Expression): HyperplaneLshKey = copy(child = c)
 }
 
-/** Dot product of two array<double> columns, summed left-to-right (same
-  * fold order as `aggregate(zip_with(...))` and the DuckDB oracle's
-  * list_inner_product, so rounded results agree). Implements doGenCode so
+/** Dot product of two array<double> columns, summed left-to-right (within
+  * 1 ulp of the DuckDB oracle's pairwise-accumulated list_inner_product —
+  * rounded results agree; pinned by CrossEngineSpec). Implements doGenCode so
   * the loop is inlined into whole-stage codegen — similarity scans stay one
   * fused pipeline with no interpreted-eval call per row.
   */

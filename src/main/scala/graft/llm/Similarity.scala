@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
   *
-  * Float elements are cast to double *before* any arithmetic and folds run
-  * left-to-right over the array, so scores are bit-identical across engines
-  * that evaluate the same formula (the DuckDB oracle does).
+  * Float elements are cast to double *before* any arithmetic. Dot products
+  * agree with the DuckDB oracle's list_inner_product within 1 ulp (DuckDB
+  * accumulates pairwise, ours sequentially — pinned by CrossEngineSpec), so
+  * every similarity score is rounded (6 dp) before comparison or ranking.
   *
   * Scale path: brute-force top-k is a map + single top-k reduce (no shuffle
   * of the corpus; `ORDER BY … LIMIT k` is planned as TakeOrderedAndProject,
@@ -19,8 +20,8 @@ object Similarity {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** Left-to-right dot product (native expression; same fold order as an
-    * aggregate/zip_with composition and as the oracle's list_inner_product).
+  /** Left-to-right dot product (native expression; within 1 ulp of the
+    * oracle's pairwise-accumulated list_inner_product).
     */
   def dot(a: Column, b: Column): Column =
     graft.functions.native.dotd(asD(a), asD(b))
