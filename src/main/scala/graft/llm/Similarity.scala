@@ -75,8 +75,8 @@ object Similarity {
   /** Distributed IVF index: k-means with deterministic init
     * (cluster₀ = id mod k) and `iters` Lloyd iterations. Everything is
     * joins + aggregates: assignment is a broadcast of the k centroids
-    * (k ≪ corpus), the centroid update is a posexplode + per-(cluster,dim)
-    * mean — shuffle keyed on (cluster, dim), never all-pairs.
+    * (k ≪ corpus); the centroid update is one shuffle keyed on cluster with
+    * map-side-combined VectorSumD partials — never all-pairs.
     * Returns (assignments(id, cluster), centroids(cluster, cvec)).
     */
   def ivfIndex(embs: DataFrame, kClusters: Int, iters: Int = 2,
