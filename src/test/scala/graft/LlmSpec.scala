@@ -118,6 +118,32 @@ class LlmSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("text ops handle degenerate inputs (single token, short text)") {
+    val d = Seq((1L, "x"), (2L, "ab cd")).toDF("doc_id", "text")
+    // shingles of a too-short token array: one windowed shingle, no crash
+    val sh = d.select(Dedup.shingles(TextStats.tokens(col("text")), 5))
+      .as[Seq[String]].collect()
+    assert(sh(0) == Seq("x") && sh(1) == Seq("ab cd"))
+    // fingerprint of text shorter than maxLen
+    val fp = d.select(TextStats.fingerprint("text")).as[Long].collect()
+    assert(fp(0) == 'x'.toLong % 1000000007)
+    // quality/token stats defined and finite
+    val q = d.select(TextStats.qualityScore(col("text")),
+      TextStats.tokenCount(col("text")), TextStats.bpeEstimate(col("text"))).collect()
+    assert(q.forall(r => !r.anyNull))
+  }
+
+  test("dedup operators respect custom column names") {
+    val d = Seq((10L, "a b c d e f g"), (11L, "a b c d e f g"))
+      .toDF("id2", "body")
+    val ex = Dedup.exact(d, textCol = "body", idCol = "id2")
+      .as[(Long, Long)].collect().toSeq
+    assert(ex == Seq((10L, 2L)))
+    val mh = Dedup.minhash(d, textCol = "body", idCol = "id2")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(mh == Seq((10L, 11L)))
+  }
+
   test("fingerprint matches the reference formula") {
     val fp = Seq(Tuple1("ab")).toDF("text")
       .select(TextStats.fingerprint("text")).as[Long].collect().head

@@ -9,6 +9,7 @@ Usage: check_oracle.py <sfDir> <outDir>
 import json
 import math
 import sys
+import time
 
 import duckdb
 
@@ -43,6 +44,7 @@ def main(sf_dir, out_dir):
     failures = []
     for name in sorted(oracle):
         sql = oracle[name]
+        t0 = time.time()
         try:
             orc = con.sql(sql)
             ocols = [c.lower() for c in orc.columns]
@@ -76,7 +78,7 @@ def main(sf_dir, out_dir):
             diffs = [(a, b) for a, b in zip(co, cg) if a != b]
             failures.append((name, f"{len(diffs)} differing rows, first: oracle={diffs[0][0]} spark={diffs[0][1]}"))
             continue
-        print(f"OK   {name} ({len(co)} rows)")
+        print(f"OK   {name} ({len(co)} rows, duckdb {time.time()-t0:.2f}s)")
     # queries without an oracle: rows-only
     import os
     for name in sorted(os.listdir(out_dir)):
