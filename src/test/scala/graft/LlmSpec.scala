@@ -150,6 +150,18 @@ class LlmSpec extends SparkSpec {
     assert(fp == (97L * 31 + 98) % 1000000007) // ascii('a')=97 then 'b'
   }
 
+  test("decode repartition sizes by payload volume and preserves rows") {
+    val media = Multimodal.asBinary(
+      (1 to 50).map(i => (i.toLong, "x" * 10000)).toDF("doc_id", "text"))
+    val sized = Multimodal.repartitionForDecode(media, targetBytesPerPartition = 100000)
+    assert(sized.rdd.getNumPartitions == 5) // 500k bytes / 100k target
+    assert(sized.count() == 50)
+    // empty input: no crash, one partition
+    val empty = Multimodal.repartitionForDecode(
+      Multimodal.asBinary(Seq.empty[(Long, String)].toDF("doc_id", "text")))
+    assert(empty.rdd.getNumPartitions == 1 && empty.count() == 0)
+  }
+
   test("multimodal decode plumbing produces frames from binary payloads") {
     val media = Multimodal.asBinary(
       Seq((7L, "x" * 2500)).toDF("doc_id", "text"))

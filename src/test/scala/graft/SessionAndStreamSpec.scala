@@ -69,6 +69,30 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bronze JSON-lines file stream drives continuous ETL ingestion") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmpDir("bronzestream")
+    def writeLog(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.writeString(Paths.get(dir, name),
+        rows.map { case (ts, doc) =>
+          s"""{"ts": $ts, "data": ${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(doc)}}"""
+        }.mkString("", "\n", "\n"))
+    writeLog("b1.jsonl", Seq((1L, """{"query_id":"q1","document_id":1}""")))
+    val bronze = graft.etl.Sources.bronzeJsonStream(spark, dir)
+    val flat = graft.etl.Etl.flatten(
+      graft.etl.Etl.parse(bronze, graft.core.Contracts.clicks), graft.core.Contracts.clicks)
+    val q = flat.writeStream.format("memory").queryName("bronze_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeLog("b2.jsonl", Seq((2L, """{"query_id":"q2","document_id":2}"""))) // new file = new batch
+      q.processAllAvailable()
+      val got = spark.table("bronze_stream").select("query_id")
+        .as[String].collect().toSet
+      assert(got == Set("q1", "q2"))
+    } finally q.stop()
+  }
+
   test("bronze JSON log can be ingested as a stream through the same ETL") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
