@@ -232,6 +232,10 @@ object native {
   def dotd(a: Column, b: Column): Column =
     column(DotProductD(expression(a), expression(b)))
 
+  /** One-pass distinct Jaccard of two array<string> columns. */
+  def jaccardSim(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b)))
+
   /** Aggregate: elementwise sum of array<double> vectors (map-side combined). */
   def vecsum(c: Column): Column =
     column(VectorSumD(expression(c)).toAggregateExpression())

@@ -38,9 +38,12 @@ object Dedup {
   def minhashSignature(sh: Column, numHashes: Int): Column =
     graft.functions.native.minhashSig(sh, numHashes)
 
-  /** Jaccard similarity of two (distinct-element) arrays. */
+  /** Jaccard similarity of two arrays, distinct-count semantics (native
+    * one-pass expression; the declarative size(intersect)/size(union) form
+    * is also rewritten to it by the FuseJaccard optimizer rule).
+    */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)) / size(array_union(a, b)).cast("double")
+    graft.functions.native.jaccardSim(a, b)
 
   /** MinHash + LSH near-duplicate pairs.
     *

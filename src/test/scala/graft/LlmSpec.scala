@@ -133,6 +133,35 @@ class LlmSpec extends SparkSpec {
     assert(q.forall(r => !r.anyNull))
   }
 
+  test("JaccardSim matches the declarative form; FuseJaccard rewrites it") {
+    val d = Seq(
+      (Seq("a", "b", "b", "c"), Seq("b", "c", "d")),
+      (Seq("x"), Seq("y"))).toDF("a", "b")
+    val declarative = size(array_intersect($"a", $"b")) /
+      size(array_union($"a", $"b")).cast("double")
+    val both = d.select(declarative.as("hof"),
+      graft.functions.native.jaccardSim($"a", $"b").as("fused")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+    // empty union: ANSI divide throws on the declarative form; the fused
+    // expression yields NULL (the non-ANSI semantics)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(graft.functions.native.jaccardSim($"a", $"b")).collect().head
+    assert(empty.isNullAt(0))
+    // the optimizer rule rewrites the declarative form into JaccardSim
+    // (file-backed source so constant folding can't collapse the plan first)
+    val dir = tmpDir("fusejacc") + "/t"
+    d.write.parquet(dir)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(graft.functions.FuseJaccard)
+    try {
+      val fromFile = spark.read.parquet(dir)
+      val plan = fromFile.select((size(array_intersect(col("a"), col("b"))) /
+        size(array_union(col("a"), col("b"))).cast("double")).as("j"))
+        .queryExecution.optimizedPlan
+      assert(plan.toString.contains("jaccardsim"), plan.toString)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("dedup operators respect custom column names") {
     val d = Seq((10L, "a b c d e f g"), (11L, "a b c d e f g"))
       .toDF("id2", "body")
