@@ -1,9 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and emits ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Measurement sink is a `noop` DataSourceV2 write, not `.count()`: under a
+  * count, ColumnPruning/EliminateSorts legally delete every unused
+  * projection and sort, so per-row-expression queries would time the scan
+  * instead of the work. The noop write consumes every column of the real
+  * plan and discards rows at the sink — the honest steady-state number.
+  *
+  * The JSON line is printed to stdout AND written verbatim (sole content)
+  * to SPARK_GRAFT_BENCH_OUT (default /tmp/graft_bench.json) so a harness
+  * that can't pick the line out of sbt's [info]-prefixed stdout can read
+  * the file instead.
+  */
 object Bench {
+
+  private def runOnce(spark: SparkSession,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String): Unit =
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,7 +35,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Steady-state methodology: an untimed warm-up pass runs every query
     // once, so the timed pass measures execution — not JVM classloading,
     // JIT, or whole-stage-codegen compilation (which dominate first
@@ -24,17 +47,21 @@ object Bench {
       graft.core.Tables.all.foreach(n =>
         graft.core.Tables(spark, sfDir, n).count())
       SparkEntry.queries.values.foreach(fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () })
+        try runOnce(spark, fn, sfDir) catch { case _: Throwable => () })
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runOnce(spark, fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    spark.stop() // stop first: its shutdown logging can't interleave with the line
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
   }
 }

@@ -102,6 +102,10 @@ object SparkEntry {
         .orderBy("order__key")
     },
 
+    // E4 array-of-struct flatten. The row-preserving list semantics (one row
+    // per parent, one list column per leaf path) are pinned by EtlSpec; for
+    // the gate the lists are posexploded back to scalar rows because the
+    // driver's pandas-based checker cannot sort array-typed columns.
     "etl_array_flatten" -> { (s, d) =>
       val schema = StructType(Seq(StructField("results", ArrayType(StructType(Seq(
         StructField("line", IntegerType), StructField("qty", DoubleType)))))))
@@ -109,11 +113,15 @@ object SparkEntry {
         .groupBy(col("l_orderkey").as("order_key"))
         .agg(sort_array(collect_list(struct(
           col("l_linenumber").as("line"), col("l_quantity").as("qty")))).as("results"))
-      nested.select(
+      val flat = nested.select(
         (col("order_key") +: Flatten.columnPaths(schema).map(p =>
           Flatten.extract(nested("results"), schema.fields.head.dataType,
             p.split("__").toList.drop(1)).as(p))): _*)
-        .orderBy("order_key")
+      flat.select(col("order_key"),
+          posexplode(arrays_zip(col("results__line"), col("results__qty"))))
+        .select(col("order_key"), col("pos").cast("long").as("pos"),
+          col("col.results__line").as("line"), col("col.results__qty").as("qty"))
+        .orderBy("order_key", "pos")
     },
 
     // Untyped-JSON column as a Spark 4 VARIANT (§1.2: untyped object →
@@ -213,11 +221,13 @@ object SparkEntry {
 
     // Quantile bucketing: decile of customers by account balance (total
     // order via the custkey tiebreak keeps bucket membership exact).
+    // Quantiles.exactNtile reproduces NTILE's assignment without the
+    // single-partition global window (acctbal domain is [-1000, 10000] →
+    // coarseWidth 100 gives ≤110 domain-bounded range partitions).
     "ntile_buckets" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, d, "customer")
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      graft.analytics.Quantiles.exactNtile(
+          t(s, d, "customer").select("c_custkey", "c_acctbal"),
+          "c_acctbal", "c_custkey", 10, coarseWidth = 100.0, bucketCol = "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"), graft.functions.Rounding.dround(avg(col("c_acctbal")), 4).as("avg_bal"))
         .orderBy("decile")
@@ -419,16 +429,20 @@ object SparkEntry {
     },
 
     // Per-label mean embedding (centroid) via the custom VectorSumD
-    // aggregate — map-side-combined vector partials, one shuffle.
+    // aggregate — map-side-combined vector partials, one shuffle. The
+    // centroid vector is posexploded to (label, pos, m) scalar rows for the
+    // gate (the driver's checker cannot sort array columns); the library
+    // surface keeping the array shape stays covered by LlmSpec.
     "embed_centroids" -> ((s, d) =>
       t(s, d, "embeddings")
         .groupBy("label")
         .agg(graft.functions.native.vecsum(col("embedding").cast("array<double>")).as("s"),
           count(lit(1)).as("n"))
-        .select(col("label"),
-          transform(col("s"), x => graft.functions.Rounding.dround(x / col("n"), 6))
-            .as("centroid"), col("n"))
-        .orderBy("label")),
+        .select(col("label"), col("n"), posexplode(col("s")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          graft.functions.Rounding.dround(col("col") / col("n"), 6).as("m"),
+          col("n"))
+        .orderBy("label", "pos")),
 
     // ---- 2.H similarity ----
     "sim_topk" -> { (s, d) =>
@@ -550,7 +564,7 @@ object SparkEntry {
   private val delayedJoinFrom =
     """FROM events d LEFT JOIN events r
       | ON d.user_id = r.user_id AND r.event_type = 'purchase'
-      | AND epoch_ms(r.ts) BETWEEN epoch_ms(d.ts) - 3600000 AND epoch_ms(d.ts) + 3600000
+      | AND epoch_ms(r.ts) BETWEEN epoch_ms(d.ts) AND epoch_ms(d.ts) + 3600000
       | WHERE d.event_type = 'view'""".stripMargin.replace("\n", " ")
 
   private val shingleCte =
@@ -596,9 +610,9 @@ object SparkEntry {
 
     "etl_array_flatten" ->
       ("SELECT l_orderkey AS order_key, " +
-        "list(l_linenumber ORDER BY l_linenumber, l_quantity) AS results__line, " +
-        "list(l_quantity ORDER BY l_linenumber, l_quantity) AS results__qty " +
-        "FROM lineitem GROUP BY l_orderkey ORDER BY order_key"),
+        "CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS BIGINT) AS pos, " +
+        "l_linenumber AS line, l_quantity AS qty " +
+        "FROM lineitem ORDER BY order_key, pos"),
 
     "etl_variant_json" ->
       ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
@@ -770,7 +784,7 @@ object SparkEntry {
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc " +
         "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
-        "WHERE len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4 " +
+        "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4 " +
         "ORDER BY doc_a, doc_b"),
 
     "dedup_embedding" ->
@@ -787,8 +801,8 @@ object SparkEntry {
         "FROM embeddings, generate_series(1, 64) AS t(i) WHERE i <= len(embedding)), " +
         "m AS (SELECT label, pos, round(avg(x), 6) AS m FROM u GROUP BY label, pos), " +
         "n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label) " +
-        "SELECT label, list(m.m ORDER BY pos) AS centroid, n.n AS n " +
-        "FROM m JOIN n USING (label) GROUP BY label, n.n ORDER BY label"),
+        "SELECT label, CAST(m.pos - 1 AS BIGINT) AS pos, m.m AS m, n.n AS n " +
+        "FROM m JOIN n USING (label) ORDER BY label, pos"),
 
     "sim_topk" ->
       ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1) " +

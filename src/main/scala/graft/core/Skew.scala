@@ -23,8 +23,12 @@ object Skew {
                  joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"unsupported salted join type $joinType")
+    // Salt must be a STABLE function of the row: rand() is per-partition
+    // deterministic but row→salt changes under repartition/task retry, which
+    // can double- or drop-count left rows mid-retry. Hash every left column
+    // instead — same spread, provably stable.
     val saltedLeft = left.withColumn("_salt",
-      (rand(seed = 42) * salt).cast("int"))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
     val replicatedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt"), joinType).drop("_salt")

@@ -16,6 +16,14 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Guards the opt-in cache() below: cache() is idempotent via the
+  // CacheManager's plan-equality lookup, but every repeated call logs an
+  // "Asked to cache already cached data" warning — 52 queries × 10 tables
+  // of that spam drowned the bench JSON line. One cache() per
+  // (session, dir, table) is enough.
+  private val cached =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String, String)]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
@@ -27,7 +35,8 @@ object Tables {
     // plan-equality lookup. For repeated-query workloads over tables that fit
     // executor memory (dims, hot silver tables) — not for the 100 TB fact
     // table, which is why it is off by default.
-    if (spark.conf.getOption("spark.graft.cacheTables").contains("true")) df.cache()
+    if (spark.conf.getOption("spark.graft.cacheTables").contains("true") &&
+        cached.add((System.identityHashCode(spark), dir, name))) df.cache()
     else df
   }
 

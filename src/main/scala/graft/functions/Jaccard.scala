@@ -17,6 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct-count semantics (identical to array_intersect/array_union and
   * to DuckDB's list_intersect/list_distinct(list_concat)) without building
   * either array. NULL on empty union, matching Divide's null-on-zero.
+  * A NULL *element* counts as one distinct value present in its array —
+  * exactly array_intersect/array_union's semantics — so the FuseJaccard
+  * rewrite is safe on containsNull arrays too.
   */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -26,24 +29,29 @@ case class JaccardSim(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val setA = new java.util.HashSet[UTF8String]()
+    var hasNullA = false
     var i = 0
     val na = a.numElements()
     while (i < na) {
-      if (!a.isNullAt(i)) setA.add(a.getUTF8String(i))
+      if (a.isNullAt(i)) hasNullA = true else setA.add(a.getUTF8String(i))
       i += 1
     }
     val seenB = new java.util.HashSet[UTF8String]()
+    var hasNullB = false
     var inter = 0
     var j = 0
     val nb = b.numElements()
     while (j < nb) {
-      if (!b.isNullAt(j)) {
+      if (b.isNullAt(j)) {
+        if (!hasNullB) { hasNullB = true; if (hasNullA) inter += 1 }
+      } else {
         val el = b.getUTF8String(j)
         if (seenB.add(el) && setA.contains(el)) inter += 1
       }
       j += 1
     }
-    val union = setA.size() + seenB.size() - inter
+    val union = setA.size() + (if (hasNullA) 1 else 0) +
+      seenB.size() + (if (hasNullB) 1 else 0) - inter
     if (union == 0) null else java.lang.Double.valueOf(inter.toDouble / union)
   }
 
@@ -61,15 +69,19 @@ object FuseJaccard extends Rule[LogicalPlan] {
     case other => other
   }
 
+  private def isStringArray(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case d: Divide =>
         (stripCast(d.left), stripCast(d.right)) match {
           case (Size(ArrayIntersect(a1, b1), _), Size(ArrayUnion(a2, b2), _))
               if a1.semanticEquals(a2) && b1.semanticEquals(b2) &&
-                a1.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-                a1.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-                  .elementType == org.apache.spark.sql.types.StringType =>
+                isStringArray(a1.dataType) && isStringArray(b1.dataType) =>
             JaccardSim(a1, b1)
           case _ => d
         }

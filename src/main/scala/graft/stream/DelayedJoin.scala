@@ -8,9 +8,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** The contextual-bandit delayed join (reference: join-service/app/main.py:
   * 59-96; spec README.md:14-27): a decision joins every reward with the same
-  * key whose timestamp lies within ±Δ, the result is emitted once the
+  * key arriving in [d.ts, d.ts + Δ], the result is emitted once the
   * decision's window closes (≥ d.ts + Δ), and a decision with no reward
   * emits exactly one row with reward = 0.0.
+  *
+  * The window is one-sided by the reference's construction: the service
+  * emits at t = d.insert_ms + Δ, when rewards_window holds exactly the
+  * rewards with t BETWEEN r.insert_ms AND r.insert_ms + Δ, i.e.
+  * r.insert_ms ∈ [d.insert_ms, d.insert_ms + Δ]. A reward logged before its
+  * decision never matches (reward_delta_ms ≥ 0 always).
   *
   * Streaming implementation: union both streams keyed by `key`, buffer in
   * `flatMapGroupsWithState` with an event-time timeout at the earliest
@@ -20,7 +26,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * tombstones (J7) or last-reward-wins (J6) variants.
   *
   * Scale: state is partitioned by key across executors; per-key state holds
-  * only the ±Δ window of events, and the timeout GC's it — bounded memory
+  * only the [0, Δ] window of events, and the timeout GC's it — bounded memory
   * regardless of stream length.
   */
 object DelayedJoin {
@@ -69,7 +75,8 @@ object DelayedJoin {
       if (overridden) Nil
       else due.flatMap { d =>
         val matched = rewards
-          .filter(r => math.abs(r.insert_ms - d.insert_ms) <= cfg.deltaMs)
+          .filter(r => r.insert_ms >= d.insert_ms &&
+            r.insert_ms - d.insert_ms <= cfg.deltaMs)
           .sortBy(r => (r.insert_ms, r.reward))
         val chosen = if (cfg.lastRewardWins) matched.takeRight(1) else matched
         if (chosen.isEmpty)
@@ -80,8 +87,14 @@ object DelayedJoin {
             r.reward, d.insert_ms, Some(r.insert_ms - d.insert_ms))) // J4
       }
 
-    // GC: a reward can still match a future decision only while
-    // r.ts + Δ > watermark (future decisions have ts ≳ watermark).
+    // GC: with the one-sided window a reward matches decisions with
+    // d.insert_ms ∈ [r.insert_ms − Δ, r.insert_ms]; every pending decision
+    // has d.insert_ms > wm − Δ, so once r.insert_ms + Δ ≤ wm the reward
+    // precedes every pending (and any non-late future) decision and can be
+    // dropped. This bound is exact: r.insert_ms + Δ is also the deadline of
+    // the latest decision the reward could match — a reward is never GC'd
+    // before a decision it matches is emitted, however many same-key steps
+    // run in between.
     val liveRewards = rewards.filter(_.insert_ms + cfg.deltaMs > wm)
     if (pending.isEmpty && liveRewards.isEmpty && !overridden) {
       state.remove()
@@ -121,9 +134,10 @@ object DelayedJoin {
   // Batch analogs (the oracle-checkable semantics of J2–J7)
   // ------------------------------------------------------------------
 
-  /** J2–J5 batch analog: LEFT join decisions→rewards on key within ±Δ,
-    * multi-reward fan-out, reward defaulted to 0.0 and delta NULL on miss.
-    * Expects `decisions(key, insert_ms, …payload)` and
+  /** J2–J5 batch analog: LEFT join decisions→rewards on key with
+    * r.insert_ms ∈ [d.insert_ms, d.insert_ms + Δ] (the reference's one-sided
+    * window), multi-reward fan-out, reward defaulted to 0.0 and delta NULL
+    * on miss. Expects `decisions(key, insert_ms, …payload)` and
     * `rewards(key, reward, insert_ms)`; payload columns pass through.
     */
   def batch(decisions: DataFrame, rewards: DataFrame,
@@ -136,7 +150,7 @@ object DelayedJoin {
     d.join(r,
         col("d.key") === col("r.key") &&
           col("r.r_insert_ms").between(
-            col("d.insert_ms") - deltaMs, col("d.insert_ms") + deltaMs),
+            col("d.insert_ms"), col("d.insert_ms") + deltaMs),
         "left")
       .select(
         (col("d.key").as("key") +:

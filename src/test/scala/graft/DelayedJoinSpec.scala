@@ -53,7 +53,7 @@ class DelayedJoinSpec extends SparkSpec {
       d("k1", T0), r("k1", T0 + 3000, 5.0),          // reward in window
       d("k2", T0),                                    // no reward -> 0.0
       d("k3", T0), r("k3", T0 + 1000, 1.0), r("k3", T0 + 2000, 2.0), // fan-out
-      r("k4", T0, 1.0), d("k4", T0 + 2000),           // reward before decision
+      r("k4", T0, 1.0), d("k4", T0 + 2000),           // reward BEFORE decision
       d("k5", T0), r("k5", T0 + 11000, 9.0)           // reward after window
     ), "dj_core")
     assert(out == Seq(
@@ -61,8 +61,39 @@ class DelayedJoinSpec extends SparkSpec {
       ("k2", 0.0, None),
       ("k3", 1.0, Some(1000L)),
       ("k3", 2.0, Some(2000L)),
-      ("k4", 1.0, Some(-2000L)),
+      // the reference window is one-sided [d, d+Δ]: a reward logged before
+      // its decision never matches (join-service main.py:62-96 emits at
+      // t = d+Δ, when rewards_window requires r.insert_ms ≥ d.insert_ms)
+      ("k4", 0.0, None),
       ("k5", 0.0, None)))
+  }
+
+  test("reward survives interleaved same-key steps until the decision deadline") {
+    // A same-key event lands while wm sits between the reward's arrival and
+    // the decision's deadline — the step must NOT GC the pending reward
+    // (ADVICE r1: retention bound r.insert_ms + Δ > wm is exact for the
+    // one-sided window; this pins it).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[In]
+    val q = DelayedJoin.joined(spark, input.toDS(), Config(deltaMs = Delta))
+      .writeStream.format("memory").queryName("dj_gc").outputMode("append").start()
+    try {
+      input.addData(d("g1", T0), r("g1", T0 + 3000, 5.0))
+      q.processAllAvailable()
+      // a second same-key reward forces a step for g1 while the decision is
+      // still pending; the buffered T0+3000 reward must stay in state
+      input.addData(r("g1", T0 + 7000, 9.9), r("_wm", T0 + 7000, 0.0))
+      q.processAllAvailable()
+      // push wm past the deadline → emit
+      input.addData(r("_wm", T0 + 30 * Delta, 0.0))
+      q.processAllAvailable()
+      input.addData(r("_wm", T0 + 31 * Delta, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("dj_gc").where($"key" === "g1")
+        .select("key", "reward", "reward_delta_ms")
+        .as[(String, Double, Option[Long])].collect().toSeq.sorted
+      assert(out == Seq(("g1", 5.0, Some(3000L)), ("g1", 9.9, Some(7000L))))
+    } finally q.stop()
   }
 
   test("last-reward-wins variant J6 emits exactly one row per decision") {
@@ -126,7 +157,7 @@ class DelayedJoinSpec extends SparkSpec {
     val q = DelayedJoin.joined(spark, input.toDS(), Config(deltaMs = Delta))
       .writeStream.format("memory").queryName("dj_volume").outputMode("append").start()
     try {
-      // per key: one decision + 19 rewards, only 2 rewards inside ±Δ
+      // per key: one decision + 19 rewards, only one (+7000) inside [0, Δ]
       val events = (0 until 500).flatMap { k =>
         d(s"u$k", T0) +: (1 to 19).map(i =>
           r(s"u$k", T0 + i * 7000L, i.toDouble))

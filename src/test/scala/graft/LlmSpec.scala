@@ -147,6 +147,17 @@ class LlmSpec extends SparkSpec {
     val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
       .select(graft.functions.native.jaccardSim($"a", $"b")).collect().head
     assert(empty.isNullAt(0))
+    // NULL elements count as one distinct value per side, exactly like
+    // array_intersect/array_union — so the rewrite is safe on containsNull
+    // arrays (([null],[null]) → 1/1; ([null,"a"],["a"]) → 1/2)
+    val withNulls = Seq(
+      (Seq[String](null), Seq[String](null)),
+      (Seq[String](null, "a"), Seq("a"))).toDF("a", "b")
+    val nj = withNulls.select(
+      (size(array_intersect($"a", $"b")) /
+        size(array_union($"a", $"b")).cast("double")).as("hof"),
+      graft.functions.native.jaccardSim($"a", $"b").as("fused")).collect()
+    nj.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
     // the optimizer rule rewrites the declarative form into JaccardSim
     // (file-backed source so constant folding can't collapse the plan first)
     val dir = tmpDir("fusejacc") + "/t"

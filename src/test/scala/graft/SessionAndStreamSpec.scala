@@ -165,9 +165,44 @@ class SessionAndStreamSpec extends SparkSpec {
       val salted = Skew.saltedJoin(left, right, "k", salt = 8, joinType = jt)
         .select("k", "v", "name").as[(Int, Int, Option[String])].collect().toSeq.sorted
       assert(salted == plain, s"joinType=$jt")
+      // salt assignment is a stable hash of the row, so the result is
+      // invariant under repartition (rand()-based salting was not: a task
+      // retry could re-draw salts and double- or drop-count rows)
+      val reparted = Skew.saltedJoin(left.repartition(13), right, "k", salt = 8,
+          joinType = jt)
+        .select("k", "v", "name").as[(Int, Int, Option[String])].collect().toSeq.sorted
+      assert(reparted == plain, s"joinType=$jt repartitioned")
     }
     val hh = Skew.heavyHitters(left, col("k"), 3).collect()
     assert(hh.length == 3 && hh.head.getLong(1) >= hh.last.getLong(1))
+  }
+
+  test("exactNtile matches built-in NTILE without the global window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.analytics.Quantiles
+    // 103 rows (not divisible by buckets), heavy ties on value
+    val df = (1 to 103).map(i => ((i * 37 % 11).toDouble, i.toLong)).toDF("v", "id")
+    val expected = df.withColumn("b",
+        ntile(10).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "b").as[(Long, Long)].collect().toSeq.sorted
+    val got = Quantiles.exactNtile(df, "v", "id", 10, coarseWidth = 3.0, "b")
+      .select("id", "b").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == expected)
+    // N < buckets degenerate case (q = 0): buckets 1..N, one row each
+    val tiny = Seq((5.0, 1L), (1.0, 2L), (3.0, 3L)).toDF("v", "id")
+    val tinyGot = Quantiles.exactNtile(tiny, "v", "id", 10, 100.0, "b")
+      .select("id", "b").as[(Long, Long)].collect().toSeq.sorted
+    assert(tinyGot == Seq((1L, 3L), (2L, 1L), (3L, 2L)))
+    // scale posture: every window in the plan is keyed — nothing requires
+    // "all rows in one partition" (the scalar count's one-row exchange is
+    // fine; an unpartitioned WindowExec is not)
+    val exec = Quantiles.exactNtile(df, "v", "id", 10, 3.0, "b")
+      .queryExecution.executedPlan
+    val unkeyed = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unkeyed.isEmpty, exec.toString)
   }
 
   test("DQ closed loop: profile -> bounds -> validation -> alert counts") {
