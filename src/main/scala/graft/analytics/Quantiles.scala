@@ -32,6 +32,107 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Exact interpolated quantiles (DuckDB/Postgres `quantile_cont` /
+    * `percentile_cont` semantics) for several columns in ONE pass, with no
+    * per-value global state and no single-partition window.
+    *
+    * Spark's built-in exact `percentile()` is a `TypedImperativeAggregate`
+    * whose buffer holds EVERY distinct (value, count) pair — on a near-unique
+    * 100 TB column that state is the table, concentrated into one final
+    * reduce task. This plan keeps everything keyed:
+    *
+    *  1. unpivot the requested columns and `groupBy(column, value)` — a
+    *     map-side-combinable shuffle whose value domain, not row count,
+    *     bounds the state;
+    *  2. per-column min/max/total (tiny) → a fixed-width histogram id per
+    *     distinct value; per-bucket counts (≤ cols × `buckets` rows) and
+    *     their exclusive prefix via a broadcast triangular join;
+    *  3. locate, per requested quantile q, the two global ranks
+    *     lo = ⌊q·(n−1)⌋ and hi = ⌈q·(n−1)⌉ inside the (≤ 2 per quantile)
+    *     histogram buckets that contain them — ONLY those buckets' distinct
+    *     values (≈ distinct/`buckets` rows) are then ranked with a keyed
+    *     window to find the bounding values, which are linearly
+    *     interpolated: v_lo + (q·(n−1) − lo)·(v_hi − v_lo).
+    *
+    * Returns one row per (column, quantile): `(column_name, q, value)`.
+    * NULLs are ignored (quantile_cont semantics); a column with no non-null
+    * rows yields no output rows.
+    */
+  def quantileCont(df: DataFrame, cols: Seq[String], qs: Seq[Double],
+                   buckets: Int = 1024): DataFrame =
+    quantileContFromCounts(valueCounts(df, cols), qs, buckets)
+
+  /** `(_cn, _v, _c)` distinct-value counts for `cols` of `df`, the shared
+    * input of [[quantileContFromCounts]] and an exact per-column distinct
+    * count (`groupBy(_cn).count`) — one unpivoted scan, one keyed shuffle.
+    */
+  def valueCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    df.select(expr(s"stack(${cols.length}, $stackArgs) AS (_cn, _v)"))
+      .where(col("_v").isNotNull)
+      .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
+  }
+
+  /** [[quantileCont]] over a pre-aggregated `(_cn, _v, _c)` relation. */
+  def quantileContFromCounts(perVal: DataFrame, qs: Seq[Double],
+                             buckets: Int = 1024): DataFrame = {
+    require(qs.nonEmpty && buckets >= 1)
+
+    // 2. per-column stats (one row per column — broadcast everywhere)
+    val stats = perVal.groupBy("_cn")
+      .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
+    val width = (col("_mx") - col("_mn")) / buckets
+    val bucketed = perVal.join(broadcast(stats), "_cn")
+      .withColumn("_cr",
+        when(col("_mx") === col("_mn"), lit(0L))
+          .otherwise(least(floor((col("_v") - col("_mn")) / width),
+            lit(buckets - 1L))))
+      .select("_cn", "_v", "_c", "_cr")
+
+    // per-bucket totals + exclusive prefix (≤ cols × buckets rows)
+    val rangeTotals = bucketed.groupBy("_cn", "_cr").agg(sum("_c").as("_rc"))
+    val rangePrefix = rangeTotals.alias("x")
+      .join(broadcast(rangeTotals.alias("y")),
+        col("y._cn") === col("x._cn") && col("y._cr") < col("x._cr"), "left")
+      .groupBy(col("x._cn").as("_cn"), col("x._cr").as("_cr"))
+      .agg(coalesce(sum(col("y._rc")), lit(0L)).as("_pr"))
+
+    // 3. target ranks per quantile (tiny), the buckets that contain them,
+    //    and a keyed window over ONLY those buckets' values
+    val targets = stats
+      .select(col("_cn"), col("_n"),
+        explode(array(qs.map(lit(_)): _*)).as("_q"))
+      .withColumn("_t", col("_q") * (col("_n") - 1).cast("double"))
+      .withColumn("_lo", floor(col("_t")))
+      .withColumn("_hi", ceil(col("_t")))
+      .select("_cn", "_q", "_t", "_lo", "_hi")
+
+    val hitBuckets = targets.join(rangePrefix.join(rangeTotals, Seq("_cn", "_cr")),
+        Seq("_cn"))
+      .where((col("_lo") >= col("_pr") && col("_lo") < col("_pr") + col("_rc")) ||
+             (col("_hi") >= col("_pr") && col("_hi") < col("_pr") + col("_rc")))
+      .select("_cn", "_cr", "_pr").distinct()
+
+    val candidates = bucketed.join(broadcast(hitBuckets), Seq("_cn", "_cr"))
+    val wBucket = Window.partitionBy("_cn", "_cr").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = candidates
+      .withColumn("_before", col("_pr") + coalesce(sum("_c").over(wBucket), lit(0L)))
+
+    ranked.join(broadcast(targets), Seq("_cn"))
+      .where((col("_lo") >= col("_before") && col("_lo") < col("_before") + col("_c")) ||
+             (col("_hi") >= col("_before") && col("_hi") < col("_before") + col("_c")))
+      .groupBy(col("_cn"), col("_q"), col("_t"), col("_lo"))
+      .agg(
+        max(when(col("_lo") >= col("_before") &&
+          col("_lo") < col("_before") + col("_c"), col("_v"))).as("_vlo"),
+        max(when(col("_hi") >= col("_before") &&
+          col("_hi") < col("_before") + col("_c"), col("_v"))).as("_vhi"))
+      .select(col("_cn").as("column_name"), col("_q").as("q"),
+        (col("_vlo") + (col("_t") - col("_lo")) * (col("_vhi") - col("_vlo")))
+          .as("value"))
+  }
+
   /** NTILE(n) over ORDER BY (valueCol, tieCol), as a new LONG column
     * `bucketCol`. `coarseWidth` is the value-range width of the stage-2
     * window partitions — pick it so `(max-min)/coarseWidth` is O(100–1000)

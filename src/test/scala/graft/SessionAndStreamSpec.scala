@@ -205,6 +205,59 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(unkeyed.isEmpty, exec.toString)
   }
 
+  test("quantileCont matches percentile_cont semantics, ignores NULLs, keyed plan") {
+    import graft.analytics.Quantiles
+    val rng = new scala.util.Random(42)
+    // duplicates (i%97) + nulls, two columns with different domains
+    val rows = (1 to 5000).map { i =>
+      (if (i % 50 == 0) None else Some((i % 97).toDouble / 3.0),
+        Some(rng.nextDouble() * 1e6 - 5e5))
+    }
+    val df = rows.toDF("a", "b")
+    val qs = Seq(0.25, 0.5, 0.75)
+    def expected(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted; val t = q * (s.length - 1)
+      val lo = math.floor(t).toInt; val hi = math.ceil(t).toInt
+      s(lo) + (t - lo) * (s(hi) - s(lo))
+    }
+    val got = Quantiles.quantileCont(df, Seq("a", "b"), qs, buckets = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (q <- qs) {
+      assert(math.abs(got(("a", q)) - expected(rows.flatMap(_._1), q)) < 1e-9)
+      assert(math.abs(got(("b", q)) - expected(rows.flatMap(_._2), q)) < 1e-6)
+    }
+    // scale posture: no unkeyed window anywhere in the plan
+    val exec = Quantiles.quantileCont(df, Seq("a", "b"), qs, buckets = 64)
+      .queryExecution.executedPlan
+    val unkeyed = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unkeyed.isEmpty, exec.toString)
+    // all-equal column (zero-width histogram) and single row
+    val const = Seq(7.0, 7.0, 7.0).toDF("c")
+    assert(Quantiles.quantileCont(const, Seq("c"), Seq(0.5))
+      .collect().head.getDouble(2) == 7.0)
+  }
+
+  test("exact summarize matches quantile_cont on ties and handles all-null columns") {
+    import graft.profile.Profile
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (1.0, null), (2.0, null), (10.0, null))
+      .toDF("v", "allnull")
+    val out = Profile.summarize(df, Seq("v", "allnull"), exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = out("v")
+    // quantile_cont over [1,1,2,10]: q25 = 1, q50 = 1.5, q75 = 4
+    assert(v.getDouble(v.fieldIndex("q25")) == 1.0)
+    assert(v.getDouble(v.fieldIndex("q50")) == 1.5)
+    assert(v.getDouble(v.fieldIndex("q75")) == 4.0)
+    assert(v.getLong(v.fieldIndex("n_distinct")) == 3L)
+    val an = out("allnull")
+    assert(an.isNullAt(an.fieldIndex("q50")) && an.getLong(an.fieldIndex("n_distinct")) == 0L)
+    assert(an.getLong(an.fieldIndex("null_cnt")) == 4L)
+  }
+
   test("DQ closed loop: profile -> bounds -> validation -> alert counts") {
     import graft.core.Validation
     import graft.profile.Profile
