@@ -156,13 +156,9 @@ object SparkEntry {
         exact = true)
         .orderBy("column_name")),
 
-    // Scale-mode profile: HLL distinct + approximate percentiles (DuckDB's
-    // approx_unique analog). Engine-specific approximations → rows-only check.
-    "profile_summarize_approx" -> ((s, d) =>
-      Profile.summarize(t(s, d, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
-        exact = false)
-        .orderBy("column_name")),
+    // (The approximate profile mode — HLL distinct + percentile_approx, the
+    // at-scale default — is engine-specific by construction and so lives
+    // outside the oracle gate: library surface + ScalaTest coverage only.)
 
     // ---- flagship batch analytics ----
     "ctr_join" -> { (s, d) =>
@@ -557,8 +553,11 @@ object SparkEntry {
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — identical column names/types and deterministic
-  // ordering. Keys absent here (dedup_minhash, dedup_simhash, sim_ann_lsh)
-  // use engine-specific hashing and get the driver's rows-only check.
+  // ordering. The signature-based queries (dedup_minhash, dedup_simhash,
+  // sim_ann_lsh) hash with PolyHash's engine-agnostic arithmetic, so their
+  // oracles replay the identical signatures in SQL. The one key absent here
+  // (sim_ivf_topk: k-means float accumulation order is engine-specific)
+  // gets the driver's rows-only check.
   // ------------------------------------------------------------------
 
   private val delayedJoinFrom =
@@ -572,6 +571,76 @@ object SparkEntry {
       |s AS (SELECT doc_id, blk, list_distinct(list_transform(
       |  generate_series(1, greatest(len(w)-4, 1)),
       |  i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS sh FROM t)""".stripMargin.replace("\n", " ")
+
+  // Shingle-hash CTE shared by the minhash/simhash oracles: the same
+  // base-31/base-131 polynomial code-point hashes the native expressions
+  // compute (PolyHash.h1/h60) — plain BIGINT modular arithmetic in both
+  // engines, the formulation proven by doc_fingerprint.
+  private val polyHashCte =
+    """, hs AS (SELECT doc_id, sh, list_transform(sh, s2 ->
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(s2)), j -> CAST(ascii(substr(s2,j,1)) AS BIGINT))),
+      |  (a,b) -> (a*31+b)%1000000007)) AS h1s, list_transform(sh, s2 ->
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(s2)), j -> CAST(ascii(substr(s2,j,1)) AS BIGINT))),
+      |  (a,b) -> (a*131+b)%998244353)) AS h2s FROM s)""".stripMargin.replace("\n", " ")
+
+  private lazy val minhashOracle: String = {
+    val (as, bs) = graft.functions.PolyHash.minhashAffine(16)
+    val abList = as.zip(bs).map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+    shingleCte + polyHashCte +
+      s""", sig AS (SELECT doc_id, list_transform($abList, ab ->
+        |  list_min(list_transform(h1s, h -> (ab[1]*h+ab[2])%1000000007))) AS sig FROM hs),
+        |banded AS (SELECT doc_id, band, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  sig[band*2+1:band*2+2]), (a,x) -> (a*31+x)%1000000007) AS bucket
+        |  FROM sig, (SELECT unnest(generate_series(0,7)) AS band)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a
+        |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+        |  len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jacc
+        |FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id
+        |WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+        |  len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.4
+        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val simhashOracle: String =
+    shingleCte + polyHashCte +
+      """, h60 AS (SELECT doc_id, list_transform(generate_series(1, len(h1s)),
+        |  i -> h1s[i] + (h2s[i] << 30)) AS hl FROM hs),
+        |sig AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,59), bb ->
+        |  CASE WHEN list_sum(list_transform(hl, h -> 2*((h >> bb) & 1) - 1)) > 0
+        |  THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END)) AS BIGINT) AS sig FROM h60),
+        |ck AS (SELECT doc_id, sig, c, (sig >> (c*15)) & 32767 AS ckey
+        |  FROM sig, (SELECT unnest(generate_series(0,3)) AS c)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |  FROM ck a JOIN ck b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+
+  private lazy val annLshOracle: String = {
+    // The 8 hyperplanes as double literals (PolyHash.planeComponent — the
+    // exact values the native expression uses; shortest-round-trip decimal
+    // parses back to the identical bits). The bucket-key dot product is a
+    // sequential left fold, the same accumulation order as the expression's
+    // loop, so every sign decision is bitwise identical cross-engine.
+    val values = graft.functions.PolyHash.planes(8, 64).zipWithIndex.map {
+      case (row, p) => s"($p, [${row.mkString(",")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pl AS (SELECT * FROM (VALUES $values) AS t(p, pv)),
+      |keys AS (SELECT vec_id, CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |  list_transform(generate_series(1,64), i -> v[i]*pv[i])), (a,b) -> a+b) > 0
+      |  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bkey FROM e, pl GROUP BY vec_id),
+      |q AS (SELECT k.bkey AS qkey, e.v AS qv FROM keys k JOIN e USING (vec_id) ORDER BY vec_id LIMIT 1),
+      |probes AS (SELECT qkey AS bkey, qv FROM q UNION ALL
+      |  SELECT xor(qkey, CAST(1 AS BIGINT) << b), qv FROM q, (SELECT unnest(generate_series(0,7)) AS b))
+      |SELECT e.vec_id AS vec_id, round(list_inner_product(e.v, p2.qv) /
+      |  (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(p2.qv, p2.qv))), 6) AS sim
+      |FROM keys k JOIN e USING (vec_id) JOIN probes p2 ON k.bkey = p2.bkey
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+  }
 
   private val allStop: String = TextStats.stopwords.values.flatten.toSeq
     .distinct.sorted.map(w => s"'$w'").mkString("[", ",", "]")
@@ -779,6 +848,12 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
         "GROUP BY text ORDER BY keep_id"),
+
+    "dedup_minhash" -> minhashOracle,
+
+    "dedup_simhash" -> simhashOracle,
+
+    "sim_ann_lsh" -> annLshOracle,
 
     "dedup_ngram_jaccard" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{DotProductD, MinHashSig, SimHash64, WordShingles}
+import graft.functions.{DotProductD, MinHashSig, SimHash60, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -52,7 +52,7 @@ object GraftExtensions {
   }
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_simhash64" -> (exprs => SimHash64(exprs.head)),
+    "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
     "graft_minhash_sig" -> (exprs =>
       MinHashSig(exprs.head, intLit(exprs(1), "numHashes"))),
     "graft_word_shingles" -> (exprs =>

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -19,25 +19,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * cluster — per-row cost, no extra shuffles.
   */
 
-/** 64-bit SimHash of an array<string>: bit b of the result is set iff the
-  * sum over elements of (bit b of xxhash64(element) ? +1 : −1) is positive.
+/** 60-bit SimHash of an array<string>: bit b of the result is set iff the
+  * sum over elements of (bit b of the element's hash ? +1 : −1) is positive.
+  * The element hash is [[PolyHash.h60]] (two independent 30-bit polynomial
+  * hashes), so the signature is reproducible in the DuckDB oracle with plain
+  * BIGINT arithmetic — xxhash64 would make the query uncheckable
+  * cross-engine.
   */
-case class SimHash64(child: Expression)
+case class SimHash60(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def checkInputDataTypes() = super.checkInputDataTypes()
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val counters = new Array[Int](64)
+    val counters = new Array[Int](60)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = PolyHash.h60(arr.getUTF8String(i).toString)
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           counters(b) += ((((h >>> b) & 1L) << 1) - 1).toInt
           b += 1
         }
@@ -46,33 +49,26 @@ case class SimHash64(child: Expression)
     }
     var sig = 0L
     var b = 0
-    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
+    while (b < 60) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
     java.lang.Long.valueOf(sig)
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
 }
 
 /** MinHash signature (array<long> of length k) of an array<string> shingle
-  * set: one xxhash64 per element, then k affine variants
-  * g_i(x) = a_i·h(x) + b_i (mod 2^64) with fixed splitmix64-derived odd
-  * multipliers — the standard single-hash minwise family.
+  * set: one [[PolyHash.h1]] per element, then k affine variants
+  * g_i(x) = (a_i·h(x) + b_i) mod 1e9+7 with fixed splitmix64-derived
+  * constants — the standard single-hash minwise family, kept inside BIGINT
+  * modular arithmetic so the DuckDB oracle computes the identical signature
+  * (`list_min(list_transform(hs, h -> (a*h + b) % 1000000007))`).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private lazy val (as, bs): (Array[Long], Array[Long]) = {
-    def splitmix(seed: Long): Long = {
-      var z = seed + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    val a = Array.tabulate(numHashes)(i => splitmix(2L * i) | 1L) // odd
-    val b = Array.tabulate(numHashes)(i => splitmix(2L * i + 1))
-    (a, b)
-  }
+  private lazy val (as, bs): (Array[Long], Array[Long]) =
+    PolyHash.minhashAffine(numHashes)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -81,11 +77,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = PolyHash.h1(arr.getUTF8String(i).toString)
         var k = 0
         while (k < numHashes) {
-          val g = as(k) * h + bs(k)
+          val g = (as(k) * h + bs(k)) % PolyHash.P1
           if (g < mins(k)) mins(k) = g
           k += 1
         }
@@ -135,36 +130,33 @@ case class WordShingles(child: Expression, n: Int)
 
 /** Random-hyperplane LSH bucket key of an array<double> vector: bit p of
   * the result is the sign of the dot product with pseudo-random plane p,
-  * whose components are splitmix64-derived in [-1, 1). Deterministic across
-  * runs and engines; one tight O(nBits·dim) loop per row.
+  * whose components ([[PolyHash.planeComponent]]) are splitmix64-derived in
+  * [-1, 1). Deterministic across runs and engines — the oracle embeds the
+  * same components as double literals and replays the same sequential
+  * left-to-right accumulation, so the sign decisions are bitwise identical.
+  * One tight O(nBits·dim) loop per row.
   */
 case class HyperplaneLshKey(child: Expression, nBits: Int)
     extends UnaryExpression with CodegenFallback {
   require(nBits >= 1 && nBits <= 63)
   override def dataType: DataType = LongType
 
-  @inline private def splitmix(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  // Plane table memoized per expression instance, grown to the widest vector
+  // seen (publication race is benign: the table is deterministic).
+  @volatile private var comps: Array[Array[Double]] = Array.empty
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    if (comps.isEmpty || comps(0).length < dim) comps = PolyHash.planes(nBits, dim)
+    val pl = comps
     var key = 0L
     var p = 0
     while (p < nBits) {
+      val row = pl(p)
       var acc = 0.0
       var d = 0
-      while (d < dim) {
-        val h = splitmix(p.toLong * 4099L + d)
-        // map to [-1, 1): top 53 bits as a double fraction
-        val comp = (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
-        acc += v.getDouble(d) * comp
-        d += 1
-      }
+      while (d < dim) { acc += v.getDouble(d) * row(d); d += 1 }
       if (acc > 0) key |= (1L << p)
       p += 1
     }
@@ -222,7 +214,7 @@ case class DotProductD(left: Expression, right: Expression)
 object native {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
-  def simhash64(c: Column): Column = column(SimHash64(expression(c)))
+  def simhash60(c: Column): Column = column(SimHash60(expression(c)))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def lshKey(c: Column, nBits: Int): Column = column(HyperplaneLshKey(expression(c), nBits))
   def minhashSig(c: Column, numHashes: Int): Column =

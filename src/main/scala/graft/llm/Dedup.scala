@@ -32,8 +32,9 @@ object Dedup {
 
   /** MinHash signature: k min-wise hashes over the shingle set, computed by
     * the native [[graft.functions.MinHashSig]] expression — one pass, one
-    * xxhash per shingle plus k affine variants. (A transform/array_min HOF
-    * composition computes the same thing ~8× slower: interpreted lambdas.)
+    * polynomial hash per shingle plus k affine variants mod 1e9+7. (A
+    * transform/array_min HOF composition computes the same thing ~8× slower:
+    * interpreted lambdas.)
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
     graft.functions.native.minhashSig(sh, numHashes)
@@ -66,14 +67,19 @@ object Dedup {
     val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     // Candidate generation shuffles only (id, band, bucket) — the shingle
     // arrays stay out of the exchange; they are joined back by id only for
-    // the (few) verified candidate pairs.
+    // the (few) verified candidate pairs. The band bucket is a polynomial
+    // fold of the band's signature rows mod 1e9+7 (all values < 2^30, so the
+    // fold stays in BIGINT range in any engine) — the oracle replays it with
+    // list_reduce.
     val banded = sig.select(
       col("id"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => struct(
             b.as("band"),
-            xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
+            aggregate(
+              slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+              lit(0L), (acc, x) => (acc * 31 + x) % lit(graft.functions.PolyHash.P1))
               .as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
@@ -91,14 +97,14 @@ object Dedup {
       .where(col("jacc") >= threshold)
   }
 
-  /** 64-bit SimHash of a token array via the native
-    * [[graft.functions.SimHash64]] expression (64 counters in one tight
+  /** 60-bit SimHash of a token array via the native
+    * [[graft.functions.SimHash60]] expression (60 counters in one tight
     * loop; the HOF formulation was the single slowest query at sf0.1).
     */
   def simhashSignature(toks: Column): Column =
-    graft.functions.native.simhash64(toks)
+    graft.functions.native.simhash60(toks)
 
-  /** SimHash near-dup pairs: candidates share at least one of four 16-bit
+  /** SimHash near-dup pairs: candidates share at least one of four 15-bit
     * signature chunks (guarantees recall for hamming distance ≤ 3 by
     * pigeonhole), verified with an exact popcount of the XOR.
     *
@@ -114,7 +120,7 @@ object Dedup {
     val sig = docs.select(col(idCol).as("id"),
       simhashSignature(shingles(TextStats.tokens(col(textCol)), shingleLen)).as("sig"))
     val chunks = (0 until 4).map(c => struct(lit(c).as("chunk"),
-      shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey")))
+      shiftrightunsigned(col("sig"), c * 15).bitwiseAND(lit(0x7FFFL)).as("ckey")))
     val chunked = sig.select(col("id"), col("sig"),
       explode(array(chunks: _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.ckey"))

@@ -13,7 +13,7 @@ class SessionAndStreamSpec extends SparkSpec {
   test("graft_* SQL functions are usable from spark.sql") {
     GraftSession.registerFunctions(spark)
     val r = spark.sql(
-      "SELECT graft_simhash64(array('a','b')) AS sh, " +
+      "SELECT graft_simhash60(array('a','b')) AS sh, " +
         "size(graft_minhash_sig(array('a','b'), 8)) AS mh, " +
         "graft_word_shingles(array('a','b','c'), 2) AS ws, " +
         "graft_dotd(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp").collect().head
