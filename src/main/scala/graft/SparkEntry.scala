@@ -45,6 +45,14 @@ object SparkEntry {
 
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
+  // IVF index memo keyed by (session UUID, data dir): the index is an
+  // offline artifact — built and materialized once, probed many times.
+  private val ivfIndexes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Similarity.IvfIndex]
+  private def ivfIdx(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
+      Similarity.buildIvfIndex(t(s, d, "embeddings"), kClusters = 16))
+
   private def withK(ev: DataFrame): DataFrame =
     ev.withColumn("k", from_json(col("props"), propsSchema).getField("k"))
 
@@ -409,20 +417,10 @@ object SparkEntry {
       Dedup.ngramJaccard(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
 
     // Embedding-cosine near-duplicate pairs, blocked by the coarse partition
-    // (label = IVF-cluster stand-in) so the pair space stays bounded.
-    "dedup_embedding" -> { (s, d) =>
-      val e = t(s, d, "embeddings")
-        .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(graft.functions.native.dotd(col("v"), col("v"))))
-      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("label")).where(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          graft.functions.Rounding.dround(graft.functions.native.dotd(col("va"), col("vb")) / (col("na") * col("nb")), 6)
-            .as("sim"))
-        .where(col("sim") >= 0.4)
-        .orderBy("vec_a", "vec_b")
-    },
+    // (label = IVF-cluster stand-in); blocks above the size guard are LSH
+    // sub-bucketed so no block is ever unboundedly quadratic.
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.nearDupPairs(t(s, d, "embeddings")).orderBy("vec_a", "vec_b")),
 
     // Per-label mean embedding (centroid) via the custom VectorSumD
     // aggregate — map-side-combined vector partials, one shuffle. The
@@ -456,10 +454,14 @@ object SparkEntry {
       Similarity.annTopK(embs, q, 10).orderBy(col("sim").desc, col("vec_id"))
     },
 
+    // IVF probe against the per-(session, dir) memoized index — built and
+    // materialized ONCE; the probe's plan is joins against the cached
+    // assignments/centroids with no k-means pass.
     "sim_ivf_topk" -> { (s, d) =>
       val embs = t(s, d, "embeddings")
       val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
-      Similarity.ivfTopK(embs, q, 10, kClusters = 16, nprobe = 4)
+      Similarity.ivfTopK(ivfIdx(s, d), embs, q, 10, nprobe = 4,
+        idCol = "vec_id", vecCol = "embedding", scale = 6)
         .orderBy(col("sim").desc, col("vec_id"))
     },
 

@@ -16,14 +16,6 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Guards the opt-in cache() below: cache() is idempotent via the
-  // CacheManager's plan-equality lookup, but every repeated call logs an
-  // "Asked to cache already cached data" warning — 52 queries × 10 tables
-  // of that spam drowned the bench JSON line. One cache() per
-  // (session, dir, table) is enough.
-  private val cached =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String, String)]()
-
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
@@ -34,9 +26,13 @@ object Tables {
     // of the same table resolve to one in-memory copy via the CacheManager's
     // plan-equality lookup. For repeated-query workloads over tables that fit
     // executor memory (dims, hot silver tables) — not for the 100 TB fact
-    // table, which is why it is off by default.
+    // table, which is why it is off by default. The "already cached?" guard
+    // (which only exists to avoid cache()'s repeated-call warning spam) asks
+    // the CacheManager itself, so it is correct across concurrent sessions
+    // and after spark.catalog.clearCache() — any caller-side guard set keyed
+    // on the session object is not.
     if (spark.conf.getOption("spark.graft.cacheTables").contains("true") &&
-        cached.add((System.identityHashCode(spark), dir, name))) df.cache()
+        !org.apache.spark.sql.graftbridge.SessionBridge.isCached(df)) df.cache()
     else df
   }
 

@@ -43,27 +43,73 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
-  /** Nearest neighbour per vector within a coarse partition (here the
-    * `label` column stands in for an IVF cluster assignment): the shuffle is
-    * by partition key only, never all-pairs global.
+  /** Per-vector rows `(p, sk, id, v, nrm)` for the blocked pair joins: the
+    * block key is (partition, sub-key), where the sub-key is 0 for blocks of
+    * at most `maxBlock` rows (exact all-pairs within the block) and an
+    * LSH bucket ([[lshKey]], `subBits` sign bits) for larger ones. A pair
+    * join on (p, sk) is therefore quadratic only up to the DOCUMENTED bound
+    * max(maxBlock, hotBlock/2^subBits expected) — a hot partition key can no
+    * longer OOM an executor with an unbounded n² block; beyond the bound the
+    * comparison becomes LSH-approximate (near-identical vectors share
+    * buckets with high probability). The block-size relation is one row per
+    * partition key (broadcast: partition keys ≪ corpus by construction).
     */
-  def nnWithinPartition(embs: DataFrame, partCol: String = "label",
-                        idCol: String = "vec_id", vecCol: String = "embedding",
-                        scale: Int = 6): DataFrame = {
+  private def guardedBlocks(embs: DataFrame, partCol: String, idCol: String,
+                            vecCol: String, maxBlock: Int, subBits: Int): DataFrame = {
     // Cast to double and precompute each vector's norm once — the pair loop
     // then does a single dot per pair instead of three.
     val keyed = embs.select(col(partCol).as("p"), col(idCol).as("id"),
       asD(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(graft.functions.native.dotd(col("v"), col("v"))))
-    val a = keyed.select(col("p"), col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
-    val b = keyed.select(col("p"), col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
+    val sizes = keyed.groupBy("p").agg(count(lit(1)).as("_bn"))
+    keyed.join(broadcast(sizes), "p")
+      .withColumn("sk",
+        when(col("_bn") > maxBlock, graft.functions.native.lshKey(col("v"), subBits))
+          .otherwise(lit(0L)))
+      .drop("_bn")
+  }
+
+  /** Nearest neighbour per vector within a coarse partition (here the
+    * `label` column stands in for an IVF cluster assignment): the shuffle is
+    * by partition key only, never all-pairs global, and blocks larger than
+    * `maxBlock` are sub-bucketed by LSH key ([[guardedBlocks]]) so no single
+    * block is ever quadratic beyond the bound — for those blocks the
+    * neighbour is LSH-approximate, and a vector alone in its sub-bucket
+    * yields no row.
+    */
+  def nnWithinPartition(embs: DataFrame, partCol: String = "label",
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        scale: Int = 6, maxBlock: Int = 10000,
+                        subBits: Int = 8): DataFrame = {
+    val keyed = guardedBlocks(embs, partCol, idCol, vecCol, maxBlock, subBits)
+    val a = keyed.select(col("p"), col("sk"), col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+    val b = keyed.select(col("p"), col("sk"), col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
     val w = Window.partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
-    a.join(b, Seq("p")).where(col("a_id") =!= col("b_id"))
+    a.join(b, Seq("p", "sk")).where(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         graft.functions.Rounding.dround(graft.functions.native.dotd(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), scale)
           .as("sim"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (sim ≥ `threshold`) blocked by a
+    * coarse partition, with the same [[guardedBlocks]] size bound: exact
+    * all-pairs within blocks up to `maxBlock`, LSH-sub-bucketed beyond.
+    */
+  def nearDupPairs(embs: DataFrame, partCol: String = "label",
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   threshold: Double = 0.4, scale: Int = 6,
+                   maxBlock: Int = 10000, subBits: Int = 8): DataFrame = {
+    val keyed = guardedBlocks(embs, partCol, idCol, vecCol, maxBlock, subBits)
+    val a = keyed.select(col("p"), col("sk"), col("id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = keyed.select(col("p"), col("sk"), col("id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("p", "sk")).where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        graft.functions.Rounding.dround(
+          graft.functions.native.dotd(col("va"), col("vb")) / (col("na") * col("nb")), scale)
+          .as("sim"))
+      .where(col("sim") >= threshold)
   }
 
   /** Random-hyperplane LSH bucket key (`nBits` sign bits); native expression
@@ -115,28 +161,71 @@ object Similarity {
     (assign, centroids)
   }
 
-  /** ANN top-k through the IVF index: rank the query against the k centroids,
-    * search only the `nprobe` nearest clusters. Scanned fraction ≈
-    * nprobe/kClusters of the corpus.
+  /** A built IVF index: `(id, cluster)` assignments + `(cluster, cvec)`
+    * centroids, materialized ONCE (cached or persisted to storage) and
+    * reused by every [[ivfTopK]] probe — rebuilding the index inside each
+    * query is a full corpus pass per probe, the classic indexing
+    * anti-pattern at scale.
     */
-  def ivfTopK(embs: DataFrame, query: DataFrame, k: Int, kClusters: Int = 16,
-              nprobe: Int = 4, idCol: String = "vec_id",
-              vecCol: String = "embedding", scale: Int = 6): DataFrame = {
-    // One centroid pass over the mod-k init is enough for probe routing —
-    // extra Lloyd rounds sharpen clusters but don't change top-k much, and
-    // each round is a full corpus pass.
-    val (assign, centroids) = ivfIndex(embs, kClusters, iters = 0, idCol, vecCol)
-    val probed = query.crossJoin(broadcast(centroids))
+  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame) {
+    /** Persist to storage for reuse across sessions/jobs. */
+    def save(path: String): Unit = {
+      assignments.write.mode("overwrite").parquet(s"$path/assignments")
+      centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    def unpersist(): Unit = { assignments.unpersist(); centroids.unpersist(); () }
+  }
+
+  /** Build and MATERIALIZE the IVF index (cache + count): subsequent probes
+    * read the cached relations — no k-means pass appears in any query plan.
+    */
+  def buildIvfIndex(embs: DataFrame, kClusters: Int, iters: Int = 0,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : IvfIndex = {
+    val (assign, cents) = ivfIndex(embs, kClusters, iters, idCol, vecCol)
+    val a = assign.persist(); val c = cents.persist()
+    c.count(); a.count()
+    IvfIndex(a, c)
+  }
+
+  /** Reload a [[IvfIndex.save]]d index: probes run against storage with no
+    * corpus pass at all.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$path/assignments"),
+      spark.read.parquet(s"$path/centroids"))
+
+  /** ANN top-k through a prebuilt [[IvfIndex]]: rank the query against the k
+    * centroids (broadcast — k rows), search only the `nprobe` nearest
+    * clusters. Scanned fraction ≈ nprobe/kClusters of the corpus; the index
+    * is NOT rebuilt.
+    */
+  def ivfTopK(index: IvfIndex, embs: DataFrame, query: DataFrame, k: Int,
+              nprobe: Int, idCol: String, vecCol: String,
+              scale: Int): DataFrame = {
+    val probed = query.crossJoin(broadcast(index.centroids))
       .select(col("qvec"), col("cluster"),
         (graft.functions.native.dotd(asD(col("qvec")), col("cvec")) /
           (sqrt(graft.functions.native.dotd(col("cvec"), col("cvec"))) + lit(1e-12))).as("sim"))
       .orderBy(col("sim").desc).limit(nprobe)
       .select(col("qvec"), col("cluster"))
-    embs.join(assign.withColumnRenamed("id", idCol), idCol)
+    embs.join(index.assignments.withColumnRenamed("id", idCol), idCol)
       .join(broadcast(probed), "cluster")
       .select(col(idCol), graft.functions.Rounding.dround(cosine(col(vecCol), col("qvec")), scale).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
+  }
+
+  /** One-shot convenience: build (one centroid pass over the mod-k init —
+    * enough for probe routing) then probe. For repeated queries use
+    * [[buildIvfIndex]] / [[loadIvfIndex]] + the index overload, which is the
+    * scale path.
+    */
+  def ivfTopK(embs: DataFrame, query: DataFrame, k: Int, kClusters: Int = 16,
+              nprobe: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding", scale: Int = 6): DataFrame = {
+    val (assign, centroids) = ivfIndex(embs, kClusters, iters = 0, idCol, vecCol)
+    ivfTopK(IvfIndex(assign, centroids), embs, query, k, nprobe, idCol, vecCol, scale)
   }
 
   /** ANN top-k via LSH buckets: score only vectors whose bucket key matches

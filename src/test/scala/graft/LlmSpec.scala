@@ -90,6 +90,73 @@ class LlmSpec extends SparkSpec {
     assert(ivf.map(_._1).toSet.intersect(brute.map(_._1).toSet).size >= 6)
   }
 
+  test("prebuilt IVF index is reused: probe plan has no k-means pass") {
+    val vecs = (0 until 100).map { id =>
+      (id.toLong, Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13)).toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(embs, kClusters = 4)
+    try {
+      val q = embs.where(col("vec_id") === 10).select(col("embedding").as("qvec"))
+      val viaIndex = Similarity.ivfTopK(idx, embs, q, 10, nprobe = 2,
+        "vec_id", "embedding", 6)
+      // the probe reads the cached index: no aggregate (k-means centroid
+      // update) anywhere in the plan, and the cache is actually hit
+      // the probe executes joins against InMemoryTableScans; the k-means
+      // aggregates appear only INSIDE InMemoryRelation (the cache's stored
+      // build recipe, never re-executed) — so the plan above the first cache
+      // boundary must be aggregate-free
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan)
+      val aboveCache = plan.split("InMemoryRelation", 2)(0)
+      assert(!aboveCache.contains("Aggregate"),
+        s"probe plan recomputes the index:\n$plan")
+      // identical results to the one-shot path
+      val oneShot = Similarity.ivfTopK(embs, q, 10, kClusters = 4, nprobe = 2)
+        .as[(Long, Double)].collect().toSeq
+      assert(viaIndex.as[(Long, Double)].collect().toSeq == oneShot)
+      // save/load round-trip probes from storage, same answer
+      val dir = tmpDir("ivfidx")
+      idx.save(dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      val viaDisk = Similarity.ivfTopK(loaded, embs, q, 10, nprobe = 2,
+        "vec_id", "embedding", 6).as[(Long, Double)].collect().toSeq
+      assert(viaDisk == oneShot)
+    } finally idx.unpersist()
+  }
+
+  test("hot label blocks are LSH-sub-bucketed: pair fan-out stays bounded") {
+    // one hot label (600 vectors) + one small label (10); guard at 100
+    val vecs = (0 until 610).map { id =>
+      val label = if (id < 600) 0 else 1
+      (id.toLong, Array.tabulate(8)(d => 0.01f * ((id * 31 + d * 7) % 97) - 0.3f).toSeq, label)
+    }
+    val embs = vecs.toDF("vec_id", "embedding", "label")
+    // count the candidate pairs actually compared (before the sim filter):
+    // sub-bucketing must cut the hot label's 600*599/2 pair space hard
+    def pairCount(maxBlock: Int): Long = {
+      val nn = Similarity.nearDupPairs(embs, threshold = -1.0, maxBlock = maxBlock)
+      nn.count()
+    }
+    val unguarded = pairCount(maxBlock = 1000000)
+    val guarded = pairCount(maxBlock = 100)
+    assert(unguarded == 600L * 599 / 2 + 10L * 9 / 2)
+    assert(guarded < unguarded / 4, s"guarded=$guarded unguarded=$unguarded")
+    // small blocks stay exact: identical pairs for the small label
+    val small = Similarity.nearDupPairs(embs, threshold = -1.0, maxBlock = 100)
+      .where(col("vec_a") >= 600).as[(Long, Long, Double)].collect().toSet
+    val smallRef = Similarity.nearDupPairs(embs, threshold = -1.0, maxBlock = 1000000)
+      .where(col("vec_a") >= 600).as[(Long, Long, Double)].collect().toSet
+    assert(small == smallRef && small.size == 45)
+    // nnWithinPartition under the guard: every emitted neighbour is from the
+    // same label, and the small label is exact
+    val nnG = Similarity.nnWithinPartition(embs, maxBlock = 100)
+      .as[(Long, Long, Double)].collect()
+    val nnRef = Similarity.nnWithinPartition(embs, maxBlock = 1000000)
+      .as[(Long, Long, Double)].collect()
+    assert(nnG.filter(_._1 >= 600).toSet == nnRef.filter(_._1 >= 600).toSet)
+  }
+
   test("VectorSumD aggregates elementwise with partial merge") {
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0)))
       .toDF("g", "v").repartition(3) // force partial buffers + merge
