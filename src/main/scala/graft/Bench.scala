@@ -49,19 +49,28 @@ object Bench {
       SparkEntry.queries.values.foreach(fn =>
         try runOnce(spark, fn, sfDir) catch { case _: Throwable => () })
     } catch { case _: Throwable => () }
+    // A query that THROWS must not be recorded as an ordinary timing — it
+    // would silently count a fast failure as a fast success. Failures are
+    // reported as -1 and excluded from the total.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try runOnce(spark, fn, sfDir) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runOnce(spark, fn, sfDir); true } catch {
+        case e: Throwable =>
+          Console.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     spark.stop() // stop first: its shutdown logging can't interleave with the line
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+    // print FIRST: the stdout line is the primary contract — a file-write
+    // failure must not take it down too
     println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => Console.err.println(s"[bench] write $outPath failed: $e") }
   }
 }

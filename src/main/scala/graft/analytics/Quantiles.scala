@@ -137,14 +137,20 @@ object Quantiles {
     * `bucketCol`. `coarseWidth` is the value-range width of the stage-2
     * window partitions — pick it so `(max-min)/coarseWidth` is O(100–1000)
     * for the column's DOMAIN (not its row count).
-    * (valueCol, tieCol) must be a total order (tieCol unique per value) and
-    * non-null, the same contract as a deterministic NTILE.
+    * (valueCol, tieCol) must be a total order (tieCol unique per value), the
+    * same contract as a deterministic NTILE. NULL values are bucketed FIRST
+    * — identical to the built-in `ntile(n).over(orderBy(v, tie))` (Spark's
+    * default ascending order is NULLS FIRST); they are never dropped.
     */
   def exactNtile(df: DataFrame, valueCol: String, tieCol: String, n: Int,
                  coarseWidth: Double, bucketCol: String = "bucket"): DataFrame = {
     require(n >= 1 && coarseWidth > 0)
     val v = col(valueCol)
-    def coarse(c: Column): Column = floor(c / coarseWidth).cast("long")
+    // NULLs form their own coarse range below every real one (NULLS FIRST),
+    // keyed by a sentinel so the triangular prefix join counts them into
+    // every non-null range's prefix.
+    def coarse(c: Column): Column =
+      when(c.isNull, lit(Long.MinValue)).otherwise(floor(c / coarseWidth).cast("long"))
 
     // stage 2: distinct-value counts + exclusive cumulative count within the
     // coarse range (window partition ≤ distinct values per range)
@@ -175,7 +181,7 @@ object Quantiles {
     val r = col("_n") - q * n
     val idx = col("_before") + col("_rw") - 1
     df.withColumn("_rw", row_number().over(wTie).cast("long"))
-      .join(before, df(valueCol) === col("_v"))
+      .join(before, df(valueCol) <=> col("_v")) // null-safe: NULL rows keep their bucket
       .crossJoin(broadcast(total))
       .withColumn(bucketCol,
         when(idx < r * (q + 1), floor(idx / (q + 1)).cast("long"))

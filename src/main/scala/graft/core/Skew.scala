@@ -23,12 +23,18 @@ object Skew {
                  joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
       s"unsupported salted join type $joinType")
-    // Salt must be a STABLE function of the row: rand() is per-partition
-    // deterministic but row→salt changes under repartition/task retry, which
-    // can double- or drop-count left rows mid-retry. Hash every left column
-    // instead — same spread, provably stable.
+    // Salt must be a STABLE function of the row position: rand() is
+    // per-partition deterministic but row→salt changes under task retry,
+    // which can double- or drop-count left rows mid-retry. Hashing the row's
+    // COLUMNS is stable but fails on both counts salting cares about: it
+    // can't hash map-typed columns at all, and bit-identical rows of one hot
+    // key (the exact case salting targets) all collapse onto a single salt.
+    // monotonically_increasing_id is position-based — it round-robins even
+    // identical rows across all `salt` sub-keys and is recomputed
+    // identically on task retry (Spark keeps shuffle/repartition outputs
+    // deterministic for exactly this reason).
     val saltedLeft = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salt)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt)).cast("int"))
     val replicatedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "_salt"), joinType).drop("_salt")

@@ -165,9 +165,9 @@ class SessionAndStreamSpec extends SparkSpec {
       val salted = Skew.saltedJoin(left, right, "k", salt = 8, joinType = jt)
         .select("k", "v", "name").as[(Int, Int, Option[String])].collect().toSeq.sorted
       assert(salted == plain, s"joinType=$jt")
-      // salt assignment is a stable hash of the row, so the result is
-      // invariant under repartition (rand()-based salting was not: a task
-      // retry could re-draw salts and double- or drop-count rows)
+      // salt assignment is position-stable, so the result is invariant under
+      // repartition (rand()-based salting was not: a task retry could
+      // re-draw salts and double- or drop-count rows)
       val reparted = Skew.saltedJoin(left.repartition(13), right, "k", salt = 8,
           joinType = jt)
         .select("k", "v", "name").as[(Int, Int, Option[String])].collect().toSeq.sorted
@@ -175,6 +175,17 @@ class SessionAndStreamSpec extends SparkSpec {
     }
     val hh = Skew.heavyHitters(left, col("k"), 3).collect()
     assert(hh.length == 3 && hh.head.getLong(1) >= hh.last.getLong(1))
+    // map-typed columns join fine (a column-hash salt failed analysis here)
+    val mapLeft = (1 to 100).map(i => (1, Map("a" -> i))).toDF("k", "m")
+    val mapped = Skew.saltedJoin(mapLeft, right, "k", salt = 4)
+    assert(mapped.count() == 100)
+    // fully-duplicate hot-key rows spread over the salt space instead of
+    // collapsing onto one sub-key (the case salting exists for)
+    val dupLeft = (1 to 100).map(_ => (1, 42)).toDF("k", "v").repartition(2)
+    val spread = dupLeft
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(4)).cast("int"))
+      .select("_salt").distinct().count()
+    assert(spread == 4L)
   }
 
   test("exactNtile matches built-in NTILE without the global window") {
@@ -193,6 +204,15 @@ class SessionAndStreamSpec extends SparkSpec {
     val tinyGot = Quantiles.exactNtile(tiny, "v", "id", 10, 100.0, "b")
       .select("id", "b").as[(Long, Long)].collect().toSeq.sorted
     assert(tinyGot == Seq((1L, 3L), (2L, 1L), (3L, 2L)))
+    // NULL values: kept, bucketed first — exactly like built-in NTILE
+    val withNulls = ((1 to 40).map(i => (Some((i % 5).toDouble), i.toLong)) ++
+      Seq((None, 100L), (None, 101L), (None, 102L))).toDF("v", "id")
+    val nExpected = withNulls.withColumn("b",
+        ntile(4).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "b").as[(Long, Long)].collect().toSeq.sorted
+    val nGot = Quantiles.exactNtile(withNulls, "v", "id", 4, 2.0, "b")
+      .select("id", "b").as[(Long, Long)].collect().toSeq.sorted
+    assert(nGot == nExpected)
     // scale posture: every window in the plan is keyed — nothing requires
     // "all rows in one partition" (the scalar count's one-row exchange is
     // fine; an unpartitioned WindowExec is not)
