@@ -34,6 +34,19 @@ object Flatten {
     walk(schema, Vector.empty).map(_.mkString("__"))
   }
 
+  /** Data type of each flattened path's extracted column: struct hops
+    * descend, each array hop wraps the remainder in one list level (the
+    * row-preserving list semantics of [[extract]]).
+    */
+  def pathTypes(schema: StructType): Map[String, DataType] = {
+    def walk(dt: DataType, prefix: Vector[String]): Seq[(Vector[String], DataType)] = dt match {
+      case s: StructType   => s.fields.toSeq.flatMap(f => walk(f.dataType, prefix :+ f.name))
+      case ArrayType(e, n) => walk(e, prefix).map { case (p, t) => (p, ArrayType(t, n)) }
+      case leaf            => Seq((prefix, leaf))
+    }
+    walk(schema, Vector.empty).map { case (p, t) => p.mkString("__") -> t }.toMap
+  }
+
   /** Column extracting `path` (already split on `__`) from `col`, whose data
     * type is `dt`. Struct hops become field accesses; array hops become
     * `transform` over the element type.

@@ -43,6 +43,70 @@ object Migrate {
   def parseList(text: String): Seq[String] =
     text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
 
+  // ---- persisted schema-version snapshots ----
+  // The openapi.json analog (reference: logging-service/app/lib/
+  // jsonschema.py:52-56, written by migrate.py:76): every migration writes
+  // <dir>/v<N>/schema.json (the full StructType as JSON) next to
+  // <dir>/v<N>/columns.txt (the ordered flattened column list), so the next
+  // migration — possibly in a different job on a different machine — is
+  // driven purely from disk state. Files go through the Hadoop FileSystem
+  // API (local path, HDFS, or object store alike); they are a few KB of
+  // driver-side metadata, never data-sized.
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeFile(spark: SparkSession, path: String, text: String): Unit = {
+    val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readFile(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new org.apache.hadoop.fs.Path(path))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Write the version-`n` snapshot: full schema JSON + ordered column list. */
+  def saveVersion(spark: SparkSession, dir: String, version: Int,
+                  schema: StructType, paths: Seq[String]): Unit = {
+    writeFile(spark, s"$dir/v$version/schema.json", schema.json)
+    writeFile(spark, s"$dir/v$version/columns.txt", render(paths))
+  }
+
+  /** Load the version-`n` snapshot back: `(schema, ordered column paths)`. */
+  def loadVersion(spark: SparkSession, dir: String, version: Int): (StructType, Seq[String]) =
+    (DataType.fromJson(readFile(spark, s"$dir/v$version/schema.json")).asInstanceOf[StructType],
+      parseList(readFile(spark, s"$dir/v$version/columns.txt")))
+
+  /** Highest persisted version under `dir`, if any. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      .maxOption
+  }
+
+  /** Migrate `dir` to `next` purely from disk state: loads the latest
+    * snapshot (none → version 1), evolves the stored column list
+    * append-only (throws if `next` dropped a stored path), writes the new
+    * snapshot, and returns `(new version, evolved column list)`.
+    */
+  def migrateFromDisk(spark: SparkSession, dir: String, next: StructType): (Int, Seq[String]) =
+    latestVersion(spark, dir) match {
+      case None =>
+        val paths = Flatten.columnPaths(next)
+        saveVersion(spark, dir, 1, next, paths)
+        (1, paths)
+      case Some(v) =>
+        val (_, stored) = loadVersion(spark, dir, v)
+        val evolved = evolve(stored, next)
+        saveVersion(spark, dir, v + 1, next, evolved)
+        (v + 1, evolved)
+    }
+
   /** Read silver Parquet written under an older column list: missing (newly
     * appended) columns are null-filled, and column order follows `paths` —
     * the M3 read path. Equivalent to parquet `mergeSchema` but with the

@@ -278,6 +278,47 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(an.getLong(an.fieldIndex("null_cnt")) == 4L)
   }
 
+  test("bounds generate the Prometheus alert-rules artifact") {
+    import graft.core.FieldBounds
+    import graft.stream.DqRules
+    val bounds = Seq(
+      "probability" -> FieldBounds(Some(0.0), Some(1.0)),
+      "salary" -> FieldBounds(None, Some(9.0)),
+      "note" -> FieldBounds(None, None)) // unbounded: no alert rule
+    val yml = DqRules.alertRulesYaml("AgrawalRequest", bounds)
+    assert(yml ==
+      """groups:
+        |- name: agrawalrequest
+        |  rules:
+        |  - alert: AgrawalRequest_probability
+        |    expr: increase(graft_validation_checks_total{loc="probability"}[1m]) > 0
+        |    for: 0m
+        |    labels:
+        |      severity: warning
+        |    annotations:
+        |      summary: DQ Violation probability
+        |      description: Data quality rule violation for probability
+        |  - alert: AgrawalRequest_salary
+        |    expr: increase(graft_validation_checks_total{loc="salary"}[1m]) > 0
+        |    for: 0m
+        |    labels:
+        |      severity: warning
+        |    annotations:
+        |      summary: DQ Violation salary
+        |      description: Data quality rule violation for salary
+        |""".stripMargin)
+    // closes the loop from a real profile, and round-trips through disk
+    val prof = graft.profile.Profile.summarize(
+      (1 to 50).map(i => 50.0 + (i % 10)).toDF("salary"), Seq("salary"), exact = true)
+    val (profBounds, _) = graft.profile.Profile.toBounds(prof)
+    val path = tmpDir("dqrules") + "/data_quality_rules.yml"
+    DqRules.save(spark, path, "Salaries", profBounds.toSeq)
+    val onDisk = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(onDisk.contains("Salaries_salary") &&
+      onDisk.contains("""loc="salary"""") && onDisk.startsWith("groups:"))
+  }
+
   test("DQ closed loop: profile -> bounds -> validation -> alert counts") {
     import graft.core.Validation
     import graft.profile.Profile

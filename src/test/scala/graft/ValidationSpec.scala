@@ -135,4 +135,98 @@ class ValidationSpec extends SparkSpec {
     // round-trip of the column-list file format
     assert(Migrate.parseList(Migrate.render(evolved)) == evolved)
   }
+
+  test("an external JSON-Schema document drives the ETL end-to-end") {
+    import graft.core.JsonSchemaImport
+    // openapi-style document: $ref nesting, arrays, required, bounds, the
+    // engine-type escape hatch, and an untyped object
+    val doc =
+      """{"components": {"schemas": {
+        |  "UserRef": {"type": "object", "properties": {"id": {"type": "integer"}},
+        |              "required": ["id"]},
+        |  "SearchResult": {"type": "object", "properties": {
+        |      "document_id": {"type": "integer"}, "position": {"type": "integer"},
+        |      "score": {"type": "number"}}},
+        |  "SearchEvent": {"type": "object", "properties": {
+        |      "timestamp_micros": {"type": "integer"},
+        |      "user": {"$ref": "#/components/schemas/UserRef"},
+        |      "query_id": {"type": "string"},
+        |      "raw_query": {"type": "string"},
+        |      "probability": {"type": "number", "minimum": 0, "maximum": 1},
+        |      "note": {"type": "string", "spark_type": "decimal(10,2)"},
+        |      "flags": {"type": "string", "duckdb_type": "BIGINT"},
+        |      "extra": {"type": "object"},
+        |      "results": {"type": "array",
+        |                  "items": {"$ref": "#/components/schemas/SearchResult"}}},
+        |    "required": ["user", "query_id", "raw_query"]}
+        |}}}""".stripMargin
+    val imp = JsonSchemaImport.parse(doc)
+    val st = imp.structType("SearchEvent")
+    // reference mapping: integer→BIGINT, number→DOUBLE, $ref→struct,
+    // array→list, object→untyped (VARIANT), engine overrides win
+    assert(st("timestamp_micros").dataType == LongType)
+    assert(st("user").dataType == StructType(Seq(StructField("id", LongType))))
+    assert(st("results").dataType ==
+      ArrayType(StructType(Seq(StructField("document_id", LongType),
+        StructField("position", LongType), StructField("score", DoubleType)))))
+    assert(st("note").dataType == DecimalType(10, 2))
+    assert(st("flags").dataType == LongType)
+    assert(st("extra").dataType == VariantType)
+    // unknown types raise, like the reference (jsonschema.py:134)
+    intercept[IllegalArgumentException] {
+      JsonSchemaImport.parse("""{"title": "X", "type": "object",
+        "properties": {"f": {"type": "mystery"}}}""").structType("X")
+    }
+    // the imported contract carries required + bounds and runs the real ETL
+    val contract = imp.contract("searches_ext", "SearchEvent")
+    assert(contract.required == Seq("user", "query_id", "raw_query"))
+    assert(contract.bounds ==
+      Map("probability" -> graft.core.FieldBounds(Some(0.0), Some(1.0))))
+    val bronze = Seq(
+      (1L, """{"user":{"id":7},"query_id":"q1","raw_query":"spark","probability":0.5,"results":[{"document_id":3,"position":1,"score":0.9}]}"""),
+      (2L, """{"query_id":"q2","raw_query":"missing user"}"""),
+      (3L, """{"user":{"id":8},"query_id":"q3","raw_query":"oob","probability":7.5}"""))
+      .toDF("ts", "data")
+    val (silver, invalid) = graft.etl.Etl.run(bronze, contract)
+    assert(silver.columns.toSeq == Seq("timestamp_micros", "user__id",
+      "query_id", "raw_query", "probability", "note", "flags", "extra",
+      "results__document_id", "results__position", "results__score"))
+    val ok = silver.select("user__id", "query_id").as[(Long, String)].collect().toSeq
+    assert(ok == Seq((7L, "q1")))
+    assert(invalid.count() == 2) // missing required user + probability bound
+  }
+
+  test("schema snapshots drive migration purely from disk state") {
+    val dir = tmpDir("schemastore") + "/t"
+    val v1 = StructType(Seq(StructField("a", LongType),
+      StructField("b", StructType(Seq(StructField("c", LongType))))))
+    val v2 = StructType(Seq(StructField("a", LongType),
+      StructField("b", StructType(Seq(StructField("c", LongType),
+        StructField("d", StringType)))),
+      StructField("tags", ArrayType(StructType(Seq(StructField("t", StringType)))))))
+    // first migration: version 1, snapshot written
+    assert(Migrate.migrateFromDisk(spark, dir, v1) == ((1, Seq("a", "b__c"))))
+    // second migration reads ONLY the disk snapshot — no in-memory state
+    val (ver2, cols2) = Migrate.migrateFromDisk(spark, dir, v2)
+    assert(ver2 == 2 && cols2 == Seq("a", "b__c", "b__d", "tags__t"))
+    // the persisted snapshot round-trips the full StructType
+    val (loadedSchema, loadedCols) = Migrate.loadVersion(spark, dir, 2)
+    assert(loadedSchema == v2 && loadedCols == cols2)
+    assert(Migrate.latestVersion(spark, dir).contains(2))
+    // dropping a stored path is rejected, and no new version is written
+    val droppedSchema = StructType(Seq(StructField("a", LongType)))
+    intercept[IllegalArgumentException] {
+      Migrate.migrateFromDisk(spark, dir, droppedSchema)
+    }
+    assert(Migrate.latestVersion(spark, dir).contains(2))
+    // pathTypes from the loaded snapshot feeds the null-filled read path:
+    // array-of-struct leaf reads back as a list column
+    val types = graft.etl.Flatten.pathTypes(loadedSchema)
+    assert(types("tags__t") == ArrayType(StringType))
+    val pdir = tmpDir("schemastore_data")
+    Seq((1L, 2L)).toDF("a", "b__c").write.mode("overwrite").parquet(pdir)
+    val back = Migrate.readWithColumns(spark, pdir, loadedCols, types)
+    assert(back.columns.toSeq == loadedCols)
+    assert(back.schema("tags__t").dataType == ArrayType(StringType))
+  }
 }
