@@ -104,7 +104,10 @@ object Profile {
   private def summarizeExact(df: DataFrame, cols: Seq[String], avgScale: Int): DataFrame = {
     val spark = df.sparkSession
 
-    // pass 1: simple wide aggregate — min/max/avg/count/null-count, one scan
+    // pass 1: simple wide aggregate — min/max/avg/count/null-count, one scan.
+    // The (column, value) count relation doesn't depend on it, so its
+    // materialization runs CONCURRENTLY with the collect (two independent
+    // scan jobs share the cluster instead of serializing).
     val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
       val d = col(c).cast("double")
       Seq(
@@ -114,9 +117,11 @@ object Profile {
         count(col(c)).as(s"_${i}_cnt"),
         count(when(col(c).isNull, 1)).as(s"_${i}_null"))
     }
-    val wideRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-
     val perVal = Quantiles.valueCounts(df, cols).persist()
+    val warm = scala.concurrent.Future(perVal.count())(
+      scala.concurrent.ExecutionContext.global)
+    val wideRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    scala.concurrent.Await.ready(warm, scala.concurrent.duration.Duration.Inf)
     val (quartile: Map[String, Map[Double, Double]], nDistinct: Map[String, Long]) =
       try {
         // per-column domain + non-null count, straight off the pass-1 row —
