@@ -555,11 +555,12 @@ object SparkEntry {
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — identical column names/types and deterministic
-  // ordering. The signature-based queries (dedup_minhash, dedup_simhash,
-  // sim_ann_lsh) hash with PolyHash's engine-agnostic arithmetic, so their
-  // oracles replay the identical signatures in SQL. The one key absent here
-  // (sim_ivf_topk: k-means float accumulation order is engine-specific)
-  // gets the driver's rows-only check.
+  // ordering, for EVERY query. The signature-based queries (dedup_minhash,
+  // dedup_simhash, sim_ann_lsh) hash with PolyHash's engine-agnostic
+  // arithmetic, so their oracles replay the identical signatures in SQL;
+  // sim_ivf_topk is exact because the index quantizes centroids at 6 dp
+  // (absorbing float-summation order) and the oracle replays the probe's
+  // dot products with the same sequential accumulation.
   // ------------------------------------------------------------------
 
   private val delayedJoinFrom =
@@ -620,6 +621,32 @@ object SparkEntry {
         |  FROM ck a JOIN ck b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+
+  // Sequential left-fold dot product over 64 dims — the exact accumulation
+  // order of the native DotProductD loop, so unrounded comparisons (argmax
+  // cluster assignment, probe ranking) are bitwise identical cross-engine.
+  private def seqDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1,64), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+
+  private lazy val ivfOracle: String = {
+    def centSim(v: String) =
+      s"${seqDot(v, "c.cvec")} / (sqrt(${seqDot("c.cvec", "c.cvec")}) + 1e-12)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT (vec_id % 16) AS cl, i AS pos, v[i] AS x FROM e, generate_series(1,64) t(i)),
+      |cm AS (SELECT cl, pos, round(sum(x) / count(*), 6) AS m FROM u GROUP BY cl, pos),
+      |cent AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cl),
+      |sims AS (SELECT e.vec_id, c.cl, ${centSim("e.v")} AS s FROM e, cent c),
+      |asg AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cl) AS rn FROM sims) WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+      |probe AS (SELECT c.cl, q.qv FROM cent c, q
+      |  ORDER BY ${centSim("q.qv")} DESC, c.cl LIMIT 4)
+      |SELECT e.vec_id AS vec_id, round(list_inner_product(e.v, p.qv) /
+      |  (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(p.qv, p.qv))), 6) AS sim
+      |FROM e JOIN asg USING (vec_id) JOIN probe p ON asg.cl = p.cl
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+  }
 
   private lazy val annLshOracle: String = {
     // The 8 hyperplanes as double literals (PolyHash.planeComponent — the
@@ -856,6 +883,8 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
 
     "sim_ann_lsh" -> annLshOracle,
+
+    "sim_ivf_topk" -> ivfOracle,
 
     "dedup_ngram_jaccard" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

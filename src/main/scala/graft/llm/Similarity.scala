@@ -147,10 +147,16 @@ object Similarity {
       // One shuffle keyed on cluster, map-side-combined vector partials
       // (the posexplode formulation shuffles one row per (vector, dim) and
       // needs a second shuffle to re-assemble the arrays).
+      // Centroid components are QUANTIZED to 6 dp (binary-value rounding):
+      // the mean's float-summation order differs across partial-aggregation
+      // plans and engines by ~1 ulp, and rounding absorbs it — the index
+      // (and so every probe) becomes bit-reproducible cross-engine, the same
+      // trick the embed_centroids oracle pins.
       centroids = v.join(assign, "id")
         .groupBy("cluster")
         .agg(graft.functions.native.vecsum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), transform(col("s"), x => x / col("n")).as("cvec"))
+        .select(col("cluster"),
+          transform(col("s"), x => graft.functions.Rounding.dround(x / col("n"), 6)).as("cvec"))
       assign = v.crossJoin(broadcast(centroids))
         .select(col("id"), col("cluster"),
           graft.functions.native.dotd(col("v"), col("cvec"))
@@ -207,7 +213,7 @@ object Similarity {
       .select(col("qvec"), col("cluster"),
         (graft.functions.native.dotd(asD(col("qvec")), col("cvec")) /
           (sqrt(graft.functions.native.dotd(col("cvec"), col("cvec"))) + lit(1e-12))).as("sim"))
-      .orderBy(col("sim").desc).limit(nprobe)
+      .orderBy(col("sim").desc, col("cluster")).limit(nprobe) // cluster tie-break: deterministic probe set
       .select(col("qvec"), col("cluster"))
     embs.join(index.assignments.withColumnRenamed("id", idCol), idCol)
       .join(broadcast(probed), "cluster")
