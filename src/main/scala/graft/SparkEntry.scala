@@ -538,6 +538,12 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // Deterministic Agrawal load corpus (reference locustfile's
+    // synth.Agrawal(seed=1729) analog): partition-parallel, pure column
+    // arithmetic, engine-reproducible.
+    "gen_agrawal" -> ((s, _) =>
+      graft.etl.Synthetic.agrawal(s, 1000).orderBy("id")),
+
     // ---- 2.H multimodal ----
     "multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinary(t(s, d, "documents")))
@@ -646,6 +652,25 @@ object SparkEntry {
       |  (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(p.qv, p.qv))), 6) AS sim
       |FROM e JOIN asg USING (vec_id) JOIN probe p ON asg.cl = p.cl
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val agrawalOracle: String = {
+    val cs = graft.etl.Synthetic.drawConstants(1729L)
+    def u(k: Int) =
+      s"(CAST((${cs(k)._1} * ((id+1) % 1000000007) + ${cs(k)._2}) % 1000000007 AS DOUBLE) / 1000000007)"
+    s"""WITH t AS (SELECT CAST(unnest(generate_series(0, 999)) AS BIGINT) AS id),
+      |g AS (SELECT id, 20000.0 + 130000.0 * ${u(0)} AS salary,
+      |  CAST(floor(${u(5)} * 9) AS INTEGER) AS zipcode FROM t)
+      |SELECT g.id AS id, salary,
+      |  CASE WHEN salary >= 75000.0 THEN 0.0 ELSE 10000.0 + 65000.0 * ${u(1)} END AS commission,
+      |  CAST(20 + floor(${u(2)} * 61) AS INTEGER) AS age,
+      |  CAST(floor(${u(3)} * 5) AS INTEGER) AS elevel,
+      |  CAST(1 + floor(${u(4)} * 20) AS INTEGER) AS car,
+      |  zipcode,
+      |  CAST(floor((zipcode + 1) * 100000.0 * (0.5 + ${u(6)})) AS INTEGER) AS hvalue,
+      |  CAST(1 + floor(${u(7)} * 30) AS INTEGER) AS hyears,
+      |  ${u(8)} * 500000.0 AS loan
+      |FROM g ORDER BY id""".stripMargin.replace("\n", " ")
   }
 
   private lazy val annLshOracle: String = {
@@ -885,6 +910,8 @@ object SparkEntry {
     "sim_ann_lsh" -> annLshOracle,
 
     "sim_ivf_topk" -> ivfOracle,
+
+    "gen_agrawal" -> agrawalOracle,
 
     "dedup_ngram_jaccard" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

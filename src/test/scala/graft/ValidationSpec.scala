@@ -136,6 +136,37 @@ class ValidationSpec extends SparkSpec {
     assert(Migrate.parseList(Migrate.render(evolved)) == evolved)
   }
 
+  test("deterministic Agrawal generator: reproducible, partition-invariant, contract-conforming") {
+    import graft.etl.Synthetic
+    val a = Synthetic.agrawal(spark, 500).collect().toSeq
+    val b = Synthetic.agrawal(spark, 500).collect().toSeq
+    assert(a == b) // same seed → identical corpus
+    val c = Synthetic.agrawal(spark, 500, numPartitions = 7)
+      .orderBy("id").collect().toSeq
+    assert(c == a.sortBy(_.getLong(0))) // partitioning never changes values
+    // a different seed is a different corpus
+    assert(Synthetic.agrawal(spark, 500, seed = 7L).collect().toSeq != a)
+    // domains conform to the agrawal contract shape (the DQ-loop input)
+    val df = Synthetic.agrawal(spark, 500)
+    val fields = graft.core.Contracts.agrawal.schema.fieldNames.toSeq
+    assert(fields.forall(df.columns.contains))
+    val r = df.agg(min("salary"), max("salary"), min("age"), max("age"),
+      min("zipcode"), max("zipcode"), max("commission")).collect().head
+    assert(r.getDouble(0) >= 20000.0 && r.getDouble(1) <= 150000.0)
+    assert(r.getInt(2) >= 20 && r.getInt(3) <= 80)
+    assert(r.getInt(4) >= 0 && r.getInt(5) <= 8)
+    assert(r.getDouble(6) <= 75000.0)
+    // commission rule: zero iff salary >= 75k
+    assert(df.where(col("salary") >= 75000.0 && col("commission") =!= 0.0).count() == 0)
+    assert(df.where(col("salary") < 75000.0 && col("commission") < 10000.0).count() == 0)
+    // the generated corpus passes its own profiled bounds (closed DQ loop)
+    val rules = Validation.boundsRules(
+      Map("salary" -> FieldBounds(Some(20000.0), Some(150000.0)),
+        "loan" -> FieldBounds(Some(0.0), Some(500000.0))))
+    val (valid, invalid) = Validation.split(df, rules)
+    assert(valid.count() == 500 && invalid.count() == 0)
+  }
+
   test("an external JSON-Schema document drives the ETL end-to-end") {
     import graft.core.JsonSchemaImport
     // openapi-style document: $ref nesting, arrays, required, bounds, the
