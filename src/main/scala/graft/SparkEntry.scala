@@ -416,6 +416,21 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
 
+    // Cluster resolution over the near-dup pair graph: a≈b≈c is ONE cluster
+    // even though (a, c) was never compared — keeper selection needs
+    // components, not pairs.
+    "dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(Dedup.ngramJaccard(t(s, d, "documents")))
+        .orderBy("id")),
+
+    // Benchmark decontamination: docs sharing any 5-gram with the "eval set"
+    // (doc_id < 10 stands in for a held-out benchmark).
+    "decontaminate" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(docs.where(col("doc_id") >= 10),
+        docs.where(col("doc_id") < 10)).orderBy("id")
+    },
+
     // Embedding-cosine near-duplicate pairs, blocked by the coarse partition
     // (label = IVF-cluster stand-in); blocks above the size guard are LSH
     // sub-bucketed so no block is ever unboundedly quadratic.
@@ -904,6 +919,24 @@ object SparkEntry {
         "GROUP BY text ORDER BY keep_id"),
 
     "dedup_minhash" -> minhashOracle,
+
+    "decontaminate" ->
+      (shingleCte +
+        ", ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 10), " +
+        "tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 10) " +
+        "SELECT doc_id AS id, count(*) AS n_overlap FROM tr JOIN ev USING (g) " +
+        "GROUP BY doc_id ORDER BY id"),
+
+    // min-reachable-id per node via recursive CTE — the declarative twin of
+    // the engine's iterative min-label propagation
+    "dedup_components" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4), " +
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+        "walk(id, lbl) AS (SELECT a, a FROM e UNION SELECT e.a, w.lbl FROM e JOIN walk w ON e.b = w.id) " +
+        "SELECT id, min(lbl) AS component FROM walk GROUP BY id ORDER BY id"),
 
     "dedup_simhash" -> simhashOracle,
 

@@ -135,6 +135,75 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Decontamination: flag training documents that share at least
+    * `minOverlap` distinct word shingles with ANY document of an evaluation
+    * set — the benchmark-leakage scrub every pretraining pipeline runs.
+    *
+    * The eval side is collapsed to its DISTINCT shingle set and broadcast
+    * (benchmarks are small by construction — the 100 TB side never
+    * shuffles); the training side explodes its per-doc distinct shingles and
+    * probes the broadcast, so the whole operator is one scan + one keyed
+    * aggregate per training doc. Returns `(id, n_overlap)` for flagged docs.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    shingleLen: Int = 5, minOverlap: Int = 1): DataFrame = {
+    def shingled(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      explode(shingles(TextStats.tokens(col(textCol)), shingleLen)).as("sh"))
+    val evalShingles = shingled(evalSet).select("sh").distinct()
+    shingled(train) // per-doc shingles are already distinct (WordShingles)
+      .join(broadcast(evalShingles), "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+  }
+
+  /** Connected components over a near-duplicate pair graph — the cluster
+    * resolution step every corpus dedup needs after candidate pairs: a
+    * near-dup CHAIN (a≈b, b≈c) is one cluster even when a and c were never
+    * compared, and the keeper is chosen per component, not per pair.
+    *
+    * Iterative min-label propagation: every node starts as its own label;
+    * each round takes the min over its neighbours' labels; converged when a
+    * round changes nothing (≤ graph diameter rounds — near-dup components
+    * are shallow). Each round is one keyed join + keyed aggregate; the
+    * (id, label) relation is cached and materialized per round
+    * (two longs per node), previous round unpersisted — no driver-side
+    * graph, no unbounded lineage.
+    *
+    * Returns `(id, component)` for every node that appears in `edges`,
+    * where `component` is the minimum node id reachable from `id`.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .cache()
+    labels.count()
+    var prev: DataFrame = labels
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = sym.join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nlbl").as("minNbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .where(col("n.lbl") =!= col("o.lbl")).count()
+      prev.unpersist()
+      prev = next
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   /** Exact n-gram (shingle) Jaccard near-dup with prefix blocking: only
     * documents sharing the same leading-characters block are compared. The
     * block key bounds the join fan-out; at scale replace the prefix with any

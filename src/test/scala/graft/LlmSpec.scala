@@ -157,6 +157,41 @@ class LlmSpec extends SparkSpec {
     assert(nnG.filter(_._1 >= 600).toSet == nnRef.filter(_._1 >= 600).toSet)
   }
 
+  test("decontamination flags benchmark n-gram overlap via a broadcast probe") {
+    val evalSet = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "announcement the quick brown fox jumps over a fence today"), // 5-gram overlap
+      (11L, "completely unrelated text about spark shuffles and joins"),
+      (12L, "the quick brown fox jumps over the lazy dog verbatim copy")) // many overlaps
+      .toDF("doc_id", "text")
+    val flagged = Dedup.decontaminate(train, evalSet)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(10L, 12L))
+    assert(flagged(12L) > flagged(10L)) // verbatim copy overlaps more shingles
+    // the eval side must be the broadcast build side — the training corpus
+    // never shuffles for this operator
+    val plan = Dedup.decontaminate(train, evalSet)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("connected components resolve near-dup chains into clusters") {
+    // path graph 1-2-3-4 (diameter 3: needs >1 propagation round),
+    // pair 10-11, triangle-ish 20-21-22
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L), (20L, 21L), (21L, 22L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // keeper-per-component composes with exact stats: one keep per cluster
+    val keepers = Dedup.connectedComponents(edges)
+      .groupBy("component").agg(min("id").as("keep_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(keepers == Map(1L -> 1L, 10L -> 10L, 20L -> 20L))
+  }
+
   test("VectorSumD aggregates elementwise with partial merge") {
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0)))
       .toDF("g", "v").repartition(3) // force partial buffers + merge
