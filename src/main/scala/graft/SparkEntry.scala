@@ -503,6 +503,20 @@ object SparkEntry {
         TextStats.bpeEstimate(col("text")).as("n_bpe"))
         .orderBy("doc_id")),
 
+    // PII scrub over deterministic synthesized contact strings (the corpus
+    // itself is PII-free, so the query plants an email/IP/phone per doc and
+    // proves the redaction end-to-end, cross-engine).
+    "pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.redactPii(concat(
+          lit("user"), col("doc_id"), lit("@"), col("source"),
+          lit(".com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 call +1 415 555 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" - "), substring(col("text"), 1, 80))).as("redacted"))
+        .orderBy("doc_id")),
+
     // Text normalization: the cheap cleanup pass every corpus pipeline runs
     // before dedup/tokenization (case-fold, squeeze whitespace, strip
     // non-alphanumerics).
@@ -1014,6 +1028,15 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_alpha, " +
         "CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id"),
+
+    "pii_redact" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "'user' || doc_id || '@' || source || '.com from 10.0.' || (doc_id % 256) || " +
+        "'.7 call +1 415 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' - ' || substr(text, 1, 80), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+?\\d[\\d() -]{7,}\\d', '<PHONE>', 'g') AS redacted " +
+        "FROM documents ORDER BY doc_id"),
 
     "text_normalize" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +

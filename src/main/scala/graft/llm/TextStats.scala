@@ -73,6 +73,22 @@ object TextStats {
       s"aggregate(sequence(1, least(length($textCol), $maxLen)), 0L, " +
       s"(acc, i) -> (acc * 31 + ascii(substring($textCol, i, 1))) % 1000000007)")
 
+  /** PII redaction — the scrub pass a training corpus runs before anything
+    * else: emails, IPv4 addresses, and phone-like digit runs replaced with
+    * typed placeholders. Patterns stay inside the regex subset Java and RE2
+    * share (no backrefs/lookarounds), so the pass is reproducible in any
+    * engine; order matters (IP before phone — a phone pattern would eat the
+    * dotted digits). Pure codegen'd columnar expressions: a 100 TB scrub is
+    * one shuffle-free map stage.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+      "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>")
+
   /** Per-language corpus stats: doc count, char volume, token stats. */
   def langStats(docs: DataFrame, textCol: String = "text",
                 langCol: String = "lang", charsCol: String = "n_chars"): DataFrame =

@@ -157,6 +157,21 @@ class LlmSpec extends SparkSpec {
     assert(nnG.filter(_._1 >= 600).toSet == nnRef.filter(_._1 >= 600).toSet)
   }
 
+  test("PII redaction scrubs emails, IPs, and phone runs with typed placeholders") {
+    val rows = Seq(
+      "contact alice.smith+dev@example.co.uk or bob@test.org today",
+      "server at 192.168.1.254 responded",
+      "call +1 415 555 0137 or (020) 7946-0958 now",
+      "clean text stays clean 42")
+      .toDF("text")
+    val got = rows.select(TextStats.redactPii(col("text")).as("t"))
+      .as[String].collect().toSeq
+    assert(got(0) == "contact <EMAIL> or <EMAIL> today")
+    assert(got(1) == "server at <IP> responded")
+    assert(got(2).contains("<PHONE>") && !got(2).exists(_.isDigit))
+    assert(got(3) == "clean text stays clean 42")
+  }
+
   test("decontamination flags benchmark n-gram overlap via a broadcast probe") {
     val evalSet = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

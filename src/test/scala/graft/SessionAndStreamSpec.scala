@@ -110,6 +110,33 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: duplicates dropped, state GC'd past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.stream.StreamDedup.exact(
+        input.toDF().toDF("ts", "text"), watermark = "1 minute")
+      .select("text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 00:00:00"), "doc-a"),
+        (ts("2024-01-01 00:00:10"), "doc-a"), // dup within watermark: dropped
+        (ts("2024-01-01 00:00:20"), "doc-b"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").as[String].collect().toSeq.sorted ==
+        Seq("doc-a", "doc-b"))
+      // push the watermark far past doc-a's window: its state is GC'd, so a
+      // re-arrival is a NEW document (bounded state, not forever-dedup)
+      input.addData((ts("2024-01-01 01:00:00"), "doc-c"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 01:00:30"), "doc-a"))
+      q.processAllAvailable()
+      val all = spark.table("dedup_stream").as[String].collect().toSeq
+      assert(all.count(_ == "doc-a") == 2)
+    } finally q.stop()
+  }
+
   test("observe-based DQ counters accumulate without extra scans") {
     import graft.core.{FieldBounds, Validation}
     import graft.stream.DqCounters
