@@ -567,6 +567,26 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
         .orderBy("doc_id")),
 
+    // Deterministic 10% hash sample: reproducible across runs/engines/
+    // partitionings, unlike rand()-based sampling.
+    "sample_hash" -> ((s, d) =>
+      graft.llm.Corpus.sampleHash(t(s, d, "documents"), 0.1)
+        .select("doc_id", "source", "lang").orderBy("doc_id")),
+
+    // Weighted training mix: per-source keep rates as a pure deterministic
+    // filter (sources without a rate drop out).
+    "corpus_mix" -> ((s, d) =>
+      graft.llm.Corpus.mixWeighted(t(s, d, "documents"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+
+    // Sequence packing: per-lang greedy token-budget bins (keyed window —
+    // packing parallelizes by shard, never a global sort).
+    "pack_sequences" -> ((s, d) =>
+      graft.llm.Corpus.packSequences(t(s, d, "documents"), budget = 512)
+        .orderBy("doc_id")),
+
     // Deterministic Agrawal load corpus (reference locustfile's
     // synth.Agrawal(seed=1729) analog): partition-parallel, pure column
     // arithmetic, engine-reproducible.
@@ -681,6 +701,13 @@ object SparkEntry {
       |  (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(p.qv, p.qv))), 6) AS sim
       |FROM e JOIN asg USING (vec_id) JOIN probe p ON asg.cl = p.cl
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+  }
+
+  // doc_id hash draw shared by the sampling/mixing oracles (Corpus.hashUnit
+  // with its seed-42 constants)
+  private lazy val hashDraw: String = {
+    val (a, b) = graft.llm.Corpus.hashConstants(42L)
+    s"(CAST(($a * (doc_id % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
   }
 
   private lazy val agrawalOracle: String = {
@@ -959,6 +986,22 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfOracle,
 
     "gen_agrawal" -> agrawalOracle,
+
+    "sample_hash" ->
+      (s"SELECT doc_id, source, lang FROM documents WHERE $hashDraw < 0.1 " +
+        "ORDER BY doc_id"),
+
+    "corpus_mix" ->
+      (s"SELECT source, count(*) AS n_docs FROM documents WHERE $hashDraw < " +
+        "(CASE WHEN source = 'src0' THEN 1.0 WHEN source = 'src1' THEN 0.5 " +
+        "WHEN source = 'src2' THEN 0.25 ELSE 0.0 END) " +
+        "GROUP BY source ORDER BY source"),
+
+    "pack_sequences" ->
+      ("SELECT doc_id, lang, CAST(floor(COALESCE(SUM(len(string_split(text, ' '))) " +
+        "OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
+        "FROM documents ORDER BY doc_id"),
 
     "dedup_ngram_jaccard" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

@@ -1,0 +1,71 @@
+package graft.llm
+
+import graft.functions.PolyHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly operators for training-data pipelines: deterministic
+  * sampling, weighted source mixing, and sequence packing.
+  *
+  * Sampling and mixing are HASH-based, not RNG-based: `rand()`-style
+  * sampling re-draws on every retry/re-run, which silently changes the
+  * corpus between attempts — the classic reproducibility bug in training
+  * pipelines. A hash of the stable id is reproducible across runs, engines,
+  * and partitionings, and composes (the 10% sample of the 50% mix is always
+  * the same documents).
+  */
+object Corpus {
+
+  /** Uniform in [0,1) per id: engine-agnostic modular arithmetic (the same
+    * affine family as the Agrawal generator, seed-derived constants).
+    */
+  /** The affine constants behind [[hashUnit]] — shared with oracle SQL. */
+  def hashConstants(seed: Long): (Long, Long) = (
+    Math.floorMod(PolyHash.splitmix(seed * 1000003L), PolyHash.P1 - 1) + 1,
+    Math.floorMod(PolyHash.splitmix(seed * 1000003L + 1), PolyHash.P1))
+
+  def hashUnit(id: Column, seed: Long): Column = {
+    val (a, b) = hashConstants(seed)
+    ((lit(a) * (id % PolyHash.P1) + b) % PolyHash.P1).cast("double") / PolyHash.P1
+  }
+
+  /** Deterministic `rate`-fraction sample keyed on `idCol`. */
+  def sampleHash(df: DataFrame, rate: Double, idCol: String = "doc_id",
+                 seed: Long = 42L): DataFrame =
+    df.where(hashUnit(col(idCol), seed) < rate)
+
+  /** Weighted source mix: keep each row with its source's rate (sources
+    * absent from `rates` are dropped) — the downsampling step that turns raw
+    * source volumes into a training mix. Pure filter: no shuffle, and the
+    * decision for a document never changes across runs.
+    */
+  def mixWeighted(df: DataFrame, rates: Map[String, Double],
+                  sourceCol: String = "source", idCol: String = "doc_id",
+                  seed: Long = 42L): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    df.where(hashUnit(col(idCol), seed) < rate)
+  }
+
+  /** Pack documents into fixed token-budget bins (context windows) per
+    * `groupCol`: greedy by cumulative token count in `idCol` order —
+    * `bin = floor(tokens_before_this_doc / budget)`. The window is KEYED by
+    * the group column (lang/source/shard), never global — partition size is
+    * a group's docs, and a 100 TB corpus packs shard-parallel. A document
+    * longer than `budget` still lands in one bin (truncation/splitting is
+    * the tokenizer's concern, not the packer's).
+    */
+  def packSequences(df: DataFrame, budget: Int, groupCol: String = "lang",
+                    idCol: String = "doc_id",
+                    tokens: Column = null): DataFrame = {
+    val tok = Option(tokens).getOrElse(TextStats.tokenCount(col("text")))
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tok", tok)
+      .withColumn("bin",
+        (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
+      .select(col(idCol), col(groupCol), col("bin"), col("n_tok"))
+  }
+}

@@ -157,6 +157,39 @@ class LlmSpec extends SparkSpec {
     assert(nnG.filter(_._1 >= 600).toSet == nnRef.filter(_._1 >= 600).toSet)
   }
 
+  test("corpus assembly: hash sampling is reproducible, mixing weighted, packing bounded") {
+    import graft.llm.Corpus
+    val docs = (0 until 1000).map(i =>
+      (i.toLong, s"src${i % 4}", "en", ("tok " * (1 + i % 9)).trim))
+      .toDF("doc_id", "source", "lang", "text")
+    // reproducible + partition-invariant (the rand() sampler is neither)
+    val s1 = Corpus.sampleHash(docs, 0.2).select("doc_id").as[Long].collect().toSet
+    val s2 = Corpus.sampleHash(docs.repartition(7), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size > 100 && s1.size < 300)
+    // sample composes: the 10% sample is a subset of the 20% sample
+    val s3 = Corpus.sampleHash(docs, 0.1).select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+    // weighted mix: absent sources drop, rates roughly honoured
+    val mix = Corpus.mixWeighted(docs, Map("src0" -> 1.0, "src1" -> 0.5))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(mix.keySet == Set("src0", "src1"))
+    assert(mix("src0") == 250L && mix("src1") > 75L && mix("src1") < 175L)
+    // packing: per-group bins, budget respected for the bin PREFIX (a doc
+    // never starts once the budget is consumed), ids stay in order
+    val packed = Corpus.packSequences(docs, budget = 64)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(packed.map(_._1).toSeq == (0L until 1000L))
+    val byBin = packed.groupBy(_._3)
+    // every bin but its last doc fits the budget: sum of all-but-last ≤ 64
+    byBin.values.foreach { ds =>
+      val sorted = ds.sortBy(_._1)
+      assert(sorted.dropRight(1).map(_._4).sum <= 64)
+    }
+    // bins are contiguous id ranges per group (greedy order preserved)
+    assert(byBin.keys.toSeq.sorted.zipWithIndex.forall { case (b, i) => b == i })
+  }
+
   test("PII redaction scrubs emails, IPs, and phone runs with typed placeholders") {
     val rows = Seq(
       "contact alice.smith+dev@example.co.uk or bob@test.org today",
