@@ -53,19 +53,43 @@ object Pipeline {
       Validation.violations(silver.withColumn("value", col("value") * 2), nextRules)
         .crossJoin(silver.select(col("ts")).limit(1))) // synthetic ts for demo
     println(s"[pipeline] dq: ${alerts.count()} alert windows from drifted batch")
+    // the alerting artifact + the persisted schema-version snapshot
+    graft.stream.DqRules.save(spark, s"$outDir/data_quality_rules.yml",
+      "EventsSilver", bounds.toSeq.sortBy(_._1))
+    val (ver, verCols) = graft.etl.Migrate.migrateFromDisk(
+      spark, s"$outDir/schema", silver.schema)
+    println(s"[pipeline] artifacts: rules yaml + schema snapshot v$ver (${verCols.size} cols)")
 
-    // 3. corpus ops over documents
+    // 3. corpus ops over documents: dedup → cluster resolution →
+    //    decontamination → assembly (mix, sample, pack)
     val docs = Tables(spark, sfDir, "documents")
     val nExact = Dedup.exact(docs).where(col("n_dups") > 1).count()
-    val nNear = Dedup.minhash(docs).count()
+    val pairs = Dedup.ngramJaccard(docs)
+    val nComp = Dedup.connectedComponents(pairs)
+      .select("component").distinct().count()
+    val nContam = Dedup.decontaminate(
+      docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10)).count()
     val stats = TextStats.langStats(docs).count()
-    println(s"[pipeline] dedup: $nExact exact groups, $nNear near-dup pairs; $stats langs")
+    println(s"[pipeline] dedup: $nExact exact groups, ${pairs.count()} near-dup pairs " +
+      s"in $nComp clusters; $nContam docs eval-contaminated; $stats langs")
+    val mixed = graft.llm.Corpus.mixWeighted(docs,
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
+    val packed = graft.llm.Corpus.packSequences(
+      graft.llm.Corpus.sampleHash(mixed, 0.5), budget = 512)
+    val binRow = packed.agg(count(lit(1)).as("n"),
+      count_distinct(col("lang"), col("bin")).as("bins")).collect().head
+    println(s"[pipeline] assembly: ${binRow.getLong(0)} docs packed into ${binRow.getLong(1)} context bins")
 
-    // 4. similarity over embeddings
+    // 4. similarity over embeddings: exact baseline + a persisted IVF index
     val embs = Tables(spark, sfDir, "embeddings")
     val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
     val top = Similarity.topK(embs, q, 5).collect()
-    println(s"[pipeline] similarity: top-5 of query vec -> ${top.map(_.getLong(0)).mkString(",")}")
+    val idx = Similarity.buildIvfIndex(embs, kClusters = 8)
+    val ivfTop = Similarity.ivfTopK(idx, embs, q, 5, nprobe = 2,
+      "vec_id", "embedding", 6).collect()
+    idx.unpersist()
+    println(s"[pipeline] similarity: exact top-5 ${top.map(_.getLong(0)).mkString(",")}; " +
+      s"ivf top-5 ${ivfTop.map(_.getLong(0)).mkString(",")}")
     println(s"[pipeline] counters:\n${dq.renderPrometheus()}")
     spark.stop()
   }

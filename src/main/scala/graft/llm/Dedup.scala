@@ -188,16 +188,17 @@ object Dedup {
     while (!converged && it < maxIters) {
       val nbrMin = sym.join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("id")).agg(min("nlbl").as("minNbr"))
+      // carry the previous label through, so convergence is a filter on the
+      // SAME materialization — no extra per-round join
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("minNbr"), col("lbl"))).as("lbl"),
+          col("lbl").as("_old"))
         .cache()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .where(col("n.lbl") =!= col("o.lbl")).count()
+      val changed = next.where(col("lbl") =!= col("_old")).count()
       prev.unpersist()
       prev = next
-      labels = next
+      labels = next.drop("_old")
       converged = changed == 0
       it += 1
     }
