@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{DotProductD, MinHashSig, SimHash60, WordShingles}
+import graft.functions.{DotProductD, HyperplaneLshKey, JaccardSim, MinHashSig, SimHash60, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -57,5 +57,8 @@ object GraftExtensions {
       MinHashSig(exprs.head, intLit(exprs(1), "numHashes"))),
     "graft_word_shingles" -> (exprs =>
       WordShingles(exprs.head, intLit(exprs(1), "n"))),
-    "graft_dotd" -> (exprs => DotProductD(exprs.head, exprs(1))))
+    "graft_dotd" -> (exprs => DotProductD(exprs.head, exprs(1))),
+    "graft_jaccard" -> (exprs => JaccardSim(exprs.head, exprs(1))),
+    "graft_lsh_key" -> (exprs =>
+      HyperplaneLshKey(exprs.head, intLit(exprs(1), "nBits"))))
 }

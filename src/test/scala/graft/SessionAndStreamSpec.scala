@@ -16,11 +16,15 @@ class SessionAndStreamSpec extends SparkSpec {
       "SELECT graft_simhash60(array('a','b')) AS sh, " +
         "size(graft_minhash_sig(array('a','b'), 8)) AS mh, " +
         "graft_word_shingles(array('a','b','c'), 2) AS ws, " +
-        "graft_dotd(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp").collect().head
+        "graft_dotd(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp, " +
+        "graft_jaccard(array('a','b'), array('b','c')) AS jc, " +
+        "graft_lsh_key(array(1.0d, -2.0d), 4) AS lk").collect().head
     assert(r.getAs[Long]("sh") != 0L)
     assert(r.getAs[Int]("mh") == 8)
     assert(r.getAs[scala.collection.Seq[String]]("ws").toSet == Set("a b", "b c"))
     assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[Double]("jc") == 1.0 / 3.0)
+    assert(r.getAs[Long]("lk") >= 0L && r.getAs[Long]("lk") < 16L)
   }
 
   test("late data beyond the watermark is dropped from closed windows") {
@@ -107,6 +111,36 @@ class SessionAndStreamSpec extends SparkSpec {
       val rows = spark.table("etl_stream")
         .select("query_id", "document_id").as[(String, Long)].collect().toSeq
       assert(rows == Seq(("q1", 42L)))
+    } finally q.stop()
+  }
+
+  test("streaming drift monitor: windowed profile + bounds alerts on the drifted window") {
+    import graft.core.FieldBounds
+    import graft.stream.Drift
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val prof = Drift.windowedProfile(input.toDF().toDF("ts", "value"), Seq("value"))
+    val q = prof.writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // window 1: in-bounds; window 2: drifted high
+      input.addData((ts("2024-01-01 00:00:10"), 5.0), (ts("2024-01-01 00:00:40"), 7.0),
+        (ts("2024-01-01 00:01:10"), 55.0), (ts("2024-01-01 00:01:30"), 6.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:10:00"), 5.0)) // close both windows
+      q.processAllAvailable()
+      val windows = spark.table("drift_stream")
+      assert(windows.count() >= 2)
+      val alerts = Drift.alerts(windows,
+        Map("value" -> FieldBounds(Some(0.0), Some(10.0))))
+        .select("column_name", "kind", "observed")
+        .as[(String, String, Double)].collect().toSet
+      assert(alerts == Set(("value", "drift_high", 55.0)))
+      // tolerance widens the accepted band
+      val tolerant = Drift.alerts(windows,
+        Map("value" -> FieldBounds(Some(0.0), Some(10.0))), tolerance = 5.0)
+      assert(tolerant.count() == 0)
     } finally q.stop()
   }
 
