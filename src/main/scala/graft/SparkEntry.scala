@@ -495,6 +495,17 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // Gopher-style per-doc quality signals: n-gram repetition, mean word
+    // length, symbol density — the cheap filters a pretraining pipeline
+    // gates on. One shuffle-free columnar pass.
+    "quality_signals" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.repetitionScore(col("text")).as("rep3"),
+        TextStats.meanWordLen(col("text")).as("mean_wlen"),
+        TextStats.symbolRatio(col("text")).as("sym_ratio"))
+        .orderBy("doc_id")),
+
     "token_count" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -1071,6 +1082,15 @@ object SparkEntry {
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +
         "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_alpha, " +
         "CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_bpe FROM documents ORDER BY doc_id"),
+
+    "quality_signals" ->
+      ("WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) " +
+        "SELECT doc_id, " +
+        "round(1.0 - CAST(len(list_distinct(list_transform(generate_series(1, greatest(len(w)-2, least(len(w), 1))), " +
+        "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS DOUBLE) / greatest(len(w)-2, least(len(w), 1)), 4) AS rep3, " +
+        "round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 4) AS mean_wlen, " +
+        "round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS sym_ratio " +
+        "FROM t ORDER BY doc_id"),
 
     "pii_redact" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +

@@ -180,8 +180,7 @@ object Dedup {
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .cache()
-    labels.count()
+      .cache() // materialized by round 1's single action — no separate job
     var prev: DataFrame = labels
     var converged = false
     var it = 0

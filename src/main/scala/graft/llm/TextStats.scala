@@ -73,6 +73,35 @@ object TextStats {
       s"aggregate(sequence(1, least(length($textCol), $maxLen)), 0L, " +
       s"(acc, i) -> (acc * 31 + ascii(substring($textCol, i, 1))) % 1000000007)")
 
+  /** Repetition score in [0,1]: 1 − distinct/total word n-gram windows —
+    * the duplicate-n-gram signal of Gopher-style quality rules (a high score
+    * means the document repeats itself). Columnar: shingle windows counted
+    * without materializing them; distinct set via the native WordShingles.
+    */
+  def repetitionScore(text: Column, n: Int = 3, scale: Int = 4): Column = {
+    val toks = tokens(text)
+    val totalWindows = greatest(size(toks) - (n - 1), least(size(toks), lit(1)))
+    val distinctWindows = size(graft.functions.native.wordShingles(toks, n))
+    graft.functions.Rounding.dround(
+      lit(1.0) - distinctWindows.cast("double") / totalWindows, scale)
+  }
+
+  /** Mean word length — short means boilerplate/symbol soup, long means
+    * concatenated junk (Gopher keeps ~3–10).
+    */
+  def meanWordLen(text: Column, scale: Int = 4): Column = {
+    val toks = tokens(text)
+    graft.functions.Rounding.dround(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks), scale)
+  }
+
+  /** Non-alphanumeric, non-space character fraction. */
+  def symbolRatio(text: Column, scale: Int = 4): Column =
+    graft.functions.Rounding.dround(
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(text), scale)
+
   /** PII redaction — the scrub pass a training corpus runs before anything
     * else: emails, IPv4 addresses, and phone-like digit runs replaced with
     * typed placeholders. Patterns stay inside the regex subset Java and RE2
