@@ -480,6 +480,16 @@ object SparkEntry {
         .orderBy(col("sim").desc, col("vec_id"))
     },
 
+    // Int8 vector quantization (posexploded to scalar rows for the gate —
+    // the checker cannot sort array columns; the array surface is
+    // spec-covered).
+    "embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(t(s, d, "embeddings"))
+        .select(col("id"), col("scale"), posexplode(col("qvec")))
+        .select(col("id"), col("pos").cast("long").as("pos"),
+          col("col").as("q"), col("scale"))
+        .orderBy("id", "pos")),
+
     // ---- 2.H text analysis ----
     "text_stats" -> ((s, d) =>
       TextStats.langStats(t(s, d, "documents")).orderBy("lang")),
@@ -997,6 +1007,14 @@ object SparkEntry {
     "sim_ivf_topk" -> ivfOracle,
 
     "gen_agrawal" -> agrawalOracle,
+
+    "embed_quantize" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e) " +
+        "SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS pos, " +
+        "CAST(CASE WHEN scale = 0.0 THEN 0 WHEN v[i] >= 0 THEN floor(v[i]/scale + 0.5) " +
+        "ELSE -floor(-v[i]/scale + 0.5) END AS INTEGER) AS q, scale " +
+        "FROM s, generate_series(1, 64) t(i) ORDER BY id, pos"),
 
     "sample_hash" ->
       (s"SELECT doc_id, source, lang FROM documents WHERE $hashDraw < 0.1 " +

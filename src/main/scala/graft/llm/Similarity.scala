@@ -167,6 +167,28 @@ object Similarity {
     (assign, centroids)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage/ANN
+    * prep that cuts a vector corpus 4× before indexing: per-vector scale =
+    * max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127]. All arithmetic is
+    * per-row and order-independent (max is comparison-based), so the
+    * quantized corpus is bit-identical across engines and partitionings.
+    * Returns `(id, qvec array<int>, scale)`; dequantize ≈ q_i·scale.
+    */
+  def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val v = asD(col(vecCol))
+    val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val scale = maxAbs / 127.0
+    // binary-value HALF-UP in both directions (DuckDB's round formulation)
+    def q(x: Column): Column =
+      when(col("scale") === 0.0, lit(0L))
+        .otherwise(when(x >= 0, floor(x / col("scale") + 0.5))
+          .otherwise(-floor(-x / col("scale") + 0.5)))
+    embs.select(col(idCol).as("id"), v.as("v"), scale.as("scale"))
+      .select(col("id"), transform(col("v"), x => q(x).cast("int")).as("qvec"),
+        col("scale"))
+  }
+
   /** A built IVF index: `(id, cluster)` assignments + `(cluster, cvec)`
     * centroids, materialized ONCE (cached or persisted to storage) and
     * reused by every [[ivfTopK]] probe — rebuilding the index inside each

@@ -157,6 +157,27 @@ class LlmSpec extends SparkSpec {
     assert(nnG.filter(_._1 >= 600).toSet == nnRef.filter(_._1 >= 600).toSet)
   }
 
+  test("int8 quantization: bounded range, zero-vector safe, dequantize error within half-step") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0, all q 0
+      (3L, Seq(-2.0f, 2.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs)
+      .as[(Long, Seq[Int], Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1)._1 == Seq(127, -64, 32, 0) && out(1)._2 == 1.0 / 127)
+    assert(out(2)._1 == Seq(0, 0, 0, 0) && out(2)._2 == 0.0)
+    assert(out(3)._1.forall(q => q >= -127 && q <= 127))
+    // dequantization error bounded by half a quantization step
+    for ((id, (qs, scale)) <- out if scale > 0) {
+      val orig = vecs.where(col("vec_id") === id)
+        .select("embedding").as[Seq[Float]].collect().head
+      qs.zip(orig).foreach { case (q, x) =>
+        assert(math.abs(q * scale - x) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("corpus assembly: hash sampling is reproducible, mixing weighted, packing bounded") {
     import graft.llm.Corpus
     val docs = (0 until 1000).map(i =>
