@@ -431,6 +431,17 @@ object SparkEntry {
         docs.where(col("doc_id") < 10)).orderBy("id")
     },
 
+    // The dedup END PRODUCT: per clustered doc, the canonical keeper and a
+    // drop flag — what a pipeline actually applies to the corpus.
+    "dedup_droplist" -> { (s, d) =>
+      val cc = Dedup.connectedComponents(Dedup.ngramJaccard(t(s, d, "documents")))
+      val keepers = cc.groupBy("component").agg(min("id").as("keep_id"))
+      cc.join(keepers, "component")
+        .select(col("id"), col("keep_id"),
+          (col("id") =!= col("keep_id")).as("is_dup"))
+        .orderBy("id")
+    },
+
     // Embedding-cosine near-duplicate pairs, blocked by the coarse partition
     // (label = IVF-cluster stand-in); blocks above the size guard are LSH
     // sub-bucketed so no block is ever unboundedly quadratic.
@@ -568,6 +579,38 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("score").desc, col("term"))
     },
 
+    // Sequential conversion funnel: first view → first click at-or-after it
+    // → first purchase at-or-after that, counted per stage. Each stage is a
+    // keyed aggregate + keyed join — no window over the whole event log.
+    "funnel" -> { (s, d) =>
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ms").as("v_ms"))
+      val c = e.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ms") >= col("v_ms"))
+        .groupBy("user_id").agg(min("ms").as("c_ms"))
+      val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ms") >= col("c_ms"))
+        .groupBy("user_id").agg(min("ms").as("p_ms"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+    },
+
+    // Retention cohorts: users grouped by first-active day, distinct active
+    // users per (cohort, day offset). Two keyed aggregates + one keyed join.
+    "retention_cohorts" -> { (s, d) =>
+      val days = t(s, d, "events").select(col("user_id"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms")).distinct()
+      val cohorts = days.groupBy("user_id").agg(min("day_ms").as("cohort_ms"))
+      days.join(cohorts, "user_id")
+        .groupBy(col("cohort_ms"),
+          ((col("day_ms") - col("cohort_ms")) / 86400000L).cast("long").as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_ms", "day_offset")
+    },
+
     // EXISTS / semi-join shape: orders containing a high-value item.
     "exists_semi_join" -> { (s, d) =>
       val o = t(s, d, "orders")
@@ -697,6 +740,17 @@ object SparkEntry {
         |  FROM ck a JOIN ck b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+
+  // Near-dup connected components (shingle pairs → min reachable id), the
+  // shared base of the dedup_components / dedup_droplist oracles.
+  private lazy val componentsCte: String =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+      "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4), " +
+      "e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "walk(id, lbl) AS (SELECT a, a FROM e UNION SELECT e.a, w.lbl FROM e JOIN walk w ON e.b = w.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id)"
 
   // Sequential left-fold dot product over 64 dims — the exact accumulation
   // order of the native DotProductD loop, so unrounded comparisons (argmax
@@ -992,13 +1046,31 @@ object SparkEntry {
     // min-reachable-id per node via recursive CTE — the declarative twin of
     // the engine's iterative min-label propagation
     "dedup_components" ->
-      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        ", pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
-        "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4), " +
-        "e AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), " +
-        "walk(id, lbl) AS (SELECT a, a FROM e UNION SELECT e.a, w.lbl FROM e JOIN walk w ON e.b = w.id) " +
-        "SELECT id, min(lbl) AS component FROM walk GROUP BY id ORDER BY id"),
+      (componentsCte + " SELECT id, component FROM comp ORDER BY id"),
+
+    "dedup_droplist" ->
+      (componentsCte +
+        ", k AS (SELECT component, min(id) AS keep_id FROM comp GROUP BY component) " +
+        "SELECT comp.id AS id, k.keep_id AS keep_id, comp.id <> k.keep_id AS is_dup " +
+        "FROM comp JOIN k USING (component) ORDER BY id"),
+
+    "funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events), " +
+        "v AS (SELECT user_id, min(ms) AS v_ms FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING (user_id) " +
+        "WHERE event_type = 'click' AND ms >= v_ms GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(ms) AS p_ms FROM e JOIN c USING (user_id) " +
+        "WHERE event_type = 'purchase' AND ms >= c_ms GROUP BY e.user_id) " +
+        "SELECT (SELECT count(*) FROM v) AS n_viewed, (SELECT count(*) FROM c) AS n_clicked, " +
+        "(SELECT count(*) FROM p) AS n_purchased"),
+
+    "retention_cohorts" ->
+      ("WITH days AS (SELECT DISTINCT user_id, " +
+        "epoch_ms(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS day_ms FROM events), " +
+        "coh AS (SELECT user_id, min(day_ms) AS cohort_ms FROM days GROUP BY user_id) " +
+        "SELECT cohort_ms, CAST((day_ms - cohort_ms) / 86400000 AS BIGINT) AS day_offset, " +
+        "count(*) AS n_users FROM days JOIN coh USING (user_id) " +
+        "GROUP BY cohort_ms, day_offset ORDER BY cohort_ms, day_offset"),
 
     "dedup_simhash" -> simhashOracle,
 
