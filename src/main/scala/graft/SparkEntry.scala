@@ -53,6 +53,18 @@ object SparkEntry {
     ivfIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
       Similarity.buildIvfIndex(t(s, d, "embeddings"), kClusters = 16))
 
+  // Near-dup cluster resolution is likewise an offline artifact: resolved
+  // once per (session, dir), consumed by dedup_components AND dedup_droplist.
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def components(s: SparkSession, d: String): DataFrame =
+    ccCache.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val cc = Dedup.connectedComponents(Dedup.ngramJaccard(t(s, d, "documents")))
+        .cache()
+      cc.count()
+      cc
+    })
+
   private def withK(ev: DataFrame): DataFrame =
     ev.withColumn("k", from_json(col("props"), propsSchema).getField("k"))
 
@@ -419,9 +431,7 @@ object SparkEntry {
     // Cluster resolution over the near-dup pair graph: a≈b≈c is ONE cluster
     // even though (a, c) was never compared — keeper selection needs
     // components, not pairs.
-    "dedup_components" -> ((s, d) =>
-      Dedup.connectedComponents(Dedup.ngramJaccard(t(s, d, "documents")))
-        .orderBy("id")),
+    "dedup_components" -> ((s, d) => components(s, d).orderBy("id")),
 
     // Benchmark decontamination: docs sharing any 5-gram with the "eval set"
     // (doc_id < 10 stands in for a held-out benchmark).
@@ -434,7 +444,7 @@ object SparkEntry {
     // The dedup END PRODUCT: per clustered doc, the canonical keeper and a
     // drop flag — what a pipeline actually applies to the corpus.
     "dedup_droplist" -> { (s, d) =>
-      val cc = Dedup.connectedComponents(Dedup.ngramJaccard(t(s, d, "documents")))
+      val cc = components(s, d)
       val keepers = cc.groupBy("component").agg(min("id").as("keep_id"))
       cc.join(keepers, "component")
         .select(col("id"), col("keep_id"),
