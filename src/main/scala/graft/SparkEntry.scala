@@ -296,6 +296,18 @@ object SparkEntry {
           col("sum_price"), col("n"))
         .orderBy("flag", "status")),
 
+    // CUBE: every grouping-set combination (adds the per-status-only
+    // subtotals ROLLUP lacks).
+    "cube_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg((sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("_all")).as("flag"),
+          coalesce(col("l_linestatus"), lit("_all")).as("status"),
+          col("sum_price"), col("n"))
+        .orderBy("flag", "status")),
+
     // As-of join (scalable union + carry-forward formulation): latest
     // purchase at-or-before each view, same user, within 1 h.
     "asof_join" -> { (s, d) =>
@@ -930,6 +942,12 @@ object SparkEntry {
       ("SELECT COALESCE(l_returnflag, '_all') AS flag, COALESCE(l_linestatus, '_all') AS status, " +
         "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price, " +
         "count(*) AS n FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY flag, status"),
+
+    "cube_agg" ->
+      ("SELECT COALESCE(l_returnflag, '_all') AS flag, COALESCE(l_linestatus, '_all') AS status, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price, " +
+        "count(*) AS n FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY flag, status"),
 
     "asof_join" ->
