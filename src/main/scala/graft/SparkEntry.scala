@@ -83,7 +83,7 @@ object SparkEntry {
 
     // ---- 2.A sources ----
     "scan_parquet" -> ((s, d) =>
-      t(s, d, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")),
+      t(s, d, "region").select("r_regionkey", "r_name")),
 
     // S5: keyed read with limit + server-ts annotation (reference
     // storage.py:48-58); ORDER BY before LIMIT keeps it deterministic.
@@ -98,14 +98,14 @@ object SparkEntry {
       t(s, d, "events")
         .select(col("event_id"),
           from_json(col("props"), propsSchema).getField("k").as("k"))
-        .orderBy("event_id")),
+        ),
 
     "etl_project_alias" -> ((s, d) =>
       t(s, d, "lineitem").select(
         col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"),
         concat(col("l_returnflag"), col("l_linestatus")).as("flag_status"))
-        .orderBy("ok", "ln")),
+        ),
 
     "etl_struct_flatten" -> { (s, d) =>
       val schema = StructType(Seq(
@@ -119,7 +119,6 @@ object SparkEntry {
         lit("}},\"status\":\""), col("o_orderstatus"), lit("\"}"))
       val parsed = t(s, d, "orders").select(from_json(j, schema).as("d"))
       Flatten.select(parsed, "d", schema, Flatten.columnPaths(schema))
-        .orderBy("order__key")
     },
 
     // E4 array-of-struct flatten. The row-preserving list semantics (one row
@@ -141,7 +140,6 @@ object SparkEntry {
           posexplode(arrays_zip(col("results__line"), col("results__qty"))))
         .select(col("order_key"), col("pos").cast("long").as("pos"),
           col("col.results__line").as("line"), col("col.results__qty").as("qty"))
-        .orderBy("order_key", "pos")
     },
 
     // Untyped-JSON column as a Spark 4 VARIANT (§1.2: untyped object →
@@ -150,7 +148,7 @@ object SparkEntry {
       t(s, d, "events")
         .select(col("event_id"),
           variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
-        .orderBy("event_id")),
+        ),
 
     // ---- 2.E validation ----
     "validate_required" -> { (s, d) =>
@@ -161,20 +159,19 @@ object SparkEntry {
       valid.agg(count(lit(1)).as("n"))
         .select(lit("_valid").as("loc"), lit("ok").as("type"), col("n"))
         .unionAll(Validation.violationCounts(ev, rules))
-        .orderBy("loc", "type")
     },
 
     "validate_bounds" -> ((s, d) =>
       Validation.violationCounts(
         t(s, d, "lineitem"), Validation.boundsRules(lineitemBounds))
-        .orderBy("loc", "type")),
+        ),
 
     // ---- 2.D profiling ----
     "profile_summarize" -> ((s, d) =>
       Profile.summarize(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
         exact = true)
-        .orderBy("column_name")),
+        ),
 
     // (The approximate profile mode — HLL distinct + percentile_approx, the
     // at-scale default — is engine-specific by construction and so lives
@@ -192,7 +189,6 @@ object SparkEntry {
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
           graft.functions.Rounding.dround(coalesce(col("n_clicks"), lit(0L)).cast("double") / col("n_views"), 4)
             .as("ctr"))
-        .orderBy("k")
     },
 
     "q1_agg" -> ((s, d) =>
@@ -209,7 +205,7 @@ object SparkEntry {
           graft.functions.Rounding.dround(avg(col("l_quantity")), 4).as("avg_qty"),
           graft.functions.Rounding.dround(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        ),
 
     // Running aggregates per key (the classic sessionization/window shape).
     "window_running" -> { (s, d) =>
@@ -222,7 +218,6 @@ object SparkEntry {
         count(lit(1)).over(run).as("run_n"),
         graft.functions.Rounding.dround(sum(col("value")).over(run), 4).as("run_v"),
         (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap_ms"))
-        .orderBy("event_id")
     },
 
     // Statistical aggregates (profiling-adjacent): correlation, covariance,
@@ -233,7 +228,7 @@ object SparkEntry {
         .agg(graft.functions.Rounding.dround(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
           graft.functions.Rounding.dround(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
           graft.functions.Rounding.dround(stddev_samp(col("l_extendedprice")), 4).as("std_price"))
-        .orderBy("l_returnflag")),
+        ),
 
     // Quantile bucketing: decile of customers by account balance (total
     // order via the custkey tiebreak keeps bucket membership exact).
@@ -246,7 +241,6 @@ object SparkEntry {
           "c_acctbal", "c_custkey", 10, coarseWidth = 100.0, bucketCol = "decile")
         .groupBy("decile")
         .agg(count(lit(1)).as("n"), graft.functions.Rounding.dround(avg(col("c_acctbal")), 4).as("avg_bal"))
-        .orderBy("decile")
     },
 
     // Pivot: per-user event-type count matrix (explicit value list keeps the
@@ -258,7 +252,7 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
-        .orderBy("user_id")),
+        ),
 
     // Set operation: user-days with views but no purchase (EXCEPT shape —
     // planned as a left-anti join on distinct keys, nothing materialized).
@@ -266,7 +260,7 @@ object SparkEntry {
       val ev = t(s, d, "events")
       def userDays(kind: String) = ev.where(col("event_type") === kind)
         .select(col("user_id"), unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
-      userDays("view").except(userDays("purchase")).orderBy("user_id", "day_ms")
+      userDays("view").except(userDays("purchase"))
     },
 
     // Gap-based sessionization via the built-in session_window (streaming-
@@ -282,7 +276,7 @@ object SparkEntry {
           (unix_micros(col("sw.end")) - unix_micros(col("sw.start")) - lit(1800000000L))
             .as("duration_us"),
           col("n_events"))
-        .orderBy("user_id", "session_start_us")),
+        ),
 
     // ROLLUP aggregation (subtotals + grand total; grouping-set nulls are
     // coalesced to '_all' so the row set is engine-independent).
@@ -294,7 +288,7 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("_all")).as("flag"),
           coalesce(col("l_linestatus"), lit("_all")).as("status"),
           col("sum_price"), col("n"))
-        .orderBy("flag", "status")),
+        ),
 
     // CUBE: every grouping-set combination (adds the per-status-only
     // subtotals ROLLUP lacks).
@@ -306,7 +300,7 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("_all")).as("flag"),
           coalesce(col("l_linestatus"), lit("_all")).as("status"),
           col("sum_price"), col("n"))
-        .orderBy("flag", "status")),
+        ),
 
     // As-of join (scalable union + carry-forward formulation): latest
     // purchase at-or-before each view, same user, within 1 h.
@@ -320,7 +314,6 @@ object SparkEntry {
           col("value"))
       graft.analytics.AsOfJoin.asOf(left, right, AnalogDeltaMs)
         .select(col("decision_id"), col("value"), col("age_ms"))
-        .orderBy("decision_id")
     },
 
     // Part-dimension join: broadcast the filtered dimension, revenue per
@@ -333,7 +326,6 @@ object SparkEntry {
         .groupBy("p_brand")
         .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / lit(100.0))
           .as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy("p_brand")
     },
 
     // Supplier-side join chain with per-nation rollup of supplier activity.
@@ -347,7 +339,6 @@ object SparkEntry {
         .agg(count_distinct(col("s_suppkey")).as("n_suppliers"),
           (sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / lit(100.0))
             .as("revenue"))
-        .orderBy("n_name")
     },
 
     "multi_join_agg" -> { (s, d) =>
@@ -364,7 +355,6 @@ object SparkEntry {
         .groupBy("n_name")
         .agg((sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))) / lit(100.0))
           .as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy("n_name")
     },
 
     // ---- 2.C delayed-join batch analogs ----
@@ -372,14 +362,12 @@ object SparkEntry {
       val ev = t(s, d, "events")
       DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs)
         .select("key", "decision_id", "reward", "decision_insert_ms", "reward_delta_ms")
-        .orderBy("decision_id", "reward_delta_ms", "reward")
     },
 
     "join_coalesce_default" -> { (s, d) =>
       val ev = t(s, d, "events")
       DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs)
         .groupBy("decision_id").agg(max(col("reward")).as("reward"))
-        .orderBy("decision_id")
     },
 
     "join_delta_ms" -> { (s, d) =>
@@ -387,7 +375,6 @@ object SparkEntry {
       DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs)
         .where(col("reward_delta_ms").isNotNull)
         .groupBy("decision_id").agg(min(col("reward_delta_ms")).as("min_delta_ms"))
-        .orderBy("decision_id")
     },
 
     "last_reward_dedup" -> { (s, d) =>
@@ -395,7 +382,6 @@ object SparkEntry {
       DelayedJoin.lastRewardWins(
           DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs), Seq("decision_id"))
         .select("decision_id", "reward", "reward_delta_ms")
-        .orderBy("decision_id")
     },
 
     "override_anti_join" -> { (s, d) =>
@@ -404,7 +390,7 @@ object SparkEntry {
         .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
         .where(col("n") >= 20)
       DelayedJoin.withoutOverridden(decisions(ev), overrides)
-        .select("decision_id").orderBy("decision_id")
+        .select("decision_id")
     },
 
     // ---- 2.D alert feed (batch analog of the 1-min alert window) ----
@@ -414,7 +400,6 @@ object SparkEntry {
       DqAlerts.alertCounts(viol)
         .select(unix_millis(col("window_start")).as("bucket_ms"),
           col("loc"), col("type"), col("n"))
-        .orderBy("bucket_ms")
     },
 
     // J1 batch analog: per-record TTL validity window — records "live" at a
@@ -424,33 +409,32 @@ object SparkEntry {
       t(s, d, "events")
         .select(col("event_id"), unix_millis(col("ts")).as("insert_ms"))
         .where(lit(T).between(col("insert_ms"), col("insert_ms") + AnalogDeltaMs))
-        .orderBy("event_id")
     },
 
     // ---- 2.H dedup ----
     "dedup_exact" -> ((s, d) =>
-      Dedup.exact(t(s, d, "documents")).orderBy("keep_id")),
+      Dedup.exact(t(s, d, "documents"))),
 
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minhash(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+      Dedup.minhash(t(s, d, "documents"))),
 
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+      Dedup.simhash(t(s, d, "documents"))),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(t(s, d, "documents")).orderBy("doc_a", "doc_b")),
+      Dedup.ngramJaccard(t(s, d, "documents"))),
 
     // Cluster resolution over the near-dup pair graph: a≈b≈c is ONE cluster
     // even though (a, c) was never compared — keeper selection needs
     // components, not pairs.
-    "dedup_components" -> ((s, d) => components(s, d).orderBy("id")),
+    "dedup_components" -> ((s, d) => components(s, d)),
 
     // Benchmark decontamination: docs sharing any 5-gram with the "eval set"
     // (doc_id < 10 stands in for a held-out benchmark).
     "decontaminate" -> { (s, d) =>
       val docs = t(s, d, "documents")
       Dedup.decontaminate(docs.where(col("doc_id") >= 10),
-        docs.where(col("doc_id") < 10)).orderBy("id")
+        docs.where(col("doc_id") < 10))
     },
 
     // The dedup END PRODUCT: per clustered doc, the canonical keeper and a
@@ -461,14 +445,13 @@ object SparkEntry {
       cc.join(keepers, "component")
         .select(col("id"), col("keep_id"),
           (col("id") =!= col("keep_id")).as("is_dup"))
-        .orderBy("id")
     },
 
     // Embedding-cosine near-duplicate pairs, blocked by the coarse partition
     // (label = IVF-cluster stand-in); blocks above the size guard are LSH
     // sub-bucketed so no block is ever unboundedly quadratic.
     "dedup_embedding" -> ((s, d) =>
-      Similarity.nearDupPairs(t(s, d, "embeddings")).orderBy("vec_a", "vec_b")),
+      Similarity.nearDupPairs(t(s, d, "embeddings"))),
 
     // Per-label mean embedding (centroid) via the custom VectorSumD
     // aggregate — map-side-combined vector partials, one shuffle. The
@@ -484,22 +467,22 @@ object SparkEntry {
         .select(col("label"), col("pos").cast("long").as("pos"),
           graft.functions.Rounding.dround(col("col") / col("n"), 6).as("m"),
           col("n"))
-        .orderBy("label", "pos")),
+        ),
 
     // ---- 2.H similarity ----
     "sim_topk" -> { (s, d) =>
       val embs = t(s, d, "embeddings")
       val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
-      Similarity.topK(embs, q, 10).orderBy(col("sim").desc, col("vec_id"))
+      Similarity.topK(embs, q, 10)
     },
 
     "sim_nn_label" -> ((s, d) =>
-      Similarity.nnWithinPartition(t(s, d, "embeddings")).orderBy("a_id")),
+      Similarity.nnWithinPartition(t(s, d, "embeddings"))),
 
     "sim_ann_lsh" -> { (s, d) =>
       val embs = t(s, d, "embeddings")
       val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
-      Similarity.annTopK(embs, q, 10).orderBy(col("sim").desc, col("vec_id"))
+      Similarity.annTopK(embs, q, 10)
     },
 
     // IVF probe against the per-(session, dir) memoized index — built and
@@ -510,7 +493,6 @@ object SparkEntry {
       val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
       Similarity.ivfTopK(ivfIdx(s, d), embs, q, 10, nprobe = 4,
         idCol = "vec_id", vecCol = "embedding", scale = 6)
-        .orderBy(col("sim").desc, col("vec_id"))
     },
 
     // Int8 vector quantization (posexploded to scalar rows for the gate —
@@ -521,22 +503,22 @@ object SparkEntry {
         .select(col("id"), col("scale"), posexplode(col("qvec")))
         .select(col("id"), col("pos").cast("long").as("pos"),
           col("col").as("q"), col("scale"))
-        .orderBy("id", "pos")),
+        ),
 
     // ---- 2.H text analysis ----
     "text_stats" -> ((s, d) =>
-      TextStats.langStats(t(s, d, "documents")).orderBy("lang")),
+      TextStats.langStats(t(s, d, "documents"))),
 
     "lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "pred_lang")),
+        ),
 
     "quality_score" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")),
+        ),
 
     // Gopher-style per-doc quality signals: n-gram repetition, mean word
     // length, symbol density — the cheap filters a pretraining pipeline
@@ -547,7 +529,7 @@ object SparkEntry {
         TextStats.repetitionScore(col("text")).as("rep3"),
         TextStats.meanWordLen(col("text")).as("mean_wlen"),
         TextStats.symbolRatio(col("text")).as("sym_ratio"))
-        .orderBy("doc_id")),
+        ),
 
     "token_count" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -555,7 +537,7 @@ object SparkEntry {
         TextStats.tokenCount(col("text")).as("n_ws"),
         TextStats.alphaTokenCount(col("text")).as("n_alpha"),
         TextStats.bpeEstimate(col("text")).as("n_bpe"))
-        .orderBy("doc_id")),
+        ),
 
     // PII scrub over deterministic synthesized contact strings (the corpus
     // itself is PII-free, so the query plants an email/IP/phone per doc and
@@ -569,7 +551,7 @@ object SparkEntry {
           lit(".7 call +1 415 555 01"),
           lpad((col("doc_id") % 100).cast("string"), 2, "0"),
           lit(" - "), substring(col("text"), 1, 80))).as("redacted"))
-        .orderBy("doc_id")),
+        ),
 
     // Text normalization: the cheap cleanup pass every corpus pipeline runs
     // before dedup/tokenization (case-fold, squeeze whitespace, strip
@@ -580,7 +562,7 @@ object SparkEntry {
         regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
           " +", " ").as("norm_text"))
-        .orderBy("doc_id")),
+        ),
 
     // TF-IDF: explode → tf per (doc,term) → df per term → smoothed idf →
     // top-3 terms per doc. The full multi-stage corpus pipeline in one
@@ -598,7 +580,6 @@ object SparkEntry {
           graft.functions.Rounding.dround(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
         .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"))
-        .orderBy(col("doc_id"), col("score").desc, col("term"))
     },
 
     // Sequential conversion funnel: first view → first click at-or-after it
@@ -630,7 +611,6 @@ object SparkEntry {
         .groupBy(col("cohort_ms"),
           ((col("day_ms") - col("cohort_ms")) / 86400000L).cast("long").as("day_offset"))
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_ms", "day_offset")
     },
 
     // EXISTS / semi-join shape: orders containing a high-value item.
@@ -638,7 +618,7 @@ object SparkEntry {
       val o = t(s, d, "orders")
       val li = t(s, d, "lineitem").where(col("l_extendedprice") > 90000)
       o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
     },
 
     // Corpus-wide token frequency (the explode+count shape; top 50).
@@ -651,13 +631,13 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
-        .orderBy("doc_id")),
+        ),
 
     // Deterministic 10% hash sample: reproducible across runs/engines/
     // partitionings, unlike rand()-based sampling.
     "sample_hash" -> ((s, d) =>
       graft.llm.Corpus.sampleHash(t(s, d, "documents"), 0.1)
-        .select("doc_id", "source", "lang").orderBy("doc_id")),
+        .select("doc_id", "source", "lang")),
 
     // Weighted training mix: per-source keep rates as a pure deterministic
     // filter (sources without a rate drop out).
@@ -665,24 +645,24 @@ object SparkEntry {
       graft.llm.Corpus.mixWeighted(t(s, d, "documents"),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
-        .orderBy("source")),
+        ),
 
     // Sequence packing: per-lang greedy token-budget bins (keyed window —
     // packing parallelizes by shard, never a global sort).
     "pack_sequences" -> ((s, d) =>
       graft.llm.Corpus.packSequences(t(s, d, "documents"), budget = 512)
-        .orderBy("doc_id")),
+        ),
 
     // Deterministic Agrawal load corpus (reference locustfile's
     // synth.Agrawal(seed=1729) analog): partition-parallel, pure column
     // arithmetic, engine-reproducible.
     "gen_agrawal" -> ((s, _) =>
-      graft.etl.Synthetic.agrawal(s, 1000).orderBy("id")),
+      graft.etl.Synthetic.agrawal(s, 1000)),
 
     // ---- 2.H multimodal ----
     "multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinary(t(s, d, "documents")))
-        .orderBy("media_id")),
+        ),
 
     // The typed mapPartitions decode path (binary payload → frame rows) —
     // frame indices are deterministic (one frame per started 1000 bytes), so
@@ -691,7 +671,7 @@ object SparkEntry {
       Multimodal.decodeFrames(s, Multimodal.asBinary(t(s, d, "documents")),
           Multimodal.fakeFrameDecoder)
         .select(col("media_id"), col("frame_idx"))
-        .orderBy("media_id", "frame_idx"))
+        )
   )
 
   // ------------------------------------------------------------------
