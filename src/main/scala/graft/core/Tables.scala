@@ -16,21 +16,33 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Resolved-plan memo, keyed like the catalog entry it stands in for:
+  // (session UUID, dir, table). `spark.read.parquet` re-lists the directory
+  // and re-reads a footer for schema EVERY call — pure metadata overhead
+  // repeated at each of the ~150 loader call sites in a full query-suite
+  // run. The resolved LogicalRelation is immutable, so one resolution per
+  // session serves every query. Entries are plans (KBs); growth is bounded
+  // by live sessions × tables.
+  private val resolved =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    val df =
-      if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val df = resolved.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.SessionBridge.uuid(spark), dir, name), {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      })
     // Opt-in warehouse cache (spark.graft.cacheTables=true): repeated loads
     // of the same table resolve to one in-memory copy via the CacheManager's
     // plan-equality lookup. For repeated-query workloads over tables that fit
     // executor memory (dims, hot silver tables) — not for the 100 TB fact
     // table, which is why it is off by default. The "already cached?" guard
     // (which only exists to avoid cache()'s repeated-call warning spam) asks
-    // the CacheManager itself, so it is correct across concurrent sessions
-    // and after spark.catalog.clearCache() — any caller-side guard set keyed
-    // on the session object is not.
+    // the CacheManager itself on EVERY call — not at memoization time — so
+    // it stays correct across concurrent sessions and re-caches after
+    // spark.catalog.clearCache(); any caller-side guard flag would not.
     if (spark.conf.getOption("spark.graft.cacheTables").contains("true") &&
         !org.apache.spark.sql.graftbridge.SessionBridge.isCached(df)) df.cache()
     else df
