@@ -118,20 +118,35 @@ object Profile {
         count(when(col(c).isNull, 1)).as(s"_${i}_null"))
     }
     val perVal = Quantiles.valueCounts(df, cols).persist()
-    val warm = scala.concurrent.Future(perVal.count())(
-      scala.concurrent.ExecutionContext.global)
+    // pass 2, CONCURRENT with pass 1: materialize perVal and collect the
+    // bounded histogram (carrying the exact distinct count) in the same job.
+    // Bucketing stats come from perVal itself via a broadcast join — not
+    // from the pass-1 row — so neither pass waits on the other; the bucket
+    // arithmetic is identical to the driver-literal form the bounding pass
+    // rebuilds below, so bucket ids agree bit for bit.
+    val histF = scala.concurrent.Future {
+      val statsDf = perVal.groupBy("_cn")
+        .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
+      val width = (col("_mx") - col("_mn")) / Buckets
+      perVal.join(broadcast(statsDf), "_cn")
+        .withColumn("_cr",
+          when(col("_mx") === col("_mn"), lit(0L))
+            .otherwise(least(floor((col("_v") - col("_mn")) / width),
+              lit(Buckets - 1L))))
+        .groupBy("_cn", "_cr")
+        .agg(sum("_c").as("rc"), count(lit(1)).as("ndp"),
+          first("_mn").as("mn"), first("_mx").as("mx"), first("_n").as("n"))
+        .collect()
+    }(scala.concurrent.ExecutionContext.global)
     val wideRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    scala.concurrent.Await.ready(warm, scala.concurrent.duration.Duration.Inf)
+    val rawHist = scala.concurrent.Await.result(histF,
+      scala.concurrent.duration.Duration.Inf)
     val (quartile: Map[String, Map[Double, Double]], nDistinct: Map[String, Long]) =
       try {
-        // per-column domain + non-null count, straight off the pass-1 row —
-        // no extra stats job
-        val stats: Map[String, (Double, Double, Long)] = cols.zipWithIndex.flatMap {
-          case (c, i) =>
-            if (wideRow.isNullAt(wideRow.fieldIndex(s"_${i}_min"))) None
-            else Some(c -> ((wideRow.getDouble(wideRow.fieldIndex(s"_${i}_min")),
-              wideRow.getDouble(wideRow.fieldIndex(s"_${i}_max")),
-              wideRow.getLong(wideRow.fieldIndex(s"_${i}_cnt")))))
+        // per-column domain + non-null count, straight off the histogram rows
+        val stats: Map[String, (Double, Double, Long)] = rawHist.map { r =>
+          r.getAs[String]("_cn") -> ((r.getAs[Double]("mn"), r.getAs[Double]("mx"),
+            r.getAs[Long]("n")))
         }.toMap
 
         // histogram id per distinct value, from driver-side literal stats
@@ -142,12 +157,8 @@ object Profile {
           when(col("_cn") === cn, e).otherwise(acc)
         }
 
-        // pass 2: bounded histogram (carrying the exact distinct count) →
-        // driver-side exclusive prefix + rank→bucket
-        val histRows = perVal.withColumn("_cr", crExpr)
-          .groupBy("_cn", "_cr")
-          .agg(sum("_c").as("rc"), count(lit(1)).as("ndp")).collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val histRows = rawHist.map(r => (r.getAs[String]("_cn"),
+          r.getAs[Long]("_cr"), r.getAs[Long]("rc"), r.getAs[Long]("ndp")))
         val nd: Map[String, Long] =
           histRows.groupBy(_._1).map { case (cn, rs) => cn -> rs.map(_._4).sum }
         val hist: Map[String, Array[(Long, Long, Long)]] = // cn → (cr, rc, pr)
