@@ -75,6 +75,28 @@ class ValidationSpec extends SparkSpec {
     }
   }
 
+  test("table loads are memoized per session and re-cache after clearCache") {
+    import graft.core.Tables
+    // memoization: the same session gets the same resolved plan object —
+    // no repeated directory listing / footer read
+    val a = Tables(spark, "/root/testdata/sf0.001", "nation")
+    val b = Tables(spark, "/root/testdata/sf0.001", "nation")
+    assert(a eq b)
+    // the cache guard consults the CacheManager on every call, so a
+    // clearCache() between loads re-engages the warehouse cache
+    spark.conf.set("spark.graft.cacheTables", "true")
+    try {
+      Tables(spark, "/root/testdata/sf0.001", "nation").count()
+      spark.sharedState.cacheManager.clearCache()
+      val c = Tables(spark, "/root/testdata/sf0.001", "nation")
+      c.count()
+      assert(c.queryExecution.withCachedData.toString.contains("InMemoryRelation"))
+    } finally {
+      spark.conf.unset("spark.graft.cacheTables")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("flatten rejects unknown fields and non-descendable paths") {
     import graft.etl.Flatten
     import org.apache.spark.sql.types._
