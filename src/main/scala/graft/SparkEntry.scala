@@ -316,6 +316,24 @@ object SparkEntry {
         .select(col("decision_id"), col("value"), col("age_ms"))
     },
 
+    // Keyless range (containment) join: views landing inside the 10-minute
+    // window after each error. Bucket decomposition turns the keyless range
+    // predicate into a hash equi-join on the bucket (the naive formulation
+    // is a nested-loop join — O(|L|·|R|) and dead at scale).
+    "range_join" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val points = ev.where(col("event_type") === "view")
+        .select(unix_millis(col("ts")).as("t_ms"), col("value"))
+      val intervals = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), unix_millis(col("ts")).as("s_ms"),
+          (unix_millis(col("ts")) + lit(600000L)).as("e_ms"))
+      graft.analytics.RangeJoin.byBucket(points, "t_ms", intervals, "s_ms", "e_ms",
+          bucketWidth = 600000L)
+        .groupBy("error_id")
+        .agg(count(lit(1)).as("n_views"),
+          (sum(cents(col("value"))) / lit(100.0)).as("sum_value"))
+    },
+
     // Part-dimension join: broadcast the filtered dimension, revenue per
     // brand (filter pushed to the dimension scan, fact side never shuffled
     // before the aggregate's partial phase).
@@ -942,6 +960,15 @@ object SparkEntry {
         "SELECT decision_id, value, ts - right_ts AS age_ms FROM c " +
         "WHERE kind = 1 AND right_ts IS NOT NULL AND ts - right_ts <= 3600000 " +
         "ORDER BY decision_id"),
+
+    "range_join" ->
+      ("WITH iv AS (SELECT event_id AS error_id, epoch_ms(ts) AS s_ms, epoch_ms(ts) + 600000 AS e_ms " +
+        "FROM events WHERE event_type = 'error'), " +
+        "p AS (SELECT epoch_ms(ts) AS t_ms, value FROM events WHERE event_type = 'view') " +
+        "SELECT error_id, count(*) AS n_views, " +
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value " +
+        "FROM p JOIN iv ON p.t_ms >= iv.s_ms AND p.t_ms < iv.e_ms " +
+        "GROUP BY error_id ORDER BY error_id"),
 
     "validate_required" ->
       ("SELECT '_valid' AS loc, 'ok' AS type, count(*) AS n FROM events " +

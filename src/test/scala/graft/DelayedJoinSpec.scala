@@ -129,6 +129,26 @@ class DelayedJoinSpec extends SparkSpec {
     assert(strict.count() == 3 && strict.where($"value".isNotNull).count() == 1)
   }
 
+  test("range join by bucket matches the naive range predicate, duplicate-free") {
+    import graft.analytics.RangeJoin
+    val points = Seq(5L, 100L, 250L, 999L, 1000L, 2500L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("pid", "t")
+    // intervals spanning 0, 1 and many buckets at width 100
+    val ivs = Seq((10L, 0L, 50L), (11L, 90L, 110L), (12L, 200L, 1000L),
+      (13L, 3000L, 3100L)).toDF("iid", "s", "e")
+    val bucketed = RangeJoin.byBucket(points, "t", ivs, "s", "e", bucketWidth = 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    val naive = points.join(ivs, $"t" >= $"s" && $"t" < $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq.sorted
+    assert(bucketed == naive)
+    // end-exclusive: t=1000 must NOT match [200,1000); one row per pair
+    assert(!bucketed.contains((4L, 12L)) && bucketed.distinct == bucketed)
+    // left_outer keeps unmatched points with NULL interval columns
+    val outer = RangeJoin.byBucket(points, "t", ivs, "s", "e", 100L, "left_outer")
+    assert(outer.where($"iid".isNull).select("pid").as[Long].collect().toSet ==
+      Set(4L, 5L))
+  }
+
   test("changefeed sink: foreachBatch receives only inserts (diff>0 analog)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[In]
