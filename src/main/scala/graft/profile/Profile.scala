@@ -19,18 +19,20 @@ import org.apache.spark.sql.types._
   * bit and is EAGER, like SUMMARIZE itself: the built-in exact
   * `percentile()` is a `TypedImperativeAggregate` whose buffer holds every
   * distinct (value, count) pair on one final reducer — state ∝ table size, a
-  * 100 TB scale-killer. Instead the exact path runs bounded passes over a
+  * 100 TB scale-killer. Instead the exact path is TWO bounded jobs over a
   * persisted keyed `groupBy(column, value)` relation (the shuffle state per
-  * task is bounded by the value domain, never the row count):
+  * task is bounded by the value domain, never the row count). NULLs are kept
+  * as their own `(column, NULL)` group, so every simple statistic —
+  * min/max/avg/count/null-count/distinct-count — derives from the same
+  * relation and no separate full-table aggregate pass exists:
   *
-  *  1. one simple wide aggregate for min/max/avg/count/null-count;
-  *  2. `(column, value) → count` (map-side combinable keyed shuffle),
-  *     persisted; per-column min/max/n/n_distinct collected (one row per
-  *     column);
-  *  3. a fixed-width histogram (≤ cols × 1024 buckets) collected; quartile
-  *     ranks lo = ⌊q·(n−1)⌋, hi = ⌈q·(n−1)⌉ are located in their buckets
-  *     driver-side — pure arithmetic on the bounded histogram;
-  *  4. ONLY the hit buckets' distinct values (≈ n_distinct/1024 rows per
+  *  1. `(column, value) → count` (map-side combinable keyed shuffle),
+  *     persisted; per-column min/max/n/null-count/weighted-avg aggregated
+  *     (one row per column, broadcast back for bucketing) and a fixed-width
+  *     histogram (≤ cols × 1024 buckets, carrying those stats) collected —
+  *     one job. Quartile ranks lo = ⌊q·(n−1)⌋, hi = ⌈q·(n−1)⌉ are located in
+  *     their buckets driver-side — pure arithmetic on the bounded histogram;
+  *  2. ONLY the hit buckets' distinct values (≈ n_distinct/1024 rows per
   *     bucket) are ranked with a window keyed by (column, bucket), and only
   *     the ≤ 2 bounding rows per quartile are collected and interpolated:
   *     v_lo + (q·(n−1) − lo)·(v_hi − v_lo), DuckDB's quantile_cont.
@@ -104,50 +106,64 @@ object Profile {
   private def summarizeExact(df: DataFrame, cols: Seq[String], avgScale: Int): DataFrame = {
     val spark = df.sparkSession
 
-    // pass 1: simple wide aggregate — min/max/avg/count/null-count, one scan.
-    // The (column, value) count relation doesn't depend on it, so its
-    // materialization runs CONCURRENTLY with the collect (two independent
-    // scan jobs share the cluster instead of serializing).
-    val aggs: Seq[Column] = cols.zipWithIndex.flatMap { case (c, i) =>
-      val d = col(c).cast("double")
-      Seq(
-        min(d).as(s"_${i}_min"),
-        max(d).as(s"_${i}_max"),
-        graft.functions.Rounding.dround(avg(d), avgScale).as(s"_${i}_avg"),
-        count(col(c)).as(s"_${i}_cnt"),
-        count(when(col(c).isNull, 1)).as(s"_${i}_null"))
-    }
-    val perVal = Quantiles.valueCounts(df, cols).persist()
-    // pass 2, CONCURRENT with pass 1: materialize perVal and collect the
-    // bounded histogram (carrying the exact distinct count) in the same job.
-    // Bucketing stats come from perVal itself via a broadcast join — not
-    // from the pass-1 row — so neither pass waits on the other; the bucket
-    // arithmetic is identical to the driver-literal form the bounding pass
-    // rebuilds below, so bucket ids agree bit for bit.
-    val histF = scala.concurrent.Future {
-      val statsDf = perVal.groupBy("_cn")
-        .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
-      val width = (col("_mx") - col("_mn")) / Buckets
-      perVal.join(broadcast(statsDf), "_cn")
-        .withColumn("_cr",
-          when(col("_mx") === col("_mn"), lit(0L))
-            .otherwise(least(floor((col("_v") - col("_mn")) / width),
-              lit(Buckets - 1L))))
-        .groupBy("_cn", "_cr")
-        .agg(sum("_c").as("rc"), count(lit(1)).as("ndp"),
-          first("_mn").as("mn"), first("_mx").as("mx"), first("_n").as("n"))
-        .collect()
-    }(scala.concurrent.ExecutionContext.global)
-    val wideRow = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val rawHist = scala.concurrent.Await.result(histF,
-      scala.concurrent.duration.Duration.Inf)
+    // The ONE keyed relation everything derives from: (column, value) → count
+    // with NULL values kept as their own group (unlike Quantiles.valueCounts,
+    // which is quantile-only and drops them). min/max/count/null-count and
+    // the count-weighted average all aggregate from it, so there is no
+    // separate full-table wide-aggregate pass — the whole profile is this
+    // shuffle plus two bounded collects.
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val perVal = df
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS (_cn, _v)"))
+      .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
+      .persist()
+    // One row per column; broadcast back onto perVal for bucketing. The
+    // weighted mean Σ(v·c)/Σ(c) sums FEWER terms than a row-order mean (one
+    // per distinct value), and the result is rounded to `avgScale` exactly
+    // like the lazy path, which absorbs the summation-order ulp.
+    val nNonNull = sum(when(col("_v").isNotNull, col("_c")))
+    val statsDf = perVal.groupBy("_cn").agg(
+      min("_v").as("_mn"), max("_v").as("_mx"),
+      coalesce(nNonNull, lit(0L)).as("_n"),
+      coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("_nulls"),
+      graft.functions.Rounding.dround(sum(col("_v") * col("_c")) / nNonNull,
+        avgScale).as("_avg"))
+    // job 1: materialize perVal and collect the bounded histogram, stats
+    // riding along via first(). NULL groups land in sentinel bucket −1: they
+    // are excluded from the histogram/quantile arithmetic below but carry the
+    // per-column stats for all-NULL columns (which have no other rows). The
+    // bucket arithmetic is identical to the driver-literal form the bounding
+    // pass rebuilds below, so bucket ids agree bit for bit.
+    val width = (col("_mx") - col("_mn")) / Buckets
+    val rawHist = perVal.join(broadcast(statsDf), "_cn")
+      .withColumn("_cr",
+        when(col("_v").isNull, lit(-1L))
+          .when(col("_mx") === col("_mn"), lit(0L))
+          .otherwise(least(floor((col("_v") - col("_mn")) / width),
+            lit(Buckets - 1L))))
+      .groupBy("_cn", "_cr")
+      .agg(sum("_c").as("rc"), count(lit(1)).as("ndp"),
+        first("_mn").as("mn"), first("_mx").as("mx"), first("_n").as("n"),
+        first("_nulls").as("nulls"), first("_avg").as("avgv"))
+      .collect()
+    final case class ColStats(mn: java.lang.Double, mx: java.lang.Double,
+        avg: java.lang.Double, n: Long, nulls: Long)
+    val colStats: Map[String, ColStats] = rawHist.map { r =>
+      def d(name: String): java.lang.Double =
+        if (r.isNullAt(r.fieldIndex(name))) null
+        else Double.box(r.getAs[Double](name))
+      r.getAs[String]("_cn") -> ColStats(d("mn"), d("mx"), d("avgv"),
+        r.getAs[Long]("n"), r.getAs[Long]("nulls"))
+    }.toMap
     val (quartile: Map[String, Map[Double, Double]], nDistinct: Map[String, Long]) =
       try {
-        // per-column domain + non-null count, straight off the histogram rows
-        val stats: Map[String, (Double, Double, Long)] = rawHist.map { r =>
-          r.getAs[String]("_cn") -> ((r.getAs[Double]("mn"), r.getAs[Double]("mx"),
-            r.getAs[Long]("n")))
-        }.toMap
+        // per-column domain + non-null count for the quantile machinery —
+        // real (non-sentinel) histogram rows only
+        val stats: Map[String, (Double, Double, Long)] = rawHist
+          .filter(_.getAs[Long]("_cr") >= 0L).map { r =>
+            r.getAs[String]("_cn") -> ((r.getAs[Double]("mn"), r.getAs[Double]("mx"),
+              r.getAs[Long]("n")))
+          }.toMap
 
         // histogram id per distinct value, from driver-side literal stats
         val crExpr: Column = stats.foldLeft(lit(-1L)) { case (acc, (cn, (mn, mx, _))) =>
@@ -157,8 +173,9 @@ object Profile {
           when(col("_cn") === cn, e).otherwise(acc)
         }
 
-        val histRows = rawHist.map(r => (r.getAs[String]("_cn"),
-          r.getAs[Long]("_cr"), r.getAs[Long]("rc"), r.getAs[Long]("ndp")))
+        val histRows = rawHist.filter(_.getAs[Long]("_cr") >= 0L)
+          .map(r => (r.getAs[String]("_cn"),
+            r.getAs[Long]("_cr"), r.getAs[Long]("rc"), r.getAs[Long]("ndp")))
         val nd: Map[String, Long] =
           histRows.groupBy(_._1).map { case (cn, rs) => cn -> rs.map(_._4).sum }
         val hist: Map[String, Array[(Long, Long, Long)]] = // cn → (cr, rc, pr)
@@ -176,6 +193,8 @@ object Profile {
           val t = q * (n - 1).toDouble
           Target(cn, q, t, math.floor(t).toLong, math.ceil(t).toLong)
         }
+        if (targets.isEmpty) (Map.empty[String, Map[Double, Double]], nd)
+        else {
 
         def bucketOf(cn: String, rank: Long): (Long, Long) = {
           val bs = hist(cn)
@@ -203,7 +222,7 @@ object Profile {
              (lit(t.hi) >= col("_before") && lit(t.hi) < col("_before") + col("_c"))))
           .reduce(_ || _)
         val bounding: Map[String, Array[(Double, Long, Long)]] = // cn → (v, before, c)
-          perVal.withColumn("_cr", crExpr).where(candFilter)
+          perVal.where(col("_v").isNotNull).withColumn("_cr", crExpr).where(candFilter)
             .withColumn("_before", prCol + coalesce(sum("_c").over(w), lit(0L)))
             .where(rankHit)
             .select("_cn", "_v", "_before", "_c").collect()
@@ -221,19 +240,18 @@ object Profile {
           }.toMap
         }
         (quarts, nd)
+        }
       } finally { perVal.unpersist(); () }
 
-    val out = cols.zipWithIndex.map { case (c, i) =>
-      def d(name: String): java.lang.Double =
-        if (wideRow.isNullAt(wideRow.fieldIndex(name))) null
-        else Double.box(wideRow.getDouble(wideRow.fieldIndex(name)))
+    val out = cols.map { c =>
+      val st = colStats.get(c)
       val qs = quartile.get(c)
-      Row(c, d(s"_${i}_min"), d(s"_${i}_max"), d(s"_${i}_avg"),
+      Row(c, st.map(_.mn).orNull, st.map(_.mx).orNull, st.map(_.avg).orNull,
         qs.map(m => Double.box(m(0.25))).orNull,
         qs.map(m => Double.box(m(0.5))).orNull,
         qs.map(m => Double.box(m(0.75))).orNull,
-        wideRow.getLong(wideRow.fieldIndex(s"_${i}_cnt")),
-        wideRow.getLong(wideRow.fieldIndex(s"_${i}_null")),
+        st.map(_.n).getOrElse(0L),
+        st.map(_.nulls).getOrElse(0L),
         nDistinct.getOrElse(c, 0L))
     }
     spark.createDataFrame(
