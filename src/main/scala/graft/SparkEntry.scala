@@ -359,6 +359,21 @@ object SparkEntry {
             .as("revenue"))
     },
 
+    // Salting proof-of-equivalence: the salted join must produce the
+    // IDENTICAL relation as the plain join — the oracle IS the unsalted SQL,
+    // so the hash gate pins Skew.saltedJoin's semantics (no dropped,
+    // duplicated, or mis-salted rows), not just its shape.
+    "salted_join_agg" -> { (s, d) =>
+      val o = t(s, d, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      graft.core.Skew.saltedJoin(o, c, "custkey", salt = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / lit(100.0)).as("revenue"))
+    },
+
     "multi_join_agg" -> { (s, d) =>
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")
@@ -470,6 +485,18 @@ object SparkEntry {
     // sub-bucketed so no block is ever unboundedly quadratic.
     "dedup_embedding" -> ((s, d) =>
       Similarity.nearDupPairs(t(s, d, "embeddings"))),
+
+    // SemDeDup-style semantic dedup: block by the LEARNED cluster (the
+    // memoized IVF assignment — content-derived, unlike the metadata label
+    // above) and emit within-cluster near-dup pairs. The pair join is keyed
+    // on the cluster id; maxBlock is raised above the corpus size here so
+    // the gate pins EXACT all-pairs-within-cluster semantics at test scale
+    // (the library default, 10k, LSH-sub-buckets hot clusters at 100 TB).
+    "dedup_semantic" -> { (s, d) =>
+      val asg = ivfIdx(s, d).assignments.withColumnRenamed("id", "vec_id")
+      Similarity.nearDupPairs(t(s, d, "embeddings").join(asg, "vec_id"),
+        partCol = "cluster", maxBlock = 1000000)
+    },
 
     // Per-label mean embedding (centroid) via the custom VectorSumD
     // aggregate — map-side-combined vector partials, one shuffle. The
@@ -671,6 +698,28 @@ object SparkEntry {
       graft.llm.Corpus.packSequences(t(s, d, "documents"), budget = 512)
         ),
 
+    // Balanced per-stratum sample: 20 docs per lang, hash-ranked. The
+    // row_number<=n filter plans as WindowGroupLimit — each task keeps its
+    // local top-n per stratum before the exchange.
+    "sample_stratified" -> ((s, d) =>
+      graft.llm.Corpus.sampleStratified(t(s, d, "documents"), n = 20)
+        .select("lang", "doc_id")),
+
+    // Per-group top-k (top-3 longest docs per language): the rank window is
+    // keyed by the group and the rank filter plans as WindowGroupLimit, so
+    // no group's full row set is sorted globally and the shuffle carries at
+    // most k rows per (group, map task).
+    "topk_per_group" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("_rn", row_number().over(w)) // filter on the RAW rank
+        .where(col("_rn") <= 3) // attr — a cast here would defeat the
+        .select(col("lang"), col("doc_id"), col("n_chars"), // group-limit
+          col("_rn").cast("long").as("rn")) // inference rule
+    },
+
     // Deterministic Agrawal load corpus (reference locustfile's
     // synth.Agrawal(seed=1729) analog): partition-parallel, pure column
     // arithmetic, engine-reproducible.
@@ -779,16 +828,23 @@ object SparkEntry {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1,64), i -> $a[i]*$b[i])), (x,y) -> x+y)"
 
-  private lazy val ivfOracle: String = {
-    def centSim(v: String) =
-      s"${seqDot(v, "c.cvec")} / (sqrt(${seqDot("c.cvec", "c.cvec")}) + 1e-12)"
+  private def centSim(v: String) =
+    s"${seqDot(v, "c.cvec")} / (sqrt(${seqDot("c.cvec", "c.cvec")}) + 1e-12)"
+
+  // The IVF index replayed in SQL — mod-16 init centroids (quantized 6 dp)
+  // and argmax assignment with bitwise-identical sequential-fold dots.
+  // Shared prefix of the sim_ivf_topk and dedup_semantic oracles.
+  private lazy val ivfCte: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |u AS (SELECT (vec_id % 16) AS cl, i AS pos, v[i] AS x FROM e, generate_series(1,64) t(i)),
       |cm AS (SELECT cl, pos, round(sum(x) / count(*), 6) AS m FROM u GROUP BY cl, pos),
       |cent AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM cm GROUP BY cl),
       |sims AS (SELECT e.vec_id, c.cl, ${centSim("e.v")} AS s FROM e, cent c),
       |asg AS (SELECT vec_id, cl FROM (SELECT vec_id, cl,
-      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cl) AS rn FROM sims) WHERE rn = 1),
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cl) AS rn FROM sims) WHERE rn = 1)""".stripMargin.replace("\n", " ")
+
+  private lazy val ivfOracle: String =
+    ivfCte + s""",
       |q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
       |probe AS (SELECT c.cl, q.qv FROM cent c, q
       |  ORDER BY ${centSim("q.qv")} DESC, c.cl LIMIT 4)
@@ -796,6 +852,16 @@ object SparkEntry {
       |  (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(p.qv, p.qv))), 6) AS sim
       |FROM e JOIN asg USING (vec_id) JOIN probe p ON asg.cl = p.cl
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+
+  private lazy val semanticDedupOracle: String = {
+    val pairSim = "round(list_inner_product(a.v, b.v) / " +
+      "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)"
+    ivfCte +
+      s""" SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $pairSim AS sim
+        |FROM e a JOIN asg sa ON a.vec_id = sa.vec_id
+        |JOIN e b ON a.vec_id < b.vec_id
+        |JOIN asg sb ON b.vec_id = sb.vec_id AND sa.cl = sb.cl
+        |WHERE $pairSim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")
   }
 
   // doc_id hash draw shared by the sampling/mixing oracles (Corpus.hashUnit
@@ -1138,6 +1204,26 @@ object SparkEntry {
         "OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin, " +
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
         "FROM documents ORDER BY doc_id"),
+
+    "sample_stratified" ->
+      (s"SELECT lang, doc_id FROM (SELECT lang, doc_id, ROW_NUMBER() OVER " +
+        s"(PARTITION BY lang ORDER BY $hashDraw, doc_id) AS r FROM documents) " +
+        "WHERE r <= 20 ORDER BY lang, doc_id"),
+
+    "topk_per_group" ->
+      ("SELECT lang, doc_id, n_chars, rn FROM (SELECT lang, doc_id, n_chars, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 3 ORDER BY lang, rn"),
+
+    // deliberately the UNSALTED join: hash-equality proves the salted plan
+    // computes the identical relation
+    "salted_join_agg" ->
+      ("SELECT c_nationkey, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    "dedup_semantic" -> semanticDedupOracle,
 
     "dedup_ngram_jaccard" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

@@ -49,6 +49,22 @@ object Corpus {
     df.where(hashUnit(col(idCol), seed) < rate)
   }
 
+  /** Deterministic fixed-size per-stratum sample: rank rows within each
+    * stratum by their hash draw (ties by id) and keep the first `n` — the
+    * balanced-subset step that caps every language/source at the same count
+    * regardless of raw volume. The rank window is KEYED by the stratum
+    * (never a global sort), and Spark plans the `row_number <= n` filter as
+    * a WindowGroupLimit: each map task keeps only its local top-n per
+    * stratum BEFORE the shuffle, so the exchange carries
+    * O(strata × n × tasks) rows, not the corpus.
+    */
+  def sampleStratified(df: DataFrame, n: Int, strataCol: String = "lang",
+                       idCol: String = "doc_id", seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashUnit(col(idCol), seed), col(idCol))
+    df.withColumn("_r", row_number().over(w)).where(col("_r") <= n).drop("_r")
+  }
+
   /** Pack documents into fixed token-budget bins (context windows) per
     * `groupCol`: greedy by cumulative token count in `idCol` order —
     * `bin = floor(tokens_before_this_doc / budget)`. The window is KEYED by

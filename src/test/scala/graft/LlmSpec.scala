@@ -211,6 +211,24 @@ class LlmSpec extends SparkSpec {
     assert(byBin.keys.toSeq.sorted.zipWithIndex.forall { case (b, i) => b == i })
   }
 
+  test("stratified sampling caps every stratum, is partition-invariant, and plans a group limit") {
+    import graft.llm.Corpus
+    val docs = (0 until 1000).map(i =>
+      (i.toLong, s"src${i % 4}", if (i % 10 == 0) "fr" else "en", "txt"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = Corpus.sampleStratified(docs, n = 30, strataCol = "lang")
+    val counts = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 30L, "fr" -> 30L))
+    val a = got.select("doc_id").as[Long].collect().toSet
+    val b = Corpus.sampleStratified(docs.repartition(7), n = 30, strataCol = "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // the rank filter must reach the planner as a WindowGroupLimit: each
+    // task keeps its local top-n per stratum BEFORE the exchange, so the
+    // shuffle never carries the corpus
+    assert(got.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("PII redaction scrubs emails, IPs, and phone runs with typed placeholders") {
     val rows = Seq(
       "contact alice.smith+dev@example.co.uk or bob@test.org today",
