@@ -208,6 +208,81 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Shared element accessor for vector expressions that accept either
+  * array<float> (the storage type) or array<double>: reading the float
+  * directly and widening per element avoids materializing a whole cast
+  * array per row. (double)(float) is exact, so the arithmetic is identical
+  * to casting upstream — which is what the DuckDB oracle replays.
+  */
+private[functions] trait VectorElem { self: UnaryExpression =>
+  private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  protected def elem(v: ArrayData, i: Int): Double =
+    if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+}
+
+/** Symmetric int8 quantization scale max|x|/127 of a vector — comparisons
+  * only, so bit-reproducible regardless of element order.
+  */
+case class Int8Scale(child: Expression)
+    extends UnaryExpression with CodegenFallback with VectorElem {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) { val a = math.abs(elem(v, i)); if (a > m) m = a }
+      i += 1
+    }
+    java.lang.Double.valueOf(m / 127.0)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Int8Scale = copy(child = c)
+}
+
+/** Symmetric int8 quantization q_i = round_half_up(x_i / (max|x|/127)) in
+  * one tight loop per row. The transform()+when()+floor() composition pays
+  * an interpreted lambda frame per ELEMENT (dim × rows frames per pass);
+  * this computes the identical IEEE arithmetic — same divisions, same
+  * binary-value HALF-UP — so the DuckDB oracle replay is unchanged.
+  */
+case class Int8Quantize(child: Expression)
+    extends UnaryExpression with CodegenFallback with VectorElem {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) { val a = math.abs(elem(v, i)); if (a > m) m = a }
+      i += 1
+    }
+    val scale = m / 127.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val q =
+          if (scale == 0.0) 0.0
+          else {
+            val r = elem(v, i) / scale
+            if (r >= 0) math.floor(r + 0.5) else -math.floor(-r + 0.5)
+          }
+        out(i) = q.toInt
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Int8Quantize = copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -231,4 +306,8 @@ object native {
   /** Aggregate: elementwise sum of array<double> vectors (map-side combined). */
   def vecsum(c: Column): Column =
     column(VectorSumD(expression(c)).toAggregateExpression())
+
+  /** Int8 quantization of an array<float|double> vector (+ its scale). */
+  def int8quant(c: Column): Column = column(Int8Quantize(expression(c)))
+  def int8scale(c: Column): Column = column(Int8Scale(expression(c)))
 }

@@ -169,25 +169,20 @@ object Similarity {
 
   /** Symmetric int8 quantization of an embedding column — the storage/ANN
     * prep that cuts a vector corpus 4× before indexing: per-vector scale =
-    * max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127]. All arithmetic is
-    * per-row and order-independent (max is comparison-based), so the
-    * quantized corpus is bit-identical across engines and partitionings.
+    * max|x|/127, q_i = round(x_i/scale) ∈ [-127, 127] (binary-value HALF-UP,
+    * DuckDB's round formulation). All arithmetic is per-row and
+    * order-independent (max is comparison-based), so the quantized corpus is
+    * bit-identical across engines and partitionings. The kernel is a native
+    * expression ([[graft.functions.Int8Quantize]]) reading the float array
+    * directly — the aggregate()+transform() HOF form pays an interpreted
+    * lambda frame per element, dim × rows frames per pass.
     * Returns `(id, qvec array<int>, scale)`; dequantize ≈ q_i·scale.
     */
   def quantizeInt8(embs: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val v = asD(col(vecCol))
-    val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
-    val scale = maxAbs / 127.0
-    // binary-value HALF-UP in both directions (DuckDB's round formulation)
-    def q(x: Column): Column =
-      when(col("scale") === 0.0, lit(0L))
-        .otherwise(when(x >= 0, floor(x / col("scale") + 0.5))
-          .otherwise(-floor(-x / col("scale") + 0.5)))
-    embs.select(col(idCol).as("id"), v.as("v"), scale.as("scale"))
-      .select(col("id"), transform(col("v"), x => q(x).cast("int")).as("qvec"),
-        col("scale"))
-  }
+                   vecCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol).as("id"),
+      graft.functions.native.int8quant(col(vecCol)).as("qvec"),
+      graft.functions.native.int8scale(col(vecCol)).as("scale"))
 
   /** A built IVF index: `(id, cluster)` assignments + `(cluster, cvec)`
     * centroids, materialized ONCE (cached or persisted to storage) and
