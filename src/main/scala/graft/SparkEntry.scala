@@ -177,6 +177,20 @@ object SparkEntry {
     // at-scale default — is engine-specific by construction and so lives
     // outside the oracle gate: library surface + ScalaTest coverage only.)
 
+    // Grouped exact quantiles: the profile's bounded keyed plan with the
+    // GROUP value as the key — no group ever sorts globally.
+    "group_quantiles" -> ((s, d) =>
+      graft.analytics.Quantiles
+        .quantileContBy(t(s, d, "documents"), "lang", "n_chars",
+          Seq(0.25, 0.5, 0.75))
+        .select(col("lang"), col("q"),
+          graft.functions.Rounding.dround(col("value"), 4).as("value"))),
+
+    // Fixed-width distribution histogram (min/max sub-agg broadcast back
+    // onto the scan; bucket arithmetic shared with the quantile machinery).
+    "value_histogram" -> ((s, d) =>
+      Profile.histogram(t(s, d, "lineitem"), "l_extendedprice", buckets = 32)),
+
     // ---- flagship batch analytics ----
     "ctr_join" -> { (s, d) =>
       val e = withK(t(s, d, "events")).select("k", "event_type")
@@ -1065,6 +1079,23 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(leg).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
     },
+
+    "group_quantiles" ->
+      ("WITH g AS (SELECT lang, round(quantile_cont(n_chars, 0.25), 4) AS q25, " +
+        "round(quantile_cont(n_chars, 0.5), 4) AS q50, " +
+        "round(quantile_cont(n_chars, 0.75), 4) AS q75 FROM documents GROUP BY lang) " +
+        "SELECT lang, q, value FROM (" +
+        "SELECT lang, CAST(0.25 AS DOUBLE) AS q, q25 AS value FROM g " +
+        "UNION ALL SELECT lang, CAST(0.5 AS DOUBLE), q50 FROM g " +
+        "UNION ALL SELECT lang, CAST(0.75 AS DOUBLE), q75 FROM g) ORDER BY lang, q"),
+
+    // identical bucket arithmetic (same IEEE divisions), so bucket ids agree
+    "value_histogram" ->
+      ("WITH s AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn, " +
+        "CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem) " +
+        "SELECT CAST(CASE WHEN mx = mn THEN 0 ELSE " +
+        "least(floor((l_extendedprice - mn) / ((mx - mn) / 32)), 31) END AS BIGINT) AS bucket, " +
+        "count(*) AS cnt FROM lineitem, s GROUP BY 1 ORDER BY 1"),
 
     "ctr_join" ->
       ("WITH e AS (SELECT CAST(json_extract_string(props,'$.k') AS BIGINT) AS k, event_type FROM events), " +

@@ -73,6 +73,21 @@ object Quantiles {
       .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
   }
 
+  /** Exact interpolated quantiles PER GROUP — the same bounded keyed plan as
+    * [[quantileCont]] with the GROUP VALUE as the key instead of the column
+    * name, so per-task state is bounded by each group's value domain and no
+    * group is ever sorted globally. Returns `(groupCol, q, value)`.
+    */
+  def quantileContBy(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[Double], buckets: Int = 1024): DataFrame =
+    quantileContFromCounts(
+      df.select(col(groupCol).cast("string").as("_cn"),
+          col(valueCol).cast("double").as("_v"))
+        .where(col("_v").isNotNull)
+        .groupBy("_cn", "_v").agg(count(lit(1)).as("_c")),
+      qs, buckets)
+      .withColumnRenamed("column_name", groupCol)
+
   /** [[quantileCont]] over a pre-aggregated `(_cn, _v, _c)` relation. */
   def quantileContFromCounts(perVal: DataFrame, qs: Seq[Double],
                              buckets: Int = 1024): DataFrame = {

@@ -259,6 +259,27 @@ object Profile {
       profileSchema)
   }
 
+  /** Fixed-width value histogram: `buckets` equal ranges over [min, max]
+    * (last bucket closed), returned as `(bucket, cnt)`. The two-row min/max
+    * sub-aggregate is broadcast back onto the scan — a lazy single plan,
+    * zero unbounded state, the standard distribution diagnostic
+    * (doc lengths, score spreads) at any scale. Bucket arithmetic matches
+    * the profile/quantile machinery bit for bit, so it is oracle-checkable.
+    */
+  def histogram(df: DataFrame, c: String, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1)
+    val stats = df.agg(min(col(c)).cast("double").as("_mn"),
+      max(col(c)).cast("double").as("_mx"))
+    df.select(col(c).cast("double").as("_v")).where(col("_v").isNotNull)
+      .crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("_mx") === col("_mn"), lit(0L))
+          .otherwise(least(
+            floor((col("_v") - col("_mn")) / ((col("_mx") - col("_mn")) / buckets)),
+            lit(buckets - 1L))))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
   /** P2: profile → contract constraints (reference: profile.py:21-39 —
     * min/max become JSON-Schema minimum/maximum; null_percentage == 0 makes
     * the field required). Collect is safe: one row per profiled column.

@@ -319,6 +319,24 @@ class SessionAndStreamSpec extends SparkSpec {
     val const = Seq(7.0, 7.0, 7.0).toDF("c")
     assert(Quantiles.quantileCont(const, Seq("c"), Seq(0.5))
       .collect().head.getDouble(2) == 7.0)
+    // grouped variant: per-group medians, keyed by the group value
+    val grouped = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 20.0), ("b", 30.0))
+      .toDF("g", "v")
+    val gm = Quantiles.quantileContBy(grouped, "g", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gm == Map("a" -> 2.0, "b" -> 20.0))
+  }
+
+  test("fixed-width histogram buckets match a hand count") {
+    import graft.profile.Profile
+    // values 0..99: 10 buckets of width 9.9 — value 99 lands in the closed
+    // last bucket; bucket b = min(floor(v/9.9), 9)
+    val df = (0 until 100).map(_.toDouble).toDF("v")
+    val got = Profile.histogram(df, "v", buckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0 until 100).groupBy(v =>
+      math.min(math.floor(v / 9.9).toLong, 9L)).map { case (b, vs) => b -> vs.size.toLong }
+    assert(got == expected)
   }
 
   test("exact summarize matches quantile_cont on ties and handles all-null columns") {
@@ -337,6 +355,11 @@ class SessionAndStreamSpec extends SparkSpec {
     val an = out("allnull")
     assert(an.isNullAt(an.fieldIndex("q50")) && an.getLong(an.fieldIndex("n_distinct")) == 0L)
     assert(an.getLong(an.fieldIndex("null_cnt")) == 4L)
+    // empty input: one all-default row per requested column, no exception
+    val empty = Profile.summarize(df.where(lit(false)), Seq("v"), exact = true).collect()
+    assert(empty.length == 1 && empty(0).getString(0) == "v" &&
+      empty(0).getLong(empty(0).fieldIndex("col_cnt")) == 0L &&
+      empty(0).isNullAt(empty(0).fieldIndex("col_min")))
   }
 
   test("bounds generate the Prometheus alert-rules artifact") {
