@@ -465,6 +465,12 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhash(t(s, d, "documents"))),
 
+    // Signature-agreement Jaccard estimate for the LSH candidates — the
+    // constant-width pre-verify threshold (touches signatures, never
+    // shingle sets).
+    "dedup_minhash_est" -> ((s, d) =>
+      Dedup.minhashEstimate(t(s, d, "documents"))),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"))),
 
@@ -790,7 +796,9 @@ object SparkEntry {
       |    list_transform(generate_series(1, length(s2)), j -> CAST(ascii(substr(s2,j,1)) AS BIGINT))),
       |  (a,b) -> (a*131+b)%998244353)) AS h2s FROM s)""".stripMargin.replace("\n", " ")
 
-  private lazy val minhashOracle: String = {
+  // shingle → signature → banded-bucket → candidate-pair CTEs shared by the
+  // minhash verify and estimate oracles (mirrors Dedup.minhashCandidates)
+  private lazy val minhashCandCte: String = {
     val (as, bs) = graft.functions.PolyHash.minhashAffine(16)
     val abList = as.zip(bs).map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
     shingleCte + polyHashCte +
@@ -800,14 +808,26 @@ object SparkEntry {
         |  sig[band*2+1:band*2+2]), (a,x) -> (a*31+x)%1000000007) AS bucket
         |  FROM sig, (SELECT unnest(generate_series(0,7)) AS band)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a
-        |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+        |  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+        .replace("\n", " ")
+  }
+
+  private lazy val minhashOracle: String =
+    minhashCandCte +
+      """ SELECT doc_a, doc_b, round(len(list_intersect(x.sh, y.sh)) * 1.0 /
         |  len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jacc
         |FROM cand JOIN hs x ON doc_a = x.doc_id JOIN hs y ON doc_b = y.doc_id
         |WHERE round(len(list_intersect(x.sh, y.sh)) * 1.0 /
         |  len(list_distinct(list_concat(x.sh, y.sh))), 4) >= 0.4
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
-  }
+
+  // integer agreement count / k — float-exact in both engines, no rounding
+  private lazy val minhashEstOracle: String =
+    minhashCandCte +
+      """ SELECT doc_a, doc_b, list_sum(list_transform(generate_series(1, 16),
+        |  i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jacc
+        |FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
 
   private lazy val simhashOracle: String =
     shingleCte + polyHashCte +
@@ -1167,6 +1187,7 @@ object SparkEntry {
         "GROUP BY text ORDER BY keep_id"),
 
     "dedup_minhash" -> minhashOracle,
+    "dedup_minhash_est" -> minhashEstOracle,
 
     "decontaminate" ->
       (shingleCte +

@@ -60,17 +60,57 @@ object Dedup {
               idCol: String = "doc_id", shingleLen: Int = 5,
               bands: Int = 8, rowsPerBand: Int = 2,
               threshold: Double = 0.4): DataFrame = {
+    val (sh, _, cand) = minhashCandidates(docs, textCol, idCol, shingleLen,
+      bands, rowsPerBand)
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.dround(jaccard(col("sh_a"), col("sh_b")), 4).as("jacc"))
+      .where(col("jacc") >= threshold)
+  }
+
+  /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction of
+    * agreeing signature positions (E[estimate] = J). This is the cheap
+    * threshold a pipeline applies BEFORE exact verification — the estimate
+    * join touches only the k-long signatures, never the shingle sets, so
+    * its shuffle width is constant per document regardless of document
+    * size. Integer agreement count / k is float-exact, so the estimate is
+    * bit-identical across engines.
+    */
+  def minhashEstimate(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", shingleLen: Int = 5,
+                      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val (_, sig, cand) = minhashCandidates(docs, textCol, idCol, shingleLen,
+      bands, rowsPerBand)
+    cand
+      .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x) / lit(numHashes.toDouble)).as("est_jacc"))
+  }
+
+  /** Shared shingle → signature → banded-bucket → candidate-pair pipeline of
+    * [[minhash]] and [[minhashEstimate]]: returns (shingles, signatures,
+    * candidate pairs). Candidate generation shuffles only (id, band, bucket)
+    * — the shingle arrays stay out of the exchange; they are joined back by
+    * id only for the (few) candidate pairs. The band bucket is a polynomial
+    * fold of the band's signature rows mod 1e9+7 (all values < 2^30, so the
+    * fold stays in BIGINT range in any engine) — the oracle replays it with
+    * list_reduce.
+    */
+  private def minhashCandidates(docs: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int, bands: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     val sh = docs.select(
       col(idCol).as("id"),
       shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
     val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    // Candidate generation shuffles only (id, band, bucket) — the shingle
-    // arrays stay out of the exchange; they are joined back by id only for
-    // the (few) verified candidate pairs. The band bucket is a polynomial
-    // fold of the band's signature rows mod 1e9+7 (all values < 2^30, so the
-    // fold stays in BIGINT range in any engine) — the oracle replays it with
-    // list_reduce.
     val banded = sig.select(
       col("id"),
       explode(
@@ -89,12 +129,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.Rounding.dround(jaccard(col("sh_a"), col("sh_b")), 4).as("jacc"))
-      .where(col("jacc") >= threshold)
+    (sh, sig, cand)
   }
 
   /** 60-bit SimHash of a token array via the native
