@@ -77,6 +77,13 @@ object Quantiles {
     * [[quantileCont]] with the GROUP VALUE as the key instead of the column
     * name, so per-task state is bounded by each group's value domain and no
     * group is ever sorted globally. Returns `(groupCol, q, value)`.
+    *
+    * As a LAZY composite the plan references the counts relation from
+    * several branches; AQE's stage reuse collapses most of them but the
+    * source still scans ~3× (measured). For one scan over a large corpus,
+    * persist the `(_cn, _v, _c)` relation and call
+    * [[quantileContFromCounts]] — `Profile.summarize(exact = true)` is the
+    * eager single-scan implementation of exactly that.
     */
   def quantileContBy(df: DataFrame, groupCol: String, valueCol: String,
                      qs: Seq[Double], buckets: Int = 1024): DataFrame =
