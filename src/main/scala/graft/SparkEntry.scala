@@ -191,6 +191,13 @@ object SparkEntry {
     "value_histogram" -> ((s, d) =>
       Profile.histogram(t(s, d, "lineitem"), "l_extendedprice", buckets = 32)),
 
+    // Statistical quality gate: docs ≥1.5σ from their language's mean
+    // length. Aggregates rounded once pre-broadcast → bit-stable filter.
+    "quality_outliers" -> ((s, d) =>
+      Profile.zscoreOutliers(t(s, d, "documents"), "n_chars", "lang", 1.5)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.functions.Rounding.dround(col("z"), 4).as("z"))),
+
     // ---- flagship batch analytics ----
     "ctr_join" -> { (s, d) =>
       val e = withK(t(s, d, "events")).select("k", "event_type")
@@ -1108,6 +1115,13 @@ object SparkEntry {
         "SELECT lang, CAST(0.25 AS DOUBLE) AS q, q25 AS value FROM g " +
         "UNION ALL SELECT lang, CAST(0.5 AS DOUBLE), q50 FROM g " +
         "UNION ALL SELECT lang, CAST(0.75 AS DOUBLE), q75 FROM g) ORDER BY lang, q"),
+
+    "quality_outliers" ->
+      ("WITH s AS (SELECT lang, round(avg(n_chars), 6) AS m, " +
+        "round(stddev_samp(n_chars), 6) AS sd FROM documents GROUP BY lang) " +
+        "SELECT doc_id, d.lang AS lang, n_chars, round((n_chars - m) / sd, 4) AS z " +
+        "FROM documents d JOIN s USING (lang) " +
+        "WHERE sd > 0 AND abs((n_chars - m) / sd) >= 1.5 ORDER BY doc_id"),
 
     // identical bucket arithmetic (same IEEE divisions), so bucket ids agree
     "value_histogram" ->

@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{DotProductD, HyperplaneLshKey, JaccardSim, MinHashSig, SimHash60, WordShingles}
+import graft.functions.{DotProductD, HyperplaneLshKey, Int8Quantize, Int8Scale, JaccardSim, MinHashSig, SimHash60, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -60,5 +60,7 @@ object GraftExtensions {
     "graft_dotd" -> (exprs => DotProductD(exprs.head, exprs(1))),
     "graft_jaccard" -> (exprs => JaccardSim(exprs.head, exprs(1))),
     "graft_lsh_key" -> (exprs =>
-      HyperplaneLshKey(exprs.head, intLit(exprs(1), "nBits"))))
+      HyperplaneLshKey(exprs.head, intLit(exprs(1), "nBits"))),
+    "graft_int8_quant" -> (exprs => Int8Quantize(exprs.head)),
+    "graft_int8_scale" -> (exprs => Int8Scale(exprs.head)))
 }

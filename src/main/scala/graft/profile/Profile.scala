@@ -280,6 +280,29 @@ object Profile {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-group z-score outliers — the statistical quality gate that flags
+    * rows whose `valueCol` sits ≥ `zThreshold` standard deviations from the
+    * group mean (docs suspiciously long for their language, prices off their
+    * brand's distribution). One map-side-combined shuffle for the per-group
+    * mean/stddev, broadcast back onto the scan — the corpus itself never
+    * shuffles. The aggregates are rounded ONCE (6 dp) before the per-row z,
+    * so the z and the filter decision are bit-reproducible across engines
+    * and partitionings instead of inheriting the aggregates'
+    * summation-order ulp. Returns the input columns plus `z`; groups with
+    * zero variance yield no rows.
+    */
+  def zscoreOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                     zThreshold: Double): DataFrame = {
+    val stats = df.groupBy(groupCol).agg(
+      graft.functions.Rounding.dround(avg(col(valueCol)), 6).as("_mean"),
+      graft.functions.Rounding.dround(stddev_samp(col(valueCol)), 6).as("_std"))
+    df.join(broadcast(stats), groupCol)
+      .where(col("_std") > 0.0)
+      .withColumn("z", (col(valueCol) - col("_mean")) / col("_std"))
+      .where(abs(col("z")) >= zThreshold)
+      .drop("_mean", "_std")
+  }
+
   /** P2: profile → contract constraints (reference: profile.py:21-39 —
     * min/max become JSON-Schema minimum/maximum; null_percentage == 0 makes
     * the field required). Collect is safe: one row per profiled column.

@@ -25,6 +25,23 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(r.getAs[Double]("dp") == 11.0)
     assert(r.getAs[Double]("jc") == 1.0 / 3.0)
     assert(r.getAs[Long]("lk") >= 0L && r.getAs[Long]("lk") < 16L)
+    val q = spark.sql(
+      "SELECT graft_int8_quant(array(1.0d, -0.5d, 0.25d)) AS qv, " +
+        "graft_int8_scale(array(1.0d, -0.5d, 0.25d)) AS sc").collect().head
+    assert(q.getAs[scala.collection.Seq[Int]]("qv") == Seq(127, -64, 32))
+    assert(math.abs(q.getAs[Double]("sc") - 1.0 / 127.0) < 1e-15)
+  }
+
+  test("z-score outliers flag extreme rows and skip zero-variance groups") {
+    import graft.profile.Profile
+    val df = Seq(
+      ("a", 10.0), ("a", 10.0), ("a", 10.0), // zero variance: no rows
+      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 100.0))
+      .toDF("g", "v")
+    val got = Profile.zscoreOutliers(df, "v", "g", 1.4)
+      .select("g", "v", "z").as[(String, Double, Double)].collect()
+    assert(got.length == 1 && got.head._1 == "b" && got.head._2 == 100.0 &&
+      got.head._3 > 1.4)
   }
 
   test("late data beyond the watermark is dropped from closed windows") {
