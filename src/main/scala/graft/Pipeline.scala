@@ -72,13 +72,17 @@ object Pipeline {
     val stats = TextStats.langStats(docs).count()
     println(s"[pipeline] dedup: $nExact exact groups, ${pairs.count()} near-dup pairs " +
       s"in $nComp clusters; $nContam docs eval-contaminated; $stats langs")
-    val mixed = graft.llm.Corpus.mixWeighted(docs,
+    val nOutliers = Profile.zscoreOutliers(docs, "n_chars", "lang", 1.5).count()
+    val balanced = graft.llm.Corpus.sampleStratified(docs, n = 50)
+    val mixed = graft.llm.Corpus.mixWeighted(balanced,
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
     val packed = graft.llm.Corpus.packSequences(
       graft.llm.Corpus.sampleHash(mixed, 0.5), budget = 512)
     val binRow = packed.agg(count(lit(1)).as("n"),
       count_distinct(col("lang"), col("bin")).as("bins")).collect().head
-    println(s"[pipeline] assembly: ${binRow.getLong(0)} docs packed into ${binRow.getLong(1)} context bins")
+    println(s"[pipeline] assembly: $nOutliers length outliers; " +
+      s"${balanced.count()} in balanced sample; " +
+      s"${binRow.getLong(0)} docs packed into ${binRow.getLong(1)} context bins")
 
     // 4. similarity over embeddings: exact baseline + a persisted IVF index
     val embs = Tables(spark, sfDir, "embeddings")
@@ -87,9 +91,13 @@ object Pipeline {
     val idx = Similarity.buildIvfIndex(embs, kClusters = 8)
     val ivfTop = Similarity.ivfTopK(idx, embs, q, 5, nprobe = 2,
       "vec_id", "embedding", 6).collect()
+    // semantic dedup blocks pairs by the index's learned clusters
+    val nSem = Similarity.nearDupPairs(
+      embs.join(idx.assignments.withColumnRenamed("id", "vec_id"), "vec_id"),
+      partCol = "cluster").count()
     idx.unpersist()
     println(s"[pipeline] similarity: exact top-5 ${top.map(_.getLong(0)).mkString(",")}; " +
-      s"ivf top-5 ${ivfTop.map(_.getLong(0)).mkString(",")}")
+      s"ivf top-5 ${ivfTop.map(_.getLong(0)).mkString(",")}; $nSem semantic near-dup pairs")
     println(s"[pipeline] counters:\n${dq.renderPrometheus()}")
     spark.stop()
   }
