@@ -380,6 +380,12 @@ object SparkEntry {
             .as("revenue"))
     },
 
+    // The skew diagnostic: top-n hottest join keys with counts — what a
+    // pipeline inspects before deciding to salt. One partial-aggregated
+    // shuffle + TakeOrderedAndProject (per-partition heaps, no global sort).
+    "heavy_hitters" -> ((s, d) =>
+      graft.core.Skew.heavyHitters(t(s, d, "events"), col("user_id"), n = 20)),
+
     // Salting proof-of-equivalence: the salted join must produce the
     // IDENTICAL relation as the plain join — the oracle IS the unsalted SQL,
     // so the hash gate pins Skew.saltedJoin's semantics (no dropped,
@@ -1280,6 +1286,10 @@ object SparkEntry {
       ("SELECT lang, doc_id, n_chars, rn FROM (SELECT lang, doc_id, n_chars, " +
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn " +
         "FROM documents) WHERE rn <= 3 ORDER BY lang, rn"),
+
+    "heavy_hitters" ->
+      ("SELECT user_id AS key, count(*) AS cnt FROM events " +
+        "GROUP BY user_id ORDER BY cnt DESC, key LIMIT 20"),
 
     // deliberately the UNSALTED join: hash-equality proves the salted plan
     // computes the identical relation

@@ -41,9 +41,12 @@ object Skew {
   }
 
   /** Top-n heavy-hitter keys with counts — the diagnostic used to decide
-    * whether salting is warranted. One aggregate, no collect of data rows.
+    * whether salting is warranted. One partial-aggregated shuffle, then
+    * `ORDER BY … LIMIT` plans as TakeOrderedAndProject (per-partition heaps,
+    * no global sort). Count ties break by key, so the boundary of the top-n
+    * is deterministic across runs and engines.
     */
   def heavyHitters(df: DataFrame, key: Column, n: Int = 20): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc).limit(n)
+      .orderBy(col("cnt").desc, col("key")).limit(n)
 }

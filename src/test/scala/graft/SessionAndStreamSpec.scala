@@ -344,6 +344,26 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(gm == Map("a" -> 2.0, "b" -> 20.0))
   }
 
+  test("quantileCont matches the sorted-array definition on random value sets") {
+    import graft.analytics.Quantiles
+    val qs = Seq(0.1, 0.25, 0.5, 0.9)
+    def ref(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted; val t = q * (s.length - 1)
+      val lo = math.floor(t).toInt; val hi = math.ceil(t).toInt
+      s(lo) + (t - lo) * (s(hi) - s(lo))
+    }
+    // half-unit grid forces heavy ties; sizes hit the hi==lo edge (n=1)
+    val genVals = Gen.chooseNum(1, 80).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-60, 60).map(_.toDouble * 0.5)))
+    (0 until 8).foreach { i =>
+      val vs = genVals.apply(Gen.Parameters.default, Seed(1000L + i)).get
+      val got = Quantiles.quantileCont(vs.toDF("x"), Seq("x"), qs, buckets = 16)
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      qs.foreach(q =>
+        assert(math.abs(got(q) - ref(vs, q)) < 1e-9, s"seed $i q=$q n=${vs.size}"))
+    }
+  }
+
   test("fixed-width histogram buckets match a hand count") {
     import graft.profile.Profile
     // values 0..99: 10 buckets of width 9.9 — value 99 lands in the closed
