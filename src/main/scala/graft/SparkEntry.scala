@@ -177,6 +177,13 @@ object SparkEntry {
     // at-scale default — is engine-specific by construction and so lives
     // outside the oracle gate: library surface + ScalaTest coverage only.)
 
+    // Grouped exact profile: one SUMMARIZE row per language — the slice
+    // diagnostic run before mixing. Same bounded keyed machinery, group
+    // value as the key.
+    "profile_by_group" -> ((s, d) =>
+      Profile.summarizeBy(t(s, d, "documents"), "lang", "n_chars")
+        .withColumnRenamed("column_name", "lang")),
+
     // Grouped exact quantiles: the profile's bounded keyed plan with the
     // GROUP value as the key — no group ever sorts globally.
     "group_quantiles" -> ((s, d) =>
@@ -1112,6 +1119,16 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(leg).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
     },
+
+    "profile_by_group" ->
+      ("SELECT lang, CAST(min(n_chars) AS DOUBLE) AS col_min, " +
+        "CAST(max(n_chars) AS DOUBLE) AS col_max, round(avg(n_chars), 4) AS col_avg, " +
+        "round(quantile_cont(n_chars, 0.25), 4) AS q25, " +
+        "round(quantile_cont(n_chars, 0.5), 4) AS q50, " +
+        "round(quantile_cont(n_chars, 0.75), 4) AS q75, " +
+        "count(n_chars) AS col_cnt, count(*) - count(n_chars) AS null_cnt, " +
+        "count(DISTINCT n_chars) AS n_distinct " +
+        "FROM documents WHERE lang IS NOT NULL GROUP BY lang ORDER BY lang"),
 
     "group_quantiles" ->
       ("WITH g AS (SELECT lang, round(quantile_cont(n_chars, 0.25), 4) AS q25, " +

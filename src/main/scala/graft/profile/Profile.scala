@@ -104,17 +104,45 @@ object Profile {
   }
 
   private def summarizeExact(df: DataFrame, cols: Seq[String], avgScale: Int): DataFrame = {
-    val spark = df.sparkSession
+    // unpivot the requested columns into the (_cn, _v) keyed shape
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    profileKeyed(
+      df.select(expr(s"stack(${cols.length}, $stackArgs) AS (_cn, _v)")),
+      Some(cols), avgScale)
+  }
 
-    // The ONE keyed relation everything derives from: (column, value) → count
+  /** Grouped exact profile — one profile row PER GROUP VALUE of one numeric
+    * column (per-source/per-language SUMMARIZE, the slice diagnostic a
+    * corpus pipeline runs before mixing). Identical bounded machinery to
+    * the column-wise exact profile, with the group value as the key:
+    * per-task state is bounded by each group's value domain. `column_name`
+    * carries the group value; NULL groups are dropped (the profile keys on
+    * the group name).
+    */
+  def summarizeBy(df: DataFrame, groupCol: String, valueCol: String,
+                  avgScale: Int = 4): DataFrame =
+    profileKeyed(
+      df.where(col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("_cn"),
+          col(valueCol).cast("double").as("_v")),
+      None, avgScale)
+
+  /** Shared exact-profile core over a pre-keyed `(_cn, _v)` relation.
+    * `keys = Some(...)` pins the output rows (column-wise profile, one row
+    * per requested column even when empty); `None` derives them from the
+    * data (grouped profile, one row per observed group).
+    */
+  private def profileKeyed(keyed: DataFrame, keys: Option[Seq[String]],
+                           avgScale: Int): DataFrame = {
+    val spark = keyed.sparkSession
+
+    // The ONE keyed relation everything derives from: (key, value) → count
     // with NULL values kept as their own group (unlike Quantiles.valueCounts,
     // which is quantile-only and drops them). min/max/count/null-count and
     // the count-weighted average all aggregate from it, so there is no
     // separate full-table wide-aggregate pass — the whole profile is this
     // shuffle plus two bounded collects.
-    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
-    val perVal = df
-      .select(expr(s"stack(${cols.length}, $stackArgs) AS (_cn, _v)"))
+    val perVal = keyed
       .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
       .persist()
     // One row per column; broadcast back onto perVal for bucketing. The
@@ -155,6 +183,7 @@ object Profile {
       r.getAs[String]("_cn") -> ColStats(d("mn"), d("mx"), d("avgv"),
         r.getAs[Long]("n"), r.getAs[Long]("nulls"))
     }.toMap
+    val outKeys: Seq[String] = keys.getOrElse(colStats.keys.toSeq.sorted)
     val (quartile: Map[String, Map[Double, Double]], nDistinct: Map[String, Long]) =
       try {
         // per-column domain + non-null count for the quantile machinery —
@@ -188,7 +217,7 @@ object Profile {
 
         final case class Target(cn: String, q: Double, t: Double, lo: Long, hi: Long)
         val targets = for {
-          cn <- cols; (_, _, n) <- stats.get(cn).toSeq; q <- Quartiles
+          cn <- outKeys; (_, _, n) <- stats.get(cn).toSeq; q <- Quartiles
         } yield {
           val t = q * (n - 1).toDouble
           Target(cn, q, t, math.floor(t).toLong, math.ceil(t).toLong)
@@ -243,7 +272,7 @@ object Profile {
         }
       } finally { perVal.unpersist(); () }
 
-    val out = cols.map { c =>
+    val out = outKeys.map { c =>
       val st = colStats.get(c)
       val qs = quartile.get(c)
       Row(c, st.map(_.mn).orNull, st.map(_.mx).orNull, st.map(_.avg).orNull,

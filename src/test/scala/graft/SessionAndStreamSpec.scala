@@ -32,6 +32,22 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(math.abs(q.getAs[Double]("sc") - 1.0 / 127.0) < 1e-15)
   }
 
+  test("grouped profile yields one SUMMARIZE row per group") {
+    import graft.profile.Profile
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 10.0), ("b", 40.0))
+      .toDF("g", "v")
+    val rows = Profile.summarizeBy(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b"))
+    val a = rows("a")
+    assert(a.getDouble(a.fieldIndex("col_min")) == 1.0 &&
+      a.getDouble(a.fieldIndex("col_avg")) == 2.0 &&
+      a.getDouble(a.fieldIndex("q50")) == 2.0)
+    val b = rows("b")
+    assert(b.getDouble(b.fieldIndex("q50")) == 10.0 &&
+      b.getLong(b.fieldIndex("n_distinct")) == 2L)
+  }
+
   test("z-score outliers flag extreme rows and skip zero-variance groups") {
     import graft.profile.Profile
     val df = Seq(
