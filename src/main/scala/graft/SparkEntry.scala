@@ -185,10 +185,12 @@ object SparkEntry {
         .withColumnRenamed("column_name", "lang")),
 
     // Grouped exact quantiles: the profile's bounded keyed plan with the
-    // GROUP value as the key — no group ever sorts globally.
+    // GROUP value as the key — no group ever sorts globally. EAGER variant:
+    // the counts relation is persisted so the source is scanned exactly once
+    // (the lazy composite rescans it ~3×).
     "group_quantiles" -> ((s, d) =>
       graft.analytics.Quantiles
-        .quantileContBy(t(s, d, "documents"), "lang", "n_chars",
+        .quantileContByEager(t(s, d, "documents"), "lang", "n_chars",
           Seq(0.25, 0.5, 0.75))
         .select(col("lang"), col("q"),
           graft.functions.Rounding.dround(col("value"), 4).as("value"))),

@@ -95,6 +95,34 @@ object Quantiles {
       qs, buckets)
       .withColumnRenamed("column_name", groupCol)
 
+  /** EAGER [[quantileContBy]]: persists the `(_cn, _v, _c)` counts relation
+    * so the source is scanned exactly ONCE (the lazy composite re-reads it
+    * from the stats/bucket/candidate branches — ~3× measured), runs the
+    * bounded quantile plan against the cache, materializes the result
+    * (one row per (group, quantile) — the output itself), and unpersists.
+    * This is the scale path for one-shot grouped quantiles over a large
+    * corpus; the lazy form remains for composition into bigger plans.
+    */
+  def quantileContByEager(df: DataFrame, groupCol: String, valueCol: String,
+                          qs: Seq[Double], buckets: Int = 1024): DataFrame = {
+    val counts = df
+      .select(col(groupCol).cast("string").as("_cn"),
+        col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
+      .persist()
+    try {
+      counts.count() // job 1: the single source scan
+      val res = quantileContFromCounts(counts, qs, buckets)
+        .withColumnRenamed("column_name", groupCol)
+      val rows = res.collect() // job 2: cache-only; rows = the output
+      df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+        res.schema)
+    } finally { counts.unpersist(); () }
+  }
+
   /** [[quantileCont]] over a pre-aggregated `(_cn, _v, _c)` relation. */
   def quantileContFromCounts(perVal: DataFrame, qs: Seq[Double],
                              buckets: Int = 1024): DataFrame = {
@@ -111,13 +139,17 @@ object Quantiles {
             lit(buckets - 1L))))
       .select("_cn", "_v", "_c", "_cr")
 
-    // per-bucket totals + exclusive prefix (≤ cols × buckets rows)
+    // per-bucket totals + exclusive prefix (≤ cols × buckets rows). The
+    // prefix is a window KEYED by the column/group key: partition size is
+    // bounded by `buckets` — configuration, not data — so the plan holds at
+    // ANY key cardinality (a triangular prefix join would broadcast
+    // keys × buckets rows and do keys × buckets² comparisons, which dies at
+    // high-cardinality grouped profiling).
     val rangeTotals = bucketed.groupBy("_cn", "_cr").agg(sum("_c").as("_rc"))
-    val rangePrefix = rangeTotals.alias("x")
-      .join(broadcast(rangeTotals.alias("y")),
-        col("y._cn") === col("x._cn") && col("y._cr") < col("x._cr"), "left")
-      .groupBy(col("x._cn").as("_cn"), col("x._cr").as("_cr"))
-      .agg(coalesce(sum(col("y._rc")), lit(0L)).as("_pr"))
+    val wRange = Window.partitionBy("_cn").orderBy("_cr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rangePrefix = rangeTotals
+      .withColumn("_pr", coalesce(sum("_rc").over(wRange), lit(0L)))
 
     // 3. target ranks per quantile (tiny), the buckets that contain them,
     //    and a keyed window over ONLY those buckets' values
@@ -129,8 +161,7 @@ object Quantiles {
       .withColumn("_hi", ceil(col("_t")))
       .select("_cn", "_q", "_t", "_lo", "_hi")
 
-    val hitBuckets = targets.join(rangePrefix.join(rangeTotals, Seq("_cn", "_cr")),
-        Seq("_cn"))
+    val hitBuckets = targets.join(rangePrefix, Seq("_cn"))
       .where((col("_lo") >= col("_pr") && col("_lo") < col("_pr") + col("_rc")) ||
              (col("_hi") >= col("_pr") && col("_hi") < col("_pr") + col("_rc")))
       .select("_cn", "_cr", "_pr").distinct()

@@ -3,7 +3,6 @@ package graft.profile
 import graft.analytics.Quantiles
 import graft.core.FieldBounds
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -94,15 +93,6 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
-  /** Driver-side replica of [[graft.functions.Rounding.dround]] (binary-value
-    * HALF-UP, the formulation DuckDB uses) so eager and lazy paths round
-    * identically.
-    */
-  private def dround(x: Double, scale: Int): Double = {
-    val p = math.pow(10, scale)
-    if (x >= 0) math.floor(x * p + 0.5) / p else -(math.floor(-x * p + 0.5) / p)
-  }
-
   private def summarizeExact(df: DataFrame, cols: Seq[String], avgScale: Int): DataFrame = {
     // unpivot the requested columns into the (_cn, _v) keyed shape
     val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
@@ -131,6 +121,20 @@ object Profile {
     * `keys = Some(...)` pins the output rows (column-wise profile, one row
     * per requested column even when empty); `None` derives them from the
     * data (grouped profile, one row per observed group).
+    *
+    * FULLY DECLARATIVE in the key: the plan contains no driver-side literal
+    * per-key expressions and no collect proportional to key cardinality ×
+    * buckets — so `summarizeBy` survives a group column with millions of
+    * distinct values. Two jobs:
+    *
+    *  1. persist + materialize the `(key, value) → count` relation (the
+    *     single source scan);
+    *  2. one composite query over the cache — per-key simple stats from a
+    *     keyed aggregate, quartiles via the join-based
+    *     [[Quantiles.quantileContFromCounts]] (whose prefix window is keyed
+    *     by the profile key with ≤ `Buckets` rows per partition), assembled
+    *     with two keyed left joins. The only collect is the OUTPUT rows
+    *     (one per key) — the result SUMMARIZE returns anyway.
     */
   private def profileKeyed(keyed: DataFrame, keys: Option[Seq[String]],
                            avgScale: Int): DataFrame = {
@@ -138,154 +142,71 @@ object Profile {
 
     // The ONE keyed relation everything derives from: (key, value) → count
     // with NULL values kept as their own group (unlike Quantiles.valueCounts,
-    // which is quantile-only and drops them). min/max/count/null-count and
-    // the count-weighted average all aggregate from it, so there is no
-    // separate full-table wide-aggregate pass — the whole profile is this
-    // shuffle plus two bounded collects.
+    // which is quantile-only and drops them). min/max/count/null-count, the
+    // count-weighted average AND the quantile machinery all read it from
+    // cache, so the source is scanned exactly once.
     val perVal = keyed
       .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
       .persist()
-    // One row per column; broadcast back onto perVal for bucketing. The
-    // weighted mean Σ(v·c)/Σ(c) sums FEWER terms than a row-order mean (one
-    // per distinct value), and the result is rounded to `avgScale` exactly
-    // like the lazy path, which absorbs the summation-order ulp.
-    val nNonNull = sum(when(col("_v").isNotNull, col("_c")))
-    val statsDf = perVal.groupBy("_cn").agg(
-      min("_v").as("_mn"), max("_v").as("_mx"),
-      coalesce(nNonNull, lit(0L)).as("_n"),
-      coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("_nulls"),
-      graft.functions.Rounding.dround(sum(col("_v") * col("_c")) / nNonNull,
-        avgScale).as("_avg"))
-    // job 1: materialize perVal and collect the bounded histogram, stats
-    // riding along via first(). NULL groups land in sentinel bucket −1: they
-    // are excluded from the histogram/quantile arithmetic below but carry the
-    // per-column stats for all-NULL columns (which have no other rows). The
-    // bucket arithmetic is identical to the driver-literal form the bounding
-    // pass rebuilds below, so bucket ids agree bit for bit.
-    val width = (col("_mx") - col("_mn")) / Buckets
-    val rawHist = perVal.join(broadcast(statsDf), "_cn")
-      .withColumn("_cr",
-        when(col("_v").isNull, lit(-1L))
-          .when(col("_mx") === col("_mn"), lit(0L))
-          .otherwise(least(floor((col("_v") - col("_mn")) / width),
-            lit(Buckets - 1L))))
-      .groupBy("_cn", "_cr")
-      .agg(sum("_c").as("rc"), count(lit(1)).as("ndp"),
-        first("_mn").as("mn"), first("_mx").as("mx"), first("_n").as("n"),
-        first("_nulls").as("nulls"), first("_avg").as("avgv"))
-      .collect()
-    final case class ColStats(mn: java.lang.Double, mx: java.lang.Double,
-        avg: java.lang.Double, n: Long, nulls: Long)
-    val colStats: Map[String, ColStats] = rawHist.map { r =>
-      def d(name: String): java.lang.Double =
-        if (r.isNullAt(r.fieldIndex(name))) null
-        else Double.box(r.getAs[Double](name))
-      r.getAs[String]("_cn") -> ColStats(d("mn"), d("mx"), d("avgv"),
-        r.getAs[Long]("n"), r.getAs[Long]("nulls"))
-    }.toMap
-    val outKeys: Seq[String] = keys.getOrElse(colStats.keys.toSeq.sorted)
-    val (quartile: Map[String, Map[Double, Double]], nDistinct: Map[String, Long]) =
-      try {
-        // per-column domain + non-null count for the quantile machinery —
-        // real (non-sentinel) histogram rows only
-        val stats: Map[String, (Double, Double, Long)] = rawHist
-          .filter(_.getAs[Long]("_cr") >= 0L).map { r =>
-            r.getAs[String]("_cn") -> ((r.getAs[Double]("mn"), r.getAs[Double]("mx"),
-              r.getAs[Long]("n")))
-          }.toMap
+    try {
+      perVal.count() // job 1: the single source scan
 
-        // histogram id per distinct value, from driver-side literal stats
-        val crExpr: Column = stats.foldLeft(lit(-1L)) { case (acc, (cn, (mn, mx, _))) =>
-          val e =
-            if (mx == mn) lit(0L)
-            else least(floor((col("_v") - mn) / ((mx - mn) / Buckets)), lit(Buckets - 1L))
-          when(col("_cn") === cn, e).otherwise(acc)
-        }
+      // Per-key simple stats. The weighted mean Σ(v·c)/Σ(c) sums FEWER terms
+      // than a row-order mean (one per distinct value), and the result is
+      // rounded to `avgScale` exactly like the lazy path, which absorbs the
+      // summation-order ulp. NULL value groups ride along: they feed
+      // null_cnt, are ignored by min/max/sum(v·c), and n_distinct counts
+      // only non-null distinct values.
+      val nNonNull = sum(when(col("_v").isNotNull, col("_c")))
+      val stats = perVal.groupBy("_cn").agg(
+        min("_v").as("col_min"), max("_v").as("col_max"),
+        graft.functions.Rounding.dround(sum(col("_v") * col("_c")) / nNonNull,
+          avgScale).as("col_avg"),
+        coalesce(nNonNull, lit(0L)).as("col_cnt"),
+        coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("null_cnt"),
+        count(when(col("_v").isNotNull, lit(1))).as("n_distinct"))
 
-        val histRows = rawHist.filter(_.getAs[Long]("_cr") >= 0L)
-          .map(r => (r.getAs[String]("_cn"),
-            r.getAs[Long]("_cr"), r.getAs[Long]("rc"), r.getAs[Long]("ndp")))
-        val nd: Map[String, Long] =
-          histRows.groupBy(_._1).map { case (cn, rs) => cn -> rs.map(_._4).sum }
-        val hist: Map[String, Array[(Long, Long, Long)]] = // cn → (cr, rc, pr)
-          histRows.groupBy(_._1)
-            .map { case (cn, rs) =>
-              val sorted = rs.map(t => (t._2, t._3)).sortBy(_._1)
-              val prs = sorted.scanLeft(0L)(_ + _._2)
-              cn -> sorted.zip(prs).map { case ((cr, rc), pr) => (cr, rc, pr) }.toArray
-            }
+      // Quartiles through the declarative bounded-histogram plan (identical
+      // rank/interpolation arithmetic to DuckDB's quantile_cont), pivoted to
+      // one row per key. The q literals are exact binary doubles, so the
+      // equality pivot is safe.
+      val quarts = Quantiles
+        .quantileContFromCounts(perVal.where(col("_v").isNotNull), Quartiles,
+          Buckets)
+        .groupBy(col("column_name").as("_cn"))
+        .agg(
+          graft.functions.Rounding
+            .dround(max(when(col("q") === 0.25, col("value"))), avgScale).as("q25"),
+          graft.functions.Rounding
+            .dround(max(when(col("q") === 0.5, col("value"))), avgScale).as("q50"),
+          graft.functions.Rounding
+            .dround(max(when(col("q") === 0.75, col("value"))), avgScale).as("q75"))
 
-        final case class Target(cn: String, q: Double, t: Double, lo: Long, hi: Long)
-        val targets = for {
-          cn <- outKeys; (_, _, n) <- stats.get(cn).toSeq; q <- Quartiles
-        } yield {
-          val t = q * (n - 1).toDouble
-          Target(cn, q, t, math.floor(t).toLong, math.ceil(t).toLong)
-        }
-        if (targets.isEmpty) (Map.empty[String, Map[Double, Double]], nd)
-        else {
+      // Output keys: pinned by configuration (column-wise) or observed in
+      // the data (grouped). Both are keyed relations, never literal plans.
+      val base: DataFrame = keys match {
+        case Some(ks) =>
+          import spark.implicits._
+          ks.toDF("_cn")
+        case None => stats.select("_cn")
+      }
+      val assembled = base
+        .join(stats, Seq("_cn"), "left")
+        .join(quarts, Seq("_cn"), "left")
+        .select(col("_cn").as("column_name"),
+          col("col_min"), col("col_max"), col("col_avg"),
+          col("q25"), col("q50"), col("q75"),
+          coalesce(col("col_cnt"), lit(0L)).as("col_cnt"),
+          coalesce(col("null_cnt"), lit(0L)).as("null_cnt"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
 
-        def bucketOf(cn: String, rank: Long): (Long, Long) = {
-          val bs = hist(cn)
-          val i = bs.lastIndexWhere(_._3 <= rank)
-          (bs(i)._1, bs(i)._3) // (cr, exclusive prefix)
-        }
-        val hitBuckets: Map[String, Map[Long, Long]] = // cn → cr → pr
-          targets.flatMap(t => Seq(t.lo, t.hi).map(bucketOf(t.cn, _)).map(t.cn -> _))
-            .groupBy(_._1).map { case (cn, bs) => cn -> bs.map(_._2).toMap }
-
-        // pass 3: rank ONLY the hit buckets' values; collect the bounding rows
-        val candFilter = hitBuckets.map { case (cn, crs) =>
-          col("_cn") === cn && col("_cr").isin(crs.keys.toSeq: _*)
-        }.reduce(_ || _)
-        val prCol = hitBuckets.flatMap { case (cn, crs) => crs.map { case (cr, pr) =>
-          (cn, cr, pr)
-        } }.foldLeft(lit(0L)) { case (acc, (cn, cr, pr)) =>
-          when(col("_cn") === cn && col("_cr") === cr, lit(pr)).otherwise(acc)
-        }
-        val w = Window.partitionBy("_cn", "_cr").orderBy("_v")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val rankHit = targets.map(t =>
-          col("_cn") === t.cn &&
-            ((lit(t.lo) >= col("_before") && lit(t.lo) < col("_before") + col("_c")) ||
-             (lit(t.hi) >= col("_before") && lit(t.hi) < col("_before") + col("_c"))))
-          .reduce(_ || _)
-        val bounding: Map[String, Array[(Double, Long, Long)]] = // cn → (v, before, c)
-          perVal.where(col("_v").isNotNull).withColumn("_cr", crExpr).where(candFilter)
-            .withColumn("_before", prCol + coalesce(sum("_c").over(w), lit(0L)))
-            .where(rankHit)
-            .select("_cn", "_v", "_before", "_c").collect()
-            .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
-            .groupBy(_._1).map { case (cn, rs) =>
-              cn -> rs.map(t => (t._2, t._3, t._4)).toArray
-            }
-
-        val quarts = targets.groupBy(_.cn).map { case (cn, ts) =>
-          def valueAt(rank: Long): Double =
-            bounding(cn).find(b => b._2 <= rank && rank < b._2 + b._3).get._1
-          cn -> ts.map { t =>
-            val (vlo, vhi) = (valueAt(t.lo), valueAt(t.hi))
-            t.q -> dround(vlo + (t.t - t.lo) * (vhi - vlo), avgScale)
-          }.toMap
-        }
-        (quarts, nd)
-        }
-      } finally { perVal.unpersist(); () }
-
-    val out = outKeys.map { c =>
-      val st = colStats.get(c)
-      val qs = quartile.get(c)
-      Row(c, st.map(_.mn).orNull, st.map(_.mx).orNull, st.map(_.avg).orNull,
-        qs.map(m => Double.box(m(0.25))).orNull,
-        qs.map(m => Double.box(m(0.5))).orNull,
-        qs.map(m => Double.box(m(0.75))).orNull,
-        st.map(_.n).getOrElse(0L),
-        st.map(_.nulls).getOrElse(0L),
-        nDistinct.getOrElse(c, 0L))
-    }
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
-      profileSchema)
+      // job 2: cache-only; the collect is exactly the output relation
+      val out = assembled.collect()
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava),
+        profileSchema)
+    } finally { perVal.unpersist(); () }
   }
 
   /** Fixed-width value histogram: `buckets` equal ranges over [min, max]

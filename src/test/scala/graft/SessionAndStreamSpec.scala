@@ -48,6 +48,32 @@ class SessionAndStreamSpec extends SparkSpec {
       b.getLong(b.fieldIndex("n_distinct")) == 2L)
   }
 
+  test("grouped profile is declarative in group cardinality (10k groups)") {
+    import graft.profile.Profile
+    // 10k groups, values per group g: {g, g+1, g+2}
+    val g10k = spark.range(30000).select(
+      (col("id") % 10000).cast("string").as("g"),
+      (col("id") % 10000 + expr("id div 10000")).cast("double").as("v"))
+    val out = Profile.summarizeBy(g10k, "g", "v")
+    assert(out.count() == 10000L)
+    val r = out.where(col("column_name") === "42").collect().head
+    assert(r.getDouble(r.fieldIndex("col_min")) == 42.0 &&
+      r.getDouble(r.fieldIndex("col_max")) == 44.0 &&
+      r.getDouble(r.fieldIndex("q50")) == 43.0 &&
+      r.getLong(r.fieldIndex("n_distinct")) == 3L)
+    // The grouped-quantile PLAN must not grow with group cardinality — a
+    // driver-side per-group literal chain would. Same machinery profileKeyed
+    // routes its quartile pass through.
+    def planSize(n: Int): Int = {
+      val df = spark.range(3L * n).select(
+        (col("id") % n).cast("string").as("g"),
+        (col("id") % n + expr(s"id div $n")).cast("double").as("v"))
+      graft.analytics.Quantiles.quantileContBy(df, "g", "v", Seq(0.5))
+        .queryExecution.analyzed.toString.length
+    }
+    assert(math.abs(planSize(10000) - planSize(10)) < 200)
+  }
+
   test("z-score outliers flag extreme rows and skip zero-variance groups") {
     import graft.profile.Profile
     val df = Seq(
