@@ -74,6 +74,67 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(math.abs(planSize(10000) - planSize(10)) < 200)
   }
 
+  test("eager grouped quantiles scan the source exactly once") {
+    import graft.analytics.Quantiles
+    val dir = tmpDir("eagerq")
+    // big enough that data pages dwarf footer/metadata re-reads in the
+    // filesystem byte accounting below
+    spark.range(200000).select(
+      (col("id") % 100).cast("string").as("g"),
+      (col("id") % 1000).cast("double").as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // Count FileSourceScanExec nodes actually EXECUTED, descending through
+    // AQE wrappers but NOT into InMemoryTableScan (whose cached-plan recipe
+    // is stored, never re-run) — plan-string grepping would count recipe
+    // text and Initial Plan sections.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Int = {
+      val self = if (p.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(fileScans).sum
+    }
+    val counts = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Integer]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String,
+                    qe: org.apache.spark.sql.execution.QueryExecution,
+                    durationNs: Long): Unit = counts.add(fileScans(qe.executedPlan))
+      def onFailure(funcName: String,
+                    qe: org.apache.spark.sql.execution.QueryExecution,
+                    exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val got = Quantiles.quantileContByEager(df, "g", "v", Seq(0.5))
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+      // group "42": values 42,142,…,942 each ×200 → median interpolates
+      // between ranks 999 (442) and 1000 (542) = 492
+      assert(got.size == 100 && got("42") == 492.0)
+      // listener delivery is async: wait for the two executions
+      // (materialize the counts cache + compute the result from it)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (counts.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      val seen = scala.jdk.CollectionConverters.ListHasAsScala(counts).asScala
+      assert(seen.size >= 2, s"expected 2 executions, saw ${seen.size}")
+      // Every eager execution reads the file ONLY through the one cache
+      // materialization (which lives inside InMemoryRelation, not as an
+      // executed FileSourceScan): zero direct file scans.
+      assert(seen.map(_.intValue).sum == 0,
+        s"result pass re-read the source (per execution: $seen)")
+    } finally spark.listenerManager.unregister(l)
+    // Sanity that the counter isn't blind: the LAZY composite's single
+    // execution reads the file directly (≥1 executed FileSourceScan).
+    val lazyQe = Quantiles.quantileContBy(df, "g", "v", Seq(0.5))
+    lazyQe.collect()
+    assert(fileScans(lazyQe.queryExecution.executedPlan) >= 1)
+  }
+
   test("z-score outliers flag extreme rows and skip zero-variance groups") {
     import graft.profile.Profile
     val df = Seq(
