@@ -139,9 +139,24 @@ object Dedup {
   def simhashSignature(toks: Column): Column =
     graft.functions.native.simhash60(toks)
 
-  /** SimHash near-dup pairs: candidates share at least one of four 15-bit
-    * signature chunks (guarantees recall for hamming distance ≤ 3 by
-    * pigeonhole), verified with an exact popcount of the XOR.
+  /** SimHash near-dup pairs with CORPUS-SCALABLE blocking (generalized
+    * pigeonhole): the 60-bit signature splits into `blocks` equal chunks; a
+    * pair at hamming distance ≤ `maxHamming` differs in at most `maxHamming`
+    * chunks, so it AGREES on some (blocks − maxHamming)-sized chunk subset —
+    * every such subset's concatenation is a candidate key, giving exact
+    * recall with C(blocks, blocks−maxHamming) key tables of width
+    * 60·(blocks−maxHamming)/blocks bits. Candidates are verified with an
+    * exact popcount of the XOR, so `blocks` trades candidate volume against
+    * key rows, never correctness.
+    *
+    * `blocks = 4` (default, the minimum for maxHamming = 3) is the classic
+    * 4×15-bit scheme: 2^15 buckets per table, enough while corpus/2^15 stays
+    * small. At 100 TB (~10^10 docs) a fixed 15-bit key puts ~300 k docs in
+    * every bucket — quadratic candidates. `blocks = 6` gives 20 tables of
+    * 30-bit keys (10^9 buckets), `blocks = 10` gives 120 tables of 42-bit
+    * keys: occupancy n/2^width stays ≪ 1, so candidates stay ∝ true
+    * near-dups (see SCALE.md). Key rows per doc grow as C(blocks,
+    * blocks−maxHamming) — linear cost, the price of keeping the join sparse.
     *
     * Features are word shingles, not unigrams: bag-of-words simhash calls
     * any two documents over the same small vocabulary near-identical, which
@@ -151,13 +166,26 @@ object Dedup {
     */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id", maxHamming: Int = 3,
-              shingleLen: Int = 5): DataFrame = {
+              shingleLen: Int = 5, blocks: Int = 4): DataFrame = {
+    require(blocks > maxHamming,
+      s"pigeonhole recall needs blocks > maxHamming ($blocks <= $maxHamming)")
+    require(60 % blocks == 0, s"blocks must divide the 60-bit signature: $blocks")
+    val width = 60 / blocks
+    val mask = (1L << width) - 1
+    def chunk(c: Int): Column =
+      shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))
+    // all (blocks − maxHamming)-subsets; blocks = 4, maxHamming = 3 yields
+    // the four single 15-bit chunks — bit-identical to the classic scheme
+    val keySets = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keys = keySets.zipWithIndex.map { case (set, i) =>
+      struct(lit(i).as("chunk"),
+        set.foldLeft(lit(0L))((acc, c) =>
+          shiftleft(acc, width).bitwiseOR(chunk(c))).as("ckey"))
+    }
     val sig = docs.select(col(idCol).as("id"),
       simhashSignature(shingles(TextStats.tokens(col(textCol)), shingleLen)).as("sig"))
-    val chunks = (0 until 4).map(c => struct(lit(c).as("chunk"),
-      shiftrightunsigned(col("sig"), c * 15).bitwiseAND(lit(0x7FFFL)).as("ckey")))
     val chunked = sig.select(col("id"), col("sig"),
-      explode(array(chunks: _*)).as("cc"))
+      explode(array(keys: _*)).as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk"), col("cc.ckey"))
     val a = chunked.alias("a")
     val b = chunked.alias("b")
@@ -239,23 +267,85 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
-  /** Exact n-gram (shingle) Jaccard near-dup with prefix blocking: only
-    * documents sharing the same leading-characters block are compared. The
-    * block key bounds the join fan-out; at scale replace the prefix with any
-    * cheap locality key (URL host, minhash band, …).
+  /** Minhash-band rows per sub-key for [[ngramBlocks]]' threshold-tuned
+    * guard: `subRows` minhashes folded per band. A pair at Jaccard J shares
+    * a band key with probability J^subRows — picking subRows ≈
+    * log(1/2)/log(threshold) puts the probability knee AT the verification
+    * threshold, so supra-threshold pairs mostly stay together while the
+    * merely-similar bulk of a hot block splits apart. A single minhash
+    * (subRows = 1) would NOT split a boilerplate block: the min over the
+    * shingle set is dominated by the shared boilerplate shingles.
     */
-  def ngramJaccard(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", shingleLen: Int = 5,
-                   blockPrefix: Int = 40, threshold: Double = 0.4): DataFrame = {
+  private def deriveSubRows(threshold: Double): Int =
+    if (threshold >= 0.95) 8
+    else math.max(1, math.ceil(math.log(0.5) / math.log(math.max(threshold, 0.05))).toInt)
+
+  /** `(id, blk, band, sk, sh)` blocked rows for [[ngramJaccard]]'s pair join
+    * — the size-guard core, shared with the hot-block spec. The pair key is
+    * (blk, band, sk): for prefix blocks of at most `maxBlock` documents a
+    * single (0, 0) sub-key (exact all-pairs within the block); larger blocks
+    * explode into `subBands` minhash-band keys of `subRows` rows each
+    * ([[deriveSubRows]]), so a hot block (every doc of a boilerplate corpus
+    * sharing the same header) can never drive an unbounded n² pair join.
+    * Beyond the bound the comparison is LSH-approximate: a pair at Jaccard J
+    * is compared with probability 1−(1−J^subRows)^subBands — near-identical
+    * documents almost surely, exact duplicates always (identical shingle
+    * sets band identically; an all-exact-dup block stays together by
+    * construction, but there the n² PAIR OUTPUT is the true answer — run
+    * [[exact]] first, as any pipeline does). The per-block size relation is
+    * joined by key, NOT broadcast: distinct prefixes grow with the corpus.
+    */
+  private[graft] def ngramBlocks(docs: DataFrame, textCol: String,
+                               idCol: String, shingleLen: Int,
+                               blockPrefix: Int, maxBlock: Int,
+                               subRows: Int, subBands: Int): DataFrame = {
     val sh = docs.select(
       col(idCol).as("id"),
       substring(col(textCol), 1, blockPrefix).as("blk"),
       shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val sizes = sh.groupBy("blk").agg(count(lit(1)).as("_bn"))
+    val joined = sh.join(sizes, "blk")
+    val hot = joined.where(col("_bn") > maxBlock)
+      .select(col("id"), col("blk"), col("sh"),
+        explode(transform(sequence(lit(0), lit(subBands - 1)), b =>
+          struct(b.as("band"),
+            aggregate(
+              slice(minhashSignature(col("sh"), subRows * subBands),
+                b * lit(subRows) + lit(1), lit(subRows)),
+              lit(0L), (acc, x) => (acc * 31 + x) % lit(graft.functions.PolyHash.P1))
+              .as("sk")))).as("bs"))
+      .select(col("id"), col("blk"), col("bs.band"), col("bs.sk"), col("sh"))
+    val cold = joined.where(col("_bn") <= maxBlock)
+      .select(col("id"), col("blk"), lit(0).as("band"), lit(0L).as("sk"), col("sh"))
+    cold.unionByName(hot)
+  }
+
+  /** Exact n-gram (shingle) Jaccard near-dup with prefix blocking: only
+    * documents sharing the same leading-characters block are compared. The
+    * block key bounds the join fan-out; blocks larger than `maxBlock` are
+    * sub-bucketed by threshold-tuned minhash band keys ([[ngramBlocks]]) so
+    * a shared-boilerplate corpus can't make one block quadratic — the same
+    * size guard Similarity.guardedBlocks applies to embedding blocks. The
+    * multi-band candidates are deduplicated AFTER the threshold filter
+    * (deterministic jacc per pair, so a value distinct is exact). At scale
+    * replace the prefix with any cheap locality key (URL host, minhash
+    * band, …). `subRows = 0` derives the band depth from `threshold`.
+    */
+  def ngramJaccard(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", shingleLen: Int = 5,
+                   blockPrefix: Int = 40, threshold: Double = 0.4,
+                   maxBlock: Int = 10000, subRows: Int = 0,
+                   subBands: Int = 2): DataFrame = {
+    val r = if (subRows > 0) subRows else deriveSubRows(threshold)
+    val keyed = ngramBlocks(docs, textCol, idCol, shingleLen, blockPrefix,
+      maxBlock, r, subBands)
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
+        col("a.sk") === col("b.sk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         graft.functions.Rounding.dround(jaccard(col("a.sh"), col("b.sh")), 4).as("jacc"))
       .where(col("jacc") >= threshold)
+      .distinct()
   }
 }

@@ -32,10 +32,25 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhash finds near-dups by hamming distance") {
-    val pairs = Dedup.simhash(docs, maxHamming = 10)
+    // maxHamming 10 needs blocks > 10 for the pigeonhole bound (the old
+    // 4-chunk scheme only guaranteed recall to hamming 3)
+    val pairs = Dedup.simhash(docs, maxHamming = 10, blocks = 12)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash blocking scales with `blocks` while pairs stay identical") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(b: Int) = Dedup.simhash(real, blocks = b)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val classic = run(4) // the 4×15-bit scheme the oracle replays
+    // generalized pigeonhole: wider key tables, exact same verified pairs
+    assert(run(6) == classic)
+    assert(run(10) == classic)
+    // recall bound requires blocks > maxHamming and an even 60-bit split
+    intercept[IllegalArgumentException](Dedup.simhash(real, blocks = 3))
+    intercept[IllegalArgumentException](Dedup.simhash(real, blocks = 7))
   }
 
   test("ngram jaccard verifies exact similarity on blocked candidates") {
@@ -43,6 +58,40 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(pairs.head._3 == 1.0) // identical docs: jaccard exactly 1
+  }
+
+  test("hot prefix block is sub-bucketed: pair join stays bounded, dups still found") {
+    // A boilerplate corpus: EVERY doc shares the 40-char prefix (one hot
+    // block of 120 docs), tails are distinct except three planted pairs of
+    // exact duplicates. Unguarded all-pairs would compare 120·119/2 = 7140
+    // pairs; with maxBlock = 10 the block must split by the minhash sub-key.
+    val hot = (0 until 120).map { i =>
+      val tail =
+        if (i >= 100 && i < 103) s"planted dup tail x${i - 100} y z"
+        else (1 to 8).map(j => s"u${i}n$j").mkString(" ")
+      (i.toLong, prefix + " " + tail)
+    }.toDF("doc_id", "text") // ids 100/0? planted pairs below
+      .union(Seq(
+        (200L, prefix + " planted dup tail x0 y z"),
+        (201L, prefix + " planted dup tail x1 y z"),
+        (202L, prefix + " planted dup tail x2 y z")).toDF("doc_id", "text"))
+    val blocks = Dedup.ngramBlocks(hot, "text", "doc_id", 5, 40,
+      maxBlock = 10, subRows = 7, subBands = 2)
+    val sizes = blocks.groupBy("blk", "band", "sk").count()
+      .select("count").as[Long].collect()
+    // the hot block actually split, and no sub-bucket holds a quadratic share
+    assert(sizes.length > 5, "hot block was not sub-bucketed")
+    assert(sizes.max < 70, s"largest sub-bucket ${sizes.max} of 123 docs")
+    // exact duplicates hash to the same sub-key by construction → all three
+    // planted pairs survive the guard with jaccard 1.0
+    val pairs = Dedup.ngramJaccard(hot, threshold = 0.9, maxBlock = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(Set((100L, 200L), (101L, 201L), (102L, 202L)).subsetOf(pairs), pairs.toString)
+    // and the unguarded default (maxBlock above corpus size) finds the same
+    // pairs here — the guard only re-buckets, never invents pairs
+    val unguarded = Dedup.ngramJaccard(hot, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(unguarded))
   }
 
   test("cosine top-k returns exact neighbours in order") {
