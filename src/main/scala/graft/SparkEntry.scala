@@ -921,10 +921,16 @@ object SparkEntry {
   }
 
   // doc_id hash draw shared by the sampling/mixing oracles (Corpus.hashUnit
-  // with its seed-42 constants)
+  // with its seed-42 constants): two xorshift-multiply mixing rounds mod
+  // 2^32 (exact BIGINT arithmetic in both engines), then the affine draw.
   private lazy val hashDraw: String = {
     val (a, b) = graft.llm.Corpus.hashConstants(42L)
-    s"(CAST(($a * (doc_id % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
+    val (m32, k) = (graft.llm.Corpus.M32, graft.llm.Corpus.MixK)
+    val m0 = s"(doc_id % $m32)"
+    val m1 = s"((xor($m0, $m0 >> 16) * $k) % $m32)"
+    val m2 = s"((xor($m1, $m1 >> 16) * $k) % $m32)"
+    val m3 = s"xor($m2, $m2 >> 16)"
+    s"(CAST(($a * ($m3 % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
   }
 
   private lazy val agrawalOracle: String = {

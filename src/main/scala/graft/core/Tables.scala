@@ -27,9 +27,12 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Required by the parquet reader for TIMESTAMP(NANOS) columns. Set
+    // unconditionally (idempotent map put) rather than as a surprising side
+    // effect of the first memo miss.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = resolved.getOrElseUpdate(
       (org.apache.spark.sql.graftbridge.SessionBridge.uuid(spark), dir, name), {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val raw = spark.read.parquet(s"$dir/$name.parquet")
         if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else raw

@@ -17,17 +17,41 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** Uniform in [0,1) per id: engine-agnostic modular arithmetic (the same
-    * affine family as the Agrawal generator, seed-derived constants).
-    */
   /** The affine constants behind [[hashUnit]] — shared with oracle SQL. */
   def hashConstants(seed: Long): (Long, Long) = (
     Math.floorMod(PolyHash.splitmix(seed * 1000003L), PolyHash.P1 - 1) + 1,
     Math.floorMod(PolyHash.splitmix(seed * 1000003L + 1), PolyHash.P1))
 
+  /** 2^32 and the xorshift-multiply constant of [[mix32]] — shared with the
+    * oracle SQL replay.
+    */
+  val M32 = 4294967296L
+  val MixK = 0x45d9f3bL // 73244475
+
+  /** Nonlinear 32-bit mixing rounds (xorshift + multiply, the lowbias32
+    * construction): every operation is exact BIGINT arithmetic in ANY engine
+    * — products stay < 2^59, reductions are mod 2^32 — so the mix is
+    * bit-reproducible cross-engine with no 64-bit overflow semantics in
+    * play.
+    */
+  def mix32(id: Column): Column = {
+    val x0 = id % M32
+    val x1 = (x0.bitwiseXOR(shiftrightunsigned(x0, 16)) * MixK) % M32
+    val x2 = (x1.bitwiseXOR(shiftrightunsigned(x1, 16)) * MixK) % M32
+    x2.bitwiseXOR(shiftrightunsigned(x2, 16))
+  }
+
+  /** Uniform in [0,1) per id: a [[mix32]] round then an affine draw with
+    * seed-derived constants — engine-agnostic modular arithmetic
+    * throughout. The mixing round matters for the common sequential-id
+    * case: a bare affine map sends consecutive ids to an arithmetic
+    * progression mod P1 (a fixed stride in [0,1), NOT a uniform scatter);
+    * after mixing, consecutive ids draw independently for every practical
+    * purpose, while determinism and composability are unchanged.
+    */
   def hashUnit(id: Column, seed: Long): Column = {
     val (a, b) = hashConstants(seed)
-    ((lit(a) * (id % PolyHash.P1) + b) % PolyHash.P1).cast("double") / PolyHash.P1
+    ((lit(a) * (mix32(id) % PolyHash.P1) + b) % PolyHash.P1).cast("double") / PolyHash.P1
   }
 
   /** Deterministic `rate`-fraction sample keyed on `idCol`. */

@@ -260,6 +260,20 @@ class LlmSpec extends SparkSpec {
     assert(byBin.keys.toSeq.sorted.zipWithIndex.forall { case (b, i) => b == i })
   }
 
+  test("hash draws scatter sequential ids — no arithmetic-progression stride") {
+    import graft.llm.Corpus
+    val draws = spark.range(1000)
+      .select(Corpus.hashUnit(col("id"), 42L).as("u")).as[Double].collect()
+    assert(math.abs(draws.sum / 1000 - 0.5) < 0.05) // roughly uniform
+    // a bare affine map gives consecutive ids a CONSTANT stride mod 1 (one
+    // or two distinct gap values over the whole range); the mix32 round
+    // must scatter them
+    val gaps = draws.sliding(2)
+      .map { p => val g = p(1) - p(0); if (g < 0) g + 1 else g }
+      .map(g => math.round(g * 1e9)).toSet
+    assert(gaps.size > 900, s"only ${gaps.size} distinct strides in 999 gaps")
+  }
+
   test("stratified sampling caps every stratum, is partition-invariant, and plans a group limit") {
     import graft.llm.Corpus
     val docs = (0 until 1000).map(i =>
