@@ -68,6 +68,35 @@ object SparkEntry {
   private def withK(ev: DataFrame): DataFrame =
     ev.withColumn("k", from_json(col("props"), propsSchema).getField("k"))
 
+  // Bucketed silver tables are an offline layout artifact like the IVF
+  // index: written once per (session, dir), then every co-located join/agg
+  // on the bucket key runs with ZERO Exchange. The in-memory catalog
+  // forgets tables across JVMs while their warehouse dirs persist, so the
+  // sink drops both before writing.
+  private val bucketed =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+  private def ensureBucketed(s: SparkSession, d: String): Unit = {
+    bucketed.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      for (tbl <- Seq("graft_b_orders", "graft_b_customer")) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      graft.etl.Etl.sinkBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_b_orders", "o_custkey", 16)
+      graft.etl.Etl.sinkBucketed(
+        t(s, d, "customer").select("c_custkey", "c_nationkey"),
+        "graft_b_customer", "c_custkey", 16)
+      true
+    })
+    ()
+  }
+
   private val lineitemBounds = Map(
     "l_discount" -> FieldBounds(Some(0.0), Some(0.05)),
     "l_extendedprice" -> FieldBounds(Some(0.0), Some(100000.0)),
@@ -406,6 +435,22 @@ object SparkEntry {
         .select(col("c_custkey").as("custkey"), col("c_nationkey"))
       graft.core.Skew.saltedJoin(o, c, "custkey", salt = 8)
         .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / lit(100.0)).as("revenue"))
+    },
+
+    // Co-located bucketed-silver join + aggregation ON THE BUCKET KEY:
+    // both tables are bucketed (16) on custkey by the memoized sink, so the
+    // join needs no shuffle and the final aggregate reuses the same
+    // partitioning — the whole plan runs with zero shuffle Exchange
+    // (spec-asserted with broadcast disabled). The oracle is the plain
+    // unbucketed SQL: hash-equality proves layout never changes values.
+    "bucketed_join_agg" -> { (s, d) =>
+      ensureBucketed(s, d)
+      val o = s.table("graft_b_orders")
+      val c = s.table("graft_b_customer")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           (sum(cents(col("o_totalprice"))) / lit(100.0)).as("revenue"))
     },
@@ -1323,6 +1368,13 @@ object SparkEntry {
         "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    // plain unbucketed SQL: the bucketed layout must not change values
+    "bucketed_join_agg" ->
+      ("SELECT o_custkey, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY o_custkey ORDER BY o_custkey"),
 
     "dedup_semantic" -> semanticDedupOracle,
 

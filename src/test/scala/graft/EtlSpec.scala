@@ -128,6 +128,19 @@ class EtlSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("bucketed_join_agg gate query plans with zero Exchange of any kind") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = SparkEntry.queries("bucketed_join_agg")(spark, "/root/testdata/sf0.001")
+      assert(q.count() > 0)
+      val plan = q.queryExecution.executedPlan.toString
+      // join AND final aggregate both reuse the bucket partitioning: no
+      // shuffle exchange, no broadcast exchange anywhere in the plan
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("malformed JSON routes to the invalid side with its raw payload intact") {
     val bronze = Seq((1L, "{not json"), (2L, goodJson)).toDF("ts", "data")
     val (silver, invalid) = Etl.run(bronze, Contracts.searches)
