@@ -55,20 +55,26 @@ object DelayedJoin {
   final case class Config(
       deltaMs: Long = DefaultDeltaMs,
       lastRewardWins: Boolean = false, // J6 exercise variant
-      honorOverrides: Boolean = false) // J7 exercise variant
+      honorOverrides: Boolean = false, // J7 exercise variant
+      useTransformWithState: Boolean = false) // Spark 4 state-v2 engine
 
-  /** Per-key state transition. `watermarkMs` is the event-time watermark;
-    * decisions with deadline (ts + Δ) ≤ watermark are emitted and dropped.
+  /** The pure per-key state transition shared by BOTH streaming engines
+    * (flatMapGroupsWithState here, transformWithState in [[DelayedJoinTws]]
+    * — one function, so the two paths cannot drift semantically).
+    *
+    * Folds `incoming` into `prev` at event-time watermark `wm` and returns
+    * (emitted rows, next state — None means the key's state is empty and can
+    * be removed, next wake-up timestamp). Decisions with deadline
+    * (insert_ms + Δ) ≤ wm are emitted and dropped; the wake-up is the
+    * earliest pending deadline (or wm + Δ for reward-only/override state,
+    * which needs one more visit to GC), clamped above the watermark.
     */
-  private def step(cfg: Config)(key: String, in: Iterator[In],
-      state: GroupState[State]): Iterator[JoinedDecision] = {
-    val prev = state.getOption.getOrElse(State(Nil, Nil, overridden = false))
-    val incoming = in.toList
+  private[stream] def advance(cfg: Config, prev: State, incoming: List[In],
+      wm: Long): (List[JoinedDecision], Option[State], Long) = {
     val overridden = prev.overridden ||
       (cfg.honorOverrides && incoming.exists(_.kind == 2))
     val decisions = prev.decisions ++ incoming.filter(_.kind == 0)
     val rewards = prev.rewards ++ incoming.filter(_.kind == 1)
-    val wm = state.getCurrentWatermarkMs()
 
     val (due, pending) = decisions.partition(_.insert_ms + cfg.deltaMs <= wm)
     val out: List[JoinedDecision] =
@@ -96,14 +102,28 @@ object DelayedJoin {
     // before a decision it matches is emitted, however many same-key steps
     // run in between.
     val liveRewards = rewards.filter(_.insert_ms + cfg.deltaMs > wm)
-    if (pending.isEmpty && liveRewards.isEmpty && !overridden) {
-      state.remove()
-    } else {
-      state.update(State(pending, liveRewards, overridden))
+    if (pending.isEmpty && liveRewards.isEmpty && !overridden)
+      (out, None, 0L)
+    else {
       val nextDeadline =
         if (pending.nonEmpty) pending.map(_.insert_ms + cfg.deltaMs).min
         else wm + cfg.deltaMs // reward-only/override state: revisit to GC
-      state.setTimeoutTimestamp(math.max(nextDeadline, wm + 1))
+      (out, Some(State(pending, liveRewards, overridden)),
+        math.max(nextDeadline, wm + 1))
+    }
+  }
+
+  /** flatMapGroupsWithState wiring of [[advance]]. */
+  private def step(cfg: Config)(key: String, in: Iterator[In],
+      state: GroupState[State]): Iterator[JoinedDecision] = {
+    val prev = state.getOption.getOrElse(State(Nil, Nil, overridden = false))
+    val (out, next, wakeUp) =
+      advance(cfg, prev, in.toList, state.getCurrentWatermarkMs())
+    next match {
+      case None => state.remove()
+      case Some(st) =>
+        state.update(st)
+        state.setTimeoutTimestamp(wakeUp)
     }
     out.iterator
   }
@@ -111,14 +131,22 @@ object DelayedJoin {
   /** Streaming delayed join over a pre-unioned input stream carrying an
     * event-time column `ts` (TimestampType, = insert_ms). Callers build the
     * union with [[unionStreams]].
+    *
+    * `cfg.useTransformWithState = true` routes the SAME state machine
+    * through Spark 4's state-v2 `transformWithState` engine (requires the
+    * RocksDB state-store provider) — see [[DelayedJoinTws]]. The default
+    * stays `flatMapGroupsWithState`: the two engines write incompatible
+    * checkpoint state, so existing checkpoints keep working.
     */
   def joined(spark: SparkSession, input: Dataset[In], cfg: Config = Config())
       : Dataset[JoinedDecision] = {
     import spark.implicits._
-    input
+    val withEventTime = input
       .withColumn("ts", timestamp_millis(col("insert_ms")))
       .as[In]
       .withWatermark("ts", s"${cfg.deltaMs} milliseconds")
+    if (cfg.useTransformWithState) DelayedJoinTws.joined(withEventTime, cfg)
+    else withEventTime
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         step(cfg))
