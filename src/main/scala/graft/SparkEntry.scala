@@ -58,12 +58,10 @@ object SparkEntry {
   private val ccCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def components(s: SparkSession, d: String): DataFrame =
-    ccCache.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
-      val cc = Dedup.connectedComponents(Dedup.ngramJaccard(t(s, d, "documents")))
-        .cache()
-      cc.count()
-      cc
-    })
+    ccCache.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
+      // already eager and lineage-truncated (localCheckpoint) — the memo
+      // value is a materialized leaf, no extra cache needed
+      Dedup.connectedComponents(Dedup.ngramJaccard(t(s, d, "documents"))))
 
   private def withK(ev: DataFrame): DataFrame =
     ev.withColumn("k", from_json(col("props"), propsSchema).getField("k"))

@@ -123,14 +123,23 @@ object Quantiles {
     } finally { counts.unpersist(); () }
   }
 
-  /** [[quantileCont]] over a pre-aggregated `(_cn, _v, _c)` relation. */
+  /** [[quantileCont]] over a pre-aggregated `(_cn, _v, _c)` relation.
+    *
+    * `precomputedStats`: a `(_cn, _mn, _mx, _n)` relation (per-key min /
+    * max / non-null count) a caller already has — the exact profile
+    * computes one fused per-key aggregate for its simple statistics and
+    * threads it in here, saving a second full aggregation pass over the
+    * counts relation. Must agree with `perVal` (same keys, null-free
+    * values); when absent the stats are derived from `perVal` directly.
+    */
   def quantileContFromCounts(perVal: DataFrame, qs: Seq[Double],
-                             buckets: Int = 1024): DataFrame = {
+                             buckets: Int = 1024,
+                             precomputedStats: Option[DataFrame] = None): DataFrame = {
     require(qs.nonEmpty && buckets >= 1)
 
     // 2. per-column stats (one row per column — broadcast everywhere)
-    val stats = perVal.groupBy("_cn")
-      .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
+    val stats = precomputedStats.getOrElse(perVal.groupBy("_cn")
+      .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n")))
     val width = (col("_mx") - col("_mn")) / buckets
     val bucketed = perVal.join(broadcast(stats), "_cn")
       .withColumn("_cr",

@@ -148,23 +148,30 @@ object Profile {
     val perVal = keyed
       .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
       .persist()
-    try {
-      perVal.count() // job 1: the single source scan
 
-      // Per-key simple stats. The weighted mean Σ(v·c)/Σ(c) sums FEWER terms
-      // than a row-order mean (one per distinct value), and the result is
-      // rounded to `avgScale` exactly like the lazy path, which absorbs the
-      // summation-order ulp. NULL value groups ride along: they feed
-      // null_cnt, are ignored by min/max/sum(v·c), and n_distinct counts
-      // only non-null distinct values.
-      val nNonNull = sum(when(col("_v").isNotNull, col("_c")))
-      val stats = perVal.groupBy("_cn").agg(
-        min("_v").as("col_min"), max("_v").as("col_max"),
-        graft.functions.Rounding.dround(sum(col("_v") * col("_c")) / nNonNull,
-          avgScale).as("col_avg"),
-        coalesce(nNonNull, lit(0L)).as("col_cnt"),
-        coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("null_cnt"),
-        count(when(col("_v").isNotNull, lit(1))).as("n_distinct"))
+    // Per-key simple stats — ONE fused aggregate serving both the output
+    // row and (as `(_cn, _mn, _mx, _n)`) the quantile machinery, which
+    // would otherwise run its own full pass over the counts relation. The
+    // weighted mean Σ(v·c)/Σ(c) sums FEWER terms than a row-order mean
+    // (one per distinct value), and the result is rounded to `avgScale`
+    // exactly like the lazy path, which absorbs the summation-order ulp.
+    // NULL value groups ride along: they feed null_cnt, are ignored by
+    // min/max/sum(v·c), and n_distinct counts only non-null distinct
+    // values. Persisted (≤ one row per key): it is broadcast from several
+    // branches of the quantile plan.
+    val nNonNull = sum(when(col("_v").isNotNull, col("_c")))
+    val stats = perVal.groupBy("_cn").agg(
+      min("_v").as("col_min"), max("_v").as("col_max"),
+      graft.functions.Rounding.dround(sum(col("_v") * col("_c")) / nNonNull,
+        avgScale).as("col_avg"),
+      coalesce(nNonNull, lit(0L)).as("col_cnt"),
+      coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("null_cnt"),
+      count(when(col("_v").isNotNull, lit(1))).as("n_distinct"))
+      .persist()
+    try {
+      // job 1: the single source scan — materializes BOTH caches (the
+      // stats aggregate reads through the perVal shuffle)
+      stats.count()
 
       // Quartiles through the declarative bounded-histogram plan (identical
       // rank/interpolation arithmetic to DuckDB's quantile_cont), pivoted to
@@ -172,7 +179,10 @@ object Profile {
       // equality pivot is safe.
       val quarts = Quantiles
         .quantileContFromCounts(perVal.where(col("_v").isNotNull), Quartiles,
-          Buckets)
+          Buckets,
+          precomputedStats = Some(stats.select(col("_cn"),
+            col("col_min").as("_mn"), col("col_max").as("_mx"),
+            col("col_cnt").as("_n"))))
         .groupBy(col("column_name").as("_cn"))
         .agg(
           graft.functions.Rounding
@@ -206,7 +216,7 @@ object Profile {
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava),
         profileSchema)
-    } finally { perVal.unpersist(); () }
+    } finally { perVal.unpersist(); stats.unpersist(); () }
   }
 
   /** Fixed-width value histogram: `buckets` equal ranges over [min, max]
