@@ -422,6 +422,14 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       graft.core.Skew.heavyHitters(t(s, d, "events"), col("user_id"), n = 20)),
 
+    // KMV distinct-count sketch: bounded k-minima state per (group, task)
+    // instead of exact distinct's one-row-per-distinct shuffle —
+    // deterministic over the PolyHash basis, so the oracle rebuilds the
+    // identical k-minima and estimate.
+    "distinct_kmv" -> ((s, d) =>
+      graft.analytics.Sketches.kmvDistinctBy(t(s, d, "events"),
+        "event_type", "user_id", k = 64)),
+
     // Salting proof-of-equivalence: the salted join must produce the
     // IDENTICAL relation as the plain join — the oracle IS the unsalted SQL,
     // so the hash gate pins Skew.saltedJoin's semantics (no dropped,
@@ -552,6 +560,17 @@ object SparkEntry {
     "decontaminate" -> { (s, d) =>
       val docs = t(s, d, "documents")
       Dedup.decontaminate(docs.where(col("doc_id") >= 10),
+        docs.where(col("doc_id") < 10))
+    },
+
+    // The same scrub through a 2^20-bit bloom of the eval shingles — the
+    // shape that survives eval sets whose distinct shingle STRINGS are too
+    // wide to broadcast (the bitmap is constant-size). Deterministic double
+    // hashing over PolyHash, so the oracle replays the exact bit set —
+    // false positives included — in SQL.
+    "decontaminate_bloom" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.decontaminateBloom(docs.where(col("doc_id") >= 10),
         docs.where(col("doc_id") < 10))
     },
 
@@ -908,6 +927,27 @@ object SparkEntry {
         |  FROM ck a JOIN ck b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+
+  // KMV distinct sketch replay: one mix32 scatter round + the seeded affine
+  // draw (identical constants interpolated from Corpus.hashConstants), the
+  // k = 64 smallest DISTINCT hashes per group, estimate (k-1)*P1/h_k — or
+  // the exact distinct-hash count below k. All BIGINT-exact; the single
+  // division is one IEEE op in both engines.
+  private lazy val kmvOracle: String = {
+    val (a, b) = graft.llm.Corpus.hashConstants(42L)
+    val k = 64
+    s"""WITH m0 AS (SELECT event_type, user_id % 4294967296 AS x0 FROM events WHERE user_id IS NOT NULL),
+       |m1 AS (SELECT event_type, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1 FROM m0),
+       |m2 AS (SELECT event_type, (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2 FROM m1),
+       |mx AS (SELECT event_type, xor(x2, x2 >> 16) AS mv FROM m2),
+       |h AS (SELECT DISTINCT event_type, ($a * (mv % 1000000007) + $b) % 1000000007 AS hv FROM mx),
+       |r AS (SELECT event_type, hv, row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h),
+       |a AS (SELECT event_type, count(*) AS nh, max(CASE WHEN rn = $k THEN hv END) AS hk
+       |  FROM r WHERE rn <= $k GROUP BY event_type)
+       |SELECT event_type, CASE WHEN nh < $k THEN CAST(nh AS DOUBLE)
+       |  ELSE ($k - 1) * 1000000007.0 / hk END AS est_distinct
+       |FROM a ORDER BY event_type""".stripMargin.replace("\n", " ")
+  }
 
   // Near-dup connected components (shingle pairs → min reachable id), the
   // shared base of the dedup_components / dedup_droplist oracles.
@@ -1284,6 +1324,21 @@ object SparkEntry {
         "SELECT doc_id AS id, count(*) AS n_overlap FROM tr JOIN ev USING (g) " +
         "GROUP BY doc_id ORDER BY id"),
 
+    // Replays the bloom's EXACT bit set: eval shingles mark k = 3 double-
+    // hashed positions mod 2^20; a train shingle hits iff all three of its
+    // positions are marked — false positives and all.
+    "decontaminate_bloom" ->
+      (shingleCte + polyHashCte +
+        ", evp AS (SELECT DISTINCT unnest(flatten(list_transform(generate_series(1, len(sh)), j -> " +
+        "list_transform([0,1,2], i -> (h1s[j] + i*h2s[j]) % 1048576)))) AS p FROM hs WHERE doc_id < 10), " +
+        "evpl AS (SELECT list(p) AS ps FROM evp), " +
+        "trp AS (SELECT doc_id, list_transform(generate_series(1, len(sh)), j -> " +
+        "list_transform([0,1,2], i -> (h1s[j] + i*h2s[j]) % 1048576)) AS pls FROM hs WHERE doc_id >= 10), " +
+        "tru AS (SELECT doc_id, unnest(pls) AS pl FROM trp), " +
+        "hits AS (SELECT doc_id FROM tru, evpl WHERE list_has_all(evpl.ps, tru.pl)) " +
+        "SELECT doc_id AS id, count(*) AS n_overlap FROM hits " +
+        "GROUP BY doc_id HAVING count(*) >= 1 ORDER BY id"),
+
     // min-reachable-id per node via recursive CTE — the declarative twin of
     // the engine's iterative min-label propagation
     "dedup_components" ->
@@ -1358,6 +1413,10 @@ object SparkEntry {
     "heavy_hitters" ->
       ("SELECT user_id AS key, count(*) AS cnt FROM events " +
         "GROUP BY user_id ORDER BY cnt DESC, key LIMIT 20"),
+
+    // Rebuilds the KMV sketch exactly: mix32 scatter + seeded affine draw
+    // per distinct user_id, k smallest hashes per group, (k-1)*P1/h_k.
+    "distinct_kmv" -> kmvOracle,
 
     // deliberately the UNSALTED join: hash-equality proves the salted plan
     // computes the identical relation

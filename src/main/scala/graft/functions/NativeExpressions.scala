@@ -310,4 +310,20 @@ object native {
   /** Int8 quantization of an array<float|double> vector (+ its scale). */
   def int8quant(c: Column): Column = column(Int8Quantize(expression(c)))
   def int8scale(c: Column): Column = column(Int8Scale(expression(c)))
+
+  /** Aggregate: OR-fold an array<string> column into an mBits bloom bitmap
+    * (array<long>, map-side combined, constant shuffle width).
+    */
+  def bloomBits(c: Column, mBits: Int, k: Int): Column =
+    column(BloomBitsAgg(expression(c), mBits, k).toAggregateExpression())
+
+  /** Count of array<string> items whose k probe positions are all set. */
+  def bloomCountHits(bits: Column, items: Column, mBits: Int, k: Int): Column =
+    column(BloomCountHits(expression(bits), expression(items), mBits, k))
+
+  /** Aggregate: KMV distinct-count estimate of a non-negative LONG column
+    * (k-minima state, map-side combined, cross-engine deterministic).
+    */
+  def kmvDistinct(c: Column, k: Int, seed: Long = 42L): Column =
+    column(KmvDistinctAgg(expression(c), k, seed).toAggregateExpression())
 }

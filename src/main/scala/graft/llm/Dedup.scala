@@ -221,6 +221,41 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Bloom-filter decontamination — [[decontaminate]]'s shape at the scale
+    * where even the eval set's DISTINCT shingle strings are too wide to
+    * broadcast: a 10 M-shingle benchmark suite is ~500 MB of strings but a
+    * 2^27-bit bloom of it is 16 MB, constant in the shingle count. The eval
+    * side OR-folds into the bitmap with one map-side-combined aggregate
+    * ([[graft.functions.BloomBitsAgg]] — the shuffle carries one fixed-size
+    * bitmap per task); the train side cross-joins the single-row bitmap
+    * (broadcast, the 100 TB side never shuffles) and counts per-doc shingle
+    * hits in one native probe loop.
+    *
+    * Trade-off vs the exact set: false positives at the classic
+    * (1 − e^(−kn/m))^k rate — docs can be flagged that share nothing with
+    * the eval set, but never the reverse (no false negatives: every truly
+    * shared shingle probes bits the eval side set). Deterministic by
+    * construction (the bitmap is an OR-fold over [[graft.functions.PolyHash]]
+    * double hashing), so the SAME false positives reproduce in any engine —
+    * the oracle replays the bit set in SQL.
+    */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         shingleLen: Int = 5, minOverlap: Int = 1,
+                         mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val filter = evalSet
+      .select(shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
+      .agg(graft.functions.native.bloomBits(col("sh"), mBits, k).as("_bloom"))
+    train
+      .select(col(idCol).as("id"),
+        shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
+      .crossJoin(broadcast(filter))
+      .select(col("id"),
+        graft.functions.native.bloomCountHits(col("_bloom"), col("sh"), mBits, k)
+          .cast("long").as("n_overlap")) // long like decontaminate's count
+      .where(col("n_overlap") >= minOverlap)
+  }
+
   /** Connected components over a near-duplicate pair graph — the cluster
     * resolution step every corpus dedup needs after candidate pairs: a
     * near-dup CHAIN (a≈b, b≈c) is one cluster even when a and c were never

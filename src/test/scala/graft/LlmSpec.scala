@@ -326,6 +326,42 @@ class LlmSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("bloom decontamination: no false negatives, deterministic false positives") {
+    val evalSet = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "announcement the quick brown fox jumps over a fence today"),
+      (11L, "completely unrelated text about spark shuffles and joins"),
+      (12L, "the quick brown fox jumps over the lazy dog verbatim copy"),
+      (13L, "more filler prose that shares nothing with the benchmark suite"))
+      .toDF("doc_id", "text")
+
+    // at a roomy m the bloom agrees with the exact set — including counts
+    val exact = Dedup.decontaminate(train, evalSet)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.decontaminateBloom(train, evalSet)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+
+    // a deliberately tiny filter (64 bits, every probe collides) must still
+    // contain every exact hit — bloom misses are impossible by construction
+    val tiny = Dedup.decontaminateBloom(train, evalSet, mBits = 64, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet.subsetOf(tiny.keySet))
+    exact.foreach { case (id, n) => assert(tiny(id) >= n) } // fp only inflate
+
+    // determinism: the OR-fold is partition-order independent — the same
+    // tiny filter (false positives included) from a repartitioned eval side
+    val tinyShuffled = Dedup.decontaminateBloom(train, evalSet.repartition(7),
+      mBits = 64, k = 2).as[(Long, Long)].collect().toMap
+    assert(tinyShuffled == tiny)
+
+    // the probe side stays shuffle-free: single-row bitmap is broadcast
+    val plan = Dedup.decontaminateBloom(train, evalSet)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("connected components resolve near-dup chains into clusters") {
     // path graph 1-2-3-4 (diameter 3: needs >1 propagation round),
     // pair 10-11, triangle-ish 20-21-22

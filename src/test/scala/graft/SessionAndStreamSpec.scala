@@ -467,6 +467,36 @@ class SessionAndStreamSpec extends SparkSpec {
     }
   }
 
+  test("KMV distinct sketch: exact below k, accurate above, partition-invariant") {
+    import graft.analytics.Sketches
+    // exact path: 40 distinct ids < k=64 -> the sketch IS the set
+    val small = (0 until 200).map(i => ("a", (i % 40).toLong)).toDF("g", "id")
+    val exactRes = Sketches.kmvDistinctBy(small, "g", "id", k = 64)
+      .as[(String, Double)].collect().toMap
+    assert(exactRes("a") == 40.0)
+
+    // estimate path: 5000 distinct ids, k=256 -> SE ~ 1/sqrt(254) ~ 6.3%;
+    // assert within 3 SE (deterministic, so this either always passes or
+    // never does — no flake)
+    val big = (0 until 5000).map(i => ("b", i.toLong)).toDF("g", "id")
+    val est = Sketches.kmvDistinctBy(big, "g", "id", k = 256)
+      .as[(String, Double)].collect().toMap.apply("b")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.19, s"est=$est")
+
+    // merge path: the estimate is BIT-identical however the input is
+    // partitioned (k-minima union is order-free)
+    val est7 = Sketches.kmvDistinctBy(big.repartition(7), "g", "id", k = 256)
+      .as[(String, Double)].collect().toMap.apply("b")
+    assert(est7 == est)
+
+    // nulls are ignored; a group of only nulls reports 0
+    val withNulls = Seq(("c", Some(1L)), ("c", None), ("d", None))
+      .toDF("g", "id")
+    val nres = Sketches.kmvDistinctBy(withNulls, "g", "id", k = 8)
+      .as[(String, Double)].collect().toMap
+    assert(nres == Map("c" -> 1.0, "d" -> 0.0))
+  }
+
   test("fixed-width histogram buckets match a hand count") {
     import graft.profile.Profile
     // values 0..99: 10 buckets of width 9.9 — value 99 lands in the closed
