@@ -173,48 +173,52 @@ object Profile {
       // stats aggregate reads through the perVal shuffle)
       stats.count()
 
-      // Quartiles through the declarative bounded-histogram plan (identical
-      // rank/interpolation arithmetic to DuckDB's quantile_cont), pivoted to
-      // one row per key. The q literals are exact binary doubles, so the
-      // equality pivot is safe.
-      val quarts = Quantiles
+      // job 2: the quartile plan (identical rank/interpolation arithmetic
+      // to DuckDB's quantile_cont), collected in LONG form — ≤ 3 rows per
+      // key, the same output-bounded size as the result itself.
+      val quartRows = Quantiles
         .quantileContFromCounts(perVal.where(col("_v").isNotNull), Quartiles,
           Buckets,
           precomputedStats = Some(stats.select(col("_cn"),
             col("col_min").as("_mn"), col("col_max").as("_mx"),
             col("col_cnt").as("_n"))))
-        .groupBy(col("column_name").as("_cn"))
-        .agg(
-          graft.functions.Rounding
-            .dround(max(when(col("q") === 0.25, col("value"))), avgScale).as("q25"),
-          graft.functions.Rounding
-            .dround(max(when(col("q") === 0.5, col("value"))), avgScale).as("q50"),
-          graft.functions.Rounding
-            .dround(max(when(col("q") === 0.75, col("value"))), avgScale).as("q75"))
+        .collect()
+      val statRows = stats.collect() // cache-only, one row per key
 
-      // Output keys: pinned by configuration (column-wise) or observed in
-      // the data (grouped). Both are keyed relations, never literal plans.
-      val base: DataFrame = keys match {
-        case Some(ks) =>
-          import spark.implicits._
-          ks.toDF("_cn")
-        case None => stats.select("_cn")
+      // Driver-side assembly — every relation here is bounded by the OUTPUT
+      // size (what SUMMARIZE returns and the caller collects anyway), so
+      // this is plan-shaping, not driver-side aggregation: it replaces a
+      // pivot aggregate plus two broadcast joins with a hash merge.
+      def droundD(x: Double): Double = {
+        // the Column Rounding.dround formula verbatim (binary-value round)
+        val p = math.pow(10, avgScale)
+        if (x >= 0) math.floor(x * p + 0.5) / p
+        else -(math.floor(-x * p + 0.5) / p)
       }
-      val assembled = base
-        .join(stats, Seq("_cn"), "left")
-        .join(quarts, Seq("_cn"), "left")
-        .select(col("_cn").as("column_name"),
-          col("col_min"), col("col_max"), col("col_avg"),
-          col("q25"), col("q50"), col("q75"),
-          coalesce(col("col_cnt"), lit(0L)).as("col_cnt"),
-          coalesce(col("null_cnt"), lit(0L)).as("null_cnt"),
-          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
-
-      // job 2: cache-only; the collect is exactly the output relation
-      val out = assembled.collect()
+      val qByKey: Map[String, Map[Double, Double]] = quartRows.toSeq
+        .groupBy(_.getString(0))
+        .map { case (k, rs) =>
+          k -> rs.map(r => r.getDouble(1) -> droundD(r.getDouble(2))).toMap
+        }
+      val statByKey = statRows.map(r => r.getString(0) -> r).toMap
+      val outKeys: Seq[String] = keys match {
+        case Some(ks) => ks // pinned by configuration (column-wise profile)
+        case None => statRows.map(_.getString(0)).sorted.toSeq // observed
+      }
+      val rows: Seq[Row] = outKeys.map { key =>
+        val s = statByKey.get(key)
+        val q = qByKey.getOrElse(key, Map.empty)
+        def stat(i: Int): Any = s.map(_.get(i)).getOrElse(null)
+        def quart(p: Double): Any = q.get(p).map(Double.box).getOrElse(null)
+        Row(key, stat(1), stat(2), stat(3),
+          quart(0.25), quart(0.5), quart(0.75),
+          s.map(_.getLong(4)).getOrElse(0L),
+          s.map(_.getLong(5)).getOrElse(0L),
+          s.map(_.getLong(6)).getOrElse(0L))
+      }
       spark.createDataFrame(
         new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava),
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         profileSchema)
     } finally { perVal.unpersist(); stats.unpersist(); () }
   }
