@@ -234,6 +234,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           graft.functions.Rounding.dround(col("z"), 4).as("z"))),
 
+    // Robust (median/MAD) outlier gate on the heavy-tailed purchase values
+    // — the z-gate's mean and stddev are dragged by exactly the rows this
+    // one is supposed to flag.
+    "mad_outliers" -> ((s, d) =>
+      Profile.madOutliers(t(s, d, "events"), "value", "event_type", 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          graft.functions.Rounding.dround(col("mad_z"), 4).as("mad_z"))),
+
     // ---- flagship batch analytics ----
     "ctr_join" -> { (s, d) =>
       val e = withK(t(s, d, "events")).select("k", "event_type")
@@ -1236,6 +1244,21 @@ object SparkEntry {
         "SELECT doc_id, d.lang AS lang, n_chars, round((n_chars - m) / sd, 4) AS z " +
         "FROM documents d JOIN s USING (lang) " +
         "WHERE sd > 0 AND abs((n_chars - m) / sd) >= 1.5 ORDER BY doc_id"),
+
+    // med and mad through DuckDB's native quantile_cont, rounded 6 dp like
+    // the Spark side, so the per-row deviation, robust z, and threshold
+    // decision are the same IEEE ops on the same inputs in both engines
+    "mad_outliers" ->
+      ("WITH med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med " +
+        "FROM events GROUP BY event_type), " +
+        "dev AS (SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad " +
+        "FROM dev GROUP BY event_type) " +
+        "SELECT event_id, d.event_type AS event_type, value, " +
+        "round(dev / (1.4826 * mad), 4) AS mad_z " +
+        "FROM dev d JOIN mad USING (event_type) " +
+        "WHERE mad > 0 AND dev / (1.4826 * mad) >= 3.5 ORDER BY event_id"),
 
     // identical bucket arithmetic (same IEEE divisions), so bucket ids agree
     "value_histogram" ->

@@ -267,6 +267,39 @@ object Profile {
       .drop("_mean", "_std")
   }
 
+  /** Per-group MAD (median-absolute-deviation) outliers — the ROBUST twin
+    * of [[zscoreOutliers]]: median and MAD do not move when the outliers
+    * themselves inflate the mean/stddev, which is exactly the failure mode
+    * of a z-gate on heavy-tailed quality signals. Flags rows with
+    * |x − med| / (1.4826·mad) ≥ `threshold` (1.4826 ≈ 1/Φ⁻¹(3/4) rescales
+    * MAD to σ under normality; 3.5 is the classic cutoff).
+    *
+    * Plan shape: two passes of the bounded grouped-quantile machinery
+    * ([[Quantiles.quantileContBy]] — keyed, no global sort, no unbounded
+    * percentile state) for med and mad, each broadcast back onto the scan
+    * like the z-gate's stats — the corpus itself never shuffles. Both
+    * aggregates are rounded ONCE (6 dp) so the per-row deviation, the
+    * robust z and the ≥ threshold decision are bit-reproducible across
+    * engines and partitionings. Groups with mad = 0 (over half the group
+    * at the median) yield no rows, like zero variance in the z-gate.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  threshold: Double): DataFrame = {
+    val med = Quantiles.quantileContBy(df, groupCol, valueCol, Seq(0.5))
+      .select(col(groupCol),
+        graft.functions.Rounding.dround(col("value"), 6).as("_med"))
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("_dev", abs(col(valueCol).cast("double") - col("_med")))
+    val mad = Quantiles.quantileContBy(withDev, groupCol, "_dev", Seq(0.5))
+      .select(col(groupCol),
+        graft.functions.Rounding.dround(col("value"), 6).as("_mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .where(col("_mad") > 0.0)
+      .withColumn("mad_z", col("_dev") / (lit(1.4826) * col("_mad")))
+      .where(col("mad_z") >= threshold)
+      .drop("_med", "_dev", "_mad")
+  }
+
   /** P2: profile → contract constraints (reference: profile.py:21-39 —
     * min/max become JSON-Schema minimum/maximum; null_percentage == 0 makes
     * the field required). Collect is safe: one row per profiled column.

@@ -467,6 +467,25 @@ class SessionAndStreamSpec extends SparkSpec {
     }
   }
 
+  test("MAD outliers: robust to the contamination that drags a z-gate") {
+    import graft.profile.Profile
+    // 20 inliers around 10 plus two huge outliers: the outliers inflate the
+    // mean/stddev enough that a z-gate at 1.5 misses one of them, while
+    // median/MAD don't move
+    val vals = (0 until 20).map(i => 9.0 + (i % 3)) ++ Seq(1000.0, 1200.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val mad = Profile.madOutliers(df, "v", "grp", 3.5)
+      .select("id").as[Long].collect().toSet
+    assert(mad == Set(20L, 21L)) // exactly the planted outliers
+    // inliers never flag, even at the extremes of the inlier spread
+    assert(!mad.exists(_ < 20L))
+    // zero-MAD group (constant values + one outlier would have mad>0; fully
+    // constant group has mad=0) yields no rows instead of dividing by zero
+    val const = (0 until 9).map(i => (i.toLong, "c", 5.0)).toDF("id", "grp", "v")
+    assert(Profile.madOutliers(const, "v", "grp", 1.0).count() == 0)
+  }
+
   test("KMV distinct sketch: exact below k, accurate above, partition-invariant") {
     import graft.analytics.Sketches
     // exact path: 40 distinct ids < k=64 -> the sketch IS the set
