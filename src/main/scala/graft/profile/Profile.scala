@@ -285,19 +285,56 @@ object Profile {
     */
   def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
                   threshold: Double): DataFrame = {
-    val med = Quantiles.quantileContBy(df, groupCol, valueCol, Seq(0.5))
-      .select(col(groupCol),
-        graft.functions.Rounding.dround(col("value"), 6).as("_med"))
-    val withDev = df.join(broadcast(med), Seq(groupCol))
-      .withColumn("_dev", abs(col(valueCol).cast("double") - col("_med")))
-    val mad = Quantiles.quantileContBy(withDev, groupCol, "_dev", Seq(0.5))
-      .select(col(groupCol),
-        graft.functions.Rounding.dround(col("value"), 6).as("_mad"))
-    withDev.join(broadcast(mad), Seq(groupCol))
-      .where(col("_mad") > 0.0)
-      .withColumn("mad_z", col("_dev") / (lit(1.4826) * col("_mad")))
-      .where(col("mad_z") >= threshold)
-      .drop("_med", "_dev", "_mad")
+    val spark = df.sparkSession
+    // ONE source scan: both quantiles derive from the same persisted
+    // (group, value, count) relation — the deviation distribution is a
+    // TRANSFORM of the value domain (|v − med| carries its value's count),
+    // so the MAD pass re-aggregates the cached counts, never the corpus.
+    // A lazy composite instead nests med's whole multi-stage plan inside
+    // every branch of mad's — a multiplicative re-execution measured at
+    // ~4× on the gate query.
+    val counts = df
+      .select(col(groupCol).cast("string").as("_cn"),
+        col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
+      .persist()
+    try {
+      counts.count() // job 1: the single source scan
+      val med = Quantiles.quantileContFromCounts(counts, Seq(0.5))
+        .select(col("column_name").as("_cn"),
+          graft.functions.Rounding.dround(col("value"), 6).as("_med"))
+      // collect = one row per group (the same output-bounded posture as
+      // the z-gate's broadcast stats), then rebuilt as a local relation so
+      // the dev counts and the final probe both broadcast it
+      val medRows = med.collect()
+      val medDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(medRows.toSeq).asJava),
+        StructType(Seq(StructField("_cn", StringType, nullable = false),
+          StructField("_med", DoubleType))))
+      val devCounts = counts.join(broadcast(medDf), "_cn")
+        .select(col("_cn"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
+        .groupBy("_cn", "_v").agg(sum("_c").as("_c")) // distinct devs fold
+      val madRows = Quantiles.quantileContFromCounts(devCounts, Seq(0.5))
+        .select(col("column_name").as("_cn"),
+          graft.functions.Rounding.dround(col("value"), 6).as("_mad"))
+        .collect()
+      val madDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(madRows.toSeq).asJava),
+        StructType(Seq(StructField("_cn", StringType, nullable = false),
+          StructField("_mad", DoubleType))))
+      val stats = medDf.join(madDf, "_cn")
+        .select(col("_cn").as(groupCol + "_mad_key"), col("_med"), col("_mad"))
+      df.join(broadcast(stats),
+          col(groupCol).cast("string") === col(groupCol + "_mad_key"))
+        .where(col("_mad") > 0.0)
+        .withColumn("_dev", abs(col(valueCol).cast("double") - col("_med")))
+        .withColumn("mad_z", col("_dev") / (lit(1.4826) * col("_mad")))
+        .where(col("mad_z") >= threshold)
+        .drop(groupCol + "_mad_key", "_med", "_dev", "_mad")
+    } finally { counts.unpersist(); () }
   }
 
   /** P2: profile → contract constraints (reference: profile.py:21-39 —
