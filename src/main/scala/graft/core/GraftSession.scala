@@ -1,6 +1,6 @@
 package graft.core
 
-import graft.functions.{DotProductD, HyperplaneLshKey, Int8Quantize, Int8Scale, JaccardSim, MinHashSig, SimHash60, WordShingles}
+import graft.functions.{BloomBitsAgg, BloomCountHits, DotProductD, HyperplaneLshKey, Int8Quantize, Int8Scale, JaccardSim, KmvDistinctAgg, MinHashSig, SimHash60, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
@@ -51,6 +51,13 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_simhash60" -> (exprs => SimHash60(exprs.head)),
     "graft_minhash_sig" -> (exprs =>
@@ -62,5 +69,13 @@ object GraftExtensions {
     "graft_lsh_key" -> (exprs =>
       HyperplaneLshKey(exprs.head, intLit(exprs(1), "nBits"))),
     "graft_int8_quant" -> (exprs => Int8Quantize(exprs.head)),
-    "graft_int8_scale" -> (exprs => Int8Scale(exprs.head)))
+    "graft_int8_scale" -> (exprs => Int8Scale(exprs.head)),
+    "graft_bloom_bits" -> (exprs =>
+      BloomBitsAgg(exprs.head, intLit(exprs(1), "mBits"), intLit(exprs(2), "k"))),
+    "graft_bloom_count_hits" -> (exprs =>
+      BloomCountHits(exprs.head, exprs(1),
+        intLit(exprs(2), "mBits"), intLit(exprs(3), "k"))),
+    "graft_kmv_distinct" -> (exprs =>
+      KmvDistinctAgg(exprs.head, intLit(exprs(1), "k"),
+        if (exprs.length > 2) longLit(exprs(2), "seed") else 42L)))
 }

@@ -30,6 +30,19 @@ class SessionAndStreamSpec extends SparkSpec {
         "graft_int8_scale(array(1.0d, -0.5d, 0.25d)) AS sc").collect().head
     assert(q.getAs[scala.collection.Seq[Int]]("qv") == Seq(127, -64, 32))
     assert(math.abs(q.getAs[Double]("sc") - 1.0 / 127.0) < 1e-15)
+    // the aggregate kernels register too: a bloom round-trips its own
+    // inserts, and KMV on 3 distinct ids reports exactly 3 (below-k path)
+    Seq(("x", Seq("a", "b")), ("x", Seq("c"))).toDF("g", "sh")
+      .createOrReplaceTempView("bloom_in")
+    val bl = spark.sql(
+      "WITH f AS (SELECT graft_bloom_bits(sh, 64, 2) AS bits FROM bloom_in) " +
+        "SELECT graft_bloom_count_hits(bits, array('a', 'c'), 64, 2) AS hits FROM f")
+      .collect().head
+    assert(bl.getAs[Int]("hits") == 2)
+    Seq(1L, 2L, 2L, 3L).toDF("id").createOrReplaceTempView("kmv_in")
+    val kv = spark.sql(
+      "SELECT graft_kmv_distinct(id, 8) AS est FROM kmv_in").collect().head
+    assert(kv.getAs[Double]("est") == 3.0)
   }
 
   test("grouped profile yields one SUMMARIZE row per group") {
