@@ -438,6 +438,16 @@ object SparkEntry {
       graft.analytics.Sketches.kmvDistinctBy(t(s, d, "events"),
         "event_type", "user_id", k = 64)),
 
+    // Theta-style set-operation estimates from two KMV sketches — the
+    // cohort/corpus overlap diagnostic without a distinct-join: each side
+    // reduces to one fixed-size k-minima row.
+    "kmv_overlap" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.analytics.Sketches.kmvOverlap(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"), "user_id", k = 64)
+    },
+
     // Salting proof-of-equivalence: the salted join must produce the
     // IDENTICAL relation as the plain join — the oracle IS the unsalted SQL,
     // so the hash gate pins Skew.saltedJoin's semantics (no dropped,
@@ -957,6 +967,35 @@ object SparkEntry {
        |FROM a ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
 
+  // Theta-style KMV set-operation replay: per-side k-minima via the same
+  // mix+affine chain as kmvOracle, θ = min of the k-th minima (P1 for an
+  // exact side), common hashes below θ scaled by P1/θ; identical IEEE op
+  // order to Sketches.kmvOverlap.
+  private lazy val kmvOverlapOracle: String = {
+    val (a, b) = graft.llm.Corpus.hashConstants(42L)
+    val k = 64
+    def side(name: String, pred: String): String =
+      s"""$name _0 AS (SELECT DISTINCT user_id % 4294967296 AS x0 FROM events WHERE $pred AND user_id IS NOT NULL),
+         |$name _1 AS (SELECT (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1 FROM $name _0),
+         |$name _2 AS (SELECT (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2 FROM $name _1),
+         |$name _h AS (SELECT DISTINCT ($a * (xor(x2, x2 >> 16) % 1000000007) + $b) % 1000000007 AS hv FROM $name _2),
+         |$name _k AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM $name _h) WHERE rn <= $k)"""
+        .stripMargin.replace("\n", " ").replace(s"$name _", s"${name}_")
+    s"""WITH ${side("sa", "event_type = 'view'")},
+       |${side("sb", "event_type = 'purchase'")},
+       |s AS (SELECT (SELECT count(*) FROM sa_k) AS na, (SELECT max(hv) FROM sa_k) AS ma,
+       |  (SELECT count(*) FROM sb_k) AS nb, (SELECT max(hv) FROM sb_k) AS mb),
+       |t AS (SELECT na, nb, CASE WHEN na < $k THEN 1000000007 ELSE ma END AS ta,
+       |  CASE WHEN nb < $k THEN 1000000007 ELSE mb END AS tb FROM s),
+       |u AS (SELECT na, nb, ta, tb, least(ta, tb) AS th FROM t),
+       |c AS (SELECT u.*, (SELECT count(*) FROM sa_k JOIN sb_k USING (hv) WHERE hv < u.th) AS common FROM u),
+       |e AS (SELECT CASE WHEN na < $k THEN CAST(na AS DOUBLE) ELSE ($k - 1) * 1000000007.0 / ta END AS ea,
+       |  CASE WHEN nb < $k THEN CAST(nb AS DOUBLE) ELSE ($k - 1) * 1000000007.0 / tb END AS eb,
+       |  CAST(common * 1000000007 AS DOUBLE) / th AS ei FROM c)
+       |SELECT round(ea, 4) AS est_a, round(eb, 4) AS est_b, round(ei, 4) AS est_intersection,
+       |  round(ea + eb - ei, 4) AS est_union FROM e""".stripMargin.replace("\n", " ")
+  }
+
   // Near-dup connected components (shingle pairs → min reachable id), the
   // shared base of the dedup_components / dedup_droplist oracles.
   private lazy val componentsCte: String =
@@ -1440,6 +1479,7 @@ object SparkEntry {
     // Rebuilds the KMV sketch exactly: mix32 scatter + seeded affine draw
     // per distinct user_id, k smallest hashes per group, (k-1)*P1/h_k.
     "distinct_kmv" -> kmvOracle,
+    "kmv_overlap" -> kmvOverlapOracle,
 
     // deliberately the UNSALTED join: hash-equality proves the salted plan
     // computes the identical relation

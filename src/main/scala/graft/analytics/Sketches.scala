@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based aggregates: bounded-state approximations of the aggregations
@@ -23,4 +23,52 @@ object Sketches {
                     k: Int = 64, seed: Long = 42L): DataFrame =
     df.groupBy(groupCol).agg(
       graft.functions.native.kmvDistinct(col(idCol), k, seed).as("est_distinct"))
+
+  /** Theta-style set-operation estimates between two id sets from their KMV
+    * sketches — the corpus-overlap diagnostic (shared users between event
+    * cohorts, shared documents between sources) WITHOUT a distinct-join:
+    * each side reduces to its k-minima array (one fixed-size row), the
+    * combination is a single-row cross join.
+    *
+    *   θ = min(θ_A, θ_B) bounds the hash region BOTH sketches observed
+    *   exhaustively (θ_side = k-th minimum, or P1 when the side has fewer
+    *   than k distinct hashes — then its sketch is exact);
+    *   est∩ = |{h ∈ K_A ∩ K_B : h < θ}| · P1 / θ;
+    *   est∪ = est_A + est_B − est∩.
+    *
+    * When both sides are exact (θ = P1) every estimate is the exact count.
+    * All arithmetic is exact-integer products (< 2^40) and single IEEE
+    * divisions/additions over the deterministic PolyHash draw — the oracle
+    * replays the identical sketches and estimates.
+    *
+    * Returns one row: `(est_a, est_b, est_intersection, est_union)`,
+    * rounded at 4 dp.
+    */
+  def kmvOverlap(dfA: DataFrame, dfB: DataFrame, idCol: String,
+                 k: Int = 64, seed: Long = 42L): DataFrame = {
+    val P1 = graft.functions.PolyHash.P1
+    val kd = (k - 1).toDouble * P1.toDouble
+    def side(df: DataFrame, out: String): DataFrame =
+      df.agg(graft.functions.native.kmvMinima(col(idCol), k, seed).as(out))
+    def theta(mins: Column): Column =
+      when(size(mins) < k, lit(P1)).otherwise(element_at(mins, -1))
+    def est(mins: Column, th: Column): Column =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit(kd) / th.cast("double"))
+    val joined = side(dfA, "ka").crossJoin(side(dfB, "kb"))
+      .withColumn("_ta", theta(col("ka")))
+      .withColumn("_tb", theta(col("kb")))
+      .withColumn("_th", least(col("_ta"), col("_tb")))
+      .withColumn("_common",
+        size(filter(array_intersect(col("ka"), col("kb")), h => h < col("_th"))))
+      .withColumn("_ea", est(col("ka"), col("_ta")))
+      .withColumn("_eb", est(col("kb"), col("_tb")))
+      .withColumn("_ei",
+        (col("_common") * lit(P1)).cast("double") / col("_th").cast("double"))
+    def r4(c: Column) = graft.functions.Rounding.dround(c, 4)
+    joined.select(
+      r4(col("_ea")).as("est_a"), r4(col("_eb")).as("est_b"),
+      r4(col("_ei")).as("est_intersection"),
+      r4(col("_ea") + col("_eb") - col("_ei")).as("est_union"))
+  }
 }

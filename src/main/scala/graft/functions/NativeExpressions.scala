@@ -326,4 +326,10 @@ object native {
     */
   def kmvDistinct(c: Column, k: Int, seed: Long = 42L): Column =
     column(KmvDistinctAgg(expression(c), k, seed).toAggregateExpression())
+
+  /** Aggregate: the raw ascending k-minima array — the composable sketch
+    * form for theta-style set-operation estimates.
+    */
+  def kmvMinima(c: Column, k: Int, seed: Long = 42L): Column =
+    column(KmvMinimaAgg(expression(c), k, seed).toAggregateExpression())
 }

@@ -141,6 +141,33 @@ class DelayedJoinTwsSpec extends SparkSpec {
     assert(tws.count(_._1 == "p1") == 2) // both in-window rewards fan out
   }
 
+  test("tws: volume — 500 keys x 20 events through the state-v2 machine") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[In]
+      val q = DelayedJoin.joined(spark, input.toDS(), twsCfg)
+        .writeStream.format("memory").queryName("tws_volume").outputMode("append").start()
+      try {
+        // per key: one decision + 19 rewards, only +7000 inside [0, Δ] —
+        // the rewards land in separate batches, exercising the append
+        // fast path against buffered state
+        val events = (0 until 500).flatMap { k =>
+          d(s"u$k", T0) +: (1 to 19).map(i =>
+            r(s"u$k", T0 + i * 7000L, i.toDouble))
+        }
+        events.grouped(2000).foreach { chunk => input.addData(chunk: _*) }
+        q.processAllAvailable()
+        input.addData(r("_wm", T0 + 100 * Delta, 0.0))
+        q.processAllAvailable()
+        input.addData(r("_wm", T0 + 101 * Delta, 0.0))
+        q.processAllAvailable()
+        val out = spark.table("tws_volume")
+        assert(out.where($"key" =!= "_wm").count() == 500)
+        assert(out.where($"reward" === 1.0).count() == 500)
+      } finally q.stop()
+    }
+  }
+
   test("tws: state survives a query restart from checkpoint (RocksDB)") {
     withRocksDb {
       val srcDir = tmpDir("twssrc")

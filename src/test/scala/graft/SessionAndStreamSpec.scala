@@ -480,6 +480,31 @@ class SessionAndStreamSpec extends SparkSpec {
     }
   }
 
+  test("KMV overlap: exact below k, theta estimates above, union identity") {
+    import graft.analytics.Sketches
+    // exact path: both sides under k -> every estimate is the exact count
+    val a = (0 until 30).map(i => i.toLong).toDF("id")
+    val b = (20 until 50).map(i => i.toLong).toDF("id")
+    val ex = Sketches.kmvOverlap(a, b, "id", k = 64)
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(ex == ((30.0, 30.0, 10.0, 50.0)))
+
+    // estimate path: 5000 ids vs its 2500-id suffix — intersection truth
+    // 2500, union truth 5000; 3-SE tolerance at k=256 (deterministic)
+    val big = (0 until 5000).map(_.toLong).toDF("id")
+    val half = (2500 until 5000).map(_.toLong).toDF("id")
+    val (ea, eb, ei, eu) = Sketches.kmvOverlap(big, half, "id", k = 256)
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(math.abs(ea - 5000) / 5000.0 < 0.19, s"ea=$ea")
+    assert(math.abs(eb - 2500) / 2500.0 < 0.19, s"eb=$eb")
+    assert(math.abs(ei - 2500) / 2500.0 < 0.30, s"ei=$ei") // intersection SE is wider
+    assert(math.abs(eu - (ea + eb - ei)) < 1e-9) // the identity holds exactly
+    // partition invariance: bit-identical estimates
+    val again = Sketches.kmvOverlap(big.repartition(9), half.repartition(5),
+      "id", k = 256).as[(Double, Double, Double, Double)].collect().head
+    assert(again == ((ea, eb, ei, eu)))
+  }
+
   test("MAD outliers: robust to the contamination that drags a z-gate") {
     import graft.profile.Profile
     // 20 inliers around 10 plus two huge outliers: the outliers inflate the
