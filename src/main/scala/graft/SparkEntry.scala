@@ -602,6 +602,21 @@ object SparkEntry {
           (col("id") =!= col("keep_id")).as("is_dup"))
     },
 
+    // Quality-aware keeper selection: real pipelines keep the BEST member
+    // of each near-dup cluster, not the lowest id — a keyed window over
+    // the (tiny) clustered subset ranked by the quality score, ties by id.
+    "dedup_keep_best" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val quality = docs.select(col("doc_id").as("id"),
+        TextStats.qualityScore(col("text")).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(col("quality").desc, col("id").asc)
+      components(s, d).join(quality, "id")
+        .withColumn("rn", row_number().over(w))
+        .select(col("id"), col("component"), col("quality"),
+          (col("rn") === 1).as("keep"))
+    },
+
     // Embedding-cosine near-duplicate pairs, blocked by the coarse partition
     // (label = IVF-cluster stand-in); blocks above the size guard are LSH
     // sub-bucketed so no block is ever unboundedly quadratic.
@@ -1411,6 +1426,19 @@ object SparkEntry {
         ", k AS (SELECT component, min(id) AS keep_id FROM comp GROUP BY component) " +
         "SELECT comp.id AS id, k.keep_id AS keep_id, comp.id <> k.keep_id AS is_dup " +
         "FROM comp JOIN k USING (component) ORDER BY id"),
+
+    // quality formula identical to the quality_score oracle (rounded 4 dp
+    // on both sides, so the DESC/id tie-break orders identically)
+    "dedup_keep_best" ->
+      (componentsCte +
+        ", q AS (SELECT doc_id AS id, round(0.3 * least(1.0, length(text) / 500.0) + " +
+        "0.4 * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))) + " +
+        s"0.3 * (len(list_filter(string_split(text,' '), t -> list_contains($allStop, t))) * 1.0 / " +
+        "len(string_split(text,' '))), 4) AS quality FROM documents), " +
+        "r AS (SELECT comp.id AS id, comp.component AS component, q.quality AS quality, " +
+        "row_number() OVER (PARTITION BY comp.component ORDER BY q.quality DESC, comp.id ASC) AS rn " +
+        "FROM comp JOIN q USING (id)) " +
+        "SELECT id, component, quality, rn = 1 AS keep FROM r ORDER BY id"),
 
     "funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events), " +
