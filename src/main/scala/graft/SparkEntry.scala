@@ -242,6 +242,18 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           graft.functions.Rounding.dround(col("mad_z"), 4).as("mad_z"))),
 
+    // Distributional drift (PSI) between two event populations over fixed
+    // config bins: each 100 TB side collapses to ≤nBins rows before any
+    // join; the ln-bearing terms are rounded to micro-units and summed as
+    // exact integers (never an order-dependent double sum).
+    "drift_psi" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.profile.Psi.psi(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        col("value"), lo = 0.0, hi = 500.0, nBins = 10)
+    },
+
     // ---- flagship batch analytics ----
     "ctr_join" -> { (s, d) =>
       val e = withK(t(s, d, "events")).select("k", "event_type")
@@ -617,6 +629,14 @@ object SparkEntry {
           (col("rn") === 1).as("keep"))
     },
 
+    // Cluster-size distribution — the dedup health metric (a heavy tail
+    // here means the blocking keys are too coarse). Two keyed aggs over the
+    // memoized component relation; output is bounded by the largest cluster.
+    "dedup_cluster_stats" -> ((s, d) =>
+      components(s, d)
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))),
+
     // Embedding-cosine near-duplicate pairs, blocked by the coarse partition
     // (label = IVF-cluster stand-in); blocks above the size guard are LSH
     // sub-bucketed so no block is ever unboundedly quadratic.
@@ -820,6 +840,24 @@ object SparkEntry {
     "sample_hash" -> ((s, d) =>
       graft.llm.Corpus.sampleHash(t(s, d, "documents"), 0.1)
         .select("doc_id", "source", "lang")),
+
+    // Quality-proportional sample: each doc kept with probability equal to
+    // its own quality score — same deterministic hash-draw contract as
+    // sample_hash, weight supplied per row. Pure filter, no shuffle.
+    "sample_weighted" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("quality", TextStats.qualityScore(col("text")))
+      graft.llm.Corpus.sampleWeighted(docs, col("quality"))
+        .select("doc_id", "lang", "quality")
+    },
+
+    // Global "best N tokens" corpus cut: cumulative token mass in
+    // (quality DESC, id) order, decomposed into per-score-bucket totals +
+    // a keyed within-bucket window — never a single global sort partition.
+    "corpus_budget" -> ((s, d) =>
+      graft.llm.Corpus.selectBudget(t(s, d, "documents"), budget = 20000L,
+        score = TextStats.qualityScore(col("text")),
+        tokens = TextStats.tokenCount(col("text")))),
 
     // Weighted training mix: per-source keep rates as a pure deterministic
     // filter (sources without a rate drop out).
@@ -1125,6 +1163,14 @@ object SparkEntry {
 
   private def stopList(lang: String): String =
     TextStats.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  // TextStats.qualityScore replayed in SQL (identical to the quality_score
+  // oracle body) — shared by the weighted-sample / budget-cut oracles.
+  private lazy val qualityExprSql: String =
+    "round(0.3 * least(1.0, length(text) / 500.0) + " +
+      "0.4 * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))) + " +
+      s"0.3 * (len(list_filter(string_split(text,' '), t -> list_contains($allStop, t))) * 1.0 / " +
+      "len(string_split(text,' '))), 4)"
 
   def oracleSql: Map[String, String] = Map(
     "scan_parquet" ->
@@ -1440,6 +1486,28 @@ object SparkEntry {
         "FROM comp JOIN q USING (id)) " +
         "SELECT id, component, quality, rn = 1 AS keep FROM r ORDER BY id"),
 
+    "dedup_cluster_stats" ->
+      (componentsCte +
+        ", szs AS (SELECT component, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY component) " +
+        "SELECT sz, count(*) AS n_clusters FROM szs GROUP BY sz ORDER BY sz"),
+
+    "drift_psi" ->
+      ("WITH base AS (SELECT greatest(0, least(9, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin " +
+        "FROM events WHERE event_type = 'view'), " +
+        "cur AS (SELECT greatest(0, least(9, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin), " +
+        "bc AS (SELECT bins.bin, COALESCE(x.n, 0) AS n_b FROM bins LEFT JOIN " +
+        "(SELECT bin, count(*) AS n FROM base GROUP BY bin) x USING (bin)), " +
+        "cc2 AS (SELECT bins.bin, COALESCE(x.n, 0) AS n_c FROM bins LEFT JOIN " +
+        "(SELECT bin, count(*) AS n FROM cur GROUP BY bin) x USING (bin)), " +
+        "tot AS (SELECT (SELECT count(*) FROM base) AS tot_b, (SELECT count(*) FROM cur) AS tot_c), " +
+        "terms AS (SELECT CAST(floor(((n_b + 0.5)/(tot_b + 5.0) - (n_c + 0.5)/(tot_c + 5.0)) * " +
+        "ln(((n_b + 0.5)/(tot_b + 5.0)) / ((n_c + 0.5)/(tot_c + 5.0))) * 1000000.0 + 0.5) AS BIGINT) AS tm, " +
+        "tot_b, tot_c FROM bc JOIN cc2 USING (bin) CROSS JOIN tot) " +
+        "SELECT CAST(SUM(tm) AS DOUBLE) / 1000000.0 AS psi, " +
+        "CAST(MAX(tot_b) AS BIGINT) AS n_base, CAST(MAX(tot_c) AS BIGINT) AS n_cur FROM terms"),
+
     "funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events), " +
         "v AS (SELECT user_id, min(ms) AS v_ms FROM e WHERE event_type = 'view' GROUP BY user_id), " +
@@ -1477,6 +1545,19 @@ object SparkEntry {
     "sample_hash" ->
       (s"SELECT doc_id, source, lang FROM documents WHERE $hashDraw < 0.1 " +
         "ORDER BY doc_id"),
+
+    "sample_weighted" ->
+      (s"WITH q AS (SELECT doc_id, lang, $qualityExprSql AS quality FROM documents) " +
+        s"SELECT doc_id, lang, quality FROM q " +
+        s"WHERE $hashDraw < greatest(0.0, least(1.0, quality)) ORDER BY doc_id"),
+
+    "corpus_budget" ->
+      (s"WITH b AS (SELECT doc_id, $qualityExprSql AS score, " +
+        "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "r AS (SELECT doc_id, score, n_tok, CAST(COALESCE(SUM(n_tok) OVER " +
+        "(ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM b) " +
+        "SELECT doc_id, score, n_tok, cum_before, cum_before < 20000 AS keep " +
+        "FROM r ORDER BY doc_id"),
 
     "corpus_mix" ->
       (s"SELECT source, count(*) AS n_docs FROM documents WHERE $hashDraw < " +

@@ -73,6 +73,55 @@ object Corpus {
     df.where(hashUnit(col(idCol), seed) < rate)
   }
 
+  /** Per-row weighted sample: keep a row iff its hash draw falls below the
+    * row's own keep probability (clamped to [0,1]) — quality-proportional
+    * downsampling, the "keep good documents more often" gate of a curation
+    * pipeline. Same reproducibility contract as [[sampleHash]]: a pure
+    * filter, no shuffle, and the keep decision for a document never changes
+    * across runs, engines, or partitionings — only the weight formula and
+    * the seed define the corpus.
+    */
+  def sampleWeighted(df: DataFrame, weight: Column, idCol: String = "doc_id",
+                     seed: Long = 42L): DataFrame =
+    df.where(hashUnit(col(idCol), seed) <
+      greatest(lit(0.0), least(lit(1.0), weight)))
+
+  /** Global token-budget selection: take documents in (score DESC, id ASC)
+    * order until the cumulative token count reaches `budget` — the
+    * "best N tokens" corpus cut. Emits every row with its exact cumulative
+    * predecessor mass and the keep verdict.
+    *
+    * The naive plan is a single global window (ORDER BY score DESC) — one
+    * partition holding the corpus, dead at scale. This plan decomposes the
+    * global cumulative sum by EXACT SCORE VALUE: per-score token totals
+    * (keyed shuffle, map-side combined), a prefix sum over the tiny
+    * score-distinct relation (bounded by score granularity — a config
+    * property, e.g. ≤10⁴ values for a 4-dp score — never by corpus size),
+    * broadcast back, and a within-score keyed window. No stage ever holds
+    * more than one score-bucket of one shard in memory, so the selection
+    * scales exactly like any other keyed aggregation.
+    */
+  def selectBudget(df: DataFrame, budget: Long, score: Column,
+                   tokens: Column, idCol: String = "doc_id"): DataFrame = {
+    val base = df.select(col(idCol), score.as("score"),
+      tokens.cast("long").as("n_tok"))
+    // Prefix mass of strictly-higher scores: window over the score-distinct
+    // relation (bounded by score granularity, not data).
+    val perScore = base.groupBy("score").agg(sum("n_tok").as("bucket_tok"))
+    val wScore = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perScore.select(col("score"),
+      coalesce(sum("bucket_tok").over(wScore), lit(0L)).as("offset"))
+    // Within-score cumulative mass: keyed window, partition = one score.
+    val wIn = Window.partitionBy("score").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "score")
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum("n_tok").over(wIn), lit(0L)))
+      .select(col(idCol), col("score"), col("n_tok"), col("cum_before"),
+        (col("cum_before") < budget).as("keep"))
+  }
+
   /** Deterministic fixed-size per-stratum sample: rank rows within each
     * stratum by their hash draw (ties by id) and keep the first `n` — the
     * balanced-subset step that caps every language/source at the same count
