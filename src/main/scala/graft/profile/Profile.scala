@@ -293,40 +293,74 @@ object Profile {
     // A lazy composite instead nests med's whole multi-stage plan inside
     // every branch of mad's — a multiplicative re-execution measured at
     // ~4× on the gate query.
+    //
+    // Every output-bounded intermediate (one row per group) is collected
+    // and re-broadcast as a LOCAL relation, and the quantile passes get
+    // their `(_cn, _mn, _mx, _n)` stats SUPPLIED instead of re-aggregating
+    // the counts relation: the med pass reuses the job-1 aggregate, and the
+    // dev pass needs no aggregate at all — max |v − med| over v ∈ [mn, mx]
+    // is achieved at an interval endpoint (|·−c| is convex), the lower
+    // bound 0 is a valid bucket cover, and n is unchanged by the transform.
+    // Measured on the gate query this halves the job count vs letting each
+    // pass derive its own stats.
     val counts = df
       .select(col(groupCol).cast("string").as("_cn"),
         col(valueCol).cast("double").as("_v"))
       .where(col("_v").isNotNull)
       .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
       .persist()
+    def localDf(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val statsSchema = StructType(Seq(
+      StructField("_cn", StringType, nullable = false),
+      StructField("_mn", DoubleType), StructField("_mx", DoubleType),
+      StructField("_n", LongType)))
+    val medSchema = StructType(Seq(
+      StructField("_cn", StringType, nullable = false),
+      StructField("_med", DoubleType)))
     try {
-      counts.count() // job 1: the single source scan
-      val med = Quantiles.quantileContFromCounts(counts, Seq(0.5))
+      // job 1: the single source scan, folded into the per-group stats
+      // aggregate (one output row per group)
+      val statRows = counts.groupBy("_cn")
+        .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
+        .collect()
+      val statsDf = localDf(statRows.toSeq, statsSchema)
+      // job 2: med over the cache, stats supplied
+      val medRows = Quantiles
+        .quantileContFromCounts(counts, Seq(0.5),
+          precomputedStats = Some(statsDf))
         .select(col("column_name").as("_cn"),
           graft.functions.Rounding.dround(col("value"), 6).as("_med"))
-      // collect = one row per group (the same output-bounded posture as
-      // the z-gate's broadcast stats), then rebuilt as a local relation so
-      // the dev counts and the final probe both broadcast it
-      val medRows = med.collect()
-      val medDf = spark.createDataFrame(
-        new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(medRows.toSeq).asJava),
-        StructType(Seq(StructField("_cn", StringType, nullable = false),
-          StructField("_med", DoubleType))))
+        .collect()
+      val medDf = localDf(medRows.toSeq, medSchema)
+      val medBy = medRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val devStatsDf = localDf(statRows.toSeq.flatMap { r =>
+        val k = r.getString(0)
+        medBy.get(k).map { m =>
+          Row(k, 0.0,
+            math.max(math.abs(r.getDouble(1) - m), math.abs(r.getDouble(2) - m)),
+            r.getLong(3))
+        }
+      }, statsSchema)
       val devCounts = counts.join(broadcast(medDf), "_cn")
         .select(col("_cn"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
         .groupBy("_cn", "_v").agg(sum("_c").as("_c")) // distinct devs fold
-      val madRows = Quantiles.quantileContFromCounts(devCounts, Seq(0.5))
+      // job 3: mad over the cache-derived deviation counts, stats supplied
+      val madRows = Quantiles
+        .quantileContFromCounts(devCounts, Seq(0.5),
+          precomputedStats = Some(devStatsDf))
         .select(col("column_name").as("_cn"),
           graft.functions.Rounding.dround(col("value"), 6).as("_mad"))
         .collect()
-      val madDf = spark.createDataFrame(
-        new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(madRows.toSeq).asJava),
-        StructType(Seq(StructField("_cn", StringType, nullable = false),
-          StructField("_mad", DoubleType))))
-      val stats = medDf.join(madDf, "_cn")
-        .select(col("_cn").as(groupCol + "_mad_key"), col("_med"), col("_mad"))
+      val stats = localDf(
+        madRows.toSeq.flatMap { r =>
+          val k = r.getString(0)
+          medBy.get(k).map(m => Row(k, m, r.getDouble(1)))
+        },
+        StructType(Seq(StructField(groupCol + "_mad_key", StringType, nullable = false),
+          StructField("_med", DoubleType), StructField("_mad", DoubleType))))
       df.join(broadcast(stats),
           col(groupCol).cast("string") === col(groupCol + "_mad_key"))
         .where(col("_mad") > 0.0)
