@@ -112,8 +112,27 @@ object Quantiles {
       .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
       .persist()
     try {
-      counts.count() // job 1: the single source scan
-      val res = quantileContFromCounts(counts, qs, buckets)
+      // job 1: the single source scan, folded into the per-group stats
+      // aggregate (one output row per group — output-bounded) and handed
+      // to the quantile plan as a LOCAL relation so its broadcasts are
+      // free instead of separately materialized query stages.
+      val statRows = counts.groupBy("_cn")
+        .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
+        .collect()
+      val statsDf = df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(statRows.toSeq).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_cn",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("_mn",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_mx",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_n",
+            org.apache.spark.sql.types.LongType))))
+      val res = quantileContFromCounts(counts, qs, buckets,
+          precomputedStats = Some(statsDf))
         .withColumnRenamed("column_name", groupCol)
       val rows = res.collect() // job 2: cache-only; rows = the output
       df.sparkSession.createDataFrame(
@@ -170,10 +189,14 @@ object Quantiles {
       .withColumn("_hi", ceil(col("_t")))
       .select("_cn", "_q", "_t", "_lo", "_hi")
 
-    val hitBuckets = targets.join(rangePrefix, Seq("_cn"))
+    val hitRaw = targets.join(rangePrefix, Seq("_cn"))
       .where((col("_lo") >= col("_pr") && col("_lo") < col("_pr") + col("_rc")) ||
              (col("_hi") >= col("_pr") && col("_hi") < col("_pr") + col("_rc")))
-      .select("_cn", "_cr", "_pr").distinct()
+      .select("_cn", "_cr", "_pr")
+    // A bucket row can repeat only when DIFFERENT targets hit the same
+    // bucket — with a single requested quantile each bucket joins at most
+    // one target, so the dedup exchange is pure overhead there.
+    val hitBuckets = if (qs.lengthCompare(1) == 0) hitRaw else hitRaw.distinct()
 
     val candidates = bucketed.join(broadcast(hitBuckets), Seq("_cn", "_cr"))
     val wBucket = Window.partitionBy("_cn", "_cr").orderBy("_v")

@@ -157,8 +157,7 @@ object Profile {
     // exactly like the lazy path, which absorbs the summation-order ulp.
     // NULL value groups ride along: they feed null_cnt, are ignored by
     // min/max/sum(v·c), and n_distinct counts only non-null distinct
-    // values. Persisted (≤ one row per key): it is broadcast from several
-    // branches of the quantile plan.
+    // values.
     val nNonNull = sum(when(col("_v").isNotNull, col("_c")))
     val stats = perVal.groupBy("_cn").agg(
       min("_v").as("col_min"), max("_v").as("col_max"),
@@ -167,23 +166,29 @@ object Profile {
       coalesce(nNonNull, lit(0L)).as("col_cnt"),
       coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("null_cnt"),
       count(when(col("_v").isNotNull, lit(1))).as("n_distinct"))
-      .persist()
     try {
-      // job 1: the single source scan — materializes BOTH caches (the
-      // stats aggregate reads through the perVal shuffle)
-      stats.count()
+      // job 1: the single source scan, folded into the stats collect (one
+      // row per key — output-bounded; reading through the perVal shuffle
+      // materializes the cache). The rows come back as a LOCAL relation, so
+      // every stats broadcast inside the quantile plan is free instead of a
+      // separately materialized query stage.
+      val statRows = stats.collect()
+      val statsDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            statRows.toSeq.map(r =>
+              Row(r.getString(0), r.get(1), r.get(2), r.get(4)))).asJava),
+        StructType(Seq(StructField("_cn", StringType, nullable = false),
+          StructField("_mn", DoubleType), StructField("_mx", DoubleType),
+          StructField("_n", LongType))))
 
       // job 2: the quartile plan (identical rank/interpolation arithmetic
       // to DuckDB's quantile_cont), collected in LONG form — ≤ 3 rows per
       // key, the same output-bounded size as the result itself.
       val quartRows = Quantiles
         .quantileContFromCounts(perVal.where(col("_v").isNotNull), Quartiles,
-          Buckets,
-          precomputedStats = Some(stats.select(col("_cn"),
-            col("col_min").as("_mn"), col("col_max").as("_mx"),
-            col("col_cnt").as("_n"))))
+          Buckets, precomputedStats = Some(statsDf))
         .collect()
-      val statRows = stats.collect() // cache-only, one row per key
 
       // Driver-side assembly — every relation here is bounded by the OUTPUT
       // size (what SUMMARIZE returns and the caller collects anyway), so
@@ -220,7 +225,7 @@ object Profile {
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         profileSchema)
-    } finally { perVal.unpersist(); stats.unpersist(); () }
+    } finally { perVal.unpersist(); () }
   }
 
   /** Fixed-width value histogram: `buckets` equal ranges over [min, max]
