@@ -260,6 +260,60 @@ class LlmSpec extends SparkSpec {
     assert(byBin.keys.toSeq.sorted.zipWithIndex.forall { case (b, i) => b == i })
   }
 
+  test("weighted sampling: keep rate tracks the weight, composes, clamps") {
+    import graft.llm.Corpus
+    val docs = (0 until 2000).map(i => (i.toLong, (i % 2).toDouble))
+      .toDF("doc_id", "w")
+    // weight 0 keeps nothing, weight 1 keeps everything (clamped beyond)
+    assert(Corpus.sampleWeighted(docs, lit(0.0)).count() == 0L)
+    assert(Corpus.sampleWeighted(docs, lit(5.0)).count() == 2000L)
+    assert(Corpus.sampleWeighted(docs, lit(-3.0)).count() == 0L)
+    // per-row weights: the w=1 half all kept, the w=0 half all dropped
+    val kept = Corpus.sampleWeighted(docs, col("w"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 1000 && kept.forall(_ % 2 == 1))
+    // composes with the unweighted sampler: half-weight sample ⊆ full
+    val half = Corpus.sampleWeighted(docs, col("w") * 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(half.subsetOf(kept) && half.size > 300 && half.size < 700)
+  }
+
+  test("budget cut: matches the global-order reference without a global window") {
+    import graft.llm.Corpus
+    // score has heavy ties (i % 7) so the per-score-bucket decomposition
+    // and its id tie-break are both exercised
+    val docs = (0 until 500).map(i => (i.toLong, (i % 7).toDouble, 10L + i % 5))
+      .toDF("doc_id", "s", "tok")
+    val got = Corpus.selectBudget(docs, budget = 1000L, score = col("s"),
+      tokens = col("tok")).as[(Long, Double, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    // driver-side reference: one global (score DESC, id ASC) scan
+    val ref = docs.as[(Long, Double, Long)].collect()
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L, 0.0, 0L)) { case ((_, cum, _, _), (id, s, tok)) =>
+        (id, cum + tok, s, tok)
+      }.drop(1)
+      .map { case (id, cumAfter, s, tok) =>
+        id -> ((cumAfter - tok, cumAfter - tok < 1000L))
+      }.toMap
+    got.foreach { case (id, _, _, cumBefore, keep) =>
+      assert(ref(id) == ((cumBefore, keep)), s"doc $id")
+    }
+    // partition invariance
+    val again = Corpus.selectBudget(docs.repartition(7), budget = 1000L,
+      score = col("s"), tokens = col("tok"))
+      .as[(Long, Double, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+    // scale shape: the corpus-sized window is KEYED by the score bucket —
+    // no unpartitioned window ever sees the base relation. The only
+    // single-partition stage is the prefix over the score-DISTINCT
+    // relation (bounded by score granularity, not data).
+    val plan = Corpus.selectBudget(docs, 1000L, col("s"), col("tok"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(score"),
+      "within-score window must be keyed by the score bucket")
+  }
+
   test("hash draws scatter sequential ids — no arithmetic-progression stride") {
     import graft.llm.Corpus
     val draws = spark.range(1000)

@@ -524,6 +524,30 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(Profile.madOutliers(const, "v", "grp", 1.0).count() == 0)
   }
 
+  test("PSI drift: zero on identical, positive on shifted, bounded and partition-invariant") {
+    import graft.profile.Psi
+    val base = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    // identical distribution → every per-bin term is 0 → psi exactly 0
+    val same = Psi.psi(base, base, col("v"), 0.0, 100.0, 10)
+      .as[(Double, Long, Long)].collect().head
+    assert(same == ((0.0, 1000L, 1000L)))
+    // shifted distribution → strictly positive
+    val shifted = base.select(col("id"), (col("v") + 50.0).as("v"))
+    val drift = Psi.psi(base, shifted, col("v"), 0.0, 100.0, 10)
+      .as[(Double, Long, Long)].collect().head
+    assert(drift._1 > 0.1, s"psi=${drift._1}")
+    // out-of-range values clamp into the edge bins instead of vanishing
+    assert(drift._2 == 1000L && drift._3 == 1000L)
+    // binned counts: exactly nBins rows, zero-filled where empty
+    val bins = Psi.binnedCounts(base.where(col("v") < 10.0), col("v"), 0.0, 100.0, 10)
+      .as[(Long, Long)].collect().toMap
+    assert(bins.size == 10 && bins(0L) == 100L && (1L to 9L).forall(bins(_) == 0L))
+    // partition invariance: integer-summed micro-terms, bit-identical
+    val again = Psi.psi(base.repartition(7), shifted.repartition(3),
+      col("v"), 0.0, 100.0, 10).as[(Double, Long, Long)].collect().head
+    assert(again == drift)
+  }
+
   test("KMV distinct sketch: exact below k, accurate above, partition-invariant") {
     import graft.analytics.Sketches
     // exact path: 40 distinct ids < k=64 -> the sketch IS the set
