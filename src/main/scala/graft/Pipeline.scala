@@ -53,6 +53,15 @@ object Pipeline {
       Validation.violations(silver.withColumn("value", col("value") * 2), nextRules)
         .crossJoin(silver.select(col("ts")).limit(1))) // synthetic ts for demo
     println(s"[pipeline] dq: ${alerts.count()} alert windows from drifted batch")
+    // distributional drift between the profiled baseline and the drifted
+    // batch: PSI over fixed bins spanning the baseline's profiled range
+    val vb = bounds("value")
+    val psiRow = graft.profile.Psi.psi(silver,
+        silver.withColumn("value", col("value") * 2), col("value"),
+        vb.min.getOrElse(0.0), vb.max.getOrElse(1.0) * 2, 10)
+      .collect().head
+    println(f"[pipeline] drift: psi=${psiRow.getDouble(0)}%.3f over 10 bins " +
+      s"(n_base=${psiRow.getLong(1)}, n_cur=${psiRow.getLong(2)})")
     // the alerting artifact + the persisted schema-version snapshot
     graft.stream.DqRules.save(spark, s"$outDir/data_quality_rules.yml",
       "EventsSilver", bounds.toSeq.sortBy(_._1))
@@ -65,13 +74,21 @@ object Pipeline {
     val docs = Tables(spark, sfDir, "documents")
     val nExact = Dedup.exact(docs).where(col("n_dups") > 1).count()
     val pairs = Dedup.ngramJaccard(docs)
-    val nComp = Dedup.connectedComponents(pairs)
-      .select("component").distinct().count()
+    val comps = Dedup.connectedComponents(pairs)
+    val nComp = comps.select("component").distinct().count()
+    // keep the highest-quality member of each near-dup cluster
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("quality").desc, col("id").asc)
+    val nDropped = comps
+      .join(docs.select(col("doc_id").as("id"),
+        TextStats.qualityScore(col("text")).as("quality")), "id")
+      .withColumn("rn", row_number().over(w)).where(col("rn") > 1).count()
     val nContam = Dedup.decontaminate(
       docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10)).count()
     val stats = TextStats.langStats(docs).count()
     println(s"[pipeline] dedup: $nExact exact groups, ${pairs.count()} near-dup pairs " +
-      s"in $nComp clusters; $nContam docs eval-contaminated; $stats langs")
+      s"in $nComp clusters ($nDropped lower-quality members dropped); " +
+      s"$nContam docs eval-contaminated; $stats langs")
     val nOutliers = Profile.zscoreOutliers(docs, "n_chars", "lang", 1.5).count()
     val balanced = graft.llm.Corpus.sampleStratified(docs, n = 50)
     val mixed = graft.llm.Corpus.mixWeighted(balanced,
@@ -80,9 +97,16 @@ object Pipeline {
       graft.llm.Corpus.sampleHash(mixed, 0.5), budget = 512)
     val binRow = packed.agg(count(lit(1)).as("n"),
       count_distinct(col("lang"), col("bin")).as("bins")).collect().head
+    // the final corpus cut: best documents by quality until the token
+    // budget is spent (per-score-bucket cumsum — no global window)
+    val nBudget = graft.llm.Corpus.selectBudget(docs, budget = 10000L,
+      score = TextStats.qualityScore(col("text")),
+      tokens = TextStats.tokenCount(col("text")))
+      .where(col("keep")).count()
     println(s"[pipeline] assembly: $nOutliers length outliers; " +
       s"${balanced.count()} in balanced sample; " +
-      s"${binRow.getLong(0)} docs packed into ${binRow.getLong(1)} context bins")
+      s"${binRow.getLong(0)} docs packed into ${binRow.getLong(1)} context bins; " +
+      s"$nBudget docs inside the 10k-token quality budget")
 
     // 4. similarity over embeddings: exact baseline + a persisted IVF index
     val embs = Tables(spark, sfDir, "embeddings")
