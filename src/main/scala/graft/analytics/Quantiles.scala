@@ -131,14 +131,14 @@ object Quantiles {
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("_n",
             org.apache.spark.sql.types.LongType))))
-      val res = quantileContFromCounts(counts, qs, buckets,
-          precomputedStats = Some(statsDf))
-        .withColumnRenamed("column_name", groupCol)
-      val rows = res.collect() // job 2: cache-only; rows = the output
+      // job 2: cache-only; the collected bounding rows ARE the output
+      val rows = quantileContRowsFromCounts(counts, qs, buckets,
+        precomputedStats = Some(statsDf))
       df.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
-        res.schema)
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(quantileSchema.fields.map(f =>
+          if (f.name == "column_name") f.copy(name = groupCol) else f)))
     } finally { counts.unpersist(); () }
   }
 
@@ -154,6 +154,65 @@ object Quantiles {
   def quantileContFromCounts(perVal: DataFrame, qs: Seq[Double],
                              buckets: Int = 1024,
                              precomputedStats: Option[DataFrame] = None): DataFrame = {
+    rankedBounding(perVal, qs, buckets, precomputedStats)
+      .groupBy(col("_cn"), col("_q"), col("_t"), col("_lo"))
+      .agg(
+        max(when(col("_lo") >= col("_before") &&
+          col("_lo") < col("_before") + col("_c"), col("_v"))).as("_vlo"),
+        max(when(col("_hi") >= col("_before") &&
+          col("_hi") < col("_before") + col("_c"), col("_v"))).as("_vhi"))
+      .select(col("_cn").as("column_name"), col("_q").as("q"),
+        (col("_vlo") + (col("_t") - col("_lo")) * (col("_vhi") - col("_vlo")))
+          .as("value"))
+  }
+
+  /** EAGER terminal form of [[quantileContFromCounts]]: collects the
+    * bounding rows (≤ 2 per (key, quantile) — the OUTPUT bound, exactly
+    * what the eager callers collect anyway) and interpolates driver-side,
+    * saving the final aggregation exchange of every pass. Identical
+    * arithmetic; returns plain Rows `(column_name, q, value)`.
+    */
+  def quantileContRowsFromCounts(perVal: DataFrame, qs: Seq[Double],
+                                 buckets: Int = 1024,
+                                 precomputedStats: Option[DataFrame] = None)
+      : Seq[org.apache.spark.sql.Row] = {
+    val picked = rankedBounding(perVal, qs, buckets, precomputedStats)
+      .collect()
+    picked.groupBy(r => (r.getString(0), r.getDouble(1))).toSeq
+      .map { case ((cn, q), rs) =>
+        val t = rs.head.getDouble(2)
+        val lo = rs.head.getLong(3)
+        val hi = rs.head.getLong(4)
+        def vAt(rank: Long): Option[Double] = rs.find(r =>
+          rank >= r.getLong(5) && rank < r.getLong(5) + r.getLong(6))
+          .map(_.getDouble(7))
+        val v = for (vlo <- vAt(lo); vhi <- vAt(hi))
+          yield vlo + (t - lo) * (vhi - vlo)
+        org.apache.spark.sql.Row(cn, q, v.orNull)
+      }
+      .sortBy(r => (r.getString(0), r.getDouble(1)))
+  }
+
+  /** The schema of [[quantileContRowsFromCounts]] rows (and of
+    * [[quantileContFromCounts]] output). */
+  val quantileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("column_name",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
+  /** Shared keyed prefix of the quantile plans: everything up to (and
+    * including) locating, per requested quantile, the rows of the hit
+    * buckets whose rank ranges contain lo/hi. Output columns:
+    * `(_cn, _q, _t, _lo, _hi, _before, _c, _v)` — ≤ 2 rows per
+    * (key, quantile) after the rank filter.
+    */
+  private def rankedBounding(perVal: DataFrame, qs: Seq[Double],
+                             buckets: Int,
+                             precomputedStats: Option[DataFrame]): DataFrame = {
     require(qs.nonEmpty && buckets >= 1)
 
     // 2. per-column stats (one row per column — broadcast everywhere)
@@ -207,15 +266,7 @@ object Quantiles {
     ranked.join(broadcast(targets), Seq("_cn"))
       .where((col("_lo") >= col("_before") && col("_lo") < col("_before") + col("_c")) ||
              (col("_hi") >= col("_before") && col("_hi") < col("_before") + col("_c")))
-      .groupBy(col("_cn"), col("_q"), col("_t"), col("_lo"))
-      .agg(
-        max(when(col("_lo") >= col("_before") &&
-          col("_lo") < col("_before") + col("_c"), col("_v"))).as("_vlo"),
-        max(when(col("_hi") >= col("_before") &&
-          col("_hi") < col("_before") + col("_c"), col("_v"))).as("_vhi"))
-      .select(col("_cn").as("column_name"), col("_q").as("q"),
-        (col("_vlo") + (col("_t") - col("_lo")) * (col("_vhi") - col("_vlo")))
-          .as("value"))
+      .select("_cn", "_q", "_t", "_lo", "_hi", "_before", "_c", "_v")
   }
 
   /** NTILE(n) over ORDER BY (valueCol, tieCol), as a new LONG column

@@ -183,12 +183,13 @@ object Profile {
           StructField("_n", LongType))))
 
       // job 2: the quartile plan (identical rank/interpolation arithmetic
-      // to DuckDB's quantile_cont), collected in LONG form — ≤ 3 rows per
-      // key, the same output-bounded size as the result itself.
+      // to DuckDB's quantile_cont), collected in LONG form via the eager
+      // bounding-rows terminal — ≤ 2 rows per (key, quantile), the same
+      // output-bounded size as the result itself, with no final
+      // aggregation exchange.
       val quartRows = Quantiles
-        .quantileContFromCounts(perVal.where(col("_v").isNotNull), Quartiles,
-          Buckets, precomputedStats = Some(statsDf))
-        .collect()
+        .quantileContRowsFromCounts(perVal.where(col("_v").isNotNull),
+          Quartiles, Buckets, precomputedStats = Some(statsDf))
 
       // Driver-side assembly — every relation here is bounded by the OUTPUT
       // size (what SUMMARIZE returns and the caller collects anyway), so
@@ -332,14 +333,19 @@ object Profile {
         .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
         .collect()
       val statsDf = localDf(statRows.toSeq, statsSchema)
-      // job 2: med over the cache, stats supplied
+      // dround's Column formula replicated on the driver (binary round)
+      def dround6(x: Double): Double =
+        if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+        else -(math.floor(-x * 1e6 + 0.5) / 1e6)
+      // job 2: med over the cache, stats supplied, bounding rows folded
+      // driver-side (no final aggregation exchange)
       val medRows = Quantiles
-        .quantileContFromCounts(counts, Seq(0.5),
+        .quantileContRowsFromCounts(counts, Seq(0.5),
           precomputedStats = Some(statsDf))
-        .select(col("column_name").as("_cn"),
-          graft.functions.Rounding.dround(col("value"), 6).as("_med"))
-        .collect()
-      val medDf = localDf(medRows.toSeq, medSchema)
+        .collect { case r if !r.isNullAt(2) =>
+          Row(r.getString(0), dround6(r.getDouble(2)))
+        }
+      val medDf = localDf(medRows, medSchema)
       val medBy = medRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
       val devStatsDf = localDf(statRows.toSeq.flatMap { r =>
         val k = r.getString(0)
@@ -354,11 +360,11 @@ object Profile {
         .groupBy("_cn", "_v").agg(sum("_c").as("_c")) // distinct devs fold
       // job 3: mad over the cache-derived deviation counts, stats supplied
       val madRows = Quantiles
-        .quantileContFromCounts(devCounts, Seq(0.5),
+        .quantileContRowsFromCounts(devCounts, Seq(0.5),
           precomputedStats = Some(devStatsDf))
-        .select(col("column_name").as("_cn"),
-          graft.functions.Rounding.dround(col("value"), 6).as("_mad"))
-        .collect()
+        .collect { case r if !r.isNullAt(2) =>
+          Row(r.getString(0), dround6(r.getDouble(2)))
+        }
       val stats = localDf(
         madRows.toSeq.flatMap { r =>
           val k = r.getString(0)
