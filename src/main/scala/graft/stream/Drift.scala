@@ -40,6 +40,48 @@ object Drift {
       .select("window_start", "window_end", "p.*")
   }
 
+  /** Streaming PSI: one Population-Stability-Index row per tumbling window
+    * against a FIXED baseline histogram — the distributional upgrade of the
+    * min/max monitor, sharing the batch [[graft.profile.Psi]] arithmetic
+    * (clamped config bins, Laplace smoothing, per-term micro-unit rounding
+    * and exact integer summation).
+    *
+    * `baselineCounts` is the profiled baseline's per-bin counts (from
+    * [[graft.profile.Psi.binnedCounts]], ≤ nBins rows — configuration-sized,
+    * carried as literals). The windowed histogram is ONE stateful aggregate
+    * (nBins conditional sums per window — state O(nBins × open windows),
+    * GC'd by the watermark), so the query stays append-mode legal: no
+    * second stateful operator, no join. Emits
+    * `(window_start, window_end, psi, n)` when the watermark closes a
+    * window.
+    */
+  def psiWindows(df: DataFrame, valueCol: String, baselineCounts: Seq[Long],
+                 lo: Double, hi: Double, tsCol: String = "ts",
+                 windowLen: String = "1 minute",
+                 watermark: Option[String] = Some("1 minute")): DataFrame = {
+    val nBins = baselineCounts.size
+    require(nBins >= 1 && hi > lo)
+    val marked = watermark.fold(df)(df.withWatermark(tsCol, _))
+    val bin = graft.profile.Psi.bin(col(valueCol), lo, hi, nBins)
+    val binCounts = (0 until nBins).map(i =>
+      sum(when(bin === i, 1L).otherwise(0L)).as(s"_b$i"))
+    val agg = marked
+      .where(col(valueCol).isNotNull)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(binCounts.head, binCounts.tail: _*)
+    val totB = baselineCounts.sum
+    val totC = (0 until nBins).map(i => col(s"_b$i")).reduce(_ + _)
+    val termsMicros = (0 until nBins).map { i =>
+      val p = lit((baselineCounts(i) + 0.5) / (totB + nBins * 0.5))
+      val q = (col(s"_b$i") + 0.5) / (totC.cast("double") + nBins * 0.5)
+      floor((p - q) * log(p / q) * 1e6 + lit(0.5)).cast("long")
+    }
+    agg.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      (termsMicros.reduce(_ + _).cast("double") / 1e6).as("psi"),
+      totC.cast("long").as("n"))
+  }
+
   /** Drift alerts against baseline bounds: one row per (window, column,
     * kind) where the window's observed min/max escapes the baseline range
     * widened by `tolerance` (fraction of the baseline span).

@@ -277,6 +277,46 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI: per-window drift vs fixed baseline, batch-parity arithmetic") {
+    import graft.profile.Psi
+    import graft.stream.Drift
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: uniform over [0, 100) in 10 bins
+    val base = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
+    val baseCounts = Psi.binnedCounts(base, col("v"), 0.0, 100.0, 10)
+      .orderBy("bin").as[(Long, Long)].collect().map(_._2).toSeq
+    assert(baseCounts == Seq.fill(10)(100L))
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val psi = Drift.psiWindows(input.toDF().toDF("ts", "value"), "value",
+      baseCounts, 0.0, 100.0)
+    val q = psi.writeStream.format("memory").queryName("psi_stream")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // window 1: spread like the baseline; window 2: all mass in one bin
+      val w1 = (0 until 100).map(i => (ts("2024-01-01 00:00:10"), i.toDouble))
+      val w2 = (0 until 100).map(_ => (ts("2024-01-01 00:01:10"), 5.0))
+      input.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:10:00"), 1.0)) // close both windows
+      q.processAllAvailable()
+      val rows = spark.table("psi_stream")
+        .orderBy("window_start")
+        .select("psi", "n").as[(Double, Long)].collect().toSeq
+      assert(rows.size >= 2)
+      val (psiSame, nSame) = rows(0)
+      val (psiDrift, nDrift) = rows(1)
+      assert(nSame == 100L && nDrift == 100L)
+      assert(psiSame == 0.0) // 10/bin everywhere: q == p exactly per bin
+      assert(psiDrift > 1.0, s"concentrated window psi=$psiDrift")
+      // batch parity: the streaming window arithmetic IS Psi.psi's
+      val batchPsi = Psi.psi(base,
+        (0 until 100).map(i => (i.toLong, 5.0)).toDF("id", "v"),
+        col("v"), 0.0, 100.0, 10).select("psi").as[Double].collect().head
+      assert(psiDrift == batchPsi)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicates dropped, state GC'd past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
