@@ -423,6 +423,16 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("n_items"))
     },
 
+    // Morton (Z-order) clustering key over two independent dimensions —
+    // the layout key Etl.sinkZOrdered range-partitions and sorts by so
+    // parquet min/max pruning works on EVERY z-ordered column at once.
+    // Pure broadcast-stats + bit arithmetic: oracle-replayable exactly.
+    "zorder_key" -> ((s, d) =>
+      graft.etl.Etl.zOrderKey(
+        t(s, d, "part").select("p_partkey", "p_retailprice", "p_size"),
+        Seq("p_retailprice", "p_size"), bits = 8)
+        .select(col("p_partkey"), col("_z").as("z"))),
+
     // Supplier-side join chain with per-nation rollup of supplier activity.
     "supplier_nation_rev" -> { (s, d) =>
       val li = t(s, d, "lineitem")
@@ -1388,6 +1398,22 @@ object SparkEntry {
       ("SELECT p_brand, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS revenue, " +
         "count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "WHERE p_size <= 20 GROUP BY p_brand ORDER BY p_brand"),
+
+    "zorder_key" -> {
+      // bit interleave replayed term by term; quantization arithmetic
+      // identical (IEEE division + floor + clamp)
+      val interleave = (0 until 8).flatMap { b =>
+        Seq(s"(((qa >> $b) % 2) << ${2 * b})", s"(((qb >> $b) % 2) << ${2 * b + 1})")
+      }.mkString(" | ")
+      "WITH s AS (SELECT min(CAST(p_retailprice AS DOUBLE)) AS mn_a, " +
+        "max(CAST(p_retailprice AS DOUBLE)) AS mx_a, " +
+        "min(CAST(p_size AS DOUBLE)) AS mn_b, max(CAST(p_size AS DOUBLE)) AS mx_b FROM part), " +
+        "q AS (SELECT p_partkey, " +
+        "CASE WHEN mx_a = mn_a THEN 0 ELSE least(CAST(floor((CAST(p_retailprice AS DOUBLE) - mn_a) / ((mx_a - mn_a) / 256)) AS BIGINT), 255) END AS qa, " +
+        "CASE WHEN mx_b = mn_b THEN 0 ELSE least(CAST(floor((CAST(p_size AS DOUBLE) - mn_b) / ((mx_b - mn_b) / 256)) AS BIGINT), 255) END AS qb " +
+        "FROM part, s) " +
+        s"SELECT p_partkey, CAST($interleave AS BIGINT) AS z FROM q ORDER BY p_partkey"
+    },
 
     "supplier_nation_rev" ->
       ("SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers, " +

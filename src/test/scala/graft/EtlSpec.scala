@@ -149,6 +149,41 @@ class EtlSpec extends SparkSpec {
     assert(inv == Seq("{not json")) // quarantine preserves the original bytes
   }
 
+  test("z-ordered sink: per-file min/max become near-disjoint on BOTH dimensions") {
+    // 64×64 grid, a and b independent — the worst case for single-column
+    // sorting (sorting by a leaves b's per-file range at full width) and
+    // exactly what z-ordering is for.
+    val df = spark.range(4096).select(
+      (org.apache.spark.sql.functions.col("id") % 64).cast("double").as("a"),
+      (org.apache.spark.sql.functions.col("id") / 64).cast("double").as("b"))
+    def fileWidths(dir: String, c: String): Seq[Double] =
+      spark.read.parquet(dir).inputFiles.toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min(c),
+            org.apache.spark.sql.functions.max(c)).collect().head
+        r.getDouble(1) - r.getDouble(0)
+      }
+    val zDir = tmpDir("zord"); val rrDir = tmpDir("rr")
+    Etl.sinkZOrdered(df, zDir, Seq("a", "b"), numFiles = 8)
+    df.repartition(8).write.mode("overwrite").parquet(rrDir) // round-robin
+    // round trip: layout changes bytes on disk, never the relation
+    assert(spark.read.parquet(zDir).count() == 4096)
+    assert(spark.read.parquet(zDir).agg(
+      org.apache.spark.sql.functions.sum("a"),
+      org.apache.spark.sql.functions.sum("b")).collect().head ==
+      df.agg(org.apache.spark.sql.functions.sum("a"),
+        org.apache.spark.sql.functions.sum("b")).collect().head)
+    // every round-robin file spans ~the full domain of both columns; the
+    // z-ordered files cover a fraction — min/max pruning on EITHER column
+    // now skips most files (8 files over 3 top morton bits: a splits ≥2×,
+    // b ≥2× — assert a conservative 30% total-width cut on both)
+    for (c <- Seq("a", "b")) {
+      val z = fileWidths(zDir, c).sum
+      val rr = fileWidths(rrDir, c).sum
+      assert(z < 0.7 * rr, s"$c: z-order widths $z vs round-robin $rr")
+    }
+  }
+
   test("flatten handles struct-in-array-in-struct nesting") {
     import org.apache.spark.sql.types._
     val inner = StructType(Seq(StructField("c", LongType)))
