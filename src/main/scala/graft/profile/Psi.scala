@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * DQ loop (de4ml `dataops/app/profile.py`), extended from range checks to a
   * distributional check.
   *
-  * Scale shape: each side collapses to at most `nBins` rows via one
-  * map-side-combined groupBy before anything is joined, so the comparison
-  * of two 100 TB relations shuffles O(nBins × tasks) rows. The bin edges
-  * are CONFIG (lo/hi/nBins), not data — no quantile pass, no driver
-  * arithmetic proportional to anything but the bin count.
+  * Scale shape: both sides collapse into ONE wide aggregate of 2·nBins
+  * conditional sums (map-side combined — per-task state is 2·nBins longs),
+  * so comparing two 100 TB relations shuffles O(nBins × tasks) longs and
+  * the PSI itself is stateless arithmetic on the single result row. The
+  * bin edges are CONFIG (lo/hi/nBins), not data — no quantile pass, no
+  * driver arithmetic proportional to anything but the bin count.
   *
   * Determinism: the per-bin PSI term mixes IEEE-exact arithmetic with one
   * `ln` (correctly rounded in practice but not guaranteed bit-identical
@@ -52,26 +53,35 @@ object Psi {
     *
     * Probabilities are Laplace-smoothed — p_i = (n_i + 0.5) / (N + nBins/2)
     * — so empty bins contribute a finite term instead of a log singularity.
+    *
+    * Plan: ONE wide aggregate over the union of the two sides — 2·nBins
+    * conditional sums (map-side combined, per-task state 2·nBins longs),
+    * then the whole PSI is stateless column arithmetic on the single
+    * result row. One exchange total, no joins, no spine.
     */
   def psi(base: DataFrame, cur: DataFrame, value: Column,
           lo: Double, hi: Double, nBins: Int): DataFrame = {
-    val b = binnedCounts(base, value, lo, hi, nBins)
-      .withColumnRenamed("n", "n_b")
-    val c = binnedCounts(cur, value, lo, hi, nBins)
-      .withColumnRenamed("n", "n_c")
-    // nBins×nBins join of two bounded relations; totals via a broadcast
-    // scalar crossJoin (no window, no collect).
-    val totals = b.agg(sum("n_b").as("tot_b")).crossJoin(c.agg(sum("n_c").as("tot_c")))
-    val joined = b.join(c, "bin").crossJoin(broadcast(totals))
-    val p = (col("n_b") + 0.5) / (col("tot_b") + nBins * 0.5)
-    val q = (col("n_c") + 0.5) / (col("tot_c") + nBins * 0.5)
+    val u = base.select(bin(value, lo, hi, nBins).as("_bin"),
+        lit(0).as("_side"))
+      .unionByName(cur.select(bin(value, lo, hi, nBins).as("_bin"),
+        lit(1).as("_side")))
+    val aggs = (0 until nBins).flatMap(i => Seq(
+      sum(when(col("_side") === 0 && col("_bin") === i, 1L).otherwise(0L)).as(s"_b$i"),
+      sum(when(col("_side") === 1 && col("_bin") === i, 1L).otherwise(0L)).as(s"_c$i")))
+    val row = u.agg(aggs.head, aggs.tail: _*)
+    val totB = (0 until nBins).map(i => col(s"_b$i")).reduce(_ + _)
+    val totC = (0 until nBins).map(i => col(s"_c$i")).reduce(_ + _)
     // PSI terms are nonnegative ((p−q) and ln(p/q) share sign), so the
     // binary-value floor(x+0.5) round — the cross-engine-proven form from
-    // [[graft.functions.Rounding]] — needs no negative branch.
-    val termMicros = floor((p - q) * log(p / q) * 1e6 + 0.5).cast("long")
-    joined.select(termMicros.as("tm"), col("tot_b"), col("tot_c"))
-      .groupBy("tot_b", "tot_c")
-      .agg((sum("tm").cast("double") / 1e6).as("psi"))
-      .select(col("psi"), col("tot_b").as("n_base"), col("tot_c").as("n_cur"))
+    // [[graft.functions.Rounding]] — needs no negative branch. Terms are
+    // summed as exact micro-unit integers, never order-dependent doubles.
+    val termsMicros = (0 until nBins).map { i =>
+      val p = (col(s"_b$i") + 0.5) / (totB.cast("double") + nBins * 0.5)
+      val q = (col(s"_c$i") + 0.5) / (totC.cast("double") + nBins * 0.5)
+      floor((p - q) * log(p / q) * 1e6 + lit(0.5)).cast("long")
+    }
+    row.select(
+      (termsMicros.reduce(_ + _).cast("double") / 1e6).as("psi"),
+      totB.cast("long").as("n_base"), totC.cast("long").as("n_cur"))
   }
 }
