@@ -182,10 +182,7 @@ object SparkEntry {
       val ev = withK(t(s, d, "events"))
       val rules = Seq("event_id", "user_id", "event_type", "value", "k")
         .map(f => Validation.Rule(f, "missing", col(f).isNull))
-      val (valid, _) = Validation.split(ev, rules)
-      valid.agg(count(lit(1)).as("n"))
-        .select(lit("_valid").as("loc"), lit("ok").as("type"), col("n"))
-        .unionAll(Validation.violationCounts(ev, rules))
+      Validation.countsWithValid(ev, rules)
     },
 
     "validate_bounds" -> ((s, d) =>

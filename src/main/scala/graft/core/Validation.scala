@@ -88,6 +88,33 @@ object Validation {
       .where(col("n") > 0)
   }
 
+  /** [[violationCounts]] plus the VALID-row total (`('_valid', 'ok', n)`) in
+    * the SAME wide aggregate — the ingest-report query (how many rows passed,
+    * how many failed per rule) as ONE scan. The naive form — `split()._1
+    * .count() UNION violationCounts` — scans the source twice, and when the
+    * rules read parsed-JSON fields the parse runs twice too; at 100 TB the
+    * second scan is the whole cost. Here the valid counter is just one more
+    * conditional sum (no rule fired) riding the existing map-side-combined
+    * pass.
+    */
+  def countsWithValid(df: DataFrame, rs: Seq[Rule]): DataFrame = {
+    // A NULL rule predicate means "not violated" (violationCounts counts
+    // only TRUE), so valid = no rule strictly TRUE.
+    val anyViolated = coalesce(rs.map(_.violated).reduce(_ || _), lit(false))
+    val aggs = sum(when(!anyViolated, 1L).otherwise(0L)).as("_ok") +:
+      rs.zipWithIndex.map { case (r, i) =>
+        sum(when(r.violated, 1L).otherwise(0L)).as(s"_v$i")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      struct(lit("_valid").as("loc"), lit("ok").as("type"), col("_ok").as("n")) +:
+      rs.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.loc).as("loc"), lit(r.kind).as("type"), col(s"_v$i").as("n"))
+      }
+    wide.select(explode(array(rows: _*)).as("v")).select("v.*")
+      .where(col("type") === "ok" || col("n") > 0)
+  }
+
   /** Default-value injection (V3, reference contracts.py:9-12):
     * `coalesce(col, default)` per configured field.
     */

@@ -21,6 +21,22 @@ class ValidationSpec extends SparkSpec {
     assert(valid.count() == 2 && invalid.count() == 2)
   }
 
+  test("countsWithValid fuses valid total and per-rule counts in one pass") {
+    val df = Seq(("a", 0.5), ("b", 1.5), ("c", -0.1), ("d", 1.0))
+      .toDF("key", "probability")
+    val rules = Validation.boundsRules(
+      Map("probability" -> FieldBounds(Some(0.0), Some(1.0)))) ++
+      Seq(Validation.Rule("key", "missing", col("key").isNull))
+    val rows = Validation.countsWithValid(df, rules).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // valid total agrees with split(); zero-count rules omitted, valid kept
+    assert(rows == Set(("_valid", "ok", 2L), ("probability", "range", 2L)))
+    // one wide aggregate: the plan scans the source exactly once
+    val scans = Validation.countsWithValid(df, rules).queryExecution
+      .executedPlan.toString.split("\n").count(_.contains("LocalTableScan"))
+    assert(scans == 1)
+  }
+
   test("required rules treat null as missing; defaults fill nulls") {
     val df = Seq((Some(1L), "x"), (None, "y")).toDF("id", "name")
     val rules = Validation.requiredRules(
