@@ -119,21 +119,9 @@ object Quantiles {
       val statRows = counts.groupBy("_cn")
         .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
         .collect()
-      val statsDf = df.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(statRows.toSeq).asJava),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("_cn",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("_mn",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("_mx",
-            org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("_n",
-            org.apache.spark.sql.types.LongType))))
       // job 2: cache-only; the collected bounding rows ARE the output
       val rows = quantileContRowsFromCounts(counts, qs, buckets,
-        precomputedStats = Some(statsDf))
+        precomputedStatRows = Some(statRows.toSeq))
       df.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
@@ -166,18 +154,47 @@ object Quantiles {
           .as("value"))
   }
 
+  /** Keys at or below this count take the driver-planned fast path in
+    * [[quantileContRowsFromCounts]]: the per-bucket totals collect is then
+    * ≤ `MaxDriverKeys` × `buckets` rows — bounded by CONFIGURATION, like
+    * the histogram itself. Above it the fully-declarative plan runs (its
+    * prefix window is keyed, so it holds at any key cardinality).
+    */
+  private val MaxDriverKeys = 64
+
   /** EAGER terminal form of [[quantileContFromCounts]]: collects the
     * bounding rows (≤ 2 per (key, quantile) — the OUTPUT bound, exactly
     * what the eager callers collect anyway) and interpolates driver-side,
     * saving the final aggregation exchange of every pass. Identical
     * arithmetic; returns plain Rows `(column_name, q, value)`.
+    *
+    * `precomputedStatRows`: the per-key `(_cn, _mn, _mx, _n)` stats the
+    * eager callers ALREADY hold as collected rows (their stats job is the
+    * materialization pass). With ≤ [[MaxDriverKeys]] keys this unlocks the
+    * fast path: per-bucket totals are collected (≤ keys × `buckets` rows —
+    * configuration-bounded) and the exclusive prefix + quantile-target
+    * bucket location run as driver arithmetic, so the whole pass is TWO
+    * single-exchange jobs over the counts relation instead of the five-odd
+    * query stages of the declarative plan — at toy scale the stage overhead
+    * is most of the wall time, and at 100 TB two cache passes beat five.
+    * Beyond `MaxDriverKeys` the declarative plan runs unchanged (grouped
+    * profiling at data-sized key cardinality must never collect
+    * keys × buckets rows).
     */
   def quantileContRowsFromCounts(perVal: DataFrame, qs: Seq[Double],
                                  buckets: Int = 1024,
-                                 precomputedStats: Option[DataFrame] = None)
+                                 precomputedStats: Option[DataFrame] = None,
+                                 precomputedStatRows: Option[Seq[org.apache.spark.sql.Row]] = None)
       : Seq[org.apache.spark.sql.Row] = {
-    val picked = rankedBounding(perVal, qs, buckets, precomputedStats)
-      .collect()
+    val picked = precomputedStatRows match {
+      case Some(rows) if rows.lengthCompare(MaxDriverKeys) <= 0 =>
+        boundingSmallKeys(perVal, qs, buckets, rows)
+      case Some(rows) =>
+        val statsDf = localStatsDf(perVal, rows)
+        rankedBounding(perVal, qs, buckets, Some(statsDf)).collect()
+      case None =>
+        rankedBounding(perVal, qs, buckets, precomputedStats).collect()
+    }
     picked.groupBy(r => (r.getString(0), r.getDouble(1))).toSeq
       .map { case ((cn, q), rs) =>
         val t = rs.head.getDouble(2)
@@ -191,6 +208,104 @@ object Quantiles {
         org.apache.spark.sql.Row(cn, q, v.orNull)
       }
       .sortBy(r => (r.getString(0), r.getDouble(1)))
+  }
+
+  private def localStatsDf(perVal: DataFrame,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    perVal.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_cn",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_mn",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_mx",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("_n",
+          org.apache.spark.sql.types.LongType))))
+
+  /** The bounded-keys fast path of [[quantileContRowsFromCounts]]. Job A
+    * collects per-bucket totals (≤ keys × buckets rows); the exclusive
+    * bucket prefix, the quantile target ranks lo = ⌊q·(n−1)⌋ /
+    * hi = ⌈q·(n−1)⌉ and the buckets containing them are pure driver
+    * arithmetic (exact LONG sums, the identical IEEE double ops of the
+    * declarative `targets` sub-plan). Job B re-enters the hit buckets +
+    * targets as LOCAL relations and ranks ONLY those buckets' values with
+    * the same keyed window as the declarative plan — same rows out,
+    * bit-identical values.
+    */
+  private def boundingSmallKeys(perVal: DataFrame, qs: Seq[Double],
+      buckets: Int, statRows: Seq[org.apache.spark.sql.Row])
+      : Array[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = perVal.sparkSession
+    val statsDf = localStatsDf(perVal, statRows)
+    val width = (col("_mx") - col("_mn")) / buckets
+    val bucketed = perVal.join(broadcast(statsDf), "_cn")
+      .withColumn("_cr",
+        when(col("_mx") === col("_mn"), lit(0L))
+          .otherwise(least(floor((col("_v") - col("_mn")) / width),
+            lit(buckets - 1L))))
+      .select("_cn", "_v", "_c", "_cr")
+
+    // job A: per-bucket totals — ≤ keys × buckets rows by the caller gate
+    val rt = bucketed.groupBy("_cn", "_cr").agg(sum("_c").as("_rc")).collect()
+
+    val nByKey: Map[String, Long] = statRows.collect {
+      case r if !r.isNullAt(3) => r.getString(0) -> r.getLong(3)
+    }.toMap
+    val hit = scala.collection.mutable.LinkedHashMap.empty[(String, Long), Long]
+    val targets = Seq.newBuilder[Row] // (_cn, _q, _t, _lo, _hi)
+    rt.groupBy(_.getString(0)).foreach { case (k, rs) =>
+      val n = nByKey.getOrElse(k, 0L)
+      if (n > 0) {
+        // exclusive prefix over buckets in _cr order — exact LONG arithmetic
+        val sorted = rs.sortBy(_.getLong(1))
+        val prefixes = sorted.scanLeft(0L)(_ + _.getLong(2))
+        for (q <- qs) {
+          val t = q * (n - 1).toDouble // the declarative plan's exact ops
+          val lo = math.floor(t).toLong
+          val hi = math.ceil(t).toLong
+          targets += Row(k, q, t, lo, hi)
+          var i = 0
+          while (i < sorted.length) {
+            val pr = prefixes(i); val rc = sorted(i).getLong(2)
+            if ((lo >= pr && lo < pr + rc) || (hi >= pr && hi < pr + rc))
+              hit.getOrElseUpdate((k, sorted(i).getLong(1)), pr)
+            i += 1
+          }
+        }
+      }
+    }
+    def local(rows: Seq[Row], schema: StructType): DataFrame =
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val hitDf = local(hit.toSeq.map { case ((k, cr), pr) => Row(k, cr, pr) },
+      StructType(Seq(StructField("_cn", StringType, nullable = false),
+        StructField("_cr", LongType, nullable = false),
+        StructField("_pr", LongType, nullable = false))))
+    val targetsDf = local(targets.result(),
+      StructType(Seq(StructField("_cn", StringType, nullable = false),
+        StructField("_q", DoubleType, nullable = false),
+        StructField("_t", DoubleType, nullable = false),
+        StructField("_lo", LongType, nullable = false),
+        StructField("_hi", LongType, nullable = false))))
+
+    // job B: rank ONLY the hit buckets' values — identical window + filter
+    // to the declarative plan's final stage
+    val candidates = bucketed.join(broadcast(hitDf), Seq("_cn", "_cr"))
+    val wBucket = Window.partitionBy("_cn", "_cr").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    candidates
+      .withColumn("_before", col("_pr") + coalesce(sum("_c").over(wBucket), lit(0L)))
+      .join(broadcast(targetsDf), Seq("_cn"))
+      .where((col("_lo") >= col("_before") && col("_lo") < col("_before") + col("_c")) ||
+             (col("_hi") >= col("_before") && col("_hi") < col("_before") + col("_c")))
+      .select("_cn", "_q", "_t", "_lo", "_hi", "_before", "_c", "_v")
+      .collect()
   }
 
   /** The schema of [[quantileContRowsFromCounts]] rows (and of

@@ -94,11 +94,21 @@ object Profile {
   }
 
   private def summarizeExact(df: DataFrame, cols: Seq[String], avgScale: Int): DataFrame = {
-    // unpivot the requested columns into the (_cn, _v) keyed shape
-    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
-    profileKeyed(
-      df.select(expr(s"stack(${cols.length}, $stackArgs) AS (_cn, _v)")),
-      Some(cols), avgScale)
+    // Unpivot with the column INDEX as the key: the grouping shuffle hashes
+    // and ships a 4-byte int per row instead of the column NAME (a ~15-char
+    // string × every row — measured ~30% of the whole pass at sf0.1). The
+    // reduced (distinct-value) relation then carries the index as a 1-char
+    // string key through the shared machinery, and the index is mapped back
+    // to the name only on the OUTPUT rows (a bounded local relation).
+    val stackArgs = cols.zipWithIndex
+      .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }.mkString(", ")
+    val perVal = df
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS (_ci, _v)"))
+      .groupBy("_ci", "_v").agg(count(lit(1)).as("_c"))
+      .select(col("_ci").cast("string").as("_cn"), col("_v"), col("_c"))
+    profileKeyedCounts(perVal, Some(cols.indices.map(_.toString)), avgScale)
+      .withColumn("column_name",
+        element_at(array(cols.map(lit): _*), col("column_name").cast("int") + 1))
   }
 
   /** Grouped exact profile — one profile row PER GROUP VALUE of one numeric
@@ -137,17 +147,25 @@ object Profile {
     *     (one per key) — the result SUMMARIZE returns anyway.
     */
   private def profileKeyed(keyed: DataFrame, keys: Option[Seq[String]],
-                           avgScale: Int): DataFrame = {
-    val spark = keyed.sparkSession
+                           avgScale: Int): DataFrame =
+    profileKeyedCounts(
+      keyed.groupBy("_cn", "_v").agg(count(lit(1)).as("_c")), keys, avgScale)
+
+  /** [[profileKeyed]] over an ALREADY-GROUPED `(_cn, _v, _c)` relation —
+    * the shape [[summarizeExact]] builds with its int-keyed shuffle. NULL
+    * values must be kept as their own `(_cn, NULL)` groups (they feed
+    * null_cnt).
+    */
+  private def profileKeyedCounts(perValPre: DataFrame, keys: Option[Seq[String]],
+                                 avgScale: Int): DataFrame = {
+    val spark = perValPre.sparkSession
 
     // The ONE keyed relation everything derives from: (key, value) → count
     // with NULL values kept as their own group (unlike Quantiles.valueCounts,
     // which is quantile-only and drops them). min/max/count/null-count, the
     // count-weighted average AND the quantile machinery all read it from
     // cache, so the source is scanned exactly once.
-    val perVal = keyed
-      .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
-      .persist()
+    val perVal = perValPre.persist()
 
     // Per-key simple stats — ONE fused aggregate serving both the output
     // row and (as `(_cn, _mn, _mx, _n)`) the quantile machinery, which
@@ -173,23 +191,19 @@ object Profile {
       // every stats broadcast inside the quantile plan is free instead of a
       // separately materialized query stage.
       val statRows = stats.collect()
-      val statsDf = spark.createDataFrame(
-        new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(
-            statRows.toSeq.map(r =>
-              Row(r.getString(0), r.get(1), r.get(2), r.get(4)))).asJava),
-        StructType(Seq(StructField("_cn", StringType, nullable = false),
-          StructField("_mn", DoubleType), StructField("_mx", DoubleType),
-          StructField("_n", LongType))))
+      val quantStatRows = statRows.toSeq.map(r =>
+        Row(r.getString(0), r.get(1), r.get(2), r.get(4)))
 
       // job 2: the quartile plan (identical rank/interpolation arithmetic
       // to DuckDB's quantile_cont), collected in LONG form via the eager
       // bounding-rows terminal — ≤ 2 rows per (key, quantile), the same
       // output-bounded size as the result itself, with no final
-      // aggregation exchange.
+      // aggregation exchange. With few keys the terminal takes its
+      // driver-planned two-job fast path; beyond that the declarative
+      // keyed-window plan keeps grouped profiling cardinality-safe.
       val quartRows = Quantiles
         .quantileContRowsFromCounts(perVal.where(col("_v").isNotNull),
-          Quartiles, Buckets, precomputedStats = Some(statsDf))
+          Quartiles, Buckets, precomputedStatRows = Some(quantStatRows))
 
       // Driver-side assembly — every relation here is bounded by the OUTPUT
       // size (what SUMMARIZE returns and the caller collects anyway), so
@@ -319,10 +333,6 @@ object Profile {
       spark.createDataFrame(
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-    val statsSchema = StructType(Seq(
-      StructField("_cn", StringType, nullable = false),
-      StructField("_mn", DoubleType), StructField("_mx", DoubleType),
-      StructField("_n", LongType)))
     val medSchema = StructType(Seq(
       StructField("_cn", StringType, nullable = false),
       StructField("_med", DoubleType)))
@@ -332,7 +342,6 @@ object Profile {
       val statRows = counts.groupBy("_cn")
         .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
         .collect()
-      val statsDf = localDf(statRows.toSeq, statsSchema)
       // dround's Column formula replicated on the driver (binary round)
       def dround6(x: Double): Double =
         if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
@@ -341,30 +350,35 @@ object Profile {
       // driver-side (no final aggregation exchange)
       val medRows = Quantiles
         .quantileContRowsFromCounts(counts, Seq(0.5),
-          precomputedStats = Some(statsDf))
+          precomputedStatRows = Some(statRows.toSeq))
         .collect { case r if !r.isNullAt(2) =>
           Row(r.getString(0), dround6(r.getDouble(2)))
         }
       val medDf = localDf(medRows, medSchema)
       val medBy = medRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val devStatsDf = localDf(statRows.toSeq.flatMap { r =>
+      val devStatRows = statRows.toSeq.flatMap { r =>
         val k = r.getString(0)
         medBy.get(k).map { m =>
           Row(k, 0.0,
             math.max(math.abs(r.getDouble(1) - m), math.abs(r.getDouble(2) - m)),
             r.getLong(3))
         }
-      }, statsSchema)
+      }
+      // persisted: the MAD pass reads the deviation counts from BOTH its
+      // bucket-totals and ranking jobs — unpersisted, each would redo the
+      // cache join + grouping shuffle
       val devCounts = counts.join(broadcast(medDf), "_cn")
         .select(col("_cn"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
         .groupBy("_cn", "_v").agg(sum("_c").as("_c")) // distinct devs fold
+        .persist()
       // job 3: mad over the cache-derived deviation counts, stats supplied
-      val madRows = Quantiles
-        .quantileContRowsFromCounts(devCounts, Seq(0.5),
-          precomputedStats = Some(devStatsDf))
-        .collect { case r if !r.isNullAt(2) =>
-          Row(r.getString(0), dround6(r.getDouble(2)))
-        }
+      val madQuantRows =
+        try Quantiles.quantileContRowsFromCounts(devCounts, Seq(0.5),
+          precomputedStatRows = Some(devStatRows))
+        finally { devCounts.unpersist(); () }
+      val madRows = madQuantRows.collect { case r if !r.isNullAt(2) =>
+        Row(r.getString(0), dround6(r.getDouble(2)))
+      }
       val stats = localDf(
         madRows.toSeq.flatMap { r =>
           val k = r.getString(0)

@@ -81,8 +81,10 @@ class SessionAndStreamSpec extends SparkSpec {
       val df = spark.range(3L * n).select(
         (col("id") % n).cast("string").as("g"),
         (col("id") % n + expr(s"id div $n")).cast("double").as("v"))
+      // exprIds (#1234) come from a JVM-global counter whose digit count
+      // drifts with suite order — strip them so only plan SHAPE is measured
       graft.analytics.Quantiles.quantileContBy(df, "g", "v", Seq(0.5))
-        .queryExecution.analyzed.toString.length
+        .queryExecution.analyzed.toString.replaceAll("#\\d+", "#").length
     }
     assert(math.abs(planSize(10000) - planSize(10)) < 200)
   }
@@ -146,6 +148,28 @@ class SessionAndStreamSpec extends SparkSpec {
     val lazyQe = Quantiles.quantileContBy(df, "g", "v", Seq(0.5))
     lazyQe.collect()
     assert(fileScans(lazyQe.queryExecution.executedPlan) >= 1)
+  }
+
+  test("bounded-keys fast path matches the declarative quantile plan") {
+    import graft.analytics.Quantiles
+    // Few groups → quantileContByEager takes the driver-planned two-job
+    // path; the lazy composite is the fully-declarative plan. Identical
+    // interpolation arithmetic must give identical doubles, including on a
+    // constant group (_mx === _mn → single bucket), heavy ties, a
+    // single-value group, and negative values.
+    val rows = Seq.tabulate(5000)(i => ("g" + (i % 7), (i % 97).toDouble - 13)) ++
+      Seq.fill(50)(("const", 5.0)) ++ Seq(("single", -2.5))
+    val df = rows.toDF("g", "v")
+    val qs = Seq(0.25, 0.5, 0.75)
+    val fast = Quantiles.quantileContByEager(df, "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val decl = Quantiles.quantileContBy(df, "g", "v", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(fast.keySet == decl.keySet && fast.keySet.size == 9 * 3)
+    fast.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, decl(k)) == 0, s"$k: fast=$v decl=${decl(k)}")
+    }
+    assert(fast(("const", 0.5)) == 5.0 && fast(("single", 0.25)) == -2.5)
   }
 
   test("z-score outliers flag extreme rows and skip zero-variance groups") {
