@@ -572,6 +572,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"))),
 
+    // Paragraph-level (CCNet-style) dedup: drop every repeat of a distinct
+    // 10-word paragraph corpus-wide, keep the globally-first occurrence,
+    // reassemble documents.
+    "dedup_paragraphs" -> ((s, d) =>
+      Dedup.dedupParagraphs(t(s, d, "documents"), words = 10)),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhash(t(s, d, "documents"))),
 
@@ -1459,6 +1465,17 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents " +
         "GROUP BY text ORDER BY keep_id"),
+
+    "dedup_paragraphs" ->
+      ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, gs.i AS pidx, " +
+        "array_to_string(ws[(gs.i*10+1):((gs.i+1)*10)], ' ') AS para " +
+        "FROM wd, LATERAL (SELECT unnest(range(0, " +
+        "greatest(CAST(ceil(len(ws)/10.0) AS INT), 1))) AS i) gs), " +
+        "k AS (SELECT doc_id, pidx, para, row_number() OVER " +
+        "(PARTITION BY para ORDER BY doc_id, pidx) AS rn FROM p) " +
+        "SELECT doc_id, string_agg(para, ' ' ORDER BY pidx) AS text " +
+        "FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
 
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_est" -> minhashEstOracle,

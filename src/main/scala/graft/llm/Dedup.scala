@@ -22,6 +22,73 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .drop("content_hash")
 
+  /** Fixed-width paragraph split: `(id, pidx, para)` with `para` =
+    * `words`-word windows of the whitespace-tokenized text (the last window
+    * may be shorter). Real corpora split on newlines; the synthetic tables
+    * carry single-space word streams, so the fixed window IS the paragraph
+    * structure. One shuffle-free generate stage.
+    */
+  def splitFixedParagraphs(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id", words: Int = 10): DataFrame = {
+    val nPara = ceil(size(col("_ws")) / lit(words.toDouble)).cast("int")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), greatest(nPara, lit(1)) - 1),
+          i => array_join(slice(col("_ws"), i * words + 1, lit(words)), " "))))
+      .select(col(idCol), col("pos").cast("long").as("pidx"),
+        col("col").as("para"))
+  }
+
+  /** Paragraph-level exact dedup (the CCNet move): across the WHOLE corpus,
+    * keep only the globally-first occurrence of every distinct paragraph —
+    * first = smallest `(id, pidx)` — and drop the rest, so boilerplate
+    * (headers, license blocks, navigation chrome) is removed from every
+    * document that repeats it while the earliest document keeps it.
+    *
+    * Shuffle posture: paragraphs are keyed by sha2-256, so the winner
+    * aggregate's exchange carries 32-byte keys and is map-side combined
+    * (each partition contributes one candidate winner per distinct
+    * paragraph, not one row per occurrence). The equi-join back to the
+    * tagged relation reuses the same hash partitioning — one effective
+    * shuffle of the paragraph text, which the reassembly `groupBy(id)`
+    * would need anyway. No driver state, no windows over unbounded groups.
+    */
+  def paragraphDedup(paras: DataFrame, idCol: String = "doc_id",
+                     idxCol: String = "pidx", paraCol: String = "para"): DataFrame = {
+    val tagged = paras.withColumn("_h", sha2(col(paraCol), 256))
+    val winners = tagged
+      .groupBy("_h")
+      .agg(min(struct(col(idCol).as("_wid"), col(idxCol).as("_widx"))).as("_w"))
+      .select(col("_h"), col("_w._wid").as("_wid"), col("_w._widx").as("_widx"))
+    tagged.join(winners, Seq("_h"))
+      .where(col(idCol) === col("_wid") && col(idxCol) === col("_widx"))
+      .drop("_h", "_wid", "_widx")
+  }
+
+  /** Reassemble a paragraph relation back into `(id, text)`, paragraphs in
+    * `idxCol` order. The per-doc sort happens inside `array_sort` on the
+    * collected list — no window, one keyed aggregate; `idxCol` is unique
+    * per doc so the order is total.
+    */
+  def reassembleParagraphs(paras: DataFrame, idCol: String = "doc_id",
+                           idxCol: String = "pidx", paraCol: String = "para",
+                           outCol: String = "text"): DataFrame =
+    paras.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(idxCol), col(paraCol)))),
+          x => x(paraCol)), " ").as(outCol))
+
+  /** End-to-end paragraph dedup over documents: split → global winner
+    * filter → reassemble. Documents whose every paragraph was dropped
+    * vanish (CCNet semantics).
+    */
+  def dedupParagraphs(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", words: Int = 10): DataFrame =
+    reassembleParagraphs(
+      paragraphDedup(splitFixedParagraphs(docs, textCol, idCol, words), idCol),
+      idCol, outCol = textCol)
+
   /** Distinct word n-gram shingles of a token array (native expression; the
     * set semantics match `list_distinct(list_transform(...))` in the oracle —
     * only intersection/union sizes are consumed downstream, so element order

@@ -23,6 +23,28 @@ class LlmSpec extends SparkSpec {
     assert(groups == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("paragraph dedup drops repeats corpus-wide, keeps first occurrence") {
+    import graft.llm.Dedup
+    // 2-word paragraphs; "x y" is boilerplate shared by all three docs
+    val docs = Seq(
+      (1L, "x y a b"),        // first occurrence of "x y" and "a b"
+      (2L, "c d x y"),        // repeats "x y" → keeps only "c d"
+      (3L, "x y x y"))        // BOTH paragraphs are repeats → doc vanishes
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, words = 2)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "x y a b", 2L -> "c d"))
+    // intra-doc repeat: the SAME doc repeating a paragraph keeps only the
+    // first copy, and reassembly preserves paragraph order
+    val intra = Seq((7L, "p q p q r s")).toDF("doc_id", "text")
+    assert(Dedup.dedupParagraphs(intra, words = 2)
+      .as[(Long, String)].collect().toMap == Map(7L -> "p q r s"))
+    // short tail window survives as its own paragraph
+    val tail = Seq((9L, "u v w")).toDF("doc_id", "text")
+    assert(Dedup.dedupParagraphs(tail, words = 2)
+      .as[(Long, String)].collect().toMap == Map(9L -> "u v w"))
+  }
+
   test("minhash LSH surfaces the planted near-dup pair") {
     val pairs = Dedup.minhash(docs, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
