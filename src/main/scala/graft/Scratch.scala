@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Temporary perf scratch — not part of the library surface. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.graft.cacheTables", "true")
+    graft.core.Tables.all.foreach(n => graft.core.Tables(spark, sfDir, n).count())
+
+    var jobs = 0
+    val jobLog = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, String)]
+    val jobStart = new scala.collection.mutable.HashMap[Int, (Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs += 1
+        jobStart.synchronized {
+          jobStart(j.jobId) = (System.nanoTime(),
+            Option(j.properties.getProperty("spark.job.description")).getOrElse("?").take(60))
+        }
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobStart.synchronized {
+          jobStart.remove(j.jobId).foreach { case (t0, d) =>
+            jobLog += ((j.jobId, t0, System.nanoTime(), d))
+          }
+        }
+    })
+
+    def time(name: String)(f: => Unit): Unit = {
+      // warmup
+      f
+      Thread.sleep(200)
+      val j0 = jobs
+      jobLog.clear()
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $name%-30s ${dt}%8.3f s  jobs=${jobs - j0}")
+      jobLog.sortBy(_._2).foreach { case (id, s, e, d) =>
+        println(f"[scratch]   job $id%3d  +${(s - t0) / 1e6}%7.1f ms  ${(e - s) / 1e6}%7.1f ms  $d")
+      }
+    }
+
+    {
+      import org.apache.spark.sql.functions._
+      val li = graft.core.Tables(spark, sfDir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stackArgs = cols.zipWithIndex
+        .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }.mkString(", ")
+      val perVal = li
+        .select(expr(s"stack(${cols.length}, $stackArgs) AS (_ci, _v)"))
+        .groupBy("_ci", "_v").agg(count(lit(1)).as("_c"))
+        .select(col("_ci").cast("string").as("_cn"), col("_v"), col("_c"))
+        .persist()
+      time("materialize+stats") {
+        perVal.groupBy("_cn").agg(min("_v"), max("_v"), sum("_c")).collect()
+      }
+      println("[scratch] cache partitions = " + perVal.rdd.getNumPartitions)
+      time("cache_scan_groupby_bucket") {
+        perVal.withColumn("_cr", floor(col("_v") / 100.0))
+          .groupBy("_cn", "_cr").agg(sum("_c")).collect()
+      }
+      perVal.unpersist()
+    }
+    for (q <- Seq("profile_summarize", "mad_outliers", "profile_by_group",
+        "group_quantiles")) {
+      val fn = SparkEntry.queries(q)
+      time(q) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}

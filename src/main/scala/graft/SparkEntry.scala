@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{FieldBounds, Tables, Validation}
 import graft.etl.Flatten
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Dedup, Multimodal, SignatureStore, Similarity, TextStats}
 import graft.profile.Profile
 import graft.stream.{DelayedJoin, DqAlerts}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -52,6 +52,22 @@ object SparkEntry {
   private def ivfIdx(s: SparkSession, d: String): Similarity.IvfIndex =
     ivfIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
       Similarity.buildIvfIndex(t(s, d, "embeddings"), kClusters = 16))
+
+  // The incremental-dedup signature store is an offline artifact too:
+  // built once per (session, dir) from the even-id half of the corpus, then
+  // probed (read-only) by the gate query — matching how a pipeline builds
+  // the store from history and probes each new crawl against it.
+  private val sigStores =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def sigStore(s: SparkSession, d: String): String =
+    sigStores.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_sigstore_" + Integer.toHexString(d.hashCode) + "_" +
+          org.apache.spark.sql.graftbridge.SessionBridge.uuid(s).take(8)).getPath
+      SignatureStore.build(s, path,
+        t(s, d, "documents").where(col("doc_id") % 2 === 0))
+      path
+    })
 
   // Near-dup cluster resolution is likewise an offline artifact: resolved
   // once per (session, dir), consumed by dedup_components AND dedup_droplist.
@@ -578,6 +594,17 @@ object SparkEntry {
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.dedupParagraphs(t(s, d, "documents"), words = 10)),
 
+    // Incremental dedup: probe the odd-id half of the corpus (the "new
+    // crawl") against a persisted signature store built from the even-id
+    // half (the "history") — matched docs resolve to the stored CANONICAL
+    // keeper, and the historical text is never read (the store holds only
+    // signatures and bucket keys).
+    "dedup_incremental" -> { (s, d) =>
+      val store = sigStore(s, d)
+      SignatureStore.probe(s, store,
+        t(s, d, "documents").where(col("doc_id") % 2 === 1))
+    },
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhash(t(s, d, "documents"))),
 
@@ -996,6 +1023,36 @@ object SparkEntry {
         |  i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jacc
         |FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
+
+  // Incremental-store probe replay: rebuild the even-half store's
+  // canonicals (est-pair components among evens, min-label walk), then the
+  // odd→even banded-bucket matches with the same agreement estimate, and
+  // aggregate min(canonical)/count per odd doc — exactly
+  // SignatureStore.build(evens) + probe(odds).
+  private lazy val incrementalOracle: String = {
+    val est = (x: String, y: String) =>
+      s"list_sum(list_transform(generate_series(1, 16), " +
+        s"i -> CASE WHEN $x.sig[i] = $y.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5"
+    minhashCandCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      ", eep AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM banded a " +
+      "JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+      "WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0), " +
+      "eem AS (SELECT doc_a, doc_b FROM eep JOIN sig x ON doc_a = x.doc_id " +
+      s"JOIN sig y ON doc_b = y.doc_id WHERE ${est("x", "y")}), " +
+      "e AS (SELECT doc_a AS a, doc_b AS b FROM eem UNION ALL SELECT doc_b, doc_a FROM eem), " +
+      "walk(id, lbl) AS (SELECT a, a FROM e UNION SELECT e.a, w.lbl FROM e JOIN walk w ON e.b = w.id), " +
+      "comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id), " +
+      "canon AS (SELECT d2.doc_id AS id, coalesce(c.component, d2.doc_id) AS canonical " +
+      "FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.id WHERE d2.doc_id % 2 = 0), " +
+      "om AS (SELECT DISTINCT a.doc_id AS odd_id, b.doc_id AS even_id FROM banded a " +
+      "JOIN banded b ON a.band = b.band AND a.bucket = b.bucket " +
+      "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0), " +
+      "oe AS (SELECT odd_id, even_id FROM om JOIN sig x ON odd_id = x.doc_id " +
+      s"JOIN sig y ON even_id = y.doc_id WHERE ${est("x", "y")}) " +
+      "SELECT oe.odd_id AS doc_id, min(canon.canonical) AS keep_id, " +
+      "count(DISTINCT oe.even_id) AS n_matches " +
+      "FROM oe JOIN canon ON oe.even_id = canon.id GROUP BY oe.odd_id ORDER BY doc_id"
+  }
 
   private lazy val simhashOracle: String =
     shingleCte + polyHashCte +
@@ -1479,6 +1536,7 @@ object SparkEntry {
 
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_est" -> minhashEstOracle,
+    "dedup_incremental" -> incrementalOracle,
 
     "decontaminate" ->
       (shingleCte +

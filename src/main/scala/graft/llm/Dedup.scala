@@ -170,15 +170,25 @@ object Dedup {
     * fold stays in BIGINT range in any engine) — the oracle replays it with
     * list_reduce.
     */
-  private def minhashCandidates(docs: DataFrame, textCol: String,
-      idCol: String, shingleLen: Int, bands: Int, rowsPerBand: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val numHashes = bands * rowsPerBand
-    val sh = docs.select(
-      col(idCol).as("id"),
-      shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    val banded = sig.select(
+  /** `(id, sig)` MinHash signatures for a document relation — the reusable
+    * first stage of [[minhash]] and of the incremental
+    * [[SignatureStore]].
+    */
+  private[llm] def signatureOf(docs: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      minhashSignature(
+        shingles(TextStats.tokens(col(textCol)), shingleLen), numHashes)
+        .as("sig"))
+
+  /** `(id, band, bucket)` banded LSH bucket keys from an `(id, sig)`
+    * relation: per band, a polynomial fold of that band's signature rows
+    * mod 1e9+7 (all values < 2^30, so the fold stays in BIGINT range in
+    * any engine).
+    */
+  private[llm] def bandedOf(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sig.select(
       col("id"),
       explode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -190,6 +200,16 @@ object Dedup {
               .as("bucket"))))
         .as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+  private def minhashCandidates(docs: DataFrame, textCol: String,
+      idCol: String, shingleLen: Int, bands: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val numHashes = bands * rowsPerBand
+    val sh = docs.select(
+      col(idCol).as("id"),
+      shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
+    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = bandedOf(sig, bands, rowsPerBand)
     val cand = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

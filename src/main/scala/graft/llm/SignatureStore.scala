@@ -1,0 +1,176 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash signature store for INCREMENTAL corpus dedup.
+  *
+  * A 100 TB corpus is not deduplicated in one shot — it grows crawl by
+  * crawl. Re-running LSH over the full corpus per increment is O(corpus)
+  * every time; the store makes each increment O(batch): it persists, for
+  * every ingested document, its banded LSH bucket keys and its minhash
+  * signature — NEVER the text — so a new batch equi-joins its own
+  * (band, bucket) keys against the store's, estimates Jaccard from stored
+  * signatures (integer agreement / k, float-exact), and only batch-sized
+  * and match-sized state ever moves. Store growth is
+  * O(docs × (bands + k)) longs, ~1e-4 of corpus bytes.
+  *
+  * Ingest semantics (mirroring batch-local LSH dedup à la SlimPajama):
+  *
+  *  1. intra-batch: signature-estimate pairs ≥ `threshold` within the batch
+  *     → connected components → each component's minimum id is its keeper;
+  *  2. store match: batch docs whose estimate vs ANY stored doc ≥
+  *     `threshold` resolve to the matched doc's CANONICAL keeper; a whole
+  *     intra-batch component resolves to the minimum canonical any member
+  *     matched (deterministic: min over matches, then component fallback);
+  *  3. append: ALL batch docs enter the store — kept ones as their own
+  *     canonical, dropped ones mapped to their keeper — so a future
+  *     near-copy of a DROPPED doc still resolves to the original keeper.
+  *
+  * The known gap vs a global one-shot pass is transitive chains split
+  * across batches (X–W in batch 2, W–Y in batch 1, X matching no stored
+  * doc directly): batch-local dedup accepts per-pair rather than per-chain
+  * recall — on chain-free data the kept set equals the global droplist
+  * (pinned by spec).
+  */
+object SignatureStore {
+
+  /** `threshold` applies to the SIGNATURE-AGREEMENT estimate (E[est] = J),
+    * the same pre-verify statistic as [[Dedup.minhashEstimate]].
+    */
+  final case class Config(shingleLen: Int = 5, bands: Int = 8,
+                          rowsPerBand: Int = 2, threshold: Double = 0.5) {
+    def numHashes: Int = bands * rowsPerBand
+  }
+
+  private def sigsDir(path: String) = path + "/sigs"
+  private def bucketsDir(path: String) = path + "/buckets"
+
+  /** Fraction of agreeing signature positions — bit-identical to
+    * [[Dedup.minhashEstimate]]'s statistic.
+    */
+  private def estimate(a: Column, b: Column, k: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x) / lit(k.toDouble)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(sigsDir(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Stored `(id, sig, canonical)` rows. */
+  def sigs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(sigsDir(path))
+
+  /** Stored `(id, band, bucket)` rows. */
+  def buckets(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(bucketsDir(path))
+
+  /** Build a fresh store at `path` (deleting any existing one) from the
+    * first batch. Equivalent to ingest-into-empty.
+    */
+  def build(spark: SparkSession, path: String, docs: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id",
+            cfg: Config = Config()): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    ingest(spark, path, docs, textCol, idCol, cfg)
+  }
+
+  /** Read-only store probe: batch docs matching ≥ 1 stored doc, as
+    * `(id, keep_id, n_matches)` with `keep_id` = minimum canonical among
+    * matches and `n_matches` = distinct stored docs matched. The batch
+    * side computes signatures once; the store side is two keyed equi-joins
+    * (buckets for candidates, sigs for the estimate) — the historical
+    * corpus text is never read because it is not even stored.
+    */
+  def probe(spark: SparkSession, path: String, batch: DataFrame,
+            textCol: String = "text", idCol: String = "doc_id",
+            cfg: Config = Config()): DataFrame = {
+    val sig = Dedup.signatureOf(batch, textCol, idCol, cfg.shingleLen, cfg.numHashes)
+    matches(spark, path, sig, cfg)
+      .groupBy(col("id").as(idCol))
+      .agg(min("canonical").as("keep_id"),
+        countDistinct("store_id").as("n_matches"))
+  }
+
+  /** `(id, store_id, canonical)` estimate-verified matches of a batch
+    * signature relation against the store.
+    */
+  private def matches(spark: SparkSession, path: String, batchSig: DataFrame,
+                      cfg: Config): DataFrame = {
+    val cand = Dedup.bandedOf(batchSig, cfg.bands, cfg.rowsPerBand).alias("a")
+      .join(buckets(spark, path).alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id"), col("b.id").as("store_id"))
+      .distinct()
+    cand
+      .join(batchSig.select(col("id"), col("sig").as("sig_a")), "id")
+      .join(sigs(spark, path)
+        .select(col("id").as("store_id"), col("sig").as("sig_b"), col("canonical")),
+        "store_id")
+      .where(estimate(col("sig_a"), col("sig_b"), cfg.numHashes) >= cfg.threshold)
+      .select(col("id"), col("store_id"), col("canonical"))
+  }
+
+  /** Ingest a batch: returns `(id, canonical, is_dup)` for EVERY batch doc
+    * (computed against the store as of entry — eagerly materialized before
+    * the append so the batch never matches itself through the store), then
+    * appends all batch signatures and bucket keys with their canonicals.
+    */
+  def ingest(spark: SparkSession, path: String, batch: DataFrame,
+             textCol: String = "text", idCol: String = "doc_id",
+             cfg: Config = Config()): DataFrame = {
+    val sig = Dedup.signatureOf(batch, textCol, idCol, cfg.shingleLen, cfg.numHashes)
+      .persist()
+    try {
+      val banded = Dedup.bandedOf(sig, cfg.bands, cfg.rowsPerBand)
+
+      // 1. intra-batch components over estimate-verified LSH pairs
+      val intraPairs = banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .distinct()
+        .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .where(estimate(col("sig_a"), col("sig_b"), cfg.numHashes) >= cfg.threshold)
+        .select("doc_a", "doc_b")
+      val comp = Dedup.connectedComponents(intraPairs) // (id, component=min id)
+      val withComp = sig.select(col("id"))
+        .join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("_comp"))
+
+      // 2. store matches → component-level canonical (min matched canonical,
+      //    else the component's own min id)
+      val resolved =
+        if (exists(spark, path)) {
+          val m = matches(spark, path, sig, cfg)
+            .groupBy("id").agg(min("canonical").as("_sk"))
+          withComp.join(m, Seq("id"), "left")
+            .groupBy("_comp")
+            .agg(min("_sk").as("_compSk"))
+            .join(withComp, "_comp")
+            .select(col("id"),
+              coalesce(col("_compSk"), col("_comp")).as("canonical"))
+        } else withComp.select(col("id"), col("_comp").as("canonical"))
+
+      // eager, lineage-truncated: the verdicts must be FIXED before the
+      // store mutates — a lazy plan would re-read the appended parquet on
+      // recomputation and let the batch match itself
+      val result = resolved
+        .withColumn("is_dup", col("canonical") =!= col("id"))
+        .localCheckpoint()
+
+      // 3. append ALL batch docs (kept and dropped) so future near-copies
+      //    of dropped docs still resolve to the original keeper
+      sig.join(result.select("id", "canonical"), "id")
+        .select("id", "sig", "canonical")
+        .write.mode("append").parquet(sigsDir(path))
+      banded.write.mode("append").parquet(bucketsDir(path))
+      result
+    } finally { sig.unpersist(); () }
+  }
+}

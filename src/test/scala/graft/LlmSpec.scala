@@ -45,6 +45,42 @@ class LlmSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap == Map(9L -> "u v w"))
   }
 
+  test("signature store: incremental ingest resolves across batches, kept set matches one-shot") {
+    import graft.llm.SignatureStore
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight nine"
+    val C = "red orange yellow green blue indigo violet ultraviolet"
+    val store = tmpDir("sigstore")
+    // batch 1: 12 duplicates 10; 14 unique
+    val r1 = SignatureStore.build(spark, store,
+      Seq((10L, A), (12L, A), (14L, B)).toDF("doc_id", "text"))
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r1 == Map(10L -> (10L, false), 12L -> (10L, true), 14L -> (14L, false)))
+    // batch 2: 21 matches batch-1 docs (incl. the DROPPED 12 → still
+    // resolves to keeper 10); 25 matches 14; 23/27 are an intra-batch pair
+    val r2 = SignatureStore.ingest(spark, store,
+      Seq((21L, A), (23L, C), (25L, B), (27L, C)).toDF("doc_id", "text"))
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r2 == Map(21L -> (10L, true), 23L -> (23L, false),
+      25L -> (14L, true), 27L -> (23L, true)))
+    // kept set across both ingests == one-shot component keepers
+    assert((r1 ++ r2).collect { case (id, (_, false)) => id }.toSet == Set(10L, 14L, 23L))
+    // a third batch matching only batch-2 members still lands on the
+    // original keeper through the stored canonicals
+    val r3 = SignatureStore.ingest(spark, store,
+      Seq((31L, A)).toDF("doc_id", "text"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(r3.toSeq == Seq((31L, 10L, true)))
+    // probe is read-only: same result twice, store row count unchanged
+    val before = SignatureStore.sigs(spark, store).count()
+    val p1 = SignatureStore.probe(spark, store,
+      Seq((99L, B)).toDF("doc_id", "text")).collect().toSeq
+    val p2 = SignatureStore.probe(spark, store,
+      Seq((99L, B)).toDF("doc_id", "text")).collect().toSeq
+    assert(p1 == p2 && p1.head.getLong(1) == 14L)
+    assert(SignatureStore.sigs(spark, store).count() == before)
+  }
+
   test("minhash LSH surfaces the planted near-dup pair") {
     val pairs = Dedup.minhash(docs, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
