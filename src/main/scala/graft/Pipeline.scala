@@ -89,6 +89,17 @@ object Pipeline {
     println(s"[pipeline] dedup: $nExact exact groups, ${pairs.count()} near-dup pairs " +
       s"in $nComp clusters ($nDropped lower-quality members dropped); " +
       s"$nContam docs eval-contaminated; $stats langs")
+    // paragraph-level boilerplate removal + crawl-by-crawl incremental
+    // dedup against the persisted signature store (history never rescanned)
+    val nParaDocs = Dedup.dedupParagraphs(docs).count()
+    val storePath = s"$outDir/sigstore"
+    val hist = graft.llm.SignatureStore.build(spark, storePath,
+      docs.where(col("doc_id") % 2 === 0))
+    val crawl = graft.llm.SignatureStore.ingest(spark, storePath,
+      docs.where(col("doc_id") % 2 === 1))
+    println(s"[pipeline] incremental: ${hist.where(col("is_dup")).count()} dups " +
+      s"inside the history build; ${crawl.where(col("is_dup")).count()} of the " +
+      s"new crawl dropped against the store; paragraph dedup keeps $nParaDocs docs")
     val nOutliers = Profile.zscoreOutliers(docs, "n_chars", "lang", 1.5).count()
     val balanced = graft.llm.Corpus.sampleStratified(docs, n = 50)
     val mixed = graft.llm.Corpus.mixWeighted(balanced,
