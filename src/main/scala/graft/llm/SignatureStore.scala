@@ -37,14 +37,27 @@ object SignatureStore {
 
   /** `threshold` applies to the SIGNATURE-AGREEMENT estimate (E[est] = J),
     * the same pre-verify statistic as [[Dedup.minhashEstimate]].
+    *
+    * `maxBucket` is the hot-bucket guard: a boilerplate-heavy corpus can
+    * put corpus-proportional occupancy behind ONE (band, bucket) key, and
+    * the probe join would go quadratic there (the ngram/simhash failure
+    * mode, see SCALE.md). Buckets whose STORE occupancy exceeds
+    * `maxBucket` leave the LSH candidate path and match by full-signature
+    * equality instead (`skey`): exact near-copies — the only thing that
+    * fills a bucket to millions — still resolve, while a non-identical
+    * near-dup is found through its remaining cold bands. Occupancy comes
+    * from the pre-aggregated counts relation (one row per bucket per
+    * ingest), not from scanning the store.
     */
   final case class Config(shingleLen: Int = 5, bands: Int = 8,
-                          rowsPerBand: Int = 2, threshold: Double = 0.5) {
+                          rowsPerBand: Int = 2, threshold: Double = 0.5,
+                          maxBucket: Long = 100000L) {
     def numHashes: Int = bands * rowsPerBand
   }
 
   private def sigsDir(path: String) = path + "/sigs"
   private def bucketsDir(path: String) = path + "/buckets"
+  private def countsDir(path: String) = path + "/counts"
 
   /** Fraction of agreeing signature positions — bit-identical to
     * [[Dedup.minhashEstimate]]'s statistic.
@@ -62,9 +75,22 @@ object SignatureStore {
   def sigs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(sigsDir(path))
 
-  /** Stored `(id, band, bucket)` rows. */
+  /** Stored `(id, band, bucket, skey)` rows (`skey` = hash of the full
+    * signature, the hot-bucket match key).
+    */
   def buckets(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(bucketsDir(path))
+
+  /** Per-ingest pre-aggregated `(band, bucket, n)` occupancy rows. */
+  def bucketCounts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(countsDir(path))
+
+  /** `(band, bucket, skey)`-keyed batch relation shared by the probe and
+    * the append.
+    */
+  private def bandedKeyed(sig: DataFrame, cfg: Config): DataFrame =
+    Dedup.bandedOf(sig, cfg.bands, cfg.rowsPerBand)
+      .join(sig.select(col("id"), hash(col("sig")).as("skey")), "id")
 
   /** Build a fresh store at `path` (deleting any existing one) from the
     * first batch. Equivalent to ingest-into-empty.
@@ -100,11 +126,30 @@ object SignatureStore {
     */
   private def matches(spark: SparkSession, path: String, batchSig: DataFrame,
                       cfg: Config): DataFrame = {
-    val cand = Dedup.bandedOf(batchSig, cfg.bands, cfg.rowsPerBand).alias("a")
-      .join(buckets(spark, path).alias("b"),
+    // hot buckets from the pre-aggregated counts — ≤ storeRows/maxBucket
+    // keys by construction, so the broadcast is bounded
+    val hot = bucketCounts(spark, path)
+      .groupBy("band", "bucket").agg(sum("n").as("n"))
+      .where(col("n") > cfg.maxBucket)
+      .select("band", "bucket")
+    val batchB = bandedKeyed(batchSig, cfg)
+    val store = buckets(spark, path)
+    // cold path: normal LSH candidate equi-join, hot keys excluded on the
+    // batch side (an excluded key produces nothing regardless of store side)
+    val cold = batchB.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      .alias("a")
+      .join(store.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id"), col("b.id").as("store_id"))
-      .distinct()
+    // hot path: full-signature equality — the join key gains skey, so an
+    // N-occupancy bucket fans out only to its exact near-copies
+    val hotCand = batchB.join(broadcast(hot), Seq("band", "bucket"))
+      .alias("a")
+      .join(store.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.skey") === col("b.skey"))
+      .select(col("a.id").as("id"), col("b.id").as("store_id"))
+    val cand = cold.unionAll(hotCand).distinct()
     cand
       .join(batchSig.select(col("id"), col("sig").as("sig_a")), "id")
       .join(sigs(spark, path)
@@ -165,11 +210,14 @@ object SignatureStore {
         .localCheckpoint()
 
       // 3. append ALL batch docs (kept and dropped) so future near-copies
-      //    of dropped docs still resolve to the original keeper
+      //    of dropped docs still resolve to the original keeper; occupancy
+      //    goes in pre-aggregated (one keyed combine over the batch only)
       sig.join(result.select("id", "canonical"), "id")
         .select("id", "sig", "canonical")
         .write.mode("append").parquet(sigsDir(path))
-      banded.write.mode("append").parquet(bucketsDir(path))
+      bandedKeyed(sig, cfg).write.mode("append").parquet(bucketsDir(path))
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(countsDir(path))
       result
     } finally { sig.unpersist(); () }
   }

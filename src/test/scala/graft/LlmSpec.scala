@@ -81,6 +81,44 @@ class LlmSpec extends SparkSpec {
     assert(SignatureStore.sigs(spark, store).count() == before)
   }
 
+  test("signature store: hot buckets fall back to exact-signature matching") {
+    import graft.llm.SignatureStore
+    val boiler = (1 to 40).map(i => "boil" + i).mkString(" ")
+    // 100 exact near-copies → every band bucket of `boiler` exceeds
+    // maxBucket = 5; plus one cold unique doc
+    val history = ((0 until 100).map(i => (i.toLong, boiler)) :+
+      (500L, "totally different content nothing shared here at all ok")).toDF("doc_id", "text")
+    val store = tmpDir("hotstore")
+    val cfgHot = SignatureStore.Config(maxBucket = 5)
+    SignatureStore.build(spark, store, history, cfg = cfgHot)
+    // an exact copy of the boilerplate matches THROUGH the hot buckets
+    // (skey equality) and resolves to the canonical keeper 0
+    val exactHit = SignatureStore.probe(spark, store,
+      Seq((900L, boiler)).toDF("doc_id", "text"), cfg = cfgHot).collect()
+    assert(exactHit.length == 1 && exactHit.head.getLong(1) == 0L)
+    // a NEAR-dup (different signature) is the traded recall: its agreeing
+    // bands are exactly the hot buckets (excluded), its disagreeing bands
+    // have no store occupancy — so no match under the guard...
+    val near = boiler.replace("boil40", "zzzz")
+    val nearHit = SignatureStore.probe(spark, store,
+      Seq((901L, near)).toDF("doc_id", "text"), cfg = cfgHot).collect()
+    assert(nearHit.isEmpty)
+    // ...while an UNGUARDED config (default maxBucket) still matches it —
+    // the guard is a deliberate occupancy/recall trade, not a bug
+    val nearDefault = SignatureStore.probe(spark, store,
+      Seq((901L, near)).toDF("doc_id", "text")).collect()
+    assert(nearDefault.length == 1 && nearDefault.head.getLong(1) == 0L)
+    // cold docs are untouched by the guard
+    val coldHit = SignatureStore.probe(spark, store,
+      Seq((902L, "totally different content nothing shared here at all ok"))
+        .toDF("doc_id", "text"), cfg = cfgHot).collect()
+    assert(coldHit.length == 1 && coldHit.head.getLong(1) == 500L)
+    // occupancy is pre-aggregated: counts rows ≤ distinct buckets, and the
+    // hot set is tiny (one ingest → one row per distinct bucket)
+    val counts = SignatureStore.bucketCounts(spark, store)
+    assert(counts.count() == counts.select("band", "bucket").distinct().count())
+  }
+
   test("minhash LSH surfaces the planted near-dup pair") {
     val pairs = Dedup.minhash(docs, threshold = 0.3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
