@@ -594,6 +594,12 @@ object SparkEntry {
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.dedupParagraphs(t(s, d, "documents"), words = 10)),
 
+    // Exact duplicated-substring detection: 10-token sliding windows
+    // occurring ≥ 2 times corpus-wide flag copied passages at any alignment
+    // (doc-level similarity misses a quoted span inside unrelated docs).
+    "dedup_substring" -> ((s, d) =>
+      Dedup.duplicatedSpans(t(s, d, "documents"), k = 10)),
+
     // Incremental dedup: probe the odd-id half of the corpus (the "new
     // crawl") against a persisted signature store built from the even-id
     // half (the "history") — matched docs resolve to the stored CANONICAL
@@ -1537,6 +1543,14 @@ object SparkEntry {
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_est" -> minhashEstOracle,
     "dedup_incremental" -> incrementalOracle,
+
+    "dedup_substring" ->
+      ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, gs.i AS pos, array_to_string(ws[gs.i:(gs.i+9)], ' ') AS win " +
+        "FROM wd, LATERAL (SELECT unnest(range(1, greatest(len(ws)-9, 1)+1)) AS i) gs), " +
+        "d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1) " +
+        "SELECT doc_id, count(*) AS n_dup_windows, min(pos) AS first_pos " +
+        "FROM w JOIN d USING (win) GROUP BY doc_id ORDER BY doc_id"),
 
     "decontaminate" ->
       (shingleCte +

@@ -89,6 +89,39 @@ object Dedup {
       paragraphDedup(splitFixedParagraphs(docs, textCol, idCol, words), idCol),
       idCol, outCol = textCol)
 
+  /** Exact duplicated-substring detection (the windowed distributed form of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", §3 ExactSubstr): every k-token SLIDING window occurring ≥ 2
+    * times corpus-wide marks duplicated text — catching a copied passage at
+    * any alignment inside otherwise-unrelated documents, which doc-level
+    * jaccard/minhash miss by construction. (The paper's suffix array is a
+    * single-machine structure; fixed-k sliding windows are the standard
+    * distributed approximation — duplication of any span ≥ k tokens is
+    * caught because it contains a duplicated k-window.)
+    *
+    * Returns `(id, n_dup_windows, first_pos)` per affected document
+    * (1-based token position). Shuffle posture: windows travel as sha2-256
+    * hashes with (id, pos) — window TEXT never enters an exchange; the
+    * duplicate filter is a map-side-combined count by hash and the join
+    * back reuses the hash partitioning. State per key = occurrence count.
+    */
+  def duplicatedSpans(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", k: Int = 10): DataFrame = {
+    require(k >= 2, s"window must cover at least 2 tokens: $k")
+    val wins = docs
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("_ws")) - (k - 1), lit(1))),
+          i => array_join(slice(col("_ws"), i, lit(k)), " "))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        sha2(col("col"), 256).as("_h"))
+    val dup = wins.groupBy("_h").agg(count(lit(1)).as("_n")).where(col("_n") > 1)
+    wins.join(dup.select("_h"), "_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"), min("pos").as("first_pos"))
+  }
+
   /** Distinct word n-gram shingles of a token array (native expression; the
     * set semantics match `list_distinct(list_transform(...))` in the oracle —
     * only intersection/union sizes are consumed downstream, so element order

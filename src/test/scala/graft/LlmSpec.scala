@@ -45,6 +45,30 @@ class LlmSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap == Map(9L -> "u v w"))
   }
 
+  test("duplicated spans: copied passage caught at any alignment") {
+    val passage = (1 to 10).map("p" + _).mkString(" ")
+    val docs = Seq(
+      // the 10-token passage is embedded at DIFFERENT offsets inside
+      // otherwise-unrelated docs — doc-level similarity would miss it
+      (1L, "a1 a2 a3 " + passage + " a4 a5"),
+      (2L, passage + " b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"),
+      (3L, (1 to 20).map("c" + _).mkString(" ")), // unique → unflagged
+      (4L, "d1 " + passage + " d2 " + passage))   // intra-doc repeat
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, k = 10)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))
+    assert(out(1L) == ((1L, 4L)))  // one dup window, starts at token 4
+    assert(out(2L) == ((1L, 1L)))
+    // doc 4 holds the passage twice: both occurrences are dup windows
+    assert(out(4L)._1 == 2L && out(4L)._2 == 2L)
+    // docs shorter than k compare as whole-doc windows
+    val shorts = Seq((7L, "x y z"), (8L, "x y z"), (9L, "q r s"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(shorts, k = 10)
+      .select("doc_id").as[Long].collect().toSet == Set(7L, 8L))
+  }
+
   test("signature store: incremental ingest resolves across batches, kept set matches one-shot") {
     import graft.llm.SignatureStore
     val A = "alpha beta gamma delta epsilon zeta eta theta"
