@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Temporary perf scratch — not part of the library surface. */
+/** Perf scratch harness — times individual SparkEntry queries with
+  * per-job timelines (job count, start offset, duration). Not part of the
+  * library surface; edit the query list below while iterating. Run with
+  * `runMain graft.Scratch` (honors SPARK_GRAFT_SF_DIR).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,29 +56,7 @@ object Scratch {
       }
     }
 
-    {
-      import org.apache.spark.sql.functions._
-      val li = graft.core.Tables(spark, sfDir, "lineitem")
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val stackArgs = cols.zipWithIndex
-        .map { case (c, i) => s"$i, CAST(`$c` AS DOUBLE)" }.mkString(", ")
-      val perVal = li
-        .select(expr(s"stack(${cols.length}, $stackArgs) AS (_ci, _v)"))
-        .groupBy("_ci", "_v").agg(count(lit(1)).as("_c"))
-        .select(col("_ci").cast("string").as("_cn"), col("_v"), col("_c"))
-        .persist()
-      time("materialize+stats") {
-        perVal.groupBy("_cn").agg(min("_v"), max("_v"), sum("_c")).collect()
-      }
-      println("[scratch] cache partitions = " + perVal.rdd.getNumPartitions)
-      time("cache_scan_groupby_bucket") {
-        perVal.withColumn("_cr", floor(col("_v") / 100.0))
-          .groupBy("_cn", "_cr").agg(sum("_c")).collect()
-      }
-      perVal.unpersist()
-    }
-    for (q <- Seq("profile_summarize", "mad_outliers", "profile_by_group",
-        "group_quantiles")) {
+    for (q <- Seq("dedup_substring", "profile_summarize")) {
       val fn = SparkEntry.queries(q)
       time(q) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
