@@ -55,6 +55,12 @@ object SignatureStore {
     def numHashes: Int = bands * rowsPerBand
   }
 
+  // batch-mode store rows are tagged BatchModeTag; NoBatch is the
+  // "exclude nothing" sentinel (streaming batch ids are ≥ 0, so the two
+  // can never collide with a real id or each other)
+  private val BatchModeTag = -1L
+  private val NoBatch = -2L
+
   private def sigsDir(path: String) = path + "/sigs"
   private def bucketsDir(path: String) = path + "/buckets"
   private def countsDir(path: String) = path + "/counts"
@@ -71,19 +77,21 @@ object SignatureStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Stored `(id, sig, canonical)` rows. */
+  /** Stored `(id, sig, canonical)` rows. (`recursiveFileLookup`: streaming
+    * ingests write per-batch subdirectories for idempotent replay.)
+    */
   def sigs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(sigsDir(path))
+    spark.read.option("recursiveFileLookup", "true").parquet(sigsDir(path))
 
   /** Stored `(id, band, bucket, skey)` rows (`skey` = hash of the full
     * signature, the hot-bucket match key).
     */
   def buckets(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(bucketsDir(path))
+    spark.read.option("recursiveFileLookup", "true").parquet(bucketsDir(path))
 
   /** Per-ingest pre-aggregated `(band, bucket, n)` occupancy rows. */
   def bucketCounts(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(countsDir(path))
+    spark.read.option("recursiveFileLookup", "true").parquet(countsDir(path))
 
   /** `(band, bucket, skey)`-keyed batch relation shared by the probe and
     * the append.
@@ -125,15 +133,19 @@ object SignatureStore {
     * signature relation against the store.
     */
   private def matches(spark: SparkSession, path: String, batchSig: DataFrame,
-                      cfg: Config): DataFrame = {
+                      cfg: Config,
+                      excludeBatch: Long = NoBatch): DataFrame = {
     // hot buckets from the pre-aggregated counts — ≤ storeRows/maxBucket
-    // keys by construction, so the broadcast is bounded
+    // keys by construction, so the broadcast is bounded. `excludeBatch`
+    // masks a streaming batch's own (possibly half-written) prior attempt
+    // during replay, so a recovered batch never matches itself.
     val hot = bucketCounts(spark, path)
+      .where(col("_b") =!= excludeBatch)
       .groupBy("band", "bucket").agg(sum("n").as("n"))
       .where(col("n") > cfg.maxBucket)
       .select("band", "bucket")
     val batchB = bandedKeyed(batchSig, cfg)
-    val store = buckets(spark, path)
+    val store = buckets(spark, path).where(col("_b") =!= excludeBatch)
     // cold path: normal LSH candidate equi-join, hot keys excluded on the
     // batch side (an excluded key produces nothing regardless of store side)
     val cold = batchB.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
@@ -159,6 +171,27 @@ object SignatureStore {
       .select(col("id"), col("store_id"), col("canonical"))
   }
 
+  /** Streaming ingest: each micro-batch runs the full batch [[ingest]]
+    * through `foreachBatch`, with every store write going to a per-batch
+    * subdirectory in OVERWRITE mode — a batch replayed after failure
+    * rewrites its own subdir and is masked from matching its own prior
+    * half-written attempt, so store contents are exactly-once under
+    * Structured Streaming recovery. Verdicts land in
+    * `<path>/verdicts/b<id>`. The caller starts the returned writer
+    * (checkpointLocation, trigger, ...).
+    */
+  def ingestStream(path: String, stream: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   cfg: Config = Config())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val r = ingest(df.sparkSession, path, df.toDF(), textCol, idCol, cfg,
+          batchId = Some(id))
+        r.write.mode("overwrite").parquet(path + "/verdicts/b" + id)
+        ()
+      }
+
   /** Ingest a batch: returns `(id, canonical, is_dup)` for EVERY batch doc
     * (computed against the store as of entry — eagerly materialized before
     * the append so the batch never matches itself through the store), then
@@ -166,7 +199,8 @@ object SignatureStore {
     */
   def ingest(spark: SparkSession, path: String, batch: DataFrame,
              textCol: String = "text", idCol: String = "doc_id",
-             cfg: Config = Config()): DataFrame = {
+             cfg: Config = Config(),
+             batchId: Option[Long] = None): DataFrame = {
     val sig = Dedup.signatureOf(batch, textCol, idCol, cfg.shingleLen, cfg.numHashes)
       .persist()
     try {
@@ -192,7 +226,8 @@ object SignatureStore {
       //    else the component's own min id)
       val resolved =
         if (exists(spark, path)) {
-          val m = matches(spark, path, sig, cfg)
+          val m = matches(spark, path, sig, cfg,
+            excludeBatch = batchId.getOrElse(NoBatch))
             .groupBy("id").agg(min("canonical").as("_sk"))
           withComp.join(m, Seq("id"), "left")
             .groupBy("_comp")
@@ -212,12 +247,19 @@ object SignatureStore {
       // 3. append ALL batch docs (kept and dropped) so future near-copies
       //    of dropped docs still resolve to the original keeper; occupancy
       //    goes in pre-aggregated (one keyed combine over the batch only)
-      sig.join(result.select("id", "canonical"), "id")
-        .select("id", "sig", "canonical")
-        .write.mode("append").parquet(sigsDir(path))
-      bandedKeyed(sig, cfg).write.mode("append").parquet(bucketsDir(path))
-      banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-        .write.mode("append").parquet(countsDir(path))
+      def writeTo(df: DataFrame, dir: String): Unit = batchId match {
+        // streaming micro-batches land in per-batch subdirectories in
+        // OVERWRITE mode: a replayed batch rewrites its own subdir instead
+        // of appending twice — idempotent store contents under recovery
+        case Some(b) => df.write.mode("overwrite").parquet(dir + "/b" + b)
+        case None    => df.write.mode("append").parquet(dir)
+      }
+      val bTag = lit(batchId.getOrElse(BatchModeTag)).as("_b")
+      writeTo(sig.join(result.select("id", "canonical"), "id")
+        .select(col("id"), col("sig"), col("canonical"), bTag), sigsDir(path))
+      writeTo(bandedKeyed(sig, cfg).withColumn("_b", bTag), bucketsDir(path))
+      writeTo(banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .withColumn("_b", bTag), countsDir(path))
       result
     } finally { sig.unpersist(); () }
   }

@@ -105,6 +105,48 @@ class LlmSpec extends SparkSpec {
     assert(SignatureStore.sigs(spark, store).count() == before)
   }
 
+  test("signature store: streaming ingest matches sequential batch ingest and replays idempotently") {
+    import graft.llm.SignatureStore
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight nine"
+    val b1 = Seq((10L, A), (12L, A), (14L, B))
+    val b2 = Seq((21L, A), (25L, B))
+    // reference: sequential batch-mode ingests
+    val ref = tmpDir("seqstore")
+    SignatureStore.build(spark, ref, b1.toDF("doc_id", "text"))
+    SignatureStore.ingest(spark, ref, b2.toDF("doc_id", "text"))
+    val want = SignatureStore.sigs(spark, ref)
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+    // streaming: same two batches through foreachBatch
+    val sPath = tmpDir("streamstore") + "/store"
+    val in = MemoryStream[(Long, String)]
+    val q = SignatureStore
+      .ingestStream(sPath, in.toDF().toDF("doc_id", "text"))
+      .option("checkpointLocation", tmpDir("streamckpt"))
+      .start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = SignatureStore.sigs(spark, sPath)
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+    assert(got == want, s"streaming store $got != sequential $want")
+    // verdicts artifact exists per batch
+    val v1 = spark.read.parquet(s"$sPath/verdicts/b1")
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+    assert(v1 == Set((21L, 10L), (25L, 14L)))
+    // replaying a batch id overwrites its subdir instead of double-appending,
+    // and the replayed batch does not match its own prior attempt
+    val before = SignatureStore.sigs(spark, sPath).count()
+    val r = SignatureStore.ingest(spark, sPath, b2.toDF("doc_id", "text"),
+      batchId = Some(1L))
+    assert(SignatureStore.sigs(spark, sPath).count() == before)
+    assert(r.select("id", "canonical").as[(Long, Long)].collect().toSet ==
+      Set((21L, 10L), (25L, 14L)))
+  }
+
   test("signature store: hot buckets fall back to exact-signature matching") {
     import graft.llm.SignatureStore
     val boiler = (1 to 40).map(i => "boil" + i).mkString(" ")
