@@ -913,8 +913,9 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
         ),
 
-    // Sequence packing: per-lang greedy token-budget bins (keyed window —
-    // packing parallelizes by shard, never a global sort).
+    // Sequence packing: per-lang greedy token-budget bins via two-level
+    // (lang, hash-shard) windows + broadcast shard offsets — a one-language
+    // corpus still packs nShards-parallel, never one global sort task.
     "pack_sequences" -> ((s, d) =>
       graft.llm.Corpus.packSequences(t(s, d, "documents"), budget = 512)
         ),
@@ -1179,16 +1180,21 @@ object SparkEntry {
         |WHERE $pairSim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")
   }
 
-  // doc_id hash draw shared by the sampling/mixing oracles (Corpus.hashUnit
-  // with its seed-42 constants): two xorshift-multiply mixing rounds mod
-  // 2^32 (exact BIGINT arithmetic in both engines), then the affine draw.
-  private lazy val hashDraw: String = {
-    val (a, b) = graft.llm.Corpus.hashConstants(42L)
+  // Corpus.mix32 replayed in SQL: two xorshift-multiply mixing rounds mod
+  // 2^32 — exact BIGINT arithmetic in both engines.
+  private def mix32Sql(in: String): String = {
     val (m32, k) = (graft.llm.Corpus.M32, graft.llm.Corpus.MixK)
-    val m0 = s"(doc_id % $m32)"
+    val m0 = s"($in % $m32)"
     val m1 = s"((xor($m0, $m0 >> 16) * $k) % $m32)"
     val m2 = s"((xor($m1, $m1 >> 16) * $k) % $m32)"
-    val m3 = s"xor($m2, $m2 >> 16)"
+    s"xor($m2, $m2 >> 16)"
+  }
+
+  // doc_id hash draw shared by the sampling/mixing oracles (Corpus.hashUnit
+  // with its seed-42 constants): the mix32 scatter then the affine draw.
+  private lazy val hashDraw: String = {
+    val (a, b) = graft.llm.Corpus.hashConstants(42L)
+    val m3 = mix32Sql("doc_id")
     s"(CAST(($a * ($m3 % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
   }
 
@@ -1677,11 +1683,15 @@ object SparkEntry {
         "WHEN source = 'src2' THEN 0.25 ELSE 0.0 END) " +
         "GROUP BY source ORDER BY source"),
 
+    // Replays the two-level shard packing as ONE window in (shard, id)
+    // order — the decomposition is exact, so the single-window prefix is
+    // identical to offset + within-shard prefix.
     "pack_sequences" ->
-      ("SELECT doc_id, lang, CAST(floor(COALESCE(SUM(len(string_split(text, ' '))) " +
-        "OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin, " +
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok " +
-        "FROM documents ORDER BY doc_id"),
+      (s"WITH b AS (SELECT doc_id, lang, ${mix32Sql("doc_id")} % 64 AS shard, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents) " +
+        "SELECT doc_id, lang, CAST(floor(COALESCE(SUM(n_tok) " +
+        "OVER (PARTITION BY lang ORDER BY shard, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin, " +
+        "n_tok FROM b ORDER BY doc_id"),
 
     "sample_stratified" ->
       (s"SELECT lang, doc_id FROM (SELECT lang, doc_id, ROW_NUMBER() OVER " +

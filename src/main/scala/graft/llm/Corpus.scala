@@ -139,22 +139,52 @@ object Corpus {
   }
 
   /** Pack documents into fixed token-budget bins (context windows) per
-    * `groupCol`: greedy by cumulative token count in `idCol` order —
-    * `bin = floor(tokens_before_this_doc / budget)`. The window is KEYED by
-    * the group column (lang/source/shard), never global — partition size is
-    * a group's docs, and a 100 TB corpus packs shard-parallel. A document
-    * longer than `budget` still lands in one bin (truncation/splitting is
-    * the tokenizer's concern, not the packer's).
+    * `groupCol`: greedy by cumulative token count in ([[mix32]]-shard,
+    * `idCol`) order — `bin = floor(tokens_before_this_doc / budget)`, with
+    * bin numbers globally consistent within each group.
+    *
+    * A single window keyed by `groupCol` alone is a scale trap: the dominant
+    * language of a web corpus IS most of the corpus, so one task would sort
+    * half of 100 TB. This plan is TWO-LEVEL, the same decomposition as
+    * [[selectBudget]]: documents are scattered into `nShards` deterministic
+    * hash shards, the within-(group, shard) prefix is a keyed window whose
+    * partitions are corpus/nShards each, and per-shard token offsets — a
+    * (groups × nShards)-row relation, bounded by config, never by data —
+    * are prefix-summed and broadcast back. `offset + within-shard prefix`
+    * equals the prefix in global (shard, id) order exactly, so binning is
+    * identical to a single sort over that order without any task ever
+    * holding more than one shard of one group. Bins may straddle a shard
+    * boundary; the budget invariant (no doc starts once its bin's budget is
+    * consumed) holds globally.
+    *
+    * A document longer than `budget` still lands in one bin (truncation/
+    * splitting is the tokenizer's concern, not the packer's). The shard is
+    * a pure function of the id, so packing is deterministic across runs,
+    * engines, and partitionings.
     */
   def packSequences(df: DataFrame, budget: Int, groupCol: String = "lang",
-                    idCol: String = "doc_id",
-                    tokens: Column = null): DataFrame = {
+                    idCol: String = "doc_id", tokens: Column = null,
+                    nShards: Int = 64): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val tok = Option(tokens).getOrElse(TextStats.tokenCount(col("text")))
-    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    val base = df.withColumn("n_tok", tok)
+      .withColumn("_shard", pmod(mix32(col(idCol)), lit(nShards.toLong)))
+    // Per-(group, shard) token totals → prefix over the shard-distinct
+    // relation (≤ nShards rows per group partition — config-bounded).
+    val perShard = base.groupBy(groupCol, "_shard")
+      .agg(sum("n_tok").as("shard_tok"))
+    val wShard = Window.partitionBy(groupCol).orderBy("_shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tok", tok)
+    val offsets = perShard.select(col(groupCol), col("_shard"),
+      coalesce(sum("shard_tok").over(wShard), lit(0L)).as("_offset"))
+    // Within-(group, shard) prefix: keyed window, partition = one shard of
+    // one group — corpus/nShards rows even for a single-language corpus.
+    val wIn = Window.partitionBy(groupCol, "_shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq(groupCol, "_shard"))
       .withColumn("bin",
-        (coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget).cast("long"))
+        ((col("_offset") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+          / budget).cast("long"))
       .select(col(idCol), col(groupCol), col("bin"), col("n_tok"))
   }
 }

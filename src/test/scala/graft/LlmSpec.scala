@@ -408,18 +408,35 @@ class LlmSpec extends SparkSpec {
     assert(mix.keySet == Set("src0", "src1"))
     assert(mix("src0") == 250L && mix("src1") > 75L && mix("src1") < 175L)
     // packing: per-group bins, budget respected for the bin PREFIX (a doc
-    // never starts once the budget is consumed), ids stay in order
-    val packed = Corpus.packSequences(docs, budget = 64)
+    // never starts once the budget is consumed), exact vs a local replay of
+    // the (shard, id)-order prefix the two-level plan decomposes
+    val packedDf = Corpus.packSequences(docs, budget = 64)
+    val packed = packedDf
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(packed.map(_._1).toSeq == (0L until 1000L))
-    val byBin = packed.groupBy(_._3)
-    // every bin but its last doc fits the budget: sum of all-but-last ≤ 64
-    byBin.values.foreach { ds =>
-      val sorted = ds.sortBy(_._1)
-      assert(sorted.dropRight(1).map(_._4).sum <= 64)
+    def mix32L(id: Long): Long = {
+      var x = id % Corpus.M32
+      x = ((x ^ (x >>> 16)) * Corpus.MixK) % Corpus.M32
+      x = ((x ^ (x >>> 16)) * Corpus.MixK) % Corpus.M32
+      x ^ (x >>> 16)
     }
-    // bins are contiguous id ranges per group (greedy order preserved)
-    assert(byBin.keys.toSeq.sorted.zipWithIndex.forall { case (b, i) => b == i })
+    val inOrder = packed.sortBy(p => (mix32L(p._1) % 64, p._1))
+    val expBins = inOrder.scanLeft(0L)(_ + _._4).dropRight(1)
+      .map(_ / 64).zip(inOrder.map(_._1)).map(_.swap).toMap
+    packed.foreach { p => assert(p._3 == expBins(p._1)) }
+    // bins sorted in (shard, id) order respect the budget prefix invariant
+    inOrder.groupBy(_._3).values.foreach { ds =>
+      assert(ds.dropRight(1).map(_._4).sum <= 64)
+    }
+    // skew-proof: this is a SINGLE-language corpus, yet no window partition
+    // holds more than a shard's worth of it (the round-6 plan sorted all
+    // 1000 docs in one `lang` partition)
+    val shardSizes = packed.groupBy(p => mix32L(p._1) % 64).values.map(_.size)
+    assert(shardSizes.max <= 3 * 1000 / 64,
+      s"worst shard ${shardSizes.max} rows — sharding not balancing")
+    // and the physical windows really are keyed by (lang, _shard)
+    val plan = packedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("_shard"), "window not sharded:\n" + plan)
   }
 
   test("weighted sampling: keep rate tracks the weight, composes, clamps") {
