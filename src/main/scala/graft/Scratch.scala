@@ -30,7 +30,9 @@ object Scratch {
         jobs += 1
         jobStart.synchronized {
           jobStart(j.jobId) = (System.nanoTime(),
-            Option(j.properties.getProperty("spark.job.description")).getOrElse("?").take(60))
+            (Option(j.properties.getProperty("callSite.short")) orElse
+              Option(j.properties.getProperty("spark.job.description")))
+              .getOrElse("?").take(80))
         }
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
@@ -56,7 +58,8 @@ object Scratch {
       }
     }
 
-    for (q <- Seq("dedup_substring", "profile_summarize")) {
+    for (q <- Seq("profile_summarize", "mad_outliers", "group_quantiles",
+        "profile_by_group", "ntile_buckets")) {
       val fn = SparkEntry.queries(q)
       time(q) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -105,25 +105,48 @@ object Quantiles {
     */
   def quantileContByEager(df: DataFrame, groupCol: String, valueCol: String,
                           qs: Seq[Double], buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.Row
     val counts = df
       .select(col(groupCol).cast("string").as("_cn"),
         col(valueCol).cast("double").as("_v"))
       .where(col("_v").isNotNull)
       .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
       .persist()
-    try {
-      // job 1: the single source scan, folded into the per-group stats
-      // aggregate (one output row per group — output-bounded) and handed
-      // to the quantile plan as a LOCAL relation so its broadcasts are
-      // free instead of separately materialized query stages.
-      val statRows = counts.groupBy("_cn")
-        .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
-        .collect()
-      // job 2: cache-only; the collected bounding rows ARE the output
-      val rows = quantileContRowsFromCounts(counts, qs, buckets,
-        precomputedStatRows = Some(statRows.toSeq))
+    try withoutAqe(df.sparkSession) {
+      // job 1: the single source scan, folded into the per-group stats +
+      // distinct-count aggregate (one output row per group), capped at
+      // MaxDriverKeys + 1 rows so unbounded group cardinality never
+      // funnels through the driver.
+      val probe = counts.groupBy("_cn")
+        .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"),
+          count(lit(1)).as("_ndv"))
+        .limit(MaxDriverKeys + 1).collect()
+      val rows: Seq[Row] =
+        if (probe.length > MaxDriverKeys)
+          // high group cardinality: the fully-declarative keyed plan
+          quantileContFromCounts(counts, qs, buckets).collect().toSeq
+            .sortBy(r => (r.getString(0), r.getDouble(1)))
+        else if (probe.iterator.map(_.getLong(4)).sum <= DriverValueCap) {
+          // driver-values terminal: the whole value domain is config-
+          // bounded, so ONE more cache job collects the counts relation and
+          // the interpolation is local — identical arithmetic, no further
+          // distributed stages.
+          val byKey = counts.collect().groupBy(_.getString(0))
+          byKey.toSeq.sortBy(_._1).flatMap { case (k, rs) =>
+            val vals = rs.map(r => r.getDouble(1) -> r.getLong(2))
+              .sortBy(_._1).toIndexedSeq
+            val n = vals.iterator.map(_._2).sum
+            qs.sorted.map(q => Row(k, q, quantileContLocal(vals, n, q).orNull))
+          }
+        } else {
+          // job 2: cache-only; the collected bounding rows ARE the output
+          val statRows = probe.toSeq.map(r =>
+            Row(r.getString(0), r.get(1), r.get(2), r.get(3)))
+          quantileContRowsFromCounts(counts, qs, buckets,
+            precomputedStatRows = Some(statRows))
+        }
       df.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
+        new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
         org.apache.spark.sql.types.StructType(quantileSchema.fields.map(f =>
           if (f.name == "column_name") f.copy(name = groupCol) else f)))
@@ -141,8 +164,9 @@ object Quantiles {
     */
   def quantileContFromCounts(perVal: DataFrame, qs: Seq[Double],
                              buckets: Int = 1024,
-                             precomputedStats: Option[DataFrame] = None): DataFrame = {
-    rankedBounding(perVal, qs, buckets, precomputedStats)
+                             precomputedStats: Option[DataFrame] = None,
+                             hinted: Boolean = true): DataFrame = {
+    rankedBounding(perVal, qs, buckets, precomputedStats, hinted)
       .groupBy(col("_cn"), col("_q"), col("_t"), col("_lo"))
       .agg(
         max(when(col("_lo") >= col("_before") &&
@@ -160,7 +184,216 @@ object Quantiles {
     * the histogram itself. Above it the fully-declarative plan runs (its
     * prefix window is keyed, so it holds at any key cardinality).
     */
-  private val MaxDriverKeys = 64
+  private[graft] val MaxDriverKeys = 64
+
+  /** When a profiled relation's TOTAL distinct (key, value) count is at or
+    * below this, the eager paths collect the counts relation itself — a
+    * configuration-bounded collect of the same order as the keys × buckets
+    * totals the fast path already ships — and run median/quantile
+    * interpolation locally with the identical IEEE arithmetic, replacing
+    * several sequential bounded jobs with ONE. Above it nothing is
+    * collected beyond the usual bounded relations.
+    */
+  private[graft] val DriverValueCap = 65536
+
+  /** Prefix width of the value-only bucketing: bucket id = top 16 bits of
+    * the order-preserving long image of the double (sign + 11 exponent + 4
+    * mantissa bits), so a bucket spans 1/16 of a binade and the bucket
+    * space is hard-capped at 2^16 per key. Monotone and value-only — no
+    * min/max pre-pass — which is what lets the histogram fuse into the
+    * stats aggregate.
+    */
+  private val BucketBits = 16
+
+  private def bitBucket(v: Column): Column =
+    shiftrightunsigned(graft.functions.native.sortableBits(v), 64 - BucketBits)
+
+  /** Runs `f` with AQE disabled, restoring the conf afterwards. The eager
+    * bounded paths execute a handful of statically-tiny stages (every
+    * exchange is config-bounded); AQE re-plans and schedules each as its
+    * own job, adding ~100 ms of latency per stage at interactive scale and
+    * optimizing nothing. Result values are unaffected.
+    */
+  private[graft] def withoutAqe[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  /** quantile_cont over locally-held ASCENDING (value, count) pairs — the
+    * identical target/interpolation arithmetic of the distributed plans.
+    * `n` must equal the sum of counts; None when n == 0.
+    */
+  private[graft] def quantileContLocal(vals: IndexedSeq[(Double, Long)],
+      n: Long, q: Double): Option[Double] = {
+    if (n <= 0 || vals.isEmpty) None
+    else {
+      val t = q * (n - 1).toDouble
+      val lo = math.floor(t).toLong
+      val hi = math.ceil(t).toLong
+      def vAt(r: Long): Double = {
+        var pr = 0L
+        var i = 0
+        while (i < vals.length) {
+          if (r < pr + vals(i)._2) return vals(i)._1
+          pr += vals(i)._2
+          i += 1
+        }
+        vals.last._1
+      }
+      val vlo = vAt(lo)
+      Some(vlo + (t - lo) * (vAt(hi) - vlo))
+    }
+  }
+
+  private[graft] final case class BBucket(bb: Long, nRows: Long, nd: Long,
+      mn: Double, mx: Double, prefix: Long)
+
+  /** Per-key rollup of the fused bucket rows: ascending non-null buckets
+    * with exclusive prefixes, plus everything a profile's simple statistics
+    * need. Buckets are monotone in the value, so mn/mx are the first/last
+    * bucket's. */
+  private[graft] final case class BKey(buckets: IndexedSeq[BBucket], n: Long,
+      nulls: Long, nd: Long, svc: Double) {
+    def mn: Option[Double] = buckets.headOption.map(_.mn)
+    def mx: Option[Double] = buckets.lastOption.map(_.mx)
+  }
+
+  /** ONE fused job over a persisted `(_cn, _v, _c)` relation (null values
+    * kept as their own rows): per-(key, prefix-bucket) row count, distinct
+    * count, min, max and Σ(v·c). ≤ keys × 2^16 rows — hard config bound;
+    * realistic occupancy is ≤ 16 buckets per occupied binade. Simple stats
+    * AND the quantile histogram both derive from these rows, collapsing the
+    * separate stats pass and bucket-totals pass into this single aggregate.
+    * Null values land in bucket −1 (they feed only the null count).
+    */
+  private[graft] def fusedBucketStats(perVal: DataFrame): Map[String, BKey] = {
+    val rows = perVal.groupBy(col("_cn"),
+        when(col("_v").isNull, lit(-1L)).otherwise(bitBucket(col("_v"))).as("_bb"))
+      .agg(sum("_c").as("_rows"), count(col("_v")).as("_nd"),
+        min("_v").as("_mn"), max("_v").as("_mx"),
+        sum(col("_v") * col("_c")).as("_svc"))
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (k, rs) =>
+      val nulls = rs.collectFirst {
+        case r if r.getLong(1) == -1L => r.getLong(2)
+      }.getOrElse(0L)
+      val nn = rs.filter(_.getLong(1) >= 0L).sortBy(_.getLong(1))
+      var pr = 0L
+      val bs = nn.map { r =>
+        val b = BBucket(r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), pr)
+        pr += r.getLong(2)
+        b
+      }.toIndexedSeq
+      k -> BKey(bs, pr, nulls, nn.map(_.getLong(3)).sum,
+        nn.foldLeft(0.0)((a, r) => a + (if (r.isNullAt(6)) 0.0 else r.getDouble(6))))
+    }
+  }
+
+  /** Quantiles from [[fusedBucketStats]] rollups: a target rank landing in
+    * a SINGLE-VALUE bucket reads the value straight off the bucket row (min
+    * == max) — zero further work, the common case for low-cardinality
+    * columns; only multi-value hit buckets go to ONE bounded ranking job
+    * (the job-B shape of the fixed-width fast path, keyed by the prefix
+    * bucket). Identical target and interpolation arithmetic to every other
+    * path. Returns (key, q) → value; keys with n == 0 map to None.
+    */
+  private[graft] def quantilesFromBuckets(perVal: DataFrame, qs: Seq[Double],
+      byKey: Map[String, BKey]): Map[(String, Double), Option[Double]] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // rank targets: (key, q, t, lo, hi); per rank either a direct value or
+    // a (key, bucket) to rank distributively
+    final case class Tgt(key: String, q: Double, t: Double, lo: Long, hi: Long)
+    val targets = for {
+      (k, b) <- byKey.toSeq if b.n > 0
+      q <- qs
+    } yield {
+      val t = q * (b.n - 1).toDouble
+      Tgt(k, q, t, math.floor(t).toLong, math.ceil(t).toLong)
+    }
+    def bucketOf(b: BKey, r: Long): BBucket = {
+      // binary search over exclusive prefixes
+      var loI = 0
+      var hiI = b.buckets.length - 1
+      while (loI < hiI) {
+        val mid = (loI + hiI + 1) >>> 1
+        if (b.buckets(mid).prefix <= r) loI = mid else hiI = mid - 1
+      }
+      b.buckets(loI)
+    }
+    def direct(k: String, r: Long): Option[Double] = {
+      val bu = bucketOf(byKey(k), r)
+      if (bu.nd == 1L) Some(bu.mn) else None
+    }
+    val unresolved = targets.filter(t =>
+      direct(t.key, t.lo).isEmpty || direct(t.key, t.hi).isEmpty)
+    val ranked: Seq[Row] = if (unresolved.isEmpty) Nil else {
+      val spark = perVal.sparkSession
+      def local(rows: Seq[Row], schema: StructType): DataFrame =
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      val hit = scala.collection.mutable.LinkedHashMap.empty[(String, Long), Long]
+      unresolved.foreach { t =>
+        Seq(t.lo, t.hi).foreach { r =>
+          val bu = bucketOf(byKey(t.key), r)
+          if (bu.nd > 1L) hit.getOrElseUpdate((t.key, bu.bb), bu.prefix)
+        }
+      }
+      val hitDf = local(hit.toSeq.map { case ((k, bb), pr) => Row(k, bb, pr) },
+        StructType(Seq(StructField("_cn", StringType, nullable = false),
+          StructField("_bb", LongType, nullable = false),
+          StructField("_pr", LongType, nullable = false))))
+      // Literal hit-bucket predicate: unlike the join, a filter on
+      // (functions of) the GROUPING columns pushes below the counts
+      // aggregate all the way to the source scan, so an unpersisted caller
+      // re-derives only the hit buckets' rows (a few percent of the
+      // domain), not the whole counts relation. ≤ 2·|qs| terms per key.
+      val hitPred = hit.keys.toSeq.groupBy(_._1).map { case (k, pairs) =>
+        col("_cn") === k && col("_bb").isin(pairs.map(_._2): _*)
+      }.reduce(_ || _)
+      val tgtDf = local(unresolved.map(t => Row(t.key, t.q, t.t, t.lo, t.hi)),
+        StructType(Seq(StructField("_cn", StringType, nullable = false),
+          StructField("_q", DoubleType, nullable = false),
+          StructField("_t", DoubleType, nullable = false),
+          StructField("_lo", LongType, nullable = false),
+          StructField("_hi", LongType, nullable = false))))
+      val candidates = perVal.where(col("_v").isNotNull)
+        .withColumn("_bb", bitBucket(col("_v")))
+        .where(hitPred)
+        .join(broadcast(hitDf), Seq("_cn", "_bb"))
+      val wBucket = Window.partitionBy("_cn", "_bb").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      candidates
+        .withColumn("_before", col("_pr") + coalesce(sum("_c").over(wBucket), lit(0L)))
+        .join(broadcast(tgtDf), Seq("_cn"))
+        .where((col("_lo") >= col("_before") && col("_lo") < col("_before") + col("_c")) ||
+               (col("_hi") >= col("_before") && col("_hi") < col("_before") + col("_c")))
+        .select("_cn", "_q", "_before", "_c", "_v")
+        .collect().toSeq
+    }
+    val rankedBy = ranked.groupBy(r => (r.getString(0), r.getDouble(1)))
+    targets.map { t =>
+      def vAt(r: Long): Option[Double] = direct(t.key, r).orElse(
+        rankedBy.getOrElse((t.key, t.q), Nil).find(row =>
+          r >= row.getLong(2) && r < row.getLong(2) + row.getLong(3))
+          .map(_.getDouble(4)))
+      val v = for (vlo <- vAt(t.lo); vhi <- vAt(t.hi))
+        yield vlo + (t.t - t.lo) * (vhi - vlo)
+      (t.key, t.q) -> v
+    }.toMap ++
+      byKey.collect { case (k, b) if b.n == 0 =>
+        qs.map(q => (k, q) -> (None: Option[Double]))
+      }.flatten
+  }
 
   /** EAGER terminal form of [[quantileContFromCounts]]: collects the
     * bounding rows (≤ 2 per (key, quantile) — the OUTPUT bound, exactly
@@ -327,14 +560,19 @@ object Quantiles {
     */
   private def rankedBounding(perVal: DataFrame, qs: Seq[Double],
                              buckets: Int,
-                             precomputedStats: Option[DataFrame]): DataFrame = {
+                             precomputedStats: Option[DataFrame],
+                             hinted: Boolean = true): DataFrame = {
     require(qs.nonEmpty && buckets >= 1)
+    // `hinted = false` drops every broadcast hint: the large-key declarative
+    // caller's side relations are KEY-cardinality (data-sized), so they must
+    // meet the counts relation in keyed shuffle joins, not broadcasts.
+    def bcast(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
 
     // 2. per-column stats (one row per column — broadcast everywhere)
     val stats = precomputedStats.getOrElse(perVal.groupBy("_cn")
       .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n")))
     val width = (col("_mx") - col("_mn")) / buckets
-    val bucketed = perVal.join(broadcast(stats), "_cn")
+    val bucketed = perVal.join(bcast(stats), "_cn")
       .withColumn("_cr",
         when(col("_mx") === col("_mn"), lit(0L))
           .otherwise(least(floor((col("_v") - col("_mn")) / width),
@@ -372,13 +610,13 @@ object Quantiles {
     // one target, so the dedup exchange is pure overhead there.
     val hitBuckets = if (qs.lengthCompare(1) == 0) hitRaw else hitRaw.distinct()
 
-    val candidates = bucketed.join(broadcast(hitBuckets), Seq("_cn", "_cr"))
+    val candidates = bucketed.join(bcast(hitBuckets), Seq("_cn", "_cr"))
     val wBucket = Window.partitionBy("_cn", "_cr").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = candidates
       .withColumn("_before", col("_pr") + coalesce(sum("_c").over(wBucket), lit(0L)))
 
-    ranked.join(broadcast(targets), Seq("_cn"))
+    ranked.join(bcast(targets), Seq("_cn"))
       .where((col("_lo") >= col("_before") && col("_lo") < col("_before") + col("_c")) ||
              (col("_hi") >= col("_before") && col("_hi") < col("_before") + col("_c")))
       .select("_cn", "_q", "_t", "_lo", "_hi", "_before", "_c", "_v")
@@ -397,6 +635,51 @@ object Quantiles {
                  coarseWidth: Double, bucketCol: String = "bucket"): DataFrame = {
     require(n >= 1 && coarseWidth > 0)
     val v = col(valueCol)
+
+    // Value-domain probe (one bounded job): when the distinct-value count is
+    // config-bounded, the exclusive global prefix per value is driver
+    // arithmetic over the collected per-value counts — the whole
+    // prefix/triangular-join sub-plan collapses to a broadcast local map,
+    // leaving one keyed window plus one broadcast join. Beyond the cap the
+    // fully-declarative decomposition below runs unchanged.
+    val probe = withoutAqe(df.sparkSession) {
+      df.groupBy(v.as("_v")).agg(count(lit(1)).as("_c"))
+        .limit(DriverValueCap + 1).collect()
+    }
+    if (probe.length <= DriverValueCap) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      // ascending with NULLS FIRST — identical to the built-in ntile's
+      // default ascending order (and to the sentinel range of the big path)
+      val sorted = probe.sortWith { (a, b) =>
+        val (x, y) = (a.get(0), b.get(0))
+        if (x == null) y != null
+        else y != null && x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      }
+      var pr = 0L
+      val beforeRows = sorted.map { r =>
+        val row = Row(r.get(0), pr)
+        pr += r.getLong(1)
+        row
+      }.toSeq
+      val total = pr
+      val beforeDf = df.sparkSession.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(beforeRows).asJava),
+        StructType(Seq(
+          StructField("_v", df.schema(valueCol).dataType),
+          StructField("_before", LongType, nullable = false))))
+      val wTie = Window.partitionBy(valueCol).orderBy(tieCol)
+      val q = total / n
+      val r = total - q * n
+      val idx = col("_before") + col("_rw") - 1
+      return df.withColumn("_rw", row_number().over(wTie).cast("long"))
+        .join(broadcast(beforeDf), df(valueCol) <=> col("_v"))
+        .withColumn(bucketCol,
+          when(idx < r * (q + 1), floor(idx / (q + 1)).cast("long"))
+            .otherwise(floor((idx - r * (q + 1)) / q).cast("long") + r) + 1)
+        .drop("_v", "_rw", "_before")
+    }
     // NULLs form their own coarse range below every real one (NULLS FIRST),
     // keyed by a sentinel so the triangular prefix join counts them into
     // every non-null range's prefix.

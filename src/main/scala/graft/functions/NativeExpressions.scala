@@ -208,6 +208,37 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The order-preserving long image of a double: flip all bits of negatives,
+  * the sign bit of non-negatives — `a < b  ⇔  sortableBits(a) < sortableBits
+  * (b)` for all non-NaN doubles. Its high bits are a VALUE-ONLY monotone
+  * bucket id (no min/max pre-pass needed), which is what lets the exact
+  * quantile machinery fuse its histogram with the stats aggregate into one
+  * job. Implements doGenCode so bucketing stays inside whole-stage codegen.
+  */
+case class SortableDoubleBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = java.lang.Double.doubleToLongBits(input.asInstanceOf[Double])
+    java.lang.Long.valueOf(b ^ (if (b < 0) -1L else Long.MinValue))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.freshName("bits")
+      s"""
+         |long $b = java.lang.Double.doubleToLongBits($a);
+         |${ev.value} = $b ^ (($b < 0) ? -1L : java.lang.Long.MIN_VALUE);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SortableDoubleBits =
+    copy(child = c)
+}
+
 /** Shared element accessor for vector expressions that accept either
   * array<float> (the storage type) or array<double>: reading the float
   * directly and widening per element avoids materializing a whole cast
@@ -298,6 +329,9 @@ object native {
   /** Inputs must already be array<double> (cast array<float> upstream once). */
   def dotd(a: Column, b: Column): Column =
     column(DotProductD(expression(a), expression(b)))
+
+  /** Order-preserving long image of a DOUBLE column (see [[SortableDoubleBits]]). */
+  def sortableBits(c: Column): Column = column(SortableDoubleBits(expression(c)))
 
   /** One-pass distinct Jaccard of two array<string> columns. */
   def jaccardSim(a: Column, b: Column): Column =

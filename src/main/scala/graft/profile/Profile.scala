@@ -151,31 +151,98 @@ object Profile {
     profileKeyedCounts(
       keyed.groupBy("_cn", "_v").agg(count(lit(1)).as("_c")), keys, avgScale)
 
+  // the Column Rounding.dround formula verbatim (binary-value round)
+  private def droundD(x: Double, scale: Int): Double = {
+    val p = math.pow(10, scale)
+    if (x >= 0) math.floor(x * p + 0.5) / p
+    else -(math.floor(-x * p + 0.5) / p)
+  }
+
+  private def localDf(spark: SparkSession, rows: Seq[Row],
+                      schema: StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+
   /** [[profileKeyed]] over an ALREADY-GROUPED `(_cn, _v, _c)` relation —
     * the shape [[summarizeExact]] builds with its int-keyed shuffle. NULL
     * values must be kept as their own `(_cn, NULL)` groups (they feed
-    * null_cnt).
+    * null_cnt). Three plans by key/value cardinality:
+    *
+    *  - keys PINNED by configuration (column-wise profile): the fused
+    *    bit-bucket path — ONE job computes simple stats and the quantile
+    *    histogram together, plus at most one bounded ranking job;
+    *  - keys observed, ≤ [[Quantiles.MaxDriverKeys]]: a stats probe job,
+    *    then either the driver-values terminal (value domain ≤
+    *    [[Quantiles.DriverValueCap]] — one bounded collect, local
+    *    interpolation) or the two-job bounded quantile fast path;
+    *  - keys observed, beyond `MaxDriverKeys`: the fully-declarative plan —
+    *    stats and pivoted quartiles assembled with keyed joins, NO driver
+    *    collect of the output relation, result localCheckpoint'd (an eager
+    *    distributed materialization, SUMMARIZE semantics) so the counts
+    *    cache can be freed.
     */
   private def profileKeyedCounts(perValPre: DataFrame, keys: Option[Seq[String]],
                                  avgScale: Int): DataFrame = {
-    val spark = perValPre.sparkSession
+    keys match {
+      case Some(ks) if ks.lengthCompare(Quantiles.MaxDriverKeys) <= 0 =>
+        profilePinned(perValPre, ks, avgScale)
+      case _ => profileObserved(perValPre, keys, avgScale)
+    }
+  }
 
-    // The ONE keyed relation everything derives from: (key, value) → count
-    // with NULL values kept as their own group (unlike Quantiles.valueCounts,
-    // which is quantile-only and drops them). min/max/count/null-count, the
-    // count-weighted average AND the quantile machinery all read it from
-    // cache, so the source is scanned exactly once.
+  /** The pinned-keys fused path: simple stats and the quantile histogram
+    * derive from ONE `(key, prefix-bucket)` aggregate (config-bounded
+    * collect), and only multi-value hit buckets need a second bounded job.
+    * mn/mx/counts are exact; the weighted mean sums per-bucket partials in
+    * bucket order — a different (still deterministic) summation order whose
+    * ulp `avgScale` rounding absorbs, like every other path.
+    */
+  private def profilePinned(perValPre: DataFrame, ks: Seq[String],
+                            avgScale: Int): DataFrame = {
+    val spark = perValPre.sparkSession
+    // Persisted: the ranking pass re-reads the counts relation (its literal
+    // hit-bucket predicate prunes what it aggregates, but the scan is the
+    // cache either way — measured cheaper than re-deriving the counts from
+    // source at every tested scale).
+    val perVal = perValPre.persist()
+    try Quantiles.withoutAqe(spark) {
+      val byKey = Quantiles.fusedBucketStats(perVal)
+      val quarts = Quantiles.quantilesFromBuckets(perVal, Quartiles, byKey)
+      val rows: Seq[Row] = ks.map { key =>
+        val s = byKey.get(key)
+        def quart(p: Double): Any =
+          s.flatMap(_ => quarts.getOrElse((key, p), None))
+            .map(v => Double.box(droundD(v, avgScale))).orNull
+        Row(key,
+          s.flatMap(_.mn).map(Double.box).orNull,
+          s.flatMap(_.mx).map(Double.box).orNull,
+          s.filter(_.n > 0)
+            .map(b => Double.box(droundD(b.svc / b.n, avgScale))).orNull,
+          quart(0.25), quart(0.5), quart(0.75),
+          s.map(_.n).getOrElse(0L),
+          s.map(_.nulls).getOrElse(0L),
+          s.map(_.nd).getOrElse(0L))
+      }
+      localDf(spark, rows, profileSchema)
+    } finally { perVal.unpersist(); () }
+  }
+
+  /** The observed-keys paths (grouped profile): a capped stats probe picks
+    * between the bounded driver merge (few keys) and the fully-declarative
+    * keyed assembly (any key cardinality).
+    */
+  private def profileObserved(perValPre: DataFrame, keys: Option[Seq[String]],
+                              avgScale: Int): DataFrame = {
+    val spark = perValPre.sparkSession
     val perVal = perValPre.persist()
 
     // Per-key simple stats — ONE fused aggregate serving both the output
-    // row and (as `(_cn, _mn, _mx, _n)`) the quantile machinery, which
-    // would otherwise run its own full pass over the counts relation. The
-    // weighted mean Σ(v·c)/Σ(c) sums FEWER terms than a row-order mean
-    // (one per distinct value), and the result is rounded to `avgScale`
-    // exactly like the lazy path, which absorbs the summation-order ulp.
+    // row and (as `(_cn, _mn, _mx, _n)`) the quantile machinery. The
+    // weighted mean Σ(v·c)/Σ(c) sums one term per distinct value, rounded
+    // to `avgScale` like the lazy path (absorbs the summation-order ulp).
     // NULL value groups ride along: they feed null_cnt, are ignored by
-    // min/max/sum(v·c), and n_distinct counts only non-null distinct
-    // values.
+    // min/max/sum(v·c), and n_distinct counts only non-null values.
     val nNonNull = sum(when(col("_v").isNotNull, col("_c")))
     val stats = perVal.groupBy("_cn").agg(
       min("_v").as("col_min"), max("_v").as("col_max"),
@@ -184,41 +251,76 @@ object Profile {
       coalesce(nNonNull, lit(0L)).as("col_cnt"),
       coalesce(sum(when(col("_v").isNull, col("_c"))), lit(0L)).as("null_cnt"),
       count(when(col("_v").isNotNull, lit(1))).as("n_distinct"))
-    try {
-      // job 1: the single source scan, folded into the stats collect (one
-      // row per key — output-bounded; reading through the perVal shuffle
-      // materializes the cache). The rows come back as a LOCAL relation, so
-      // every stats broadcast inside the quantile plan is free instead of a
-      // separately materialized query stage.
-      val statRows = stats.collect()
-      val quantStatRows = statRows.toSeq.map(r =>
-        Row(r.getString(0), r.get(1), r.get(2), r.get(4)))
 
-      // job 2: the quartile plan (identical rank/interpolation arithmetic
-      // to DuckDB's quantile_cont), collected in LONG form via the eager
-      // bounding-rows terminal — ≤ 2 rows per (key, quantile), the same
-      // output-bounded size as the result itself, with no final
-      // aggregation exchange. With few keys the terminal takes its
-      // driver-planned two-job fast path; beyond that the declarative
-      // keyed-window plan keeps grouped profiling cardinality-safe.
-      val quartRows = Quantiles
-        .quantileContRowsFromCounts(perVal.where(col("_v").isNotNull),
-          Quartiles, Buckets, precomputedStatRows = Some(quantStatRows))
+    // job 1: the single source scan, folded into the stats probe (one row
+    // per key, CAPPED — reading through the perVal shuffle materializes the
+    // cache). Overflow routes to the declarative plan before anything
+    // key-proportional reaches the driver.
+    val probe = stats.limit(Quantiles.MaxDriverKeys + 1).collect()
+
+    if (probe.length > Quantiles.MaxDriverKeys) try {
+      // ---- declarative path: no driver collect of the output relation ----
+      // Quartiles run with broadcast hints OFF (side relations here are
+      // key-cardinality, i.e. data-sized) and meet the stats in two keyed
+      // joins; quartile rows pivot to columns in a keyed aggregate.
+      val statsQ = stats.select(col("_cn"), col("col_min").as("_mn"),
+        col("col_max").as("_mx"), col("col_cnt").as("_n"))
+      val quarts = Quantiles.quantileContFromCounts(
+        perVal.where(col("_v").isNotNull), Quartiles, Buckets,
+        precomputedStats = Some(statsQ), hinted = false)
+      val quartsP = quarts.groupBy(col("column_name").as("_cn")).agg(
+        graft.functions.Rounding.dround(
+          max(when(col("q") === 0.25, col("value"))), avgScale).as("q25"),
+        graft.functions.Rounding.dround(
+          max(when(col("q") === 0.5, col("value"))), avgScale).as("q50"),
+        graft.functions.Rounding.dround(
+          max(when(col("q") === 0.75, col("value"))), avgScale).as("q75"))
+      val assembled0 = stats.join(quartsP, Seq("_cn"), "left")
+      val assembled = keys match {
+        case Some(ks) => // pinned-wide: pin output rows with a local keys side
+          localDf(spark, ks.map(Row(_)), StructType(Seq(
+            StructField("_cn", StringType, nullable = false))))
+            .join(assembled0, Seq("_cn"), "left")
+        case None => assembled0
+      }
+      assembled.select(col("_cn").as("column_name"),
+        col("col_min"), col("col_max"), col("col_avg"),
+        col("q25"), col("q50"), col("q75"),
+        coalesce(col("col_cnt"), lit(0L)).as("col_cnt"),
+        coalesce(col("null_cnt"), lit(0L)).as("null_cnt"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+        .localCheckpoint() // eager distributed materialization; frees the cache
+    } finally { perVal.unpersist(); () }
+    else try Quantiles.withoutAqe(spark) {
+      val statRows = probe
+      val quartRows: Seq[Row] =
+        if (statRows.iterator.map(_.getLong(6)).sum <= Quantiles.DriverValueCap) {
+          // driver-values terminal: the value domain is config-bounded, so
+          // ONE cache job collects the counts relation and quartiles
+          // interpolate locally — identical arithmetic, no further stages.
+          perVal.where(col("_v").isNotNull).collect()
+            .groupBy(_.getString(0)).toSeq.flatMap { case (k, rs) =>
+              val vals = rs.map(r => r.getDouble(1) -> r.getLong(2))
+                .sortBy(_._1).toIndexedSeq
+              val n = vals.iterator.map(_._2).sum
+              Quartiles.flatMap(q =>
+                Quantiles.quantileContLocal(vals, n, q).map(v => Row(k, q, v)))
+            }
+        } else {
+          // job 2: the bounded quantile fast path (totals + ranking), with
+          // the probe rows threaded in as the stats
+          val quantStatRows = statRows.toSeq.map(r =>
+            Row(r.getString(0), r.get(1), r.get(2), r.get(4)))
+          Quantiles.quantileContRowsFromCounts(perVal.where(col("_v").isNotNull),
+            Quartiles, Buckets, precomputedStatRows = Some(quantStatRows))
+        }
 
       // Driver-side assembly — every relation here is bounded by the OUTPUT
-      // size (what SUMMARIZE returns and the caller collects anyway), so
-      // this is plan-shaping, not driver-side aggregation: it replaces a
-      // pivot aggregate plus two broadcast joins with a hash merge.
-      def droundD(x: Double): Double = {
-        // the Column Rounding.dround formula verbatim (binary-value round)
-        val p = math.pow(10, avgScale)
-        if (x >= 0) math.floor(x * p + 0.5) / p
-        else -(math.floor(-x * p + 0.5) / p)
-      }
-      val qByKey: Map[String, Map[Double, Double]] = quartRows.toSeq
+      // size (what SUMMARIZE returns and the caller collects anyway).
+      val qByKey: Map[String, Map[Double, Double]] = quartRows
         .groupBy(_.getString(0))
         .map { case (k, rs) =>
-          k -> rs.map(r => r.getDouble(1) -> droundD(r.getDouble(2))).toMap
+          k -> rs.map(r => r.getDouble(1) -> droundD(r.getDouble(2), avgScale)).toMap
         }
       val statByKey = statRows.map(r => r.getString(0) -> r).toMap
       val outKeys: Seq[String] = keys match {
@@ -236,10 +338,7 @@ object Profile {
           s.map(_.getLong(5)).getOrElse(0L),
           s.map(_.getLong(6)).getOrElse(0L))
       }
-      spark.createDataFrame(
-        new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        profileSchema)
+      localDf(spark, rows, profileSchema)
     } finally { perVal.unpersist(); () }
   }
 
@@ -329,63 +428,14 @@ object Profile {
       .where(col("_v").isNotNull)
       .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
       .persist()
-    def localDf(rows: Seq[Row], schema: StructType): DataFrame =
-      spark.createDataFrame(
-        new java.util.ArrayList[Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     val medSchema = StructType(Seq(
       StructField("_cn", StringType, nullable = false),
       StructField("_med", DoubleType)))
-    try {
-      // job 1: the single source scan, folded into the per-group stats
-      // aggregate (one output row per group)
-      val statRows = counts.groupBy("_cn")
-        .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"))
-        .collect()
-      // dround's Column formula replicated on the driver (binary round)
-      def dround6(x: Double): Double =
-        if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
-        else -(math.floor(-x * 1e6 + 0.5) / 1e6)
-      // job 2: med over the cache, stats supplied, bounding rows folded
-      // driver-side (no final aggregation exchange)
-      val medRows = Quantiles
-        .quantileContRowsFromCounts(counts, Seq(0.5),
-          precomputedStatRows = Some(statRows.toSeq))
-        .collect { case r if !r.isNullAt(2) =>
-          Row(r.getString(0), dround6(r.getDouble(2)))
-        }
-      val medDf = localDf(medRows, medSchema)
-      val medBy = medRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
-      val devStatRows = statRows.toSeq.flatMap { r =>
-        val k = r.getString(0)
-        medBy.get(k).map { m =>
-          Row(k, 0.0,
-            math.max(math.abs(r.getDouble(1) - m), math.abs(r.getDouble(2) - m)),
-            r.getLong(3))
-        }
-      }
-      // persisted: the MAD pass reads the deviation counts from BOTH its
-      // bucket-totals and ranking jobs — unpersisted, each would redo the
-      // cache join + grouping shuffle
-      val devCounts = counts.join(broadcast(medDf), "_cn")
-        .select(col("_cn"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
-        .groupBy("_cn", "_v").agg(sum("_c").as("_c")) // distinct devs fold
-        .persist()
-      // job 3: mad over the cache-derived deviation counts, stats supplied
-      val madQuantRows =
-        try Quantiles.quantileContRowsFromCounts(devCounts, Seq(0.5),
-          precomputedStatRows = Some(devStatRows))
-        finally { devCounts.unpersist(); () }
-      val madRows = madQuantRows.collect { case r if !r.isNullAt(2) =>
-        Row(r.getString(0), dround6(r.getDouble(2)))
-      }
-      val stats = localDf(
-        madRows.toSeq.flatMap { r =>
-          val k = r.getString(0)
-          medBy.get(k).map(m => Row(k, m, r.getDouble(1)))
-        },
-        StructType(Seq(StructField(groupCol + "_mad_key", StringType, nullable = false),
-          StructField("_med", DoubleType), StructField("_mad", DoubleType))))
+    val gateSchema = StructType(Seq(
+      StructField(groupCol + "_mad_key", StringType, nullable = false),
+      StructField("_med", DoubleType), StructField("_mad", DoubleType)))
+    // the final broadcast filter gate over the corpus — shared by both paths
+    def gate(stats: DataFrame): DataFrame =
       df.join(broadcast(stats),
           col(groupCol).cast("string") === col(groupCol + "_mad_key"))
         .where(col("_mad") > 0.0)
@@ -393,6 +443,79 @@ object Profile {
         .withColumn("mad_z", col("_dev") / (lit(1.4826) * col("_mad")))
         .where(col("mad_z") >= threshold)
         .drop(groupCol + "_mad_key", "_med", "_dev", "_mad")
+    // dround's Column formula replicated on the driver (binary round)
+    def dround6(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -(math.floor(-x * 1e6 + 0.5) / 1e6)
+    try Quantiles.withoutAqe(spark) {
+      // job 1: the single source scan, folded into the per-group stats +
+      // distinct-count aggregate (one output row per group)
+      val statRows = counts.groupBy("_cn")
+        .agg(min("_v").as("_mn"), max("_v").as("_mx"), sum("_c").as("_n"),
+          count(lit(1)).as("_ndv"))
+        .collect()
+      if (statRows.iterator.map(_.getLong(4)).sum <= Quantiles.DriverValueCap) {
+        // driver-values terminal: the whole value domain is config-bounded,
+        // so ONE cache job collects the counts relation; med, the deviation
+        // domain (a transform of the value domain) and mad all interpolate
+        // locally with the identical arithmetic, and the only remaining
+        // distributed work is the final broadcast gate over the corpus.
+        val gateRows = counts.collect().groupBy(_.getString(0))
+          .toSeq.flatMap { case (k, rs) =>
+            val vals = rs.map(r => r.getDouble(1) -> r.getLong(2))
+              .sortBy(_._1).toIndexedSeq
+            val n = vals.iterator.map(_._2).sum
+            Quantiles.quantileContLocal(vals, n, 0.5).map(dround6).flatMap { med =>
+              val devs = vals.map { case (v, c) => math.abs(v - med) -> c }
+                .groupMapReduce(_._1)(_._2)(_ + _)
+                .toIndexedSeq.sortBy(_._1)
+              Quantiles.quantileContLocal(devs, n, 0.5).map(dround6)
+                .map(mad => Row(k, med, mad))
+            }
+          }
+        gate(localDf(spark, gateRows, gateSchema))
+      } else {
+        val quantStatRows = statRows.toSeq.map(r =>
+          Row(r.getString(0), r.get(1), r.get(2), r.get(3)))
+        // job 2: med over the cache, stats supplied, bounding rows folded
+        // driver-side (no final aggregation exchange)
+        val medRows = Quantiles
+          .quantileContRowsFromCounts(counts, Seq(0.5),
+            precomputedStatRows = Some(quantStatRows))
+          .collect { case r if !r.isNullAt(2) =>
+            Row(r.getString(0), dround6(r.getDouble(2)))
+          }
+        val medDf = localDf(spark, medRows, medSchema)
+        val medBy = medRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val devStatRows = statRows.toSeq.flatMap { r =>
+          val k = r.getString(0)
+          medBy.get(k).map { m =>
+            Row(k, 0.0,
+              math.max(math.abs(r.getDouble(1) - m), math.abs(r.getDouble(2) - m)),
+              r.getLong(3))
+          }
+        }
+        // persisted: the MAD pass reads the deviation counts from BOTH its
+        // bucket-totals and ranking jobs — unpersisted, each would redo the
+        // cache join + grouping shuffle
+        val devCounts = counts.join(broadcast(medDf), "_cn")
+          .select(col("_cn"), abs(col("_v") - col("_med")).as("_v"), col("_c"))
+          .groupBy("_cn", "_v").agg(sum("_c").as("_c")) // distinct devs fold
+          .persist()
+        // job 3: mad over the cache-derived deviation counts, stats supplied
+        val madQuantRows =
+          try Quantiles.quantileContRowsFromCounts(devCounts, Seq(0.5),
+            precomputedStatRows = Some(devStatRows))
+          finally { devCounts.unpersist(); () }
+        val madRows = madQuantRows.collect { case r if !r.isNullAt(2) =>
+          Row(r.getString(0), dround6(r.getDouble(2)))
+        }
+        gate(localDf(spark,
+          madRows.toSeq.flatMap { r =>
+            val k = r.getString(0)
+            medBy.get(k).map(m => Row(k, m, r.getDouble(1)))
+          }, gateSchema))
+      }
     } finally { counts.unpersist(); () }
   }
 

@@ -89,6 +89,74 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(math.abs(planSize(10000) - planSize(10)) < 200)
   }
 
+  test("pinned column profile: fused bucket path matches a local reference") {
+    import graft.profile.Profile
+    // wide near-unique column (multi-value prefix buckets → ranking job),
+    // tiny-domain column (single-value buckets → no ranking), negatives,
+    // and a column with nulls — exercises every fused-path branch
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      (rng.nextDouble() * 2e5 - 1e5,
+        (i % 9).toDouble,
+        if (i % 10 == 0) None else Some((i % 23).toDouble - 11))
+    }
+    val df = rows.toDF("wide", "tiny", "holey")
+    def ref(vs: Seq[Double], q: Double): Double = {
+      val s = vs.sorted; val t = q * (s.length - 1)
+      val lo = math.floor(t).toInt; val hi = math.ceil(t).toInt
+      s(lo) + (t - lo) * (s(hi) - s(lo))
+    }
+    def dr4(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e4 + 0.5) / 1e4 else -(math.floor(-x * 1e4 + 0.5) / 1e4)
+    val got = Profile.summarize(df, Seq("wide", "tiny", "holey"), exact = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cols = Map[String, Seq[Double]](
+      "wide" -> rows.map(_._1), "tiny" -> rows.map(_._2),
+      "holey" -> rows.flatMap(_._3))
+    for ((name, vs) <- cols) {
+      val r = got(name)
+      assert(r.getDouble(r.fieldIndex("col_min")) == vs.min, name)
+      assert(r.getDouble(r.fieldIndex("col_max")) == vs.max, name)
+      for ((q, f) <- Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75"))
+        assert(math.abs(r.getDouble(r.fieldIndex(f)) - dr4(ref(vs, q))) <= 1e-4,
+          s"$name $f: got ${r.getDouble(r.fieldIndex(f))} want ${dr4(ref(vs, q))}")
+      assert(r.getLong(r.fieldIndex("col_cnt")) == vs.size, name)
+      assert(r.getLong(r.fieldIndex("n_distinct")) == vs.distinct.size, name)
+    }
+    assert(got("holey").getLong(got("holey").fieldIndex("null_cnt")) == 400L)
+    // an absent (all-null) pinned column still yields its row
+    val empty = Seq((Option.empty[Double], 1.0)).toDF("e", "x")
+    val er = Profile.summarize(empty, Seq("e"), exact = true).collect().head
+    assert(er.isNullAt(er.fieldIndex("col_min")) &&
+      er.getLong(er.fieldIndex("null_cnt")) == 1L &&
+      er.getLong(er.fieldIndex("col_cnt")) == 0L)
+  }
+
+  test("grouped profile at 100k groups: distributed assembly, no output collect") {
+    import graft.profile.Profile
+    // 100k groups, 3 values per group — far beyond MaxDriverKeys, so the
+    // declarative path must assemble stats + quartiles with keyed joins
+    val big = spark.range(300000).select(
+      (col("id") % 100000).cast("string").as("g"),
+      (col("id") % 100000 + expr("id div 100000") * 2).cast("double").as("v"))
+    val out = Profile.summarizeBy(big, "g", "v")
+    // the output relation is a distributed materialization (localCheckpoint
+    // → LogicalRDD), NOT a driver-built LocalRelation: the whole result
+    // never funnels through a collect
+    val logical = out.queryExecution.logical
+    assert(logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"expected LogicalRDD, got ${logical.getClass}")
+    assert(out.count() == 100000L)
+    val r = out.where(col("column_name") === "777").collect().head
+    // group 777: values {777, 779, 781} → q50 = 779, q25 = 778, avg = 779
+    assert(r.getDouble(r.fieldIndex("col_min")) == 777.0 &&
+      r.getDouble(r.fieldIndex("col_max")) == 781.0 &&
+      r.getDouble(r.fieldIndex("q25")) == 778.0 &&
+      r.getDouble(r.fieldIndex("q50")) == 779.0 &&
+      r.getDouble(r.fieldIndex("col_avg")) == 779.0 &&
+      r.getLong(r.fieldIndex("n_distinct")) == 3L)
+  }
+
   test("eager grouped quantiles scan the source exactly once") {
     import graft.analytics.Quantiles
     val dir = tmpDir("eagerq")
