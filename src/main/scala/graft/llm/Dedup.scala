@@ -459,8 +459,12 @@ object Dedup {
     if (threshold >= 0.95) 8
     else math.max(1, math.ceil(math.log(0.5) / math.log(math.max(threshold, 0.05))).toInt)
 
-  /** `(id, blk, band, sk, sh)` blocked rows for [[ngramJaccard]]'s pair join
-    * — the size-guard core, shared with the hot-block spec. The pair key is
+  /** `(id, blk, band, sk)` blocked KEY rows for [[ngramJaccard]]'s pair join
+    * — the size-guard core, shared with the hot-block spec. Shingle sets are
+    * consumed internally (for the hot-block minhash sub-keys) but never
+    * emitted: the pair join exchanges ~40 bytes per row, and the shingle
+    * arrays join back by id only for the deduplicated candidate pairs (the
+    * [[minhash]] pattern). The pair key is
     * (blk, band, sk): for prefix blocks of at most `maxBlock` documents a
     * single (0, 0) sub-key (exact all-pairs within the block); larger blocks
     * explode into `subBands` minhash-band keys of `subRows` rows each
@@ -493,9 +497,9 @@ object Dedup {
                 b * lit(subRows) + lit(1), lit(subRows)),
               lit(0L), (acc, x) => (acc * 31 + x) % lit(graft.functions.PolyHash.P1))
               .as("sk")))).as("bs"))
-      .select(col("id"), col("blk"), col("bs.band"), col("bs.sk"), col("sh"))
+      .select(col("id"), col("blk"), col("bs.band"), col("bs.sk"))
     val cold = joined.where(col("_bn") <= maxBlock)
-      .select(col("id"), col("blk"), lit(0).as("band"), lit(0L).as("sk"), col("sh"))
+      .select(col("id"), col("blk"), lit(0).as("band"), lit(0L).as("sk"))
     cold.unionByName(hot)
   }
 
@@ -505,8 +509,9 @@ object Dedup {
     * sub-bucketed by threshold-tuned minhash band keys ([[ngramBlocks]]) so
     * a shared-boilerplate corpus can't make one block quadratic — the same
     * size guard Similarity.guardedBlocks applies to embedding blocks. The
-    * multi-band candidates are deduplicated AFTER the threshold filter
-    * (deterministic jacc per pair, so a value distinct is exact). At scale
+    * pair join carries KEY rows only (ids join their shingle sets back
+    * after the multi-band candidates deduplicate — jacc is a pure function
+    * of the pair, so the relation is identical). At scale
     * replace the prefix with any cheap locality key (URL host, minhash
     * band, …). `subRows = 0` derives the band depth from `threshold`.
     */
@@ -520,11 +525,22 @@ object Dedup {
       maxBlock, r, subBands)
     val a = keyed.alias("a")
     val b = keyed.alias("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
+    // The pair join exchanges key rows only; multi-band duplicates collapse
+    // BEFORE the shingle arrays join back by id (jacc is a pure function of
+    // the pair, so deduplicating candidates first computes the identical
+    // relation with a fraction of the shuffle bytes).
+    val cand = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
         col("a.sk") === col("b.sk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        graft.functions.Rounding.dround(jaccard(col("a.sh"), col("b.sh")), 4).as("jacc"))
-      .where(col("jacc") >= threshold)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+    val shd = docs.select(col(idCol).as("id"),
+      shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
+    cand
+      .join(shd.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shd.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.dround(jaccard(col("sh_a"), col("sh_b")), 4).as("jacc"))
+      .where(col("jacc") >= threshold)
   }
 }

@@ -254,6 +254,19 @@ class LlmSpec extends SparkSpec {
     val unguarded = Dedup.ngramJaccard(hot, threshold = 0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.subsetOf(unguarded))
+    // the pair-join inputs carry KEY rows only: the shingle arrays must not
+    // ride the (blk, band, sk) exchange — they join back by id afterwards
+    val lp = Dedup.ngramJaccard(hot, threshold = 0.9, maxBlock = 10)
+      .queryExecution.optimizedPlan
+    val pairJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "sk")) => j
+    }
+    assert(pairJoins.nonEmpty, "pair join not found in plan")
+    pairJoins.foreach { j =>
+      val carried = j.children.flatMap(_.output.map(_.name)).filter(_.startsWith("sh"))
+      assert(carried.isEmpty, s"pair join still carries $carried")
+    }
   }
 
   test("cosine top-k returns exact neighbours in order") {
