@@ -72,9 +72,20 @@ object SignatureStore {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x) / lit(k.toDouble)
 
+  /** A store "exists" only once ALL THREE relations do. Ingest writes
+    * sigs → buckets → counts in that order, so the counts directory doubles
+    * as a commit marker: a first streaming batch that crashes mid-write
+    * leaves exists() = false and its replay rebuilds against the empty
+    * store (overwriting its own partial subdirs) instead of wedging on a
+    * PATH_NOT_FOUND for the unwritten relations. Crashes in LATER batches
+    * are covered by `_b` masking in [[matches]].
+    */
   private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(sigsDir(path))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(sigsDir(path), bucketsDir(path), countsDir(path)).forall { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).exists(p)
+    }
   }
 
   /** Stored `(id, sig, canonical)` rows. (`recursiveFileLookup`: streaming
@@ -123,10 +134,16 @@ object SignatureStore {
             textCol: String = "text", idCol: String = "doc_id",
             cfg: Config = Config()): DataFrame = {
     val sig = Dedup.signatureOf(batch, textCol, idCol, cfg.shingleLen, cfg.numHashes)
-    matches(spark, path, sig, cfg)
-      .groupBy(col("id").as(idCol))
-      .agg(min("canonical").as("keep_id"),
-        countDistinct("store_id").as("n_matches"))
+    // an absent or half-written (uncommitted) store holds nothing to match
+    if (!exists(spark, path))
+      sig.limit(0).select(col("id").as(idCol),
+        lit(null).cast("bigint").as("keep_id"),
+        lit(null).cast("bigint").as("n_matches"))
+    else
+      matches(spark, path, sig, cfg)
+        .groupBy(col("id").as(idCol))
+        .agg(min("canonical").as("keep_id"),
+          countDistinct("store_id").as("n_matches"))
   }
 
   /** `(id, store_id, canonical)` estimate-verified matches of a batch
@@ -254,6 +271,8 @@ object SignatureStore {
         case Some(b) => df.write.mode("overwrite").parquet(dir + "/b" + b)
         case None    => df.write.mode("append").parquet(dir)
       }
+      // write ORDER is load-bearing: counts goes LAST so it doubles as the
+      // store's commit marker (see `exists`)
       val bTag = lit(batchId.getOrElse(BatchModeTag)).as("_b")
       writeTo(sig.join(result.select("id", "canonical"), "id")
         .select(col("id"), col("sig"), col("canonical"), bTag), sigsDir(path))
@@ -262,5 +281,79 @@ object SignatureStore {
         .withColumn("_b", bTag), countsDir(path))
       result
     } finally { sig.unpersist(); () }
+  }
+
+  /** Offline compaction: closes the documented transitive-chain gap of
+    * batch-local ingest. A in batch 1 and B in batch 2 with J(A,B) below
+    * threshold stay separate keepers even if a LATER doc C matches both —
+    * C resolves to min(keeper) but B's stored canonical is never revisited.
+    * Compaction re-canonicalizes the WHOLE store in one pass:
+    *
+    *  1. candidate pairs from the STORED bucket keys (the banded LSH
+    *     self-join ingest runs per batch, now across all batches; hot
+    *     buckets from the aggregated counts fall back to full-signature
+    *     `skey` equality, same trade as [[matches]]);
+    *  2. estimate-verify against stored signatures (text is not stored, so
+    *     this is the same float-exact statistic every path uses);
+    *  3. union with the existing (id → canonical) resolution edges so
+    *     dropped docs stay attached to their chains;
+    *  4. connected components → every store row's canonical becomes its
+    *     component's minimum id (= global first occurrence);
+    *  5. rewrite sigs via a sibling directory + rename swap.
+    *
+    * Run it like any table-maintenance job: while NO ingest (batch or
+    * streaming) is active. The rewrite flattens streaming per-batch
+    * subdirectories of sigs/ (the `_b` column — which masking keys on — is
+    * preserved), so a pre-compaction micro-batch must not replay afterwards;
+    * stopping the stream at a checkpoint-committed boundary guarantees that.
+    * Cost is O(store), not O(corpus): signatures and bucket keys are
+    * ~1e-4 of corpus bytes, and the self-join is the same bounded
+    * (band, bucket) equi-join every LSH path uses.
+    */
+  def compact(spark: SparkSession, path: String,
+              cfg: Config = Config()): Unit = {
+    if (!exists(spark, path)) return
+    val s = sigs(spark, path).persist()
+    try {
+      val bk = buckets(spark, path)
+      val hot = bucketCounts(spark, path)
+        .groupBy("band", "bucket").agg(sum("n").as("n"))
+        .where(col("n") > cfg.maxBucket)
+        .select("band", "bucket")
+      val cold = bk.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      val coldPairs = cold.alias("a")
+        .join(cold.alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      val hotB = bk.join(broadcast(hot), Seq("band", "bucket"))
+      val hotPairs = hotB.alias("a")
+        .join(hotB.alias("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.skey") === col("b.skey") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      val verified = coldPairs.unionAll(hotPairs).distinct()
+        .join(s.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(s.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .where(estimate(col("sig_a"), col("sig_b"), cfg.numHashes) >= cfg.threshold)
+        .select("doc_a", "doc_b")
+      val canonEdges = s.where(col("canonical") =!= col("id"))
+        .select(col("id").as("doc_a"), col("canonical").as("doc_b"))
+      val comp = Dedup.connectedComponents(verified.unionAll(canonEdges))
+      val newSigs = s.join(comp, Seq("id"), "left")
+        .select(col("id"), col("sig"),
+          coalesce(col("component"), col("canonical")).as("canonical"),
+          col("_b"))
+      // the write job reads the OLD sigs dir while producing the sibling,
+      // so the swap only happens after the new relation is fully on disk
+      val tmp = path + "/sigs_compacting"
+      newSigs.write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(sigsDir(path)), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(sigsDir(path)))
+      ()
+    } finally { s.unpersist(); () }
   }
 }

@@ -147,6 +147,172 @@ class LlmSpec extends SparkSpec {
       Set((21L, 10L), (25L, 14L)))
   }
 
+  test("signature store: streaming crash-replay converges to the clean-run store (RocksDB)") {
+    import graft.llm.SignatureStore
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight nine"
+    val b0 = Seq((10L, A), (12L, A), (14L, B))
+    val b1 = Seq((21L, A), (25L, B))
+    // clean reference: the same two batches with no interruption
+    val ref = tmpDir("crashref") + "/store"
+    val wantV0 = SignatureStore.ingest(spark, ref, b0.toDF("doc_id", "text"),
+      batchId = Some(0L)).select("id", "canonical").as[(Long, Long)].collect().toSet
+    val wantV1 = SignatureStore.ingest(spark, ref, b1.toDF("doc_id", "text"),
+      batchId = Some(1L)).select("id", "canonical").as[(Long, Long)].collect().toSet
+    val want = SignatureStore.sigs(spark, ref)
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+
+    val srcDir = tmpDir("crashsrc")
+    val ckpt = tmpDir("crashckpt")
+    val store = tmpDir("crashstore") + "/store"
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    def startQ() = SignatureStore
+      .ingestStream(store, spark.readStream.schema(schema).parquet(srcDir))
+      .option("checkpointLocation", ckpt).start()
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // run 1 processes batch 0 fully, then we rewind to mid-crash state:
+      // the WAL commit marker is gone (batch 0 will replay) and only the
+      // sigs write survived — buckets/ and counts/ never happened
+      writeBatch(b0)
+      val q1 = startQ()
+      try q1.processAllAvailable() finally q1.stop()
+      def rm(f: java.io.File): Unit = {
+        import scala.reflect.io.Directory
+        if (f.isDirectory) { new Directory(f).deleteRecursively(); () }
+        else { java.nio.file.Files.deleteIfExists(f.toPath); () }
+      }
+      rm(new java.io.File(ckpt, "commits/0"))
+      rm(new java.io.File(ckpt, "commits/.0.crc")) // checksum shadow, else
+      // the local fs fails the replayed commit's atomic rename
+      rm(new java.io.File(store, "buckets"))
+      rm(new java.io.File(store, "counts"))
+      assert(!new java.io.File(ckpt, "commits/0").exists)
+      // restart from the checkpoint: batch 0 re-executes against its own
+      // half-write (must not wedge, must not self-match), then batch 1
+      writeBatch(b1)
+      val q2 = startQ()
+      try q2.processAllAvailable() finally q2.stop()
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+    assert(SignatureStore.sigs(spark, store)
+      .select("id", "canonical").as[(Long, Long)].collect().toSet == want)
+    assert(spark.read.parquet(store + "/verdicts/b0")
+      .select("id", "canonical").as[(Long, Long)].collect().toSet == wantV0)
+    assert(spark.read.parquet(store + "/verdicts/b1")
+      .select("id", "canonical").as[(Long, Long)].collect().toSet == wantV1)
+    assert(SignatureStore.bucketCounts(spark, store).count() ==
+      SignatureStore.bucketCounts(spark, ref).count())
+  }
+
+  test("signature store: a half-written first batch self-heals on replay") {
+    import graft.llm.SignatureStore
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight nine"
+    val b0 = Seq((10L, A), (12L, A), (14L, B)).toDF("doc_id", "text")
+    // clean run: batch 0 straight through
+    val clean = tmpDir("cleanstore") + "/store"
+    val wantV = SignatureStore.ingest(spark, clean, b0, batchId = Some(0L))
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+    val wantS = SignatureStore.sigs(spark, clean)
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+    // wedge run: batch 0 "crashes" after the sigs write — buckets/ and
+    // counts/ never come into existence
+    val wedged = tmpDir("wedgestore") + "/store"
+    SignatureStore.ingest(spark, wedged, b0, batchId = Some(0L))
+    def rm(sub: String): Unit = {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(wedged, sub)).deleteRecursively(); ()
+    }
+    rm("buckets"); rm("counts")
+    // an uncommitted store matches nothing (and does not throw)
+    assert(SignatureStore.probe(spark, wedged,
+      Seq((99L, A)).toDF("doc_id", "text")).collect().isEmpty)
+    // replaying batch 0 must not wedge on the missing relations, must not
+    // match its own prior half-write, and must leave the clean-run store
+    val gotV = SignatureStore.ingest(spark, wedged, b0, batchId = Some(0L))
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+    assert(gotV == wantV)
+    assert(SignatureStore.sigs(spark, wedged)
+      .select("id", "canonical").as[(Long, Long)].collect().toSet == wantS)
+    assert(SignatureStore.bucketCounts(spark, wedged).count() ==
+      SignatureStore.bucketCounts(spark, clean).count())
+    // a LATER batch crashing just before its counts write (sigs + buckets
+    // of b1 on disk, counts/b1 missing) also replays to the clean result
+    val b1 = Seq((21L, A), (25L, B)).toDF("doc_id", "text")
+    val wantV1 = SignatureStore.ingest(spark, clean, b1, batchId = Some(1L))
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+    SignatureStore.ingest(spark, wedged, b1, batchId = Some(1L))
+    rm("counts/b1")
+    val gotV1 = SignatureStore.ingest(spark, wedged, b1, batchId = Some(1L))
+      .select("id", "canonical").as[(Long, Long)].collect().toSet
+    assert(gotV1 == wantV1 && gotV1 == Set((21L, 10L), (25L, 14L)))
+    assert(SignatureStore.sigs(spark, wedged)
+      .select("id", "canonical").as[(Long, Long)].collect().toSet ==
+      SignatureStore.sigs(spark, clean)
+        .select("id", "canonical").as[(Long, Long)].collect().toSet)
+  }
+
+  test("signature store: compaction closes transitive chains split across batches") {
+    import graft.llm.SignatureStore
+    // token-level shingles so jaccard is exact over word sets: C shares 7
+    // of its 14 words with A and the other 7 with B (J ≈ 0.47 each) while
+    // A and B share nothing. 16 one-row bands make a band collision at
+    // J ≈ 0.47 effectively certain (each agreeing signature position IS a
+    // colliding band), so the test never depends on a lucky 2-row band.
+    val cfg = SignatureStore.Config(shingleLen = 1, bands = 16,
+      rowsPerBand = 1, threshold = 0.3)
+    val tA = (1 to 8).map("p" + _).mkString(" ")
+    val tB = (1 to 8).map("q" + _).mkString(" ")
+    val tC = ((1 to 7).map("p" + _) ++ (1 to 7).map("q" + _)).mkString(" ")
+    val store = tmpDir("compactstore") + "/store"
+    val r1 = SignatureStore.build(spark, store,
+      Seq((10L, tA)).toDF("doc_id", "text"), cfg = cfg)
+    assert(r1.select("canonical").as[Long].collect().toSeq == Seq(10L))
+    // batch 2: B matches nothing stored → its own keeper; 40 is unique
+    val r2 = SignatureStore.ingest(spark, store,
+      Seq((20L, tB), (40L, "unrelated words entirely separate domain"))
+        .toDF("doc_id", "text"), cfg = cfg)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t._2).toMap
+    assert(r2 == Map(20L -> 20L, 40L -> 40L))
+    // batch 3: C matches BOTH → resolves to min keeper 10, but B's stored
+    // canonical stays 20 — the documented batch-local gap
+    val r3 = SignatureStore.ingest(spark, store,
+      Seq((30L, tC)).toDF("doc_id", "text"), cfg = cfg)
+      .as[(Long, Long, Boolean)].collect()
+    assert(r3.toSeq == Seq((30L, 10L, true)))
+    val before = SignatureStore.sigs(spark, store)
+      .select("id", "canonical").as[(Long, Long)].collect().toMap
+    assert(before == Map(10L -> 10L, 20L -> 20L, 30L -> 10L, 40L -> 40L))
+    // offline compaction re-canonicalizes the chain to ONE keeper and
+    // leaves the unique doc alone
+    SignatureStore.compact(spark, store, cfg)
+    val after = SignatureStore.sigs(spark, store)
+      .select("id", "canonical").as[(Long, Long)].collect().toMap
+    assert(after == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L))
+    // compaction is idempotent and preserves row count + batch tags
+    SignatureStore.compact(spark, store, cfg)
+    assert(SignatureStore.sigs(spark, store)
+      .select("id", "canonical").as[(Long, Long)].collect().toMap == after)
+    assert(SignatureStore.sigs(spark, store).columns.toSet ==
+      Set("id", "sig", "canonical", "_b"))
+    // a post-compaction ingest matching the ex-keeper B now resolves to 10
+    val r4 = SignatureStore.ingest(spark, store,
+      Seq((50L, tB)).toDF("doc_id", "text"), cfg = cfg)
+      .as[(Long, Long, Boolean)].collect()
+    assert(r4.toSeq == Seq((50L, 10L, true)))
+  }
+
   test("signature store: hot buckets fall back to exact-signature matching") {
     import graft.llm.SignatureStore
     val boiler = (1 to 40).map(i => "boil" + i).mkString(" ")
