@@ -1611,9 +1611,9 @@ object SparkEntry {
 
     "drift_psi" ->
       ("WITH base AS (SELECT greatest(0, least(9, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin " +
-        "FROM events WHERE event_type = 'view'), " +
+        "FROM events WHERE event_type = 'view' AND value IS NOT NULL), " +
         "cur AS (SELECT greatest(0, least(9, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin " +
-        "FROM events WHERE event_type = 'purchase'), " +
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
         "bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin), " +
         "bc AS (SELECT bins.bin, COALESCE(x.n, 0) AS n_b FROM bins LEFT JOIN " +
         "(SELECT bin, count(*) AS n FROM base GROUP BY bin) x USING (bin)), " +

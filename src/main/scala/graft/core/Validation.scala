@@ -101,9 +101,12 @@ object Validation {
     // A NULL rule predicate means "not violated" (violationCounts counts
     // only TRUE), so valid = no rule strictly TRUE.
     val anyViolated = coalesce(rs.map(_.violated).reduce(_ || _), lit(false))
-    val aggs = sum(when(!anyViolated, 1L).otherwise(0L)).as("_ok") +:
+    // sum() over ZERO rows is NULL; coalesce to 0 so an empty input reports
+    // 0 valid rows (the pre-fused split()._1.count() behavior), not NULL
+    val aggs =
+      coalesce(sum(when(!anyViolated, 1L).otherwise(0L)), lit(0L)).as("_ok") +:
       rs.zipWithIndex.map { case (r, i) =>
-        sum(when(r.violated, 1L).otherwise(0L)).as(s"_v$i")
+        coalesce(sum(when(r.violated, 1L).otherwise(0L)), lit(0L)).as(s"_v$i")
       }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows =

@@ -102,8 +102,21 @@ object Corpus {
     * scales exactly like any other keyed aggregation.
     */
   def selectBudget(df: DataFrame, budget: Long, score: Column,
-                   tokens: Column, idCol: String = "doc_id"): DataFrame = {
-    val base = df.select(col(idCol), score.as("score"),
+                   tokens: Column, idCol: String = "doc_id",
+                   scoreScale: Int = 4): DataFrame = {
+    // The boundedness of the score-distinct relation is what this plan's
+    // scale story rests on, so it is ENFORCED, not assumed: the score is
+    // rounded to `scoreScale` decimal places (binary-value rounding,
+    // engine-portable — [[graft.functions.Rounding.dround]]) before
+    // bucketing, capping the prefix-sum relation at ~2·10^scoreScale rows
+    // even for a continuous caller-supplied score. Selection order becomes
+    // (rounded score DESC, id ASC); a score already at ≤`scoreScale` dp
+    // (e.g. [[TextStats.qualityScore]]'s 4) is unchanged.
+    require(scoreScale >= 0 && scoreScale <= 9,
+      s"scoreScale must be in [0, 9], got $scoreScale")
+    val base = df.select(col(idCol),
+      graft.functions.Rounding.dround(score.cast("double"), scoreScale)
+        .as("score"),
       tokens.cast("long").as("n_tok"))
     // Prefix mass of strictly-higher scores: window over the score-distinct
     // relation (bounded by score granularity, not data).

@@ -61,10 +61,14 @@ object Psi {
     */
   def psi(base: DataFrame, cur: DataFrame, value: Column,
           lo: Double, hi: Double, nBins: Int): DataFrame = {
-    val u = base.select(bin(value, lo, hi, nBins).as("_bin"),
-        lit(0).as("_side"))
-      .unionByName(cur.select(bin(value, lo, hi, nBins).as("_bin"),
-        lit(1).as("_side")))
+    // NULLs are excluded EXPLICITLY (not silently, via a null bin matching
+    // no conditional sum) so n_base/n_cur mean "non-null values compared"
+    // on both this engine and any SQL replay — the same rule
+    // [[graft.stream.Drift.psiWindows]] applies.
+    val u = base.where(value.isNotNull)
+      .select(bin(value, lo, hi, nBins).as("_bin"), lit(0).as("_side"))
+      .unionByName(cur.where(value.isNotNull)
+        .select(bin(value, lo, hi, nBins).as("_bin"), lit(1).as("_side")))
     val aggs = (0 until nBins).flatMap(i => Seq(
       sum(when(col("_side") === 0 && col("_bin") === i, 1L).otherwise(0L)).as(s"_b$i"),
       sum(when(col("_side") === 1 && col("_bin") === i, 1L).otherwise(0L)).as(s"_c$i")))

@@ -670,6 +670,25 @@ class LlmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(score"),
       "within-score window must be keyed by the score bucket")
+    // a CONTINUOUS score cannot blow up the score-distinct relation: the
+    // internal dround caps it at the configured granularity (here 1 dp →
+    // ≤11 buckets for scores in [0,1]), instead of one bucket per row
+    val cont = (0 until 500).map(i => (i.toLong, i / 499.0, 10L))
+      .toDF("doc_id", "s", "tok")
+    val bucketed = Corpus.selectBudget(cont, 1000L, col("s"), col("tok"),
+      scoreScale = 1)
+    assert(bucketed.select("score").distinct().count() <= 11L)
+    // and the verdict still matches the (rounded score DESC, id) reference
+    val gotC = bucketed.as[(Long, Double, Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    val refC = cont.as[(Long, Double, Long)].collect()
+      .map { case (id, s, tok) => (id, math.floor(s * 10 + 0.5) / 10, tok) }
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, _, tok)) => (id, cum + tok) }
+      .drop(1).map { case (id, cumAfter) =>
+        id -> ((cumAfter - 10L, cumAfter - 10L < 1000L)) }.toMap
+    gotC.foreach { case (id, _, _, cumBefore, keep) =>
+      assert(refC(id) == ((cumBefore, keep)), s"doc $id") }
   }
 
   test("hash draws scatter sequential ids — no arithmetic-progression stride") {

@@ -678,6 +678,14 @@ class SessionAndStreamSpec extends SparkSpec {
     val again = Psi.psi(base.repartition(7), shifted.repartition(3),
       col("v"), 0.0, 100.0, 10).as[(Double, Long, Long)].collect().head
     assert(again == drift)
+    // NULL values are excluded EXPLICITLY: n_base/n_cur count non-null
+    // values (not rows), and psi over padded-with-nulls inputs is
+    // bit-identical to psi over the clean inputs
+    val baseN = base.unionByName((0 until 50).map(i => (9000L + i,
+      Option.empty[Double])).toDF("id", "v"))
+    val withNulls = Psi.psi(baseN, shifted, col("v"), 0.0, 100.0, 10)
+      .as[(Double, Long, Long)].collect().head
+    assert(withNulls == drift, "nulls must not shift totals or terms")
   }
 
   test("KMV distinct sketch: exact below k, accurate above, partition-invariant") {

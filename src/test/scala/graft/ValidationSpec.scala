@@ -35,6 +35,11 @@ class ValidationSpec extends SparkSpec {
     val scans = Validation.countsWithValid(df, rules).queryExecution
       .executedPlan.toString.split("\n").count(_.contains("LocalTableScan"))
     assert(scans == 1)
+    // empty input: the ok row reports 0 (split()._1.count() parity), never
+    // NULL (sum over zero rows)
+    val empty = Validation.countsWithValid(df.limit(0), rules).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(empty == Seq(("_valid", "ok", 0L)))
   }
 
   test("required rules treat null as missing; defaults fill nulls") {
