@@ -201,11 +201,14 @@ object Profile {
   private def profilePinned(perValPre: DataFrame, ks: Seq[String],
                             avgScale: Int): DataFrame = {
     val spark = perValPre.sparkSession
-    // Persisted: the ranking pass re-reads the counts relation (its literal
-    // hit-bucket predicate prunes what it aggregates, but the scan is the
-    // cache either way — measured cheaper than re-deriving the counts from
-    // source at every tested scale).
-    val perVal = perValPre.persist()
+    // UNPERSISTED by design: the two consumers want different slices. The
+    // fused stats aggregate folds the counts lineage into ONE job (no
+    // cache-write barrier, no second cache-scan pass), and the bounded
+    // ranking job's literal hit-bucket predicate pushes below the counts
+    // aggregate to the source scan, so it re-derives only the hit buckets'
+    // rows (a few percent of the domain) — measured faster than persist +
+    // two cache passes at every tested scale.
+    val perVal = perValPre
     try Quantiles.withoutAqe(spark) {
       val byKey = Quantiles.fusedBucketStats(perVal)
       val quarts = Quantiles.quantilesFromBuckets(perVal, Quartiles, byKey)
@@ -225,7 +228,7 @@ object Profile {
           s.map(_.nd).getOrElse(0L))
       }
       localDf(spark, rows, profileSchema)
-    } finally { perVal.unpersist(); () }
+    }
   }
 
   /** The observed-keys paths (grouped profile): a capped stats probe picks
