@@ -787,6 +787,18 @@ object SparkEntry {
         TextStats.bpeEstimate(col("text")).as("n_bpe"))
         ),
 
+    // REAL BPE token counts under the fixed CoreEnglishMerges table (a
+    // config artifact, like PSI's bin edges) — a native expression applying
+    // Sennrich-style merges in rank order; the oracle replays the identical
+    // leftmost fold per rank with a DuckDB list_reduce inside a recursive
+    // CTE over the same literal merge table.
+    "bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.functions.native.bpeCount(col("text"),
+          graft.llm.Bpe.CoreEnglishMerges).as("n_bpe"))
+        ),
+
     // PII scrub over deterministic synthesized contact strings (the corpus
     // itself is PII-free, so the query plants an email/IP/phone per doc and
     // proves the redaction end-to-end, cross-engine).
@@ -1254,7 +1266,33 @@ object SparkEntry {
       s"0.3 * (len(list_filter(string_split(text,' '), t -> list_contains($allStop, t))) * 1.0 / " +
       "len(string_split(text,' '))), 4)"
 
+  // The bpe_tokens oracle's merge table is GENERATED from the same Scala
+  // constant the query uses, so engine and oracle can never drift.
+  private lazy val bpeOracleSql: String = {
+    val k = graft.llm.Bpe.CoreEnglishMerges.length
+    val values = graft.llm.Bpe.CoreEnglishMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(", ")
+    // encodes each DISTINCT word once (the recursive fold is the expensive
+    // part — 280× cheaper than per-occurrence) and joins counts back
+    s"WITH RECURSIVE m(r, a, b) AS (SELECT * FROM (VALUES $values)), " +
+      "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+      "wc AS (SELECT doc_id, word, count(*) AS c FROM w WHERE word <> '' GROUP BY doc_id, word), " +
+      "v AS (SELECT DISTINCT word FROM wc), " +
+      "it(word, s, r) AS (" +
+      "SELECT word, regexp_split_to_array(word, ''), 1 FROM v UNION ALL " +
+      "SELECT it.word, CASE WHEN len(it.s) < 2 THEN it.s ELSE " +
+      "list_reduce(list_transform(it.s, x -> [x]), (acc, x) -> " +
+      "CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m.a AND x[1] = m.b " +
+      "THEN acc[1:len(acc)-1] || [m.a || m.b] ELSE acc || x END) END, it.r + 1 " +
+      s"FROM it JOIN m ON m.r = it.r WHERE it.r <= $k) " +
+      "SELECT d.doc_id, CAST(COALESCE(x.n, 0) AS BIGINT) AS n_bpe FROM documents d " +
+      "LEFT JOIN (SELECT wc.doc_id, SUM(wc.c * len(it.s)) AS n FROM wc " +
+      s"JOIN it ON it.word = wc.word AND it.r = ${k + 1} GROUP BY wc.doc_id) x " +
+      "USING (doc_id) ORDER BY doc_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_tokens" -> bpeOracleSql,
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 

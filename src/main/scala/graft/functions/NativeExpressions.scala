@@ -314,6 +314,25 @@ case class Int8Quantize(child: Expression)
   override protected def withNewChildInternal(c: Expression): Int8Quantize = copy(child = c)
 }
 
+/** BPE token count of a whitespace-tokenized STRING under a fixed merge
+  * table: per word, character symbols merged by [[graft.llm.Bpe]]'s
+  * rank-ordered leftmost passes (the pinned cross-engine semantics — the
+  * expression delegates to the same code the specs and the driver-side
+  * twin use, so there is exactly ONE implementation of the merge loop).
+  * The merge table rides in the expression tree as a literal — tokenizer
+  * vocabularies are config-sized artifacts, not data.
+  */
+case class BpeCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      graft.llm.Bpe.countTokens(input.asInstanceOf[UTF8String].toString, merges))
+
+  override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -336,6 +355,10 @@ object native {
   /** One-pass distinct Jaccard of two array<string> columns. */
   def jaccardSim(a: Column, b: Column): Column =
     column(JaccardSim(expression(a), expression(b)))
+
+  /** BPE token count of a text column under a fixed merge table. */
+  def bpeCount(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeCount(expression(c), merges))
 
   /** Aggregate: elementwise sum of array<double> vectors (map-side combined). */
   def vecsum(c: Column): Column =

@@ -28,6 +28,12 @@ object TextStats {
   def bpeEstimate(text: Column): Column =
     ceil(octet_length(text) / lit(4.0)).cast("long")
 
+  /** REAL BPE token count under a trained merge-table artifact
+    * ([[graft.llm.Bpe]]); [[bpeEstimate]] stays as the vocab-free fallback.
+    */
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.native.bpeCount(text, merges)
+
   /** Stopword sets for the n-gram/stopword language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),

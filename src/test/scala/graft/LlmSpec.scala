@@ -691,6 +691,42 @@ class LlmSpec extends SparkSpec {
       assert(refC(id) == ((cumBefore, keep)), s"doc $id") }
   }
 
+  test("BPE: merge semantics, training determinism, artifact round-trip, expression parity") {
+    import graft.llm.Bpe
+    // a rank is ONE leftmost greedy non-overlapping pass
+    assert(Bpe.mergePass(Array("a", "a", "a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "aa", "a"))
+    // ranks apply in order; later ranks consume earlier ranks' symbols
+    assert(Bpe.applyMerges("the", Seq(("t", "h"), ("th", "e"))).toSeq ==
+      Seq("the"))
+    assert(Bpe.applyMerges("ttht", Seq(("t", "h"), ("th", "e"))).toSeq ==
+      Seq("t", "th", "t"))
+    // training: most frequent pair wins, count-weighted, deterministic
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab ab cd"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 3)
+    assert(merges == Seq(("a", "b"), ("ab", "ab"), ("c", "d")))
+    // partition-invariant (the merge loop sees the same ordered vocab)
+    assert(Bpe.train(docs.repartition(5), numMerges = 3) == merges)
+    // the artifact round-trips
+    val dir = tmpDir("bpe") + "/merges"
+    Bpe.save(spark, merges, dir)
+    assert(Bpe.load(spark, dir) == merges)
+    // the native expression IS the driver twin (shared implementation)
+    val got = docs.select(col("doc_id"),
+        graft.functions.native.bpeCount(col("text"), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val want = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> Bpe.countTokens(t, merges) }.toMap
+    assert(got == want && got(1L) == 3L && got(2L) == 3L)
+    // trained merges compress: counts strictly between words and chars
+    val full = Seq((1L, "the theatre then"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.native.bpeCount(col("text"),
+        Bpe.CoreEnglishMerges).as("n")).as[Long].collect().head
+    assert(full > 3L && full < 14L, s"n_bpe=$full")
+  }
+
   test("hash draws scatter sequential ids — no arithmetic-progression stride") {
     import graft.llm.Corpus
     val draws = spark.range(1000)
