@@ -799,6 +799,16 @@ object SparkEntry {
           graft.llm.Bpe.CoreEnglishMerges).as("n_bpe"))
         ),
 
+    // Model-based quality scoring (hashed-BoW logistic classifier) under a
+    // fixed literal model artifact — the oracle recomputes the identical
+    // in-order fold, PolyHash feature index, sigmoid and 6-dp edge round.
+    "quality_model" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        graft.llm.QualityModel.score(col("text"),
+          graft.llm.QualityModel.CoreDemoModel).as("q_model"))
+        ),
+
     // PII scrub over deterministic synthesized contact strings (the corpus
     // itself is PII-free, so the query plants an email/IP/phone per doc and
     // proves the redaction end-to-end, cross-engine).
@@ -1291,8 +1301,23 @@ object SparkEntry {
       "USING (doc_id) ORDER BY doc_id"
   }
 
+  // quality_model oracle generated from the same literal model the query
+  // uses (exact 6-dp decimal weight strings parse to the identical doubles)
+  private lazy val qualityModelOracleSql: String = {
+    val m = graft.llm.QualityModel.CoreDemoModel
+    val wl = m.weights.map(w => f"$w%.6f").mkString("[", ", ", "]")
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS toks FROM documents) " +
+      f"SELECT doc_id, round(1/(1 + exp(-(${m.bias}%.6f + CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(toks, tk -> " +
+      s"$wl[1 + CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, length(tk)), j -> CAST(ascii(substr(tk,j,1)) AS BIGINT))), " +
+      s"(a,b) -> (a*31+b)%1000000007) % ${m.dim} AS INT)])), " +
+      "(a,b) -> a + b) / len(toks) END))), 6) AS q_model FROM t ORDER BY doc_id"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "bpe_tokens" -> bpeOracleSql,
+    "quality_model" -> qualityModelOracleSql,
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 

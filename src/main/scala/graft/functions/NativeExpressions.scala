@@ -333,6 +333,25 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
 }
 
+/** Hashed bag-of-words logistic quality score of a STRING (one tight loop
+  * per row; delegates to [[graft.llm.QualityModel.scoreText]] so the merge
+  * of semantics lives in exactly one place). Weights are a config-sized
+  * literal in the expression tree, like [[BpeCount]]'s merge table.
+  */
+case class QualityScore(child: Expression, weights: Seq[Double], bias: Double)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  private lazy val model =
+    graft.llm.QualityModel.Model(weights.toArray, bias)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(graft.llm.QualityModel.scoreText(
+      input.asInstanceOf[UTF8String].toString, model))
+
+  override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -359,6 +378,10 @@ object native {
   /** BPE token count of a text column under a fixed merge table. */
   def bpeCount(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeCount(expression(c), merges))
+
+  /** Hashed-BoW logistic quality score under a model artifact. */
+  def qualityModelScore(c: Column, m: graft.llm.QualityModel.Model): Column =
+    column(QualityScore(expression(c), m.weights.toSeq, m.bias))
 
   /** Aggregate: elementwise sum of array<double> vectors (map-side combined). */
   def vecsum(c: Column): Column =

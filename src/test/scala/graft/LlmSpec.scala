@@ -727,6 +727,38 @@ class LlmSpec extends SparkSpec {
     assert(full > 3L && full < 14L, s"n_bpe=$full")
   }
 
+  test("quality model: training separates, deterministic, artifact round-trips, parity") {
+    import graft.llm.QualityModel
+    // separable corpus: two disjoint vocabularies
+    val good = (0 until 40).map(i =>
+      (i.toLong, s"insightful analysis of topic$i with careful methods", 1.0))
+    val bad = (40 until 80).map(i =>
+      (i.toLong, s"buy cheap pills now click here winner$i", 0.0))
+    val df = (good ++ bad).toDF("doc_id", "text", "label")
+    val m = QualityModel.train(df, dim = 256, epochs = 20, lr = 1.0)
+    // held-out docs from each vocabulary land on the right side
+    val sGood = QualityModel.scoreText("careful insightful analysis of methods", m)
+    val sBad = QualityModel.scoreText("click here buy cheap pills now", m)
+    assert(sGood > 0.7 && sBad < 0.3, s"good=$sGood bad=$sBad")
+    // deterministic: identical weights from a repartitioned input
+    val m2 = QualityModel.train(df.repartition(7), dim = 256, epochs = 20, lr = 1.0)
+    assert(m2.weights.toSeq == m.weights.toSeq && m2.bias == m.bias)
+    // the artifact round-trips exactly
+    val dir = tmpDir("qmodel") + "/m"
+    QualityModel.save(spark, m, dir)
+    val l = QualityModel.load(spark, dir)
+    assert(l.weights.toSeq == m.weights.toSeq && l.bias == m.bias)
+    // native expression IS the driver twin; empty text scores sigmoid(bias)
+    val docs = Seq((1L, "careful insightful analysis"), (2L, ""),
+      (3L, "buy pills  now")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        QualityModel.score(col("text"), m).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val want = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> QualityModel.scoreText(t, m) }.toMap
+    assert(got == want)
+  }
+
   test("hash draws scatter sequential ids — no arithmetic-progression stride") {
     import graft.llm.Corpus
     val draws = spark.range(1000)
