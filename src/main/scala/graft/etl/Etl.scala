@@ -61,6 +61,77 @@ object Etl {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(out)
   }
 
+  /** Small-file compaction (OPTIMIZE-style table maintenance): rewrite a
+    * parquet directory so files approach `targetFileBytes`. Streaming
+    * sinks and frequent small batches leave thousands of KB-sized files;
+    * at 100 TB the scan's task count — and the namenode/listing cost — is
+    * proportional to FILE count, so compaction is what keeps a
+    * continuously-ingested table scannable. Policy:
+    *
+    *  - target file count = ceil(current bytes / targetFileBytes), from a
+    *    filesystem listing (no data job);
+    *  - hive-partitioned tables compact WITHIN partitions: the rewrite
+    *    repartitions by the partition columns (each output dir gets its
+    *    share of files, no cross-partition mixing) and re-writes with the
+    *    same partitionBy layout;
+    *  - `sortCols` optionally re-applies clustering (e.g. the z-order key
+    *    column list) with a range partitioner, preserving min/max
+    *    prunability through the rewrite;
+    *  - like [[graft.llm.SignatureStore.compact]], the new layout lands in
+    *    a sibling directory and swaps in via rename — readers never see a
+    *    half-written table. Run while no writer is active.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                   targetFileBytes: Long = 128L << 20,
+                   partitionCols: Seq[String] = Nil,
+                   sortCols: Seq[String] = Nil): (Long, Long) = {
+    require(partitionCols.isEmpty || sortCols.isEmpty,
+      "partitioned + sorted compaction is not supported in one pass")
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(fsPath, true)
+    var bytes = 0L
+    var nBefore = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        bytes += f.getLen; nBefore += 1
+      }
+    }
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (partitionCols.nonEmpty) {
+        // files-per-partition-value from a cheap distinct count, so a huge
+        // partition value still splits toward the target size instead of
+        // collapsing into one giant file
+        val nValues = math.max(1L,
+          df.select(partitionCols.map(col): _*).distinct().count())
+        val perValue = math.max(1L, math.round(nFiles.toDouble / nValues))
+        df.withColumn("_slot",
+            pmod(monotonically_increasing_id(), lit(perValue)))
+          .repartition(nFiles, (partitionCols.map(col) :+ col("_slot")): _*)
+          .drop("_slot")
+      } else if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    val w = arranged.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
+    fs.delete(fsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+    val it2 = fs.listFiles(fsPath, true)
+    var nAfter = 0L
+    while (it2.hasNext) {
+      if (it2.next().getPath.getName.endsWith(".parquet")) nAfter += 1
+    }
+    (nBefore, nAfter)
+  }
+
   /** Bucketed silver sink: co-locates the table on `bucketCol` so joins and
     * aggregations on that key skip the shuffle entirely (both sides bucketed
     * with the same count → SortMergeJoin with zero Exchange). At 100 TB this

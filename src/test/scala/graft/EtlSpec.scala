@@ -224,6 +224,47 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("small-file compaction: fewer files, identical relation, layouts preserved") {
+    import org.apache.spark.sql.functions.col
+    // plain table: 64 tiny files → a handful
+    val df = spark.range(10000).select(col("id"),
+      (col("id") % 7).as("k"), (col("id") % 3).cast("string").as("p"))
+    val dir = tmpDir("compact")
+    df.repartition(64).write.mode("overwrite").parquet(dir)
+    val sumBefore = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("id")).collect().head.getLong(0)
+    val (before, after) = Etl.compactFiles(spark, dir, targetFileBytes = 1L << 20)
+    assert(before == 64L && after < 8L, s"$before -> $after")
+    val rd = spark.read.parquet(dir)
+    assert(rd.count() == 10000 &&
+      rd.agg(org.apache.spark.sql.functions.sum("id")).collect().head.getLong(0) == sumBefore)
+    // hive-partitioned: compaction stays within partition dirs
+    val pdir = tmpDir("compactp")
+    df.repartition(16).write.mode("overwrite").partitionBy("p").parquet(pdir)
+    val (pb, pa) = Etl.compactFiles(spark, pdir, targetFileBytes = 1L << 20,
+      partitionCols = Seq("p"))
+    assert(pb == 48L && pa <= 6L, s"$pb -> $pa") // 16 files × 3 partition dirs
+    val prd = spark.read.parquet(pdir)
+    assert(prd.count() == 10000 && prd.select("p").distinct().count() == 3)
+    assert(new java.io.File(pdir).listFiles().map(_.getName).count(_.startsWith("p=")) == 3)
+    // sorted compaction preserves clustering: per-file ranges stay disjoint
+    val zdir = tmpDir("compactz")
+    df.repartition(32).write.mode("overwrite").parquet(zdir)
+    val (_, za) = Etl.compactFiles(spark, zdir, targetFileBytes = 64L << 10,
+      sortCols = Seq("id"))
+    assert(za >= 2L, "need >1 file to check range disjointness")
+    val ranges = spark.read.parquet(zdir).inputFiles.toSeq.map { f =>
+      val r = spark.read.parquet(f).agg(
+        org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("id")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("flatten handles struct-in-array-in-struct nesting") {
     import org.apache.spark.sql.types._
     val inner = StructType(Seq(StructField("c", LongType)))
