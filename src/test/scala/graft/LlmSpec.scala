@@ -759,6 +759,66 @@ class LlmSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ngram LM: training counts, backoff scoring vs reference, partition invariance") {
+    import graft.llm.NgramLm
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "zyx wvu tsr")).toDF("doc_id", "text")
+    // model counts are exact
+    val m = NgramLm.train(docs, n = 2)
+    val counts = m.as[(String, Int, Long)].collect()
+      .map { case (g, k, c) => (g, k) -> c }.toMap
+    assert(counts(("the", 1)) == 4L && counts(("cat", 1)) == 2L &&
+      counts(("the cat", 2)) == 2L && counts(("", 0)) == 14L)
+    // driver-side reference of the pinned semantics
+    val all = Seq((1L, "the cat sat on the mat"), (2L, "the cat ate the fish"),
+      (3L, "zyx wvu tsr"))
+    val toks = all.flatMap(_._2.split(" ").filter(_.nonEmpty))
+    val nTot = toks.size
+    val uni = toks.groupBy(identity).view.mapValues(_.size).toMap
+    val big = all.flatMap(_._2.split(" ").filter(_.nonEmpty).sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    def ref(text: String): (Long, Double) = {
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val terms = tk.indices.map { i =>
+        val s =
+          if (i >= 1 && big.contains(tk(i - 1) + " " + tk(i)))
+            big(tk(i - 1) + " " + tk(i)).toDouble / uni(tk(i - 1))
+          else {
+            val base = uni.get(tk(i)).map(_.toDouble / nTot)
+              .getOrElse(1.0 / nTot)
+            base * (if (i >= 1) 0.4 else 1.0)
+          }
+        val t = math.log(s) / math.log(10) * 1e6
+        if (t >= 0) math.floor(t + 0.5).toLong
+        else -math.floor(-t + 0.5).toLong
+      }
+      val sc = -terms.sum.toDouble / (tk.length * 1e6)
+      (tk.length.toLong, math.floor(sc * 1e6 + 0.5) / 1e6)
+    }
+    val want = all.map { case (id, t2) => id -> ref(t2) }.toMap
+    val got = NgramLm.score(docs, m, n = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n2, s2) => id -> ((n2, s2)) }.toMap
+    assert(got == want, s"got=$got want=$want")
+    // fluent text (seen bigrams) scores lower than the gibberish-vocab doc
+    assert(got(1L)._2 < got(3L)._2 && got(2L)._2 < got(3L)._2)
+    // partition invariance (integer micro-terms)
+    val again = NgramLm.score(docs.repartition(7),
+        NgramLm.train(docs.repartition(3), n = 2), n = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n2, s2) => id -> ((n2, s2)) }.toMap
+    assert(again == got)
+    // the model artifact round-trips
+    val dir = tmpDir("ngramlm") + "/m"
+    NgramLm.save(m, dir)
+    val l = NgramLm.load(spark, dir)
+    assert(l.as[(String, Int, Long)].collect().sorted.toSeq ==
+      m.as[(String, Int, Long)].collect().sorted.toSeq)
+  }
+
   test("hash draws scatter sequential ids — no arithmetic-progression stride") {
     import graft.llm.Corpus
     val draws = spark.range(1000)
