@@ -128,6 +128,38 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** ALL word n-grams of an array<string>, multiplicity kept and document
+  * order preserved (contrast [[WordShingles]], which dedupes for set
+  * signatures and pads short docs): exactly the `len − n + 1` space-joined
+  * windows, empty when the doc is shorter than n. The counting kernel of
+  * [[graft.llm.NgramLm]] — the interpreted transform/slice/array_join
+  * equivalent measured 4× slower at sf0.1.
+  */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nWindows = math.max(0, arr.numElements() - (n - 1))
+    val out = new Array[AnyRef](nWindows)
+    var i = 0
+    while (i < nWindows) {
+      val w = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { w(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, w: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordGrams = copy(child = c)
+}
+
 /** Random-hyperplane LSH bucket key of an array<double> vector: bit p of
   * the result is the sign of the dot product with pseudo-random plane p,
   * whose components ([[PolyHash.planeComponent]]) are splitmix64-derived in
@@ -360,6 +392,7 @@ object native {
 
   def simhash60(c: Column): Column = column(SimHash60(expression(c)))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
+  def wordGrams(c: Column, n: Int): Column = column(WordGrams(expression(c), n))
   def lshKey(c: Column, nBits: Int): Column = column(HyperplaneLshKey(expression(c), nBits))
   def minhashSig(c: Column, numHashes: Int): Column =
     column(MinHashSig(expression(c), numHashes))

@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   *    S_i = c_k / ctx_k for the LARGEST k ≤ k_max with c_k > 0 (ctx_1 =
   *    total token count N), multiplied by alpha^(k_max − k); an unseen
   *    unigram floors at alpha^(k_max − 1) / N;
-  *  - per-token term = floor(log10(S_i)·1e6 − 0.5 sign-aware)… no: terms
-  *    are negative, so each is rounded to micro-units with the binary-value
-  *    formula of [[graft.functions.Rounding.dround]] and summed as exact
-  *    BIGINTs (partition-invariant, the PSI pattern);
+  *  - per-token term = log10(S_i) rounded to micro-units with the
+  *    sign-aware binary-value formula of
+  *    [[graft.functions.Rounding.dround]], summed as exact BIGINTs
+  *    (partition-invariant, the PSI pattern);
   *  - doc score = round(−Σ terms / (n_tok·1e6), 6) — mean negative log10
   *    probability per token (lower = more fluent under the model).
   */
@@ -40,23 +40,20 @@ object NgramLm {
   def train(df: DataFrame, textCol: String = "text", n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 5, s"order must be in [1, 5], got $n")
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    // gram extraction is the native WordGrams kernel (all occurrences, doc
+    // order) — the interpreted HOF form was the dominant training cost
     val grams = (1 to n).map { k =>
-      df.select(explode(gramsOf(toks, k)).as("gram"))
+      df.select(explode(
+          graft.functions.native.wordGrams(toks, k)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("cnt"))
         .select(col("gram"), lit(k).as("k"), col("cnt"))
     }
-    val total = df.select(explode(toks).as("t"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(lit("").as("gram"), lit(0).as("k"), col("cnt"))
+    // N = Σ unigram counts: derived, not a third corpus scan
+    val total = grams.head.agg(sum("cnt").as("cnt"))
+      .select(lit("").as("gram"), lit(0).as("k"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
     grams.reduce(_ unionByName _).unionByName(total)
   }
-
-  /** All k-gram strings of a token array (space-joined runs). */
-  private def gramsOf(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k), i =>
-        array_join(slice(toks, i + 1, lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
 
   def save(model: DataFrame, path: String): Unit =
     model.write.mode("overwrite").parquet(path)
@@ -73,38 +70,68 @@ object NgramLm {
             alpha: Double = 0.4): DataFrame = {
     require(n >= 1 && n <= 5, s"order must be in [1, 5], got $n")
     val spark = df.sparkSession
+    // One materialization of the model relation: it feeds 2n−1 joins, and
+    // without this each join leg re-runs the training aggregates (or the
+    // load). localCheckpoint truncates the lineage; the blocks are
+    // vocabulary-sized and the ContextCleaner frees them with the plan.
+    val m = model.localCheckpoint()
+    // A checkpointed relation carries no size statistics, so Spark would
+    // sort-merge every model join even when a slice is kilobytes. Count
+    // rows per order over the cached blocks (one tiny job) and broadcast
+    // the slices that fit; a web-scale model keeps the keyed shuffle.
+    val sliceRows: Map[Int, Long] = m.groupBy("k").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def modelSlice(k: Int): DataFrame = {
+      val s = m.where(col("k") === k)
+      if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
+    }
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
-    // one row per token position, carrying every gram ending at it and
-    // every context gram before it (k = 2..n)
-    val posCols = Seq(col(idCol), col("_i")) ++
-      (1 to n).map(k => when(col("_i") >= k - 1,
-        array_join(slice(col("_toks"), col("_i") - (k - 1) + 1, lit(k)), " "))
-        .as(s"_g$k")) ++
-      (2 to n).map(k => when(col("_i") >= k - 1,
-        array_join(slice(col("_toks"), col("_i") - (k - 1) + 1, lit(k - 1)), " "))
-        .as(s"_c$k"))
-    val pos = df
+    // One row per token position, identified only by the HIGHEST-order gram
+    // ending there (its k_max-gram string) — every lower-order gram and
+    // context is a codegen'd substring_index over that one string, so the
+    // exploded relation is NARROW (id, gram, k_max): no position index, no
+    // gram arrays travelling through the explode. Positions i ≥ n−1 are the
+    // exploded order-n gram array (native kernel, one per doc); the n−1
+    // boundary positions are one tiny union leg each (the first i+1 tokens).
+    val withGa = df
       .select(col(idCol), toks.as("_toks"))
       .where(size(col("_toks")) > 0)
-      .select(col(idCol), col("_toks"),
-        explode(sequence(lit(0), size(col("_toks")) - 1)).as("_i"))
-      .select(posCols: _*)
+    val main = withGa.select(col(idCol),
+      explode(graft.functions.native.wordGrams(col("_toks"), n)).as("_gs"),
+      lit(n).as("_kmax"))
+    val boundary = (0 until n - 1).map { i =>
+      withGa.where(size(col("_toks")) > i)
+        .select(col(idCol),
+          array_join(slice(col("_toks"), 1, i + 1), " ").as("_gs"),
+          lit(i + 1).as("_kmax"))
+    }
+    val posRaw = (boundary :+ main).reduce(_ unionByName _)
+    // gram of order k ending at the position = last k words of _gs; its
+    // context = the k−1 words before the last
+    def gk(k: Int): Column =
+      when(col("_kmax") >= k, substring_index(col("_gs"), " ", -k))
+    def ck(k: Int): Column =
+      when(col("_kmax") >= k,
+        substring_index(substring_index(col("_gs"), " ", -k), " ", k - 1))
+    val pos = posRaw.select(Seq(col(idCol), col("_kmax")) ++
+      (1 to n).map(k => gk(k).as(s"_g$k")) ++
+      (2 to n).map(k => ck(k).as(s"_c$k")): _*)
     // total token count N: the model's k=0 row (broadcast scalar)
     val joined0 = pos.crossJoin(broadcast(
-      model.where(col("k") === 0).select(col("cnt").as("_N"))))
+      m.where(col("k") === 0).select(col("cnt").as("_N"))))
     // one keyed left join per gram/context column, against the right order
     val withCounts = (1 to n).foldLeft(joined0) { case (d, k) =>
-      d.join(broadcastIfSmall(model.where(col("k") === k)
-          .select(col("gram").as(s"_g$k"), col("cnt").as(s"_n$k"))),
+      d.join(modelSlice(k)
+          .select(col("gram").as(s"_g$k"), col("cnt").as(s"_n$k")),
         Seq(s"_g$k"), "left")
     }
     val withCtx = (2 to n).foldLeft(withCounts) { case (d, k) =>
-      d.join(broadcastIfSmall(model.where(col("k") === (k - 1))
-          .select(col("gram").as(s"_c$k"), col("cnt").as(s"_x$k"))),
+      d.join(modelSlice(k - 1)
+          .select(col("gram").as(s"_c$k"), col("cnt").as(s"_x$k")),
         Seq(s"_c$k"), "left")
     }
     // largest available order wins; each level dropped multiplies by alpha
-    val kMax = least(lit(n), col("_i") + 1)
+    val kMax = col("_kmax")
     val sCases = (n to 2 by -1).map { k =>
       (col(s"_n$k").isNotNull && kMax >= k,
         col(s"_n$k").cast("double") / col(s"_x$k"),
@@ -127,7 +154,7 @@ object NgramLm {
       when(t >= 0, floor(t + 0.5)).otherwise(-floor(-t + 0.5)).cast("long")
     }
     withCtx
-      .select(col(idCol), col("_i"), termMicros.as("_tm"))
+      .select(col(idCol), termMicros.as("_tm"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tok"), sum("_tm").as("_sum"))
       .select(col(idCol), col("n_tok"),
@@ -136,9 +163,9 @@ object NgramLm {
           .as("lm_score"))
   }
 
-  /** The model's per-order slices are usually vocabulary-sized; leave the
-    * broadcast decision to Spark/AQE (the join stays a keyed shuffle when
-    * the slice is big) — this hook exists so tests can pin either shape.
+  /** Model slices at or under this row count are broadcast (a gram row is
+    * tens of bytes — 2M rows ≈ low hundreds of MB of executor memory);
+    * bigger slices join as keyed shuffles.
     */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+  val MaxBroadcastRows: Long = 2000000L
 }
