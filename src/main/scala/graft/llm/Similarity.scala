@@ -270,4 +270,122 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- Product quantization (the IVF-PQ memory story at 100 TB: a PQ
+  // code is m bytes per vector, so ADC search touches ~1e-3 of the raw
+  // vector bytes and the original embeddings never enter the probe plan)
+
+  /** A built PQ index: `(sub, code, cvec)` codebooks (m × kCodes rows) +
+    * `(id, sub, code)` codes — like [[IvfIndex]], an offline artifact
+    * built once and probed many times.
+    */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame) {
+    def save(path: String): Unit = {
+      codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+    }
+    def unpersist(): Unit = { codebooks.unpersist(); codes.unpersist(); () }
+  }
+
+  /** Train per-subspace codebooks and encode the corpus. The vector splits
+    * into `m` subvectors of dim/m dims; each subspace runs the SAME
+    * deterministic k-means as [[ivfIndex]] (id-mod-k init, 6-dp-rounded
+    * means, (distance, code) tie-break) — but all m subspaces train in ONE
+    * job family with `sub` in the aggregation key, not m sequential passes.
+    * Returns `(codes (id, sub, code), codebooks (sub, code, cvec))`.
+    */
+  def pqIndex(embs: DataFrame, m: Int, kCodes: Int, iters: Int = 0,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    val v0 = embs.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
+    val dim = v0.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val d = dim / m
+    val sv = v0.select(col("id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("v"), j * d + 1, d)): _*)))
+      .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
+    var assign = sv.select(col("id"), col("sub"),
+      pmod(col("id"), lit(kCodes)).cast("int").as("code"))
+    var prev: DataFrame = null
+    var codebooks: DataFrame = null
+    for (it <- 0 to iters) {
+      if (it > 0) {
+        assign = assign.cache(); assign.count()
+        if (prev != null) prev.unpersist()
+        prev = assign
+      }
+      codebooks = sv.join(assign, Seq("id", "sub"))
+        .groupBy("sub", "code")
+        .agg(graft.functions.native.vecsum(col("sv")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"),
+          transform(col("s"), x =>
+            graft.functions.Rounding.dround(x / col("n"), 6)).as("cvec"))
+      val pd = squaredL2(col("sv"), col("cvec"))
+      assign = sv.join(broadcast(codebooks), "sub")
+        .select(col("id"), col("sub"), col("code"), pd.as("pd"))
+        .groupBy("id", "sub")
+        .agg(min_by(col("code"), struct(col("pd"), col("code"))).as("code"))
+    }
+    (assign.select(col("id"), col("sub"), col("code")), codebooks)
+  }
+
+  /** ||a − c||² by the expansion a·a − 2a·c + c·c — three in-order native
+    * dot products, the composition both engines evaluate identically.
+    */
+  private def squaredL2(a: Column, c: Column): Column =
+    graft.functions.native.dotd(a, a) -
+      lit(2.0) * graft.functions.native.dotd(a, c) +
+      graft.functions.native.dotd(c, c)
+
+  /** Build and MATERIALIZE the PQ index (cache + count), like
+    * [[buildIvfIndex]].
+    */
+  def buildPqIndex(embs: DataFrame, m: Int, kCodes: Int, iters: Int = 0,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+      : PqIndex = {
+    val (codes, books) = pqIndex(embs, m, kCodes, iters, idCol, vecCol)
+    val c = codes.persist(); val b = books.persist()
+    b.count(); c.count()
+    PqIndex(b, c)
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
+    PqIndex(spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"))
+
+  /** Asymmetric-distance (ADC) top-k through a prebuilt [[PqIndex]]: the
+    * query builds an m × kCodes distance table against the codebooks (one
+    * broadcast-scalar job shape), and the ONLY corpus-sized input is the
+    * codes relation — approximate L2² per doc = Σ table[sub][code], summed
+    * as micro-unit BIGINTs (partition-invariant). The raw embeddings are
+    * never read: this is the plan that works when the vectors themselves
+    * are 100× too big to scan per query. Returns `(idCol, dist)` ascending.
+    */
+  def pqTopK(index: PqIndex, query: DataFrame, k: Int,
+             idCol: String = "vec_id", scale: Int = 6): DataFrame = {
+    val books = index.codebooks
+    val meta = books.agg(countDistinct("sub").as("m"),
+      first(size(col("cvec"))).as("d")).head
+    val (m, d) = (meta.getLong(0).toInt, meta.getInt(1))
+    val qsv = query.select(
+        posexplode(array((0 until m).map(j =>
+          slice(asD(col("qvec")), j * d + 1, d)): _*)))
+      .select(col("pos").as("sub"), col("col").as("qs"))
+    val pdMicros = {
+      val t = squaredL2(col("qs"), col("cvec")) * 1e6
+      when(t >= 0, floor(t + 0.5)).otherwise(-floor(-t + 0.5)).cast("long")
+    }
+    val dt = qsv.join(books, "sub")
+      .select(col("sub"), col("code"), pdMicros.as("_pm"))
+    index.codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy("id")
+      .agg(sum("_pm").as("_s"))
+      .select(col("id").as(idCol),
+        graft.functions.Rounding.dround(col("_s").cast("double") / 1e6, scale)
+          .as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
 }

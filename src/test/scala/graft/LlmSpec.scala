@@ -727,6 +727,43 @@ class LlmSpec extends SparkSpec {
     assert(full > 3L && full < 14L, s"n_bpe=$full")
   }
 
+  test("PQ index: ADC top-k ranks the planted class, probe never reads vectors") {
+    import graft.llm.Similarity
+    // two well-separated classes with small within-class jitter
+    val vecs = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(16)(j =>
+        base * (1.0f + (j % 3)) + (i % 7) * 0.01f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.buildPqIndex(df, m = 4, kCodes = 4)
+    assert(idx.codes.count() == 800L && idx.codebooks.count() == 16L)
+    // a literal query from class 0 (not derived from the corpus relation,
+    // so the probe plan assertion below is meaningful)
+    val q = Seq(Tuple1(vecs.head._2)).toDF("qvec")
+    val top = Similarity.pqTopK(idx, q, 20).as[(Long, Double)].collect()
+    assert(top.length == 20)
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.toSeq) // ascending
+    // the planted class dominates: ADC under 4x4 codebooks separates the
+    // two far-apart classes even with within-class jitter
+    assert(top.count(_._1 % 2 == 0) == 20, top.map(_._1).toSeq.toString)
+    // THE PQ property: the probe plan reads codes + codebooks only — the
+    // raw embedding column appears nowhere
+    val plan = Similarity.pqTopK(idx, q, 5).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("embedding"), "ADC probe must not read raw vectors")
+    // deterministic under repartitioning (6-dp codebooks, tie-broken codes)
+    val idx2 = Similarity.buildPqIndex(df.repartition(7), m = 4, kCodes = 4)
+    assert(idx2.codes.as[(Long, Int, Int)].collect().toSet ==
+      idx.codes.as[(Long, Int, Int)].collect().toSet)
+    // artifact round-trip
+    val dir = tmpDir("pq") + "/idx"
+    idx.save(dir)
+    val l = Similarity.loadPqIndex(spark, dir)
+    assert(Similarity.pqTopK(l, q, 20).as[(Long, Double)].collect().toSeq ==
+      top.toSeq)
+    idx.unpersist(); idx2.unpersist()
+  }
+
   test("quality model: training separates, deterministic, artifact round-trips, parity") {
     import graft.llm.QualityModel
     // separable corpus: two disjoint vocabularies
