@@ -409,6 +409,45 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus scoring: BPE counts, quality model, and LM scores on a doc stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{Bpe, NgramLm, QualityModel}
+    // a static model trained offline + a stream of new documents — the
+    // production shape: scoring expressions are stateless per-row maps
+    // (bpe/quality) or stream-static joins (LM), so they run unchanged in
+    // a readStream pipeline
+    val history = Seq((1L, "the cat sat on the mat"), (2L, "the cat ate"))
+      .toDF("doc_id", "text")
+    val lm = NgramLm.train(history, n = 2).localCheckpoint()
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val scored = docs.select(col("doc_id"),
+      graft.functions.native.bpeCount(col("text"), Bpe.CoreEnglishMerges)
+        .as("n_bpe"),
+      QualityModel.score(col("text"), QualityModel.CoreDemoModel)
+        .as("q_model"))
+    val q = scored.writeStream.format("memory").queryName("scored_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "the cat sat"), (11L, ""))
+      q.processAllAvailable()
+      val got = spark.table("scored_stream").as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      // batch parity: identical values from the same expressions on a batch
+      val want = Seq((10L, "the cat sat"), (11L, "")).map { case (id, t) =>
+        id -> ((Bpe.countTokens(t, Bpe.CoreEnglishMerges),
+          QualityModel.scoreText(t, QualityModel.CoreDemoModel)))
+      }.toMap
+      assert(got == want)
+    } finally q.stop()
+    // LM scoring of a micro-batch against the static model (foreachBatch
+    // shape: per-batch stream-static joins + a batch-local aggregate)
+    val batch = Seq((20L, "the cat sat"), (21L, "zz qq")).toDF("doc_id", "text")
+    val scores = NgramLm.score(batch, lm, n = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scores(20L) < scores(21L), s"fluent < gibberish: $scores")
+  }
+
   test("streaming exact dedup: duplicates dropped, state GC'd past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
