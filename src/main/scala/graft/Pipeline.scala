@@ -119,20 +119,53 @@ object Pipeline {
       s"${binRow.getLong(0)} docs packed into ${binRow.getLong(1)} context bins; " +
       s"$nBudget docs inside the 10k-token quality budget")
 
+    // 3b. model-based scoring artifacts trained on the corpus itself:
+    //     a BPE merge table, a quality classifier, an n-gram LM — each a
+    //     persisted config-sized artifact; scoring is columnar
+    val merges = graft.llm.Bpe.train(docs, numMerges = 50)
+    graft.llm.Bpe.save(spark, merges, s"$outDir/bpe_merges")
+    val lm = graft.llm.NgramLm.train(docs, n = 2)
+    graft.llm.NgramLm.save(lm, s"$outDir/lm_model")
+    // demo labels: learn to recognize English from hashed BoW — the same
+    // mechanics as a real quality/reference classifier, with a label that
+    // is actually learnable from this corpus
+    val labeled = docs.withColumn("label",
+      (col("lang") === "en").cast("double"))
+    val qm = graft.llm.QualityModel.train(labeled, dim = 1 << 10, epochs = 3)
+    graft.llm.QualityModel.save(spark, qm, s"$outDir/quality_model")
+    val scoredDocs = graft.llm.NgramLm.score(docs,
+        graft.llm.NgramLm.load(spark, s"$outDir/lm_model"), n = 2)
+      .join(docs.select(col("doc_id"),
+        graft.functions.native.bpeCount(col("text"),
+          graft.llm.Bpe.load(spark, s"$outDir/bpe_merges")).as("n_bpe"),
+        graft.llm.QualityModel.score(col("text"),
+          graft.llm.QualityModel.load(spark, s"$outDir/quality_model"))
+          .as("q_model")), "doc_id")
+    val sRow = scoredDocs.agg(avg("lm_score"), avg("q_model"),
+      sum("n_bpe")).collect().head
+    println(f"[pipeline] scoring: ${merges.size} BPE merges " +
+      f"(${sRow.getLong(2)} subword tokens corpus-wide), " +
+      f"mean lm_score=${sRow.getDouble(0)}%.3f, mean q_model=${sRow.getDouble(1)}%.3f")
+
     // 4. similarity over embeddings: exact baseline + a persisted IVF index
+    //    + the PQ/ADC path whose probe never reads the raw vectors
     val embs = Tables(spark, sfDir, "embeddings")
     val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
     val top = Similarity.topK(embs, q, 5).collect()
     val idx = Similarity.buildIvfIndex(embs, kClusters = 8)
     val ivfTop = Similarity.ivfTopK(idx, embs, q, 5, nprobe = 2,
       "vec_id", "embedding", 6).collect()
+    val pq = Similarity.buildPqIndex(embs, m = 8, kCodes = 16)
+    val pqTop = Similarity.pqTopK(pq, q, 5).collect()
     // semantic dedup blocks pairs by the index's learned clusters
     val nSem = Similarity.nearDupPairs(
       embs.join(idx.assignments.withColumnRenamed("id", "vec_id"), "vec_id"),
       partCol = "cluster").count()
-    idx.unpersist()
+    idx.unpersist(); pq.unpersist()
     println(s"[pipeline] similarity: exact top-5 ${top.map(_.getLong(0)).mkString(",")}; " +
-      s"ivf top-5 ${ivfTop.map(_.getLong(0)).mkString(",")}; $nSem semantic near-dup pairs")
+      s"ivf top-5 ${ivfTop.map(_.getLong(0)).mkString(",")}; " +
+      s"pq/adc top-5 ${pqTop.map(_.getLong(0)).mkString(",")}; " +
+      s"$nSem semantic near-dup pairs")
     println(s"[pipeline] counters:\n${dq.renderPrometheus()}")
     spark.stop()
   }
