@@ -856,6 +856,24 @@ class LlmSpec extends SparkSpec {
       m.as[(String, Int, Long)].collect().sorted.toSeq)
   }
 
+  test("trainers degrade gracefully on an empty corpus") {
+    import graft.llm.{Bpe, NgramLm, QualityModel}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // BPE: no words → no merges (not an exception or a junk merge)
+    assert(Bpe.train(empty, numMerges = 10) == Seq.empty)
+    // LM: the model is just the N=0 total row; no gram rows
+    val m = NgramLm.train(empty, n = 2).as[(String, Int, Long)].collect()
+    assert(m.toSeq == Seq(("", 0, 0L)))
+    // classifier: zero updates → zero weights, bias 0 → every score 0.5
+    val qm = QualityModel.train(
+      empty.withColumn("label", lit(1.0)), dim = 16, epochs = 2)
+    assert(qm.weights.forall(_ == 0.0) && qm.bias == 0.0)
+    assert(QualityModel.scoreText("anything at all", qm) == 0.5)
+    // scoring an empty doc relation under any model yields an empty result
+    assert(NgramLm.score(empty, NgramLm.train(
+      Seq((1L, "a b")).toDF("doc_id", "text"), n = 2), n = 2).count() == 0L)
+  }
+
   test("hash draws scatter sequential ids — no arithmetic-progression stride") {
     import graft.llm.Corpus
     val draws = spark.range(1000)
