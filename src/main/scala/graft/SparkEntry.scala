@@ -960,6 +960,12 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n_docs"))
         ),
 
+    // Temperature-scaled mixing rates (p_s ∝ n_s^0.7 against a token
+    // budget) — the solver that PRODUCES mixWeighted's rate table.
+    "corpus_mix_rates" -> ((s, d) =>
+      graft.llm.Corpus.mixRates(t(s, d, "documents"),
+        tokens = TextStats.tokenCount(col("text")), budget = 30000L)),
+
     // Sequence packing: per-lang greedy token-budget bins via two-level
     // (lang, hash-shard) windows + broadcast shard offsets — a one-language
     // corpus still packs nShards-parallel, never one global sort task.
@@ -1827,6 +1833,15 @@ object SparkEntry {
         "(CASE WHEN source = 'src0' THEN 1.0 WHEN source = 'src1' THEN 0.5 " +
         "WHEN source = 'src2' THEN 0.25 ELSE 0.0 END) " +
         "GROUP BY source ORDER BY source"),
+
+    "corpus_mix_rates" ->
+      ("WITH ps AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.7) AS wv FROM ps), " +
+        "t AS (SELECT source, n_tokens, wv, SUM(wv) OVER (ORDER BY source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tot FROM w) " +
+        "SELECT source, n_tokens, round(least(1.0, 30000.0 * wv / (tot * n_tokens)), 6) AS rate " +
+        "FROM t ORDER BY source"),
 
     // Replays the two-level shard packing as ONE window in (shard, id)
     // order — the decomposition is exact, so the single-window prefix is

@@ -73,6 +73,37 @@ object Corpus {
     df.where(hashUnit(col(idCol), seed) < rate)
   }
 
+  /** Temperature-scaled mixing rates — the standard multilingual/multi-
+    * source sampling recipe (p_s ∝ n_s^τ, Conneau et al. 2020 "Unsupervised
+    * Cross-lingual Representation Learning at Scale", public): τ = 1
+    * preserves natural proportions, τ → 0 flattens toward uniform, and the
+    * per-source keep rate is scaled so the EXPECTED sampled volume hits
+    * `budget` tokens (capped at 1 — a source cannot be over-sampled).
+    * Output `(groupCol, n_tokens, rate)` feeds [[mixWeighted]].
+    *
+    * Scale shape: one keyed aggregate (map-side combined) produces the
+    * per-source relation; the normalizing sum runs in a window over THAT
+    * relation — bounded by source cardinality, never corpus size — ordered
+    * by the group value so the float total is deterministic and
+    * engine-identical. The rate is rounded once at the edge (6 dp,
+    * binary-value) to absorb pow()'s cross-libm ulp.
+    */
+  def mixRates(df: DataFrame, tokens: Column, budget: Long,
+               groupCol: String = "source",
+               temperature: Double = 0.7): DataFrame = {
+    require(temperature >= 0.0, s"temperature must be >= 0, got $temperature")
+    val ps = df.groupBy(groupCol).agg(sum(tokens.cast("long")).as("n_tokens"))
+    val win = Window.orderBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ps.withColumn("_w", pow(col("n_tokens").cast("double"), lit(temperature)))
+      .withColumn("_tot", sum("_w").over(win))
+      .select(col(groupCol), col("n_tokens"),
+        graft.functions.Rounding.dround(
+          least(lit(1.0),
+            lit(budget.toDouble) * col("_w") / (col("_tot") * col("n_tokens"))),
+          6).as("rate"))
+  }
+
   /** Per-row weighted sample: keep a row iff its hash draw falls below the
     * row's own keep probability (clamped to [0,1]) — quality-proportional
     * downsampling, the "keep good documents more often" gate of a curation

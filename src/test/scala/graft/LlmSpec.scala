@@ -856,6 +856,39 @@ class LlmSpec extends SparkSpec {
       m.as[(String, Int, Long)].collect().sorted.toSeq)
   }
 
+  test("temperature mixing rates: tau endpoints, budget calibration, feeds mixWeighted") {
+    import graft.llm.Corpus
+    // three sources with 10:3:1 token volumes
+    val docs = ((0 until 1000).map(i => (i.toLong, "a b c d e", "big")) ++
+      (1000 until 1300).map(i => (i.toLong, "a b c d e", "mid")) ++
+      (1300 until 1400).map(i => (i.toLong, "a b c d e", "small")))
+      .toDF("doc_id", "text", "source")
+    val tok = org.apache.spark.sql.functions.size(split(col("text"), " "))
+    // tau = 1: natural proportions → every source gets the SAME rate
+    val r1 = Corpus.mixRates(docs, tok, budget = 3500L, "source", 1.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(r1.values.toSet.size == 1 && math.abs(r1("big") - 0.5) < 1e-6, r1.toString)
+    // tau = 0: uniform weights → rate inversely proportional to volume
+    val r0 = Corpus.mixRates(docs, tok, budget = 1500L, "source", 0.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(r0("big") * 5000 - 500.0) < 1e-2 &&
+      math.abs(r0("small") * 500 - 500.0) < 1e-2, r0.toString)
+    // small sources cap at 1.0 — never over-sampled
+    assert(r0("small") == 1.0)
+    // 0 < tau < 1 lands between: big downsampled less than uniform, small
+    // boosted relative to natural
+    val r7 = Corpus.mixRates(docs, tok, budget = 3500L, "source", 0.7)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(r7("small") > r7("mid") && r7("mid") > r7("big"), r7.toString)
+    // expected sampled volume ≈ budget (within capping error)
+    val exp = Seq("big" -> 5000L, "mid" -> 1500L, "small" -> 500L)
+      .map { case (s, n) => r7(s) * n }.sum
+    assert(math.abs(exp - 3500.0) < 40.0, s"expected tokens $exp")
+    // the rates table drives mixWeighted end to end
+    val kept = Corpus.mixWeighted(docs, r7).count()
+    assert(kept > 500 && kept < 900, s"kept $kept docs")
+  }
+
   test("trainers degrade gracefully on an empty corpus") {
     import graft.llm.{Bpe, NgramLm, QualityModel}
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
