@@ -834,6 +834,15 @@ object SparkEntry {
         graft.llm.NgramLm.train(docs, n = 2), n = 2)
     }),
 
+    // Order-3 variant of lm_score: proves the scorer is order-general (the
+    // trigram → bigram → unigram backoff chain with alpha¹/alpha² drops),
+    // and exercises the folded single-scan position relation at n > 2.
+    "lm_score_tri" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.NgramLm.score(docs,
+        graft.llm.NgramLm.train(docs, n = 3), n = 3)
+    }),
+
     // PII scrub over deterministic synthesized contact strings (the corpus
     // itself is PII-free, so the query plants an email/IP/phone per doc and
     // proves the redaction end-to-end, cross-engine).
@@ -1401,10 +1410,46 @@ object SparkEntry {
       "round(-SUM(t)/(count(*) * 1000000.0), 6) AS lm_score " +
       "FROM tm GROUP BY doc_id ORDER BY doc_id"
 
+  // lm_score_tri oracle: the order-3 replay. Same count tables plus the
+  // trigram relation; the backoff CASE picks the largest available order and
+  // multiplies the drop penalty as REPEATED LITERAL PRODUCTS (0.4*0.4), the
+  // exact construction NgramLm.alphaPow uses — never libm pow().
+  private val lmScoreTriOracleSql: String =
+    "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents), " +
+      "tv AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0), " +
+      "u0 AS (SELECT unnest(tk) AS g FROM tv), " +
+      "u AS (SELECT g, count(*) AS c FROM u0 GROUP BY g), " +
+      "nn AS (SELECT count(*) AS n FROM u0), " +
+      "b0 AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM tv WHERE len(tk) >= 2), " +
+      "big AS (SELECT array_to_string(tk[i:i+1], ' ') AS g, count(*) AS c FROM b0 GROUP BY 1), " +
+      "t0 AS (SELECT tk, unnest(generate_series(1, len(tk) - 2)) AS i FROM tv WHERE len(tk) >= 3), " +
+      "tri AS (SELECT array_to_string(tk[i:i+2], ' ') AS g, count(*) AS c FROM t0 GROUP BY 1), " +
+      "p0 AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM tv), " +
+      "pos AS (SELECT doc_id, i, tk[i] AS w1, " +
+      "CASE WHEN i >= 2 THEN array_to_string(tk[i-1:i], ' ') END AS g2, " +
+      "CASE WHEN i >= 2 THEN tk[i-1] END AS c2, " +
+      "CASE WHEN i >= 3 THEN array_to_string(tk[i-2:i], ' ') END AS g3, " +
+      "CASE WHEN i >= 3 THEN array_to_string(tk[i-2:i-1], ' ') END AS c3 FROM p0), " +
+      "sc AS (SELECT pos.doc_id, " +
+      "CASE WHEN i >= 3 AND t3.c IS NOT NULL THEN CAST(t3.c AS DOUBLE) / b3.c " +
+      "WHEN i >= 2 AND b.c IS NOT NULL THEN (CAST(b.c AS DOUBLE) / cu.c) * (CASE WHEN i >= 3 THEN 0.4 ELSE 1.0 END) " +
+      "WHEN u1.c IS NOT NULL THEN (CAST(u1.c AS DOUBLE) / nn.n) * (CASE WHEN i >= 3 THEN 0.4*0.4 WHEN i = 2 THEN 0.4 ELSE 1.0 END) " +
+      "ELSE (1.0 / nn.n) * (CASE WHEN i >= 3 THEN 0.4*0.4 WHEN i = 2 THEN 0.4 ELSE 1.0 END) END AS s " +
+      "FROM pos LEFT JOIN tri t3 ON t3.g = pos.g3 LEFT JOIN big b3 ON b3.g = pos.c3 " +
+      "LEFT JOIN big b ON b.g = pos.g2 LEFT JOIN u cu ON cu.g = pos.c2 " +
+      "LEFT JOIN u u1 ON u1.g = pos.w1 CROSS JOIN nn), " +
+      "tm AS (SELECT doc_id, CASE WHEN ln(s)/ln(10) * 1000000.0 >= 0 " +
+      "THEN floor(ln(s)/ln(10) * 1000000.0 + 0.5) " +
+      "ELSE -floor(-(ln(s)/ln(10) * 1000000.0) + 0.5) END AS t FROM sc) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+      "round(-SUM(t)/(count(*) * 1000000.0), 6) AS lm_score " +
+      "FROM tm GROUP BY doc_id ORDER BY doc_id"
+
   def oracleSql: Map[String, String] = Map(
     "bpe_tokens" -> bpeOracleSql,
     "quality_model" -> qualityModelOracleSql,
     "lm_score" -> lmScoreOracleSql,
+    "lm_score_tri" -> lmScoreTriOracleSql,
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 

@@ -78,8 +78,12 @@ object Etl {
     *    column list) with a range partitioner, preserving min/max
     *    prunability through the rewrite;
     *  - like [[graft.llm.SignatureStore.compact]], the new layout lands in
-    *    a sibling directory and swaps in via rename — readers never see a
-    *    half-written table. Run while no writer is active.
+    *    a sibling directory and swaps in via a THREE-step rename (old aside
+    *    → new in → delete old) so the canonical path is only ever absent
+    *    for the instant between two renames, never for the duration of a
+    *    delete — and a crash mid-swap leaves a complete copy at either the
+    *    canonical path or a recovery sibling ([[recoverCompaction]] puts it
+    *    back). Run while no writer is active.
     *
     * Returns (filesBefore, filesAfter).
     */
@@ -110,8 +114,13 @@ object Etl {
         val nValues = math.max(1L,
           df.select(partitionCols.map(col): _*).distinct().count())
         val perValue = math.max(1L, math.round(nFiles.toDouble / nValues))
+        // The slot must be DETERMINISTIC in row content: a repartition keyed
+        // on monotonically_increasing_id() re-deals rows differently when a
+        // map task is recomputed after executor loss (SPARK-23207), and in a
+        // rewrite that then deletes the original data that means silent
+        // row loss/duplication. hash(all columns) is stable under retry.
         df.withColumn("_slot",
-            pmod(monotonically_increasing_id(), lit(perValue)))
+            pmod(hash(df.columns.map(col): _*), lit(perValue.toInt)))
           .repartition(nFiles, (partitionCols.map(col) :+ col("_slot")): _*)
           .drop("_slot")
       } else if (sortCols.nonEmpty)
@@ -119,17 +128,47 @@ object Etl {
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nFiles)
     val tmp = path.stripSuffix("/") + "__compacting"
+    val old = path.stripSuffix("/") + "__precompact"
     val w = arranged.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp)
-    fs.delete(fsPath, true)
+    // Three-step swap: the slow DELETE happens last, on the aside copy, so
+    // the canonical path is absent only between two metadata renames. A
+    // crash after step 1 leaves the original intact at `old`
+    // ([[recoverCompaction]] renames it back); after step 2 both copies
+    // exist and recovery just deletes `old`.
+    val oldPath = new org.apache.hadoop.fs.Path(old)
+    fs.delete(oldPath, true) // clear any leftover from a prior crash
+    fs.rename(fsPath, oldPath)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+    fs.delete(oldPath, true)
     val it2 = fs.listFiles(fsPath, true)
     var nAfter = 0L
     while (it2.hasNext) {
       if (it2.next().getPath.getName.endsWith(".parquet")) nAfter += 1
     }
     (nBefore, nAfter)
+  }
+
+  /** Crash recovery for [[compactFiles]]' three-step swap: if the canonical
+    * path is missing but the `__precompact` aside copy exists (crash between
+    * rename 1 and rename 2), rename it back; if both exist (crash before the
+    * final delete), drop the stale aside. Call at startup before reading a
+    * compaction-managed table. Returns true if a recovery action ran.
+    */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Boolean = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPath = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__precompact")
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + "__compacting")
+    if (fs.exists(oldPath) && !fs.exists(fsPath)) {
+      fs.rename(oldPath, fsPath); fs.delete(tmpPath, true); true
+    } else if (fs.exists(oldPath) || fs.exists(tmpPath)) {
+      fs.delete(oldPath, true); fs.delete(tmpPath, true); true
+    } else false
   }
 
   /** Bucketed silver sink: co-locates the table on `bucketCol` so joins and

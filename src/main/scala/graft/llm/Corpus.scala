@@ -87,6 +87,16 @@ object Corpus {
     * by the group value so the float total is deterministic and
     * engine-identical. The rate is rounded once at the edge (6 dp,
     * binary-value) to absorb pow()'s cross-libm ulp.
+    *
+    * DOCUMENTED BOUNDARY RISK: unlike the integer-exponent paths (which
+    * avoid pow() entirely — NgramLm.alphaPow), a non-integer τ has no
+    * finite-product construction, so both engines make one libm
+    * `pow(n_s, τ)` call on identical inputs and the 6-dp edge round absorbs
+    * the ≤1-ulp disagreement — EXCEPT when the true value lies within an
+    * ulp of a 6-dp rounding boundary. That residual is ~1e-10 per source
+    * row, and the relation has source-cardinality rows (config-bounded),
+    * not corpus rows; accepted and pinned by the `corpus_mix_rates` oracle
+    * rather than worked around.
     */
   def mixRates(df: DataFrame, tokens: Column, budget: Long,
                groupCol: String = "source",

@@ -89,23 +89,35 @@ object NgramLm {
     // One row per token position, identified only by the HIGHEST-order gram
     // ending there (its k_max-gram string) — every lower-order gram and
     // context is a codegen'd substring_index over that one string, so the
-    // exploded relation is NARROW (id, gram, k_max): no position index, no
-    // gram arrays travelling through the explode. Positions i ≥ n−1 are the
-    // exploded order-n gram array (native kernel, one per doc); the n−1
-    // boundary positions are one tiny union leg each (the first i+1 tokens).
+    // exploded relation is NARROW (id, gram): no position index, no gram
+    // arrays travelling through the explode. Positions i ≥ n−1 are the
+    // order-n gram array (native kernel); the n−1 boundary positions
+    // (first i+1 tokens each) are CONCATENATED onto that array before the
+    // one explode — the whole position relation is ONE corpus scan, where
+    // per-leg unions would re-scan the documents n times at n=5. k_max is
+    // recovered from the gram itself (its word count = spaces + 1): main
+    // grams have exactly n words, the order-(i+1) boundary gram exactly
+    // i+1 — cheap codegen'd string arithmetic, no struct explode.
     val withGa = df
       .select(col(idCol), toks.as("_toks"))
       .where(size(col("_toks")) > 0)
-    val main = withGa.select(col(idCol),
-      explode(graft.functions.native.wordGrams(col("_toks"), n)).as("_gs"),
-      lit(n).as("_kmax"))
-    val boundary = (0 until n - 1).map { i =>
-      withGa.where(size(col("_toks")) > i)
-        .select(col(idCol),
-          array_join(slice(col("_toks"), 1, i + 1), " ").as("_gs"),
-          lit(i + 1).as("_kmax"))
-    }
-    val posRaw = (boundary :+ main).reduce(_ unionByName _)
+    val mainArr = graft.functions.native.wordGrams(col("_toks"), n)
+    val posArr =
+      if (n == 1) mainArr
+      else {
+        val bArr = filter(
+          array((0 until n - 1).map { i =>
+            when(size(col("_toks")) > i,
+              array_join(slice(col("_toks"), 1, i + 1), " "))
+          }: _*),
+          g => g.isNotNull)
+        concat(bArr, mainArr)
+      }
+    val posRaw = withGa
+      .select(col(idCol), explode(posArr).as("_gs"))
+      .withColumn("_kmax",
+        (length(col("_gs")) - length(translate(col("_gs"), " ", "")) + 1)
+          .cast("int"))
     // gram of order k ending at the position = last k words of _gs; its
     // context = the k−1 words before the last
     def gk(k: Int): Column =

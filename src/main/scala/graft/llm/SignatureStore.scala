@@ -345,15 +345,41 @@ object SignatureStore {
           coalesce(col("component"), col("canonical")).as("canonical"),
           col("_b"))
       // the write job reads the OLD sigs dir while producing the sibling,
-      // so the swap only happens after the new relation is fully on disk
+      // so the swap only happens after the new relation is fully on disk.
+      // Three-step swap (same scheme as Etl.compactFiles): old aside → new
+      // in → delete old. The canonical sigs/ dir is absent only between two
+      // metadata renames, and a crash at any point leaves a complete copy
+      // at sigs/ or sigs_precompact/ (recover() renames it back).
       val tmp = path + "/sigs_compacting"
       newSigs.write.mode("overwrite").parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(sigsDir(path)), true)
+      val oldP = new org.apache.hadoop.fs.Path(path + "/sigs_precompact")
+      fs.delete(oldP, true)
+      fs.rename(new org.apache.hadoop.fs.Path(sigsDir(path)), oldP)
       fs.rename(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(sigsDir(path)))
+      fs.delete(oldP, true)
       ()
     } finally { s.unpersist(); () }
+  }
+
+  /** Crash recovery for [[compact]]'s three-step swap: restores sigs/ from
+    * the sigs_precompact/ aside copy if the swap died between its two
+    * renames, and clears stale swap siblings otherwise. Call before opening
+    * a store that may have crashed mid-compaction. Returns true if a
+    * recovery action ran.
+    */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigsP = new org.apache.hadoop.fs.Path(sigsDir(path))
+    val oldP = new org.apache.hadoop.fs.Path(path + "/sigs_precompact")
+    val tmpP = new org.apache.hadoop.fs.Path(path + "/sigs_compacting")
+    if (fs.exists(oldP) && !fs.exists(sigsP)) {
+      fs.rename(oldP, sigsP); fs.delete(tmpP, true); true
+    } else if (fs.exists(oldP) || fs.exists(tmpP)) {
+      fs.delete(oldP, true); fs.delete(tmpP, true); true
+    } else false
   }
 }

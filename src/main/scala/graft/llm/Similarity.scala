@@ -164,6 +164,12 @@ object Similarity {
             .as("sim"))
         .groupBy("id").agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"))
     }
+    // Hand back a CACHED final assignment and drop the loop's last interim
+    // cache — otherwise (iters ≥ 1) that predecessor's blocks stay resident
+    // for the session and IvfIndex.unpersist() can never release them.
+    if (prev != null) {
+      assign = assign.cache(); assign.count(); prev.unpersist()
+    }
     (assign, centroids)
   }
 
@@ -328,7 +334,14 @@ object Similarity {
         .groupBy("id", "sub")
         .agg(min_by(col("code"), struct(col("pd"), col("code"))).as("code"))
     }
-    (assign.select(col("id"), col("sub"), col("code")), codebooks)
+    // Same final-cache handoff as ivfIndex: materialize the RETURNED codes
+    // relation, then release the loop's last interim cache — so
+    // PqIndex.unpersist() frees everything this build pinned.
+    var codesOut = assign.select(col("id"), col("sub"), col("code"))
+    if (prev != null) {
+      codesOut = codesOut.cache(); codesOut.count(); prev.unpersist()
+    }
+    (codesOut, codebooks)
   }
 
   /** ||a − c||² by the expansion a·a − 2a·c + c·c — three in-order native

@@ -856,6 +856,38 @@ class LlmSpec extends SparkSpec {
       m.as[(String, Int, Long)].collect().sorted.toSeq)
   }
 
+  test("ngram LM: scoring plan reads the corpus ONCE at n=3 (folded boundary legs)") {
+    import graft.llm.NgramLm
+    val dir = tmpDir("lmscan")
+    Seq((1L, "a b c d e a b c"), (2L, "a b"), (3L, "c"), (4L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir + "/docs")
+    val docs = spark.read.parquet(dir + "/docs")
+    // train eagerly (score localCheckpoints the model, so no training scan
+    // survives into the scoring plan)
+    val scored = NgramLm.score(docs, NgramLm.train(docs, n = 3), n = 3)
+    val rows = scored.as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // semantics spot-check at n=3: every position of every non-empty doc
+    // scores (doc 2 has 2 tokens — boundary-only; doc 4 is dropped)
+    assert(rows.keySet == Set(1L, 2L, 3L) && rows(1L)._1 == 8L && rows(2L)._1 == 2L)
+    // a doc made of seen trigrams scores as more fluent than a 1-token doc
+    assert(rows(1L)._2 < rows(3L)._2)
+    // the position relation is ONE corpus scan: boundary prefixes ride the
+    // same exploded array as the order-n grams (pre-fold: n scans at order n)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def fileScans(p: SparkPlan): Int = {
+      val self = if (p.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(fileScans).sum
+    }
+    assert(fileScans(scored.queryExecution.executedPlan) == 1,
+      scored.queryExecution.executedPlan.toString)
+  }
+
   test("temperature mixing rates: tau endpoints, budget calibration, feeds mixWeighted") {
     import graft.llm.Corpus
     // three sources with 10:3:1 token volumes
