@@ -46,12 +46,19 @@ object SparkEntry {
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
   // IVF index memo keyed by (session UUID, data dir): the index is an
-  // offline artifact — built and materialized once, probed many times.
+  // offline artifact — built and materialized once, probed many times. The
+  // build includes the cluster-partitioned vector layout, so every probe
+  // prunes at the scan (reads nprobe partitions, never the corpus).
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[(String, String), Similarity.IvfIndex]
   private def ivfIdx(s: SparkSession, d: String): Similarity.IvfIndex =
-    ivfIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
-      Similarity.buildIvfIndex(t(s, d, "embeddings"), kClusters = 16))
+    ivfIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_" + Integer.toHexString(d.hashCode) + "_" +
+          org.apache.spark.sql.graftbridge.SessionBridge.uuid(s).take(8)).getPath
+      Similarity.buildClusteredIvfIndex(t(s, d, "embeddings"),
+        kClusters = 16, path = path)
+    })
 
   // PQ index memo: same offline-artifact treatment
   private val pqIndexes =
@@ -59,6 +66,19 @@ object SparkEntry {
   private def pqIdx(s: SparkSession, d: String): Similarity.PqIndex =
     pqIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
       Similarity.buildPqIndex(t(s, d, "embeddings"), m = 8, kCodes = 16))
+
+  // IVF-PQ composed index memo: codes co-partitioned by coarse cluster on
+  // disk, so the probe prunes partitions AND never reads raw vectors.
+  private val ivfPqIndexes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Similarity.IvfPqIndex]
+  private def ivfPqIdx(s: SparkSession, d: String): Similarity.IvfPqIndex =
+    ivfPqIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivfpq_" + Integer.toHexString(d.hashCode) + "_" +
+          org.apache.spark.sql.graftbridge.SessionBridge.uuid(s).take(8)).getPath
+      Similarity.buildIvfPqIndex(t(s, d, "embeddings"),
+        kClusters = 16, m = 8, kCodes = 16, path = path)
+    })
 
   // The incremental-dedup signature store is an offline artifact too:
   // built once per (session, dir) from the even-id half of the corpus, then
@@ -759,6 +779,16 @@ object SparkEntry {
         idCol = "vec_id", vecCol = "embedding", scale = 6)
     },
 
+    // The composed IVF-PQ probe: coarse centroids route to nprobe clusters,
+    // the cluster-partitioned codes scan prunes to those partitions, and
+    // ADC ranks m-byte codes — no raw vector and no corpus-sized scan
+    // anywhere in the probe plan.
+    "sim_ivfpq_topk" -> { (s, d) =>
+      val embs = t(s, d, "embeddings")
+      val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(ivfPqIdx(s, d), q, 10, nprobe = 4)
+    },
+
     // Int8 vector quantization (posexploded to scalar rows for the gate —
     // the checker cannot sort array columns; the array surface is
     // spec-covered).
@@ -814,6 +844,19 @@ object SparkEntry {
         graft.functions.native.bpeCount(col("text"),
           graft.llm.Bpe.CoreEnglishMerges).as("n_bpe"))
         ),
+
+    // BPE TRAINING oracle-gated end to end: learn 8 merges ON the corpus
+    // (distributed word-frequency aggregate + the deterministic driver
+    // merge loop — count DESC, pair ASC tie-break) and emit the merge
+    // TABLE itself. The oracle replays all 8 rounds unrolled in SQL:
+    // weighted adjacent-pair counts over the evolving symbolization, argmax
+    // with the same tie-break, and the same leftmost-greedy merge fold.
+    "bpe_train" -> { (s, d) =>
+      import s.implicits._
+      graft.llm.Bpe.train(t(s, d, "documents"), numMerges = 8)
+        .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "a", "b")
+    },
 
     // Model-based quality scoring (hashed-BoW logistic classifier) under a
     // fixed literal model artifact — the oracle recomputes the identical
@@ -1022,7 +1065,33 @@ object SparkEntry {
       Multimodal.decodeFrames(s, Multimodal.asBinary(t(s, d, "documents")),
           Multimodal.fakeFrameDecoder)
         .select(col("media_id"), col("frame_idx"))
-        )
+        ),
+
+    // REAL header decode, end-to-end: each doc synthesizes a valid PNG
+    // (signature + IHDR) or JPEG (SOI + variable-length COM pad + SOF0)
+    // byte stream whose dimensions derive from doc_id; the ImageMeta
+    // native expression then parses the dimensions back OUT of the bytes
+    // (big-endian IHDR reads / a genuine marker walk whose SOF offset
+    // varies with the pad). The oracle recomputes the dims from the
+    // construction formula — parse∘construct must be the identity, so any
+    // arithmetic slip in the byte walk hash-fails the gate.
+    "multimodal_decode" -> { (s, d) =>
+      val w = (lit(64) + col("doc_id") % 512).cast("int")
+      val h = (lit(48) + col("doc_id") % 256).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      val jpgHex = concat(lit("FFD8FFFE"),
+        lpad(hex((col("doc_id") % 32) + 2), 4, "0"),
+        expr("repeat('00', cast(doc_id % 32 as int))"),
+        lit("FFC0001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03011100021101031101FFD9"))
+      val payload = unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpgHex))
+      val m = graft.functions.native.imageMeta(payload)
+      t(s, d, "documents").select(col("doc_id"),
+        m.getField("format").as("format"),
+        m.getField("width").as("width"),
+        m.getField("height").as("height"))
+    }
   )
 
   // ------------------------------------------------------------------
@@ -1258,6 +1327,37 @@ object SparkEntry {
       |FROM e JOIN asg USING (vec_id) JOIN probe p ON asg.cl = p.cl
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
 
+  // sim_ivfpq_topk oracle: the two halves composed — the IVF replay (cent/
+  // asg from ivfCte) routes the probe, the PQ replay (p-prefixed CTEs,
+  // identical to the sim_pq_topk oracle) supplies codebooks + codes, and
+  // the ADC sum runs only over vectors assigned to the 4 probed clusters.
+  private lazy val ivfPqOracle: String = {
+    val l2 = (a: String, c: String) =>
+      s"(list_inner_product($a, $a) - 2*list_inner_product($a, $c) + list_inner_product($c, $c))"
+    ivfCte + s""",
+      |q0 AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+      |probe AS (SELECT c.cl FROM cent c, q0 q
+      |  ORDER BY ${centSim("q.qv")} DESC, c.cl LIMIT 4),
+      |cand AS (SELECT vec_id FROM asg JOIN probe USING (cl)),
+      |subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+      |sv AS (SELECT vec_id, sub, v[sub*8+1:sub*8+8] AS s FROM e, subs),
+      |pu AS (SELECT (vec_id % 16) AS pcl, sub, i AS pos, v[sub*8+i] AS x
+      |  FROM e, subs, generate_series(1, 8) t2(i)),
+      |pcm AS (SELECT sub, pcl, pos, round(sum(x)/count(*), 6) AS m FROM pu GROUP BY sub, pcl, pos),
+      |pcent AS (SELECT sub, pcl, list(m ORDER BY pos) AS cv FROM pcm GROUP BY sub, pcl),
+      |pd0 AS (SELECT s.vec_id, s.sub, c2.pcl, ${l2("s.s", "c2.cv")} AS pd
+      |  FROM sv s JOIN pcent c2 USING (sub)),
+      |pasg AS (SELECT vec_id, sub, pcl AS code FROM (SELECT vec_id, sub, pcl,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY pd, pcl) AS rn FROM pd0) WHERE rn = 1),
+      |qs AS (SELECT sub, s FROM sv WHERE vec_id = (SELECT min(vec_id) FROM e)),
+      |dt AS (SELECT c2.sub, c2.pcl, ${l2("q.s", "c2.cv")} AS pd FROM qs q JOIN pcent c2 USING (sub)),
+      |tm AS (SELECT a.vec_id, CASE WHEN dt.pd * 1000000.0 >= 0
+      |  THEN floor(dt.pd * 1000000.0 + 0.5) ELSE -floor(-(dt.pd * 1000000.0) + 0.5) END AS t
+      |  FROM pasg a JOIN cand USING (vec_id) JOIN dt ON dt.sub = a.sub AND dt.pcl = a.code)
+      |SELECT vec_id, round(SUM(t)/1000000.0, 6) AS dist FROM tm
+      |GROUP BY vec_id ORDER BY dist, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
+  }
+
   private lazy val semanticDedupOracle: String = {
     val pairSim = "round(list_inner_product(a.v, b.v) / " +
       "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)"
@@ -1368,6 +1468,35 @@ object SparkEntry {
       "USING (doc_id) ORDER BY doc_id"
   }
 
+  // bpe_train oracle: 8 training rounds UNROLLED as a CTE chain (recursive
+  // CTEs cannot aggregate over their own working table, and each round
+  // needs a global argmax over the pair counts). Round r: weighted
+  // adjacent-pair counts over v(r−1)'s symbolizations → best pair by
+  // (count DESC, a, b) → one leftmost-greedy merge fold (the bpe_tokens
+  // oracle's list_reduce, capturing the joined best-pair row).
+  private lazy val bpeTrainOracleSql: String = {
+    val k = 8
+    def fold(a: String, b: String) =
+      "list_reduce(list_transform(s, x -> [x]), (acc, x) -> " +
+        s"CASE WHEN len(acc) >= 1 AND acc[len(acc)] = $a AND x[1] = $b " +
+        s"THEN acc[1:len(acc)-1] || [$a || $b] ELSE acc || x END)"
+    val rounds = (1 to k).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"pc$r AS (SELECT s[i] AS a, s[i+1] AS b, SUM(n) AS c FROM " +
+        s"(SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i FROM $prev) " +
+        "GROUP BY 1, 2), " +
+        s"best$r AS (SELECT a, b FROM pc$r ORDER BY c DESC, a, b LIMIT 1), " +
+        s"v$r AS (SELECT word, n, CASE WHEN len(s) < 2 THEN s ELSE " +
+        s"${fold(s"b$r.a", s"b$r.b")} END AS s FROM $prev, best$r b$r)"
+    }.mkString(", ")
+    "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+      "v0 AS (SELECT word, count(*) AS n, regexp_split_to_array(word, '') AS s " +
+      "FROM w WHERE word <> '' GROUP BY word), " + rounds + ", " +
+      "m AS (" + (1 to k).map(r => s"SELECT $r AS rank, a, b FROM best$r")
+        .mkString(" UNION ALL ") + ") " +
+      "SELECT rank, a, b FROM m ORDER BY rank"
+  }
+
   // quality_model oracle generated from the same literal model the query
   // uses (exact 6-dp decimal weight strings parse to the identical doubles)
   private lazy val qualityModelOracleSql: String = {
@@ -1447,6 +1576,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "bpe_tokens" -> bpeOracleSql,
+    "bpe_train" -> bpeTrainOracleSql,
     "quality_model" -> qualityModelOracleSql,
     "lm_score" -> lmScoreOracleSql,
     "lm_score_tri" -> lmScoreTriOracleSql,
@@ -1845,6 +1975,7 @@ object SparkEntry {
 
     "sim_ivf_topk" -> ivfOracle,
     "sim_pq_topk" -> pqOracle,
+    "sim_ivfpq_topk" -> ivfPqOracle,
 
     "gen_agrawal" -> agrawalOracle,
 
@@ -2059,6 +2190,14 @@ object SparkEntry {
         "CAST(64 + strlen(text) % 576 AS INTEGER) AS width, " +
         "CAST(floor((64 + strlen(text) % 576) * 3 / 4.0) AS INTEGER) AS height, " +
         "CAST(1 + floor(strlen(text) / 1000.0) AS INTEGER) AS n_frames " +
-        "FROM documents ORDER BY media_id")
+        "FROM documents ORDER BY media_id"),
+
+    // The oracle states the construction formula; the Spark side must
+    // recover it by actually PARSING the synthesized header bytes.
+    "multimodal_decode" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+        "CAST(64 + doc_id % 512 AS INTEGER) AS width, " +
+        "CAST(48 + doc_id % 256 AS INTEGER) AS height " +
+        "FROM documents ORDER BY doc_id")
   )
 }

@@ -365,6 +365,62 @@ case class BpeCount(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
 }
 
+/** Per-document logistic-gradient contributions under the CURRENT model
+  * snapshot (weights ride as a literal, re-planned each epoch):
+  * `(text, label) → array<struct<idx, gm>>` of micro-unit feature
+  * gradients plus the bias term at idx −1. Delegates to
+  * [[graft.llm.QualityModel.gradContribs]] — one implementation, shared
+  * with the driver twin. This is what lets [[graft.llm.QualityModel
+  * .trainDistributed]] train with document text never leaving the
+  * executors: the corpus-sized relation feeds a keyed SUM and only the
+  * dim-bounded aggregate is collected.
+  */
+case class QualityGrad(left: Expression, right: Expression,
+                       weights: Seq[Double], bias: Double)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType), StructField("gm", LongType))))
+
+  private lazy val model =
+    graft.llm.QualityModel.Model(weights.toArray, bias)
+
+  override def nullSafeEval(text: Any, label: Any): Any =
+    new GenericArrayData(graft.llm.QualityModel.gradContribs(
+        text.asInstanceOf[UTF8String].toString,
+        label.asInstanceOf[Double], model)
+      .map { case (i, g) =>
+        org.apache.spark.sql.catalyst.InternalRow(i, g)
+      })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): QualityGrad = copy(left = l, right = r)
+}
+
+/** Image header metadata of a BINARY payload — `(format, width, height)`
+  * struct, or NULL when the bytes parse as neither PNG nor JPEG. Delegates
+  * to [[graft.llm.Multimodal.decodeImageMeta]] (ONE implementation of the
+  * byte walk, shared with the driver twin and the specs): PNG IHDR fixed
+  * offsets, JPEG marker walk to SOF. Pure per-row byte arithmetic — no
+  * codec library, no shuffle, scales like any columnar map.
+  */
+case class ImageMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodeImageMeta(input.asInstanceOf[Array[Byte]]) match {
+      case Some((f, w, h)) =>
+        org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(f),
+          java.lang.Integer.valueOf(w), java.lang.Integer.valueOf(h))
+      case None => null
+    }
+
+  override protected def withNewChildInternal(c: Expression): ImageMeta = copy(child = c)
+}
+
 /** Hashed bag-of-words logistic quality score of a STRING (one tight loop
   * per row; delegates to [[graft.llm.QualityModel.scoreText]] so the merge
   * of semantics lives in exactly one place). Weights are a config-sized
@@ -415,6 +471,15 @@ object native {
   /** Hashed-BoW logistic quality score under a model artifact. */
   def qualityModelScore(c: Column, m: graft.llm.QualityModel.Model): Column =
     column(QualityScore(expression(c), m.weights.toSeq, m.bias))
+
+  /** `(format, width, height)` header parse of a binary image payload. */
+  def imageMeta(c: Column): Column = column(ImageMeta(expression(c)))
+
+  /** Per-doc micro-unit logistic gradient contributions under a model. */
+  def qualityGrad(text: Column, label: Column,
+                  m: graft.llm.QualityModel.Model): Column =
+    column(QualityGrad(expression(text), expression(label),
+      m.weights.toSeq, m.bias))
 
   /** Aggregate: elementwise sum of array<double> vectors (map-side combined). */
   def vecsum(c: Column): Column =

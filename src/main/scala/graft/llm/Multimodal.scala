@@ -7,13 +7,58 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the distributed decode/feature-extract
   * scaffolding.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment): `fakeDecode` derives deterministic metadata from the bytes.
-  * Everything Spark-side — schema, batching, partition sizing, the
+  * Header metadata extraction ([[decodeImageMeta]] / the ImageMeta native
+  * expression) is REAL byte arithmetic: PNG IHDR dimensions at their fixed
+  * offsets and a proper JPEG marker walk to the SOF segment — pure public
+  * format knowledge (PNG spec §11.2.2, JPEG/JFIF ITU T.81 §B.2.2), no
+  * codec library needed. Only FRAME decoding (pixel data) remains stubbed
+  * (`fakeFrameDecoder` — no image/audio codecs in this environment); the
+  * Spark-side plumbing — schema, batching, partition sizing, the
   * mapPartitions decode boundary — is real and tested, so swapping in a
-  * JNI/JavaCV decoder is a one-function change.
+  * JNI/JavaCV pixel decoder is a one-function change.
   */
 object Multimodal {
+
+  /** Parse image dimensions from the payload's HEADER BYTES — the real
+    * thing, not a stub: PNG = 8-byte signature then the IHDR chunk's
+    * big-endian width/height at offsets 16/20; JPEG = SOI then a marker
+    * walk (skipping variable-length APPn/COM/quantization segments by
+    * their big-endian lengths) to the first SOF0–SOF15 frame header,
+    * whose payload is precision(1), height(2 BE), width(2 BE). Returns
+    * None for anything unparseable (wrong magic, truncated, no SOF).
+    * Driver twin of the ImageMeta native expression — specs assert parity.
+    */
+  def decodeImageMeta(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+      Some(("png", be32(16), be32(20)))
+    else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xFF) return None // marker desync: not a JPEG stream
+        val marker = u8(i + 1)
+        if (marker == 0xFF) i += 1 // fill byte
+        else if (marker >= 0xC0 && marker <= 0xCF &&
+                 marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          // SOFn: length(2) precision(1) height(2) width(2) ...
+          if (i + 8 >= bytes.length) return None
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        } else if ((marker >= 0xD0 && marker <= 0xD9) || marker == 0x01)
+          i += 2 // standalone marker, no length field
+        else {
+          val segLen = be16(i + 2)
+          if (segLen < 2) return None
+          i += 2 + segLen
+        }
+      }
+      None
+    } else None
+  }
 
   /** A decoded-media metadata record. */
   final case class MediaMeta(media_id: Long, n_bytes: Long, width: Int,

@@ -51,12 +51,59 @@ object QualityModel {
   def score(text: Column, m: Model): Column =
     graft.functions.native.qualityModelScore(text, m)
 
+  /** Hashed token counts of one document: sorted `(featureIdx, count)`
+    * pairs + the token count. ONE implementation of tokenize+hash, shared
+    * by [[train]], [[gradContribs]] (and so [[trainDistributed]]).
+    */
+  private[graft] def hashedCounts(text: String,
+                                  dim: Int): (Array[(Int, Double)], Long) = {
+    val idx = scala.collection.mutable.HashMap.empty[Int, Double]
+    var n = 0L
+    text.split(" ", -1).foreach { w =>
+      if (w.nonEmpty) {
+        val i = (graft.functions.PolyHash.h1(w) % dim).toInt
+        idx.update(i, idx.getOrElse(i, 0.0) + 1.0)
+        n += 1L
+      }
+    }
+    (idx.toArray.sortBy(_._1), n)
+  }
+
+  /** One document's micro-unit (1e-9) gradient contributions under the
+    * CURRENT model — `(featureIdx, micros)` pairs plus the bias term at
+    * idx −1. Rounding each contribution to integer micros makes the
+    * epoch-gradient SUM associative, hence identical under any
+    * partitioning — the PSI trick applied to model training. Driver twin
+    * of the QualityGrad native expression.
+    */
+  private[graft] def gradContribs(text: String, y: Double,
+                                  m: Model): Array[(Int, Long)] = {
+    val (x0, n) = hashedCounts(text, m.dim)
+    def micro(d: Double): Long = {
+      val t = d * 1e9
+      (if (t >= 0) math.floor(t + 0.5) else -math.floor(-t + 0.5)).toLong
+    }
+    var raw = m.bias
+    if (n > 0L) x0.foreach { case (i, c) => raw += m.weights(i) * (c / n) }
+    val g = 1.0 / (1.0 + math.exp(-raw)) - y
+    val out = new Array[(Int, Long)](x0.length + 1)
+    var j = 0
+    while (j < x0.length) {
+      out(j) = (x0(j)._1, micro(g * (x0(j)._2 / n))); j += 1
+    }
+    out(j) = (-1, micro(g))
+    out
+  }
+
   /** Train by logistic SGD on a DETERMINISTIC bounded sample: rows are
     * drawn by their [[Corpus.hashUnit]] order (id-keyed, partition
-    * invariant), capped at `sampleCap` (a config bound — classifier
-    * training data is small by design; the corpus-sized pass is scoring).
-    * Fixed iteration order makes the learned weights reproducible bit for
-    * bit. Labels must be 0/1.
+    * invariant), capped at `sampleCap`. Fixed iteration order makes the
+    * learned weights reproducible bit for bit. Labels must be 0/1.
+    *
+    * This is the small-sample REFERENCE trainer: it collects up to
+    * `sampleCap` document texts to the driver, so the cap is load-bearing
+    * driver memory. [[trainDistributed]] is the scale path — same
+    * deterministic sample contract, no text ever leaves the executors.
     */
   def train(df: DataFrame, textCol: String = "text",
             labelCol: String = "label", idCol: String = "doc_id",
@@ -71,17 +118,10 @@ object QualityModel {
       .map(r => (r.getString(1), r.getDouble(2)))
     // hashed normalized counts per doc, computed once
     val feats = rows.map { case (text, y) =>
-      val idx = scala.collection.mutable.HashMap.empty[Int, Double]
-      var n = 0L
-      text.split(" ", -1).foreach { w =>
-        if (w.nonEmpty) {
-          val i = (graft.functions.PolyHash.h1(w) % dim).toInt
-          idx.update(i, idx.getOrElse(i, 0.0) + 1.0)
-          n += 1L
-        }
+      val (x, n) = hashedCounts(text, dim)
+      if (n > 0L) {
+        var j = 0; while (j < x.length) { x(j) = (x(j)._1, x(j)._2 / n); j += 1 }
       }
-      val x = idx.toArray.sortBy(_._1)
-      if (n > 0L) { var j = 0; while (j < x.length) { x(j) = (x(j)._1, x(j)._2 / n); j += 1 } }
       (x, y)
     }
     val w = new Array[Double](dim)
@@ -98,6 +138,52 @@ object QualityModel {
       e += 1
     }
     Model(w, b)
+  }
+
+  /** DISTRIBUTED full-batch logistic training — the trainer whose driver
+    * memory is bounded by the MODEL, not the sample: each epoch is one
+    * Spark job (per-doc gradient contributions from the QualityGrad native
+    * expression under the current broadcast weights → keyed SUM, map-side
+    * combined) and the only collect is the aggregated gradient, at most
+    * dim+1 `(idx, micros)` rows — document text NEVER leaves the executors
+    * (spec-asserted via the executed plans' output schemas). Contributions
+    * are micro-unit longs, so the epoch gradient — and every learned
+    * weight — is bit-identical under any partitioning. Same deterministic
+    * `sampleCap` draw as [[train]]; the sample is cached across epochs in
+    * executor memory.
+    */
+  def trainDistributed(df: DataFrame, textCol: String = "text",
+                       labelCol: String = "label", idCol: String = "doc_id",
+                       dim: Int = 1 << 12, epochs: Int = 5, lr: Double = 0.5,
+                       sampleCap: Int = 100000): Model = {
+    val sample = df
+      .select(col(idCol), col(textCol).cast("string").as("_t"),
+        col(labelCol).cast("double").as("_y"))
+      .orderBy(Corpus.hashUnit(col(idCol), 42L), col(idCol))
+      .limit(sampleCap)
+      .select(col("_t"), col("_y"))
+      .cache()
+    val nSample = sample.count()
+    val w = new Array[Double](dim)
+    var b = 0.0
+    try {
+      if (nSample == 0L) return Model(w, b)
+      var e = 0
+      while (e < epochs) {
+        val grads = sample
+          .select(explode(graft.functions.native.qualityGrad(
+            col("_t"), col("_y"), Model(w.clone(), b))).as("g"))
+          .groupBy(col("g.idx")).agg(sum(col("g.gm")).as("gm"))
+          .collect()
+        grads.foreach { r =>
+          val i = r.getInt(0)
+          val g = r.getLong(1) / 1e9 / nSample
+          if (i < 0) b -= lr * g else w(i) -= lr * g
+        }
+        e += 1
+      }
+      Model(w, b)
+    } finally { sample.unpersist(); () }
   }
 
   /** Persist the model as `(idx, w)` rows plus a bias row (idx = -1) —

@@ -195,8 +195,17 @@ object Similarity {
     * reused by every [[ivfTopK]] probe — rebuilding the index inside each
     * query is a full corpus pass per probe, the classic indexing
     * anti-pattern at scale.
+    *
+    * `clusteredVectors`, when present, is the 100 TB probe layout: the
+    * vector corpus REWRITTEN `partitionBy(cluster)` ([[buildClusteredIvfIndex]]),
+    * so a probe's `cluster IN (…)` filter prunes at the SCAN and each query
+    * reads only its `nprobe` partitions' bytes. Without it the probe must
+    * join the full corpus to the assignments relation — correct, but every
+    * probe pays a full-corpus I/O pass, which is precisely what an IVF
+    * index exists to avoid.
     */
-  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame) {
+  final case class IvfIndex(assignments: DataFrame, centroids: DataFrame,
+                            clusteredVectors: Option[DataFrame] = None) {
     /** Persist to storage for reuse across sessions/jobs. */
     def save(path: String): Unit = {
       assignments.write.mode("overwrite").parquet(s"$path/assignments")
@@ -217,17 +226,50 @@ object Similarity {
     IvfIndex(a, c)
   }
 
-  /** Reload a [[IvfIndex.save]]d index: probes run against storage with no
-    * corpus pass at all.
+  /** Build the index AND rewrite the vector corpus `partitionBy(cluster)`
+    * under `path/vectors` — the one-time layout job (one corpus pass, like
+    * any silver rewrite) that turns every subsequent probe from a
+    * full-corpus shuffle join into an `nprobe`-partition pruned scan.
+    * Assignments/centroids land beside it, so [[loadIvfIndex]] restores the
+    * whole artifact with zero corpus passes.
     */
-  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+  def buildClusteredIvfIndex(embs: DataFrame, kClusters: Int, path: String,
+                             iters: Int = 0, idCol: String = "vec_id",
+                             vecCol: String = "embedding"): IvfIndex = {
+    val spark = embs.sparkSession
+    val idx = buildIvfIndex(embs, kClusters, iters, idCol, vecCol)
+    embs.join(idx.assignments.withColumnRenamed("id", idCol), idCol)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/vectors")
+    idx.save(path)
+    idx.copy(clusteredVectors = Some(spark.read.parquet(s"$path/vectors")))
+  }
+
+  /** Reload a [[IvfIndex.save]]d index: probes run against storage with no
+    * corpus pass at all. Picks up the cluster-partitioned vector layout if
+    * [[buildClusteredIvfIndex]] wrote one.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val vecDir = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val fs = vecDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IvfIndex(spark.read.parquet(s"$path/assignments"),
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"),
+      if (fs.exists(vecDir)) Some(spark.read.parquet(s"$path/vectors")) else None)
+  }
 
   /** ANN top-k through a prebuilt [[IvfIndex]]: rank the query against the k
     * centroids (broadcast — k rows), search only the `nprobe` nearest
-    * clusters. Scanned fraction ≈ nprobe/kClusters of the corpus; the index
-    * is NOT rebuilt.
+    * clusters. The index is NOT rebuilt.
+    *
+    * With a [[buildClusteredIvfIndex]] layout, the probed cluster ids (an
+    * nprobe-sized, config-bounded driver collect off the k-row centroid
+    * ranking) become a LITERAL `cluster IN (…)` partition filter on the
+    * cluster-partitioned vector scan — the scan itself reads only
+    * ~nprobe/kClusters of the corpus bytes (Explain-asserted in LlmSpec).
+    * Without the layout, the probe falls back to joining the full corpus
+    * against the assignments relation: compute after the join is still
+    * nprobe/k of the corpus, but the scan + shuffle is 100% — the fallback
+    * exists for ad-hoc exploration, not the scale path.
     */
   def ivfTopK(index: IvfIndex, embs: DataFrame, query: DataFrame, k: Int,
               nprobe: Int, idCol: String, vecCol: String,
@@ -238,8 +280,17 @@ object Similarity {
           (sqrt(graft.functions.native.dotd(col("cvec"), col("cvec"))) + lit(1e-12))).as("sim"))
       .orderBy(col("sim").desc, col("cluster")).limit(nprobe) // cluster tie-break: deterministic probe set
       .select(col("qvec"), col("cluster"))
-    embs.join(index.assignments.withColumnRenamed("id", idCol), idCol)
-      .join(broadcast(probed), "cluster")
+    val candidates = index.clusteredVectors match {
+      case Some(cv) =>
+        // nprobe cluster ids: a config-bounded collect (the ranking relation
+        // has kClusters rows), pushed down as a partition-pruning literal.
+        val probeIds = probed.select("cluster").collect().map(_.get(0))
+        cv.where(col("cluster").isin(probeIds: _*)).crossJoin(broadcast(query))
+      case None =>
+        embs.join(index.assignments.withColumnRenamed("id", idCol), idCol)
+          .join(broadcast(probed), "cluster")
+    }
+    candidates
       .select(col(idCol), graft.functions.Rounding.dround(cosine(col(vecCol), col("qvec")), scale).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
@@ -377,8 +428,15 @@ object Similarity {
     * are 100× too big to scan per query. Returns `(idCol, dist)` ascending.
     */
   def pqTopK(index: PqIndex, query: DataFrame, k: Int,
-             idCol: String = "vec_id", scale: Int = 6): DataFrame = {
-    val books = index.codebooks
+             idCol: String = "vec_id", scale: Int = 6): DataFrame =
+    adcRank(index.codes, adcTable(index.codebooks, query), k, idCol, scale)
+
+  /** The query's ADC distance table against a `(sub, code, cvec)` codebook
+    * relation: m × kCodes rows of `(sub, code, _pm)` where `_pm` is the
+    * micro-unit-rounded subspace L2² — a broadcast-sized artifact computed
+    * once per query, shared by [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def adcTable(books: DataFrame, query: DataFrame): DataFrame = {
     val meta = books.agg(countDistinct("sub").as("m"),
       first(size(col("cvec"))).as("d")).head
     val (m, d) = (meta.getLong(0).toInt, meta.getInt(1))
@@ -390,9 +448,16 @@ object Similarity {
       val t = squaredL2(col("qs"), col("cvec")) * 1e6
       when(t >= 0, floor(t + 0.5)).otherwise(-floor(-t + 0.5)).cast("long")
     }
-    val dt = qsv.join(books, "sub")
+    qsv.join(books, "sub")
       .select(col("sub"), col("code"), pdMicros.as("_pm"))
-    index.codes.join(broadcast(dt), Seq("sub", "code"))
+  }
+
+  /** ADC ranking over a codes relation: Σ table[sub][code] per doc, summed
+    * as micro-unit BIGINTs (partition-invariant), ascending top-k.
+    */
+  private def adcRank(codes: DataFrame, dt: DataFrame, k: Int,
+                      idCol: String, scale: Int): DataFrame =
+    codes.join(broadcast(dt), Seq("sub", "code"))
       .groupBy("id")
       .agg(sum("_pm").as("_s"))
       .select(col("id").as(idCol),
@@ -400,5 +465,66 @@ object Similarity {
           .as("dist"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
+
+  // ---- IVF-PQ composition: the production ANN shape — IVF routes the
+  // probe to nprobe clusters, PQ codes are CO-PARTITIONED BY CLUSTER on
+  // storage, and ADC runs only over the probed partitions. Each query
+  // touches ~(nprobe/kClusters) × (m bytes/vector) — partition-pruned AND
+  // raw-vector-free, the two halves of the 100 TB probe story at once.
+
+  /** A built IVF-PQ index: `(cluster, cvec)` coarse centroids for probe
+    * routing, `(sub, code, cvec)` PQ codebooks for the ADC table, and the
+    * codes relation laid out `partitionBy(cluster)` so the probe's
+    * `cluster IN (…)` literal prunes at the scan.
+    */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                              clusteredCodes: DataFrame) {
+    def unpersist(): Unit = { centroids.unpersist(); codebooks.unpersist(); () }
+  }
+
+  /** Build the composed index: one IVF pass (coarse routing), one PQ pass
+    * (codebooks + codes), then the codes co-partitioned by the vectors'
+    * cluster assignment under `path/codes`. PQ here encodes the RAW
+    * vectors (not residuals): every piece stays bit-reproducible
+    * cross-engine, which is what makes `sim_ivfpq_topk` oracle-checkable.
+    */
+  def buildIvfPqIndex(embs: DataFrame, kClusters: Int, m: Int, kCodes: Int,
+                      path: String, iters: Int = 0, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfPqIndex = {
+    val spark = embs.sparkSession
+    val (assign, cents) = ivfIndex(embs, kClusters, iters, idCol, vecCol)
+    val (codes, books) = pqIndex(embs, m, kCodes, iters, idCol, vecCol)
+    val c = cents.persist(); val b = books.persist()
+    c.count(); b.count()
+    codes.join(assign, "id")
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+    c.write.mode("overwrite").parquet(s"$path/centroids")
+    b.write.mode("overwrite").parquet(s"$path/codebooks")
+    IvfPqIndex(c, b, spark.read.parquet(s"$path/codes"))
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"))
+
+  /** ANN top-k through a prebuilt [[IvfPqIndex]]: rank the query against
+    * the kClusters coarse centroids (a config-bounded driver collect, like
+    * the clustered [[ivfTopK]] path), prune the codes scan to the `nprobe`
+    * probed partitions, and ADC-rank only those codes. The raw embedding
+    * column appears nowhere in the probe plan.
+    */
+  def ivfPqTopK(index: IvfPqIndex, query: DataFrame, k: Int, nprobe: Int,
+                idCol: String = "vec_id", scale: Int = 6): DataFrame = {
+    val probed = query.crossJoin(broadcast(index.centroids))
+      .select(col("cluster"),
+        (graft.functions.native.dotd(asD(col("qvec")), col("cvec")) /
+          (sqrt(graft.functions.native.dotd(col("cvec"), col("cvec"))) + lit(1e-12))).as("sim"))
+      .orderBy(col("sim").desc, col("cluster")).limit(nprobe)
+    val probeIds = probed.select("cluster").collect().map(_.get(0))
+    adcRank(index.clusteredCodes.where(col("cluster").isin(probeIds: _*)),
+      adcTable(index.codebooks, query), k, idCol, scale)
   }
 }

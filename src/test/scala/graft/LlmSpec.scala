@@ -515,6 +515,116 @@ class LlmSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("clustered IVF layout: probe scan partition-prunes to nprobe clusters") {
+    // same planted geometry as the ivfTopK test: 4 separable clusters
+    val vecs = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val id = c * 25 + i
+      val v = Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13))
+      v(2 * c) = 1.0f; v(2 * c + 1) = 0.8f
+      (id.toLong, v.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfclustered")
+    val idx = Similarity.buildClusteredIvfIndex(embs, kClusters = 4,
+      path = dir, iters = 2)
+    try {
+      assert(idx.clusteredVectors.isDefined)
+      val q = embs.where(col("vec_id") === 10).select(col("embedding").as("qvec"))
+      // keep ONE Dataset (and so one QueryExecution) for both the result
+      // and the plan/metrics inspection — .as[...] would re-plan
+      val pruned = Similarity.ivfTopK(idx, embs, q, 10, nprobe = 2,
+        "vec_id", "embedding", 6).as[(Long, Double)]
+      val got = pruned.collect().toSeq
+      // identical answer to the assignments-join fallback (same probe set,
+      // same arithmetic — only the I/O shape differs)
+      val fallback = Similarity.ivfTopK(idx.copy(clusteredVectors = None),
+          embs, q, 10, nprobe = 2, "vec_id", "embedding", 6)
+        .as[(Long, Double)].collect().toSeq
+      assert(got == fallback && got.head._1 == 10L)
+      // the probe's ONLY corpus-sized input is the vectors scan, it carries
+      // a cluster partition filter, and it READ fewer files than the layout
+      // holds (nprobe of kClusters partitions)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scans)
+      }
+      val vecScans = scans(pruned.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("vectors")))
+      assert(vecScans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+      assert(vecScans.forall(_.partitionFilters.nonEmpty),
+        s"no partition filter on the vectors scan:\n${pruned.queryExecution.executedPlan}")
+      val filesRead = vecScans.map(_.metrics("numFiles").value).sum
+      val totalFiles = new java.io.File(dir + "/vectors").listFiles()
+        .filter(_.getName.startsWith("cluster="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      assert(filesRead > 0 && filesRead < totalFiles,
+        s"probe read $filesRead of $totalFiles files — no pruning")
+      // load restores the clustered layout
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      assert(loaded.clusteredVectors.isDefined)
+      val viaDisk = Similarity.ivfTopK(loaded, embs, q, 10, nprobe = 2,
+        "vec_id", "embedding", 6).as[(Long, Double)].collect().toSeq
+      assert(viaDisk == got)
+    } finally idx.unpersist()
+  }
+
+  test("IVF-PQ composition: probe prunes code partitions and reads no raw vectors") {
+    val vecs = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val id = c * 25 + i
+      val v = Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13))
+      v(2 * c) = 1.0f; v(2 * c + 1) = 0.8f
+      (id.toLong, v.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val dir = tmpDir("ivfpq")
+    val idx = Similarity.buildIvfPqIndex(embs, kClusters = 4, m = 4,
+      kCodes = 4, path = dir)
+    try {
+      val q = embs.where(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val res = Similarity.ivfPqTopK(idx, q, 10, nprobe = 2).as[(Long, Double)]
+      val got = res.collect().toSeq
+      assert(got.size == 10 && got.map(_._2) == got.map(_._2).sorted)
+      // ADC distance of the query to its own cell is the minimum; id 0 wins ties
+      assert(got.head._1 == 0L)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scans)
+      }
+      val allScans = scans(res.queryExecution.executedPlan)
+      // the probe plan's ONLY file input is the codes layout — the raw
+      // embedding corpus is nowhere in it
+      assert(allScans.nonEmpty &&
+        allScans.forall(_.relation.location.rootPaths.exists(_.toString.contains("codes"))),
+        res.queryExecution.executedPlan.toString)
+      assert(allScans.forall(_.partitionFilters.nonEmpty),
+        s"no partition filter on the codes scan:\n${res.queryExecution.executedPlan}")
+      val filesRead = allScans.map(_.metrics("numFiles").value).sum
+      val totalFiles = new java.io.File(dir + "/codes").listFiles()
+        .filter(_.getName.startsWith("cluster="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+      assert(filesRead > 0 && filesRead < totalFiles,
+        s"probe read $filesRead of $totalFiles code files — no pruning")
+      // reload round-trip answers identically
+      val loaded = Similarity.loadIvfPqIndex(spark, dir)
+      assert(Similarity.ivfPqTopK(loaded, q, 10, nprobe = 2)
+        .as[(Long, Double)].collect().toSeq == got)
+    } finally idx.unpersist()
+  }
+
   test("hot label blocks are LSH-sub-bucketed: pair fan-out stays bounded") {
     // one hot label (600 vectors) + one small label (10); guard at 100
     val vecs = (0 until 610).map { id =>
@@ -794,6 +904,49 @@ class LlmSpec extends SparkSpec {
     val want = docs.as[(Long, String)].collect()
       .map { case (id, t) => id -> QualityModel.scoreText(t, m) }.toMap
     assert(got == want)
+  }
+
+  test("distributed quality trainer: separates, partition-invariant, text never collected") {
+    import graft.llm.QualityModel
+    val good = (0 until 40).map(i =>
+      (i.toLong, s"insightful analysis of topic$i with careful methods", 1.0))
+    val bad = (40 until 80).map(i =>
+      (i.toLong, s"buy cheap pills now click here winner$i", 0.0))
+    val df = (good ++ bad).toDF("doc_id", "text", "label")
+    // record the OUTPUT SCHEMA of every plan executed during training: the
+    // "no corpus-text collect" claim means no collected result carries the
+    // text column — only counts and (idx, gm) gradient aggregates
+    val schemas = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    d: Long): Unit =
+        schemas.add(qe.executedPlan.schema.fieldNames.mkString(","))
+      def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    val m = try {
+      val m0 = QualityModel.trainDistributed(df, dim = 256, epochs = 40, lr = 2.0)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (schemas.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      m0
+    } finally spark.listenerManager.unregister(l)
+    val seen = scala.jdk.CollectionConverters.ListHasAsScala(schemas).asScala.toSeq
+    assert(seen.nonEmpty && seen.forall(s => !s.contains("_t") && !s.contains("text")),
+      s"a training execution returned text to the driver: $seen")
+    // held-out separation under the distributed trainer
+    val sGood = QualityModel.scoreText("careful insightful analysis of methods", m)
+    val sBad = QualityModel.scoreText("click here buy cheap pills now", m)
+    assert(sGood > 0.7 && sBad < 0.3, s"good=$sGood bad=$sBad")
+    // micro-unit gradient sums make the weights partition-invariant
+    val m2 = QualityModel.trainDistributed(df.repartition(7), dim = 256,
+      epochs = 40, lr = 2.0)
+    assert(m2.weights.toSeq == m.weights.toSeq && m2.bias == m.bias)
+    // and empty input yields the zero model, like train
+    val empty = Seq.empty[(Long, String, Double)].toDF("doc_id", "text", "label")
+    val mE = QualityModel.trainDistributed(empty, dim = 16)
+    assert(mE.weights.forall(_ == 0.0) && mE.bias == 0.0)
   }
 
   test("ngram LM: training counts, backoff scoring vs reference, partition invariance") {
@@ -1179,5 +1332,46 @@ class LlmSpec extends SparkSpec {
     val rows = frames.as[(Long, Int, Seq[Float])].collect().toSeq
     assert(rows.map(_._2) == Seq(0, 1, 2))
     assert(rows.forall(_._3.length == 8))
+  }
+
+  test("image header parse: PNG IHDR offsets, JPEG marker walk, rejects garbage") {
+    def hexBytes(h: String): Array[Byte] =
+      h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be32(v: Int) = f"$v%08X"
+    def be16(v: Int) = f"$v%04X"
+    def png(w: Int, h: Int): Array[Byte] =
+      hexBytes("89504E470D0A1A0A 0000000D 49484452 " + be32(w) + be32(h) + "0806000000")
+    // JPEG with two variable-length segments BEFORE the SOF (APP0 + COM) so
+    // the walk must really skip by the big-endian length fields, plus a
+    // fill byte 0xFF before the SOF marker
+    def jpeg(w: Int, h: Int, pad: Int): Array[Byte] =
+      hexBytes("FFD8" +
+        "FFE0" + be16(8) + "4A4649460001" + // APP0, 6 payload bytes
+        "FFFE" + be16(pad + 2) + "00" * pad + // COM, pad payload bytes
+        "FF" + // fill byte
+        "FFC2" + be16(17) + "08" + be16(h) + be16(w) + // progressive SOF2
+        "03011100021101031101" + "FFD9")
+    assert(Multimodal.decodeImageMeta(png(575, 303)).contains(("png", 575, 303)))
+    assert(Multimodal.decodeImageMeta(png(1, 1)).contains(("png", 1, 1)))
+    assert(Multimodal.decodeImageMeta(jpeg(575, 303, 0)).contains(("jpeg", 575, 303)))
+    assert(Multimodal.decodeImageMeta(jpeg(2, 9, 31)).contains(("jpeg", 2, 9)))
+    // rejections: garbage, truncation, marker desync, missing SOF
+    assert(Multimodal.decodeImageMeta("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageMeta(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImageMeta(png(5, 5).take(20)).isEmpty)
+    assert(Multimodal.decodeImageMeta(jpeg(5, 5, 2).take(6)).isEmpty)
+    assert(Multimodal.decodeImageMeta(hexBytes("FFD8" + "FFFE0004" + "0000" + "12345678")).isEmpty)
+    assert(Multimodal.decodeImageMeta(hexBytes("FFD8FFD9")).isEmpty)
+    // the native expression is the same parse (parity incl. NULL row)
+    val df = Seq((1L, png(640, 480)), (2L, jpeg(123, 45, 3)),
+      (3L, "junk".getBytes)).toDF("id", "content")
+    val got = df.select(col("id"),
+        graft.functions.native.imageMeta(col("content")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    assert(got == Set((1L, Some("png"), 640, 480),
+      (2L, Some("jpeg"), 123, 45), (3L, None, -1, -1)))
   }
 }
