@@ -88,5 +88,12 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => Console.err.println(s"[bench] write $outPath failed: $e") }
+    // Also persist the FULL per-query map into the repo (driver-captured
+    // BENCH tails truncate at 2000 chars, losing ~30 queries + the total):
+    // BENCH_full.json is committed per round so round-over-round
+    // comparison always covers the whole query surface.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => Console.err.println(s"[bench] write BENCH_full.json failed: $e") }
   }
 }

@@ -906,6 +906,55 @@ class LlmSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("unkeyed windows run only over config-bounded relations (audit of the WindowExec warning)") {
+    // Verify's "No Partition Defined for Window" warnings come from exactly
+    // two queries — corpus_mix_rates and corpus_budget (checked per-query).
+    // Both windows are over per-KEY aggregates whose cardinality is a
+    // config property (source count / enforced score granularity), never
+    // corpus size. This spec pins that: the rows actually ENTERING each
+    // unkeyed WindowExec (first descendant numOutputRows metric) stay at
+    // the bound while the corpus grows 10×.
+    import graft.llm.Corpus
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def descend(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(descend)
+    }
+    def unkeyedWindowInputs(p: SparkPlan): Seq[Long] =
+      descend(p).collect { case w: WindowExec if w.partitionSpec.isEmpty =>
+        descend(w.child)
+          .find(_.metrics.contains("numOutputRows"))
+          .map(_.metrics("numOutputRows").value)
+          .getOrElse(-1L)
+      }
+    def docs(n: Int) = (0 until n).map(i =>
+      (i.toLong, ("w " * (i % 7 + 1)).trim, s"src${i % 13}"))
+      .toDF("doc_id", "text", "source")
+    for (n <- Seq(500, 5000)) {
+      val rates = Corpus.mixRates(docs(n),
+        tokens = TextStats.tokenCount(col("text")), budget = 1000L)
+      rates.collect()
+      val mrIn = unkeyedWindowInputs(rates.queryExecution.executedPlan)
+      assert(mrIn.nonEmpty && mrIn.forall(_ == 13L),
+        s"mixRates window input at n=$n: $mrIn (want 13 = source count)")
+      val cut = Corpus.selectBudget(docs(n), budget = 1000L,
+        score = col("doc_id") / lit(n.toDouble), // n distinct raw scores
+        tokens = TextStats.tokenCount(col("text")), scoreScale = 2)
+      cut.collect()
+      val sbIn = unkeyedWindowInputs(cut.queryExecution.executedPlan)
+      // enforced 2-dp rounding caps the score-distinct relation at 101
+      // values in [0,1] no matter how many raw scores exist
+      assert(sbIn.nonEmpty && sbIn.forall(v => v > 0 && v <= 101),
+        s"selectBudget window input at n=$n: $sbIn (bound 101)")
+    }
+  }
+
   test("distributed quality trainer: separates, partition-invariant, text never collected") {
     import graft.llm.QualityModel
     val good = (0 until 40).map(i =>

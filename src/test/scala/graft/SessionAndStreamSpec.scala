@@ -475,6 +475,38 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest scores documents: BPE + quality model compose with stream dedup") {
+    // the round-7 scoring surface is stateless columnar expressions, so it
+    // drops straight into a streaming ingest: dedup state stays 32 bytes
+    // per doc, scoring adds NO state, and per-row results are identical to
+    // the batch twins
+    implicit val sqlCtx = spark.sqlContext
+    import graft.llm.{Bpe, QualityModel}
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val m = QualityModel.CoreDemoModel
+    val scored = graft.stream.StreamDedup.exact(
+        input.toDF().toDF("ts", "text"), watermark = "1 minute")
+      .select(col("text"),
+        graft.functions.native.bpeCount(col("text"), Bpe.CoreEnglishMerges).as("n_bpe"),
+        QualityModel.score(col("text"), m).as("q_model"))
+    val q = scored.writeStream.format("memory").queryName("scored_stream")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((ts("2024-01-01 00:00:00"), "the cat sat on the mat"),
+        (ts("2024-01-01 00:00:05"), "the cat sat on the mat"), // dup: scored once
+        (ts("2024-01-01 00:00:10"), "buy cheap pills"))
+      q.processAllAvailable()
+      val rows = spark.table("scored_stream").as[(String, Long, Double)]
+        .collect().toSeq
+      assert(rows.size == 2, s"dup must be dropped before scoring: $rows")
+      rows.foreach { case (t, nb, qm) =>
+        assert(nb == Bpe.countTokens(t, Bpe.CoreEnglishMerges))
+        assert(qm == QualityModel.scoreText(t, m))
+      }
+    } finally q.stop()
+  }
+
   test("observe-based DQ counters accumulate without extra scans") {
     import graft.core.{FieldBounds, Validation}
     import graft.stream.DqCounters
