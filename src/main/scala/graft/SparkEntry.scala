@@ -868,6 +868,26 @@ object SparkEntry {
           graft.llm.QualityModel.CoreDemoModel).as("q_model"))
         ),
 
+    // DISTRIBUTED TRAINING oracle-gated end to end: 3 epochs of full-batch
+    // logistic gradient descent over the corpus (labels = doc_id parity),
+    // emitting the learned weight TABLE. Works cross-engine because each
+    // epoch's gradient is a sum of per-doc micro-unit integers (associative
+    // — partition order can't change a bit) and every float step (in-order
+    // feature fold, sigmoid, the weight update chain) is composed
+    // identically in both engines; the oracle unrolls the three epochs as
+    // a CTE chain over an evolving weight relation.
+    "quality_train" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        (col("doc_id") % 2).cast("double").as("label"))
+      val m = graft.llm.QualityModel.trainDistributed(docs,
+        dim = 32, epochs = 3, lr = 0.5)
+      (m.weights.zipWithIndex.map { case (w, i) => (i, w) } :+ ((-1, m.bias)))
+        .toSeq.toDF("idx", "w")
+        .select(col("idx"),
+          graft.functions.Rounding.dround(col("w"), 6).as("w"))
+    },
+
     // N-gram LM perplexity filtering (CCNet recipe, stupid backoff): train
     // the bigram model ON the corpus and score every document under it —
     // the model is a joined relation, never a broadcast requirement.
@@ -1511,6 +1531,49 @@ object SparkEntry {
       "(a,b) -> a + b) / len(toks) END))), 6) AS q_model FROM t ORDER BY doc_id"
   }
 
+  // quality_train oracle: the whole distributed-training run replayed —
+  // hashed features once up front, then 3 unrolled epochs, each: ordered
+  // per-doc raw fold under the previous epoch's weight list → sigmoid
+  // gradient → micro-unit contribution sums → the identical weight-update
+  // float chain. Missing-gradient indexes subtract an exact 0.0 (bitwise
+  // no-op, same as the Scala side not touching them).
+  private lazy val qualityTrainOracleSql: String = {
+    val (dim, epochs, lr) = (32, 3, 0.5)
+    val h1 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, length(tk)), j -> CAST(ascii(substr(tk,j,1)) AS BIGINT))), " +
+      "(a,b) -> (a*31+b)%1000000007)"
+    def micro(x: String) =
+      s"CASE WHEN ($x) * 1000000.0 >= 0 THEN floor(($x) * 1000000.0 + 0.5) " +
+        s"ELSE -floor(-(($x) * 1000000.0) + 0.5) END"
+    val epochCtes = (1 to epochs).map { e =>
+      val p = s"w${e - 1}"
+      s"wl$e AS (SELECT list(w ORDER BY idx) AS wl FROM $p WHERE idx >= 0), " +
+        s"bb$e AS (SELECT w AS b FROM $p WHERE idx = -1), " +
+        s"gd$e AS (SELECT doc_id, y, n, fs, 1/(1 + exp(-(list_reduce(list_prepend(b, " +
+        s"list_transform(fs, f -> wl[f.i + 1] * (f.c / n))), (a,x) -> a + x)))) - y AS g " +
+        s"FROM docs0, wl$e, bb$e), " +
+        s"gs$e AS (SELECT f.i AS idx, SUM(${micro("g * (f.c / n)")}) AS s " +
+        s"FROM (SELECT g, n, unnest(fs) AS f FROM gd$e) GROUP BY 1 " +
+        s"UNION ALL SELECT -1 AS idx, SUM(${micro("g")}) AS s FROM gd$e), " +
+        s"w$e AS (SELECT w.idx, w.w - $lr * ((CAST(COALESCE(g.s, 0) AS DOUBLE) / 1000000.0) / ns.n) AS w " +
+        s"FROM $p w LEFT JOIN gs$e g USING (idx) CROSS JOIN ns)"
+    }.mkString(", ")
+    "WITH t0 AS (SELECT doc_id, CAST(doc_id % 2 AS DOUBLE) AS y, " +
+      "list_filter(string_split(text, ' '), tk -> tk <> '') AS toks FROM documents), " +
+      "lab AS (SELECT doc_id, y, len(toks) AS n FROM t0), " +
+      "tok AS (SELECT doc_id, unnest(toks) AS tk FROM t0), " +
+      s"fi AS (SELECT doc_id, CAST($h1 % $dim AS INTEGER) AS i FROM tok), " +
+      "fc AS (SELECT doc_id, i, CAST(count(*) AS DOUBLE) AS c FROM fi GROUP BY doc_id, i), " +
+      "fl AS (SELECT doc_id, list(struct_pack(i := i, c := c) ORDER BY i) AS fs FROM fc GROUP BY doc_id), " +
+      "docs0 AS (SELECT l.doc_id, l.y, l.n, " +
+      "COALESCE(f.fs, CAST([] AS STRUCT(i INTEGER, c DOUBLE)[])) AS fs " +
+      "FROM lab l LEFT JOIN fl f USING (doc_id)), " +
+      "ns AS (SELECT count(*) AS n FROM documents), " +
+      s"w0 AS (SELECT CAST(unnest(generate_series(-1, ${dim - 1})) AS INTEGER) AS idx, " +
+      "CAST(0.0 AS DOUBLE) AS w), " + epochCtes + " " +
+      s"SELECT idx, round(w, 6) AS w FROM w$epochs ORDER BY idx"
+  }
+
   // lm_score oracle: the full train + score replay — distributed n-gram
   // counting is plain GROUP BY, backoff is the same CASE, terms are the
   // same micro-unit integers (ln(s)/ln(10), binary-value round).
@@ -1578,6 +1641,7 @@ object SparkEntry {
     "bpe_tokens" -> bpeOracleSql,
     "bpe_train" -> bpeTrainOracleSql,
     "quality_model" -> qualityModelOracleSql,
+    "quality_train" -> qualityTrainOracleSql,
     "lm_score" -> lmScoreOracleSql,
     "lm_score_tri" -> lmScoreTriOracleSql,
     "scan_parquet" ->

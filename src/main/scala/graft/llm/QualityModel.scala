@@ -69,18 +69,21 @@ object QualityModel {
     (idx.toArray.sortBy(_._1), n)
   }
 
-  /** One document's micro-unit (1e-9) gradient contributions under the
+  /** One document's micro-unit (1e-6) gradient contributions under the
     * CURRENT model — `(featureIdx, micros)` pairs plus the bias term at
     * idx −1. Rounding each contribution to integer micros makes the
     * epoch-gradient SUM associative, hence identical under any
-    * partitioning — the PSI trick applied to model training. Driver twin
-    * of the QualityGrad native expression.
+    * partitioning — the PSI trick applied to model training. The 1e-6
+    * step also absorbs sigmoid's cross-libm exp() ulp (≈1e-17) with
+    * ~2e-11 boundary probability per contribution, which is what lets the
+    * `quality_train` oracle replay WHOLE TRAINING RUNS cross-engine.
+    * Driver twin of the QualityGrad native expression.
     */
   private[graft] def gradContribs(text: String, y: Double,
                                   m: Model): Array[(Int, Long)] = {
     val (x0, n) = hashedCounts(text, m.dim)
     def micro(d: Double): Long = {
-      val t = d * 1e9
+      val t = d * 1e6
       (if (t >= 0) math.floor(t + 0.5) else -math.floor(-t + 0.5)).toLong
     }
     var raw = m.bias
@@ -177,7 +180,7 @@ object QualityModel {
           .collect()
         grads.foreach { r =>
           val i = r.getInt(0)
-          val g = r.getLong(1) / 1e9 / nSample
+          val g = r.getLong(1) / 1e6 / nSample
           if (i < 0) b -= lr * g else w(i) -= lr * g
         }
         e += 1
