@@ -1045,6 +1045,13 @@ object SparkEntry {
       graft.llm.Corpus.packSequences(t(s, d, "documents"), budget = 512)
         ),
 
+    // Overlapping token-window chunking (RAG / context-window prep): pure
+    // per-row explode, chunk identity = (doc, ordinal) — deterministic
+    // under any partitioning, no shuffle anywhere.
+    "chunk_documents" -> ((s, d) =>
+      graft.llm.Corpus.chunkDocuments(t(s, d, "documents"),
+        window = 40, stride = 32)),
+
     // Balanced per-stratum sample: 20 docs per lang, hash-ranked. The
     // row_number<=n filter plans as WindowGroupLimit — each task keeps its
     // local top-n per stratum before the exchange.
@@ -2092,6 +2099,15 @@ object SparkEntry {
         "SELECT doc_id, lang, CAST(floor(COALESCE(SUM(n_tok) " +
         "OVER (PARTITION BY lang ORDER BY shard, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin, " +
         "n_tok FROM b ORDER BY doc_id"),
+
+    "chunk_documents" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk FROM documents), " +
+        "v AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0), " +
+        "c AS (SELECT doc_id, tk, unnest(generate_series(0, " +
+        "CAST(ceil(greatest(n - 40, 0) / 32.0) AS BIGINT))) AS chunk_id FROM v), " +
+        "w AS (SELECT doc_id, chunk_id, tk[chunk_id*32+1 : chunk_id*32+40] AS wts FROM c) " +
+        "SELECT doc_id, chunk_id, CAST(len(wts) AS BIGINT) AS chunk_tokens, " +
+        "array_to_string(wts, ' ') AS chunk_text FROM w ORDER BY doc_id, chunk_id"),
 
     "sample_stratified" ->
       (s"SELECT lang, doc_id FROM (SELECT lang, doc_id, ROW_NUMBER() OVER " +

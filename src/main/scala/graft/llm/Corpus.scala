@@ -216,6 +216,41 @@ object Corpus {
     * a pure function of the id, so packing is deterministic across runs,
     * engines, and partitionings.
     */
+  /** Overlapping token-window chunking — the context-window splitter for
+    * RAG / long-document pretraining prep: chunk c of a document covers
+    * tokens [c·stride, c·stride + window), with 1 + ceil(max(n − window,
+    * 0) / stride) chunks — one chunk for any document at or under the
+    * window, and beyond that exactly as many stride steps as needed for
+    * the last window to reach the final token (no redundant all-overlap
+    * tail; stride < window gives the overlap).
+    *
+    * Output `(idCol, chunk_id, chunk_tokens, chunk_text)`. Pure per-row
+    * explode — no shuffle, no state; chunk identity is (doc, ordinal), so
+    * the split is deterministic under any partitioning and incremental
+    * ingest. Scale: output rows ≈ corpus tokens / stride; each chunk
+    * carries only its own text slice.
+    */
+  def chunkDocuments(df: DataFrame, window: Int, stride: Int,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
+    val nChunks = lit(1L) +
+      ceil(greatest(size(col("_toks")) - window, lit(0)).cast("double") / stride)
+        .cast("long")
+    df.select(col(idCol), toks.as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("_toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(window)).as("_w"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_w")).cast("long").as("chunk_tokens"),
+        array_join(col("_w"), " ").as("chunk_text"))
+  }
+
   def packSequences(df: DataFrame, budget: Int, groupCol: String = "lang",
                     idCol: String = "doc_id", tokens: Column = null,
                     nShards: Int = 64): DataFrame = {

@@ -36,23 +36,39 @@ object NgramLm {
 
   /** `(gram, k, cnt)` counts for all orders 1..n, plus the `("", 0, N)`
     * total-token row — ONE relation holding the whole model.
+    *
+    * All n orders ride ONE exploded array into ONE keyed aggregate (gram
+    * strings of different orders can't collide — they differ in word
+    * count, which is also how `k` is recovered after the aggregate: cheap
+    * codegen'd space counting, the same trick as the scoring fold). The
+    * per-order union formulation scanned and shuffled the corpus once per
+    * order; this is one scan + one shuffle at any n, and the total-token
+    * leg re-reads the SAME exchange (ReuseExchange — plan-asserted in
+    * LlmSpec), not the corpus.
     */
   def train(df: DataFrame, textCol: String = "text", n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 5, s"order must be in [1, 5], got $n")
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
     // gram extraction is the native WordGrams kernel (all occurrences, doc
     // order) — the interpreted HOF form was the dominant training cost
-    val grams = (1 to n).map { k =>
-      df.select(explode(
-          graft.functions.native.wordGrams(toks, k)).as("gram"))
-        .groupBy("gram").agg(count(lit(1)).as("cnt"))
-        .select(col("gram"), lit(k).as("k"), col("cnt"))
-    }
-    // N = Σ unigram counts: derived, not a third corpus scan
-    val total = grams.head.agg(sum("cnt").as("cnt"))
-      .select(lit("").as("gram"), lit(0).as("k"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))
-    grams.reduce(_ unionByName _).unionByName(total)
+    val allOrders = (1 to n).map(k => graft.functions.native.wordGrams(toks, k))
+    val counts = df
+      .select(explode(
+        if (n == 1) allOrders.head else concat(allOrders: _*)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .select(col("gram"),
+        (length(col("gram")) - length(translate(col("gram"), " ", "")) + 1)
+          .cast("int").as("k"),
+        col("cnt"))
+    // N = Σ unigram counts, derived from the same aggregate. The condition
+    // lives INSIDE the sum — a `where(k === 1)` would push below the gram
+    // aggregate and fork a second corpus scan; the conditional aggregate
+    // keeps the exchange subtree identical, so ReuseExchange feeds this leg
+    // from the first one's shuffle output.
+    val total = counts
+      .agg(coalesce(sum(when(col("k") === 1, col("cnt"))), lit(0L)).as("cnt"))
+      .select(lit("").as("gram"), lit(0).as("k"), col("cnt"))
+    counts.unionByName(total)
   }
 
   def save(model: DataFrame, path: String): Unit =

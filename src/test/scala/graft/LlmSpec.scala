@@ -906,6 +906,31 @@ class LlmSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("document chunking: window/stride arithmetic, full coverage, no redundant tail") {
+    import graft.llm.Corpus
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words(3)), (2L, words(8)), (3L, words(9)),
+      (4L, ""), (5L, words(20))).toDF("doc_id", "text")
+    val got = Corpus.chunkDocuments(docs, window = 8, stride = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // short doc: one (short) chunk; exact-window doc: ONE chunk (no
+    // all-overlap tail); window+1: two
+    assert(got(1L).map(c => (c._3, c._4)).toSeq == Seq((3L, "w0 w1 w2")))
+    assert(got(2L).size == 1 && got(2L).head._3 == 8L)
+    assert(got(3L).map(_._3).toSeq == Seq(8L, 5L) &&
+      got(3L)(1)._4 == "w4 w5 w6 w7 w8")
+    assert(!got.contains(4L)) // empty doc yields nothing
+    // 20 tokens, w=8, s=4 -> 1 + ceil(12/4) = 4 chunks; consecutive chunks
+    // overlap by 4 and together cover every token exactly
+    val c5 = got(5L)
+    assert(c5.size == 4 && c5.map(_._3).toSeq == Seq(8L, 8L, 8L, 8L))
+    val covered = c5.flatMap(_._4.split(" ")).toSet
+    assert(covered == (0 until 20).map(i => s"w$i").toSet)
+    assert(c5(0)._4.split(" ").takeRight(4).toSeq ==
+      c5(1)._4.split(" ").take(4).toSeq)
+  }
+
   test("unkeyed windows run only over config-bounded relations (audit of the WindowExec warning)") {
     // Verify's "No Partition Defined for Window" warnings come from exactly
     // two queries — corpus_mix_rates and corpus_budget (checked per-query).
@@ -1088,6 +1113,13 @@ class LlmSpec extends SparkSpec {
     }
     assert(fileScans(scored.queryExecution.executedPlan) == 1,
       scored.queryExecution.executedPlan.toString)
+    // training too: all n orders share one explode + one keyed aggregate,
+    // and the total-token leg re-reads that exchange (ReuseExchange) —
+    // one corpus scan at any order, where the per-order union form paid n
+    val model = NgramLm.train(docs, n = 3)
+    model.collect()
+    assert(fileScans(model.queryExecution.executedPlan) == 1,
+      model.queryExecution.executedPlan.toString)
   }
 
   test("temperature mixing rates: tau endpoints, budget calibration, feeds mixWeighted") {
