@@ -41,10 +41,16 @@ object NgramLm {
     * strings of different orders can't collide — they differ in word
     * count, which is also how `k` is recovered after the aggregate: cheap
     * codegen'd space counting, the same trick as the scoring fold). The
-    * per-order union formulation scanned and shuffled the corpus once per
-    * order; this is one scan + one shuffle at any n, and the total-token
-    * leg re-reads the SAME exchange (ReuseExchange — plan-asserted in
-    * LlmSpec), not the corpus.
+    * `("", 0, N)` total rides the SAME explode as one empty-string marker
+    * per token (grams are never empty, so no collision; map-side combine
+    * collapses the markers to ~one row per task) — a union-leg total
+    * would re-execute the corpus aggregate: identical exchanges in two
+    * legs of one union are NOT reliably deduplicated at runtime (observed
+    * racing as two concurrent map jobs under AQE). The per-order union
+    * formulation scanned and shuffled the corpus once per order; this is
+    * one scan + one corpus-keyed shuffle at any n (plan-asserted in
+    * LlmSpec), plus a vocab-sized normalization aggregate that guarantees
+    * the total row exists even for an empty corpus.
     */
   def train(df: DataFrame, textCol: String = "text", n: Int = 2): DataFrame = {
     require(n >= 1 && n <= 5, s"order must be in [1, 5], got $n")
@@ -52,23 +58,22 @@ object NgramLm {
     // gram extraction is the native WordGrams kernel (all occurrences, doc
     // order) — the interpreted HOF form was the dominant training cost
     val allOrders = (1 to n).map(k => graft.functions.native.wordGrams(toks, k))
+    val withMarkers =
+      concat((allOrders :+ array_repeat(lit(""), size(toks))): _*)
     val counts = df
-      .select(explode(
-        if (n == 1) allOrders.head else concat(allOrders: _*)).as("gram"))
+      .select(explode(withMarkers).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .select(col("gram"),
-        (length(col("gram")) - length(translate(col("gram"), " ", "")) + 1)
-          .cast("int").as("k"),
+        when(col("gram") === "", lit(0)).otherwise(
+          (length(col("gram")) - length(translate(col("gram"), " ", "")) + 1)
+            .cast("int")).as("k"),
         col("cnt"))
-    // N = Σ unigram counts, derived from the same aggregate. The condition
-    // lives INSIDE the sum — a `where(k === 1)` would push below the gram
-    // aggregate and fork a second corpus scan; the conditional aggregate
-    // keeps the exchange subtree identical, so ReuseExchange feeds this leg
-    // from the first one's shuffle output.
-    val total = counts
-      .agg(coalesce(sum(when(col("k") === 1, col("cnt"))), lit(0L)).as("cnt"))
-      .select(lit("").as("gram"), lit(0).as("k"), col("cnt"))
-    counts.unionByName(total)
+    // ensure ("", 0, N) exists even when the corpus has no tokens at all;
+    // the re-aggregate runs over the VOCAB-sized relation, not the corpus
+    val seed = df.sparkSession.range(1)
+      .select(lit("").as("gram"), lit(0).as("k"), lit(0L).as("cnt"))
+    counts.unionByName(seed)
+      .groupBy("gram", "k").agg(sum("cnt").as("cnt"))
   }
 
   def save(model: DataFrame, path: String): Unit =
