@@ -114,10 +114,13 @@ object Pipeline {
       score = TextStats.qualityScore(col("text")),
       tokens = TextStats.tokenCount(col("text")))
       .where(col("keep")).count()
+    val nChunks = graft.llm.Corpus.chunkDocuments(docs,
+      window = 64, stride = 48).count()
     println(s"[pipeline] assembly: $nOutliers length outliers; " +
       s"${balanced.count()} in balanced sample; " +
       s"${binRow.getLong(0)} docs packed into ${binRow.getLong(1)} context bins; " +
-      s"$nBudget docs inside the 10k-token quality budget")
+      s"$nBudget docs inside the 10k-token quality budget; " +
+      s"$nChunks overlapping context chunks")
 
     // 3b. model-based scoring artifacts trained on the corpus itself:
     //     a BPE merge table, a quality classifier, an n-gram LM — each a
@@ -131,7 +134,10 @@ object Pipeline {
     // is actually learnable from this corpus
     val labeled = docs.withColumn("label",
       (col("lang") === "en").cast("double"))
-    val qm = graft.llm.QualityModel.train(labeled, dim = 1 << 10, epochs = 3)
+    // the distributed trainer: gradients are keyed integer sums — the
+    // driver only ever sees the dim-bounded aggregate, never a document
+    val qm = graft.llm.QualityModel.trainDistributed(labeled,
+      dim = 1 << 10, epochs = 3)
     graft.llm.QualityModel.save(spark, qm, s"$outDir/quality_model")
     val scoredDocs = graft.llm.NgramLm.score(docs,
         graft.llm.NgramLm.load(spark, s"$outDir/lm_model"), n = 2)
@@ -152,19 +158,28 @@ object Pipeline {
     val embs = Tables(spark, sfDir, "embeddings")
     val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
     val top = Similarity.topK(embs, q, 5).collect()
-    val idx = Similarity.buildIvfIndex(embs, kClusters = 8)
+    // the clustered layout: the probe scan partition-prunes to nprobe
+    // clusters instead of joining the whole corpus
+    val idx = Similarity.buildClusteredIvfIndex(embs, kClusters = 8,
+      path = s"$outDir/ivf")
     val ivfTop = Similarity.ivfTopK(idx, embs, q, 5, nprobe = 2,
       "vec_id", "embedding", 6).collect()
     val pq = Similarity.buildPqIndex(embs, m = 8, kCodes = 16)
     val pqTop = Similarity.pqTopK(pq, q, 5).collect()
+    // the composed probe: cluster-pruned codes scan + ADC, raw vectors
+    // nowhere in the plan
+    val ivfpq = Similarity.buildIvfPqIndex(embs, kClusters = 8, m = 8,
+      kCodes = 16, path = s"$outDir/ivfpq")
+    val ivfPqTop = Similarity.ivfPqTopK(ivfpq, q, 5, nprobe = 2).collect()
     // semantic dedup blocks pairs by the index's learned clusters
     val nSem = Similarity.nearDupPairs(
       embs.join(idx.assignments.withColumnRenamed("id", "vec_id"), "vec_id"),
       partCol = "cluster").count()
-    idx.unpersist(); pq.unpersist()
+    idx.unpersist(); pq.unpersist(); ivfpq.unpersist()
     println(s"[pipeline] similarity: exact top-5 ${top.map(_.getLong(0)).mkString(",")}; " +
       s"ivf top-5 ${ivfTop.map(_.getLong(0)).mkString(",")}; " +
       s"pq/adc top-5 ${pqTop.map(_.getLong(0)).mkString(",")}; " +
+      s"ivf-pq top-5 ${ivfPqTop.map(_.getLong(0)).mkString(",")}; " +
       s"$nSem semantic near-dup pairs")
     println(s"[pipeline] counters:\n${dq.renderPrometheus()}")
     spark.stop()

@@ -845,6 +845,16 @@ object SparkEntry {
           graft.llm.Bpe.CoreEnglishMerges).as("n_bpe"))
         ),
 
+    // The tokenizer's real OUTPUT: the merged symbol sequence per document
+    // (posexploded to scalar rows for the gate). Counting proves length;
+    // this pins every symbol at every position.
+    "bpe_encode" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          posexplode(graft.functions.native.bpeTokens(col("text"),
+            graft.llm.Bpe.CoreEnglishMerges)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("sym"))),
+
     // BPE TRAINING oracle-gated end to end: learn 8 merges ON the corpus
     // (distributed word-frequency aggregate + the deterministic driver
     // merge loop — count DESC, pair ASC tie-break) and emit the merge
@@ -1495,6 +1505,36 @@ object SparkEntry {
       "USING (doc_id) ORDER BY doc_id"
   }
 
+  // bpe_encode oracle: the bpe_tokens recursive fold, but emitting every
+  // final symbol at its document-order position — per-word symbolizations
+  // join back to the (doc, wordIndex) relation, and a per-doc keyed window
+  // turns word-local symbol indexes into the global token position.
+  private lazy val bpeEncodeOracleSql: String = {
+    val k = graft.llm.Bpe.CoreEnglishMerges.length
+    val values = graft.llm.Bpe.CoreEnglishMerges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(", ")
+    s"WITH RECURSIVE m(r, a, b) AS (SELECT * FROM (VALUES $values)), " +
+      "toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents), " +
+      "tv AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0), " +
+      "pw AS (SELECT doc_id, i, tk[i] AS word FROM " +
+      "(SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM tv)), " +
+      "v AS (SELECT DISTINCT word FROM pw), " +
+      "it(word, s, r) AS (" +
+      "SELECT word, regexp_split_to_array(word, ''), 1 FROM v UNION ALL " +
+      "SELECT it.word, CASE WHEN len(it.s) < 2 THEN it.s ELSE " +
+      "list_reduce(list_transform(it.s, x -> [x]), (acc, x) -> " +
+      "CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m.a AND x[1] = m.b " +
+      "THEN acc[1:len(acc)-1] || [m.a || m.b] ELSE acc || x END) END, it.r + 1 " +
+      s"FROM it JOIN m ON m.r = it.r WHERE it.r <= $k), " +
+      s"fin AS (SELECT word, s FROM it WHERE r = ${k + 1}), " +
+      "wp AS (SELECT pw.doc_id, pw.i, f.s, len(f.s) AS ns FROM pw JOIN fin f USING (word)), " +
+      "off AS (SELECT doc_id, i, s, COALESCE(SUM(ns) OVER (PARTITION BY doc_id " +
+      "ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM wp) " +
+      "SELECT doc_id, CAST(o + j - 1 AS BIGINT) AS pos, s[j] AS sym " +
+      "FROM (SELECT doc_id, o, s, unnest(generate_series(1, len(s))) AS j FROM off) " +
+      "ORDER BY doc_id, pos"
+  }
+
   // bpe_train oracle: 8 training rounds UNROLLED as a CTE chain (recursive
   // CTEs cannot aggregate over their own working table, and each round
   // needs a global argmax over the pair counts). Round r: weighted
@@ -1646,6 +1686,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "bpe_tokens" -> bpeOracleSql,
+    "bpe_encode" -> bpeEncodeOracleSql,
     "bpe_train" -> bpeTrainOracleSql,
     "quality_model" -> qualityModelOracleSql,
     "quality_train" -> qualityTrainOracleSql,

@@ -421,6 +421,23 @@ case class ImageMeta(child: Expression)
   override protected def withNewChildInternal(c: Expression): ImageMeta = copy(child = c)
 }
 
+/** The BPE token SEQUENCE of a STRING under a fixed merge table —
+  * `array<string>` of merged symbols in document order (what packing and
+  * training consume; [[BpeCount]] is its length). Same single merge-loop
+  * implementation ([[graft.llm.Bpe.encodeTokens]]).
+  */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(graft.llm.Bpe.encodeTokens(
+        input.asInstanceOf[UTF8String].toString, merges)
+      .map(UTF8String.fromString))
+
+  override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
+}
+
 /** Hashed bag-of-words logistic quality score of a STRING (one tight loop
   * per row; delegates to [[graft.llm.QualityModel.scoreText]] so the merge
   * of semantics lives in exactly one place). Weights are a config-sized
@@ -467,6 +484,10 @@ object native {
   /** BPE token count of a text column under a fixed merge table. */
   def bpeCount(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeCount(expression(c), merges))
+
+  /** The full BPE token sequence (array<string>, document order). */
+  def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeTokens(expression(c), merges))
 
   /** Hashed-BoW logistic quality score under a model artifact. */
   def qualityModelScore(c: Column, m: graft.llm.QualityModel.Model): Column =

@@ -86,6 +86,19 @@ object Bpe {
     n
   }
 
+  /** The full token SEQUENCE of a text — every word's merged symbols, in
+    * document order (what a packing/training pipeline actually consumes;
+    * `countTokens` is its length). Driver twin of the BpeTokens native
+    * expression.
+    */
+  def encodeTokens(text: String, merges: Seq[(String, String)]): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    text.split(" ", -1).foreach { w =>
+      if (w.nonEmpty) out ++= applyMerges(w, merges)
+    }
+    out.toArray
+  }
+
   /** Learn `numMerges` merges from the corpus. The word-frequency pass is
     * distributed; the merge loop runs on the top-`vocabCap` (count DESC,
     * word ASC) words — deterministic regardless of partitioning.

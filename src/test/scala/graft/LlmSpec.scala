@@ -835,6 +835,18 @@ class LlmSpec extends SparkSpec {
       .select(graft.functions.native.bpeCount(col("text"),
         Bpe.CoreEnglishMerges).as("n")).as[Long].collect().head
     assert(full > 3L && full < 14L, s"n_bpe=$full")
+    // the encode surface: full symbol sequence in document order, length
+    // consistent with the count, expression == driver twin
+    assert(Bpe.encodeTokens("ttht the", Seq(("t", "h"), ("th", "e"))).toSeq ==
+      Seq("t", "th", "t", "the"))
+    assert(Bpe.encodeTokens("", merges).isEmpty)
+    val seqs = docs.select(col("doc_id"),
+        graft.functions.native.bpeTokens(col("text"), merges).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    docs.as[(Long, String)].collect().foreach { case (id, t) =>
+      assert(seqs(id) == Bpe.encodeTokens(t, merges).toSeq)
+      assert(seqs(id).size.toLong == Bpe.countTokens(t, merges))
+    }
   }
 
   test("PQ index: ADC top-k ranks the planted class, probe never reads vectors") {
