@@ -492,6 +492,20 @@ object SparkEntry {
     "heavy_hitters" -> ((s, d) =>
       graft.core.Skew.heavyHitters(t(s, d, "events"), col("user_id"), n = 20)),
 
+    // Count-Min frequency estimation: the sketch is a config-bounded
+    // (j, bucket, cnt) relation — one keyed aggregate regardless of key
+    // cardinality, mergeable across batches — probed here for the exact
+    // top-20 keys so the gate pins estimate AND truth side by side.
+    "heavy_hitters_cms" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      val sketch = graft.analytics.Sketches.cmSketch(ev, col("user_id"))
+      val top = ev.groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("cnt_true"))
+        .orderBy(col("cnt_true").desc, col("key")).limit(20)
+      graft.analytics.Sketches.cmEstimate(sketch, top, "key").join(top, "key")
+        .select(col("key"), col("cnt_true"), col("cnt_est"))
+    },
+
     // KMV distinct-count sketch: bounded k-minima state per (group, task)
     // instead of exact distinct's one-row-per-distinct shuffle —
     // deterministic over the PolyHash basis, so the oracle rebuilds the
@@ -1424,6 +1438,26 @@ object SparkEntry {
     s"(CAST(($a * ($m3 % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
   }
 
+  // heavy_hitters_cms oracle: the Count-Min draw is mix32 + per-row affine
+  // reductions — plain BIGINT arithmetic, replayed leg-per-depth-row; the
+  // estimate is the same LEFT JOIN + MIN over (j, bucket).
+  private lazy val cmsOracle: String = {
+    val p = graft.functions.PolyHash.P1
+    def legs(src: String, cols: String): String = (0 until 4).map { j =>
+      val (a, b) = graft.llm.Corpus.hashConstants(42L + j)
+      s"SELECT $cols$j AS j, ((($a * mx) + $b) % $p) % 1024 AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
+    s"WITH e AS (SELECT (${mix32Sql("user_id")}) % $p AS mx FROM events), " +
+      s"sk AS (SELECT j, bucket, count(*) AS cnt FROM (${legs("e", "")}) GROUP BY j, bucket), " +
+      "m AS (SELECT user_id AS key, count(*) AS cnt_true FROM events " +
+      "GROUP BY 1 ORDER BY cnt_true DESC, key LIMIT 20), " +
+      s"mt AS (SELECT key, cnt_true, (${mix32Sql("key")}) % $p AS mx FROM m), " +
+      s"pr AS (${legs("mt", "key, cnt_true, ")}) " +
+      "SELECT pr.key, pr.cnt_true, MIN(COALESCE(sk.cnt, 0)) AS cnt_est " +
+      "FROM pr LEFT JOIN sk USING (j, bucket) " +
+      "GROUP BY pr.key, pr.cnt_true ORDER BY key"
+  }
+
   private lazy val agrawalOracle: String = {
     val cs = graft.etl.Synthetic.drawConstants(1729L)
     def u(k: Int) =
@@ -2163,6 +2197,8 @@ object SparkEntry {
     "heavy_hitters" ->
       ("SELECT user_id AS key, count(*) AS cnt FROM events " +
         "GROUP BY user_id ORDER BY cnt DESC, key LIMIT 20"),
+
+    "heavy_hitters_cms" -> cmsOracle,
 
     // Rebuilds the KMV sketch exactly: mix32 scatter + seeded affine draw
     // per distinct user_id, k smallest hashes per group, (k-1)*P1/h_k.

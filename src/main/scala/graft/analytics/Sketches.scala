@@ -71,4 +71,56 @@ object Sketches {
       r4(col("_ei")).as("est_intersection"),
       r4(col("_ea") + col("_eb") - col("_ei")).as("est_union"))
   }
+
+  /** Per-row Count-Min bucket columns for a LONG key: one [[graft.llm
+    * .Corpus.mix32]] round, then depth independent affine draws (seed+j
+    * constants) reduced mod `width`. Exact BIGINT arithmetic throughout —
+    * the draw replays verbatim in oracle SQL.
+    */
+  private def cmBuckets(key: Column, depth: Int, width: Int,
+                        seed: Long): Seq[Column] = {
+    val P1 = graft.functions.PolyHash.P1
+    val m = graft.llm.Corpus.mix32(key) % P1
+    (0 until depth).map { j =>
+      val (a, b) = graft.llm.Corpus.hashConstants(seed + j)
+      ((m * a + b) % P1) % width
+    }
+  }
+
+  /** Count-Min sketch of a LONG key column — bounded-memory frequency
+    * estimation (Cormode & Muthukrishnan 2005, public). The sketch is a
+    * RELATION of at most depth × width rows `(j, bucket, cnt)`, built by
+    * ONE keyed aggregate (map-side combined; shuffle output is
+    * config-bounded no matter the key cardinality — the whole point at
+    * 100 TB, where exact per-key counting shuffles one row per distinct
+    * key). Sketches MERGE by unioning and re-summing `(j, bucket)` —
+    * batch, partition and crawl increments compose. Deterministic over the
+    * engine-agnostic mix32 draw, so estimates (error included) are
+    * oracle-replayable.
+    */
+  def cmSketch(df: DataFrame, key: Column, depth: Int = 4,
+               width: Int = 1024, seed: Long = 42L): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape $depth x $width")
+    df.select(posexplode(array(cmBuckets(key, depth, width, seed): _*)))
+      .groupBy(col("pos").as("j"), col("col").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `keys` against a [[cmSketch]] relation:
+    * est(key) = min over j of cnt[j][bucket_j(key)] (0 when a bucket is
+    * absent). Conservative by construction — est ≥ true count, and within
+    * εN of it (width ≈ e/ε) with probability ≥ 1 − e^−depth — the classic
+    * guarantee, spec-pinned as est ≥ exact on real data. The probe is a
+    * depth-row explode of the key set joined against the (config-bounded,
+    * broadcastable) sketch.
+    */
+  def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+                 depth: Int = 4, width: Int = 1024,
+                 seed: Long = 42L): DataFrame =
+    keys.select(col(keyCol),
+        posexplode(array(cmBuckets(col(keyCol), depth, width, seed): _*)))
+      .select(col(keyCol), col("pos").as("j"), col("col").as("bucket"))
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
 }
