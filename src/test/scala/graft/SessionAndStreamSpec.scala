@@ -830,6 +830,35 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(unseen >= 0L)
   }
 
+  test("streaming Count-Min: config-bounded sketch state over an unbounded key stream") {
+    // the sketch aggregate runs unchanged as streaming state: at most
+    // depth x width rows no matter how many distinct keys arrive — the
+    // bounded-memory heavy-hitter monitor for continuous ingest
+    implicit val sqlCtx = spark.sqlContext
+    import graft.analytics.Sketches
+    val input = MemoryStream[Long]
+    val q = Sketches.cmSketch(input.toDF().toDF("key"), col("key"),
+        depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((0 until 300).map(_ => 7L) ++ (0 until 500).map(_.toLong): _*)
+      q.processAllAvailable()
+      def snapshot = spark.table("cms_stream")
+      assert(snapshot.count() <= 4 * 64)
+      def estOf(key: Long): Long =
+        Sketches.cmEstimate(snapshot, Seq(key).toDF("key"), "key",
+          depth = 4, width = 64).as[(Long, Long)].collect().head._2
+      val e1 = estOf(7L)
+      assert(e1 >= 301L, s"hot-key estimate $e1 under true count") // 300 + key 7 itself
+      // more arrivals only grow the estimate (counters are monotone)
+      input.addData((0 until 100).map(_ => 7L): _*)
+      q.processAllAvailable()
+      val e2 = estOf(7L)
+      assert(e2 >= e1 + 100L && snapshot.count() <= 4 * 64)
+    } finally q.stop()
+  }
+
   test("fixed-width histogram buckets match a hand count") {
     import graft.profile.Profile
     // values 0..99: 10 buckets of width 9.9 — value 99 lands in the closed
