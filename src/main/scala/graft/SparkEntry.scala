@@ -1069,6 +1069,12 @@ object SparkEntry {
       graft.llm.Corpus.packSequences(t(s, d, "documents"), budget = 512)
         ),
 
+    // The packed-sequence MATERIALIZATION: each (lang, bin)'s documents
+    // concatenated in id order with an <eos> separator — the artifact a
+    // trainer actually reads. Per-bin state is budget-bounded.
+    "pack_concat" -> ((s, d) =>
+      graft.llm.Corpus.packConcat(t(s, d, "documents"), budget = 512)),
+
     // Overlapping token-window chunking (RAG / context-window prep): pure
     // per-row explode, chunk identity = (doc, ordinal) — deterministic
     // under any partitioning, no shuffle anywhere.
@@ -2174,6 +2180,17 @@ object SparkEntry {
         "SELECT doc_id, lang, CAST(floor(COALESCE(SUM(n_tok) " +
         "OVER (PARTITION BY lang ORDER BY shard, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin, " +
         "n_tok FROM b ORDER BY doc_id"),
+
+    "pack_concat" ->
+      (s"WITH b AS (SELECT doc_id, lang, ${mix32Sql("doc_id")} % 64 AS shard, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "p AS (SELECT doc_id, lang, CAST(floor(COALESCE(SUM(n_tok) " +
+        "OVER (PARTITION BY lang ORDER BY shard, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin, " +
+        "n_tok FROM b) " +
+        "SELECT p.lang, p.bin, CAST(SUM(p.n_tok) AS BIGINT) AS bin_tokens, " +
+        "string_agg(d.text, ' <eos> ' ORDER BY p.doc_id) AS seq_text " +
+        "FROM p JOIN documents d USING (doc_id) " +
+        "GROUP BY p.lang, p.bin ORDER BY p.lang, p.bin"),
 
     "chunk_documents" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk FROM documents), " +

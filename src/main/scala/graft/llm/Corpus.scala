@@ -251,6 +251,28 @@ object Corpus {
         array_join(col("_w"), " ").as("chunk_text"))
   }
 
+  /** Materialize the packed TRAINING SEQUENCES from [[packSequences]]'
+    * bins: each (group, bin)'s documents concatenated in id order with
+    * `sep` — the last step before tokenized examples ship to a trainer.
+    * The per-bin collected list is bounded by the token budget (config),
+    * and ordering comes from an `array_sort` over (id, text) structs —
+    * deterministic under any partitioning, no window over the corpus.
+    * Returns `(groupCol, bin, bin_tokens, seq_text)`.
+    */
+  def packConcat(df: DataFrame, budget: Int, sep: String = " <eos> ",
+                 groupCol: String = "lang", textCol: String = "text",
+                 idCol: String = "doc_id", tokens: Column = null,
+                 nShards: Int = 64): DataFrame =
+    packSequences(df, budget, groupCol, idCol, tokens, nShards)
+      .join(df.select(col(idCol), col(textCol)), idCol)
+      .groupBy(groupCol, "bin")
+      .agg(sum("n_tok").as("bin_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            x => x.getField(textCol)),
+          sep).as("seq_text"))
+
   def packSequences(df: DataFrame, budget: Int, groupCol: String = "lang",
                     idCol: String = "doc_id", tokens: Column = null,
                     nShards: Int = 64): DataFrame = {
