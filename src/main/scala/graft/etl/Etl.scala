@@ -120,7 +120,7 @@ object Etl {
         // rewrite that then deletes the original data that means silent
         // row loss/duplication. hash(all columns) is stable under retry.
         df.withColumn("_slot",
-            pmod(hash(df.columns.map(col): _*), lit(perValue.toInt)))
+            pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(perValue.toInt)))
           .repartition(nFiles, (partitionCols.map(col) :+ col("_slot")): _*)
           .drop("_slot")
       } else if (sortCols.nonEmpty)
@@ -197,7 +197,7 @@ object Etl {
     val stats = df.agg(statCols.head, statCols.tail: _*)
     val maxQ = (1L << bits) - 1
     val quantized = df.crossJoin(broadcast(stats)).select(
-      df.columns.map(col) ++ cols.map { c =>
+      df.columns.toIndexedSeq.map(col) ++ cols.map { c =>
         val mn = col(s"_mn_$c"); val mx = col(s"_mx_$c")
         when(mx === mn, lit(0L)).otherwise(
           least(floor((col(c).cast("double") - mn) / ((mx - mn) / (maxQ + 1))),

@@ -284,7 +284,7 @@ object Similarity {
       case Some(cv) =>
         // nprobe cluster ids: a config-bounded collect (the ranking relation
         // has kClusters rows), pushed down as a partition-pruning literal.
-        val probeIds = probed.select("cluster").collect().map(_.get(0))
+        val probeIds = probed.select("cluster").collect().toIndexedSeq.map(_.get(0))
         cv.where(col("cluster").isin(probeIds: _*)).crossJoin(broadcast(query))
       case None =>
         embs.join(index.assignments.withColumnRenamed("id", idCol), idCol)
@@ -355,7 +355,7 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
     val v0 = embs.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
-    val dim = v0.select(size(col("v"))).head.getInt(0)
+    val dim = v0.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val d = dim / m
     val sv = v0.select(col("id"),
@@ -438,7 +438,7 @@ object Similarity {
     */
   private def adcTable(books: DataFrame, query: DataFrame): DataFrame = {
     val meta = books.agg(countDistinct("sub").as("m"),
-      first(size(col("cvec"))).as("d")).head
+      first(size(col("cvec"))).as("d")).head()
     val (m, d) = (meta.getLong(0).toInt, meta.getInt(1))
     val qsv = query.select(
         posexplode(array((0 until m).map(j =>
@@ -523,7 +523,7 @@ object Similarity {
         (graft.functions.native.dotd(asD(col("qvec")), col("cvec")) /
           (sqrt(graft.functions.native.dotd(col("cvec"), col("cvec"))) + lit(1e-12))).as("sim"))
       .orderBy(col("sim").desc, col("cluster")).limit(nprobe)
-    val probeIds = probed.select("cluster").collect().map(_.get(0))
+    val probeIds = probed.select("cluster").collect().toIndexedSeq.map(_.get(0))
     adcRank(index.clusteredCodes.where(col("cluster").isin(probeIds: _*)),
       adcTable(index.codebooks, query), k, idCol, scale)
   }

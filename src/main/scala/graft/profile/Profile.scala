@@ -209,7 +209,7 @@ object Profile {
     // rows (a few percent of the domain) — measured faster than persist +
     // two cache passes at every tested scale.
     val perVal = perValPre
-    try Quantiles.withoutAqe(spark) {
+    Quantiles.withoutAqe(spark) {
       val byKey = Quantiles.fusedBucketStats(perVal)
       val quarts = Quantiles.quantilesFromBuckets(perVal, Quartiles, byKey)
       val rows: Seq[Row] = ks.map { key =>

@@ -124,7 +124,7 @@ object DelayedJoinTws {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[JoinedDecision] = {
       val (out, next, at) = DelayedJoin.advance(cfg, readState(), Nil,
         timerValues.getCurrentWatermarkInMs())
-      writeState(next, at, expiredAt = Some(expiredTimerInfo.getExpiryTimeInMs))
+      writeState(next, at, expiredAt = Some(expiredTimerInfo.getExpiryTimeInMs()))
       out.iterator
     }
   }
