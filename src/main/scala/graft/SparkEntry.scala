@@ -803,6 +803,16 @@ object SparkEntry {
       Similarity.ivfPqTopK(ivfPqIdx(s, d), q, 10, nprobe = 4)
     },
 
+    // The quantized-code SEARCH path: cosine over int8 codes (scales
+    // cancel), integer dots only — reads 1/4 the bytes of the float scan.
+    "sim_topk_q8" -> { (s, d) =>
+      val embs = t(s, d, "embeddings")
+      val q = embs.orderBy("vec_id").limit(1)
+        .select(graft.functions.native.int8quant(col("embedding")).as("qq"))
+      Similarity.topKInt8(Similarity.quantizeInt8(embs), q, 10)
+        .withColumnRenamed("id", "vec_id")
+    },
+
     // Int8 vector quantization (posexploded to scalar rows for the gate —
     // the checker cannot sort array columns; the array surface is
     // spec-covered).
@@ -2138,6 +2148,20 @@ object SparkEntry {
         "CAST(CASE WHEN scale = 0.0 THEN 0 WHEN v[i] >= 0 THEN floor(v[i]/scale + 0.5) " +
         "ELSE -floor(-v[i]/scale + 0.5) END AS INTEGER) AS q, scale " +
         "FROM s, generate_series(1, 64) t(i) ORDER BY id, pos"),
+
+    // int8 cosine search: the same quantization replay, then INTEGER dot
+    // products (exact in doubles at any accumulation order) — only the
+    // final division/sqrt/round are float, composed identically.
+    "sim_topk_q8" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e), " +
+        "q8 AS (SELECT vec_id, list_transform(generate_series(1, 64), i -> " +
+        "CASE WHEN scale = 0.0 THEN 0.0 WHEN v[i] >= 0 THEN floor(v[i]/scale + 0.5) " +
+        "ELSE -floor(-v[i]/scale + 0.5) END) AS qv FROM s), " +
+        "qq AS (SELECT qv AS qqv FROM q8 WHERE vec_id = (SELECT min(vec_id) FROM e)) " +
+        "SELECT e8.vec_id, round(list_inner_product(e8.qv, qq.qqv) / " +
+        "(sqrt(list_inner_product(e8.qv, e8.qv)) * sqrt(list_inner_product(qq.qqv, qq.qqv)) + 1e-12), 6) AS sim " +
+        "FROM q8 e8, qq ORDER BY sim DESC, vec_id LIMIT 10"),
 
     "sample_hash" ->
       (s"SELECT doc_id, source, lang FROM documents WHERE $hashDraw < 0.1 " +

@@ -575,6 +575,28 @@ class LlmSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("int8 quantized search: high recall vs exact cosine, self-retrieval, zero-vector safe") {
+    val vecs = (0 until 300).map { id =>
+      (id.toLong, Array.tabulate(8)(d2 =>
+        0.01f * ((id * 7 + d2 * 13) % 97) - 0.4f).toSeq)
+    } :+ (300L, Seq.fill(8)(0.0f)) // a zero vector must not NaN the scores
+    val embs = vecs.toDF("vec_id", "embedding")
+    val q = embs.where(col("vec_id") === 5).select(
+      graft.functions.native.int8quant(col("embedding")).as("qq"))
+    val got = Similarity.topKInt8(Similarity.quantizeInt8(embs), q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.head._1 == 5L && got.size == 10)
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    // quantization noise barely moves cosine ranks: recall@10 vs exact
+    // (the exact path divides by the norm — zero vector excluded there;
+    // the int8 path's +1e-12 guard scores it 0 and it never ranks)
+    val qf = embs.where(col("vec_id") === 5).select(col("embedding").as("qvec"))
+    val exact = Similarity.topK(embs.where(col("vec_id") =!= 300L), qf, 10)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet.intersect(exact.map(_._1).toSet).size >= 8,
+      s"int8=${got.map(_._1)} exact=${exact.map(_._1).toSeq}")
+  }
+
   test("IVF-PQ composition: probe prunes code partitions and reads no raw vectors") {
     val vecs = for (c <- 0 until 4; i <- 0 until 25) yield {
       val id = c * 25 + i
