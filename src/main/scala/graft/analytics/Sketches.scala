@@ -113,6 +113,14 @@ object Sketches {
     * guarantee, spec-pinned as est ≥ exact on real data. The probe is a
     * depth-row explode of the key set joined against the (config-bounded,
     * broadcastable) sketch.
+    *
+    * HAZARD: the sketch relation carries no record of its (depth, width,
+    * seed) — a probe with a different shape or seed joins against wrong
+    * buckets and returns silently wrong (no-longer-conservative) estimates.
+    * This raw-relation entry exists for streaming snapshots and oracle
+    * replay, where the caller re-supplies the build config; library code
+    * should hold a [[CmSketch]], which carries the config with the relation
+    * and makes the mismatch unrepresentable.
     */
   def cmEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                  depth: Int = 4, width: Int = 1024,
@@ -123,4 +131,34 @@ object Sketches {
       .join(broadcast(sketch), Seq("j", "bucket"), "left")
       .groupBy(keyCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cnt_est"))
+
+  /** [[cmSketch]] + config in one handle — the safe construction path. */
+  def buildCmSketch(df: DataFrame, key: Column, depth: Int = 4,
+                    width: Int = 1024, seed: Long = 42L): CmSketch =
+    CmSketch(cmSketch(df, key, depth, width, seed), depth, width, seed)
+}
+
+/** A Count-Min sketch relation together with the (depth, width, seed) it was
+  * built under (the same handle pattern as `llm.IvfIndex`). Probing or
+  * merging through this class cannot mismatch the hash draw — the failure
+  * mode of the raw [[Sketches.cmEstimate]] relation API, where a probe with
+  * a different shape or seed silently reads wrong buckets.
+  */
+final case class CmSketch(buckets: DataFrame, depth: Int, width: Int,
+                          seed: Long) {
+  def estimate(keys: DataFrame, keyCol: String): DataFrame =
+    Sketches.cmEstimate(buckets, keys, keyCol, depth, width, seed)
+
+  /** Merge two sketches of the SAME configuration (union + re-sum); batch,
+    * partition and crawl increments compose. Config mismatch throws —
+    * sketches under different draws are not comparable.
+    */
+  def merge(other: CmSketch): CmSketch = {
+    require(depth == other.depth && width == other.width && seed == other.seed,
+      s"CMS config mismatch: ($depth,$width,$seed) vs " +
+        s"(${other.depth},${other.width},${other.seed})")
+    copy(buckets = buckets.unionAll(other.buckets)
+      .groupBy("j", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt")))
+  }
 }

@@ -139,8 +139,19 @@ object Etl {
     // exist and recovery just deletes `old`.
     val oldPath = new org.apache.hadoop.fs.Path(old)
     fs.delete(oldPath, true) // clear any leftover from a prior crash
-    fs.rename(fsPath, oldPath)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath)
+    // HDFS rename reports many failures (missing src, existing dst, quota)
+    // as a `false` return, not an exception. An unchecked false here would
+    // let the final delete destroy the only remaining copy — so every
+    // rename is checked and a failure aborts LOUDLY with both the original
+    // and the compacted copy still on disk for [[recoverCompaction]].
+    if (!fs.rename(fsPath, oldPath))
+      throw new java.io.IOException(
+        s"compactFiles: rename($path -> $old) returned false; " +
+          s"original left at $path, compacted copy at $tmp")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), fsPath))
+      throw new java.io.IOException(
+        s"compactFiles: rename($tmp -> $path) returned false; " +
+          s"original preserved at $old — run recoverCompaction($path)")
     fs.delete(oldPath, true)
     val it2 = fs.listFiles(fsPath, true)
     var nAfter = 0L
@@ -152,9 +163,12 @@ object Etl {
 
   /** Crash recovery for [[compactFiles]]' three-step swap: if the canonical
     * path is missing but the `__precompact` aside copy exists (crash between
-    * rename 1 and rename 2), rename it back; if both exist (crash before the
-    * final delete), drop the stale aside. Call at startup before reading a
-    * compaction-managed table. Returns true if a recovery action ran.
+    * rename 1 and rename 2), rename it back; if the canonical path is missing
+    * and only a COMPLETE `__compacting` copy remains (its `_SUCCESS` marker
+    * proves the write committed), promote it — it is the last copy of the
+    * data and must never be deleted; if the canonical path exists (crash
+    * before the final delete), drop the stale asides. Call at startup before
+    * reading a compaction-managed table. Returns true if a recovery ran.
     */
   def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
                         path: String): Boolean = {
@@ -164,9 +178,21 @@ object Etl {
       path.stripSuffix("/") + "__precompact")
     val tmpPath = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + "__compacting")
+    val tmpComplete = fs.exists(tmpPath) &&
+      fs.exists(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"))
     if (fs.exists(oldPath) && !fs.exists(fsPath)) {
-      fs.rename(oldPath, fsPath); fs.delete(tmpPath, true); true
-    } else if (fs.exists(oldPath) || fs.exists(tmpPath)) {
+      if (!fs.rename(oldPath, fsPath))
+        throw new java.io.IOException(
+          s"recoverCompaction: rename($oldPath -> $path) returned false")
+      fs.delete(tmpPath, true); true
+    } else if (!fs.exists(fsPath) && tmpComplete) {
+      // Canonical and aside both gone; the committed compacted copy is the
+      // ONLY copy — promote it, never delete it.
+      if (!fs.rename(tmpPath, fsPath))
+        throw new java.io.IOException(
+          s"recoverCompaction: rename($tmpPath -> $path) returned false")
+      true
+    } else if (fs.exists(fsPath) && (fs.exists(oldPath) || fs.exists(tmpPath))) {
       fs.delete(oldPath, true); fs.delete(tmpPath, true); true
     } else false
   }

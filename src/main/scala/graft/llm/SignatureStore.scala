@@ -356,9 +356,17 @@ object SignatureStore {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val oldP = new org.apache.hadoop.fs.Path(path + "/sigs_precompact")
       fs.delete(oldP, true)
-      fs.rename(new org.apache.hadoop.fs.Path(sigsDir(path)), oldP)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(sigsDir(path)))
+      // rename returns false (not an exception) for many HDFS failures; an
+      // unchecked false would let the final delete drop the only copy.
+      if (!fs.rename(new org.apache.hadoop.fs.Path(sigsDir(path)), oldP))
+        throw new java.io.IOException(
+          s"SignatureStore.compact: rename(sigs -> sigs_precompact) returned " +
+            s"false under $path; store left untouched, new copy at $tmp")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(sigsDir(path))))
+        throw new java.io.IOException(
+          s"SignatureStore.compact: rename(sigs_compacting -> sigs) returned " +
+            s"false under $path; old copy preserved at sigs_precompact — run recover()")
       fs.delete(oldP, true)
       ()
     } finally { s.unpersist(); () }
@@ -376,9 +384,21 @@ object SignatureStore {
     val sigsP = new org.apache.hadoop.fs.Path(sigsDir(path))
     val oldP = new org.apache.hadoop.fs.Path(path + "/sigs_precompact")
     val tmpP = new org.apache.hadoop.fs.Path(path + "/sigs_compacting")
+    val tmpComplete = fs.exists(tmpP) &&
+      fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"))
     if (fs.exists(oldP) && !fs.exists(sigsP)) {
-      fs.rename(oldP, sigsP); fs.delete(tmpP, true); true
-    } else if (fs.exists(oldP) || fs.exists(tmpP)) {
+      if (!fs.rename(oldP, sigsP))
+        throw new java.io.IOException(
+          s"SignatureStore.recover: rename(sigs_precompact -> sigs) returned false under $path")
+      fs.delete(tmpP, true); true
+    } else if (!fs.exists(sigsP) && tmpComplete) {
+      // sigs/ and the aside both gone; the committed compacted copy is the
+      // ONLY copy of the store — promote it, never delete it.
+      if (!fs.rename(tmpP, sigsP))
+        throw new java.io.IOException(
+          s"SignatureStore.recover: rename(sigs_compacting -> sigs) returned false under $path")
+      true
+    } else if (fs.exists(sigsP) && (fs.exists(oldP) || fs.exists(tmpP))) {
       fs.delete(oldP, true); fs.delete(tmpP, true); true
     } else false
   }

@@ -523,6 +523,12 @@ object Similarity {
       .parquet(s"$path/codes")
     c.write.mode("overwrite").parquet(s"$path/centroids")
     b.write.mode("overwrite").parquet(s"$path/codebooks")
+    // The interim assignment and codes relations (cached by ivfIndex/pqIndex
+    // when iters >= 1 as their final-cache handoff) exist only to produce
+    // the partitioned parquet layout above — release them now, or their
+    // corpus-sized blocks stay resident for the session (IvfPqIndex
+    // .unpersist only frees centroids and codebooks).
+    assign.unpersist(); codes.unpersist()
     IvfPqIndex(c, b, spark.read.parquet(s"$path/codes"))
   }
 

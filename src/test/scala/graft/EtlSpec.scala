@@ -265,6 +265,45 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("compaction recovery: aside restored; lone complete __compacting promoted") {
+    import org.apache.spark.sql.functions.col
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = hp("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = spark.range(500).select(col("id"))
+    // crash between rename 1 and 2: canonical absent, aside present → the
+    // aside (original data) is restored and the stale tmp dropped.
+    val d1 = tmpDir("recover1")
+    df.write.mode("overwrite").parquet(d1)
+    df.write.mode("overwrite").parquet(d1 + "__compacting")
+    assert(fs.rename(hp(d1), hp(d1 + "__precompact")))
+    assert(Etl.recoverCompaction(spark, d1))
+    assert(spark.read.parquet(d1).count() == 500)
+    assert(!fs.exists(hp(d1 + "__precompact")) && !fs.exists(hp(d1 + "__compacting")))
+    // canonical and aside both gone, a COMPLETE (_SUCCESS-marked) compacted
+    // copy remains: it is the last copy of the data — recovery must promote
+    // it, never delete it.
+    val d2 = tmpDir("recover2")
+    fs.delete(hp(d2), true) // tmpDir pre-creates an empty dir; the crash scenario has NO canonical path
+    df.write.mode("overwrite").parquet(d2 + "__compacting")
+    assert(fs.exists(hp(d2 + "__compacting/_SUCCESS")))
+    assert(Etl.recoverCompaction(spark, d2))
+    assert(spark.read.parquet(d2).count() == 500)
+    assert(!fs.exists(hp(d2 + "__compacting")))
+    // an INCOMPLETE tmp (no _SUCCESS) with no other copy is left untouched
+    // for manual inspection — recovery refuses to guess.
+    val d3 = tmpDir("recover3")
+    fs.delete(hp(d3), true)
+    df.write.mode("overwrite").parquet(d3 + "__compacting")
+    fs.delete(hp(d3 + "__compacting/_SUCCESS"), false)
+    assert(!Etl.recoverCompaction(spark, d3))
+    assert(fs.exists(hp(d3 + "__compacting")))
+    // idempotent no-op on a healthy table
+    val d4 = tmpDir("recover4")
+    df.write.mode("overwrite").parquet(d4)
+    assert(!Etl.recoverCompaction(spark, d4))
+    assert(spark.read.parquet(d4).count() == 500)
+  }
+
   test("flatten handles struct-in-array-in-struct nesting") {
     import org.apache.spark.sql.types._
     val inner = StructType(Seq(StructField("c", LongType)))

@@ -828,6 +828,23 @@ class SessionAndStreamSpec extends SparkSpec {
     val unseen = Sketches.cmEstimate(sketch, Seq(100000L).toDF("key"), "key",
       depth = 4, width = 256).as[(Long, Long)].collect().head._2
     assert(unseen >= 0L)
+
+    // typed handle: carries (depth,width,seed) with the relation, so a
+    // probe can't silently mismatch the draw; estimates equal the raw API's
+    val h1 = Sketches.buildCmSketch(rows.take(700).toDF("key"), col("key"),
+      depth = 4, width = 256)
+    val h2 = Sketches.buildCmSketch(rows.drop(700).toDF("key"), col("key"),
+      depth = 4, width = 256)
+    val hEst = h1.merge(h2).estimate(keys, "key")
+      .as[(Long, Long)].collect().toMap
+    assert(hEst == est)
+    // config mismatch is unrepresentable as a silent wrong answer: merging
+    // sketches built under different shapes/seeds throws
+    val other = Sketches.buildCmSketch(df, col("key"), depth = 4, width = 128)
+    intercept[IllegalArgumentException] { h1.merge(other) }
+    val otherSeed = Sketches.buildCmSketch(df, col("key"), depth = 4,
+      width = 256, seed = 7L)
+    intercept[IllegalArgumentException] { h1.merge(otherSeed) }
   }
 
   test("streaming Count-Min: config-bounded sketch state over an unbounded key stream") {
