@@ -44,17 +44,28 @@ object Scratch {
     })
 
     def time(name: String)(f: => Unit): Unit = {
-      // warmup
+      // warmup, then best-of-3 (box stalls attach to arbitrary runs; the
+      // min is the steady-state read, same protocol as Bench). The job
+      // timeline shown is the best run's.
       f
-      Thread.sleep(200)
-      val j0 = jobs
-      jobLog.clear()
-      val t0 = System.nanoTime()
-      f
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[scratch] $name%-30s ${dt}%8.3f s  jobs=${jobs - j0}")
-      jobLog.sortBy(_._2).foreach { case (id, s, e, d) =>
-        println(f"[scratch]   job $id%3d  +${(s - t0) / 1e6}%7.1f ms  ${(e - s) / 1e6}%7.1f ms  $d")
+      var best = Double.MaxValue
+      var bestLog: Seq[(Int, Long, Long, String)] = Nil
+      var bestT0 = 0L
+      var bestJobs = 0
+      for (_ <- 1 to 3) {
+        Thread.sleep(200)
+        val j0 = jobs
+        jobLog.clear()
+        val t0 = System.nanoTime()
+        f
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) {
+          best = dt; bestLog = jobLog.toSeq; bestT0 = t0; bestJobs = jobs - j0
+        }
+      }
+      println(f"[scratch] $name%-30s ${best}%8.3f s  jobs=$bestJobs")
+      bestLog.sortBy(_._2).foreach { case (id, s, e, d) =>
+        println(f"[scratch]   job $id%3d  +${(s - bestT0) / 1e6}%7.1f ms  ${(e - s) / 1e6}%7.1f ms  $d")
       }
     }
 

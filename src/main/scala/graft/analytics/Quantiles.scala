@@ -196,6 +196,16 @@ object Quantiles {
     */
   private[graft] val DriverValueCap = 65536
 
+  /** Cap for the hit-bucket driver terminal of [[quantilesFromBuckets]]:
+    * unlike [[DriverValueCap]] (which gates collecting a WHOLE counts
+    * relation) this bounds only the few quantile-hit buckets' distinct
+    * values — ≤ 2·|qs| buckets per key by construction — so it can sit
+    * higher (256k rows ≈ a few tens of MB of transient driver Rows).
+    * A near-unique column at real scale has millions of distinct values
+    * per bucket and falls through to the keyed-window ranking unchanged.
+    */
+  private[graft] val HitValueCap = 1 << 18
+
   /** Prefix width of the value-only bucketing: bucket id = top 16 bits of
     * the order-preserving long image of the double (sign + 11 exponent + 4
     * mantissa bits), so a bucket spans 1/16 of a binade and the bucket
@@ -348,6 +358,53 @@ object Quantiles {
           if (bu.nd > 1L) hit.getOrElseUpdate((t.key, bu.bb), bu.prefix)
         }
       }
+      val hitNd = hit.keys.iterator.map { case (k, bb) =>
+        byKey(k).buckets.find(_.bb == bb).map(_.nd).getOrElse(0L)
+      }.sum
+      if (hitNd <= HitValueCap) {
+        // Driver-values terminal: the hit buckets' whole value domain is
+        // config-bounded, so ONE filter + collect (no shuffle, no sort, no
+        // window stage) fetches the distinct (value, count) pairs and the
+        // ranking is exact LONG driver arithmetic — the rows produced are
+        // identical to the distributed window's. The job-count win: the
+        // distributed ranking pays an exchange + sort + window + two
+        // broadcast joins for what is, by construction, a few thousand
+        // rows. Beyond the cap (a near-unique column whose buckets each
+        // hold millions of distinct values) the keyed window below runs
+        // unchanged.
+        val hitPredL = hit.keys.toSeq.groupBy(_._1).map { case (k, pairs) =>
+          col("_cn") === k && col("_bb").isin(pairs.map(_._2): _*)
+        }.reduce(_ || _)
+        // coalesce(8): folds the (cache-partitioned) filter scan into 8
+        // tasks without an exchange — at 32 near-empty partitions the
+        // per-task scheduling overhead was 3-5x the actual filter work
+        // (measured 160-250 ms -> ~47 ms at sf0.1). Work is unchanged;
+        // this branch is already gated on a config-bounded result.
+        val collected = perVal.where(col("_v").isNotNull)
+          .withColumn("_bb", bitBucket(col("_v")))
+          .where(hitPredL)
+          .select("_cn", "_bb", "_v", "_c")
+          .coalesce(8)
+          .collect()
+        val byBucket = collected.groupBy(r => (r.getString(0), r.getLong(1)))
+        val out = Seq.newBuilder[Row]
+        for (((k, bb), pr) <- hit) {
+          val rows = byBucket.getOrElse((k, bb), Array.empty)
+            .sortBy(_.getDouble(2))
+          var before = pr
+          val ranksWanted = unresolved.filter(_.key == k)
+            .flatMap(t => Seq(t.q -> t.lo, t.q -> t.hi))
+          rows.foreach { r =>
+            val c = r.getLong(3)
+            ranksWanted.foreach { case (q, rank) =>
+              if (rank >= before && rank < before + c)
+                out += Row(k, q, before, c, r.getDouble(2))
+            }
+            before += c
+          }
+        }
+        out.result().distinct
+      } else {
       val hitDf = local(hit.toSeq.map { case ((k, bb), pr) => Row(k, bb, pr) },
         StructType(Seq(StructField("_cn", StringType, nullable = false),
           StructField("_bb", LongType, nullable = false),
@@ -379,6 +436,7 @@ object Quantiles {
                (col("_hi") >= col("_before") && col("_hi") < col("_before") + col("_c")))
         .select("_cn", "_q", "_before", "_c", "_v")
         .collect().toSeq
+      }
     }
     val rankedBy = ranked.groupBy(r => (r.getString(0), r.getDouble(1)))
     targets.map { t =>

@@ -201,15 +201,17 @@ object Profile {
   private def profilePinned(perValPre: DataFrame, ks: Seq[String],
                             avgScale: Int): DataFrame = {
     val spark = perValPre.sparkSession
-    // UNPERSISTED by design: the two consumers want different slices. The
-    // fused stats aggregate folds the counts lineage into ONE job (no
-    // cache-write barrier, no second cache-scan pass), and the bounded
-    // ranking job's literal hit-bucket predicate pushes below the counts
-    // aggregate to the source scan, so it re-derives only the hit buckets'
-    // rows (a few percent of the domain) — measured faster than persist +
-    // two cache passes at every tested scale.
-    val perVal = perValPre
-    Quantiles.withoutAqe(spark) {
+    // PERSISTED: both consumers re-aggregate the same (key, value) → count
+    // relation, and at sf0.1 the unpersisted form paid the full
+    // scan + stack + keyed shuffle TWICE (~0.9 s each, measured via the
+    // Scratch job timeline) — the ranking job's hit-bucket predicate
+    // pushes below the counts aggregate but not below the stack generator,
+    // so "re-derive only the hit buckets" still re-reads and re-shuffles
+    // the whole unpivoted corpus. Caching the counts output (distinct
+    // (key, value) pairs — value-domain-bounded, far smaller than the
+    // corpus) makes the ranking job a cache scan.
+    val perVal = perValPre.persist()
+    try Quantiles.withoutAqe(spark) {
       val byKey = Quantiles.fusedBucketStats(perVal)
       val quarts = Quantiles.quantilesFromBuckets(perVal, Quartiles, byKey)
       val rows: Seq[Row] = ks.map { key =>
@@ -228,7 +230,7 @@ object Profile {
           s.map(_.nd).getOrElse(0L))
       }
       localDf(spark, rows, profileSchema)
-    }
+    } finally { perVal.unpersist(); () }
   }
 
   /** The observed-keys paths (grouped profile): a capped stats probe picks

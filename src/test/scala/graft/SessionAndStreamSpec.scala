@@ -911,6 +911,25 @@ class SessionAndStreamSpec extends SparkSpec {
       empty(0).isNullAt(empty(0).fieldIndex("col_min")))
   }
 
+  test("exact summarize beyond HitValueCap: distributed ranking path, same arithmetic") {
+    import graft.profile.Profile
+    // 300001 distinct values packed into ONE 1/16-binade bit-bucket
+    // (1e9 + k all share the top 16 sortable bits), so hit-bucket nd >
+    // HitValueCap (2^18) and the keyed-window ranking runs instead of the
+    // driver-values terminal. The uniform grid makes every quartile exact:
+    // t = q·(n−1) is an integer, value = 1e9 + t.
+    val n = 300001
+    val df = spark.range(n).select((lit(1e9) + col("id").cast("double")).as("v"))
+    val r = Profile.summarize(df, Seq("v"), exact = true).collect().head
+    assert(r.getDouble(r.fieldIndex("q25")) == 1e9 + 75000.0)
+    assert(r.getDouble(r.fieldIndex("q50")) == 1e9 + 150000.0)
+    assert(r.getDouble(r.fieldIndex("q75")) == 1e9 + 225000.0)
+    assert(r.getDouble(r.fieldIndex("col_min")) == 1e9 &&
+      r.getDouble(r.fieldIndex("col_max")) == 1e9 + 300000.0)
+    assert(r.getLong(r.fieldIndex("n_distinct")) == n.toLong &&
+      r.getLong(r.fieldIndex("col_cnt")) == n.toLong)
+  }
+
   test("bounds generate the Prometheus alert-rules artifact") {
     import graft.core.FieldBounds
     import graft.stream.DqRules
