@@ -69,8 +69,7 @@ object Scratch {
       }
     }
 
-    for (q <- Seq("profile_summarize", "mad_outliers", "group_quantiles",
-        "profile_by_group", "ntile_buckets")) {
+    for (q <- Seq("lm_score", "lm_score_tri")) {
       val fn = SparkEntry.queries(q)
       time(q) {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

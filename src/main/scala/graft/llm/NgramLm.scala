@@ -91,21 +91,55 @@ object NgramLm {
             alpha: Double = 0.4): DataFrame = {
     require(n >= 1 && n <= 5, s"order must be in [1, 5], got $n")
     val spark = df.sparkSession
-    // One materialization of the model relation: it feeds 2n−1 joins, and
-    // without this each join leg re-runs the training aggregates (or the
-    // load). localCheckpoint truncates the lineage; the blocks are
-    // vocabulary-sized and the ContextCleaner frees them with the plan.
-    val m = model.localCheckpoint()
+    // JOIN FUSION: the backoff denominator ctx_k of the k-gram ending at
+    // position i is the count of tokens i−k+1..i−1 — exactly the
+    // (k−1)-word PREFIX of that gram. So the context counts ride the
+    // MODEL: one vocab-sized self-join attaches to every gram row the
+    // count of its prefix, and scoring then needs n gram joins instead of
+    // 2n−1 gram+context joins (the former dominant cost — each join is a
+    // full pass over the corpus-sized position relation). The k=1 prefix
+    // is substring_index(gram, ' ', 0) = "" which matches the ("", 0, N)
+    // total row, so the unigram denominator N needs no special case.
+    //
+    // The model is persisted (not checkpointed) under the self-join: the
+    // cache's per-block locking makes the two legs share ONE training
+    // execution, and only the JOINED relation pays a localCheckpoint —
+    // one materialization job where checkpointing model and augmentation
+    // separately paid two. The blocks are vocabulary-sized; the cache is
+    // dropped as soon as the metadata job below has read it.
+    val m = model.persist()
+    val aug = m.where(col("k") >= 1).alias("a")
+      .join(m.select(col("gram").as("_pg"), col("cnt").as("_pc")),
+        expr("substring_index(a.gram, ' ', a.k - 1)") === col("_pg"), "left")
+      .select(col("a.gram").as("gram"), col("a.k").as("k"),
+        col("a.cnt").as("cnt"), col("_pc").as("pfx"))
+      .localCheckpoint()
     // A checkpointed relation carries no size statistics, so Spark would
-    // sort-merge every model join even when a slice is kilobytes. Count
-    // rows per order over the cached blocks (one tiny job) and broadcast
-    // the slices that fit; a web-scale model keeps the keyed shuffle.
-    val sliceRows: Map[Int, Long] = m.groupBy("k").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    def modelSlice(k: Int): DataFrame = {
-      val s = m.where(col("k") === k)
-      if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
-    }
+    // sort-merge every model join even when a slice is kilobytes. ONE tiny
+    // metadata job over the checkpointed blocks (vocab-sized input, ≤ n+1
+    // output rows) yields the per-order row counts for the broadcast
+    // decision AND the total-token count N — N then enters the scoring
+    // plan as a LITERAL, killing the crossJoin broadcast stage the old
+    // plan paid for it. A model that fits the broadcast cap joins
+    // UNSLICED: gram strings of different orders can't collide (different
+    // word counts) and the _g$k keys are null-guarded, so the k-filter
+    // adds nothing. A web-scale model falls back to per-order slices with
+    // keyed-shuffle joins.
+    val meta = m.groupBy("k").agg(count(lit(1)).as("rows"),
+      max(when(col("k") === 0, col("cnt"))).as("n0")).collect()
+    m.unpersist()
+    val sliceRows: Map[Int, Long] =
+      meta.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totalN: Long = meta.collectFirst {
+      case r if r.getInt(0) == 0 => r.getLong(2)
+    }.getOrElse(0L)
+    val totalRows = sliceRows.collect { case (k, c) if k >= 1 => c }.sum
+    def modelSlice(k: Int): DataFrame =
+      if (totalRows <= MaxBroadcastRows) broadcast(aug)
+      else {
+        val s = aug.where(col("k") === k)
+        if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
+      }
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
     // One row per token position, identified only by the HIGHEST-order gram
     // ending there (its k_max-gram string) — every lower-order gram and
@@ -139,29 +173,21 @@ object NgramLm {
       .withColumn("_kmax",
         (length(col("_gs")) - length(translate(col("_gs"), " ", "")) + 1)
           .cast("int"))
-    // gram of order k ending at the position = last k words of _gs; its
-    // context = the k−1 words before the last
+    // gram of order k ending at the position = last k words of _gs; the
+    // context count arrives WITH the gram row (model `pfx` column), so no
+    // context columns travel through the explode and no context joins run
     def gk(k: Int): Column =
       when(col("_kmax") >= k, substring_index(col("_gs"), " ", -k))
-    def ck(k: Int): Column =
-      when(col("_kmax") >= k,
-        substring_index(substring_index(col("_gs"), " ", -k), " ", k - 1))
     val pos = posRaw.select(Seq(col(idCol), col("_kmax")) ++
-      (1 to n).map(k => gk(k).as(s"_g$k")) ++
-      (2 to n).map(k => ck(k).as(s"_c$k")): _*)
-    // total token count N: the model's k=0 row (broadcast scalar)
-    val joined0 = pos.crossJoin(broadcast(
-      m.where(col("k") === 0).select(col("cnt").as("_N"))))
-    // one keyed left join per gram/context column, against the right order
-    val withCounts = (1 to n).foldLeft(joined0) { case (d, k) =>
+      (1 to n).map(k => gk(k).as(s"_g$k")): _*)
+    // total token count N: collected with the metadata job, a plan literal
+    val joined0 = pos.withColumn("_N", lit(totalN))
+    // ONE keyed left join per order, carrying count AND context count
+    val withCtx = (1 to n).foldLeft(joined0) { case (d, k) =>
       d.join(modelSlice(k)
-          .select(col("gram").as(s"_g$k"), col("cnt").as(s"_n$k")),
+          .select(col("gram").as(s"_g$k"), col("cnt").as(s"_n$k"),
+            col("pfx").as(s"_x$k")),
         Seq(s"_g$k"), "left")
-    }
-    val withCtx = (2 to n).foldLeft(withCounts) { case (d, k) =>
-      d.join(modelSlice(k - 1)
-          .select(col("gram").as(s"_c$k"), col("cnt").as(s"_x$k")),
-        Seq(s"_c$k"), "left")
     }
     // largest available order wins; each level dropped multiplies by alpha
     val kMax = col("_kmax")
