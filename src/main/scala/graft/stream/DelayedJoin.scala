@@ -158,6 +158,35 @@ object DelayedJoin {
     decisions.map(In(_): In).union(rewards.map(In(_): In))
   }
 
+  /** Materialize-TAIL-parity changefeed over [[joined]] — each joined row
+    * becomes `(timestamp, diff, *cols)` delta events (reference:
+    * join-service/app/main.py:114-120 consumes exactly this shape and
+    * drops `diff <= 0`).
+    *
+    * The timestamps are DETERMINISTIC from the view algebra, not from
+    * processing time: the reference's joined_decisions row for decision d
+    * satisfies both `t BETWEEN d.insert_ms AND d.insert_ms + Δ`
+    * (decisions_window, main.py:60-65) and `t >= d.insert_ms + Δ` (the
+    * join filter) — i.e. it EXISTS for exactly one logical instant,
+    * t = d.insert_ms + Δ. TAIL therefore emits the insertion (+1) at that
+    * instant and the retraction (−1) one logical tick later, when the
+    * decision leaves its window. Both deltas are fully determined at
+    * emission time, so the changefeed is a STATELESS per-row expansion of
+    * the joined stream (legal after flatMapGroupsWithState in append
+    * mode), and replays identically on both state engines.
+    */
+  def changefeed(joined: Dataset[JoinedDecision],
+                 deltaMs: Long = DefaultDeltaMs): DataFrame = {
+    val deadline = col("decision_insert_ms") + deltaMs
+    val cols = joined.columns.map(col).toSeq
+    joined
+      .select(explode(array(
+        struct((Seq(deadline.as("timestamp"), lit(1).as("diff")) ++ cols): _*),
+        struct((Seq((deadline + 1).as("timestamp"), lit(-1).as("diff")) ++
+          cols): _*))).as("_e"))
+      .select(col("_e.*"))
+  }
+
   // ------------------------------------------------------------------
   // Batch analogs (the oracle-checkable semantics of J2–J7)
   // ------------------------------------------------------------------

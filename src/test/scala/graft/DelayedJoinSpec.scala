@@ -171,6 +171,58 @@ class DelayedJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC changefeed: (timestamp, diff) delta stream, event-for-event on both engines") {
+    // Materialize-TAIL parity (reference join-service/app/main.py:114-120):
+    // every joined row yields +1 at its logical instant t = insert_ms + Δ
+    // (the only timestamp satisfying both the window and the join filter)
+    // and −1 one tick later, when the decision exits its window. The
+    // timestamps derive from the view algebra, so the delta stream must be
+    // IDENTICAL on both state engines.
+    implicit val sqlCtx = spark.sqlContext
+    def runCdc(engine: String, tws: Boolean): Seq[(Long, Int, String, Double)] = {
+      val conf = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(conf)
+      if (tws) spark.conf.set(conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = MemoryStream[In]
+      val q = DelayedJoin.changefeed(
+          DelayedJoin.joined(spark, input.toDS(),
+            Config(deltaMs = Delta, useTransformWithState = tws)), Delta)
+        .writeStream.format("memory").queryName(engine).outputMode("append").start()
+      try {
+        input.addData(
+          d("k1", T0), r("k1", T0 + 3000, 5.0), // matched
+          d("k2", T0 + 500),                    // miss -> reward 0.0
+          d("k3", T0), r("k3", T0 + 1000, 1.0), r("k3", T0 + 2000, 2.0)) // fan-out
+        q.processAllAvailable()
+        input.addData(r("_wm", T0 + 30 * Delta, 0.0))
+        q.processAllAvailable()
+        input.addData(r("_wm", T0 + 31 * Delta, 0.0))
+        q.processAllAvailable()
+        spark.table(engine).select("timestamp", "diff", "key", "reward")
+          .as[(Long, Int, String, Double)].collect().toSeq.sorted
+      } finally {
+        q.stop()
+        prev match {
+          case Some(v) => spark.conf.set(conf, v)
+          case None => spark.conf.unset(conf)
+        }
+      }
+    }
+    val fmgws = runCdc("cdc_fmgws", tws = false)
+    // the consumer's view: inserts only, the reference's diff > 0 filter
+    assert(fmgws.filter(_._2 > 0).map(e => (e._3, e._4)).sorted == Seq(
+      ("k1", 5.0), ("k2", 0.0), ("k3", 1.0), ("k3", 2.0)))
+    // every insert at t = insert_ms + Δ has its retraction at t + 1
+    val inserts = fmgws.filter(_._2 > 0)
+    val retractions = fmgws.filter(_._2 < 0)
+    assert(inserts.map(e => (e._1 + 1, -1, e._3, e._4)).sorted == retractions)
+    assert(inserts.forall(e => e._1 == (if (e._3 == "k2") T0 + 500 else T0) + Delta))
+    // event-for-event parity across state engines
+    val tws = runCdc("cdc_tws", tws = true)
+    assert(tws == fmgws)
+  }
+
   test("state machine handles volume: 500 keys x 20 events, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[In]

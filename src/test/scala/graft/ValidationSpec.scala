@@ -270,6 +270,42 @@ class ValidationSpec extends SparkSpec {
     assert(invalid.count() == 2) // missing required user + probability bound
   }
 
+  test("JSON-Schema export round-trips every contract through the importer") {
+    import graft.core.{Contract, Contracts, JsonSchemaExport, JsonSchemaImport}
+    // the importer (reference-faithful) builds every field nullable; the
+    // round-trip identity is modulo that flag
+    def nn(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nn(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nn(a.elementType), containsNull = true)
+      case m: MapType => MapType(nn(m.keyType), nn(m.valueType),
+        valueContainsNull = true)
+      case o => o
+    }
+    val all = Seq(Contracts.searches, Contracts.clicks, Contracts.decisions,
+      Contracts.rewards, Contracts.agrawal)
+    val doc = JsonSchemaExport.document(all)
+    val imp = JsonSchemaImport.parse(doc)
+    all.foreach { c =>
+      val back = imp.contract(c.table, c.table)
+      assert(back.schema == nn(c.schema), s"schema drift for ${c.table}")
+      assert(back.required == c.required, s"required drift for ${c.table}")
+      assert(back.bounds == c.bounds, s"bounds drift for ${c.table}")
+    }
+    // exotic Spark types travel via the spark_type escape hatch
+    val exotic = Contract("exotic", StructType(Seq(
+      StructField("d", DecimalType(10, 2)), StructField("t", TimestampType),
+      StructField("i", IntegerType), StructField("f", FloatType),
+      StructField("bin", BinaryType),
+      StructField("m", MapType(StringType, LongType)))), required = Seq("d"))
+    val back = JsonSchemaImport.parse(JsonSchemaExport.document(Seq(exotic)))
+      .contract("exotic", "exotic")
+    assert(back.schema == nn(exotic.schema) && back.required == Seq("d"))
+    // the document carries the reference's paths -> schema wiring
+    assert(doc.contains("/log/searches") &&
+      doc.contains("#/components/schemas/searches"))
+  }
+
   test("schema snapshots drive migration purely from disk state") {
     val dir = tmpDir("schemastore") + "/t"
     val v1 = StructType(Seq(StructField("a", LongType),
