@@ -5,9 +5,23 @@ import org.apache.spark.sql.SparkSession
 /** Perf scratch harness — times individual SparkEntry queries with
   * per-job timelines (job count, start offset, duration). Not part of the
   * library surface; edit the query list below while iterating. Run with
-  * `runMain graft.Scratch` (honors SPARK_GRAFT_SF_DIR).
+  * `runMain graft.Scratch [queries...]` (honors SPARK_GRAFT_SF_DIR), or
+  * `runMain graft.Scratch scale` for the sf-scaling probe: the most
+  * expensive queries timed at sf0.001/0.01/0.1 with the growth ratio per
+  * decade of data — a hidden super-linear stage shows up as a ratio well
+  * beyond the data ratio (10×), while the usual toy-scale pattern is
+  * SUB-linear growth (fixed scheduling floor amortizing). The probe exits
+  * non-zero if any query grows super-linearly with margin (ratio > 15).
   */
 object Scratch {
+
+  /** The steady top-10 by committed bench cost (BENCH_full.json), the
+    * scaling watch-list. */
+  val ScaleQueries: Seq[String] = Seq(
+    "lm_score_tri", "lm_score", "profile_summarize", "dedup_simhash",
+    "bpe_encode", "dedup_substring", "corpus_budget", "etl_array_flatten",
+    "etl_struct_flatten", "tfidf_top_terms")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -69,12 +83,45 @@ object Scratch {
       }
     }
 
-    for (q <- Seq("lm_score", "lm_score_tri")) {
-      val fn = SparkEntry.queries(q)
-      time(q) {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def runOnce(q: String, dir: String): Unit =
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+
+    if (args.headOption.contains("scale")) {
+      // ---- sf-scaling probe ----
+      val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+      sfs.foreach(d => graft.core.Tables.all.foreach(n =>
+        graft.core.Tables(spark, d, n).count()))
+      def bestOf(q: String, dir: String, reps: Int = 2): Double = {
+        runOnce(q, dir) // warmup: codegen + table cache for this (q, dir)
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          runOnce(q, dir)
+          (System.nanoTime() - t0) / 1e9
+        }.min
       }
+      println("| query | sf0.001 | sf0.01 | sf0.1 | ×/decade (0.001→0.01) | ×/decade (0.01→0.1) |")
+      println("|---|---|---|---|---|---|")
+      var superLinear = List.empty[String]
+      for (q <- ScaleQueries) {
+        val ts = sfs.map(bestOf(q, _))
+        val r01 = ts(1) / ts(0)
+        val r1 = ts(2) / ts(1)
+        // data grows 10× per step; a ratio well beyond it means some stage
+        // does super-linear work (the margin absorbs timing noise)
+        if (r1 > 15.0) superLinear ::= q
+        println(f"| $q | ${ts(0)}%.3f s | ${ts(1)}%.3f s | ${ts(2)}%.3f s | ${r01}%.1f× | ${r1}%.1f× |")
+      }
+      spark.stop()
+      if (superLinear.nonEmpty) {
+        Console.err.println(s"[scratch] SUPER-LINEAR growth: ${superLinear.mkString(", ")}")
+        sys.exit(1)
+      }
+    } else {
+      val list = if (args.nonEmpty) args.toSeq else Seq("lm_score", "lm_score_tri")
+      for (q <- list) time(q) { runOnce(q, sfDir) }
+      spark.stop()
     }
-    spark.stop()
   }
 }

@@ -584,6 +584,21 @@ object SparkEntry {
         .select("key", "decision_id", "reward", "decision_insert_ms", "reward_delta_ms")
     },
 
+    // CDC delta stream over the joined decisions (Materialize TAIL parity,
+    // reference join-service/app/main.py:114-120): each joined row exists
+    // for exactly one logical instant t = insert_ms + Δ, so the feed is a
+    // deterministic per-row expansion — +1 at t, −1 at t + 1 — and gates
+    // against a plain SQL oracle; the streaming form is spec-asserted
+    // event-for-event on both state engines.
+    "changefeed_deltas" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      DelayedJoin.changefeed(
+        DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs)
+          .select("key", "decision_id", "reward", "decision_insert_ms",
+            "reward_delta_ms"),
+        AnalogDeltaMs)
+    },
+
     "join_coalesce_default" -> { (s, d) =>
       val ev = t(s, d, "events")
       DelayedJoin.batch(decisions(ev), rewards(ev), AnalogDeltaMs)
@@ -2006,6 +2021,17 @@ object SparkEntry {
       ("SELECT d.user_id AS key, d.event_id AS decision_id, COALESCE(r.value, 0.0) AS reward, " +
         "epoch_ms(d.ts) AS decision_insert_ms, epoch_ms(r.ts) - epoch_ms(d.ts) AS reward_delta_ms " +
         delayedJoinFrom + " ORDER BY decision_id, reward_delta_ms, reward"),
+
+    // TAIL delta algebra replayed: the joined relation cross-joined with
+    // the {+1, −1} diff domain; timestamp = deadline for the insert and
+    // deadline + 1 (window exit) for the retraction
+    "changefeed_deltas" ->
+      ("WITH j AS (SELECT d.user_id AS key, d.event_id AS decision_id, " +
+        "COALESCE(r.value, 0.0) AS reward, epoch_ms(d.ts) AS decision_insert_ms, " +
+        "epoch_ms(r.ts) - epoch_ms(d.ts) AS reward_delta_ms " + delayedJoinFrom + ") " +
+        "SELECT decision_insert_ms + 3600000 + CASE WHEN dd.diff = 1 THEN 0 ELSE 1 END AS timestamp, " +
+        "dd.diff, j.* FROM j CROSS JOIN (SELECT unnest([1, -1]) AS diff) dd " +
+        "ORDER BY decision_id, timestamp, reward"),
 
     "join_coalesce_default" ->
       ("SELECT d.event_id AS decision_id, COALESCE(max(r.value), 0.0) AS reward " +

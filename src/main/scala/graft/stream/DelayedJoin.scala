@@ -175,7 +175,7 @@ object DelayedJoin {
     * the joined stream (legal after flatMapGroupsWithState in append
     * mode), and replays identically on both state engines.
     */
-  def changefeed(joined: Dataset[JoinedDecision],
+  def changefeed(joined: Dataset[_],
                  deltaMs: Long = DefaultDeltaMs): DataFrame = {
     val deadline = col("decision_insert_ms") + deltaMs
     val cols = joined.columns.map(col).toSeq
