@@ -997,19 +997,25 @@ object SparkEntry {
 
     // TF-IDF: explode → tf per (doc,term) → df per term → smoothed idf →
     // top-3 terms per doc. The full multi-stage corpus pipeline in one
-    // query; every shuffle is keyed on (doc,term) or term.
+    // query; every shuffle is keyed on (doc,term), term, or doc. df is a
+    // COUNT WINDOW over the tf relation, not a groupBy+self-join: the join
+    // form references tf from two branches, and identical exchanges in two
+    // branches of one plan are not reliably deduplicated at runtime — the
+    // corpus explode+aggregate ran twice. The window form is one linear
+    // pipeline: scan → tf aggregate → term-keyed window → doc-keyed rank.
     "tfidf_top_terms" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val tf = docs.select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(broadcast(n))
+      val wTerm = Window.partitionBy("term")
+      val wDoc = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.withColumn("df", count(lit(1)).over(wTerm))
+        .crossJoin(broadcast(n))
         .withColumn("score",
           graft.functions.Rounding.dround(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
-        .withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .withColumn("rn", row_number().over(wDoc)).where(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("score"))
     },
 

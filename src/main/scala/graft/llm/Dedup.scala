@@ -46,24 +46,22 @@ object Dedup {
     * (headers, license blocks, navigation chrome) is removed from every
     * document that repeats it while the earliest document keeps it.
     *
-    * Shuffle posture: paragraphs are keyed by sha2-256, so the winner
-    * aggregate's exchange carries 32-byte keys and is map-side combined
-    * (each partition contributes one candidate winner per distinct
-    * paragraph, not one row per occurrence). The equi-join back to the
-    * tagged relation reuses the same hash partitioning — one effective
-    * shuffle of the paragraph text, which the reassembly `groupBy(id)`
-    * would need anyway. No driver state, no windows over unbounded groups.
+    * Shuffle posture: the winner per paragraph is a MIN WINDOW over the
+    * sha2-keyed relation, not a groupBy + join-back — the join form
+    * references the tagged relation from two branches, and identical
+    * exchanges in two branches of one plan are not reliably deduplicated
+    * at runtime (the split + hash of the whole corpus ran twice; the same
+    * lesson as [[substringDedup]]'s window, measured 2.4× there). One
+    * exchange keyed on the 32-byte hash, window partitions bounded by the
+    * duplication factor of a single paragraph. No driver state.
     */
   def paragraphDedup(paras: DataFrame, idCol: String = "doc_id",
                      idxCol: String = "pidx", paraCol: String = "para"): DataFrame = {
-    val tagged = paras.withColumn("_h", sha2(col(paraCol), 256))
-    val winners = tagged
-      .groupBy("_h")
-      .agg(min(struct(col(idCol).as("_wid"), col(idxCol).as("_widx"))).as("_w"))
-      .select(col("_h"), col("_w._wid").as("_wid"), col("_w._widx").as("_widx"))
-    tagged.join(winners, Seq("_h"))
-      .where(col(idCol) === col("_wid") && col(idxCol) === col("_widx"))
-      .drop("_h", "_wid", "_widx")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_h")
+    paras.withColumn("_h", sha2(col(paraCol), 256))
+      .withColumn("_w", min(struct(col(idCol), col(idxCol))).over(w))
+      .where(col(idCol) === col(s"_w.$idCol") && col(idxCol) === col(s"_w.$idxCol"))
+      .drop("_h", "_w")
   }
 
   /** Reassemble a paragraph relation back into `(id, text)`, paragraphs in
