@@ -16,8 +16,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as raw LONG (Tables
-      // normalises to micros TimestampType).
+      // events.parquet has shipped as TIMESTAMP(NANOS) in some testdata
+      // generations; this lets that layout read as a raw LONG (Tables
+      // normalises either layout to micros TimestampType by read type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()

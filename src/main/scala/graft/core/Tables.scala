@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Canonical loaders for the warehouse tables (see /root/repo/TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's reader
-  * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a raw nanosecond
-  * LONG (`spark.sql.legacy.parquet.nanosAsLong`) and normalise to a
-  * microsecond TimestampType at the edge, so all engine code sees plain
-  * TimestampType. `ts div 1000` truncates exactly like DuckDB's
-  * TIMESTAMP_NS→TIMESTAMP cast, keeping oracle comparisons exact.
+  * `events.ts` has shipped in two parquet encodings across testdata
+  * generations: TIMESTAMP(NANOS) (which Spark's reader rejects outright —
+  * [PARQUET_TYPE_ILLEGAL] — so it is read as a raw nanosecond LONG via
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (which reads as TIMESTAMP_NTZ). The loader
+  * normalises BY THE TYPE IT ACTUALLY READ, so all engine code sees plain
+  * microsecond TimestampType either way: `ts div 1000` on the nano long
+  * truncates exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast, and the
+  * NTZ→Timestamp cast is exact because every entry point pins the session
+  * timezone to UTC — keeping oracle comparisons bit-identical.
   */
 object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -34,7 +38,14 @@ object Tables {
     val df = resolved.getOrElseUpdate(
       (org.apache.spark.sql.graftbridge.SessionBridge.uuid(spark), dir, name), {
         val raw = spark.read.parquet(s"$dir/$name.parquet")
-        if (name == "events") raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        if (name == "events") raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as nano long
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampNTZType => // TIMESTAMP(MICROS) unadjusted
+            raw.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => raw // already a plain TimestampType
+        }
         else raw
       })
     // Opt-in warehouse cache (spark.graft.cacheTables=true): repeated loads
