@@ -45,7 +45,9 @@ object Scratch {
         jobStart.synchronized {
           jobStart(j.jobId) = (System.nanoTime(),
             (Option(j.properties.getProperty("callSite.short")) orElse
-              Option(j.properties.getProperty("spark.job.description")))
+              Option(j.properties.getProperty("spark.job.description")) orElse
+              j.stageInfos.headOption.map(si =>
+                s"${si.name.take(60)} tasks=${j.stageInfos.map(_.numTasks).sum}"))
               .getOrElse("?").take(80))
         }
       }

@@ -789,6 +789,18 @@ object SparkEntry {
     "sim_nn_label" -> ((s, d) =>
       Similarity.nnWithinPartition(t(s, d, "embeddings"))),
 
+    // Full k-NN graph blocked by the LEARNED IVF cluster (same memoized
+    // assignment as dedup_semantic): top-3 cosine neighbours for EVERY
+    // vector, pair join keyed on the cluster id. maxBlock is raised above
+    // the corpus size so the gate pins EXACT within-cluster semantics at
+    // test scale (the library default LSH-sub-buckets hot clusters at
+    // 100 TB, making those blocks approximate but never quadratic).
+    "sim_knn_graph" -> { (s, d) =>
+      val asg = ivfIdx(s, d).assignments.withColumnRenamed("id", "vec_id")
+      Similarity.knnGraph(t(s, d, "embeddings").join(asg, "vec_id"),
+        k = 3, partCol = "cluster", maxBlock = 1000000)
+    },
+
     "sim_ann_lsh" -> { (s, d) =>
       val embs = t(s, d, "embeddings")
       val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
@@ -869,6 +881,9 @@ object SparkEntry {
         TextStats.meanWordLen(col("text")).as("mean_wlen"),
         TextStats.symbolRatio(col("text")).as("sym_ratio"))
         ),
+
+    "repetition_stats" -> ((s, d) =>
+      TextStats.repetitionStats(t(s, d, "documents"))),
 
     "token_count" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -1470,6 +1485,22 @@ object SparkEntry {
         |JOIN e b ON a.vec_id < b.vec_id
         |JOIN asg sb ON b.vec_id = sb.vec_id AND sa.cl = sb.cl
         |WHERE $pairSim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")
+  }
+
+  // sim_knn_graph oracle: the deterministic k-means replay of ivfCte gives
+  // the cluster blocking; within each cluster every DIRECTED pair is
+  // scored and the top-3 per source taken on (rounded sim DESC, nbr_id) —
+  // the same pinned ordering the Spark window uses.
+  private lazy val knnGraphOracle: String = {
+    val pairSim = "round(list_inner_product(a.v, b.v) / " +
+      "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)"
+    ivfCte +
+      s""" , j AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, $pairSim AS sim
+        |FROM e a JOIN asg sa ON a.vec_id = sa.vec_id
+        |JOIN e b ON a.vec_id <> b.vec_id
+        |JOIN asg sb ON b.vec_id = sb.vec_id AND sa.cl = sb.cl),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank FROM j)
+        |SELECT vec_id, nbr_id, rank, sim FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin.replace("\n", " ")
   }
 
   // Corpus.mix32 replayed in SQL: two xorshift-multiply mixing rounds mod
@@ -2310,6 +2341,8 @@ object SparkEntry {
 
     "dedup_semantic" -> semanticDedupOracle,
 
+    "sim_knn_graph" -> knnGraphOracle,
+
     "dedup_ngram_jaccard" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc " +
@@ -2387,6 +2420,26 @@ object SparkEntry {
         "round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 4) AS mean_wlen, " +
         "round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS sym_ratio " +
         "FROM t ORDER BY doc_id"),
+
+    // Gopher repetition filters replayed: grams per order via list slicing,
+    // per-(doc, k) argmax on (cnt DESC, gram DESC) via a window, then the
+    // same conditional fold per document.
+    "repetition_stats" ->
+      ("WITH t AS (SELECT doc_id, greatest(length(text), 1) AS tl, string_split(text, ' ') AS w FROM documents), " +
+        "ks AS (SELECT unnest([2, 3, 4, 5]) AS k), " +
+        "g AS (SELECT doc_id, tl, k, unnest(list_transform(generate_series(1, greatest(len(w) - k + 1, 0)), " +
+        "i -> array_to_string(w[i:i+k-1], ' '))) AS gram FROM t CROSS JOIN ks), " +
+        "c AS (SELECT doc_id, tl, k, gram, count(*) AS cnt FROM g GROUP BY doc_id, tl, k, gram), " +
+        "c2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, k ORDER BY cnt DESC, gram DESC) AS rn FROM c), " +
+        "a AS (SELECT doc_id, tl, " +
+        "coalesce(max(CASE WHEN k = 2 AND rn = 1 THEN cnt * length(gram) END), 0) AS t2, " +
+        "coalesce(max(CASE WHEN k = 3 AND rn = 1 THEN cnt * length(gram) END), 0) AS t3, " +
+        "coalesce(max(CASE WHEN k = 4 AND rn = 1 THEN cnt * length(gram) END), 0) AS t4, " +
+        "coalesce(sum(CASE WHEN k = 5 AND cnt >= 2 THEN cnt * length(gram) END), 0) AS d5 " +
+        "FROM c2 GROUP BY doc_id, tl) " +
+        "SELECT doc_id, round(t2 * 1.0 / tl, 4) AS top2_frac, round(t3 * 1.0 / tl, 4) AS top3_frac, " +
+        "round(t4 * 1.0 / tl, 4) AS top4_frac, round(d5 * 1.0 / tl, 4) AS dup5_frac " +
+        "FROM a ORDER BY doc_id"),
 
     "pii_redact" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +

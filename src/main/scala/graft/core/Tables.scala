@@ -28,24 +28,49 @@ object Tables {
   // session serves every query. Entries are plans (KBs); growth is bounded
   // by live sessions × tables.
   private val resolved =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String, Boolean), DataFrame]
+
+  /** Tables whose single test-scale parquet file is below this size keep
+    * their scan partitioning even under the warm cache — fanning a
+    * kilobyte dim table out to every core costs more scheduling than it
+    * buys parallelism.
+    */
+  private val RepartitionMinBytes: Long = 256L * 1024
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Required by the parquet reader for TIMESTAMP(NANOS) columns. Set
     // unconditionally (idempotent map put) rather than as a surprising side
     // effect of the first memo miss.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val caching =
+      spark.conf.getOption("spark.graft.cacheTables").contains("true")
     val df = resolved.getOrElseUpdate(
-      (org.apache.spark.sql.graftbridge.SessionBridge.uuid(spark), dir, name), {
-        val raw = spark.read.parquet(s"$dir/$name.parquet")
-        if (name == "events") raw.schema("ts").dataType match {
+      (org.apache.spark.sql.graftbridge.SessionBridge.uuid(spark), dir, name,
+        caching), {
+        val raw0 = spark.read.parquet(s"$dir/$name.parquet")
+        val raw = if (name == "events") raw0.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as nano long
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            raw0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
           case org.apache.spark.sql.types.TimestampNTZType => // TIMESTAMP(MICROS) unadjusted
-            raw.withColumn("ts",
+            raw0.withColumn("ts",
               col("ts").cast(org.apache.spark.sql.types.TimestampType))
-          case _ => raw // already a plain TimestampType
+          case _ => raw0 // already a plain TimestampType
         }
+        else raw0
+        // Test-scale data arrives as ONE small parquet file with one row
+        // group — unsplittable, so every scan is one partition and any
+        // compute-heavy downstream map stage (gram explodes, shingle
+        // hashing, position scoring) runs on one core while the rest
+        // idle. Under the opt-in warm cache, repartition such tables to
+        // core count BEFORE caching: the one-off shuffle is table-sized
+        // (small by the cache's own precondition) and every subsequent
+        // query reads a core-count-partitioned in-memory relation. The
+        // at-scale path (cache off — 100 TB tables are thousands of
+        // row-group-splittable files) never repartitions.
+        val cores = spark.sparkContext.defaultParallelism
+        val bytes = new java.io.File(s"$dir/$name.parquet").length()
+        if (caching && bytes >= RepartitionMinBytes &&
+            raw.rdd.getNumPartitions < cores) raw.repartition(cores)
         else raw
       })
     // Opt-in warehouse cache (spark.graft.cacheTables=true): repeated loads
@@ -57,7 +82,7 @@ object Tables {
     // the CacheManager itself on EVERY call — not at memoization time — so
     // it stays correct across concurrent sessions and re-caches after
     // spark.catalog.clearCache(); any caller-side guard flag would not.
-    if (spark.conf.getOption("spark.graft.cacheTables").contains("true") &&
+    if (caching &&
         !org.apache.spark.sql.graftbridge.SessionBridge.isCached(df)) df.cache()
     else df
   }

@@ -103,17 +103,23 @@ object NgramLm {
     //
     // The model is persisted (not checkpointed) under the self-join: the
     // cache's per-block locking makes the two legs share ONE training
-    // execution, and only the JOINED relation pays a localCheckpoint —
-    // one materialization job where checkpointing model and augmentation
-    // separately paid two. The blocks are vocabulary-sized; the cache is
-    // dropped as soon as the metadata job below has read it.
+    // execution, and only the JOINED relation pays a LAZY localCheckpoint
+    // — the checkpoint materializes inside the metadata collect below, so
+    // training + augmentation + checkpoint + metadata are ONE Spark job
+    // where an eager checkpoint paid a job and a scheduling gap before
+    // the metadata job even started. The k=0 total-token row rides along
+    // (its prefix key substring_index('', ' ', -1) = '' self-matches the
+    // total row — harmless, and grams are never empty so it can never
+    // match a position key); keeping it makes aug self-sufficient for the
+    // metadata. The blocks are vocabulary-sized; the model cache is
+    // dropped as soon as the metadata job has run.
     val m = model.persist()
-    val aug = m.where(col("k") >= 1).alias("a")
+    val aug = m.alias("a")
       .join(m.select(col("gram").as("_pg"), col("cnt").as("_pc")),
         expr("substring_index(a.gram, ' ', a.k - 1)") === col("_pg"), "left")
       .select(col("a.gram").as("gram"), col("a.k").as("k"),
         col("a.cnt").as("cnt"), col("_pc").as("pfx"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // A checkpointed relation carries no size statistics, so Spark would
     // sort-merge every model join even when a slice is kilobytes. ONE tiny
     // metadata job over the checkpointed blocks (vocab-sized input, ≤ n+1
@@ -125,7 +131,7 @@ object NgramLm {
     // word counts) and the _g$k keys are null-guarded, so the k-filter
     // adds nothing. A web-scale model falls back to per-order slices with
     // keyed-shuffle joins.
-    val meta = m.groupBy("k").agg(count(lit(1)).as("rows"),
+    val meta = aug.groupBy("k").agg(count(lit(1)).as("rows"),
       max(when(col("k") === 0, col("cnt"))).as("n0")).collect()
     m.unpersist()
     val sliceRows: Map[Int, Long] =
@@ -182,12 +188,23 @@ object NgramLm {
       (1 to n).map(k => gk(k).as(s"_g$k")): _*)
     // total token count N: collected with the metadata job, a plan literal
     val joined0 = pos.withColumn("_N", lit(totalN))
-    // ONE keyed left join per order, carrying count AND context count
+    // ONE keyed left join per order, carrying count AND context count.
+    // The model side joins UNPROJECTED, renamed only AFTER the join: with
+    // per-order aliases inside the join input, each broadcast hung off a
+    // syntactically different Project and ReuseExchange saw n distinct
+    // subtrees — n broadcast builds (n jobs + planning gaps) of the same
+    // vocab-sized relation. Unprojected, the pruned subtree under every
+    // broadcast is identical and the exchange is built ONCE and reused
+    // across all n joins (the sliced web-scale path keeps per-order
+    // exchanges — its Filter(k = const) inputs genuinely differ).
+    // (Each order gets a SubqueryAlias — erased during analysis, so it
+    // cannot split the shared exchange — purely to give the n references
+    // to the same relation unambiguous qualified names.)
     val withCtx = (1 to n).foldLeft(joined0) { case (d, k) =>
-      d.join(modelSlice(k)
-          .select(col("gram").as(s"_g$k"), col("cnt").as(s"_n$k"),
-            col("pfx").as(s"_x$k")),
-        Seq(s"_g$k"), "left")
+      val mk = modelSlice(k).alias(s"_m$k")
+      d.join(mk, d(s"_g$k") === col(s"_m$k.gram"), "left")
+        .select(d.columns.map(d(_)) ++
+          Seq(col(s"_m$k.cnt").as(s"_n$k"), col(s"_m$k.pfx").as(s"_x$k")): _*)
     }
     // largest available order wins; each level dropped multiplies by alpha
     val kMax = col("_kmax")

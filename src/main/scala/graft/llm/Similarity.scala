@@ -80,7 +80,27 @@ object Similarity {
   def nnWithinPartition(embs: DataFrame, partCol: String = "label",
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         scale: Int = 6, maxBlock: Int = 10000,
-                        subBits: Int = 8): DataFrame = {
+                        subBits: Int = 8): DataFrame =
+    knnGraph(embs, 1, partCol, idCol, vecCol, scale, maxBlock, subBits)
+      .select(col("vec_id").as("a_id"), col("nbr_id").as("b_id"), col("sim"))
+
+  /** k-nearest-neighbour graph within a coarse partition — the SemDeDup /
+    * dataset-cartography primitive: for EVERY vector, its top-`k` cosine
+    * neighbours. Blocked exactly like [[nnWithinPartition]]: the pair join
+    * is keyed on (partition, sub-bucket) — never global all-pairs — and
+    * blocks beyond `maxBlock` are LSH-sub-bucketed, making those blocks'
+    * neighbourhoods LSH-approximate with per-block quadratic cost bounded.
+    * The per-source top-k is a `row_number` over a corpus-keyed window
+    * (state = k rows per source, partition-invariant). Ranking is on the
+    * ROUNDED similarity with the neighbour id as tiebreak, so the graph is
+    * deterministic and engine-portable; a vector alone in its sub-bucket
+    * contributes no rows.
+    */
+  def knnGraph(embs: DataFrame, k: Int = 3, partCol: String = "label",
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               scale: Int = 6, maxBlock: Int = 10000,
+               subBits: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val keyed = guardedBlocks(embs, partCol, idCol, vecCol, maxBlock, subBits)
     val a = keyed.select(col("p"), col("sk"), col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
     val b = keyed.select(col("p"), col("sk"), col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
@@ -89,8 +109,10 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         graft.functions.Rounding.dround(graft.functions.native.dotd(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")), scale)
           .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1).drop("rn")
+      .withColumn("_rank", row_number().over(w)) // filter on the RAW rank
+      .where(col("_rank") <= k) // attr so the group-limit rule applies
+      .select(col("a_id").as("vec_id"), col("b_id").as("nbr_id"),
+        col("_rank").cast("long").as("rank"), col("sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs (sim ≥ `threshold`) blocked by a

@@ -132,4 +132,53 @@ object TextStats {
       sum(col(charsCol)).as("sum_chars"),
       graft.functions.Rounding.dround(avg(tokenCount(col(textCol))), 4).as("avg_tokens"),
       max(tokenCount(col(textCol))).as("max_tokens"))
+
+  /** Gopher-style within-document repetition statistics (Rae et al. 2021,
+    * appendix A1.1 — the standard pre-training repetition filters):
+    *
+    *  - `top{2,3,4}_frac`: the character fraction of the document covered
+    *    by ALL occurrences of its most frequent word n-gram — cnt ×
+    *    length(gram) / length(text), the argmax taken on (count, then
+    *    lexicographically largest gram) so the statistic is deterministic;
+    *  - `dup5_frac`: the character fraction in duplicated 5-grams — Σ over
+    *    5-grams with count ≥ 2 of cnt × length(gram) / length(text)
+    *    (overlapping occurrences all count, so the value may exceed 1 —
+    *    pinned, engine-portable semantics rather than Gopher's unspecified
+    *    overlap handling).
+    *
+    * Documents with fewer than two tokens have no n-grams and emit no row.
+    * Shape at scale: one explode carrying all four orders (k recovered
+    * from the gram's word count, the [[NgramLm.train]] trick), then two
+    * keyed aggregates — (doc, gram) counts with map-side combine, then a
+    * per-doc conditional fold. All state is doc-bounded; nothing global.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", scale: Int = 4): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = concat((2 to 5).map(k =>
+      graft.functions.native.wordGrams(toks, k)): _*)
+    val g = docs
+      .select(col(idCol), greatest(length(col(textCol)), lit(1)).as("_tl"),
+        explode(grams).as("gram"))
+      .withColumn("_k",
+        (length(col("gram")) - length(translate(col("gram"), " ", "")) + 1)
+          .cast("int"))
+    val cnts = g.groupBy(col(idCol), col("_tl"), col("_k"), col("gram"))
+      .agg(count(lit(1)).as("_cnt"))
+    // per-order argmax as max(struct(count, gram)): largest count, ties to
+    // the lexicographically largest gram — one conditional fold per doc
+    def topChars(k: Int): Column = {
+      val s = max(when(col("_k") === k, struct(col("_cnt"), col("gram"))))
+      coalesce(s.getField("_cnt") * length(s.getField("gram")), lit(0L))
+    }
+    def frac(c: Column): Column =
+      graft.functions.Rounding.dround(c.cast("double") / col("_tl"), scale)
+    cnts.groupBy(col(idCol), col("_tl")).agg(
+      frac(topChars(2)).as("top2_frac"),
+      frac(topChars(3)).as("top3_frac"),
+      frac(topChars(4)).as("top4_frac"),
+      frac(coalesce(sum(when(col("_k") === 5 && col("_cnt") >= 2,
+        col("_cnt") * length(col("gram")))), lit(0L))).as("dup5_frac"))
+      .drop("_tl")
+  }
 }

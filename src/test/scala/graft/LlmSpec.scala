@@ -1489,4 +1489,61 @@ class LlmSpec extends SparkSpec {
     assert(got == Set((1L, Some("png"), 640, 480),
       (2L, Some("jpeg"), 123, 45), (3L, None, -1, -1)))
   }
+
+  test("repetition stats: top-ngram and duplicated-5gram char fractions") {
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] → top "a b" ×3,
+    // text length 11 → top2 = 3*3/11. 5-grams: [a b a b a, b a b a b] —
+    // both unique → dup5 = 0.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x y z"),          // no repeats at all: top fracs from cnt=1 grams
+      (3L, "q"),              // single token: no n-grams → absent from output
+      (4L, "c c c c c c")     // every 5-gram identical: dup5 = 2*9/11
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(docs)
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(!out.contains(3L))
+    val d = (x: Double) => math.floor(x * 1e4 + 0.5) / 1e4
+    // doc 1: top3 ties at cnt=2 ("a b a" vs "b a b") → largest gram "b a b"
+    // (2×5/11); top4 "a b a b" ×2 (2×7/11)
+    assert(out(1L) == ((d(9.0 / 11), d(10.0 / 11), d(14.0 / 11), 0.0)))
+    // doc 2: all grams unique, argmax = lexicographically largest gram
+    // ("y z" for k=2, len 3 → 3/5); no 4/5-grams (3 tokens) → 0
+    assert(out(2L) == ((d(3.0 / 5), d(5.0 / 5), 0.0, 0.0)))
+    // doc 4 ("c c c c c c", len 11): 2-gram "c c" ×5 → 15/11 (>1 — pinned
+    // all-occurrence counting); 5-gram "c c c c c" ×2 → dup5 = 18/11
+    assert(out(4L) == ((d(15.0 / 11), d(20.0 / 11), d(21.0 / 11), d(18.0 / 11))))
+  }
+
+  test("knn graph: exact within blocks, ranked, directional; 1-NN delegates") {
+    // two labels: 0 → ids 1-4 on distinct directions, 1 → ids 10-11
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f, 0.0f), 0),
+      (4L, Seq(0.0f, 0.0f, 1.0f), 0),
+      (10L, Seq(1.0f, 1.0f, 0.0f), 1),
+      (11L, Seq(1.0f, 0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.knnGraph(embs, k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    val byS = g.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // every neighbour stays inside the label block, ranks are 1..k dense
+    assert(byS(1L) == Seq(2L, 3L) || byS(1L) == Seq(2L, 4L)) // 3 vs 4 tie → id
+    assert(byS(1L) == Seq(2L, 3L))
+    assert(byS(10L) == Seq(11L) && byS(11L) == Seq(10L)) // block of 2: only 1 nbr
+    assert(g.forall(r => r._3 >= 1 && r._3 <= 2))
+    // sims are rounded cosines in [-1, 1], descending within a source
+    g.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._3).map(_._4).toSeq
+      assert(sorted == sorted.sorted.reverse)
+    }
+    // k=1 graph == nnWithinPartition output exactly
+    val nn = Similarity.nnWithinPartition(embs)
+      .as[(Long, Long, Double)].collect().toSet
+    val g1 = Similarity.knnGraph(embs, k = 1)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2, r._4)).toSet
+    assert(nn == g1)
+  }
 }
