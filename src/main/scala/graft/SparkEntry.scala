@@ -885,6 +885,9 @@ object SparkEntry {
     "repetition_stats" -> ((s, d) =>
       TextStats.repetitionStats(t(s, d, "documents"))),
 
+    "gopher_filter" -> ((s, d) =>
+      TextStats.gopherFilter(t(s, d, "documents"))),
+
     "token_count" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -1486,6 +1489,23 @@ object SparkEntry {
         |JOIN asg sb ON b.vec_id = sb.vec_id AND sa.cl = sb.cl
         |WHERE $pairSim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin.replace("\n", " ")
   }
+
+  // Shared prefix of the repetition_stats and gopher_filter oracles: all
+  // four gram orders via list slicing, per-(doc, k) argmax on
+  // (cnt DESC, gram DESC), conditional fold to per-doc char counts.
+  private lazy val repStatsCte: String =
+    "WITH t AS (SELECT doc_id, text, greatest(length(text), 1) AS tl, string_split(text, ' ') AS w FROM documents), " +
+      "ks AS (SELECT unnest([2, 3, 4, 5]) AS k), " +
+      "g AS (SELECT doc_id, tl, k, unnest(list_transform(generate_series(1, greatest(len(w) - k + 1, 0)), " +
+      "i -> array_to_string(w[i:i+k-1], ' '))) AS gram FROM t CROSS JOIN ks), " +
+      "c AS (SELECT doc_id, tl, k, gram, count(*) AS cnt FROM g GROUP BY doc_id, tl, k, gram), " +
+      "c2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, k ORDER BY cnt DESC, gram DESC) AS rn FROM c), " +
+      "a AS (SELECT doc_id, tl, " +
+      "coalesce(max(CASE WHEN k = 2 AND rn = 1 THEN cnt * length(gram) END), 0) AS t2, " +
+      "coalesce(max(CASE WHEN k = 3 AND rn = 1 THEN cnt * length(gram) END), 0) AS t3, " +
+      "coalesce(max(CASE WHEN k = 4 AND rn = 1 THEN cnt * length(gram) END), 0) AS t4, " +
+      "coalesce(sum(CASE WHEN k = 5 AND cnt >= 2 THEN cnt * length(gram) END), 0) AS d5 " +
+      "FROM c2 GROUP BY doc_id, tl)"
 
   // sim_knn_graph oracle: the deterministic k-means replay of ivfCte gives
   // the cluster blocking; within each cluster every DIRECTED pair is
@@ -2425,21 +2445,31 @@ object SparkEntry {
     // per-(doc, k) argmax on (cnt DESC, gram DESC) via a window, then the
     // same conditional fold per document.
     "repetition_stats" ->
-      ("WITH t AS (SELECT doc_id, greatest(length(text), 1) AS tl, string_split(text, ' ') AS w FROM documents), " +
-        "ks AS (SELECT unnest([2, 3, 4, 5]) AS k), " +
-        "g AS (SELECT doc_id, tl, k, unnest(list_transform(generate_series(1, greatest(len(w) - k + 1, 0)), " +
-        "i -> array_to_string(w[i:i+k-1], ' '))) AS gram FROM t CROSS JOIN ks), " +
-        "c AS (SELECT doc_id, tl, k, gram, count(*) AS cnt FROM g GROUP BY doc_id, tl, k, gram), " +
-        "c2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, k ORDER BY cnt DESC, gram DESC) AS rn FROM c), " +
-        "a AS (SELECT doc_id, tl, " +
-        "coalesce(max(CASE WHEN k = 2 AND rn = 1 THEN cnt * length(gram) END), 0) AS t2, " +
-        "coalesce(max(CASE WHEN k = 3 AND rn = 1 THEN cnt * length(gram) END), 0) AS t3, " +
-        "coalesce(max(CASE WHEN k = 4 AND rn = 1 THEN cnt * length(gram) END), 0) AS t4, " +
-        "coalesce(sum(CASE WHEN k = 5 AND cnt >= 2 THEN cnt * length(gram) END), 0) AS d5 " +
-        "FROM c2 GROUP BY doc_id, tl) " +
-        "SELECT doc_id, round(t2 * 1.0 / tl, 4) AS top2_frac, round(t3 * 1.0 / tl, 4) AS top3_frac, " +
+      (repStatsCte +
+        " SELECT doc_id, round(t2 * 1.0 / tl, 4) AS top2_frac, round(t3 * 1.0 / tl, 4) AS top3_frac, " +
         "round(t4 * 1.0 / tl, 4) AS top4_frac, round(d5 * 1.0 / tl, 4) AS dup5_frac " +
         "FROM a ORDER BY doc_id"),
+
+    // The composite filter: the quality_signals fragments plus the
+    // repetition fractions, folded to the same rule bitmask. Thresholds
+    // compare the ROUNDED signals on both engines.
+    "gopher_filter" ->
+      (repStatsCte + ", " +
+        "s AS (SELECT doc_id, len(w) AS n_words, " +
+        "round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 4) AS mwl, " +
+        "round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS sym " +
+        "FROM t), " +
+        "r AS (SELECT doc_id, round(t2 * 1.0 / tl, 4) AS top2, round(d5 * 1.0 / tl, 4) AS dup5 FROM a), " +
+        "f AS (SELECT s.doc_id AS doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        "CAST((CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END) " +
+        "+ (CASE WHEN sym > 0.1 THEN 4 ELSE 0 END) " +
+        "+ (CASE WHEN coalesce(top2, 0) > 0.20 THEN 8 ELSE 0 END) " +
+        "+ (CASE WHEN coalesce(dup5, 0) > 0.15 THEN 16 ELSE 0 END) AS BIGINT) AS rules_failed " +
+        "FROM s LEFT JOIN r ON s.doc_id = r.doc_id) " +
+        "SELECT doc_id, n_words, rules_failed, " +
+        "CAST(CASE WHEN rules_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+        "FROM f ORDER BY doc_id"),
 
     "pii_redact" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +

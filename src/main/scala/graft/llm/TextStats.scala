@@ -152,6 +152,47 @@ object TextStats {
     * keyed aggregates — (doc, gram) counts with map-side combine, then a
     * per-doc conditional fold. All state is doc-bounded; nothing global.
     */
+  /** Composite Gopher-style quality FILTER — the actual drop/keep stage a
+    * pre-training pipeline runs after computing the signals. Per document:
+    * `rules_failed` is a bitmask (bit set = rule VIOLATED):
+    *
+    *  - bit 0: word count outside [minWords, maxWords]
+    *  - bit 1: mean word length outside [3, 10]
+    *  - bit 2: symbol ratio > 0.1
+    *  - bit 3: top-2-gram char fraction > 0.20
+    *  - bit 4: duplicated-5-gram char fraction > 0.15
+    *
+    * and `kept` = 1 iff no rule fired. All thresholds compare the ROUNDED
+    * (4 dp) signals, so the decisions are bit-identical across engines.
+    * Shape: the columnar signals ride the scan; the repetition fractions
+    * arrive via ONE doc-keyed left join against [[repetitionStats]]
+    * (documents with fewer than two tokens have no n-grams — their
+    * repetition fractions coalesce to 0). Cost: the repetitionStats pass
+    * plus a doc-count-sized keyed join; nothing global.
+    */
+  def gopherFilter(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", minWords: Int = 50,
+                   maxWords: Int = 100000): DataFrame = {
+    val sig = docs.select(col(idCol),
+      tokenCount(col(textCol)).as("n_words"),
+      meanWordLen(col(textCol)).as("_mwl"),
+      symbolRatio(col(textCol)).as("_sym"))
+    val rep = repetitionStats(docs, textCol, idCol)
+      .select(col(idCol), col("top2_frac"), col("dup5_frac"))
+    val failed =
+      when(col("n_words") < minWords || col("n_words") > maxWords, 1)
+        .otherwise(0) +
+      when(col("_mwl") < 3.0 || col("_mwl") > 10.0, 2).otherwise(0) +
+      when(col("_sym") > 0.1, 4).otherwise(0) +
+      when(coalesce(col("top2_frac"), lit(0.0)) > 0.20, 8).otherwise(0) +
+      when(coalesce(col("dup5_frac"), lit(0.0)) > 0.15, 16).otherwise(0)
+    sig.join(rep, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        failed.cast("long").as("rules_failed"))
+      .withColumn("kept",
+        when(col("rules_failed") === 0, 1L).otherwise(0L))
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", scale: Int = 4): DataFrame = {
     val toks = tokens(col(textCol))

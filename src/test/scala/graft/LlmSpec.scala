@@ -1516,6 +1516,22 @@ class LlmSpec extends SparkSpec {
     assert(out(4L) == ((d(15.0 / 11), d(20.0 / 11), d(21.0 / 11), d(18.0 / 11))))
   }
 
+  test("gopher filter: rule bitmask and keep decision per document") {
+    val clean = (1 to 60).map(i => f"word$i%02d").mkString(" ") // 60×len-6 words
+    val spammy = Seq.fill(60)("spam").mkString(" ")
+    val junk = "a b! c@"
+    val docs = Seq((1L, clean), (2L, spammy), (3L, junk)).toDF("doc_id", "text")
+    val out = TextStats.gopherFilter(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((60L, 0L, 1L))) // passes every rule
+    // spam: top2 "spam spam"×59×9/299 and dup5 56×24/299 both over → 8+16
+    assert(out(2L) == ((60L, 24L, 0L)))
+    // junk: 3 words (<50 → 1), mwl 1.67 (<3 → 2), sym 2/7 (>0.1 → 4),
+    // top2 "b! c@" 5/7 (>0.2 → 8); no 5-grams → dup5 passes
+    assert(out(3L) == ((3L, 15L, 0L)))
+  }
+
   test("knn graph: exact within blocks, ranked, directional; 1-NN delegates") {
     // two labels: 0 → ids 1-4 on distinct directions, 1 → ids 10-11
     val embs = Seq(
