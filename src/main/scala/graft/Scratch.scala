@@ -18,9 +18,9 @@ object Scratch {
   /** The steady top-10 by committed bench cost (BENCH_full.json), the
     * scaling watch-list. */
   val ScaleQueries: Seq[String] = Seq(
-    "lm_score_tri", "lm_score", "profile_summarize", "dedup_simhash",
-    "bpe_encode", "dedup_substring", "corpus_budget", "etl_array_flatten",
-    "etl_struct_flatten", "tfidf_top_terms")
+    "gopher_filter", "repetition_stats", "lm_score_tri", "lm_score",
+    "sim_knn_graph", "dedup_incremental", "quality_train", "corpus_budget",
+    "profile_summarize", "tfidf_top_terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
