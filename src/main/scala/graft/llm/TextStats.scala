@@ -177,7 +177,14 @@ object TextStats {
       tokenCount(col(textCol)).as("n_words"),
       meanWordLen(col(textCol)).as("_mwl"),
       symbolRatio(col(textCol)).as("_sym"))
-    val rep = repetitionStats(docs, textCol, idCol)
+    // only orders 2 and 5 feed rules — exploding 3- and 4-grams too would
+    // double the dominant map stage for statistics the filter discards
+    val cnts = gramCounts(docs, textCol, idCol, Seq(2, 5))
+    val rep = cnts.groupBy(col(idCol), col("_tl")).agg(
+      graft.functions.Rounding.dround(
+        topGramChars(2).cast("double") / col("_tl"), 4).as("top2_frac"),
+      graft.functions.Rounding.dround(
+        dupGramChars(5).cast("double") / col("_tl"), 4).as("dup5_frac"))
       .select(col(idCol), col("top2_frac"), col("dup5_frac"))
     val failed =
       when(col("n_words") < minWords || col("n_words") > maxWords, 1)
@@ -193,33 +200,49 @@ object TextStats {
         when(col("rules_failed") === 0, 1L).otherwise(0L))
   }
 
-  def repetitionStats(docs: DataFrame, textCol: String = "text",
-                      idCol: String = "doc_id", scale: Int = 4): DataFrame = {
+  /** Per-(doc, order, gram) occurrence counts for the requested orders —
+    * ONE explode carries every order (the order is recovered from the
+    * gram's word count), one keyed aggregate with map-side combine.
+    */
+  private def gramCounts(docs: DataFrame, textCol: String, idCol: String,
+                         orders: Seq[Int]): DataFrame = {
     val toks = tokens(col(textCol))
-    val grams = concat((2 to 5).map(k =>
+    val grams = concat(orders.map(k =>
       graft.functions.native.wordGrams(toks, k)): _*)
-    val g = docs
+    docs
       .select(col(idCol), greatest(length(col(textCol)), lit(1)).as("_tl"),
         explode(grams).as("gram"))
       .withColumn("_k",
         (length(col("gram")) - length(translate(col("gram"), " ", "")) + 1)
           .cast("int"))
-    val cnts = g.groupBy(col(idCol), col("_tl"), col("_k"), col("gram"))
+      .groupBy(col(idCol), col("_tl"), col("_k"), col("gram"))
       .agg(count(lit(1)).as("_cnt"))
-    // per-order argmax as max(struct(count, gram)): largest count, ties to
-    // the lexicographically largest gram — one conditional fold per doc
-    def topChars(k: Int): Column = {
-      val s = max(when(col("_k") === k, struct(col("_cnt"), col("gram"))))
-      coalesce(s.getField("_cnt") * length(s.getField("gram")), lit(0L))
-    }
+  }
+
+  /** Char count of all occurrences of the most frequent order-`k` gram —
+    * the argmax as max(struct(count, gram)): largest count, ties to the
+    * lexicographically largest gram, one conditional fold per doc.
+    */
+  private def topGramChars(k: Int): Column = {
+    val s = max(when(col("_k") === k, struct(col("_cnt"), col("gram"))))
+    coalesce(s.getField("_cnt") * length(s.getField("gram")), lit(0L))
+  }
+
+  /** Char count of all occurrences of duplicated order-`k` grams. */
+  private def dupGramChars(k: Int): Column =
+    coalesce(sum(when(col("_k") === k && col("_cnt") >= 2,
+      col("_cnt") * length(col("gram")))), lit(0L))
+
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", scale: Int = 4): DataFrame = {
     def frac(c: Column): Column =
       graft.functions.Rounding.dround(c.cast("double") / col("_tl"), scale)
-    cnts.groupBy(col(idCol), col("_tl")).agg(
-      frac(topChars(2)).as("top2_frac"),
-      frac(topChars(3)).as("top3_frac"),
-      frac(topChars(4)).as("top4_frac"),
-      frac(coalesce(sum(when(col("_k") === 5 && col("_cnt") >= 2,
-        col("_cnt") * length(col("gram")))), lit(0L))).as("dup5_frac"))
+    gramCounts(docs, textCol, idCol, 2 to 5)
+      .groupBy(col(idCol), col("_tl")).agg(
+        frac(topGramChars(2)).as("top2_frac"),
+        frac(topGramChars(3)).as("top3_frac"),
+        frac(topGramChars(4)).as("top4_frac"),
+        frac(dupGramChars(5)).as("dup5_frac"))
       .drop("_tl")
   }
 }
