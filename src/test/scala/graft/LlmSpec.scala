@@ -1532,6 +1532,47 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((3L, 15L, 0L)))
   }
 
+  test("repetition stats: random docs match an in-memory reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny vocab → dense gram collisions; lengths straddle every k boundary
+    val genDoc = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "a")).map(_.mkString(" ")))
+    val docs = (0 until 120).map { i =>
+      (i.toLong, genDoc.apply(Gen.Parameters.default, Seed(7000L + i)).get)
+    }
+    def ref(text: String): Option[(Double, Double, Double, Double)] = {
+      val w = text.split(" ", -1) // keep empties: string_split semantics
+      val tl = math.max(text.length, 1)
+      val byK = (2 to 5).map { k =>
+        k -> (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" "))
+      }.toMap
+      if (byK.values.forall(_.isEmpty)) None
+      else {
+        def top(k: Int): Long = {
+          val c = byK(k).groupBy(identity).view.mapValues(_.size.toLong)
+          if (c.isEmpty) 0L
+          else {
+            val (g, n) = c.maxBy { case (g, n) => (n, g) } // count, then gram
+            n * g.length
+          }
+        }
+        val dup5 = byK(5).groupBy(identity).collect {
+          case (g, os) if os.size >= 2 => os.size.toLong * g.length
+        }.sum
+        def r(x: Long) = math.floor(x.toDouble / tl * 1e4 + 0.5) / 1e4
+        Some((r(top(2)), r(top(3)), r(top(4)), r(dup5)))
+      }
+    }
+    val got = TextStats.repetitionStats(docs.toDF("doc_id", "text"))
+      .as[(Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val expected = docs.flatMap { case (id, t) => ref(t).map(id -> _) }.toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, e) <- expected)
+      assert(got(id) == e, s"doc $id '${docs(id.toInt)._2}'")
+  }
+
   test("knn graph: exact within blocks, ranked, directional; 1-NN delegates") {
     // two labels: 0 → ids 1-4 on distinct directions, 1 → ids 10-11
     val embs = Seq(
