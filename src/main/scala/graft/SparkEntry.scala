@@ -888,6 +888,12 @@ object SparkEntry {
     "gopher_filter" -> ((s, d) =>
       TextStats.gopherFilter(t(s, d, "documents"))),
 
+    "fingerprint_winnow" -> ((s, d) =>
+      Dedup.winnowFingerprints(t(s, d, "documents"))),
+
+    "dedup_winnow" -> ((s, d) =>
+      Dedup.winnowOverlap(t(s, d, "documents"))),
+
     "token_count" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -1506,6 +1512,20 @@ object SparkEntry {
       "coalesce(max(CASE WHEN k = 4 AND rn = 1 THEN cnt * length(gram) END), 0) AS t4, " +
       "coalesce(sum(CASE WHEN k = 5 AND cnt >= 2 THEN cnt * length(gram) END), 0) AS d5 " +
       "FROM c2 GROUP BY doc_id, tl)"
+
+  // Winnowing replay: gram list -> h1 fold per gram (the polyHashCte
+  // formulation) -> per-start window minima as list slices -> distinct.
+  private lazy val winnowCte: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |gr AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |  i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS gs FROM t),
+      |hs AS (SELECT doc_id, list_transform(gs, s2 ->
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(1, length(s2)), j -> CAST(ascii(substr(s2, j, 1)) AS BIGINT))),
+      |  (a, c) -> (a * 31 + c) % 1000000007)) AS hv FROM gr WHERE len(gs) > 0),
+      |win AS (SELECT doc_id, list_distinct(list_transform(
+      |  generate_series(1, greatest(len(hv) - 3, 1)), st -> list_min(hv[st:st+3]))) AS fps FROM hs),
+      |f AS (SELECT doc_id, unnest(fps) AS fp FROM win)""".stripMargin.replace("\n", " ")
 
   // sim_knn_graph oracle: the deterministic k-means replay of ivfCte gives
   // the cluster blocking; within each cluster every DIRECTED pair is
@@ -2362,6 +2382,17 @@ object SparkEntry {
     "dedup_semantic" -> semanticDedupOracle,
 
     "sim_knn_graph" -> knnGraphOracle,
+
+    "fingerprint_winnow" ->
+      (winnowCte + " SELECT doc_id, fp FROM f ORDER BY doc_id, fp"),
+
+    "dedup_winnow" ->
+      (winnowCte +
+        ", d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 1000), " +
+        "kept AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp)) " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
+        "FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b"),
 
     "dedup_ngram_jaccard" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

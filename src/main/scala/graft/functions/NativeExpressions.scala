@@ -160,6 +160,84 @@ case class WordGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordGrams = copy(child = c)
 }
 
+/** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) of an
+  * array<string> of tokens: the distinct minima of [[PolyHash.h1]] word
+  * `k`-gram hashes over every sliding window of `w` consecutive grams,
+  * returned ASCENDING. Guarantees of the scheme: any shared token run of
+  * length ≥ k + w − 1 between two documents yields at least one shared
+  * fingerprint, and the fingerprint density is ~2/(w+1) — local
+  * fingerprinting for partial-overlap detection, where minhash (whole-doc
+  * set similarity) and simhash (global bit vote) both dilute a copied
+  * passage below threshold. One O(n) pass per document (monotonic-deque
+  * sliding min, gram hashes computed incrementally without materializing
+  * gram strings); documents shorter than k tokens yield an empty array.
+  * PolyHash keeps the fingerprints replayable in the DuckDB oracle with
+  * plain BIGINT arithmetic.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - (k - 1)
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    // h1 of the space-joined gram, computed by folding token code points
+    // with an explicit separator (identical to hashing the joined string)
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) h = (h * PolyHash.B1 + 32L) % PolyHash.P1
+        val s = toks(i + j)
+        var c = 0
+        while (c < s.length) {
+          val cp = s.codePointAt(c)
+          h = (h * PolyHash.B1 + cp) % PolyHash.P1
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    val starts = math.max(m - w, 0) + 1
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val dq = new java.util.ArrayDeque[Int]()
+    var p = 0
+    while (p < math.min(w, m)) { // first window (may be short when m < w)
+      while (!dq.isEmpty && hs(dq.peekLast()) >= hs(p)) dq.pollLast()
+      dq.addLast(p)
+      p += 1
+    }
+    sel.add(hs(dq.peekFirst()))
+    var s0 = 1
+    while (s0 < starts) {
+      if (dq.peekFirst() < s0) dq.pollFirst()
+      val end = s0 + w - 1 // < m because s0 <= m - w here
+      while (!dq.isEmpty && hs(dq.peekLast()) >= hs(end)) dq.pollLast()
+      dq.addLast(end)
+      sel.add(hs(dq.peekFirst()))
+      s0 += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var q = 0
+    while (it.hasNext) { out(q) = it.next(); q += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 /** Random-hyperplane LSH bucket key of an array<double> vector: bit p of
   * the result is the sign of the dot product with pseudo-random plane p,
   * whose components ([[PolyHash.planeComponent]]) are splitmix64-derived in
@@ -467,6 +545,8 @@ object native {
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def wordGrams(c: Column, n: Int): Column = column(WordGrams(expression(c), n))
   def lshKey(c: Column, nBits: Int): Column = column(HyperplaneLshKey(expression(c), nBits))
+  def winnowFps(toks: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprints(expression(toks), k, w))
   def minhashSig(c: Column, numHashes: Int): Column =
     column(MinHashSig(expression(c), numHashes))
 

@@ -333,6 +333,41 @@ object Dedup {
     * probes the broadcast, so the whole operator is one scan + one keyed
     * aggregate per training doc. Returns `(id, n_overlap)` for flagged docs.
     */
+  /** MOSS-style winnowing fingerprints, one `(idCol, fp)` row per distinct
+    * selected hash ([[graft.functions.WinnowFingerprints]]): any shared
+    * token run of length ≥ k + w − 1 is guaranteed a shared fingerprint —
+    * the PARTIAL-OVERLAP primitive minhash/simhash dilute away. Map-only:
+    * the whole selection is a per-document native kernel; the explode adds
+    * no shuffle. Documents shorter than `k` tokens emit no rows.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", k: Int = 3,
+                         w: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.native.winnowFps(
+        split(col(textCol), " "), k, w)).as("fp"))
+
+  /** Document pairs sharing at least `minShared` winnowing fingerprints,
+    * with the shared count — candidate pairs for partial-overlap review.
+    * Fingerprints present in more than `maxDf` documents are dropped
+    * BEFORE pairing (corpus boilerplate — a ubiquitous fingerprint would
+    * otherwise make its bucket quadratic, the same hot-key guard as the
+    * minhash band join); the pair exchange carries (fp, id) rows only.
+    */
+  def winnowOverlap(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", k: Int = 3, w: Int = 4,
+                    minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(docs, textCol, idCol, k, w)
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("fp")
+    val kept = fps.join(rare, "fp")
+    val a = kept.select(col("fp"), col(idCol).as("doc_a"))
+    val b = kept.select(col("fp"), col(idCol).as("doc_b"))
+    a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   def decontaminate(train: DataFrame, evalSet: DataFrame,
                     textCol: String = "text", idCol: String = "doc_id",
                     shingleLen: Int = 5, minOverlap: Int = 1): DataFrame = {

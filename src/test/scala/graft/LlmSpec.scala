@@ -1573,6 +1573,50 @@ class LlmSpec extends SparkSpec {
       assert(got(id) == e, s"doc $id '${docs(id.toInt)._2}'")
   }
 
+  test("winnowing: kernel matches a plain reference; overlap guarantee holds") {
+    import graft.functions.PolyHash
+    def ref(text: String, k: Int = 3, w: Int = 4): Set[Long] = {
+      val toks = text.split(" ", -1)
+      val grams = (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+      if (grams.isEmpty) Set.empty
+      else {
+        val hs = grams.map(PolyHash.h1)
+        val starts = math.max(hs.length - w, 0)
+        (0 to starts).map(s => hs.slice(s, s + w).min).toSet
+      }
+    }
+    // random docs over a tiny vocab (dense collisions) + degenerate sizes
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "dd")
+    val texts = (0 until 80).map(i =>
+      (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(4))).mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs)
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val expected = texts.zipWithIndex
+      .map { case (t, i) => i.toLong -> ref(t) }.filter(_._2.nonEmpty).toMap
+    assert(got == expected)
+    // the winnowing guarantee: a shared run of k + w - 1 = 6 tokens yields
+    // at least one shared fingerprint between otherwise-disjoint docs
+    val run = "p q r s t u"
+    val pair = Seq((100L, s"x1 x2 x3 $run x4 x5"), (200L, s"y1 $run y2 y3 y4"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(pair).as[(Long, Long)].collect()
+    val shared = fps.filter(_._1 == 100L).map(_._2).toSet
+      .intersect(fps.filter(_._1 == 200L).map(_._2).toSet)
+    assert(shared.nonEmpty)
+    // winnowOverlap reports that pair; the boilerplate guard (maxDf) drops
+    // a fingerprint shared by every doc when the cap is below corpus size
+    val ov = Dedup.winnowOverlap(pair, minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(ov.exists(r => r._1 == 100L && r._2 == 200L && r._3 >= 1))
+    val many = (1 to 20).map(i => (i.toLong, s"c1 c2 c3 c4 c5 c6 extra$i"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowOverlap(many, minShared = 1, maxDf = 10).count() == 0)
+  }
+
   test("knn graph: exact within blocks, ranked, directional; 1-NN delegates") {
     // two labels: 0 → ids 1-4 on distinct directions, 1 → ids 10-11
     val embs = Seq(
