@@ -126,11 +126,13 @@ object NgramLm {
     // output rows) yields the per-order row counts for the broadcast
     // decision AND the total-token count N — N then enters the scoring
     // plan as a LITERAL, killing the crossJoin broadcast stage the old
-    // plan paid for it. A model that fits the broadcast cap joins
-    // UNSLICED: gram strings of different orders can't collide (different
-    // word counts) and the _g$k keys are null-guarded, so the k-filter
-    // adds nothing. A web-scale model falls back to per-order slices with
-    // keyed-shuffle joins.
+    // plan paid for it. Every model join takes its DISJOINT per-order
+    // slice: the n broadcast hash tables then sum to ONE model copy in
+    // executor memory — an unsliced shared relation would be strictly
+    // worse, since under AQE each join materializes its own broadcast
+    // (plan-asserted in LlmSpec: one exchange per order, every one fed by
+    // the checkpoint scan, never by recomputed training). An order whose
+    // slice exceeds the cap falls back to a keyed-shuffle join.
     val meta = aug.groupBy("k").agg(count(lit(1)).as("rows"),
       max(when(col("k") === 0, col("cnt"))).as("n0")).collect()
     m.unpersist()
@@ -139,13 +141,10 @@ object NgramLm {
     val totalN: Long = meta.collectFirst {
       case r if r.getInt(0) == 0 => r.getLong(2)
     }.getOrElse(0L)
-    val totalRows = sliceRows.collect { case (k, c) if k >= 1 => c }.sum
-    def modelSlice(k: Int): DataFrame =
-      if (totalRows <= MaxBroadcastRows) broadcast(aug)
-      else {
-        val s = aug.where(col("k") === k)
-        if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
-      }
+    def modelSlice(k: Int): DataFrame = {
+      val s = aug.where(col("k") === k)
+      if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
+    }
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
     // One row per token position, identified only by the HIGHEST-order gram
     // ending there (its k_max-gram string) — every lower-order gram and
@@ -189,17 +188,11 @@ object NgramLm {
     // total token count N: collected with the metadata job, a plan literal
     val joined0 = pos.withColumn("_N", lit(totalN))
     // ONE keyed left join per order, carrying count AND context count.
-    // The model side joins UNPROJECTED, renamed only AFTER the join: with
-    // per-order aliases inside the join input, each broadcast hung off a
-    // syntactically different Project and ReuseExchange saw n distinct
-    // subtrees — n broadcast builds (n jobs + planning gaps) of the same
-    // vocab-sized relation. Unprojected, the pruned subtree under every
-    // broadcast is identical and the exchange is built ONCE and reused
-    // across all n joins (the sliced web-scale path keeps per-order
-    // exchanges — its Filter(k = const) inputs genuinely differ).
-    // (Each order gets a SubqueryAlias — erased during analysis, so it
-    // cannot split the shared exchange — purely to give the n references
-    // to the same relation unambiguous qualified names.)
+    // The model side joins UNPROJECTED (renamed only AFTER the join, via
+    // a SubqueryAlias that analysis erases), so each broadcast's input is
+    // the bare Filter(k = const) over the checkpoint scan — column
+    // pruning still reaches the scan, and the slices are disjoint, so
+    // executor memory across all n hash tables is one model copy.
     val withCtx = (1 to n).foldLeft(joined0) { case (d, k) =>
       val mk = modelSlice(k).alias(s"_m$k")
       d.join(mk, d(s"_g$k") === col(s"_m$k.gram"), "left")

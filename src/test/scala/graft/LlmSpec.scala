@@ -1154,6 +1154,28 @@ class LlmSpec extends SparkSpec {
     model.collect()
     assert(fileScans(model.queryExecution.executedPlan) == 1,
       model.queryExecution.executedPlan.toString)
+    // the model joins broadcast DISJOINT per-order slices — n exchanges
+    // whose hash tables sum to one model copy — and every broadcast is
+    // fed by the CHECKPOINT scan: no file scan (i.e. no re-run of
+    // training) hides inside any broadcast subtree.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def broadcasts(p: SparkPlan): Seq[BroadcastExchangeExec] = {
+      val self = p match {
+        case b: BroadcastExchangeExec => Seq(b)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(broadcasts)
+    }
+    val bx = broadcasts(scored.queryExecution.executedPlan)
+    assert(bx.size == 3, // one per order at n = 3
+      s"expected 3 per-order broadcasts:\n${scored.queryExecution.executedPlan}")
+    bx.foreach(b => assert(fileScans(b) == 0,
+      s"a broadcast subtree re-scans files (training re-run):\n$b"))
   }
 
   test("temperature mixing rates: tau endpoints, budget calibration, feeds mixWeighted") {
