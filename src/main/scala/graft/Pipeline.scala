@@ -100,6 +100,13 @@ object Pipeline {
     println(s"[pipeline] incremental: ${hist.where(col("is_dup")).count()} dups " +
       s"inside the history build; ${crawl.where(col("is_dup")).count()} of the " +
       s"new crawl dropped against the store; paragraph dedup keeps $nParaDocs docs")
+    // the Gopher drop/keep stage + partial-overlap candidates (winnowing
+    // fingerprints catch copied passages whole-doc signatures dilute away)
+    val gf = TextStats.gopherFilter(docs)
+    val nKept = gf.where(col("kept") === 1).count()
+    val nOverlap = Dedup.winnowOverlap(docs).count()
+    println(s"[pipeline] filter: $nKept/${docs.count()} docs pass the Gopher rules; " +
+      s"$nOverlap partial-overlap candidate pairs by winnowing fingerprint")
     val nOutliers = Profile.zscoreOutliers(docs, "n_chars", "lang", 1.5).count()
     val balanced = graft.llm.Corpus.sampleStratified(docs, n = 50)
     val mixed = graft.llm.Corpus.mixWeighted(balanced,
@@ -175,12 +182,16 @@ object Pipeline {
     val nSem = Similarity.nearDupPairs(
       embs.join(idx.assignments.withColumnRenamed("id", "vec_id"), "vec_id"),
       partCol = "cluster").count()
+    // the k-NN graph over the same learned blocking (SemDeDup's input)
+    val nKnn = Similarity.knnGraph(
+      embs.join(idx.assignments.withColumnRenamed("id", "vec_id"), "vec_id"),
+      k = 3, partCol = "cluster").count()
     idx.unpersist(); pq.unpersist(); ivfpq.unpersist()
     println(s"[pipeline] similarity: exact top-5 ${top.map(_.getLong(0)).mkString(",")}; " +
       s"ivf top-5 ${ivfTop.map(_.getLong(0)).mkString(",")}; " +
       s"pq/adc top-5 ${pqTop.map(_.getLong(0)).mkString(",")}; " +
       s"ivf-pq top-5 ${ivfPqTop.map(_.getLong(0)).mkString(",")}; " +
-      s"$nSem semantic near-dup pairs")
+      s"$nSem semantic near-dup pairs; $nKnn k-NN graph edges")
     println(s"[pipeline] counters:\n${dq.renderPrometheus()}")
     spark.stop()
   }
