@@ -357,7 +357,13 @@ object Dedup {
   def winnowOverlap(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id", k: Int = 3, w: Int = 4,
                     minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    // the fingerprint relation feeds the df filter AND both pair-join
+    // sides — a lazy localCheckpoint runs the kernel once and lets the
+    // three consumers read the materialized blocks (which the context
+    // cleaner frees when the plan is collected), instead of four corpus
+    // scans + kernel passes
     val fps = winnowFingerprints(docs, textCol, idCol, k, w)
+      .localCheckpoint(false)
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= maxDf).select("fp")
     val kept = fps.join(rare, "fp")
