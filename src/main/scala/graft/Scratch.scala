@@ -18,9 +18,9 @@ object Scratch {
   /** The steady top-10 by committed bench cost (BENCH_full.json), the
     * scaling watch-list. */
   val ScaleQueries: Seq[String] = Seq(
-    "gopher_filter", "repetition_stats", "lm_score_tri", "lm_score",
-    "sim_knn_graph", "dedup_incremental", "quality_train", "corpus_budget",
-    "profile_summarize", "tfidf_top_terms")
+    "repetition_stats", "gopher_filter", "lm_score_tri", "dedup_winnow",
+    "lm_score", "sim_knn_graph", "dedup_incremental", "dedup_semantic",
+    "dedup_ngram_jaccard", "profile_summarize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
