@@ -160,6 +160,89 @@ case class WordGrams(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): WordGrams = copy(child = c)
 }
 
+/** Per-document Gopher repetition char counts (Rae et al. 2021, A1.1) in a
+  * SINGLE pass per order over the token array — the statistic is entirely
+  * doc-local, so computing it inside a projection removes the explode and
+  * both keyed exchanges the relational formulation pays (at 100 TB those
+  * exchanges carry ~4 gram rows per token through the shuffle; this carries
+  * nothing). Output is `array<long>` laid out as
+  * `topOrders.map(topChars) ++ dupOrders.map(dupChars)` where
+  *
+  *  - `topChars(k)` = cnt × numChars(gram) of the most frequent word
+  *    `k`-gram, the argmax on (count, then BINARY-largest gram) — the same
+  *    tie-break `max(struct(cnt, gram))` used relationally, since both
+  *    compare [[UTF8String]]s byte-wise;
+  *  - `dupChars(k)` = Σ over `k`-grams with count ≥ 2 of cnt × numChars.
+  *
+  * Gram bytes are built with the same `UTF8String.concatWs(" ")` as
+  * [[WordGrams]], so counts, lengths, and tie-breaks are bit-identical to
+  * the exploded form (and to the DuckDB list-slicing oracle). Orders with
+  * no grams (doc shorter than k tokens) contribute 0. Per-doc state is one
+  * hash map of the doc's distinct grams — bounded by document length.
+  */
+case class GramRepetition(child: Expression, topOrders: Seq[Int],
+                          dupOrders: Seq[Int])
+    extends UnaryExpression with CodegenFallback {
+  require(topOrders.forall(_ >= 1) && dupOrders.forall(_ >= 1))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Long](topOrders.length + dupOrders.length)
+    var oi = 0
+    topOrders.foreach { k => out(oi) = stat(toks, k, top = true); oi += 1 }
+    dupOrders.foreach { k => out(oi) = stat(toks, k, top = false); oi += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def stat(toks: Array[UTF8String], k: Int, top: Boolean): Long = {
+    val nW = toks.length - (k - 1)
+    if (nW <= 0) return 0L
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](nW * 2)
+    val w = new Array[UTF8String](k)
+    var i = 0
+    while (i < nW) {
+      var j = 0
+      while (j < k) { w(j) = toks(i + j); j += 1 }
+      val g = UTF8String.concatWs(sep, w.toIndexedSeq: _*)
+      val prev = m.get(g)
+      m.put(g, if (prev == null) 1L else prev.longValue + 1L)
+      i += 1
+    }
+    val it = m.entrySet().iterator()
+    if (top) {
+      var bestCnt = 0L
+      var bestGram: UTF8String = null
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue
+        if (c > bestCnt ||
+            (c == bestCnt && e.getKey.compareTo(bestGram) > 0)) {
+          bestCnt = c; bestGram = e.getKey
+        }
+      }
+      bestCnt * bestGram.numChars()
+    } else {
+      var s = 0L
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue
+        if (c >= 2L) s += c * e.getKey.numChars()
+      }
+      s
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramRepetition =
+    copy(child = c)
+}
+
 /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) of an
   * array<string> of tokens: the distinct minima of [[PolyHash.h1]] word
   * `k`-gram hashes over every sliding window of `w` consecutive grams,
@@ -544,6 +627,13 @@ object native {
   def simhash60(c: Column): Column = column(SimHash60(expression(c)))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def wordGrams(c: Column, n: Int): Column = column(WordGrams(expression(c), n))
+
+  /** Doc-local repetition char counts; array laid out top-orders then
+    * dup-orders (see [[GramRepetition]]).
+    */
+  def gramRepetition(toks: Column, topOrders: Seq[Int],
+                     dupOrders: Seq[Int]): Column =
+    column(GramRepetition(expression(toks), topOrders, dupOrders))
   def lshKey(c: Column, nBits: Int): Column = column(HyperplaneLshKey(expression(c), nBits))
   def winnowFps(toks: Column, k: Int, w: Int): Column =
     column(WinnowFingerprints(expression(toks), k, w))

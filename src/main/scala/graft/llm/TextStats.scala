@@ -147,10 +147,12 @@ object TextStats {
     *    overlap handling).
     *
     * Documents with fewer than two tokens have no n-grams and emit no row.
-    * Shape at scale: one explode carrying all four orders (k recovered
-    * from the gram's word count, the [[NgramLm.train]] trick), then two
-    * keyed aggregates — (doc, gram) counts with map-side combine, then a
-    * per-doc conditional fold. All state is doc-bounded; nothing global.
+    * Shape at scale: the statistic is doc-local, so it is computed inside
+    * the projection by one [[graft.functions.GramRepetition]] pass per
+    * order — ZERO shuffle; a 100 TB run is a single map stage. (The
+    * relational formulation — explode all orders, two keyed aggregates —
+    * shuffled ~4 gram rows per token and benchmarked 5× slower at sf0.1;
+    * per-doc state here is one hash map of the doc's distinct grams.)
     */
   /** Composite Gopher-style quality FILTER — the actual drop/keep stage a
     * pre-training pipeline runs after computing the signals. Per document:
@@ -164,85 +166,55 @@ object TextStats {
     *
     * and `kept` = 1 iff no rule fired. All thresholds compare the ROUNDED
     * (4 dp) signals, so the decisions are bit-identical across engines.
-    * Shape: the columnar signals ride the scan; the repetition fractions
-    * arrive via ONE doc-keyed left join against [[repetitionStats]]
-    * (documents with fewer than two tokens have no n-grams — their
-    * repetition fractions coalesce to 0). Cost: the repetitionStats pass
-    * plus a doc-count-sized keyed join; nothing global.
+    * Shape: everything — the columnar signals AND the repetition
+    * fractions (a doc-local [[graft.functions.GramRepetition]] pass over
+    * orders 2 and 5, the only ones the rules consume) — rides the scan in
+    * one projection. ZERO shuffle; a 100 TB filter is a single map stage.
     */
   def gopherFilter(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", minWords: Int = 50,
                    maxWords: Int = 100000): DataFrame = {
+    val rep = graft.functions.native.gramRepetition(
+      tokens(col(textCol)), topOrders = Seq(2), dupOrders = Seq(5))
+    def frac(c: Column): Column =
+      graft.functions.Rounding.dround(
+        c.cast("double") / greatest(length(col(textCol)), lit(1)), 4)
     val sig = docs.select(col(idCol),
       tokenCount(col(textCol)).as("n_words"),
       meanWordLen(col(textCol)).as("_mwl"),
-      symbolRatio(col(textCol)).as("_sym"))
-    // only orders 2 and 5 feed rules — exploding 3- and 4-grams too would
-    // double the dominant map stage for statistics the filter discards
-    val cnts = gramCounts(docs, textCol, idCol, Seq(2, 5))
-    val rep = cnts.groupBy(col(idCol), col("_tl")).agg(
-      graft.functions.Rounding.dround(
-        topGramChars(2).cast("double") / col("_tl"), 4).as("top2_frac"),
-      graft.functions.Rounding.dround(
-        dupGramChars(5).cast("double") / col("_tl"), 4).as("dup5_frac"))
-      .select(col(idCol), col("top2_frac"), col("dup5_frac"))
+      symbolRatio(col(textCol)).as("_sym"),
+      frac(rep.getItem(0)).as("top2_frac"),
+      frac(rep.getItem(1)).as("dup5_frac"))
+    // docs with <2 tokens have no grams: GramRepetition yields 0 chars,
+    // matching the relational form's left-join coalesce(frac, 0)
     val failed =
       when(col("n_words") < minWords || col("n_words") > maxWords, 1)
         .otherwise(0) +
       when(col("_mwl") < 3.0 || col("_mwl") > 10.0, 2).otherwise(0) +
       when(col("_sym") > 0.1, 4).otherwise(0) +
-      when(coalesce(col("top2_frac"), lit(0.0)) > 0.20, 8).otherwise(0) +
-      when(coalesce(col("dup5_frac"), lit(0.0)) > 0.15, 16).otherwise(0)
-    sig.join(rep, Seq(idCol), "left")
-      .select(col(idCol), col("n_words"),
+      when(col("top2_frac") > 0.20, 8).otherwise(0) +
+      when(col("dup5_frac") > 0.15, 16).otherwise(0)
+    sig.select(col(idCol), col("n_words"),
         failed.cast("long").as("rules_failed"))
       .withColumn("kept",
         when(col("rules_failed") === 0, 1L).otherwise(0L))
   }
 
-  /** Per-(doc, order, gram) occurrence counts for the requested orders —
-    * ONE explode carries every order (the order is recovered from the
-    * gram's word count), one keyed aggregate with map-side combine.
-    */
-  private def gramCounts(docs: DataFrame, textCol: String, idCol: String,
-                         orders: Seq[Int]): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams = concat(orders.map(k =>
-      graft.functions.native.wordGrams(toks, k)): _*)
-    docs
-      .select(col(idCol), greatest(length(col(textCol)), lit(1)).as("_tl"),
-        explode(grams).as("gram"))
-      .withColumn("_k",
-        (length(col("gram")) - length(translate(col("gram"), " ", "")) + 1)
-          .cast("int"))
-      .groupBy(col(idCol), col("_tl"), col("_k"), col("gram"))
-      .agg(count(lit(1)).as("_cnt"))
-  }
-
-  /** Char count of all occurrences of the most frequent order-`k` gram —
-    * the argmax as max(struct(count, gram)): largest count, ties to the
-    * lexicographically largest gram, one conditional fold per doc.
-    */
-  private def topGramChars(k: Int): Column = {
-    val s = max(when(col("_k") === k, struct(col("_cnt"), col("gram"))))
-    coalesce(s.getField("_cnt") * length(s.getField("gram")), lit(0L))
-  }
-
-  /** Char count of all occurrences of duplicated order-`k` grams. */
-  private def dupGramChars(k: Int): Column =
-    coalesce(sum(when(col("_k") === k && col("_cnt") >= 2,
-      col("_cnt") * length(col("gram")))), lit(0L))
-
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", scale: Int = 4): DataFrame = {
+    val toks = tokens(col(textCol))
     def frac(c: Column): Column =
       graft.functions.Rounding.dround(c.cast("double") / col("_tl"), scale)
-    gramCounts(docs, textCol, idCol, 2 to 5)
-      .groupBy(col(idCol), col("_tl")).agg(
-        frac(topGramChars(2)).as("top2_frac"),
-        frac(topGramChars(3)).as("top3_frac"),
-        frac(topGramChars(4)).as("top4_frac"),
-        frac(dupGramChars(5)).as("dup5_frac"))
-      .drop("_tl")
+    docs
+      .select(col(idCol), greatest(length(col(textCol)), lit(1)).as("_tl"),
+        graft.functions.native.gramRepetition(
+          toks, topOrders = Seq(2, 3, 4), dupOrders = Seq(5)).as("_r"),
+        size(toks).as("_nt"))
+      .where(col("_nt") >= 2) // <2 tokens: no n-grams, no row (as before)
+      .select(col(idCol),
+        frac(col("_r").getItem(0)).as("top2_frac"),
+        frac(col("_r").getItem(1)).as("top3_frac"),
+        frac(col("_r").getItem(2)).as("top4_frac"),
+        frac(col("_r").getItem(3)).as("dup5_frac"))
   }
 }
