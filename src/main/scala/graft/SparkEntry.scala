@@ -650,6 +650,12 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"))),
 
+    // Structured-record fuzzy dedup (entity resolution): levenshtein ≤ 2
+    // name pairs, candidates blocked by nation × segment equi-join.
+    "dedup_fuzzy" -> ((s, d) =>
+      Dedup.fuzzyPairs(t(s, d, "customer"), "c_custkey", "c_name",
+        Seq("c_nationkey", "c_mktsegment"), maxDist = 2)),
+
     // Paragraph-level (CCNet-style) dedup: drop every repeat of a distinct
     // 10-word paragraph corpus-wide, keep the globally-first occurrence,
     // reassemble documents.
@@ -856,9 +862,19 @@ object SparkEntry {
           col("col").as("q"), col("scale"))
         ),
 
+    // JL random-sign projection to 8 dims — integer micro-unit sums make
+    // the reduced vectors bit-identical to the BIGINT SQL replay.
+    "embed_project" -> ((s, d) =>
+      Similarity.randomProject(t(s, d, "embeddings"), outDim = 8)),
+
     // ---- 2.H text analysis ----
     "text_stats" -> ((s, d) =>
       TextStats.langStats(t(s, d, "documents"))),
+
+    // Token Shannon entropy (bits) — the lexical-diversity quality signal;
+    // order-free integer micro-bit sums from one doc-local native pass.
+    "token_entropy" -> ((s, d) =>
+      TextStats.tokenEntropy(t(s, d, "documents"))),
 
     "lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -992,6 +1008,15 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       graft.llm.NgramLm.score(docs,
         graft.llm.NgramLm.train(docs, n = 3), n = 3)
+    }),
+
+    // CCNet's actual consumption of the LM score: the head/middle/tail
+    // corpus split on perplexity terciles (exactNtile — no global window).
+    "perplexity_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.llm.NgramLm.perplexityBuckets(
+        graft.llm.NgramLm.score(docs, graft.llm.NgramLm.train(docs, n = 2),
+          n = 2))
     }),
 
     // PII scrub over deterministic synthesized contact strings (the corpus
@@ -1780,8 +1805,10 @@ object SparkEntry {
 
   // lm_score oracle: the full train + score replay — distributed n-gram
   // counting is plain GROUP BY, backoff is the same CASE, terms are the
-  // same micro-unit integers (ln(s)/ln(10), binary-value round).
-  private val lmScoreOracleSql: String =
+  // same micro-unit integers (ln(s)/ln(10), binary-value round). The CTE
+  // chain (through the per-position micro terms `tm`) is shared with the
+  // perplexity_buckets oracle.
+  private val lmScoreCte: String =
     "WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents), " +
       "tv AS (SELECT doc_id, tk FROM toks WHERE len(tk) > 0), " +
       "u0 AS (SELECT unnest(tk) AS g FROM tv), " +
@@ -1801,10 +1828,24 @@ object SparkEntry {
       "LEFT JOIN u u1 ON u1.g = pos.w1 CROSS JOIN nn), " +
       "tm AS (SELECT doc_id, CASE WHEN ln(s)/ln(10) * 1000000.0 >= 0 " +
       "THEN floor(ln(s)/ln(10) * 1000000.0 + 0.5) " +
-      "ELSE -floor(-(ln(s)/ln(10) * 1000000.0) + 0.5) END AS t FROM sc) " +
-      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+      "ELSE -floor(-(ln(s)/ln(10) * 1000000.0) + 0.5) END AS t FROM sc)"
+
+  private val lmScoreOracleSql: String =
+    lmScoreCte + " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
       "round(-SUM(t)/(count(*) * 1000000.0), 6) AS lm_score " +
       "FROM tm GROUP BY doc_id ORDER BY doc_id"
+
+  // perplexity_buckets oracle: the lm_score replay, then the literal SQL
+  // ntile(3) on (lm_score, doc_id) — the exact division exactNtile
+  // reproduces without a global window.
+  private val perplexityBucketsOracleSql: String =
+    lmScoreCte +
+      ", lm AS (SELECT doc_id, round(-SUM(t)/(count(*) * 1000000.0), 6) AS lm_score " +
+      "FROM tm GROUP BY doc_id), " +
+      "b AS (SELECT doc_id, lm_score, " +
+      "ntile(3) OVER (ORDER BY lm_score, doc_id) AS nt FROM lm) " +
+      "SELECT doc_id, lm_score, CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+      "ELSE 'tail' END AS bucket FROM b ORDER BY doc_id"
 
   // lm_score_tri oracle: the order-3 replay. Same count tables plus the
   // trigram relation; the backoff CASE picks the largest available order and
@@ -1848,6 +1889,7 @@ object SparkEntry {
     "quality_model" -> qualityModelOracleSql,
     "quality_train" -> qualityTrainOracleSql,
     "lm_score" -> lmScoreOracleSql,
+    "perplexity_buckets" -> perplexityBucketsOracleSql,
     "lm_score_tri" -> lmScoreTriOracleSql,
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
@@ -2155,6 +2197,16 @@ object SparkEntry {
     "dedup_minhash_est" -> minhashEstOracle,
     "dedup_incremental" -> incrementalOracle,
 
+    // Blocked levenshtein record linkage: both engines' levenshtein is the
+    // classic integer edit distance — no float similarity to pin.
+    "dedup_fuzzy" ->
+      ("WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer) " +
+        "SELECT a.c_custkey AS key_a, b.c_custkey AS key_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey " +
+        "AND a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 2 ORDER BY key_a, key_b"),
+
     "dedup_substring" ->
       ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "w AS (SELECT doc_id, gs.i AS pos, array_to_string(ws[gs.i:(gs.i+9)], ' ') AS win " +
@@ -2266,6 +2318,20 @@ object SparkEntry {
         "CAST(CASE WHEN scale = 0.0 THEN 0 WHEN v[i] >= 0 THEN floor(v[i]/scale + 0.5) " +
         "ELSE -floor(-v[i]/scale + 0.5) END AS INTEGER) AS q, scale " +
         "FROM s, generate_series(1, 64) t(i) ORDER BY id, pos"),
+
+    // JL random-sign projection replay: per-element micro-unit rounding,
+    // sign = parity of the mix32 scatter over j·64 + k, integer sums.
+    "embed_project" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "m AS (SELECT vec_id, i - 1 AS k, CASE WHEN v[i] * 1000000.0 >= 0 " +
+        "THEN floor(v[i] * 1000000.0 + 0.5) " +
+        "ELSE -floor(-(v[i] * 1000000.0) + 0.5) END AS t " +
+        "FROM e, generate_series(1, 64) ti(i)), " +
+        "s AS (SELECT vec_id, j, SUM(CASE WHEN (" +
+        mix32Sql("(j * 64 + k)") + ") % 2 = 0 THEN t ELSE -t END) AS s " +
+        "FROM m, generate_series(0, 7) tj(j) GROUP BY vec_id, j) " +
+        "SELECT vec_id, CAST(j AS BIGINT) AS dim, " +
+        "round(s / 1000000.0, 6) AS value FROM s ORDER BY vec_id, dim"),
 
     // int8 cosine search: the same quantization replay, then INTEGER dot
     // products (exact in doubles at any accumulation order) — only the
@@ -2439,6 +2505,21 @@ object SparkEntry {
         "round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens, " +
         "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+
+    // Token entropy replay: per-term micro-bit rounding (c·ln(c)/ln(2),
+    // floor(x+0.5) — terms are ≥ 0) BEFORE the sum, so both engines add
+    // the same integers in any order.
+    "token_entropy" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "u AS (SELECT doc_id, unnest(w) AS tk FROM t), " +
+        "c AS (SELECT doc_id, tk, count(*) AS c FROM u GROUP BY doc_id, tk), " +
+        "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct, " +
+        "SUM(CAST(floor(c * (ln(c)/ln(2)) * 1000000.0 + 0.5) AS BIGINT)) AS s " +
+        "FROM c GROUP BY doc_id), " +
+        "n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM t) " +
+        "SELECT n.doc_id AS doc_id, n_tok, n_distinct, " +
+        "round(ln(n_tok)/ln(2) - s/(n_tok * 1000000.0), 6) AS entropy " +
+        "FROM s JOIN n ON s.doc_id = n.doc_id ORDER BY doc_id"),
 
     "lang_id" ->
       ("WITH s AS (SELECT lang, " +

@@ -243,6 +243,92 @@ case class GramRepetition(child: Expression, topOrders: Seq[Int],
     copy(child = c)
 }
 
+/** Random-sign (Johnson–Lindenstrauss / very sparse random projection,
+  * Achlioptas 2003 with ±1 signs) projection of an array<double> vector to
+  * `outDim` dimensions: `out[j] = Σ_k sign(j,k) · round(v[k]·1e6)`, the
+  * sign drawn from the parity bit of [[graft.llm.Corpus.mix32L]] over
+  * `j·len + k` — a seedless deterministic scatter replayable as plain
+  * BIGINT arithmetic in SQL. Terms are rounded half-away to integer
+  * micro-units BEFORE summing, so the accumulation is integer and
+  * order-free (bit-reproducible in any engine); callers divide by 1e6
+  * downstream. One row-local O(len·outDim) pass, zero shuffle — the cheap
+  * dimensionality-reduction front-end for ANN indexing and dedup blocking.
+  */
+case class RandomSignProject(child: Expression, outDim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(outDim >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](outDim)
+    var k = 0
+    while (k < n) {
+      if (!arr.isNullAt(k)) {
+        val v = arr.getDouble(k)
+        val x = v * 1000000.0
+        val t = if (x >= 0) math.floor(x + 0.5).toLong
+                else -math.floor(-x + 0.5).toLong
+        var j = 0
+        while (j < outDim) {
+          if ((graft.llm.Corpus.mix32L(j.toLong * n + k) & 1L) == 0L) out(j) += t
+          else out(j) -= t
+          j += 1
+        }
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RandomSignProject =
+    copy(child = c)
+}
+
+/** Doc-local Shannon-entropy accumulators of an array<string> of tokens:
+  * `array<long>` of `[Σ_c round(c·ln(c)/ln(2)·1e6), n_distinct]` where the
+  * sum runs over the counts `c` of the doc's distinct tokens, each term
+  * rounded half-up to integer micro-bits BEFORE summing — the summation is
+  * integer and therefore order-free, so the statistic is bit-reproducible
+  * in any engine (the same micro-unit trick as the LM scorer; the final
+  * `H = log2(n) − S/(n·1e6)` is per-row arithmetic downstream). ln-ratio
+  * (`ln(c)/ln(2)`) rather than a log2 builtin, mirroring the DuckDB
+  * replay's exact formulation. One hash-map pass per document; entropy is
+  * doc-local, so the whole operator is a shuffle-free projection.
+  */
+case class TokenEntropyMicro(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val prev = m.get(t)
+        m.put(t, if (prev == null) 1L else prev.longValue + 1L)
+      }
+      i += 1
+    }
+    var s = 0L
+    val ln2 = math.log(2.0)
+    val it = m.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue
+      if (c >= 2L)
+        s += math.floor(c * (math.log(c.toDouble) / ln2) * 1000000.0 + 0.5).toLong
+    }
+    new GenericArrayData(Array(s, m.size.toLong))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenEntropyMicro =
+    copy(child = c)
+}
+
 /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) of an
   * array<string> of tokens: the distinct minima of [[PolyHash.h1]] word
   * `k`-gram hashes over every sliding window of `w` consecutive grams,
@@ -634,6 +720,18 @@ object native {
   def gramRepetition(toks: Column, topOrders: Seq[Int],
                      dupOrders: Seq[Int]): Column =
     column(GramRepetition(expression(toks), topOrders, dupOrders))
+
+  /** `[Σ round(c·log2(c)·1e6), n_distinct]` of a token array (see
+    * [[TokenEntropyMicro]]).
+    */
+  def tokenEntropyMicro(toks: Column): Column =
+    column(TokenEntropyMicro(expression(toks)))
+
+  /** Integer micro-unit random-sign projection of an array<double> vector
+    * (see [[RandomSignProject]]).
+    */
+  def randomSignProject(vec: Column, outDim: Int): Column =
+    column(RandomSignProject(expression(vec), outDim))
   def lshKey(c: Column, nBits: Int): Column = column(HyperplaneLshKey(expression(c), nBits))
   def winnowFps(toks: Column, k: Int, w: Int): Column =
     column(WinnowFingerprints(expression(toks), k, w))

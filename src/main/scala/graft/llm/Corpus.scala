@@ -41,6 +41,17 @@ object Corpus {
     x2.bitwiseXOR(shiftrightunsigned(x2, 16))
   }
 
+  /** JVM twin of the columnar [[mix32]] — identical arithmetic on a
+    * nonnegative long, for native expressions that need the scatter
+    * row-locally (e.g. the random-sign projection).
+    */
+  def mix32L(x: Long): Long = {
+    val x0 = x % M32
+    val x1 = ((x0 ^ (x0 >>> 16)) * MixK) % M32
+    val x2 = ((x1 ^ (x1 >>> 16)) * MixK) % M32
+    x2 ^ (x2 >>> 16)
+  }
+
   /** Uniform in [0,1) per id: a [[mix32]] round then an affine draw with
     * seed-derived constants — engine-agnostic modular arithmetic
     * throughout. The mixing round matters for the common sequential-id

@@ -582,4 +582,29 @@ object Dedup {
         graft.functions.Rounding.dround(jaccard(col("sh_a"), col("sh_b")), 4).as("jacc"))
       .where(col("jacc") >= threshold)
   }
+
+  /** Blocked fuzzy record linkage — entity resolution over STRUCTURED
+    * records (the classic warehouse dedup: same customer under two
+    * spellings), complementing the document-text family above. Candidate
+    * pairs come from an EQUI-join on the blocking columns — never
+    * all-pairs — then are scored with the built-in integer `levenshtein`
+    * (codegen'd, exact in every engine; no float similarity to pin) and
+    * kept under `maxDist`. Block sizing is the caller's contract, as
+    * everywhere in this family: blocks are quadratic WITHIN and linear
+    * ACROSS, so pick blocking columns with bounded groups (e.g.
+    * nation × segment) and tighten with more columns as the table grows.
+    */
+  def fuzzyPairs(records: DataFrame, keyCol: String, strCol: String,
+                 blockCols: Seq[String], maxDist: Int = 2): DataFrame = {
+    val base = records.select(
+      Seq(col(keyCol).as("_k"), col(strCol).as("_s")) ++ blockCols.map(col): _*)
+    val l = base.toDF(Seq("key_a", "_sa") ++ blockCols: _*)
+    val r = base.toDF(Seq("key_b", "_sb") ++ blockCols.map(_ + "__b"): _*)
+    val cond = blockCols.map(c => l(c) === r(c + "__b")).reduce(_ && _) &&
+      l("key_a") < r("key_b")
+    l.join(r, cond)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("key_a"), col("key_b"), col("dist"))
+  }
 }

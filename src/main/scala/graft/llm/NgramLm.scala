@@ -237,4 +237,29 @@ object NgramLm {
     * bigger slices join as keyed shuffles.
     */
   val MaxBroadcastRows: Long = 2000000L
+
+  /** CCNet's corpus split by LM perplexity: rank documents on
+    * (lm_score, id) ascending and cut into `n` SQL-ntile buckets —
+    * `head` = cleanest third, `middle`, `tail` = noisiest (Wenzek et al.
+    * 2020 §4.3; downstream pipelines keep head+middle or reweight).
+    * Bucketing reuses [[graft.analytics.Quantiles.exactNtile]], so there
+    * is NO global window: a value-domain probe or the keyed two-stage
+    * decomposition, both cluster-safe at any corpus size. Bucket numbering
+    * is exactly the SQL `ntile(n) OVER (ORDER BY score, id)` division
+    * (first `total mod n` buckets get the extra row), replayable verbatim
+    * in the oracle.
+    */
+  def perplexityBuckets(scored: DataFrame, scoreCol: String = "lm_score",
+                        idCol: String = "doc_id", n: Int = 3,
+                        coarseWidth: Double = 0.25): DataFrame = {
+    val b = graft.analytics.Quantiles.exactNtile(
+      scored.select(col(idCol), col(scoreCol)), scoreCol, idCol, n,
+      coarseWidth = coarseWidth, bucketCol = "_nt")
+    val label =
+      if (n == 3)
+        when(col("_nt") === 1, "head")
+          .when(col("_nt") === 2, "middle").otherwise("tail")
+      else concat(lit("b"), col("_nt"))
+    b.select(col(idCol), col(scoreCol), label.as("bucket"))
+  }
 }

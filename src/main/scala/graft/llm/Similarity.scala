@@ -212,6 +212,25 @@ object Similarity {
       graft.functions.native.int8quant(col(vecCol)).as("qvec"),
       graft.functions.native.int8scale(col(vecCol)).as("scale"))
 
+  /** Random-sign (Johnson–Lindenstrauss) projection to `outDim`
+    * dimensions — the cheap dimensionality-reduction front-end for coarse
+    * ANN blocking and dedup keys: one row-local
+    * [[graft.functions.RandomSignProject]] pass (integer micro-unit sums,
+    * bit-reproducible cross-engine), zero shuffle at any corpus size.
+    * Output is long form `(id, dim, value)` — value = micro-sum / 1e6,
+    * rounded 6 dp.
+    */
+  def randomProject(embs: DataFrame, outDim: Int = 8,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol),
+        graft.functions.native.randomSignProject(asD(col(vecCol)), outDim)
+          .as("_p"))
+      .select(col(idCol), posexplode(col("_p")))
+      .select(col(idCol), col("pos").cast("long").as("dim"),
+        graft.functions.Rounding.dround(col("col") / 1000000.0, 6)
+          .as("value"))
+
   /** Approximate cosine top-k over INT8-QUANTIZED codes — the search that
     * consumes [[quantizeInt8]]'s 4×-smaller corpus. Per-vector scales
     * cancel in cosine, so scoring is integer dot products only (cast to

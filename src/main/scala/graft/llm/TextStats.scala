@@ -217,4 +217,27 @@ object TextStats {
         frac(col("_r").getItem(2)).as("top4_frac"),
         frac(col("_r").getItem(3)).as("dup5_frac"))
   }
+
+  /** Per-document token Shannon entropy in bits — the lexical-diversity
+    * quality signal (low entropy = repetitive/templated text, a standard
+    * pre-training filter axis complementing the Gopher repetition
+    * fractions): `H = log2(n) − (Σ c·log2 c)/n` over the doc's token
+    * counts. The inner sum arrives as order-free integer micro-bits from
+    * one [[graft.functions.TokenEntropyMicro]] pass, so the value is
+    * bit-identical cross-engine; the outer arithmetic is per-row. ZERO
+    * shuffle — a 100 TB scoring run is a single map stage.
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", scale: Int = 6): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol), size(toks).cast("long").as("n_tok"),
+        graft.functions.native.tokenEntropyMicro(toks).as("_e"))
+      .select(col(idCol), col("n_tok"),
+        col("_e").getItem(1).as("n_distinct"),
+        graft.functions.Rounding.dround(
+          log(col("n_tok").cast("double")) / log(lit(2.0)) -
+            col("_e").getItem(0).cast("double") /
+              (col("n_tok") * 1000000.0), scale).as("entropy"))
+  }
 }

@@ -1669,4 +1669,74 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2, r._4)).toSet
     assert(nn == g1)
   }
+
+  test("token entropy: exact bits on known distributions, shuffle-free plan") {
+    val d = Seq(
+      (1L, "a a a a"), // one symbol: H = 0
+      (2L, "a b c d"), // uniform over 4: H = 2
+      (3L, "a a b b") // uniform over 2: H = 1
+    ).toDF("doc_id", "text")
+    val r = TextStats.tokenEntropy(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 4L, 1L, 0.0), (2L, 4L, 4L, 2.0), (3L, 4L, 2L, 1.0)))
+    // doc-local statistic: no Exchange anywhere in the plan
+    val plan = TextStats.tokenEntropy(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("fuzzy record linkage: blocked levenshtein pairs, blocks respected") {
+    val recs = Seq(
+      (1L, "alpha corp", "A"), (2L, "alpha corq", "A"), // dist 1, same block
+      (3L, "alpha corp", "B"), // identical to 1 but blocked apart: no pair
+      (4L, "zzzz zzzz", "A") // dist > 2 from everything
+    ).toDF("k", "name", "blk")
+    val pairs = Dedup.fuzzyPairs(recs, "k", "name", Seq("blk"), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1L)))
+  }
+
+  test("perplexity buckets: SQL-ntile division, head = cleanest, pinned ties") {
+    import graft.llm.NgramLm
+    val scored = Seq(
+      (1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0), (6L, 6.0)
+    ).toDF("doc_id", "lm_score")
+    val b = NgramLm.perplexityBuckets(scored).orderBy("doc_id")
+      .as[(Long, Double, String)].collect().toSeq.map(r => (r._1, r._3))
+    assert(b == Seq(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"))
+    // 7 rows: ntile gives the EXTRA row to bucket 1 (first total%n buckets)
+    val scored7 = scored.union(Seq((7L, 0.5)).toDF("doc_id", "lm_score"))
+    val b7 = NgramLm.perplexityBuckets(scored7)
+      .as[(Long, Double, String)].collect()
+      .map(r => (r._1, r._3)).toMap
+    assert(b7(7L) == "head" && b7(2L) == "head" && b7(1L) == "head")
+    assert(b7(3L) == "middle" && b7(5L) == "tail")
+    // ties fall back to doc_id order (the pinned cross-engine tiebreak)
+    val tied = Seq((10L, 1.0), (11L, 1.0), (12L, 1.0)).toDF("doc_id", "lm_score")
+    val bt = NgramLm.perplexityBuckets(tied)
+      .as[(Long, Double, String)].collect().map(r => (r._1, r._3)).toMap
+    assert(bt == Map(10L -> "head", 11L -> "middle", 12L -> "tail"))
+  }
+
+  test("random-sign projection: deterministic, linear, zero shuffle") {
+    val v1 = Array(1.0f, -2.0f, 0.5f, 3.25f)
+    val embs = Seq(
+      (1L, v1.toSeq), (2L, v1.map(_ * 2.0f).toSeq), (3L, Array(0.0f, 0.0f, 0.0f, 0.0f).toSeq)
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.randomProject(embs, outDim = 4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.length == 12) // 3 vectors × 4 dims
+    val p = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // micro-rounding is exact for these values, so proj(2v) = 2·proj(v)
+    assert(p(2L) == p(1L).map(_ * 2.0))
+    assert(p(3L) == Seq(0.0, 0.0, 0.0, 0.0))
+    // deterministic scatter: a second evaluation is identical
+    val again = Similarity.randomProject(embs, outDim = 4)
+      .as[(Long, Long, Double)].collect().toSeq.toSet
+    assert(again == rows.toSet)
+    val plan = Similarity.randomProject(embs, outDim = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
