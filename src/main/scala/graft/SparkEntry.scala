@@ -876,6 +876,17 @@ object SparkEntry {
     "token_entropy" -> ((s, d) =>
       TextStats.tokenEntropy(t(s, d, "documents"))),
 
+    // Inverted index build: df + ascending posting list per term, one
+    // keyed aggregate over per-doc-distinct (term, doc) pairs.
+    "inverted_index" -> ((s, d) =>
+      graft.llm.Search.invertedIndex(t(s, d, "documents"))),
+
+    // BM25 ranked retrieval: query terms filtered BEFORE any shuffle,
+    // broadcast df + corpus scalars, micro-unit term scores, heap top-k.
+    "bm25_topk" -> ((s, d) =>
+      graft.llm.Search.bm25TopK(t(s, d, "documents"),
+        Seq("spark", "window", "agg"), k = 10)),
+
     "lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
@@ -2505,6 +2516,37 @@ object SparkEntry {
         "round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens, " +
         "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+
+    // Inverted index: distinct (doc, term) then one grouped agg; the
+    // posting list is ORDER BY doc_id (no ties — ids are distinct).
+    "inverted_index" ->
+      ("WITH u0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "u AS (SELECT DISTINCT doc_id, term FROM u0) " +
+        "SELECT term, CAST(count(*) AS BIGINT) AS df, " +
+        "list(doc_id ORDER BY doc_id) AS postings " +
+        "FROM u GROUP BY term ORDER BY term"),
+
+    // BM25 replay: identical arithmetic shapes (constants written as the
+    // same literals/sums both sides, e.g. (1.2 + 1.0) not 2.2), per-term
+    // micro-unit rounding before the per-doc sum, (score DESC, doc_id)
+    // top-10.
+    "bm25_topk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "l AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t), " +
+        "st AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM l), " +
+        "u AS (SELECT doc_id, unnest(w) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM u " +
+        "WHERE term IN ('spark', 'window', 'agg') GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s " +
+        "FROM tf JOIN df USING (term) JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st), " +
+        "m AS (SELECT doc_id, CASE WHEN s * 1000000.0 >= 0 " +
+        "THEN floor(s * 1000000.0 + 0.5) " +
+        "ELSE -floor(-(s * 1000000.0) + 0.5) END AS t FROM sc) " +
+        "SELECT doc_id, round(SUM(t) / 1000000.0, 6) AS score FROM m " +
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
 
     // Token entropy replay: per-term micro-bit rounding (c·ln(c)/ln(2),
     // floor(x+0.5) — terms are ≥ 0) BEFORE the sum, so both engines add

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the document corpus — the IR pair to
+  * [[TextStats]]'s scoring signals: an inverted-index build and BM25
+  * top-k, the standard keyword-relevance baseline (Robertson et al.,
+  * Okapi BM25; idf in the Lucene always-positive form).
+  *
+  * Scale shape: the index build is one keyed aggregate over (term,
+  * doc) pairs; BM25 filters the corpus to the QUERY'S terms before any
+  * shuffle (tokens that don't match never leave the scan), joins the
+  * df counts of those few terms as a broadcast, and takes the top-k as
+  * a TakeOrderedAndProject — per-partition heaps, no global sort.
+  */
+object Search {
+
+  /** Inverted index: one row per distinct term — document frequency and
+    * the doc_id posting list (ascending). The build is `array_distinct`
+    * per doc (row-local) then ONE keyed aggregate, so the only shuffle
+    * carries (term, doc_id) pairs. At web scale the posting lists of
+    * stop-terms are the classic skew/size hazard — cap them upstream
+    * with a df ceiling (join against a stop list or filter on a first
+    * aggregate) when the corpus outgrows per-row limits; the synthetic
+    * corpus's vocabulary is far below any such bound.
+    */
+  def invertedIndex(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextStats.tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  /** BM25 top-k for a bag of query terms (k1 = 1.2, b = 0.75, Lucene
+    * idf `ln(1 + (N − df + 0.5)/(df + 0.5))`). Per-(doc, term) scores
+    * are rounded half-up to integer micro-units BEFORE the per-doc sum,
+    * making the ranking bit-reproducible cross-engine (the established
+    * micro-unit discipline). Corpus scalars (N, Σdl) ride a one-row
+    * broadcast; the term df relation is query-sized and broadcast. The
+    * final top-k is `ORDER BY score DESC, doc_id LIMIT k`.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+               textCol: String = "text", idCol: String = "doc_id",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = TextStats.tokens(col(textCol))
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // only the query's terms survive the scan — nothing else shuffles
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    // constants written as the same folded literals the oracle SQL uses
+    // ((1.2 + 1.0), (1.0 − 0.75)) so both engines run identical IEEE ops
+    val s = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val micro = {
+      val x = s * 1e6
+      when(x >= 0, floor(x + 0.5)).otherwise(-floor(-x + 0.5)).cast("long")
+    }
+    scored
+      .select(col("doc_id"), micro.as("_m"))
+      .groupBy("doc_id").agg(sum(col("_m")).as("_s"))
+      .select(col("doc_id"),
+        graft.functions.Rounding.dround(
+          col("_s").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

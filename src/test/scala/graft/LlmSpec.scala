@@ -1718,6 +1718,30 @@ class LlmSpec extends SparkSpec {
     assert(bt == Map(10L -> "head", 11L -> "middle", 12L -> "tail"))
   }
 
+  test("inverted index + BM25: postings exact, rare term outranks common") {
+    import graft.llm.Search
+    val d = Seq(
+      (1L, "spark spark spark common"), // heavy tf on 'spark'
+      (2L, "rare common x y"), // sole holder of 'rare'
+      (3L, "spark common z w"),
+      (4L, "common only here pad")
+    ).toDF("doc_id", "text")
+    val idx = Search.invertedIndex(d).orderBy("term")
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(idx("spark") == ((2L, Seq(1L, 3L))))
+    assert(idx("rare") == ((1L, Seq(2L))))
+    assert(idx("common") == ((4L, Seq(1L, 2L, 3L, 4L))))
+    // df counts DOCS, not occurrences (doc 1 has 3 'spark's)
+    val bm = Search.bm25TopK(d, Seq("rare", "spark"), k = 4)
+      .as[(Long, Double)].collect().toSeq
+    // doc 2 holds the df=1 term: highest idf wins over tf-heavy doc 1
+    assert(bm.head._1 == 2L)
+    assert(bm.map(_._1).toSet == Set(1L, 2L, 3L)) // doc 4 matches nothing
+    // scores strictly ordered desc, doc_id tiebreak
+    assert(bm.map(-_._2) == bm.map(-_._2).sorted)
+  }
+
   test("random-sign projection: deterministic, linear, zero shuffle") {
     val v1 = Array(1.0f, -2.0f, 0.5f, 3.25f)
     val embs = Seq(
