@@ -18,9 +18,9 @@ object Scratch {
   /** The steady top-10 by committed bench cost (BENCH_full.json), the
     * scaling watch-list. */
   val ScaleQueries: Seq[String] = Seq(
-    "repetition_stats", "gopher_filter", "lm_score_tri", "dedup_winnow",
-    "lm_score", "sim_knn_graph", "dedup_incremental", "dedup_semantic",
-    "dedup_ngram_jaccard", "profile_summarize")
+    "dedup_fuzzy", "lm_score_tri", "perplexity_buckets",
+    "dedup_ngram_jaccard", "quality_train", "dedup_winnow", "lm_score",
+    "dedup_incremental", "sim_knn_graph", "profile_summarize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -602,9 +602,13 @@ object Dedup {
     val r = base.toDF(Seq("key_b", "_sb") ++ blockCols.map(_ + "__b"): _*)
     val cond = blockCols.map(c => l(c) === r(c + "__b")).reduce(_ && _) &&
       l("key_a") < r("key_b")
+    // the threshold (banded) variant runs O(maxDist·len) per pair instead
+    // of the full O(len²) DP and returns -1 above the bound — exact within
+    // it, so results match the oracle's plain levenshtein + predicate
     l.join(r, cond)
-      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("_sa"), col("_sb"), maxDist).cast("long"))
+      .where(col("dist") >= 0)
       .select(col("key_a"), col("key_b"), col("dist"))
   }
 }

@@ -252,8 +252,14 @@ object NgramLm {
   def perplexityBuckets(scored: DataFrame, scoreCol: String = "lm_score",
                         idCol: String = "doc_id", n: Int = 3,
                         coarseWidth: Double = 0.25): DataFrame = {
+    // exactNtile consumes its input twice (value-domain probe + the
+    // bucketed result); a lazy localCheckpoint of the NARROW (id, score)
+    // projection runs the expensive LM scoring once — 16 bytes/row of
+    // block storage, vs re-scoring the corpus (the same one-materialize-
+    // many-consumers discipline as dedup_winnow)
     val b = graft.analytics.Quantiles.exactNtile(
-      scored.select(col(idCol), col(scoreCol)), scoreCol, idCol, n,
+      scored.select(col(idCol), col(scoreCol)).localCheckpoint(false),
+      scoreCol, idCol, n,
       coarseWidth = coarseWidth, bucketCol = "_nt")
     val label =
       if (n == 3)
