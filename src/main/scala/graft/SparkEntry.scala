@@ -807,6 +807,19 @@ object SparkEntry {
         k = 3, partCol = "cluster", maxBlock = 1000000)
     },
 
+    // PageRank centrality over the k-NN graph (hub detection / sampling
+    // weights): exact integer DIV arithmetic, 3 rounds, one keyed
+    // join+agg per round.
+    "graph_pagerank" -> { (s, d) =>
+      val asg = ivfIdx(s, d).assignments.withColumnRenamed("id", "vec_id")
+      val g = Similarity.knnGraph(t(s, d, "embeddings").join(asg, "vec_id"),
+        k = 3, partCol = "cluster", maxBlock = 1000000)
+      graft.analytics.Graph.pagerank(
+          g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+          iters = 3)
+        .select(col("id").as("vec_id"), col("r").as("rank_micro"))
+    },
+
     "sim_ann_lsh" -> { (s, d) =>
       val embs = t(s, d, "embeddings")
       val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
@@ -886,6 +899,17 @@ object SparkEntry {
     "bm25_topk" -> ((s, d) =>
       graft.llm.Search.bm25TopK(t(s, d, "documents"),
         Seq("spark", "window", "agg"), k = 10)),
+
+    // Batch retrieval: a query RELATION scored in one pass — semi-join on
+    // the union term set, broadcast fan-out to queries, per-query
+    // WindowGroupLimit top-k on the exact integer micro-sums.
+    "bm25_queries" -> { (s, d) =>
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"), (2L, "customer stream join"),
+        (3L, "vector table scan"), (4L, "slow fast merge"),
+        (5L, "data query the")).toDF("query_id", "qtext")
+      graft.llm.Search.bm25ForQueries(t(s, d, "documents"), qs, k = 5)
+    },
 
     "lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -1567,7 +1591,7 @@ object SparkEntry {
   // the cluster blocking; within each cluster every DIRECTED pair is
   // scored and the top-3 per source taken on (rounded sim DESC, nbr_id) —
   // the same pinned ordering the Spark window uses.
-  private lazy val knnGraphOracle: String = {
+  private lazy val knnGraphCte: String = {
     val pairSim = "round(list_inner_product(a.v, b.v) / " +
       "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)"
     ivfCte +
@@ -1575,8 +1599,31 @@ object SparkEntry {
         |FROM e a JOIN asg sa ON a.vec_id = sa.vec_id
         |JOIN e b ON a.vec_id <> b.vec_id
         |JOIN asg sb ON b.vec_id = sb.vec_id AND sa.cl = sb.cl),
-        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank FROM j)
-        |SELECT vec_id, nbr_id, rank, sim FROM rk WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin.replace("\n", " ")
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank FROM j)""".stripMargin.replace("\n", " ")
+  }
+
+  private lazy val knnGraphOracle: String = knnGraphCte +
+    " SELECT vec_id, nbr_id, rank, sim FROM rk WHERE rank <= 3 ORDER BY vec_id, rank"
+
+  // PageRank replay: the knn edge relation, then 3 unrolled rounds of the
+  // identical integer-DIV recurrence (DuckDB `//` == Spark SQL `DIV` on
+  // BIGINT; all operands positive).
+  private lazy val pagerankOracle: String = {
+    val rounds = (1 to 3).map { e =>
+      s"c$e AS (SELECT dst AS id, SUM(r${e - 1}.r // deg) AS c FROM ed " +
+        s"JOIN r${e - 1} ON r${e - 1}.id = ed.src JOIN dg USING (src) GROUP BY dst), " +
+        s"r$e AS (SELECT nd.id, ((15 * 1000000000000) // (100 * nn.n)) + " +
+        s"((85 * coalesce(c.c, 0)) // 100) AS r " +
+        s"FROM nd LEFT JOIN c$e c ON c.id = nd.id CROSS JOIN nn)"
+    }.mkString(", ")
+    knnGraphCte +
+      ", ed AS (SELECT vec_id AS src, nbr_id AS dst FROM rk WHERE rank <= 3), " +
+      "nd AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst AS id FROM ed)), " +
+      "nn AS (SELECT count(*) AS n FROM nd), " +
+      "dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src), " +
+      "r0 AS (SELECT id, 1000000000000 // n AS r FROM nd CROSS JOIN nn), " +
+      rounds +
+      " SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY vec_id"
   }
 
   // Corpus.mix32 replayed in SQL: two xorshift-multiply mixing rounds mod
@@ -2459,6 +2506,7 @@ object SparkEntry {
     "dedup_semantic" -> semanticDedupOracle,
 
     "sim_knn_graph" -> knnGraphOracle,
+    "graph_pagerank" -> pagerankOracle,
 
     "fingerprint_winnow" ->
       (winnowCte + " SELECT doc_id, fp FROM f ORDER BY doc_id, fp"),
@@ -2547,6 +2595,36 @@ object SparkEntry {
         "ELSE -floor(-(s * 1000000.0) + 0.5) END AS t FROM sc) " +
         "SELECT doc_id, round(SUM(t) / 1000000.0, 6) AS score FROM m " +
         "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // Batch-BM25 replay: the query relation as VALUES, the same scoring
+    // CTEs, a per-query ROW_NUMBER on (integer micro-sum DESC, doc_id).
+    "bm25_queries" ->
+      ("WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'window'), (1, 'agg'), " +
+        "(2, 'customer'), (2, 'stream'), (2, 'join'), " +
+        "(3, 'vector'), (3, 'table'), (3, 'scan'), " +
+        "(4, 'slow'), (4, 'fast'), (4, 'merge'), " +
+        "(5, 'data'), (5, 'query'), (5, 'the')), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "l AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t), " +
+        "st AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM l), " +
+        "u AS (SELECT doc_id, unnest(w) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM u " +
+        "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, tf.term, " +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s " +
+        "FROM tf JOIN df USING (term) JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st), " +
+        "m AS (SELECT doc_id, term, CASE WHEN s * 1000000.0 >= 0 " +
+        "THEN floor(s * 1000000.0 + 0.5) " +
+        "ELSE -floor(-(s * 1000000.0) + 0.5) END AS t FROM sc), " +
+        "j AS (SELECT q.query_id, m.doc_id, SUM(t) AS s FROM m JOIN q USING (term) " +
+        "GROUP BY 1, 2), " +
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY s DESC, doc_id) AS rank FROM j) " +
+        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, " +
+        "CAST(rank AS BIGINT) AS rank, round(s / 1000000.0, 6) AS score " +
+        "FROM rk WHERE rank <= 5 ORDER BY query_id, rank"),
 
     // Token entropy replay: per-term micro-bit rounding (c·ln(c)/ln(2),
     // floor(x+0.5) — terms are ≥ 0) BEFORE the sum, so both engines add

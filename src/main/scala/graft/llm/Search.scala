@@ -81,4 +81,62 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BM25 top-k for a RELATION of queries — the production retrieval
+    * shape (a query log scored in one batch), not a literal term list.
+    * Same arithmetic as [[bm25TopK]]; additionally:
+    *
+    *  - the corpus is semi-joined against the DISTINCT term set of all
+    *    queries (broadcast — query logs are small next to the corpus),
+    *    so only matching tokens ever shuffle;
+    *  - per-(doc, term) scores fan out to queries via a broadcast join
+    *    on term and sum per (query, doc);
+    *  - ranking uses the INTEGER micro-sum (exact; rounding happens only
+    *    in the output), with doc_id as the pinned tie-break, through a
+    *    per-query window — planned as WindowGroupLimit, per-partition
+    *    top-k, no global sort.
+    */
+  def bm25ForQueries(docs: DataFrame, queries: DataFrame, k: Int = 5,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     qidCol: String = "query_id", qtextCol: String = "qtext",
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val qt = queries.select(col(qidCol),
+      explode(array_distinct(TextStats.tokens(col(qtextCol)))).as("term"))
+    val termSet = qt.select("term").distinct()
+    val lens = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .join(broadcast(termSet), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df_), "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val s = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val micro = {
+      val x = s * 1e6
+      when(x >= 0, floor(x + 0.5)).otherwise(-floor(-x + 0.5)).cast("long")
+    }
+    val perQuery = scored
+      .select(col("doc_id"), col("term"), micro.as("_m"))
+      .join(broadcast(qt), "term")
+      .groupBy(col(qidCol), col("doc_id")).agg(sum(col("_m")).as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("_s").desc, col("doc_id"))
+    perQuery
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("doc_id"), col("rank"),
+        graft.functions.Rounding.dround(
+          col("_s").cast("double") / 1e6, 6).as("score"))
+  }
 }

@@ -1742,6 +1742,51 @@ class LlmSpec extends SparkSpec {
     assert(bm.map(-_._2) == bm.map(-_._2).sorted)
   }
 
+  test("batch BM25: per-query top-k, query-local ranking, integer-sum ties") {
+    import graft.llm.Search
+    val d = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "rare common x y"),
+      (3L, "spark common z w"),
+      (4L, "common only here pad")
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "rare"), (20L, "spark common")).toDF("query_id", "qtext")
+    val r = Search.bm25ForQueries(d, qs, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byQ = r.groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    // query 10 matches only doc 2
+    assert(byQ(10L).map(_._2) == Seq(2L))
+    // query 20 matches all 4 docs, top-3 kept, ranks dense from 1
+    assert(byQ(20L).map(_._3) == Seq(1L, 2L, 3L))
+    // per-query scores descend
+    byQ.values.foreach { rs =>
+      val sc = rs.map(_._4)
+      assert(sc == sc.sorted.reverse)
+    }
+  }
+
+  test("pagerank: exact integer fixpoints, hub outranks leaves, deterministic") {
+    import graft.analytics.Graph
+    // 2-cycle: perfectly symmetric — the integer recurrence is a fixpoint
+    // at UNIT/2 (base 75e9 + 85%·500e9 = 500e9 exactly)
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rc = Graph.pagerank(cyc, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rc == Map(1L -> 500000000000L, 2L -> 500000000000L))
+    // star: all leaves point at the hub, hub points back at one leaf
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("src", "dst")
+    val rs = Graph.pagerank(star, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rs(9L) > rs(1L) && rs(1L) > rs(2L)) // hub ≫ linked leaf > others
+    assert(rs(2L) == rs(3L)) // symmetric leaves tie exactly
+    // bit-deterministic across evaluations
+    val again = Graph.pagerank(star, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == rs)
+    // total mass never exceeds UNIT (truncation only drains)
+    assert(rs.values.sum <= Graph.RankUnit)
+  }
+
   test("random-sign projection: deterministic, linear, zero shuffle") {
     val v1 = Array(1.0f, -2.0f, 0.5f, 3.25f)
     val embs = Seq(
