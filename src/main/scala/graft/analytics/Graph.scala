@@ -24,19 +24,25 @@ object Graph {
     * Shape at scale: the edge relation is cached once and each round is
     * ONE keyed join + keyed aggregate (the same diameter-bounded loop
     * discipline as connectedComponents, but a fixed iteration count); the
-    * rank relation is two longs per node, lazily localCheckpointed per
-    * round and eagerly at the end so downstream plans see a flat leaf
-    * instead of the nested iteration lineage. The only driver values are
-    * the node count and the constants derived from it.
+    * rank relation is two longs per node. The edge/node relations are
+    * EAGERLY localCheckpointed up front (not merely cached): a cache
+    * keeps the upstream logical plan — every round would re-optimize the
+    * whole edge-construction DAG (e.g. the k-NN build) — while the flat
+    * LogicalRDD leaf makes each round's plan constant-size (measured
+    * ~25% of query time in pure driver planning on the knn gate without
+    * this). Per-round lazy checkpoints bound the iteration lineage the
+    * same way. The only driver values are the node count and the
+    * constants derived from it.
     */
   def pagerank(edges: DataFrame, iters: Int = 3,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
-    require(iters >= 1)
+               srcCol: String = "src", dstCol: String = "dst",
+               checkpointEvery: Int = 1): DataFrame = {
+    require(iters >= 1 && checkpointEvery >= 1)
     val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .cache()
+      .localCheckpoint()
     val nodes = ed.select(col("src").as("id"))
       .unionAll(ed.select(col("dst").as("id")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     val n = nodes.count()
     val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
     val base = 15L * RankUnit / (100L * n)
@@ -51,12 +57,9 @@ object Graph {
       r = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(c, 0L)) DIV 100")).as("r"))
-        .localCheckpoint(false)
       it += 1
+      if (it % checkpointEvery == 0 && it < iters) r = r.localCheckpoint(false)
     }
-    val out = r.localCheckpoint()
-    ed.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    out
+    r.localCheckpoint()
   }
 }
