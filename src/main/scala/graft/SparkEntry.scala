@@ -662,6 +662,12 @@ object SparkEntry {
     "dedup_paragraphs" -> ((s, d) =>
       Dedup.dedupParagraphs(t(s, d, "documents"), words = 10)),
 
+    // C4/RefinedWeb-style boilerplate removal: a line occurring >= 3 times
+    // corpus-wide is dropped from EVERY document (vs dedup_paragraphs'
+    // keep-first), then documents reassemble from the surviving lines.
+    "dedup_lines" -> ((s, d) =>
+      Dedup.dropRepeatedLines(t(s, d, "documents"), words = 10, minCount = 3)),
+
     // Exact duplicated-substring detection: 10-token sliding windows
     // occurring ≥ 2 times corpus-wide flag copied passages at any alignment
     // (doc-level similarity misses a quoted span inside unrelated docs).
@@ -818,6 +824,19 @@ object SparkEntry {
           g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
           iters = 3)
         .select(col("id").as("vec_id"), col("r").as("rank_micro"))
+    },
+
+    // Triangle census over the k-NN graph: per-node triangle count + local
+    // clustering coefficient (community density vs hub detection) with
+    // degree-ordered wedge orientation — the skew guard that keeps a
+    // celebrity node from generating deg² wedges.
+    "graph_triangles" -> { (s, d) =>
+      val asg = ivfIdx(s, d).assignments.withColumnRenamed("id", "vec_id")
+      val g = Similarity.knnGraph(t(s, d, "embeddings").join(asg, "vec_id"),
+        k = 3, partCol = "cluster", maxBlock = 1000000)
+      graft.analytics.Graph.triangleCounts(
+          g.select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+        .withColumnRenamed("id", "vec_id")
     },
 
     "sim_ann_lsh" -> { (s, d) =>
@@ -1149,10 +1168,28 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(50)),
 
+    // Adjacent-bigram PMI collocations: corpus association mining (the
+    // word2vec phrase-detection front-end) — per-row bigram zip, two keyed
+    // counts, word-keyed join back, counts cast to double BEFORE the
+    // product so the formula survives web-scale counts (and matches the
+    // oracle bitwise).
+    "pmi_pairs" -> ((s, d) =>
+      TextStats.pmiPairs(t(s, d, "documents"), minCount = 5, topN = 50)),
+
     "doc_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
         ),
+
+    // Deterministic train/valid/test split: the label is a pure function
+    // of the id (stable under corpus growth — eval docs can never drift
+    // into train), aggregated per (split, source) to expose balance.
+    "corpus_split" -> ((s, d) =>
+      graft.llm.Corpus.splitAssign(t(s, d, "documents"),
+          Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "source")),
 
     // Deterministic 10% hash sample: reproducible across runs/engines/
     // partitionings, unlike rand()-based sampling.
@@ -1625,6 +1662,31 @@ object SparkEntry {
       rounds +
       " SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY vec_id"
   }
+
+  // Triangle census replay: the knn edge relation undirected+deduped, the
+  // classic a<b<c three-way self-join (orientation only changes WHERE the
+  // wedge work happens, never the triangle set — the Spark side's
+  // degree-ordering and this id-ordering enumerate identical triangles),
+  // corners unioned and counted per node, degree from the undirected
+  // relation, clustering = round(2T / (deg·(deg−1)), 6) with the same
+  // double operand shapes as the Spark expression.
+  private lazy val triangleOracle: String = knnGraphCte +
+    ", ed AS (SELECT vec_id AS src, nbr_id AS dst FROM rk WHERE rank <= 3), " +
+    "ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+    "FROM ed WHERE src <> dst), " +
+    "dg AS (SELECT id, count(*) AS degree FROM " +
+    "(SELECT a AS id FROM ue UNION ALL SELECT b AS id FROM ue) GROUP BY id), " +
+    "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ue e1 " +
+    "JOIN ue e2 ON e1.a = e2.a AND e1.b < e2.b " +
+    "JOIN ue e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+    "tc AS (SELECT id, count(*) AS triangles FROM " +
+    "(SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri " +
+    "UNION ALL SELECT z AS id FROM tri) GROUP BY id) " +
+    "SELECT dg.id AS vec_id, CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles, " +
+    "dg.degree, CASE WHEN dg.degree >= 2 THEN " +
+    "round(2.0 * coalesce(tc.triangles, 0) / (dg.degree * (dg.degree - 1)), 6) " +
+    "ELSE 0.0 END AS clustering " +
+    "FROM dg LEFT JOIN tc ON dg.id = tc.id ORDER BY vec_id"
 
   // Corpus.mix32 replayed in SQL: two xorshift-multiply mixing rounds mod
   // 2^32 — exact BIGINT arithmetic in both engines.
@@ -2251,6 +2313,18 @@ object SparkEntry {
         "SELECT doc_id, string_agg(para, ' ' ORDER BY pidx) AS text " +
         "FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
 
+    // Threshold variant of the paragraph rule: a count window instead of a
+    // first-occurrence rank, WHERE c < 3 drops boilerplate everywhere.
+    "dedup_lines" ->
+      ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "p AS (SELECT doc_id, gs.i AS pidx, " +
+        "array_to_string(ws[(gs.i*10+1):((gs.i+1)*10)], ' ') AS para " +
+        "FROM wd, LATERAL (SELECT unnest(range(0, " +
+        "greatest(CAST(ceil(len(ws)/10.0) AS INT), 1))) AS i) gs), " +
+        "k AS (SELECT doc_id, pidx, para, count(*) OVER (PARTITION BY para) AS c FROM p) " +
+        "SELECT doc_id, string_agg(para, ' ' ORDER BY pidx) AS text " +
+        "FROM k WHERE c < 3 GROUP BY doc_id ORDER BY doc_id"),
+
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_est" -> minhashEstOracle,
     "dedup_incremental" -> incrementalOracle,
@@ -2409,6 +2483,17 @@ object SparkEntry {
       (s"SELECT doc_id, source, lang FROM documents WHERE $hashDraw < 0.1 " +
         "ORDER BY doc_id"),
 
+    // Split thresholds embed Scala's OWN cumulative-sum doubles (0.9 + 0.05
+    // prints as 0.9500000000000001) so both engines compare the draw
+    // against bit-identical cut points.
+    "corpus_split" ->
+      (s"WITH a AS (SELECT source, n_chars, CASE WHEN $hashDraw < ${0.9} " +
+        s"THEN 'train' WHEN $hashDraw < ${0.9 + 0.05} THEN 'valid' " +
+        "ELSE 'test' END AS split FROM documents) " +
+        "SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM a " +
+        "GROUP BY split, source ORDER BY split, source"),
+
     "sample_weighted" ->
       (s"WITH q AS (SELECT doc_id, lang, $qualityExprSql AS quality FROM documents) " +
         s"SELECT doc_id, lang, quality FROM q " +
@@ -2507,6 +2592,7 @@ object SparkEntry {
 
     "sim_knn_graph" -> knnGraphOracle,
     "graph_pagerank" -> pagerankOracle,
+    "graph_triangles" -> triangleOracle,
 
     "fingerprint_winnow" ->
       (winnowCte + " SELECT doc_id, fp FROM f ORDER BY doc_id, fp"),
@@ -2719,6 +2805,22 @@ object SparkEntry {
     "word_freq" ->
       ("SELECT word, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word " +
         "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 50"),
+
+    // PMI operand shapes mirror the Spark expression exactly — each count
+    // cast to double before any product, ln of the single ratio, round 6.
+    "pmi_pairs" ->
+      ("WITH wd AS (SELECT string_split(text, ' ') AS ws FROM documents), " +
+        "tok AS (SELECT unnest(ws) AS w FROM wd), " +
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM tok), " +
+        "uni AS (SELECT w, count(*) AS n FROM tok GROUP BY w), " +
+        "bgc AS (SELECT w1, w2, count(*) AS n12 FROM " +
+        "(SELECT ws[gs.i] AS w1, ws[gs.i + 1] AS w2 FROM wd, " +
+        "LATERAL (SELECT unnest(range(1, len(ws))) AS i) gs) " +
+        "GROUP BY w1, w2 HAVING count(*) >= 5) " +
+        "SELECT w1, w2, n12, round(ln((CAST(n12 AS DOUBLE) * nt) / " +
+        "(CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE))), 6) AS pmi " +
+        "FROM bgc JOIN uni u1 ON bgc.w1 = u1.w JOIN uni u2 ON bgc.w2 = u2.w " +
+        "CROSS JOIN tot ORDER BY n12 DESC, w1, w2 LIMIT 50"),
 
     "tfidf_top_terms" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +

@@ -62,4 +62,65 @@ object Graph {
     }
     r.localCheckpoint()
   }
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * undirected simple graph behind an edge relation (symmetrized, self
+    * loops and duplicate edges dropped) — the community-density signal on
+    * the k-NN / near-dup graphs (a near-dup cluster is triangle-dense; a
+    * hub matching everything through one boilerplate template is not).
+    *
+    * Shape at scale: DEGREE-ORDERED orientation (each undirected edge
+    * points from its lower-(degree, id) endpoint to the higher), the
+    * standard skew guard — wedge fan-out per node is out-degree², and
+    * orienting by degree bounds out-degree by O(√m) on any graph, so a
+    * celebrity node with 10⁷ neighbours contributes almost no wedges
+    * instead of 10¹⁴. Triangles are then one wedge self-join keyed on the
+    * low corner plus one membership equi-join against the oriented edge
+    * relation; each triangle materializes exactly once (at its lowest-rank
+    * corner). The edge/degree relations are eagerly localCheckpointed —
+    * each is consumed by 2-3 joins, and a flat leaf stops the upstream
+    * graph construction (e.g. the k-NN build) re-executing per consumer.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst", scale: Int = 6): DataFrame = {
+    val ue = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct().localCheckpoint()
+    val deg = ue.select(col("a").as("id")).unionAll(ue.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree")).localCheckpoint()
+    val rk = deg.select(col("id"), struct(col("degree").as("d"), col("id").as("i")).as("rk"))
+    // Orient a—b toward the higher (degree, id) rank; carry the head's rank
+    // so the wedge join can order its two heads without another deg join.
+    val oe = ue
+      .join(rk.select(col("id").as("a"), col("rk").as("ra")), "a")
+      .join(rk.select(col("id").as("b"), col("rk").as("rb")), "b")
+      .select(
+        when(col("ra") < col("rb"),
+          struct(col("a").as("u"), col("b").as("v"), col("rb").as("rv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("ra").as("rv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.rv").as("rv"))
+      .localCheckpoint()
+    // Wedge (u; v1, v2) with rank(v1) < rank(v2) closes into a triangle iff
+    // the oriented edge v1→v2 exists (it would be oriented that way by
+    // construction). count(*) per corner via one union + keyed agg.
+    val w1 = oe.select(col("u"), col("v").as("v1"), col("rv").as("r1"))
+    val w2 = oe.select(col("u"), col("v").as("v2"), col("rv").as("r2"))
+    val tri = w1.join(w2, "u").where(col("r1") < col("r2"))
+      .join(oe.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val tc = tri.select(col("u").as("id"))
+      .unionAll(tri.select(col("v1").as("id")))
+      .unionAll(tri.select(col("v2").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.join(tc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        col("degree"),
+        when(col("degree") >= 2,
+          graft.functions.Rounding.dround(
+            lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+              (col("degree") * (col("degree") - lit(1L))), scale))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

@@ -70,6 +70,32 @@ object Corpus {
                  seed: Long = 42L): DataFrame =
     df.where(hashUnit(col(idCol), seed) < rate)
 
+  /** Deterministic corpus split (train/valid/test): the id's [[hashUnit]]
+    * draw against cumulative fraction thresholds. Pure projection — the
+    * split label is a function of the id ALONE, which is what makes the
+    * split safe at pipeline scale: reproducible across runs, engines and
+    * partitionings; stable under corpus growth (a new crawl never moves an
+    * existing doc between splits, so eval sets cannot silently leak into
+    * train); composable with the samplers (a downstream sampleHash on a
+    * different seed is independent of the split draw). Zero shuffle.
+    */
+  def splitAssign(df: DataFrame, fractions: Seq[(String, Double)],
+                  idCol: String = "doc_id", seed: Long = 42L,
+                  outCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1: $fractions")
+    val u = hashUnit(col(idCol), seed)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    // The last split takes the remainder — no float-boundary row can fall
+    // through (u < 1.0 is not guaranteed to catch u vs a summed 1.0).
+    val label = fractions.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((name, hi), acc) =>
+        when(u < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn(outCol, label)
+  }
+
   /** Weighted source mix: keep each row with its source's rate (sources
     * absent from `rates` are dropped) — the downsampling step that turns raw
     * source volumes into a training mix. Pure filter: no shuffle, and the

@@ -87,6 +87,35 @@ object Dedup {
       paragraphDedup(splitFixedParagraphs(docs, textCol, idCol, words), idCol),
       idCol, outCol = textCol)
 
+  /** Frequency-threshold boilerplate removal (the C4/RefinedWeb line rule,
+    * complementing [[paragraphDedup]]'s keep-first semantics): drop EVERY
+    * occurrence of a line that appears ≥ `minCount` times corpus-wide —
+    * navigation chrome, cookie banners and license blocks repeated across a
+    * site should survive in no document at all, not just lose their
+    * repeats. Documents whose every line is boilerplate vanish.
+    *
+    * Same shuffle posture as [[paragraphDedup]]: the corpus-wide occurrence
+    * count is a COUNT WINDOW over the sha2-keyed line relation (one
+    * exchange on the 32-byte hash; the aggregate+join-back form would build
+    * and shuffle the split relation twice), then [[reassembleParagraphs]]'
+    * keyed aggregate puts surviving lines back in order. Window partitions
+    * are bounded by a single line's duplication factor and carry only
+    * (id, idx, line); no driver state.
+    */
+  def dropRepeatedLines(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", words: Int = 10,
+                        minCount: Int = 3): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_h")
+    val lines = splitFixedParagraphs(docs, textCol, idCol, words)
+    reassembleParagraphs(
+      lines.withColumn("_h", sha2(col("para"), 256))
+        .withColumn("_c", count(lit(1)).over(w))
+        .where(col("_c") < minCount)
+        .drop("_h", "_c"),
+      idCol, outCol = textCol)
+  }
+
   /** Exact duplicated-substring detection (the windowed distributed form of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better", §3 ExactSubstr): every k-token SLIDING window occurring ≥ 2

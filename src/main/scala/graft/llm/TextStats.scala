@@ -240,4 +240,43 @@ object TextStats {
             col("_e").getItem(0).cast("double") /
               (col("n_tok") * 1000000.0), scale).as("entropy"))
   }
+
+  /** Corpus-wide adjacent-bigram PMI — collocation/association mining (the
+    * phrase-detection front-end of word2vec-style pipelines, Mikolov et al.
+    * 2013 §4): `pmi(w1,w2) = ln(n12·N / (n1·n2))` over corpus counts, pairs
+    * with `n12 ≥ minCount`, top `topN` by frequency.
+    *
+    * Scale shape: bigrams come from zipping each doc's token array with its
+    * own tail — per-row, no self-join — then ONE keyed count per relation
+    * (bigram, unigram), both map-side combined; the unigram relation joins
+    * back by word key (broadcastable when the vocabulary fits, keyed equi-
+    * join otherwise — Spark's size estimate decides), the token total is a
+    * one-row aggregate. Counts enter the PMI formula CAST TO DOUBLE before
+    * multiplying: at web scale n1·n2 overflows int64 (1e12² > 2⁶³), and the
+    * oracle mirrors the same operand shapes so the doubles agree bitwise.
+    */
+  def pmiPairs(docs: DataFrame, textCol: String = "text",
+               minCount: Int = 5, topN: Int = 50, scale: Int = 6): DataFrame = {
+    val ws = docs.select(tokens(col(textCol)).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum(col("n")).cast("double").as("nt"))
+    val bg = ws.select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n12"))
+      .where(col("n12") >= minCount)
+    bg.join(uni.select(col("w").as("w1"), col("n").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n12"),
+        graft.functions.Rounding.dround(
+          log((col("n12").cast("double") * col("nt")) /
+            (col("n1").cast("double") * col("n2").cast("double"))), scale)
+          .as("pmi"))
+      .orderBy(col("n12").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

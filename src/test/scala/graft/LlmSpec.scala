@@ -1787,6 +1787,86 @@ class LlmSpec extends SparkSpec {
     assert(rs.values.sum <= Graph.RankUnit)
   }
 
+  test("triangle census: counts, degrees, clustering on a known graph") {
+    import graft.analytics.Graph
+    // K4 minus edge 1-4: triangles {1,2,3} and {2,3,4}
+    val ue = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val out = Graph.triangleCounts(ue.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((1L, 2L, 1.0)), 2L -> ((2L, 3L, 0.666667)),
+      3L -> ((2L, 3L, 0.666667)), 4L -> ((1L, 2L, 1.0))))
+    // symmetrized + dedup'd input (both directions, repeats, self loop)
+    // resolves to the same undirected simple graph
+    val messy = (ue ++ ue.map(_.swap) ++ Seq((1L, 2L), (3L, 3L)))
+      .toDF("src", "dst")
+    assert(Graph.triangleCounts(messy)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap == out)
+    // triangle-free star: zero triangles, zero clustering everywhere
+    val star = Graph.triangleCounts(
+      Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(star.forall(r => r._2 == 0L && r._4 == 0.0))
+    assert(star.find(_._1 == 9L).get._3 == 3L)
+  }
+
+  test("repeated-line removal: threshold drops boilerplate everywhere") {
+    // "x y" occurs 3 times corpus-wide (>= minCount) → dropped from ALL
+    // docs, including the first; "a b" occurs twice → kept in both
+    val docs = Seq(
+      (1L, "x y a b"),
+      (2L, "a b x y"),
+      (3L, "x y x y")) // every line boilerplate (the pair counts 2 more) → vanishes
+      .toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedLines(docs, words = 2, minCount = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a b", 2L -> "a b"))
+    // under the threshold nothing is dropped, reassembly preserves order
+    val two = Seq((1L, "p q r s"), (2L, "p q t u")).toDF("doc_id", "text")
+    assert(Dedup.dropRepeatedLines(two, words = 2, minCount = 3)
+      .as[(Long, String)].collect().toMap ==
+      Map(1L -> "p q r s", 2L -> "p q t u"))
+  }
+
+  test("corpus split: deterministic pure-function labels, sane balance") {
+    import graft.llm.Corpus
+    val fr = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    val ids = (0L until 2000L).toDF("doc_id")
+    val s1 = Corpus.splitAssign(ids, fr).as[(Long, String)].collect().toMap
+    assert(s1.values.toSet.subsetOf(Set("train", "valid", "test")))
+    // label is a pure function of the id: a rerun and a SUBSET corpus
+    // (growth simulation) assign identically — eval docs never drift
+    val s2 = Corpus.splitAssign(ids, fr).as[(Long, String)].collect().toMap
+    assert(s2 == s1)
+    val sub = Corpus.splitAssign(ids.where(col("doc_id") < 500), fr)
+      .as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, sp) => s1(id) == sp })
+    // fractions roughly hold at n=2000
+    val n = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") - 1800) < 120)
+    assert(n.getOrElse("valid", 0) > 30 && n.getOrElse("test", 0) > 30)
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(ids, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("bigram PMI: exact counts and scores on a pinned corpus") {
+    val docs = Seq((1L, "a b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextStats.pmiPairs(docs, minCount = 2, topN = 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // bigrams: (a,b)×4 [3 in doc1, 1 in doc2], (b,a)×2; N=9 tokens,
+    // n(a)=4, n(b)=4, n(c)=1 → pmi(a,b)=ln(4·9/16), pmi(b,a)=ln(2·9/16)
+    assert(out.keySet == Set(("a", "b"), ("b", "a")))
+    assert(out(("a", "b"))._1 == 4L && out(("b", "a"))._1 == 2L)
+    // the binary-value rounding dround applies (floor(x·10⁶ + 0.5)/10⁶)
+    def dr6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(("a", "b"))._2 == dr6(math.log((4.0 * 9.0) / (4.0 * 4.0))))
+    assert(out(("b", "a"))._2 == dr6(math.log((2.0 * 9.0) / (4.0 * 4.0))))
+  }
+
   test("random-sign projection: deterministic, linear, zero shuffle") {
     val v1 = Array(1.0f, -2.0f, 0.5f, 3.25f)
     val embs = Seq(
