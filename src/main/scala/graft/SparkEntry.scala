@@ -102,6 +102,22 @@ object SparkEntry {
       path
     })
 
+  // The k-NN graph is an offline artifact like the IVF index: built once
+  // per (session, dir) — the expensive blocked pair join — and consumed by
+  // sim_knn_graph, graph_pagerank AND graph_triangles. localCheckpoint
+  // materializes it as a flat leaf, so each consumer's plan starts from the
+  // edge relation instead of re-running the k-means + pair join.
+  // (maxBlock raised above corpus size: exact within-cluster semantics at
+  // test scale; the library default LSH-sub-buckets hot clusters at 100 TB.)
+  private val knnCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnCache.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val asg = ivfIdx(s, d).assignments.withColumnRenamed("id", "vec_id")
+      Similarity.knnGraph(t(s, d, "embeddings").join(asg, "vec_id"),
+        k = 3, partCol = "cluster", maxBlock = 1000000).localCheckpoint()
+    })
+
   // Near-dup cluster resolution is likewise an offline artifact: resolved
   // once per (session, dir), consumed by dedup_components AND dedup_droplist.
   private val ccCache =
@@ -803,25 +819,16 @@ object SparkEntry {
 
     // Full k-NN graph blocked by the LEARNED IVF cluster (same memoized
     // assignment as dedup_semantic): top-3 cosine neighbours for EVERY
-    // vector, pair join keyed on the cluster id. maxBlock is raised above
-    // the corpus size so the gate pins EXACT within-cluster semantics at
-    // test scale (the library default LSH-sub-buckets hot clusters at
-    // 100 TB, making those blocks approximate but never quadratic).
-    "sim_knn_graph" -> { (s, d) =>
-      val asg = ivfIdx(s, d).assignments.withColumnRenamed("id", "vec_id")
-      Similarity.knnGraph(t(s, d, "embeddings").join(asg, "vec_id"),
-        k = 3, partCol = "cluster", maxBlock = 1000000)
-    },
+    // vector, pair join keyed on the cluster id — built once via the
+    // knnEdges artifact memo and shared with the graph analytics below.
+    "sim_knn_graph" -> ((s, d) => knnEdges(s, d)),
 
     // PageRank centrality over the k-NN graph (hub detection / sampling
     // weights): exact integer DIV arithmetic, 3 rounds, one keyed
-    // join+agg per round.
+    // join+agg per round, over the materialized edge artifact.
     "graph_pagerank" -> { (s, d) =>
-      val asg = ivfIdx(s, d).assignments.withColumnRenamed("id", "vec_id")
-      val g = Similarity.knnGraph(t(s, d, "embeddings").join(asg, "vec_id"),
-        k = 3, partCol = "cluster", maxBlock = 1000000)
       graft.analytics.Graph.pagerank(
-          g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+          knnEdges(s, d).select(col("vec_id").as("src"), col("nbr_id").as("dst")),
           iters = 3)
         .select(col("id").as("vec_id"), col("r").as("rank_micro"))
     },
@@ -831,11 +838,8 @@ object SparkEntry {
     // degree-ordered wedge orientation — the skew guard that keeps a
     // celebrity node from generating deg² wedges.
     "graph_triangles" -> { (s, d) =>
-      val asg = ivfIdx(s, d).assignments.withColumnRenamed("id", "vec_id")
-      val g = Similarity.knnGraph(t(s, d, "embeddings").join(asg, "vec_id"),
-        k = 3, partCol = "cluster", maxBlock = 1000000)
       graft.analytics.Graph.triangleCounts(
-          g.select(col("vec_id").as("src"), col("nbr_id").as("dst")))
+          knnEdges(s, d).select(col("vec_id").as("src"), col("nbr_id").as("dst")))
         .withColumnRenamed("id", "vec_id")
     },
 
