@@ -716,6 +716,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"))),
 
+    // Near-SUBSET detection: shingle containment |A∩B|/min(|A|,|B|) stays
+    // high for an excerpt inside a larger doc where Jaccard collapses.
+    // Threshold 0.5 so partially-overlapping prefix-block pairs surface.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), threshold = 0.5)),
+
     // Cluster resolution over the near-dup pair graph: a≈b≈c is ONE cluster
     // even though (a, c) was never compared — keeper selection needs
     // components, not pairs.
@@ -866,6 +872,22 @@ object SparkEntry {
       val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
       Similarity.ivfTopK(ivfIdx(s, d), embs, q, 10, nprobe = 4,
         idCol = "vec_id", vecCol = "embedding", scale = 6)
+    },
+
+    // Index-quality evaluation ("measure, don't guess" applied to the ANN
+    // family): recall@10 of the IVF probe at a DELIBERATELY tight nprobe=2
+    // against the brute-force top-10 — the number a pipeline watches when
+    // tuning nprobe/kClusters. One row; both sides reuse the memoized index.
+    "ann_recall_eval" -> { (s, d) =>
+      val embs = t(s, d, "embeddings")
+      val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
+      val exact = Similarity.topK(embs, q, 10).select("vec_id")
+      val approx = Similarity.ivfTopK(ivfIdx(s, d), embs, q, 10, nprobe = 2,
+        idCol = "vec_id", vecCol = "embedding", scale = 6).select("vec_id")
+      exact.join(approx, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("n_hits"),
+          (col("n_hits").cast("double") / lit(10)).as("recall_at_10"))
     },
 
     // The composed IVF-PQ probe: coarse centroids route to nprobe clusters,
@@ -1184,6 +1206,25 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
         ),
+
+    // Exact two-sample KS drift: max CDF gap between English and
+    // non-English doc-length distributions + where it occurs — the
+    // binning-free companion to drift_psi.
+    "drift_ks" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.profile.Psi.ksStatistic(
+          docs.where(col("lang") === "en"),
+          docs.where(col("lang") =!= "en"),
+          col("n_chars"))
+        .select(col("ks"), col("at_value").cast("long").as("at_value"))
+    },
+
+    // ε-DP noisy per-source counts (discrete Laplace, difference of
+    // geometrics): the privacy-preserving release of corpus composition.
+    // Seeded draw = the sampler family's testability convention.
+    "dp_counts" -> ((s, d) =>
+      graft.analytics.Privacy.dpCounts(t(s, d, "documents"), "source")
+        .orderBy("source")),
 
     // Deterministic train/valid/test split: the label is a pure function
     // of the id (stable under corpus growth — eval docs can never drift
@@ -1555,6 +1596,26 @@ object SparkEntry {
       |FROM e JOIN asg USING (vec_id) JOIN probe p ON asg.cl = p.cl
       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin.replace("\n", " ")
 
+  // ann_recall_eval oracle: the IVF replay probed at nprobe=2 and the exact
+  // scan, both LIMIT 10 with the engines' shared (rounded sim DESC, vec_id)
+  // ordering, intersected. Count shapes: CAST to double before the /10.
+  private lazy val annRecallOracle: String =
+    ivfCte + s""",
+      |q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+      |probe AS (SELECT c.cl, q.qv FROM cent c, q
+      |  ORDER BY ${centSim("q.qv")} DESC, c.cl LIMIT 2),
+      |ap AS (SELECT e.vec_id FROM e JOIN asg USING (vec_id) JOIN probe p ON asg.cl = p.cl
+      |  ORDER BY round(list_inner_product(e.v, p.qv) /
+      |    (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(p.qv, p.qv))), 6) DESC,
+      |    e.vec_id LIMIT 10),
+      |ex AS (SELECT e.vec_id FROM e, q
+      |  ORDER BY round(list_inner_product(e.v, q.qv) /
+      |    (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv))), 6) DESC,
+      |    e.vec_id LIMIT 10)
+      |SELECT CAST(count(*) AS BIGINT) AS n_hits,
+      |CAST(count(*) AS DOUBLE) / 10 AS recall_at_10
+      |FROM ex JOIN ap USING (vec_id)""".stripMargin.replace("\n", " ")
+
   // sim_ivfpq_topk oracle: the two halves composed — the IVF replay (cent/
   // asg from ivfCte) routes the probe, the PQ replay (p-prefixed CTEs,
   // identical to the sim_pq_topk oracle) supplies codebooks + codes, and
@@ -1691,6 +1752,28 @@ object SparkEntry {
     "round(2.0 * coalesce(tc.triangles, 0) / (dg.degree * (dg.degree - 1)), 6) " +
     "ELSE 0.0 END AS clustering " +
     "FROM dg LEFT JOIN tc ON dg.id = tc.id ORDER BY vec_id"
+
+  // dp_counts replay: the group-label fingerprint (doc_fingerprint's ascii
+  // fold), two seeded hashUnit draws (mix32 + affine — the sampler family's
+  // SQL twin), and the difference-of-geometrics discrete Laplace with the
+  // identical floor(−ln(1−u)/ε) operand shapes.
+  private lazy val dpCountsOracle: String = {
+    def draw(expr: String, seed: Long): String = {
+      val (a, b) = graft.llm.Corpus.hashConstants(seed)
+      val m3 = mix32Sql(expr)
+      s"(CAST(($a * (($m3) % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
+    }
+    val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, least(length(source), 64)), " +
+      "i -> CAST(ascii(substr(source, i, 1)) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+    "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+      s"k AS (SELECT source, n, $fp AS fp FROM c), " +
+      s"u AS (SELECT source, n, ${draw("fp", 7L)} AS u1, ${draw("fp", 8L)} AS u2 FROM k) " +
+      "SELECT source, CAST(greatest(0, n + CAST(floor(-ln(1.0 - u1) / 1.0) - " +
+      "floor(-ln(1.0 - u2) / 1.0) AS BIGINT)) AS BIGINT) AS n_noisy " +
+      "FROM u ORDER BY source"
+  }
 
   // Corpus.mix32 replayed in SQL: two xorshift-multiply mixing rounds mod
   // 2^32 — exact BIGINT arithmetic in both engines.
@@ -2487,6 +2570,23 @@ object SparkEntry {
       (s"SELECT doc_id, source, lang FROM documents WHERE $hashDraw < 0.1 " +
         "ORDER BY doc_id"),
 
+    // KS replay: per-value counts, one cumulative window (fine at oracle
+    // scale; the Spark side uses the two-level bucket-prefix shape), exact
+    // long CDF arithmetic, argmax on the UNROUNDED gap with value tiebreak.
+    "drift_ks" ->
+      ("WITH av AS (SELECT n_chars AS v, count(*) AS na FROM documents WHERE lang = 'en' GROUP BY 1), " +
+        "bv AS (SELECT n_chars AS v, count(*) AS nb FROM documents WHERE lang <> 'en' GROUP BY 1), " +
+        "j AS (SELECT coalesce(av.v, bv.v) AS v, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb " +
+        "FROM av FULL OUTER JOIN bv ON av.v = bv.v), " +
+        "t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j), " +
+        "c AS (SELECT v, sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cna, " +
+        "sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnb FROM j), " +
+        "g AS (SELECT v, abs(CAST(cna AS DOUBLE) / ta - CAST(cnb AS DOUBLE) / tb) AS d FROM c, t) " +
+        "SELECT round(d, 6) AS ks, CAST(v AS BIGINT) AS at_value FROM g " +
+        "ORDER BY d DESC, v LIMIT 1"),
+
+    "dp_counts" -> dpCountsOracle,
+
     // Split thresholds embed Scala's OWN cumulative-sum doubles (0.9 + 0.05
     // prints as 0.9500000000000001) so both engines compare the draw
     // against bit-identical cut points.
@@ -2597,6 +2697,7 @@ object SparkEntry {
     "sim_knn_graph" -> knnGraphOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> triangleOracle,
+    "ann_recall_eval" -> annRecallOracle,
 
     "fingerprint_winnow" ->
       (winnowCte + " SELECT doc_id, fp FROM f ORDER BY doc_id, fp"),
@@ -2608,6 +2709,14 @@ object SparkEntry {
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared " +
         "FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b"),
+
+    // Containment: same shingle relation, min-size denominator, 0.5 gate.
+    "dedup_containment" ->
+      (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(len(list_intersect(a.sh, b.sh)) * 1.0 / least(len(a.sh), len(b.sh)), 4) AS containment " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / least(len(a.sh), len(b.sh)), 4) >= 0.5 " +
+        "ORDER BY doc_a, doc_b"),
 
     "dedup_ngram_jaccard" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +

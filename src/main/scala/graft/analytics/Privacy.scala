@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-preserving release primitives: ε-differentially-private counts
+  * via the discrete (two-sided geometric) Laplace mechanism — the standard
+  * release shape for per-group statistics of a training corpus whose group
+  * memberships are sensitive (Dwork et al. 2006; the discrete sampler is
+  * the difference-of-geometrics construction, Ghosh et al. 2009, "Universally
+  * Utility-Maximizing Privacy Mechanisms").
+  *
+  * The noise draw is SEEDED, from the sampler family's deterministic hash
+  * draw ([[graft.llm.Corpus.hashUnit]]): `Z = G₁ − G₂` with
+  * `Gᵢ = floor(−ln(1−uᵢ)/ε)` geometric. In production the seed is a secret
+  * held by the release process (a predictable draw voids the DP guarantee);
+  * the determinism here is the same testability convention as every sampler
+  * in the library — given (seed, ε), the release is bit-reproducible across
+  * engines, partitionings and reruns, which is what lets an oracle check
+  * the mechanism's arithmetic end to end.
+  *
+  * Scale shape: one map-side-combined keyed count, then pure per-row
+  * columnar noise arithmetic — releasing per-group counts of a 100 TB
+  * corpus is a single aggregate; the noise stage touches one row per group.
+  */
+object Privacy {
+
+  /** Geometric tail draw `floor(−ln(1−u)/ε)`: u ∈ [0,1) ⇒ 1−u ∈ (0,1] ⇒
+    * the argument is finite and ≥ 0.
+    */
+  private def geometric(u: Column, eps: Double): Column =
+    floor(-log(lit(1.0) - u) / lit(eps))
+
+  /** ε-DP noisy per-group counts: `(groupCol, n_noisy)` with
+    * `n_noisy = max(0, n + G₁ − G₂)` (counts have sensitivity 1; the
+    * nonnegative clamp is standard post-processing and costs no privacy).
+    * The per-group draw keys on a polynomial fingerprint of the group
+    * label, so a group's noise never changes across runs or partitionings.
+    */
+  def dpCounts(df: DataFrame, groupCol: String, eps: Double = 1.0,
+               seed: Long = 7L): DataFrame = {
+    require(eps > 0, s"epsilon must be positive: $eps")
+    val key = graft.llm.TextStats.fingerprint(groupCol)
+    val u1 = graft.llm.Corpus.hashUnit(key, seed)
+    val u2 = graft.llm.Corpus.hashUnit(key, seed + 1)
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol),
+        greatest(lit(0L),
+          col("n") + (geometric(u1, eps) - geometric(u2, eps)).cast("long"))
+          .as("n_noisy"))
+  }
+}

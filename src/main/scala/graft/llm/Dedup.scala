@@ -612,6 +612,47 @@ object Dedup {
       .where(col("jacc") >= threshold)
   }
 
+  /** Shingle-set CONTAINMENT pairs — near-SUBSET detection (a quoted
+    * excerpt, a doc embedded in a digest, a page wrapping another page's
+    * body): `containment = |A∩B| / min(|A|,|B|)`, which stays high when
+    * Jaccard collapses because the sizes differ (|A∩B|/|A∪B| of a 100-gram
+    * doc inside a 10 000-gram doc is < 0.01 while containment is 1.0).
+    *
+    * Candidates reuse [[ngramBlocks]] (prefix blocking, all-pairs within
+    * blocks up to `maxBlock`, minhash sub-buckets beyond). NOTE the hot-
+    * block fallback is Jaccard-tuned: above `maxBlock`, a small-inside-big
+    * pair only collides if a band of the FULL shingle signature agrees, so
+    * asymmetric containment recall degrades in hot blocks — the exhaustive
+    * alignment-robust alternatives already in the library are
+    * [[duplicatedSpans]] (any shared k-window corpus-wide) and the
+    * [[winnowFingerprints]] overlap join. Cold-path semantics (what the
+    * oracle pins) are exact.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id", shingleLen: Int = 5,
+                       blockPrefix: Int = 40, threshold: Double = 0.8,
+                       maxBlock: Int = 10000, subBands: Int = 4): DataFrame = {
+    val keyed = ngramBlocks(docs, textCol, idCol, shingleLen, blockPrefix,
+      maxBlock, subRows = 1, subBands = subBands)
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    val cand = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
+        col("a.sk") === col("b.sk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val shd = docs.select(col(idCol).as("id"),
+      shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
+    cand
+      .join(shd.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shd.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.dround(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            least(size(col("sh_a")), size(col("sh_b"))), 4).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Blocked fuzzy record linkage — entity resolution over STRUCTURED
     * records (the classic warehouse dedup: same customer under two
     * spellings), complementing the document-text family above. Candidate

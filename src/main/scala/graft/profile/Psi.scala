@@ -88,4 +88,59 @@ object Psi {
       (termsMicros.reduce(_ + _).cast("double") / 1e6).as("psi"),
       totB.cast("long").as("n_base"), totC.cast("long").as("n_cur"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the nonparametric
+    * drift test that needs NO binning config (PSI's lo/hi/nBins): the max
+    * gap between the two empirical CDFs, evaluated at every observed value,
+    * plus where it occurs. Complements [[psi]]: KS localizes the worst
+    * divergence, PSI scores the whole shape.
+    *
+    * Scale shape: each side collapses to per-value counts first (map-side
+    * combined — the relation entering any window is HISTOGRAM-sized, one
+    * row per distinct value, never corpus-sized; continuous signals are
+    * expected pre-quantized, the library-wide 4-6 dp convention). The
+    * cumulative counts then use the quantile machinery's two-level prefix
+    * shape: per-COARSE-BUCKET subtotals (one keyed agg), exclusive bucket
+    * offsets via a window over the bucket relation (#buckets rows ≈
+    * domain/`bucketWidth`), and a per-bucket keyed window for the
+    * within-bucket running sum — no window partition ever exceeds
+    * max(bucketWidth, #buckets) rows regardless of the value domain. The
+    * CDF gap is exact long arithmetic divided once per row; the argmax is a
+    * `TakeOrdered(1)` on the unrounded gap with the value as tie-break.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, value: Column,
+                  bucketWidth: Int = 1024, scale: Int = 6): DataFrame = {
+    require(bucketWidth >= 2, s"bucketWidth must be >= 2: $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.where(value.isNotNull).select(value.as("v"))
+      .groupBy("v").agg(count(lit(1)).as("na"))
+    val cb = b.where(value.isNotNull).select(value.as("v"))
+      .groupBy("v").agg(count(lit(1)).as("nb"))
+    val j = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+      .withColumn("bk", floor(col("v").cast("double") / bucketWidth).cast("long"))
+    // exclusive prefix offsets per coarse bucket (window over #buckets rows)
+    val wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off = j.groupBy("bk").agg(sum("na").as("ba"), sum("nb").as("bb"))
+      .select(col("bk"),
+        (sum(col("ba")).over(wb) - col("ba")).as("oa"),
+        (sum(col("bb")).over(wb) - col("bb")).as("ob"))
+    val tot = j.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val wv = Window.partitionBy("bk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j.join(off, "bk")
+      .select(col("v"),
+        (col("oa") + sum(col("na")).over(wv)).as("cna"),
+        (col("ob") + sum(col("nb")).over(wv)).as("cnb"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"),
+        abs(col("cna").cast("double") / col("ta") -
+          col("cnb").cast("double") / col("tb")).as("d"))
+      .orderBy(col("d").desc, col("v"))
+      .limit(1)
+      .select(graft.functions.Rounding.dround(col("d"), scale).as("ks"),
+        col("v").as("at_value"))
+  }
 }

@@ -1787,6 +1787,68 @@ class LlmSpec extends SparkSpec {
     assert(rs.values.sum <= Graph.RankUnit)
   }
 
+  test("KS statistic: endpoints, exact value, two-level prefix invariance") {
+    import graft.profile.Psi
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    // identical samples → KS 0 (gap ties everywhere; smallest value wins)
+    assert(Psi.ksStatistic(a, a, col("v")).as[(Double, Long)].head() ==
+      ((0.0, 1L)))
+    // disjoint supports → KS 1 at the lower sample's max
+    val b = Seq(10L, 11L).toDF("v")
+    assert(Psi.ksStatistic(a, b, col("v")).as[(Double, Long)].head() ==
+      ((1.0, 4L)))
+    // hand-computed gap: a={1,2,3,4}, c={3,4,4,4} → max |F_a−F_c| at v=2
+    // (2/4 − 0) = 0.5
+    val c = Seq(3L, 4L, 4L, 4L).toDF("v")
+    assert(Psi.ksStatistic(a, c, col("v")).as[(Double, Long)].head() ==
+      ((0.5, 2L)))
+    // bucketWidth must not change the statistic (two-level prefix ==
+    // global prefix): force many tiny buckets
+    assert(Psi.ksStatistic(a, c, col("v"), bucketWidth = 2)
+      .as[(Double, Long)].head() == ((0.5, 2L)))
+  }
+
+  test("DP counts: deterministic, clamped, exact at huge epsilon") {
+    import graft.analytics.Privacy
+    val docs = (1 to 40).map(i => (i.toLong, "s" + (i % 4))).toDF("doc_id", "source")
+    val r1 = Privacy.dpCounts(docs, "source").as[(String, Long)].collect().toMap
+    val r2 = Privacy.dpCounts(docs, "source").as[(String, Long)].collect().toMap
+    assert(r1 == r2) // seeded draw: release is reproducible
+    assert(r1.keySet == Set("s0", "s1", "s2", "s3"))
+    assert(r1.values.forall(_ >= 0L)) // post-processing clamp
+    // ε → ∞ degenerates to the exact counts (noise magnitude → 0)
+    val exact = Privacy.dpCounts(docs, "source", eps = 1e9)
+      .as[(String, Long)].collect().toMap
+    assert(exact == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L, "s3" -> 10L))
+    // a different seed draws different noise somewhere (ε=0.2, wide noise)
+    val n1 = Privacy.dpCounts(docs, "source", eps = 0.2, seed = 7L)
+      .as[(String, Long)].collect().toMap
+    val n2 = Privacy.dpCounts(docs, "source", eps = 0.2, seed = 99L)
+      .as[(String, Long)].collect().toMap
+    assert(n1 != n2)
+  }
+
+  test("containment pairs: excerpt inside a larger doc, invisible to jaccard") {
+    // shared 40-char blocking prefix, then the small doc IS a prefix slice
+    // of the big doc's body: containment ≈ 1, jaccard ≈ |small|/|big| ≈ 0.1
+    val pfx = (1 to 8).map("pp" + _).mkString(" ") // > 40 chars
+    val body = (1 to 200).map("w" + _).mkString(" ")
+    val excerpt = (1 to 24).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, pfx + " " + body),
+      (2L, pfx + " " + excerpt),
+      (3L, "unrelated " + (1 to 50).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val cp = Dedup.containmentPairs(docs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cp.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(cp.head._3 >= 0.9)
+    // the same pair is BELOW any practical jaccard threshold
+    val jc = Dedup.ngramJaccard(docs, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(!jc.map(r => (r._1, r._2)).contains((1L, 2L)))
+  }
+
   test("triangle census: counts, degrees, clustering on a known graph") {
     import graft.analytics.Graph
     // K4 minus edge 1-4: triangles {1,2,3} and {2,3,4}
