@@ -722,6 +722,24 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(t(s, d, "documents"), threshold = 0.5)),
 
+    // THE eval-leakage check every training team runs: near-dup pairs that
+    // CROSS the train/valid/test boundary (composition of corpus_split and
+    // the shingle-jaccard pair machinery) — nonzero cells here mean the
+    // random split leaks eval content into train and dedup must run first.
+    "split_leakage" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val sp = graft.llm.Corpus.splitAssign(docs,
+          Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
+      Dedup.ngramJaccard(docs)
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+        .where(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    },
+
     // Cluster resolution over the near-dup pair graph: a≈b≈c is ONE cluster
     // even though (a, c) was never compared — keeper selection needs
     // components, not pairs.
@@ -1206,6 +1224,16 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
         ),
+
+    // Smoothed target encoding (category mean shrunk toward the global
+    // mean): the leakage-resistant categorical feature, cents-exact sums.
+    "target_encode" -> { (s, d) =>
+      val df = t(s, d, "orders").join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      graft.analytics.Features.targetEncode(df, "c_mktsegment",
+          col("o_totalprice"))
+        .orderBy("c_mktsegment")
+    },
 
     // Exact two-sample KS drift: max CDF gap between English and
     // non-English doc-length distributions + where it occurs — the
@@ -2569,6 +2597,30 @@ object SparkEntry {
     "sample_hash" ->
       (s"SELECT doc_id, source, lang FROM documents WHERE $hashDraw < 0.1 " +
         "ORDER BY doc_id"),
+
+    // Leakage replay: the jaccard pair relation and the split CASE joined —
+    // the split thresholds embed Scala's cumulative-sum doubles as in
+    // corpus_split.
+    "split_leakage" ->
+      (shingleCte + ", pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4), " +
+        s"sp AS (SELECT doc_id, CASE WHEN $hashDraw < ${0.9} THEN 'train' " +
+        s"WHEN $hashDraw < ${0.9 + 0.05} THEN 'valid' ELSE 'test' END AS split FROM documents) " +
+        "SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs " +
+        "FROM pr JOIN sp sa ON pr.doc_a = sa.doc_id JOIN sp sb ON pr.doc_b = sb.doc_id " +
+        "WHERE sa.split <> sb.split GROUP BY 1, 2 ORDER BY split_a, split_b"),
+
+    // Target-encode replay: cents sums (round(x*100, 0) — positive domain),
+    // identical double operand shapes for the smoothed mean.
+    "target_encode" ->
+      ("WITH j AS (SELECT c_mktsegment, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "p AS (SELECT c_mktsegment, count(*) AS n, sum(c) AS sc FROM j GROUP BY 1), " +
+        "t AS (SELECT sum(sc) AS tc, sum(n) AS tn FROM p) " +
+        "SELECT c_mktsegment, n, round((CAST(sc AS DOUBLE) / 100.0 + " +
+        "10 * (CAST(tc AS DOUBLE) / 100.0 / tn)) / (n + 10), 6) AS enc " +
+        "FROM p, t ORDER BY c_mktsegment"),
 
     // KS replay: per-value counts, one cumulative window (fine at oracle
     // scale; the Spark side uses the two-level bucket-prefix shape), exact

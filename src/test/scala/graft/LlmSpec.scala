@@ -1787,6 +1787,24 @@ class LlmSpec extends SparkSpec {
     assert(rs.values.sum <= Graph.RankUnit)
   }
 
+  test("target encoding: shrinkage endpoints and exact smoothed means") {
+    import graft.analytics.Features
+    // cat a: two targets mean 2.0; cat b: one target 8.0; global mean 4.0
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 8.0)).toDF("cat", "t")
+    // m = 0: raw category means
+    val raw = Features.targetEncode(df, "cat", col("t"), m = 0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(raw == Map("a" -> 2.0, "b" -> 8.0))
+    // m = 1: enc_a = (4 + 4)/3, enc_b = (8 + 4)/2
+    val sm = Features.targetEncode(df, "cat", col("t"), m = 1)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(sm("a") == math.floor((8.0 / 3) * 1e6 + 0.5) / 1e6 && sm("b") == 6.0)
+    // m → ∞: every category collapses to the global mean
+    val inf = Features.targetEncode(df, "cat", col("t"), m = 1000000)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(inf.values.forall(v => math.abs(v - 4.0) < 1e-4))
+  }
+
   test("KS statistic: endpoints, exact value, two-level prefix invariance") {
     import graft.profile.Psi
     val a = Seq(1L, 2L, 3L, 4L).toDF("v")
