@@ -704,6 +704,36 @@ case class QualityScore(child: Expression, weights: Seq[Double], bias: Double)
   override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
 }
 
+/** Deflate (zlib) compressed byte count of the UTF-8 text — the
+  * compression-ratio quality signal's kernel (Gopher/RefinedWeb axis:
+  * highly compressible = repetitive/templated text, near-incompressible =
+  * high-entropy noise; both tails are dropped by quality filters). Returns
+  * the compressed size; the ratio against `octet_length` is columnar
+  * arithmetic downstream. Deterministic for a fixed (level, JVM zlib) —
+  * but zlib is ENGINE-SPECIFIC, so this signal is ScalaTest-pinned rather
+  * than oracle-gated (the profile-approx-mode convention). Doc-local ⇒ a
+  * 100 TB scoring pass is one shuffle-free projection.
+  */
+case class DeflateSize(child: Expression, level: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(level >= 0 && level <= 9, s"deflate level must be in [0,9]: $level")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(level, false)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    java.lang.Long.valueOf(total)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -726,6 +756,10 @@ object native {
     */
   def tokenEntropyMicro(toks: Column): Column =
     column(TokenEntropyMicro(expression(toks)))
+
+  /** Deflate-compressed byte count of a string (see [[DeflateSize]]). */
+  def deflateSize(text: Column, level: Int = 6): Column =
+    column(DeflateSize(expression(text), level))
 
   /** Integer micro-unit random-sign projection of an array<double> vector
     * (see [[RandomSignProject]]).

@@ -308,6 +308,47 @@ object Similarity {
     idx.copy(clusteredVectors = Some(spark.read.parquet(s"$path/vectors")))
   }
 
+  /** Nearest-centroid assignment against a FROZEN centroid relation
+    * (broadcast — k rows): `(id, cluster)` with the same unrounded-cosine
+    * argmax and (sim, −cluster) tie-break as the training loop, so an
+    * appended batch lands exactly where a full rebuild with these
+    * centroids would put it.
+    */
+  def assignToCentroids(embs: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("cluster"),
+        (graft.functions.native.dotd(col("v"), col("cvec"))
+          ./(sqrt(graft.functions.native.dotd(col("cvec"), col("cvec"))) + lit(1e-12)))
+          .as("sim"))
+      .groupBy("id")
+      .agg(max_by(col("cluster"), struct(col("sim"), -col("cluster"))).as("cluster"))
+
+  /** Incremental index maintenance — the new-crawl lifecycle: assign a new
+    * batch to the EXISTING centroids and APPEND it to the persisted
+    * clustered layout + assignments relation. Cost is O(batch): no k-means
+    * pass, and the indexed corpus is never re-read — the same posture as
+    * [[SignatureStore]] on the dedup side. Centroids are deliberately
+    * FROZEN: probe routing must agree with where vectors were physically
+    * written, so distribution drift is handled by a periodic full rebuild
+    * (the compaction analog), never by moving centroids under a live
+    * layout. Returns the refreshed index handle (reloaded relations).
+    */
+  def appendToIvfIndex(index: IvfIndex, path: String, batch: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): IvfIndex = {
+    val spark = batch.sparkSession
+    val asg = assignToCentroids(batch, index.centroids, idCol, vecCol)
+    batch.join(asg.withColumnRenamed("id", idCol), idCol)
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/vectors")
+    asg.write.mode("append").parquet(s"$path/assignments")
+    IvfIndex(spark.read.parquet(s"$path/assignments"), index.centroids,
+      Some(spark.read.parquet(s"$path/vectors")))
+  }
+
   /** Reload a [[IvfIndex.save]]d index: probes run against storage with no
     * corpus pass at all. Picks up the cluster-partitioned vector layout if
     * [[buildClusteredIvfIndex]] wrote one.

@@ -241,6 +241,19 @@ object TextStats {
               (col("n_tok") * 1000000.0), scale).as("entropy"))
   }
 
+  /** Compression-ratio quality signal: deflate(text)/octet_length(text) —
+    * the Gopher/RefinedWeb filter axis where BOTH tails are suspect (≪ 1:
+    * templated/repetitive text; ≈ 1: high-entropy noise, e.g. base64
+    * blobs). Empty text scores 1.0 (nothing to compress ≠ suspicious).
+    * zlib is engine-specific, so the signal is ScalaTest-pinned rather
+    * than oracle-gated; doc-local ⇒ shuffle-free projection at any scale.
+    */
+  def compressionRatio(text: Column, level: Int = 6, scale: Int = 4): Column =
+    when(octet_length(text) === 0, lit(1.0))
+      .otherwise(graft.functions.Rounding.dround(
+        graft.functions.native.deflateSize(text, level).cast("double") /
+          octet_length(text), scale))
+
   /** Corpus-wide adjacent-bigram PMI — collocation/association mining (the
     * phrase-detection front-end of word2vec-style pipelines, Mikolov et al.
     * 2013 §4): `pmi(w1,w2) = ln(n12·N / (n1·n2))` over corpus counts, pairs

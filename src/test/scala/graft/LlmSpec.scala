@@ -515,6 +515,43 @@ class LlmSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("IVF append: new batch lands by frozen centroids, probe finds it, O(batch)") {
+    // same planted geometry: 4 separable clusters, but the index is built
+    // from the EVEN ids only (the "history") and the odd ids arrive later
+    // (the "new crawl")
+    val vecs = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val id = c * 25 + i
+      val v = Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13))
+      v(2 * c) = 1.0f; v(2 * c + 1) = 0.8f
+      (id.toLong, v.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val history = embs.where(col("vec_id") % 2 === 0)
+    val batch = embs.where(col("vec_id") % 2 === 1)
+    val dir = tmpDir("ivfappend")
+    val idx = Similarity.buildClusteredIvfIndex(history, kClusters = 4,
+      path = dir, iters = 2)
+    try {
+      val idx2 = Similarity.appendToIvfIndex(idx, dir, batch)
+      // every vector is now indexed, centroids untouched
+      assert(idx2.assignments.count() == 100L)
+      assert(idx2.centroids.collect().toSet == idx.centroids.collect().toSet)
+      // the appended batch landed exactly where a fresh assignment against
+      // the same frozen centroids puts it
+      val expect = Similarity.assignToCentroids(batch, idx.centroids)
+        .as[(Long, Int)].collect().toMap
+      val stored = idx2.assignments.where(col("id") % 2 === 1)
+        .as[(Long, Int)].collect().toMap
+      assert(stored == expect)
+      // a probe for an APPENDED vector finds it as its own nearest
+      // neighbour through the refreshed clustered layout
+      val q = embs.where(col("vec_id") === 11).select(col("embedding").as("qvec"))
+      val got = Similarity.ivfTopK(idx2, embs, q, 3, nprobe = 2,
+        "vec_id", "embedding", 6).as[(Long, Double)].collect()
+      assert(got.head._1 == 11L && got.head._2 == 1.0)
+    } finally idx.unpersist()
+  }
+
   test("clustered IVF layout: probe scan partition-prunes to nprobe clusters") {
     // same planted geometry as the ivfTopK test: 4 separable clusters
     val vecs = for (c <- 0 until 4; i <- 0 until 25) yield {
@@ -1785,6 +1822,24 @@ class LlmSpec extends SparkSpec {
     assert(again == rs)
     // total mass never exceeds UNIT (truncation only drains)
     assert(rs.values.sum <= Graph.RankUnit)
+  }
+
+  test("compression ratio: repetitive low, noisy high, deterministic") {
+    val rep = ("lorem ipsum " * 500).trim            // highly compressible
+    val noise = (1 to 3000).map(i =>                  // hash hex chars — near-incompressible
+      Integer.toHexString(graft.llm.Corpus.mix32L(i.toLong).toInt & 0xffff)).mkString
+    val docs = Seq((1L, rep), (2L, noise), (3L, "")).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+        TextStats.compressionRatio(col("text")).as("cr"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < 0.05)            // template collapses
+    assert(r(2L) > 0.5)             // noise barely compresses
+    assert(r(3L) == 1.0)            // empty-text guard
+    // deterministic across evaluations
+    val again = docs.select(col("doc_id"),
+        TextStats.compressionRatio(col("text")).as("cr"))
+      .as[(Long, Double)].collect().toMap
+    assert(again == r)
   }
 
   test("target encoding: shrinkage endpoints and exact smoothed means") {
