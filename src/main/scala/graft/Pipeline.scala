@@ -129,6 +129,27 @@ object Pipeline {
       s"$nBudget docs inside the 10k-token quality budget; " +
       s"$nChunks overlapping context chunks")
 
+    // 3a½. split & release: growth-stable train/valid/test labels, the
+    //      eval-leakage check over the near-dup pair relation, a KS drift
+    //      test between split length distributions, and a DP-noised
+    //      release of the corpus composition
+    val fr = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    val sp = graft.llm.Corpus.splitAssign(docs, fr)
+    val nLeak = pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .where(col("split_a") =!= col("split_b")).count()
+    val ksRow = graft.profile.Psi.ksStatistic(
+      sp.where(col("split") === "train"), sp.where(col("split") =!= "train"),
+      col("n_chars")).collect().head
+    val dpRel = graft.analytics.Privacy.dpCounts(docs, "source")
+    println(f"[pipeline] split: ${sp.where(col("split") === "train").count()} train / " +
+      f"${sp.where(col("split") === "valid").count()} valid / " +
+      f"${sp.where(col("split") === "test").count()} test; " +
+      f"$nLeak near-dup pairs CROSS splits (dedup before splitting!); " +
+      f"train-vs-eval KS=${ksRow.getDouble(0)}%.4f; " +
+      f"DP release of ${dpRel.count()} source counts")
+
     // 3b. model-based scoring artifacts trained on the corpus itself:
     //     a BPE merge table, a quality classifier, an n-gram LM — each a
     //     persisted config-sized artifact; scoring is columnar

@@ -18,9 +18,9 @@ object Scratch {
   /** The steady top-10 by committed bench cost (BENCH_full.json), the
     * scaling watch-list. */
   val ScaleQueries: Seq[String] = Seq(
-    "dedup_fuzzy", "lm_score_tri", "perplexity_buckets",
-    "dedup_ngram_jaccard", "quality_train", "dedup_winnow", "lm_score",
-    "dedup_incremental", "sim_knn_graph", "profile_summarize")
+    "lm_score_tri", "dedup_fuzzy", "graph_pagerank", "perplexity_buckets",
+    "dedup_winnow", "quality_train", "lm_score", "bm25_queries",
+    "profile_summarize", "dedup_incremental", "graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
