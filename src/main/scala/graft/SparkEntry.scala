@@ -316,6 +316,27 @@ object SparkEntry {
         col("value"), lo = 0.0, hi = 500.0, nBins = 10)
     },
 
+    // Chi-square homogeneity over the same fixed binning: the
+    // significance-testable companion (statistic + dof) to drift_psi's
+    // score. Same one-wide-aggregate plan, micro-unit exact term sum.
+    "drift_chi2" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.profile.Psi.chi2(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        col("value"), lo = 0.0, hi = 500.0, nBins = 10)
+    },
+
+    // Welch's unequal-variance t-test between two experiment arms: one
+    // wide aggregate of six cents-exact conditional sums, then single-row
+    // arithmetic — the A/B readout at any arm size.
+    "ab_ttest" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.analytics.Stats.welchTTest(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"), col("value"))
+    },
+
     // ---- flagship batch analytics ----
     "ctr_join" -> { (s, d) =>
       val e = withK(t(s, d, "events")).select("k", "event_type")
@@ -753,6 +774,16 @@ object SparkEntry {
         docs.where(col("doc_id") < 10))
     },
 
+    // The graded readout behind the scrub: per-doc fraction of distinct
+    // shingles appearing anywhere in the eval set (GPT-3 appendix-C
+    // overlap metric) — every doc reported, thresholds tunable downstream.
+    "contamination_frac" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.contaminationFrac(docs.where(col("doc_id") >= 10),
+          docs.where(col("doc_id") < 10))
+        .orderBy("doc_id")
+    },
+
     // The same scrub through a 2^20-bit bloom of the eval shingles — the
     // shape that survives eval sets whose distinct shingle STRINGS are too
     // wide to broadcast (the bitmap is constant-size). Deterministic double
@@ -830,6 +861,17 @@ object SparkEntry {
           graft.functions.Rounding.dround(col("col") / col("n"), 6).as("m"),
           col("n"))
         ),
+
+    // Per-label centroid drift between two embedding snapshots (split by
+    // vec_id parity here): cosine of the per-label SUM vectors — counts
+    // cancel, each 100 TB side collapses to label-cardinality rows.
+    "embed_drift" -> { (s, d) =>
+      val e = t(s, d, "embeddings")
+      Similarity.centroidDrift(
+          e.where(pmod(col("vec_id"), lit(2)) === 0),
+          e.where(pmod(col("vec_id"), lit(2)) === 1))
+        .orderBy("label")
+    },
 
     // ---- 2.H similarity ----
     "sim_topk" -> { (s, d) =>
@@ -1253,6 +1295,14 @@ object SparkEntry {
     "dp_counts" -> ((s, d) =>
       graft.analytics.Privacy.dpCounts(t(s, d, "documents"), "source")
         .orderBy("source")),
+
+    // ε-DP noisy histogram: every bin of the fixed binning released —
+    // empty bins included (suppressing them leaks emptiness) — with the
+    // same seeded discrete-Laplace draw keyed on the bin index.
+    "dp_histogram" -> ((s, d) =>
+      graft.analytics.Privacy.dpHistogram(t(s, d, "events"), col("value"),
+          lo = 0.0, hi = 500.0, nBins = 10)
+        .orderBy("bin")),
 
     // Deterministic train/valid/test split: the label is a pure function
     // of the id (stable under corpus growth — eval docs can never drift
@@ -1801,6 +1851,26 @@ object SparkEntry {
       "SELECT source, CAST(greatest(0, n + CAST(floor(-ln(1.0 - u1) / 1.0) - " +
       "floor(-ln(1.0 - u2) / 1.0) AS BIGINT)) AS BIGINT) AS n_noisy " +
       "FROM u ORDER BY source"
+  }
+
+  // dp_histogram replay: drift_psi's binning + zero-filled spine, then the
+  // dp_counts noise arithmetic keyed on the bin INDEX (no fingerprint —
+  // the bin number feeds mix32 directly, as the Spark side does).
+  private lazy val dpHistogramOracle: String = {
+    def draw(expr: String, seed: Long): String = {
+      val (a, b) = graft.llm.Corpus.hashConstants(seed)
+      val m3 = mix32Sql(expr)
+      s"(CAST(($a * (($m3) % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
+    }
+    "WITH v AS (SELECT greatest(0, least(9, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin " +
+      "FROM events WHERE value IS NOT NULL), " +
+      "bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin), " +
+      "c AS (SELECT bins.bin, COALESCE(x.n, 0) AS n FROM bins LEFT JOIN " +
+      "(SELECT bin, count(*) AS n FROM v GROUP BY bin) x USING (bin)), " +
+      s"u AS (SELECT bin, n, ${draw("bin", 7L)} AS u1, ${draw("bin", 8L)} AS u2 FROM c) " +
+      "SELECT bin, CAST(greatest(0, n + CAST(floor(-ln(1.0 - u1) / 1.0) - " +
+      "floor(-ln(1.0 - u2) / 1.0) AS BIGINT)) AS BIGINT) AS n_noisy " +
+      "FROM u ORDER BY bin"
   }
 
   // Corpus.mix32 replayed in SQL: two xorshift-multiply mixing rounds mod
@@ -2469,6 +2539,18 @@ object SparkEntry {
         "SELECT doc_id AS id, count(*) AS n_overlap FROM tr JOIN ev USING (g) " +
         "GROUP BY doc_id ORDER BY id"),
 
+    // The graded fraction: LEFT join so every training doc reports; ev is
+    // distinct, so each train shingle matches at most once — count(*)
+    // stays the per-doc shingle count and count(ev.g) the hit count.
+    "contamination_frac" ->
+      (shingleCte +
+        ", ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 10), " +
+        "tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 10), " +
+        "j AS (SELECT doc_id, count(*) AS n_grams, count(ev.g) AS n_hit " +
+        "FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_hit AS BIGINT) AS n_hit, " +
+        "round(CAST(n_hit AS DOUBLE) / n_grams, 6) AS frac FROM j ORDER BY doc_id"),
+
     // Replays the bloom's EXACT bit set: eval shingles mark k = 3 double-
     // hashed positions mod 2^20; a train shingle hits iff all three of its
     // positions are marked — false positives and all.
@@ -2529,6 +2611,50 @@ object SparkEntry {
         "tot_b, tot_c FROM bc JOIN cc2 USING (bin) CROSS JOIN tot) " +
         "SELECT CAST(SUM(tm) AS DOUBLE) / 1000000.0 AS psi, " +
         "CAST(MAX(tot_b) AS BIGINT) AS n_base, CAST(MAX(tot_c) AS BIGINT) AS n_cur FROM terms"),
+
+    // chi2 replay: identical binning/spine/total CTEs as drift_psi; the
+    // expected-count and term expressions are spelled with the same
+    // operation order as the Spark side (sub, mul, div, add), each
+    // nonnegative term micro-floor-rounded and summed as BIGINT.
+    "drift_chi2" ->
+      ("WITH base AS (SELECT greatest(0, least(9, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin " +
+        "FROM events WHERE event_type = 'view' AND value IS NOT NULL), " +
+        "cur AS (SELECT greatest(0, least(9, CAST(floor((value - 0.0) / 50.0) AS BIGINT))) AS bin " +
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin), " +
+        "bc AS (SELECT bins.bin, COALESCE(x.n, 0) AS n_b FROM bins LEFT JOIN " +
+        "(SELECT bin, count(*) AS n FROM base GROUP BY bin) x USING (bin)), " +
+        "cc2 AS (SELECT bins.bin, COALESCE(x.n, 0) AS n_c FROM bins LEFT JOIN " +
+        "(SELECT bin, count(*) AS n FROM cur GROUP BY bin) x USING (bin)), " +
+        "tot AS (SELECT (SELECT count(*) FROM base) AS tot_b, (SELECT count(*) FROM cur) AS tot_c), " +
+        "e AS (SELECT n_b, n_c, " +
+        "(CAST(n_b AS DOUBLE) + CAST(n_c AS DOUBLE)) * CAST(tot_b AS DOUBLE) / CAST(tot_b + tot_c AS DOUBLE) AS e1, " +
+        "(CAST(n_b AS DOUBLE) + CAST(n_c AS DOUBLE)) * CAST(tot_c AS DOUBLE) / CAST(tot_b + tot_c AS DOUBLE) AS e2, " +
+        "tot_b, tot_c FROM bc JOIN cc2 USING (bin) CROSS JOIN tot), " +
+        "terms AS (SELECT CASE WHEN n_b + n_c > 0 THEN " +
+        "CAST(floor(((n_b - e1) * (n_b - e1) / e1 + (n_c - e2) * (n_c - e2) / e2) * 1000000.0 + 0.5) AS BIGINT) " +
+        "ELSE 0 END AS tm, CASE WHEN n_b + n_c > 0 THEN 1 ELSE 0 END AS nz, tot_b, tot_c FROM e) " +
+        "SELECT CAST(SUM(tm) AS DOUBLE) / 1000000.0 AS chi2, CAST(SUM(nz) - 1 AS BIGINT) AS dof, " +
+        "CAST(MAX(tot_b) AS BIGINT) AS n_base, CAST(MAX(tot_c) AS BIGINT) AS n_cur FROM terms"),
+
+    // Welch replay: cents-exact sufficient statistics (n, Σx, Σx²) as
+    // exact integers, then the same single-row IEEE expressions (t is
+    // scale-invariant, so cent units change nothing; means rescale once).
+    "ab_ttest" ->
+      ("WITH a AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x " +
+        "FROM events WHERE event_type = 'view' AND value IS NOT NULL), " +
+        "b AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x " +
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL), " +
+        "sa AS (SELECT count(*) AS n1, sum(x) AS s1, sum(x * x) AS ss1 FROM a), " +
+        "sb AS (SELECT count(*) AS n2, sum(x) AS s2, sum(x * x) AS ss2 FROM b), " +
+        "m AS (SELECT n1, n2, CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2, " +
+        "(CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1, " +
+        "(CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2 FROM sa, sb), " +
+        "w AS (SELECT n1, n2, m1, m2, v1 / n1 AS se1, v2 / n2 AS se2 FROM m) " +
+        "SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, " +
+        "round(m1 / 100, 6) AS mean_a, round(m2 / 100, 6) AS mean_b, " +
+        "round((m1 - m2) / sqrt(se1 + se2), 4) AS t, " +
+        "round((se1 + se2) * (se1 + se2) / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 4) AS dof FROM w"),
 
     "funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events), " +
@@ -2638,6 +2764,8 @@ object SparkEntry {
         "ORDER BY d DESC, v LIMIT 1"),
 
     "dp_counts" -> dpCountsOracle,
+
+    "dp_histogram" -> dpHistogramOracle,
 
     // Split thresholds embed Scala's OWN cumulative-sum doubles (0.9 + 0.05
     // prints as 0.9500000000000001) so both engines compare the draw
@@ -2793,6 +2921,23 @@ object SparkEntry {
         "n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label) " +
         "SELECT label, CAST(m.pos - 1 AS BIGINT) AS pos, m.m AS m, n.n AS n " +
         "FROM m JOIN n USING (label) ORDER BY label, pos"),
+
+    // centroid drift replay: per-(label, side, pos) component sums, dot
+    // products over the 64 positions, cosine of the sum vectors (counts
+    // cancel). The component sums are order-dependent double adds on both
+    // engines — the 6 dp edge round is the same tolerance embed_centroids
+    // established.
+    "embed_drift" ->
+      ("WITH u AS (SELECT label, vec_id % 2 AS side, i AS pos, CAST(embedding[i] AS DOUBLE) AS x " +
+        "FROM embeddings, generate_series(1, 64) AS t(i) WHERE i <= len(embedding)), " +
+        "sv AS (SELECT label, side, pos, sum(x) AS s FROM u GROUP BY label, side, pos), " +
+        "d AS (SELECT a.label AS label, sum(a.s * b.s) AS ab, sum(a.s * a.s) AS aa, sum(b.s * b.s) AS bb " +
+        "FROM sv a JOIN sv b ON a.label = b.label AND a.pos = b.pos AND a.side = 0 AND b.side = 1 " +
+        "GROUP BY a.label), " +
+        "n AS (SELECT label, sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a, " +
+        "sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b FROM embeddings GROUP BY label) " +
+        "SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, " +
+        "round(ab / (sqrt(aa) * sqrt(bb)), 6) AS cos FROM d JOIN n USING (label) ORDER BY label"),
 
     "sim_topk" ->
       ("WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1) " +

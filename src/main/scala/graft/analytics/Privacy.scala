@@ -50,4 +50,30 @@ object Privacy {
           col("n") + (geometric(u1, eps) - geometric(u2, eps)).cast("long"))
           .as("n_noisy"))
   }
+
+  /** ε-DP noisy histogram of `value` over `nBins` fixed-width bins spanning
+    * [lo, hi) (the [[graft.profile.Psi.bin]] clamped binning): `(bin,
+    * n_noisy)` with EVERY bin released — empty bins get a noisy draw too,
+    * via the zero-filled bin spine, because releasing only occupied bins
+    * leaks which bins were empty (the classic DP-histogram requirement).
+    * Bin occupancy has sensitivity 1 per record, so the per-bin mechanism
+    * is identical to [[dpCounts]]; the draw keys on the bin INDEX, so a
+    * bin's noise never changes across runs or partitionings.
+    *
+    * Scale shape: one map-side-combined keyed count (≤ nBins groups), a
+    * broadcast-spine left join of nBins rows, then per-row noise — the
+    * 100 TB side is a single aggregate pass.
+    */
+  def dpHistogram(df: DataFrame, value: Column, lo: Double, hi: Double,
+                  nBins: Int, eps: Double = 1.0, seed: Long = 7L): DataFrame = {
+    require(eps > 0, s"epsilon must be positive: $eps")
+    val counts = graft.profile.Psi.binnedCounts(
+      df.where(value.isNotNull), value, lo, hi, nBins)
+    val u1 = graft.llm.Corpus.hashUnit(col("bin"), seed)
+    val u2 = graft.llm.Corpus.hashUnit(col("bin"), seed + 1)
+    counts.select(col("bin"),
+      greatest(lit(0L),
+        col("n") + (geometric(u1, eps) - geometric(u2, eps)).cast("long"))
+        .as("n_noisy"))
+  }
 }

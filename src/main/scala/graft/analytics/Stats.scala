@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hypothesis-test statistics for experiment readouts — the A/B-test
+  * counterpart of the drift checks in [[graft.profile.Psi]] (which compare
+  * distributions; these compare MEANS with a significance-testable
+  * statistic). Reference behavior: the profile→alert DQ loop extended to
+  * the standard experimentation readout.
+  */
+object Stats {
+
+  /** Welch's unequal-variance t-test between the `value` means of two
+    * relations: one row `(n_a, n_b, mean_a, mean_b, t, dof)` (t and the
+    * Welch–Satterthwaite dof rounded to 4 dp, means to 6 dp).
+    *
+    * Determinism contract: values are rounded to CENTS (binary-value
+    * floor(x·100 + 0.5), the library's cents-exact convention — see
+    * target encoding in [[Features]]) and summed as exact longs, so the
+    * sufficient statistics (n, Σx, Σx²) are partition-invariant and
+    * bit-identical on any engine; everything after the aggregate is
+    * stateless single-row IEEE arithmetic on those exact sums. The t
+    * statistic is scale-invariant, so computing it in cent units changes
+    * nothing; only the reported means are rescaled. Σx² stays in long
+    * range for |x| ≤ ~3·10⁵ cents over ~10⁹ rows; beyond that, swap the
+    * sums to decimal(38,0).
+    *
+    * Scale shape: ONE wide aggregate of six conditional sums over the
+    * union of the two sides (map-side combined — per-task state is six
+    * longs), then single-row arithmetic. Comparing two 100 TB arms is one
+    * exchange of one row per task.
+    */
+  def welchTTest(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    val cents = floor(value.cast("double") * 100 + lit(0.5)).cast("long")
+    val u = a.where(value.isNotNull)
+      .select(cents.as("_x"), lit(0).as("_side"))
+      .unionByName(b.where(value.isNotNull)
+        .select(cents.as("_x"), lit(1).as("_side")))
+    val row = u.agg(
+      sum(when(col("_side") === 0, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_side") === 0, col("_x")).otherwise(0L)).as("_s1"),
+      sum(when(col("_side") === 0, col("_x") * col("_x")).otherwise(0L)).as("_ss1"),
+      sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_n2"),
+      sum(when(col("_side") === 1, col("_x")).otherwise(0L)).as("_s2"),
+      sum(when(col("_side") === 1, col("_x") * col("_x")).otherwise(0L)).as("_ss2"))
+    val n1 = col("_n1").cast("double"); val n2 = col("_n2").cast("double")
+    val s1 = col("_s1").cast("double"); val s2 = col("_s2").cast("double")
+    val m1 = s1 / n1; val m2 = s2 / n2
+    // sample variances from exact sums (cent units)
+    val v1 = (col("_ss1").cast("double") - s1 * s1 / n1) / (n1 - 1)
+    val v2 = (col("_ss2").cast("double") - s2 * s2 / n2) / (n2 - 1)
+    val se1 = v1 / n1; val se2 = v2 / n2
+    val se = se1 + se2
+    val t = (m1 - m2) / sqrt(se)
+    val dof = se * se / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    row.select(
+      col("_n1").as("n_a"), col("_n2").as("n_b"),
+      graft.functions.Rounding.dround(m1 / 100, 6).as("mean_a"),
+      graft.functions.Rounding.dround(m2 / 100, 6).as("mean_b"),
+      graft.functions.Rounding.dround(t, 4).as("t"),
+      graft.functions.Rounding.dround(dof, 4).as("dof"))
+  }
+}

@@ -416,6 +416,37 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** Per-document contamination FRACTION against an eval set — the graded
+    * readout behind [[decontaminate]]'s boolean scrub (GPT-3's appendix-C
+    * overlap metric: what share of a training doc's distinct n-grams appear
+    * anywhere in the benchmark suite). Returns `(idCol, n_grams, n_hit,
+    * frac)` for EVERY training doc, so thresholds can be tuned downstream
+    * instead of baked in.
+    *
+    * Same scale shape as [[decontaminate]]: the eval side collapses to its
+    * distinct shingle set and broadcasts; the training side explodes its
+    * per-doc distinct shingles, LEFT-probes the broadcast, and folds into
+    * one keyed aggregate — the 100 TB side never shuffles text, and the
+    * per-doc group carries two longs.
+    */
+  def contaminationFrac(train: DataFrame, evalSet: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        shingleLen: Int = 5): DataFrame = {
+    def shingled(df: DataFrame) = df.select(
+      col(idCol),
+      explode(shingles(TextStats.tokens(col(textCol)), shingleLen)).as("sh"))
+    val evalShingles = evalSet.select(
+        explode(shingles(TextStats.tokens(col(textCol)), shingleLen)).as("sh"))
+      .distinct().withColumn("_hit", lit(1))
+    shingled(train)
+      .join(broadcast(evalShingles), Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        graft.functions.Rounding.dround(
+          col("n_hit").cast("double") / col("n_grams"), 6).as("frac"))
+  }
+
   /** Bloom-filter decontamination — [[decontaminate]]'s shape at the scale
     * where even the eval set's DISTINCT shingle strings are too wide to
     * broadcast: a 10 M-shingle benchmark suite is ~500 MB of strings but a

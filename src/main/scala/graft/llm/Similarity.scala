@@ -212,6 +212,33 @@ object Similarity {
       graft.functions.native.int8quant(col(vecCol)).as("qvec"),
       graft.functions.native.int8scale(col(vecCol)).as("scale"))
 
+  /** Per-label centroid DRIFT between two embedding snapshots — the
+    * embedding-space counterpart of [[graft.profile.Psi]]'s scalar drift
+    * tests: cosine between each label's mean vector in snapshot `a` vs
+    * snapshot `b` (a re-embedded corpus, a new crawl, a model upgrade).
+    * Cosine of the SUM vectors equals cosine of the means (counts cancel),
+    * so no per-component division happens before the single dot products.
+    * Returns `(labelCol, n_a, n_b, cos)`, cos rounded 6 dp.
+    *
+    * Scale shape: each 100 TB side collapses via the map-side-combined
+    * [[graft.functions.VectorSumD]] aggregate to one dim-length row per
+    * label; the join and cosine touch label-cardinality rows only.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    def side(df: DataFrame, sv: String, n: String) =
+      df.groupBy(labelCol).agg(
+        graft.functions.native.vecsum(asD(col(vecCol))).as(sv),
+        count(lit(1)).as(n))
+    side(a, "_sa", "n_a").join(side(b, "_sb", "n_b"), labelCol)
+      .select(col(labelCol), col("n_a"), col("n_b"),
+        graft.functions.Rounding.dround(
+          graft.functions.native.dotd(col("_sa"), col("_sb")) /
+            (sqrt(graft.functions.native.dotd(col("_sa"), col("_sa"))) *
+             sqrt(graft.functions.native.dotd(col("_sb"), col("_sb")))), 6)
+          .as("cos"))
+  }
+
   /** Random-sign (Johnson–Lindenstrauss) projection to `outDim`
     * dimensions — the cheap dimensionality-reduction front-end for coarse
     * ANN blocking and dedup keys: one row-local

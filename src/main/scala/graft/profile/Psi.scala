@@ -89,6 +89,55 @@ object Psi {
       totB.cast("long").as("n_base"), totC.cast("long").as("n_cur"))
   }
 
+  /** Two-sample chi-square homogeneity statistic over the SAME fixed
+    * config binning as [[psi]] — the classical significance-testable drift
+    * check (PSI scores shape divergence but has no reference distribution;
+    * the chi-square statistic with its degrees of freedom plugs into a
+    * standard table). One row `(chi2, dof, n_base, n_cur)`.
+    *
+    * Per-bin expected counts under homogeneity: `e1 = r·N1/N`,
+    * `e2 = r·N2/N` with `r` the combined bin count; the statistic is
+    * `Σ (o1−e1)²/e1 + (o2−e2)²/e2` over bins with `r > 0`, and
+    * `dof = (#nonempty bins − 1)`. Both sides must be non-empty.
+    *
+    * Same plan and determinism contract as [[psi]]: ONE wide aggregate of
+    * 2·nBins conditional sums over the union (map-side combined), then
+    * stateless single-row arithmetic; each term is nonnegative, rounded to
+    * micro-units with the binary-value floor and summed as exact longs —
+    * never an order-dependent double sum.
+    */
+  def chi2(base: DataFrame, cur: DataFrame, value: Column,
+           lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val u = base.where(value.isNotNull)
+      .select(bin(value, lo, hi, nBins).as("_bin"), lit(0).as("_side"))
+      .unionByName(cur.where(value.isNotNull)
+        .select(bin(value, lo, hi, nBins).as("_bin"), lit(1).as("_side")))
+    val aggs = (0 until nBins).flatMap(i => Seq(
+      sum(when(col("_side") === 0 && col("_bin") === i, 1L).otherwise(0L)).as(s"_b$i"),
+      sum(when(col("_side") === 1 && col("_bin") === i, 1L).otherwise(0L)).as(s"_c$i")))
+    val row = u.agg(aggs.head, aggs.tail: _*)
+    val totB = (0 until nBins).map(i => col(s"_b$i")).reduce(_ + _)
+    val totC = (0 until nBins).map(i => col(s"_c$i")).reduce(_ + _)
+    val totN = (totB + totC).cast("double")
+    val termsMicros = (0 until nBins).map { i =>
+      val b = col(s"_b$i").cast("double")
+      val c = col(s"_c$i").cast("double")
+      val r = b + c
+      val e1 = r * totB.cast("double") / totN
+      val e2 = r * totC.cast("double") / totN
+      when(r > 0,
+        floor(((b - e1) * (b - e1) / e1 + (c - e2) * (c - e2) / e2) * 1e6
+          + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    val dof = (0 until nBins).map(i =>
+      when(col(s"_b$i") + col(s"_c$i") > 0, 1L).otherwise(0L)).reduce(_ + _) - 1
+    row.select(
+      (termsMicros.reduce(_ + _).cast("double") / 1e6).as("chi2"),
+      dof.cast("long").as("dof"),
+      totB.cast("long").as("n_base"), totC.cast("long").as("n_cur"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the nonparametric
     * drift test that needs NO binning config (PSI's lo/hi/nBins): the max
     * gap between the two empirical CDFs, evaluated at every observed value,

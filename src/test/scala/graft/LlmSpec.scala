@@ -1901,6 +1901,86 @@ class LlmSpec extends SparkSpec {
     assert(n1 != n2)
   }
 
+  test("chi2 drift: hand-computed statistic, dof, identical-sides zero") {
+    import graft.profile.Psi
+    // integer values with unit bins so the binning is the identity
+    val base = Seq(0L, 0L, 1L, 1L).toDF("v")
+    val cur = Seq(1L, 2L, 2L, 2L).toDF("v")
+    // bins: (b,c) = (2,0),(2,1),(0,3),(0,0); N1=N2=4
+    // terms: 2.0, 1/3 (micro-rounded 0.333333), 3.0; dof = 3−1 = 2
+    val r = Psi.chi2(base, cur, col("v"), 0.0, 4.0, 4)
+      .as[(Double, Long, Long, Long)].head()
+    assert(r == ((5.333333, 2L, 4L, 4L)))
+    // identical sides: every term 0, dof = nonempty − 1
+    val z = Psi.chi2(base, base, col("v"), 0.0, 4.0, 4)
+      .as[(Double, Long, Long, Long)].head()
+    assert(z == ((0.0, 1L, 4L, 4L)))
+  }
+
+  test("DP histogram: full spine, reproducible, exact at huge epsilon") {
+    import graft.analytics.Privacy
+    val df = Seq(0.5, 1.5, 1.5, 3.5).toDF("x")
+    val r1 = Privacy.dpHistogram(df, col("x"), 0.0, 4.0, 4)
+      .as[(Long, Long)].collect().toMap
+    val r2 = Privacy.dpHistogram(df, col("x"), 0.0, 4.0, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == r2) // seeded draw: release is reproducible
+    // EVERY bin is released — including the empty bin 2 (suppressing
+    // empties leaks emptiness)
+    assert(r1.keySet == Set(0L, 1L, 2L, 3L))
+    assert(r1.values.forall(_ >= 0L))
+    // ε → ∞ degenerates to the exact histogram
+    val exact = Privacy.dpHistogram(df, col("x"), 0.0, 4.0, 4, eps = 1e9)
+      .as[(Long, Long)].collect().toMap
+    assert(exact == Map(0L -> 1L, 1L -> 2L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("Welch t-test: identical arms, known shift, reference arithmetic") {
+    import graft.analytics.Stats
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    // identical arms: t = 0; se1 = se2 → Welch dof = 2(n−1) = 6
+    val same = Stats.welchTTest(a, a, col("v"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(same == ((4L, 4L, 2.5, 2.5, 0.0, 6.0)))
+    // shifted arm: same variance, mean gap −1 ⇒ t = −1/sqrt(2·v/n) with
+    // v = 5/3 cents²·10⁴ — reference formulas inline (cent units)
+    val b = Seq(2.0, 3.0, 4.0, 5.0).toDF("v")
+    val shifted = Stats.welchTTest(a, b, col("v"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val v = (100.0 * 100 + 200 * 200 + 300 * 300 + 400 * 400 - 1000.0 * 1000 / 4) / 3
+    val tRef = math.floor(-100.0 / math.sqrt(2 * v / 4) * 1e4 + 0.5) / 1e4
+    assert(shifted._5 == tRef && shifted._6 == 6.0)
+    assert(shifted._3 == 2.5 && shifted._4 == 3.5)
+  }
+
+  test("contamination fraction: graded per-doc overlap, zero for clean docs") {
+    val evalSet = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "a b c d e x y z w q"), // 6 shingles, 1 shared ("a b c d e")
+      (11L, "p q r s t u")          // 2 shingles, 0 shared
+    ).toDF("doc_id", "text")
+    val r = Dedup.contaminationFrac(train, evalSet)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r(0) == ((10L, 6L, 1L, math.floor(1.0 / 6 * 1e6 + 0.5) / 1e6)))
+    assert(r(1) == ((11L, 2L, 0L, 0.0)))
+  }
+
+  test("centroid drift: identity and inversion endpoints") {
+    import graft.llm.Similarity
+    val a = Seq((1L, "x", Seq(1.0f, 0.0f)), (2L, "x", Seq(0.0f, 1.0f)),
+      (3L, "y", Seq(1.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    // same snapshot on both sides → cos = 1 for every label
+    val self = Similarity.centroidDrift(a, a)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(self == Set(("x", 2L, 2L, 1.0), ("y", 1L, 1L, 1.0)))
+    // negated snapshot → cos = −1
+    val neg = a.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val inv = Similarity.centroidDrift(a, neg)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(inv == Set(("x", 2L, 2L, -1.0), ("y", 1L, 1L, -1.0)))
+  }
+
   test("containment pairs: excerpt inside a larger doc, invisible to jaccard") {
     // shared 40-char blocking prefix, then the small doc IS a prefix slice
     // of the big doc's body: containment ≈ 1, jaccard ≈ |small|/|big| ≈ 0.1
