@@ -304,6 +304,14 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           graft.functions.Rounding.dround(col("mad_z"), 4).as("mad_z"))),
 
+    // Winsorized mean per group: the robust center the outlier gates
+    // imply — values clamped into the [p05, p95] quantile band, then a
+    // 10⁻⁴-unit exact mean. Quantiles ride the keyed histogram-rank
+    // machinery; the clamp+mean is one map-side-combined keyed agg.
+    "winsorize" -> ((s, d) =>
+      Profile.winsorizedMean(t(s, d, "events"), "value", "event_type")
+        .orderBy("event_type")),
+
     // Distributional drift (PSI) between two event populations over fixed
     // config bins: each 100 TB side collapses to ≤nBins rows before any
     // join; the ln-bearing terms are rounded to micro-units and summed as
@@ -1080,6 +1088,23 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("sym"))),
 
+    // Tokenizer FERTILITY per language (subword tokens per whitespace
+    // word) — the standard tokenizer-quality readout: a fertility ≫ 1 on
+    // some language means the merge table under-serves it. Map-only per
+    // doc (both counts are native-kernel array sizes), one keyed agg.
+    "tokenizer_fertility" -> ((s, d) =>
+      t(s, d, "documents").select(col("lang"),
+          size(graft.functions.native.bpeTokens(col("text"),
+            graft.llm.Bpe.CoreEnglishMerges)).cast("long").as("_sub"),
+          size(TextStats.tokens(col("text"))).cast("long").as("_w"))
+        .groupBy("lang")
+        .agg(sum("_sub").as("n_subtokens"), sum("_w").as("n_words"))
+        .select(col("lang"), col("n_subtokens"), col("n_words"),
+          graft.functions.Rounding.dround(
+            col("n_subtokens").cast("double") / col("n_words"), 6)
+            .as("fertility"))
+        .orderBy("lang")),
+
     // BPE TRAINING oracle-gated end to end: learn 8 merges ON the corpus
     // (distributed word-frequency aggregate + the deterministic driver
     // merge loop — count DESC, pair ASC tie-break) and emit the merge
@@ -1107,6 +1132,28 @@ object SparkEntry {
         graft.llm.QualityModel.score(col("text"),
           graft.llm.QualityModel.CoreDemoModel).as("q_model"))
         ),
+
+    // Calibration readout: model-score bins vs the heuristic quality rule
+    // — does the learned score AGREE with the rules where they're
+    // confident? One map pass + one keyed agg; per-bin means are summed as
+    // exact micro-unit longs (the scores are already edge-rounded).
+    "model_calibration" -> ((s, d) =>
+      t(s, d, "documents").select(
+          graft.llm.QualityModel.score(col("text"),
+            graft.llm.QualityModel.CoreDemoModel).as("_qm"),
+          TextStats.qualityScore(col("text")).as("_qh"))
+        .select(
+          least(lit(9L), floor(col("_qm") * 10).cast("long")).as("bin"),
+          floor(col("_qm") * 1000000 + lit(0.5)).cast("long").as("_m"),
+          floor(col("_qh") * 1000000 + lit(0.5)).cast("long").as("_h"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("_m").as("_sm"), sum("_h").as("_sh"))
+        .select(col("bin"), col("n"),
+          graft.functions.Rounding.dround(
+            col("_sm").cast("double") / 1000000 / col("n"), 6).as("mean_model"),
+          graft.functions.Rounding.dround(
+            col("_sh").cast("double") / 1000000 / col("n"), 6).as("mean_heur"))
+        .orderBy("bin")),
 
     // DISTRIBUTED TRAINING oracle-gated end to end: 3 epochs of full-batch
     // logistic gradient descent over the corpus (labels = doc_id parity),
@@ -1996,7 +2043,10 @@ object SparkEntry {
   // final symbol at its document-order position — per-word symbolizations
   // join back to the (doc, wordIndex) relation, and a per-doc keyed window
   // turns word-local symbol indexes into the global token position.
-  private lazy val bpeEncodeOracleSql: String = {
+  // Symbolization prefix shared by bpe_encode and tokenizer_fertility:
+  // per-doc word stream pw(doc_id, i, word) and every distinct word's
+  // merged subword list fin(word, s) after the k training merges.
+  private lazy val bpeSymbolizeCte: String = {
     val k = graft.llm.Bpe.CoreEnglishMerges.length
     val values = graft.llm.Bpe.CoreEnglishMerges.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1},'$a','$b')" }.mkString(", ")
@@ -2013,14 +2063,32 @@ object SparkEntry {
       "CASE WHEN len(acc) >= 1 AND acc[len(acc)] = m.a AND x[1] = m.b " +
       "THEN acc[1:len(acc)-1] || [m.a || m.b] ELSE acc || x END) END, it.r + 1 " +
       s"FROM it JOIN m ON m.r = it.r WHERE it.r <= $k), " +
-      s"fin AS (SELECT word, s FROM it WHERE r = ${k + 1}), " +
-      "wp AS (SELECT pw.doc_id, pw.i, f.s, len(f.s) AS ns FROM pw JOIN fin f USING (word)), " +
+      s"fin AS (SELECT word, s FROM it WHERE r = ${k + 1})"
+  }
+
+  private lazy val bpeEncodeOracleSql: String = {
+    bpeSymbolizeCte +
+      ", wp AS (SELECT pw.doc_id, pw.i, f.s, len(f.s) AS ns FROM pw JOIN fin f USING (word)), " +
       "off AS (SELECT doc_id, i, s, COALESCE(SUM(ns) OVER (PARTITION BY doc_id " +
       "ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM wp) " +
       "SELECT doc_id, CAST(o + j - 1 AS BIGINT) AS pos, s[j] AS sym " +
       "FROM (SELECT doc_id, o, s, unnest(generate_series(1, len(s))) AS j FROM off) " +
       "ORDER BY doc_id, pos"
   }
+
+  // fertility replay: per-doc word and subtoken counts off the shared
+  // symbolization, LEFT-joined back onto documents (empty-token docs
+  // contribute zeros on both engines), aggregated per language.
+  private lazy val tokenizerFertilityOracleSql: String =
+    bpeSymbolizeCte +
+      ", wn AS (SELECT pw.doc_id, count(*) AS w, CAST(sum(len(f.s)) AS BIGINT) AS sub " +
+      "FROM pw JOIN fin f USING (word) GROUP BY pw.doc_id), " +
+      "l AS (SELECT d.lang, coalesce(wn.sub, 0) AS sub, coalesce(wn.w, 0) AS w " +
+      "FROM documents d LEFT JOIN wn ON d.doc_id = wn.doc_id) " +
+      "SELECT lang, CAST(sum(sub) AS BIGINT) AS n_subtokens, " +
+      "CAST(sum(w) AS BIGINT) AS n_words, " +
+      "round(CAST(sum(sub) AS DOUBLE) / sum(w), 6) AS fertility " +
+      "FROM l GROUP BY lang ORDER BY lang"
 
   // bpe_train oracle: 8 training rounds UNROLLED as a CTE chain (recursive
   // CTEs cannot aggregate over their own working table, and each round
@@ -2053,17 +2121,36 @@ object SparkEntry {
 
   // quality_model oracle generated from the same literal model the query
   // uses (exact 6-dp decimal weight strings parse to the identical doubles)
-  private lazy val qualityModelOracleSql: String = {
+  // The demo model's scoring EXPRESSION over a relation exposing `toks`
+  // (nonempty whitespace tokens) — shared by quality_model and the
+  // model_calibration readout so engine and oracle can never drift.
+  private lazy val qualityModelScoreSql: String = {
     val m = graft.llm.QualityModel.CoreDemoModel
     val wl = m.weights.map(w => f"$w%.6f").mkString("[", ", ", "]")
-    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS toks FROM documents) " +
-      f"SELECT doc_id, round(1/(1 + exp(-(${m.bias}%.6f + CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
+    f"round(1/(1 + exp(-(${m.bias}%.6f + CASE WHEN len(toks) = 0 THEN 0.0 ELSE " +
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(toks, tk -> " +
       s"$wl[1 + CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(generate_series(1, length(tk)), j -> CAST(ascii(substr(tk,j,1)) AS BIGINT))), " +
       s"(a,b) -> (a*31+b)%1000000007) % ${m.dim} AS INT)])), " +
-      "(a,b) -> a + b) / len(toks) END))), 6) AS q_model FROM t ORDER BY doc_id"
+      "(a,b) -> a + b) / len(toks) END))), 6)"
   }
+
+  private lazy val qualityModelOracleSql: String =
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS toks FROM documents) " +
+      s"SELECT doc_id, $qualityModelScoreSql AS q_model FROM t ORDER BY doc_id"
+
+  // calibration replay: both scores from their proven expressions (model
+  // 6 dp, heuristic 4 dp), micro-unit exact per-bin means.
+  private lazy val modelCalibrationOracleSql: String =
+    "WITH t AS (SELECT doc_id, text, list_filter(string_split(text, ' '), tk -> tk <> '') AS toks FROM documents), " +
+      s"s AS (SELECT $qualityModelScoreSql AS qm, $qualityExprSql AS qh FROM t), " +
+      "b AS (SELECT least(9, CAST(floor(qm * 10) AS BIGINT)) AS bin, " +
+      "CAST(floor(qm * 1000000 + 0.5) AS BIGINT) AS m, " +
+      "CAST(floor(qh * 1000000 + 0.5) AS BIGINT) AS h FROM s) " +
+      "SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+      "round(CAST(sum(m) AS DOUBLE) / 1000000 / count(*), 6) AS mean_model, " +
+      "round(CAST(sum(h) AS DOUBLE) / 1000000 / count(*), 6) AS mean_heur " +
+      "FROM b GROUP BY bin ORDER BY bin"
 
   // quality_train oracle: the whole distributed-training run replayed —
   // hashed features once up front, then 3 unrolled epochs, each: ordered
@@ -2190,8 +2277,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "bpe_tokens" -> bpeOracleSql,
     "bpe_encode" -> bpeEncodeOracleSql,
+    "tokenizer_fertility" -> tokenizerFertilityOracleSql,
     "bpe_train" -> bpeTrainOracleSql,
     "quality_model" -> qualityModelOracleSql,
+    "model_calibration" -> modelCalibrationOracleSql,
     "quality_train" -> qualityTrainOracleSql,
     "lm_score" -> lmScoreOracleSql,
     "perplexity_buckets" -> perplexityBucketsOracleSql,
@@ -2382,6 +2471,20 @@ object SparkEntry {
         "round(dev / (1.4826 * mad), 4) AS mad_z " +
         "FROM dev d JOIN mad USING (event_type) " +
         "WHERE mad > 0 AND dev / (1.4826 * mad) >= 3.5 ORDER BY event_id"),
+
+    // winsorize replay: 4-dp-rounded quantile band (so every clamped value
+    // is an exact multiple of 10⁻⁴), then an exact 10⁻⁴-unit sum — the
+    // same least/greatest/floor operand shapes as the Spark side.
+    "winsorize" ->
+      ("WITH g AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS lo, " +
+        "round(quantile_cont(value, 0.95), 4) AS hi " +
+        "FROM events WHERE value IS NOT NULL GROUP BY event_type), " +
+        "w AS (SELECT e.event_type AS event_type, g.lo AS lo, g.hi AS hi, " +
+        "CAST(floor(least(greatest(e.value, g.lo), g.hi) * 10000 + 0.5) AS BIGINT) AS x " +
+        "FROM events e JOIN g ON e.event_type = g.event_type WHERE e.value IS NOT NULL) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(lo) AS lo, max(hi) AS hi, " +
+        "round(CAST(sum(x) AS DOUBLE) / 10000 / count(*), 6) AS mean_wins " +
+        "FROM w GROUP BY event_type ORDER BY event_type"),
 
     // identical bucket arithmetic (same IEEE divisions), so bucket ids agree
     "value_histogram" ->

@@ -524,6 +524,42 @@ object Profile {
     } finally { counts.unpersist(); () }
   }
 
+  /** Winsorized mean per group: values clamped into the [pLo, pHi]
+    * quantile band before averaging — the robust central-tendency readout
+    * that survives the heavy tails [[zscoreOutliers]]/[[madOutliers]] FLAG
+    * (flagging tells you the tail exists; winsorizing tells you the center
+    * without it). Returns `(groupCol, n, lo, hi, mean_wins)`.
+    *
+    * Determinism: the quantile bounds are rounded to 4 dp, so every
+    * clamped value is an exact multiple of 10⁻⁴ ≤ the value domain —
+    * summed as exact 10⁻⁴-unit longs, the mean is partition-invariant and
+    * engine-exact (same convention as the cents-exact t-test).
+    *
+    * Scale shape: quantiles ride the keyed histogram-rank machinery
+    * ([[Quantiles.quantileContByEager]] — no global sort, bounds relation
+    * is group-sized and broadcast back), then ONE map-side-combined keyed
+    * aggregate over the scan. Two passes total at any corpus size.
+    */
+  def winsorizedMean(df: DataFrame, valueCol: String, groupCol: String,
+                     pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val qs = Quantiles.quantileContByEager(
+      df.select(col(groupCol), col(valueCol)), groupCol, valueCol, Seq(pLo, pHi))
+    def bound(p: Double, name: String) =
+      qs.where(col("q") === p)
+        .select(col(groupCol), graft.functions.Rounding.dround(col("value"), 4).as(name))
+    val bounds = bound(pLo, "lo").join(bound(pHi, "hi"), groupCol)
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(bounds), groupCol)
+      .select(col(groupCol), col("lo"), col("hi"),
+        floor(least(greatest(col(valueCol).cast("double"), col("lo")),
+          col("hi")) * 10000 + lit(0.5)).cast("long").as("_x"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"), sum(col("_x")).as("_s"))
+      .select(col(groupCol), col("n"), col("lo"), col("hi"),
+        graft.functions.Rounding.dround(col("_s").cast("double") / 10000 / col("n"), 6).as("mean_wins"))
+  }
+
   /** P2: profile → contract constraints (reference: profile.py:21-39 —
     * min/max become JSON-Schema minimum/maximum; null_percentage == 0 makes
     * the field required). Collect is safe: one row per profiled column.

@@ -727,6 +727,22 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(Profile.madOutliers(const, "v", "grp", 1.0).count() == 0)
   }
 
+  test("winsorized mean: clamps tails, hand-computed band and mean") {
+    import graft.profile.Profile
+    // n=5: quantile_cont ranks 0.05·4 = 0.2 and 0.95·4 = 3.8 →
+    // lo = 0 + 0.2·(1−0) = 0.2, hi = 3 + 0.8·(100−3) = 80.6;
+    // clamped sum = 0.2 + 1 + 2 + 3 + 80.6 = 86.8 → mean 17.36
+    val df = Seq(0.0, 1.0, 2.0, 3.0, 100.0).map(("a", _)).toDF("grp", "v")
+    val r = Profile.winsorizedMean(df, "v", "grp")
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(r == (("a", 5L, 0.2, 80.6, 17.36)))
+    // a spread with no tail: clamping is the identity, mean unchanged
+    val flat = Seq.tabulate(11)(i => ("b", i.toDouble)).toDF("grp", "v")
+    val rf = Profile.winsorizedMean(flat, "v", "grp")
+      .as[(String, Long, Double, Double, Double)].collect().head
+    assert(rf._2 == 11L && rf._5 == 5.0)
+  }
+
   test("PSI drift: zero on identical, positive on shifted, bounded and partition-invariant") {
     import graft.profile.Psi
     val base = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "v")
