@@ -262,6 +262,12 @@ object SparkEntry {
         exact = true)
         ),
 
+    // The varchar half of SUMMARIZE: exact distinct / null counts,
+    // binary-collation min/max, modal value with a deterministic tiebreak.
+    "profile_strings" -> ((s, d) =>
+      Profile.summarizeStrings(t(s, d, "documents"), Seq("lang", "source"))
+        .orderBy("column_name")),
+
     // (The approximate profile mode — HLL distinct + percentile_approx, the
     // at-scale default — is engine-specific by construction and so lives
     // outside the oracle gate: library surface + ScalaTest coverage only.)
@@ -2430,6 +2436,22 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(leg).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY column_name")
     },
+
+    // varchar profile replay: same (column, value) counts relation; the
+    // modal tiebreak ORDER BY c DESC, v DESC replays max(struct(c, v)).
+    "profile_strings" ->
+      ("WITH kv AS (SELECT 'lang' AS cn, lang AS v FROM documents " +
+        "UNION ALL SELECT 'source' AS cn, source AS v FROM documents), " +
+        "c AS (SELECT cn, v, count(*) AS c FROM kv GROUP BY cn, v), " +
+        "s AS (SELECT cn, CAST(sum(CASE WHEN v IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS null_cnt, " +
+        "CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct, " +
+        "min(v) AS min_v, max(v) AS max_v FROM c GROUP BY cn), " +
+        "t AS (SELECT cn, v AS top_v, CAST(c AS BIGINT) AS top_n, " +
+        "row_number() OVER (PARTITION BY cn ORDER BY c DESC, v DESC) AS rn " +
+        "FROM c WHERE v IS NOT NULL) " +
+        "SELECT s.cn AS column_name, n, null_cnt, n_distinct, min_v, max_v, t.top_v, t.top_n " +
+        "FROM s JOIN t ON s.cn = t.cn AND t.rn = 1 ORDER BY column_name"),
 
     "profile_by_group" ->
       ("SELECT lang, CAST(min(n_chars) AS DOUBLE) AS col_min, " +

@@ -524,6 +524,39 @@ object Profile {
     } finally { counts.unpersist(); () }
   }
 
+  /** STRING-column profile — the varchar half of SUMMARIZE ([[summarize]]
+    * covers the numeric half): per column `(column_name, n, null_cnt,
+    * n_distinct, min_v, max_v, top_v, top_n)` with exact distinct counts,
+    * binary-collation min/max (Spark's UTF8 comparison = DuckDB's default),
+    * and the modal value (ties broken toward the LARGER value — the
+    * `max(struct(count, value))` order, replayed as `ORDER BY c DESC,
+    * v DESC` in SQL).
+    *
+    * Scale shape: one `stack` unpivot feeding a map-side-combined
+    * `(column, value)` keyed count (per-task state bounded by the value
+    * domain, never the row count — same contract as the numeric exact
+    * profile), then a column-cardinality aggregate. No windows, no
+    * collects.
+    */
+  def summarizeStrings(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val counts = df
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS (_cn, _v)"))
+      .groupBy("_cn", "_v").agg(count(lit(1)).as("_c"))
+    counts.groupBy("_cn")
+      .agg(
+        sum(when(col("_v").isNotNull, col("_c")).otherwise(0L)).as("n"),
+        sum(when(col("_v").isNull, col("_c")).otherwise(0L)).as("null_cnt"),
+        count(when(col("_v").isNotNull, 1)).as("n_distinct"),
+        min(col("_v")).as("min_v"), max(col("_v")).as("max_v"),
+        max(when(col("_v").isNotNull, struct(col("_c"), col("_v"))))
+          .as("_top"))
+      .select(col("_cn").as("column_name"), col("n"), col("null_cnt"),
+        col("n_distinct"), col("min_v"), col("max_v"),
+        col("_top").getField("_v").as("top_v"),
+        col("_top").getField("_c").as("top_n"))
+  }
+
   /** Winsorized mean per group: values clamped into the [pLo, pHi]
     * quantile band before averaging — the robust central-tendency readout
     * that survives the heavy tails [[zscoreOutliers]]/[[madOutliers]] FLAG

@@ -727,6 +727,22 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(Profile.madOutliers(const, "v", "grp", 1.0).count() == 0)
   }
 
+  test("string profile: counts, collation min/max, modal tiebreak") {
+    import graft.profile.Profile
+    val df = Seq(
+      (Option("b"), Option("x")), (Option("a"), Option("x")),
+      (Option("a"), Option.empty[String]), (Option.empty[String], Option("y")),
+      (Option("c"), Option("y"))
+    ).toDF("l", "s")
+    val r = Profile.summarizeStrings(df, Seq("l", "s"))
+      .as[(String, Long, Long, Long, String, String, String, Long)]
+      .collect().sortBy(_._1)
+    // l: a,a,b,c + 1 null → modal a (count 2)
+    assert(r(0) == (("l", 4L, 1L, 3L, "a", "c", "a", 2L)))
+    // s: x,x,y,y + 1 null → 2–2 tie broken toward the LARGER value
+    assert(r(1) == (("s", 4L, 1L, 2L, "x", "y", "y", 2L)))
+  }
+
   test("winsorized mean: clamps tails, hand-computed band and mean") {
     import graft.profile.Profile
     // n=5: quantile_cont ranks 0.05·4 = 0.2 and 0.95·4 = 3.8 →
