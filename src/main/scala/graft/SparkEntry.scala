@@ -1161,6 +1161,18 @@ object SparkEntry {
             col("_sh").cast("double") / 1000000 / col("n"), 6).as("mean_heur"))
         .orderBy("bin")),
 
+    // Classifier eval readout: accuracy / clamped log-loss / EXACT
+    // ties-half AUC against the parity labels quality_train fits. The
+    // corpus collapses to per-distinct-score label counts before the
+    // (score-granularity-bounded) ranking window.
+    "model_eval" -> ((s, d) =>
+      graft.llm.QualityModel.evaluate(
+        t(s, d, "documents").select(
+          graft.llm.QualityModel.score(col("text"),
+            graft.llm.QualityModel.CoreDemoModel).as("_s"),
+          pmod(col("doc_id"), lit(2)).as("_y")),
+        col("_s"), col("_y"))),
+
     // DISTRIBUTED TRAINING oracle-gated end to end: 3 epochs of full-batch
     // logistic gradient descent over the corpus (labels = doc_id parity),
     // emitting the learned weight TABLE. Works cross-engine because each
@@ -2158,6 +2170,28 @@ object SparkEntry {
       "round(CAST(sum(h) AS DOUBLE) / 1000000 / count(*), 6) AS mean_heur " +
       "FROM b GROUP BY bin ORDER BY bin"
 
+  // model_eval replay: per-distinct-micro-score label counts, the exclusive
+  // cumulative-negatives window, and the same clamp/ln/floor operand shapes
+  // (the clamp bound is written 1.0 - 0.000001 so both engines compute it
+  // from the identical 1e-6 double instead of parsing a decimal literal).
+  private lazy val modelEvalOracleSql: String = {
+    val clamp = "greatest(0.000001, least(1.0 - 0.000001, CAST(q AS DOUBLE) / 1000000))"
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS toks FROM documents), " +
+      s"sc AS (SELECT doc_id, $qualityModelScoreSql AS s FROM t), " +
+      "q AS (SELECT CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS q, doc_id % 2 AS y FROM sc), " +
+      "g AS (SELECT q, CAST(sum(y) AS BIGINT) AS n1, CAST(sum(1 - y) AS BIGINT) AS n0 FROM q GROUP BY q), " +
+      "c AS (SELECT q, n1, n0, " +
+      "COALESCE(SUM(n0) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0, " +
+      s"n1 * CAST(floor(-ln($clamp) * 1000000 + 0.5) AS BIGINT) + " +
+      s"n0 * CAST(floor(-ln(1.0 - $clamp) * 1000000 + 0.5) AS BIGINT) AS ll, " +
+      "CASE WHEN q >= 500000 THEN n1 ELSE n0 END AS ok FROM g) " +
+      "SELECT CAST(sum(n1 + n0) AS BIGINT) AS n, " +
+      "round(CAST(sum(ok) AS DOUBLE) / sum(n1 + n0), 6) AS accuracy, " +
+      "round(CAST(sum(ll) AS DOUBLE) / 1000000 / sum(n1 + n0), 6) AS log_loss, " +
+      "round(CAST(sum(n1 * (2 * cum0 + n0)) AS DOUBLE) / (2.0 * sum(n1) * sum(n0)), 6) AS auc " +
+      "FROM c"
+  }
+
   // quality_train oracle: the whole distributed-training run replayed —
   // hashed features once up front, then 3 unrolled epochs, each: ordered
   // per-doc raw fold under the previous epoch's weight list → sigmoid
@@ -2287,6 +2321,7 @@ object SparkEntry {
     "bpe_train" -> bpeTrainOracleSql,
     "quality_model" -> qualityModelOracleSql,
     "model_calibration" -> modelCalibrationOracleSql,
+    "model_eval" -> modelEvalOracleSql,
     "quality_train" -> qualityTrainOracleSql,
     "lm_score" -> lmScoreOracleSql,
     "perplexity_buckets" -> perplexityBucketsOracleSql,

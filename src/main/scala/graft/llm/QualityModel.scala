@@ -214,4 +214,56 @@ object QualityModel {
       val z = graft.functions.PolyHash.splitmix(1000L + i)
       (Math.floorMod(z, 2000001L) - 1000000L) / 1000000.0
     }, 0.0)
+
+  /** Classifier EVALUATION — one row `(n, accuracy, log_loss, auc)` for a
+    * scored relation with binary labels: threshold-0.5 accuracy, clamped
+    * log-loss, and the EXACT ties-half AUC (the probability a random
+    * positive outscores a random negative, ties counting ½ — the
+    * Mann–Whitney U form, no sampling, no approximation).
+    *
+    * Determinism: scores arrive 6-dp edge-rounded ([[score]]'s contract),
+    * so the micro-unit score is an exact integer key. Log-loss rounds each
+    * distinct score's −ln term to micro-units (the PSI convention for
+    * ln-bearing terms) and folds `n·term` products as exact longs. AUC is
+    * exact integer arithmetic throughout: `U·2 = Σ_q n1(q)·(2·cumn0(<q) +
+    * n0(q))`, divided once at the edge.
+    *
+    * Scale shape: the corpus collapses to per-DISTINCT-SCORE label counts
+    * first (map-side combined; the relation entering the window is
+    * score-granularity-bounded — ≤ 10⁶+1 rows at 6 dp, a property of the
+    * rounding config, never the corpus; the same bound `corpus_budget`'s
+    * prefix relation pins), then one window and one final aggregate.
+    */
+  def evaluate(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(floor(scoreCol * 1000000 + lit(0.5)).cast("long").as("_q"),
+        labelCol.cast("long").as("_y"))
+      .groupBy("_q")
+      .agg(sum(col("_y")).as("_n1"), sum(lit(1L) - col("_y")).as("_n0"))
+    // clamped micro-probability, shared by both log-loss terms
+    val p = greatest(lit(1e-6), least(lit(1.0 - 1e-6),
+      col("_q").cast("double") / 1000000))
+    val w = Window.orderBy("_q")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byScore.select(col("_q"), col("_n1"), col("_n0"),
+      coalesce(sum(col("_n0")).over(w), lit(0L)).as("_cum0"),
+      (col("_n1") * floor(-log(p) * 1000000 + lit(0.5)).cast("long") +
+        col("_n0") * floor(-log(lit(1.0) - p) * 1000000 + lit(0.5)).cast("long"))
+        .as("_ll"),
+      when(col("_q") >= 500000, col("_n1")).otherwise(col("_n0")).as("_ok"))
+    cum.agg(
+        sum(col("_n1") + col("_n0")).as("_n"),
+        sum("_n1").as("_t1"), sum("_n0").as("_t0"),
+        sum("_ok").as("_okt"), sum("_ll").as("_llt"),
+        sum(col("_n1") * (lit(2L) * col("_cum0") + col("_n0"))).as("_u2"))
+      .select(col("_n").as("n"),
+        graft.functions.Rounding.dround(
+          col("_okt").cast("double") / col("_n"), 6).as("accuracy"),
+        graft.functions.Rounding.dround(
+          col("_llt").cast("double") / 1000000 / col("_n"), 6).as("log_loss"),
+        graft.functions.Rounding.dround(
+          col("_u2").cast("double") / (lit(2.0) * col("_t1") * col("_t0")), 6)
+          .as("auc"))
+  }
 }

@@ -1965,6 +1965,22 @@ class LlmSpec extends SparkSpec {
     assert(r(1) == ((11L, 2L, 0L, 0.0)))
   }
 
+  test("model eval: hand-computed ties-half AUC, accuracy, log-loss") {
+    import graft.llm.QualityModel
+    // pairs (pos vs neg): .9>.8 ✓, .9>.2 ✓, .8=.8 ½, .8>.2 ✓ → AUC 3.5/4
+    val df = Seq((0.9, 1L), (0.8, 0L), (0.8, 1L), (0.2, 0L)).toDF("s", "y")
+    val r = QualityModel.evaluate(df, col("s"), col("y"))
+      .as[(Long, Double, Double, Double)].head()
+    def tm(p: Double) = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    val llRef = math.floor(
+      (tm(0.9) + tm(0.2) + tm(0.8) + tm(0.8)).toDouble / 1e6 / 4 * 1e6 + 0.5) / 1e6
+    assert(r == ((4L, 0.75, llRef, 0.875)))
+    // perfectly separated → AUC exactly 1
+    val sep = Seq((0.9, 1L), (0.1, 0L)).toDF("s", "y")
+    assert(QualityModel.evaluate(sep, col("s"), col("y"))
+      .as[(Long, Double, Double, Double)].head()._4 == 1.0)
+  }
+
   test("centroid drift: identity and inversion endpoints") {
     import graft.llm.Similarity
     val a = Seq((1L, "x", Seq(1.0f, 0.0f)), (2L, "x", Seq(0.0f, 1.0f)),
