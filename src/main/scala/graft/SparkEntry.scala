@@ -351,6 +351,16 @@ object SparkEntry {
         ev.where(col("event_type") === "purchase"), col("value"))
     },
 
+    // Two-proportion z-test on a conversion predicate — the binomial
+    // sibling: four conditional counts in one wide aggregate.
+    "ab_proportions" -> { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.analytics.Stats.proportionZTest(
+        ev.where(col("event_type") === "view"),
+        ev.where(col("event_type") === "purchase"),
+        col("value") >= 250)
+    },
+
     // ---- flagship batch analytics ----
     "ctr_join" -> { (s, d) =>
       val e = withK(t(s, d, "events")).select("k", "event_type")
@@ -2815,6 +2825,26 @@ object SparkEntry {
         "round(m1 / 100, 6) AS mean_a, round(m2 / 100, 6) AS mean_b, " +
         "round((m1 - m2) / sqrt(se1 + se2), 4) AS t, " +
         "round((se1 + se2) * (se1 + se2) / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 4) AS dof FROM w"),
+
+    // proportion replay: four conditional counts, pooled-SE z with the
+    // same operand shapes (NULL predicate rows count as trials, not
+    // successes, on both engines).
+    "ab_proportions" ->
+      ("WITH u AS (SELECT CASE WHEN value >= 250 THEN 1 ELSE 0 END AS k, 0 AS side " +
+        "FROM events WHERE event_type = 'view' " +
+        "UNION ALL SELECT CASE WHEN value >= 250 THEN 1 ELSE 0 END AS k, 1 AS side " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "s AS (SELECT sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n1, " +
+        "sum(CASE WHEN side = 0 THEN k ELSE 0 END) AS k1, " +
+        "sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n2, " +
+        "sum(CASE WHEN side = 1 THEN k ELSE 0 END) AS k2 FROM u), " +
+        "p AS (SELECT n1, k1, n2, k2, CAST(k1 AS DOUBLE) / n1 AS p1, " +
+        "CAST(k2 AS DOUBLE) / n2 AS p2, " +
+        "CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp FROM s) " +
+        "SELECT CAST(n1 AS BIGINT) AS n_a, CAST(k1 AS BIGINT) AS k_a, " +
+        "CAST(n2 AS BIGINT) AS n_b, CAST(k2 AS BIGINT) AS k_b, " +
+        "round(p1, 6) AS rate_a, round(p2, 6) AS rate_b, " +
+        "round((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)), 4) AS z FROM p"),
 
     "funnel" ->
       ("WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events), " +

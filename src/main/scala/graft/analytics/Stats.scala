@@ -61,4 +61,36 @@ object Stats {
       graft.functions.Rounding.dround(t, 4).as("t"),
       graft.functions.Rounding.dround(dof, 4).as("dof"))
   }
+
+  /** Two-proportion z-test — the conversion-rate sibling of
+    * [[welchTTest]]: arms `a` and `b` each contribute a trial count and a
+    * success count (rows satisfying `success`), compared under the pooled
+    * standard error. One row `(n_a, k_a, n_b, k_b, rate_a, rate_b, z)`.
+    *
+    * Same shape and determinism contract: ONE wide aggregate of four
+    * conditional counts over the union (per-task state is four longs),
+    * then single-row IEEE arithmetic on exact integers.
+    */
+  def proportionZTest(a: DataFrame, b: DataFrame, success: Column): DataFrame = {
+    val k = when(success, 1L).otherwise(0L)
+    val u = a.select(k.as("_k"), lit(0).as("_side"))
+      .unionByName(b.select(k.as("_k"), lit(1).as("_side")))
+    val row = u.agg(
+      sum(when(col("_side") === 0, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_side") === 0, col("_k")).otherwise(0L)).as("_k1"),
+      sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_n2"),
+      sum(when(col("_side") === 1, col("_k")).otherwise(0L)).as("_k2"))
+    val n1 = col("_n1").cast("double"); val n2 = col("_n2").cast("double")
+    val p1 = col("_k1").cast("double") / n1
+    val p2 = col("_k2").cast("double") / n2
+    val pp = (col("_k1") + col("_k2")).cast("double") /
+      (col("_n1") + col("_n2")).cast("double")
+    val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2))
+    row.select(
+      col("_n1").as("n_a"), col("_k1").as("k_a"),
+      col("_n2").as("n_b"), col("_k2").as("k_b"),
+      graft.functions.Rounding.dround(p1, 6).as("rate_a"),
+      graft.functions.Rounding.dround(p2, 6).as("rate_b"),
+      graft.functions.Rounding.dround(z, 4).as("z"))
+  }
 }

@@ -1953,6 +1953,20 @@ class LlmSpec extends SparkSpec {
     assert(shifted._3 == 2.5 && shifted._4 == 3.5)
   }
 
+  test("proportion z-test: identical arms zero, hand-computed split") {
+    import graft.analytics.Stats
+    val a = Seq(1.0, 1.0, 1.0, 0.0).toDF("v")
+    val same = Stats.proportionZTest(a, a, col("v") > 0.5)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(same == ((4L, 3L, 4L, 3L, 0.75, 0.75, 0.0)))
+    // 3/4 vs 1/4: pooled p = .5 → z = .5 / sqrt(.5·.5·(¼+¼)) = √2
+    val b = Seq(1.0, 0.0, 0.0, 0.0).toDF("v")
+    val r = Stats.proportionZTest(a, b, col("v") > 0.5)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    val zRef = math.floor(0.5 / math.sqrt(0.5 * 0.5 * 0.5) * 1e4 + 0.5) / 1e4
+    assert(r == ((4L, 3L, 4L, 1L, 0.75, 0.25, zRef)))
+  }
+
   test("contamination fraction: graded per-doc overlap, zero for clean docs") {
     val evalSet = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val train = Seq(
