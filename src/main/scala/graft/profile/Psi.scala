@@ -100,11 +100,19 @@ object Psi {
     * `Σ (o1−e1)²/e1 + (o2−e2)²/e2` over bins with `r > 0`, and
     * `dof = (#nonempty bins − 1)`. Both sides must be non-empty.
     *
-    * Same plan and determinism contract as [[psi]]: ONE wide aggregate of
-    * 2·nBins conditional sums over the union (map-side combined), then
-    * stateless single-row arithmetic; each term is nonnegative, rounded to
-    * micro-units with the binary-value floor and summed as exact longs —
-    * never an order-dependent double sum.
+    * Same determinism contract as [[psi]]: each term is nonnegative,
+    * rounded to micro-units with the binary-value floor and summed as
+    * exact longs — never an order-dependent double sum.
+    *
+    * Plan: unlike [[psi]]'s 2·nBins-conditional-sum wide aggregate (whose
+    * per-bin expressions inline the total sums — an O(nBins²) Catalyst
+    * tree that costs ~1 s of pure driver planning at nBins = 10), this is
+    * RELATIONAL in the bin: one map-side-combined keyed count (≤ nBins
+    * groups), a one-row totals aggregate broadcast back, constant-size
+    * per-row term arithmetic, one final aggregate. Same one data-sized
+    * exchange; generic in nBins. Bins absent from the count relation are
+    * exactly the r = 0 bins — zero term, excluded from dof — so no spine
+    * is needed.
     */
   def chi2(base: DataFrame, cur: DataFrame, value: Column,
            lo: Double, hi: Double, nBins: Int): DataFrame = {
@@ -112,30 +120,29 @@ object Psi {
       .select(bin(value, lo, hi, nBins).as("_bin"), lit(0).as("_side"))
       .unionByName(cur.where(value.isNotNull)
         .select(bin(value, lo, hi, nBins).as("_bin"), lit(1).as("_side")))
-    val aggs = (0 until nBins).flatMap(i => Seq(
-      sum(when(col("_side") === 0 && col("_bin") === i, 1L).otherwise(0L)).as(s"_b$i"),
-      sum(when(col("_side") === 1 && col("_bin") === i, 1L).otherwise(0L)).as(s"_c$i")))
-    val row = u.agg(aggs.head, aggs.tail: _*)
-    val totB = (0 until nBins).map(i => col(s"_b$i")).reduce(_ + _)
-    val totC = (0 until nBins).map(i => col(s"_c$i")).reduce(_ + _)
-    val totN = (totB + totC).cast("double")
-    val termsMicros = (0 until nBins).map { i =>
-      val b = col(s"_b$i").cast("double")
-      val c = col(s"_c$i").cast("double")
-      val r = b + c
-      val e1 = r * totB.cast("double") / totN
-      val e2 = r * totC.cast("double") / totN
-      when(r > 0,
-        floor(((b - e1) * (b - e1) / e1 + (c - e2) * (c - e2) / e2) * 1e6
-          + lit(0.5)).cast("long"))
-        .otherwise(lit(0L))
-    }
-    val dof = (0 until nBins).map(i =>
-      when(col(s"_b$i") + col(s"_c$i") > 0, 1L).otherwise(0L)).reduce(_ + _) - 1
-    row.select(
-      (termsMicros.reduce(_ + _).cast("double") / 1e6).as("chi2"),
-      dof.cast("long").as("dof"),
-      totB.cast("long").as("n_base"), totC.cast("long").as("n_cur"))
+    val perBin = u.groupBy("_bin").agg(
+      sum(when(col("_side") === 0, 1L).otherwise(0L)).as("_b"),
+      sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_c"))
+    val tot = perBin.agg(sum("_b").as("_tb"), sum("_c").as("_tc"))
+    val b = col("_b").cast("double"); val c = col("_c").cast("double")
+    val r = b + c
+    val e1 = r * col("_tb").cast("double") / (col("_tb") + col("_tc")).cast("double")
+    val e2 = r * col("_tc").cast("double") / (col("_tb") + col("_tc")).cast("double")
+    perBin.crossJoin(broadcast(tot))
+      .select(
+        when(r > 0,
+          floor(((b - e1) * (b - e1) / e1 + (c - e2) * (c - e2) / e2) * 1e6
+            + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("_tm"),
+        when(col("_b") + col("_c") > 0, 1L).otherwise(0L).as("_nz"),
+        col("_tb"), col("_tc"))
+      .agg(sum("_tm").as("_s"), sum("_nz").as("_z"),
+        max("_tb").as("_tb"), max("_tc").as("_tc"))
+      .select(
+        (col("_s").cast("double") / 1e6).as("chi2"),
+        (col("_z") - 1).cast("long").as("dof"),
+        col("_tb").cast("long").as("n_base"),
+        col("_tc").cast("long").as("n_cur"))
   }
 
   /** Exact two-sample Kolmogorov–Smirnov statistic — the nonparametric
