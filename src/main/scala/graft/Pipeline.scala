@@ -181,6 +181,23 @@ object Pipeline {
       f"(${sRow.getLong(2)} subword tokens corpus-wide), " +
       f"mean lm_score=${sRow.getDouble(0)}%.3f, mean q_model=${sRow.getDouble(1)}%.3f")
 
+    // 3c. model EVAL before trusting the scores downstream: exact
+    //     ties-half AUC / accuracy / log-loss of the trained classifier
+    //     against its labels, and an A/B readout (Welch t) of the LM score
+    //     between the kept and dropped halves of the Gopher filter
+    val evalRow = graft.llm.QualityModel.evaluate(
+        scoredDocs.join(labeled.select("doc_id", "label"), "doc_id"),
+        col("q_model"), col("label")).collect().head
+    val keptIds = gf.where(col("kept") === 1).select("doc_id")
+    val tRow = graft.analytics.Stats.welchTTest(
+        scoredDocs.join(keptIds, "doc_id"),
+        scoredDocs.join(gf.where(col("kept") === 0).select("doc_id"), "doc_id"),
+        col("lm_score")).collect().head
+    println(f"[pipeline] eval: classifier AUC=${evalRow.getDouble(3)}%.3f " +
+      f"acc=${evalRow.getDouble(1)}%.3f logloss=${evalRow.getDouble(2)}%.3f; " +
+      f"lm_score kept-vs-dropped t=${tRow.getDouble(4)}%.2f " +
+      f"(dof=${tRow.getDouble(5)}%.1f)")
+
     // 4. similarity over embeddings: exact baseline + a persisted IVF index
     //    + the PQ/ADC path whose probe never reads the raw vectors
     val embs = Tables(spark, sfDir, "embeddings")
