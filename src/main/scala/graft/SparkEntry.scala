@@ -318,6 +318,15 @@ object SparkEntry {
       Profile.winsorizedMean(t(s, d, "events"), "value", "event_type")
         .orderBy("event_type")),
 
+    // Rolling per-user anomaly gate: each event vs that user's own
+    // trailing-20 baseline (current row excluded) — the time-series
+    // outlier a global z/MAD gate normalizes away. One window pass
+    // partitioned per entity; cents-exact frame sums.
+    "rolling_outliers" -> ((s, d) =>
+      Profile.rollingOutliers(t(s, d, "events"), "value", "user_id",
+          "ts", "event_id")
+        .orderBy("event_id")),
+
     // Distributional drift (PSI) between two event populations over fixed
     // config bins: each 100 TB side collapses to ≤nBins rows before any
     // join; the ln-bearing terms are rounded to micro-units and summed as
@@ -2552,6 +2561,27 @@ object SparkEntry {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(lo) AS lo, max(hi) AS hi, " +
         "round(CAST(sum(x) AS DOUBLE) / 10000 / count(*), 6) AS mean_wins " +
         "FROM w GROUP BY event_type ORDER BY event_type"),
+
+    // rolling replay: identical cents frame sums over the same
+    // (ts, event_id)-ordered 20-preceding frame; z guarded inside CASE
+    // (DuckDB sqrt errors on negatives where Spark yields NaN — the CASE
+    // makes the evaluated sets identical).
+    "rolling_outliers" ->
+      ("WITH b AS (SELECT event_id, user_id, value, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS x, " +
+        "count(*) OVER w AS n, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS s, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS ss " +
+        "FROM events WHERE value IS NOT NULL " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)), " +
+        "v AS (SELECT event_id, user_id, value, n, " +
+        "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS vv, " +
+        "CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / n AS dx FROM b WHERE n >= 8), " +
+        "z AS (SELECT event_id, user_id, value, n, " +
+        "CASE WHEN vv > 0 THEN dx / sqrt(vv) ELSE NULL END AS z FROM v) " +
+        "SELECT event_id, user_id, value, CAST(n AS BIGINT) AS n_window, " +
+        "round(z, 4) AS roll_z FROM z " +
+        "WHERE z IS NOT NULL AND abs(z) >= 3.0 ORDER BY event_id"),
 
     // identical bucket arithmetic (same IEEE divisions), so bucket ids agree
     "value_histogram" ->

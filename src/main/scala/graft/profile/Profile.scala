@@ -524,6 +524,47 @@ object Profile {
     } finally { counts.unpersist(); () }
   }
 
+  /** Rolling per-entity anomaly gate — the TIME-SERIES member of the
+    * outlier family ([[zscoreOutliers]]/[[madOutliers]] compare against the
+    * group's GLOBAL distribution; this compares each observation against
+    * that entity's own TRAILING window, catching level shifts and spikes a
+    * global gate normalizes away). Flags rows whose value is ≥ `threshold`
+    * rolling z-scores from the mean of the `window` PRECEDING observations
+    * (current row excluded — the candidate must not contaminate its own
+    * baseline), once at least `minN` observations exist.
+    *
+    * Determinism: values are summed as exact integer cents over the frame
+    * (partition-invariant), mean/variance/z are single-row IEEE arithmetic
+    * on those exact sums, and the frame order `(orderCol, idCol)` is a
+    * total order — so the flag set is bit-identical across engines.
+    *
+    * Scale shape: one window pass partitioned BY ENTITY — partition size
+    * is one entity's history, never the corpus (the [[sessionize]]-family
+    * contract); no joins, no global sort.
+    */
+  def rollingOutliers(df: DataFrame, valueCol: String, partCol: String,
+                      orderCol: String, idCol: String, window: Int = 20,
+                      minN: Int = 8, threshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol).orderBy(col(orderCol), col(idCol))
+      .rowsBetween(-window, -1)
+    val cents = floor(col(valueCol).cast("double") * 100 + lit(0.5)).cast("long")
+    val base = df.where(col(valueCol).isNotNull).select(
+      col(idCol), col(partCol), col(valueCol), cents.as("_x"),
+      count(lit(1)).over(w).as("_n"),
+      sum(cents).over(w).as("_s"),
+      sum(cents * cents).over(w).as("_ss"))
+    val n = col("_n").cast("double")
+    val m = col("_s").cast("double") / n
+    val v = (col("_ss").cast("double") - col("_s").cast("double") * col("_s").cast("double") / n) / (n - 1)
+    val z = (col("_x").cast("double") - m) / sqrt(v)
+    base
+      .where(col("_n") >= minN && v > 0 && abs(z) >= threshold)
+      .select(col(idCol), col(partCol), col(valueCol),
+        col("_n").as("n_window"),
+        graft.functions.Rounding.dround(z, 4).as("roll_z"))
+  }
+
   /** STRING-column profile — the varchar half of SUMMARIZE ([[summarize]]
     * covers the numeric half): per column `(column_name, n, null_cnt,
     * n_distinct, min_v, max_v, top_v, top_n)` with exact distinct counts,

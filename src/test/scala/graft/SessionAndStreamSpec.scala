@@ -727,6 +727,25 @@ class SessionAndStreamSpec extends SparkSpec {
     assert(Profile.madOutliers(const, "v", "grp", 1.0).count() == 0)
   }
 
+  test("rolling outliers: spike vs own trailing baseline, min-window gate") {
+    import graft.profile.Profile
+    // user 1: ten quiet observations, then a spike — only the spike flags,
+    // and only once the trailing window holds minN observations
+    val vals = Seq(9.0, 10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 10.0, 11.0, 10.0, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, 1L, i.toLong, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = Profile.rollingOutliers(df, "value", "user_id", "ts", "event_id")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq(10L)) // exactly the spike
+    assert(r.head._4 == 10L && r.head._5 > 3.0)
+    // with fewer than minN prior observations, nothing can flag
+    val short = vals.take(5) :+ 100.0
+    val dfs = short.zipWithIndex.map { case (v, i) => (i.toLong, 1L, i.toLong, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(Profile.rollingOutliers(dfs, "value", "user_id", "ts", "event_id")
+      .count() == 0)
+  }
+
   test("string profile: counts, collation min/max, modal tiebreak") {
     import graft.profile.Profile
     val df = Seq(
