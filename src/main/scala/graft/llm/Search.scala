@@ -47,19 +47,23 @@ object Search {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty)
     val toks = TextStats.tokens(col(textCol))
-    val lens = docs.select(col(idCol).as("doc_id"),
-      size(toks).cast("long").as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    // only the query's terms survive the scan — nothing else shuffles
+    val stats = docs.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // only the query's terms survive the scan — nothing else shuffles —
+    // and dl rides the SAME scan (functionally dependent on doc_id), so
+    // no corpus-sized doc-length join exists. The query-sized tf relation
+    // feeds BOTH the df aggregate and the scoring join: a lazy
+    // localCheckpoint materializes the corpus scan once instead of
+    // re-running the tokenize+explode subtree per consumer.
     val tf = docs
-      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
       .where(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df_), "term")
-      .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
@@ -104,18 +108,21 @@ object Search {
     val qt = queries.select(col(qidCol),
       explode(array_distinct(TextStats.tokens(col(qtextCol)))).as("term"))
     val termSet = qt.select("term").distinct()
-    val lens = docs.select(col(idCol).as("doc_id"),
-      size(toks).cast("long").as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
+    val stats = docs.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // dl rides the tf scan (no corpus-sized doc-length join), and the
+    // query-sized tf relation is lazily checkpointed: it feeds both the
+    // df aggregate and the scoring join, which would otherwise each
+    // re-run the corpus tokenize+explode subtree.
     val tf = docs
-      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
       .join(broadcast(termSet), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df_), "term")
-      .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
