@@ -1279,12 +1279,19 @@ object SparkEntry {
     "tfidf_top_terms" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
+      // df via a map-side-combined aggregate + join, NOT a
+      // Window.partitionBy(term) count — the window form ships every tf
+      // row of a term into one partition (a skew bomb for stopword terms
+      // at corpus scale), where the agg shuffles one row per term per
+      // task. tf is NOT checkpointed: it is corpus-sized (unlike bm25's
+      // query-filtered tf), so re-running the cheap scan for the df
+      // aggregate beats materializing a corpus-sized intermediate.
       val tf = docs.select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val wTerm = Window.partitionBy("term")
       val wDoc = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      tf.withColumn("df", count(lit(1)).over(wTerm))
+      tf.join(df_, "term")
         .crossJoin(broadcast(n))
         .withColumn("score",
           graft.functions.Rounding.dround(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
