@@ -203,4 +203,34 @@ class DelayedJoinTwsSpec extends SparkSpec {
         Set(("rk1", 3.5)))
     }
   }
+
+  test("streaming heavy hitters: promotion at threshold, milestone cadence") {
+    import graft.stream.{HeavyHit, StreamHeavyHitters}
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[String]
+      val q = StreamHeavyHitters.hits(input.toDS(), threshold = 3L, every = 2L)
+        .writeStream.format("memory").queryName("shh")
+        .outputMode("append").start()
+      try {
+        // batch 1: a×2, b×1 — nobody reaches the threshold
+        input.addData("a", "b", "a")
+        q.processAllAvailable()
+        assert(spark.table("shh").as[HeavyHit].collect().isEmpty)
+        // batch 2: a crosses 3 (promoted), then milestones at 5;
+        // b stays cold at 2
+        input.addData("a", "a", "a", "b")
+        q.processAllAvailable()
+        assert(spark.table("shh").as[HeavyHit].collect().toSet ==
+          Set(HeavyHit("a", 3L), HeavyHit("a", 5L)))
+        // batch 3: counter state persists across batches — a hits the
+        // 7-milestone with two more events; b finally promotes at 3
+        input.addData("a", "a", "b")
+        q.processAllAvailable()
+        assert(spark.table("shh").as[HeavyHit].collect().toSet ==
+          Set(HeavyHit("a", 3L), HeavyHit("a", 5L), HeavyHit("a", 7L),
+            HeavyHit("b", 3L)))
+      } finally q.stop()
+    }
+  }
 }
