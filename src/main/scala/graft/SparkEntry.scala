@@ -88,6 +88,16 @@ object SparkEntry {
       Similarity.buildIvfPqIndex(t(s, d, "embeddings"),
         kClusters = 16, m = 8, kCodes = 16, path = scratchDir(s, "ivfpq", d)))
 
+  // BM25 index memo: postings partitioned by term bucket — the
+  // build-once/probe-many retrieval artifact (the probe partition-prunes
+  // to the query terms' buckets instead of re-tokenizing the corpus).
+  private val bm25Indexes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.llm.Search.Bm25Index]
+  private def bm25Idx(s: SparkSession, d: String): graft.llm.Search.Bm25Index =
+    bm25Indexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
+      graft.llm.Search.buildBm25Index(t(s, d, "documents"),
+        path = scratchDir(s, "bm25", d), nBuckets = 16))
+
   // The incremental-dedup signature store is an offline artifact too:
   // built once per (session, dir) from the even-id half of the corpus, then
   // probed (read-only) by the gate query — matching how a pipeline builds
@@ -1047,6 +1057,18 @@ object SparkEntry {
         (3L, "vector table scan"), (4L, "slow fast merge"),
         (5L, "data query the")).toDF("query_id", "qtext")
       graft.llm.Search.bm25ForQueries(t(s, d, "documents"), qs, k = 5)
+    },
+
+    // The SAME retrieval through the persisted bucket-partitioned index:
+    // the probe's corpus-sized input is the postings layout with a
+    // literal bucket partition filter — no corpus re-tokenize, no text
+    // read. Identical arithmetic, so it shares bm25_queries' oracle.
+    "bm25_index" -> { (s, d) =>
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"), (2L, "customer stream join"),
+        (3L, "vector table scan"), (4L, "slow fast merge"),
+        (5L, "data query the")).toDF("query_id", "qtext")
+      graft.llm.Search.bm25Probe(bm25Idx(s, d), qs, k = 5)
     },
 
     "lang_id" -> ((s, d) =>
@@ -2196,6 +2218,34 @@ object SparkEntry {
       "round(CAST(sum(h) AS DOUBLE) / 1000000 / count(*), 6) AS mean_heur " +
       "FROM b GROUP BY bin ORDER BY bin"
 
+  private lazy val bm25QueriesOracleSql: String =
+    "WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'window'), (1, 'agg'), " +
+      "(2, 'customer'), (2, 'stream'), (2, 'join'), " +
+      "(3, 'vector'), (3, 'table'), (3, 'scan'), " +
+      "(4, 'slow'), (4, 'fast'), (4, 'merge'), " +
+      "(5, 'data'), (5, 'query'), (5, 'the')), " +
+      "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "l AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t), " +
+      "st AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM l), " +
+      "u AS (SELECT doc_id, unnest(w) AS term FROM t), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM u " +
+      "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "sc AS (SELECT tf.doc_id, tf.term, " +
+      "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+      "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s " +
+      "FROM tf JOIN df USING (term) JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st), " +
+      "m AS (SELECT doc_id, term, CASE WHEN s * 1000000.0 >= 0 " +
+      "THEN floor(s * 1000000.0 + 0.5) " +
+      "ELSE -floor(-(s * 1000000.0) + 0.5) END AS t FROM sc), " +
+      "j AS (SELECT q.query_id, m.doc_id, SUM(t) AS s FROM m JOIN q USING (term) " +
+      "GROUP BY 1, 2), " +
+      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY s DESC, doc_id) AS rank FROM j) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, " +
+      "CAST(rank AS BIGINT) AS rank, round(s / 1000000.0, 6) AS score " +
+      "FROM rk WHERE rank <= 5 ORDER BY query_id, rank"
+
   // model_eval replay: per-distinct-micro-score label counts, the exclusive
   // cumulative-negatives window, and the same clamp/ln/floor operand shapes
   // (the clamp bound is written 1.0 - 0.000001 so both engines compute it
@@ -3221,33 +3271,11 @@ object SparkEntry {
 
     // Batch-BM25 replay: the query relation as VALUES, the same scoring
     // CTEs, a per-query ROW_NUMBER on (integer micro-sum DESC, doc_id).
-    "bm25_queries" ->
-      ("WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'window'), (1, 'agg'), " +
-        "(2, 'customer'), (2, 'stream'), (2, 'join'), " +
-        "(3, 'vector'), (3, 'table'), (3, 'scan'), " +
-        "(4, 'slow'), (4, 'fast'), (4, 'merge'), " +
-        "(5, 'data'), (5, 'query'), (5, 'the')), " +
-        "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-        "l AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t), " +
-        "st AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM l), " +
-        "u AS (SELECT doc_id, unnest(w) AS term FROM t), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM u " +
-        "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), " +
-        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-        "sc AS (SELECT tf.doc_id, tf.term, " +
-        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
-        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s " +
-        "FROM tf JOIN df USING (term) JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st), " +
-        "m AS (SELECT doc_id, term, CASE WHEN s * 1000000.0 >= 0 " +
-        "THEN floor(s * 1000000.0 + 0.5) " +
-        "ELSE -floor(-(s * 1000000.0) + 0.5) END AS t FROM sc), " +
-        "j AS (SELECT q.query_id, m.doc_id, SUM(t) AS s FROM m JOIN q USING (term) " +
-        "GROUP BY 1, 2), " +
-        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY s DESC, doc_id) AS rank FROM j) " +
-        "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, " +
-        "CAST(rank AS BIGINT) AS rank, round(s / 1000000.0, 6) AS score " +
-        "FROM rk WHERE rank <= 5 ORDER BY query_id, rank"),
+    "bm25_queries" -> bm25QueriesOracleSql,
+
+    // identical arithmetic through the persisted bucket-partitioned
+    // index (bucketing is layout only), so the same replay gates it
+    "bm25_index" -> bm25QueriesOracleSql,
 
     // Token entropy replay: per-term micro-bit rounding (c·ln(c)/ln(2),
     // floor(x+0.5) — terms are ≥ 0) BEFORE the sum, so both engines add

@@ -146,4 +146,116 @@ object Search {
         graft.functions.Rounding.dround(
           col("_s").cast("double") / 1e6, 6).as("score"))
   }
+
+  /** Persisted BM25 index: the postings relation laid out on disk
+    * partitioned by TERM BUCKET, plus the two corpus scalars scoring
+    * needs. The build-once/probe-many artifact — [[bm25ForQueries]]
+    * re-tokenizes the corpus per call; against 100 TB every probe must
+    * instead read only the probed terms' postings (same posture as the
+    * cluster-partitioned IVF layout in [[Similarity]]).
+    */
+  final case class Bm25Index(postings: DataFrame, nDocs: Long, sumDl: Long,
+                             nBuckets: Int, path: String)
+
+  /** Deterministic term→bucket assignment (murmur3 — engine-internal
+    * layout only; results never depend on which bucket a term lands in).
+    */
+  private def termBucket(term: Column, nBuckets: Int): Column =
+    pmod(abs(hash(term)), lit(nBuckets))
+
+  /** Build the index at `path`: per-(doc, term) tf with the doc length
+    * riding the same scan, written `partitionBy(tb)` so a probe's bucket
+    * set becomes a partition FILTER at the scan. One corpus tokenize pass
+    * for the postings + one for the corpus scalars; nBuckets bounds the
+    * probe read amplification at vocabulary scale (a probe reads
+    * |query-term buckets| / nBuckets of the postings bytes).
+    */
+  def buildBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64,
+                     textCol: String = "text", idCol: String = "doc_id"): Bm25Index = {
+    val spark = docs.sparkSession
+    val toks = TextStats.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term"), nBuckets))
+      .write.mode("overwrite").partitionBy("tb").parquet(path + "/postings")
+    val st = docs.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .collect().head
+    import spark.implicits._
+    Seq((st.getLong(0), st.getLong(1), nBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+      .write.mode("overwrite").parquet(path + "/stats")
+    Bm25Index(spark.read.parquet(path + "/postings"),
+      st.getLong(0), st.getLong(1), nBuckets, path)
+  }
+
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Bm25Index = {
+    val st = spark.read.parquet(path + "/stats").collect().head
+    Bm25Index(spark.read.parquet(path + "/postings"),
+      st.getLong(0), st.getLong(1), st.getInt(2), path)
+  }
+
+  /** BM25 for a query relation AGAINST THE INDEX — identical arithmetic
+    * (and so identical output) to [[bm25ForQueries]], but the corpus-sized
+    * input is the partitioned postings layout: the probed terms' bucket
+    * ids (a driver collect bounded by min(|query terms|, nBuckets)) become
+    * a literal partition filter, so the scan reads only those buckets'
+    * files — never the corpus and never the text. df is recomputed from
+    * the probed postings (exact: a term's postings live entirely in its
+    * one bucket).
+    */
+  /** The probe's corpus-sided input: the postings layout restricted to
+    * the query terms — the bucket ids become a LITERAL partition filter
+    * (collect bounded by min(|query terms|, nBuckets)), then the exact
+    * term set joins as a broadcast. Public so plan audits can assert the
+    * partition pruning on the scan itself ([[bm25Probe]] checkpoints this
+    * relation, which hides the file scan inside the checkpoint job).
+    */
+  def probedPostings(index: Bm25Index, queries: DataFrame,
+                     qidCol: String = "query_id",
+                     qtextCol: String = "qtext"): DataFrame = {
+    val termSet = queries.select(
+        explode(array_distinct(TextStats.tokens(col(qtextCol)))).as("term"))
+      .distinct()
+    val tbs = termSet
+      .select(termBucket(col("term"), index.nBuckets).as("tb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    index.postings
+      .where(col("tb").isin(tbs.map(Integer.valueOf): _*))
+      .join(broadcast(termSet), "term")
+  }
+
+  def bm25Probe(index: Bm25Index, queries: DataFrame, k: Int = 5,
+                qidCol: String = "query_id", qtextCol: String = "qtext",
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(col(qidCol),
+      explode(array_distinct(TextStats.tokens(col(qtextCol)))).as("term"))
+    val posts = probedPostings(index, queries, qidCol, qtextCol)
+      .localCheckpoint(false) // feeds df AND scoring — read buckets once
+    val df_ = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = lit(index.sumDl).cast("double") / lit(index.nDocs)
+    val idf = log(lit(1.0) +
+      (lit(index.nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val s = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val micro = {
+      val x = s * 1e6
+      when(x >= 0, floor(x + 0.5)).otherwise(-floor(-x + 0.5)).cast("long")
+    }
+    val perQuery = posts
+      .join(broadcast(df_), "term")
+      .select(col("doc_id"), col("term"), micro.as("_m"))
+      .join(broadcast(qt), "term")
+      .groupBy(col(qidCol), col("doc_id")).agg(sum(col("_m")).as("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("_s").desc, col("doc_id"))
+    perQuery
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("doc_id"), col("rank"),
+        graft.functions.Rounding.dround(
+          col("_s").cast("double") / 1e6, 6).as("score"))
+  }
 }

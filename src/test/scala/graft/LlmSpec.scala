@@ -612,6 +612,57 @@ class LlmSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("BM25 index: probe prunes to the query terms' buckets, parity with direct") {
+    import graft.llm.Search
+    // 30 docs over a 20-term vocabulary spread across many buckets
+    val docs = (0 until 30).map { i =>
+      (i.toLong, (0 until 12).map(j => "w" + ((i * 5 + j * 3) % 20)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = Seq((1L, "w3 w7"), (2L, "w11")).toDF("query_id", "qtext")
+    val dir = tmpDir("bm25idx")
+    val idx = Search.buildBm25Index(docs, dir, nBuckets = 8)
+    val probe = Search.bm25Probe(idx, qs, k = 3)
+    val got = probe.collect().toSeq
+    // identical output to the direct corpus-scan form (same arithmetic;
+    // only the I/O shape differs)
+    val direct = Search.bm25ForQueries(docs, qs, k = 3).collect().toSeq
+    assert(got == direct && got.nonEmpty)
+    // the postings scan carries a bucket partition filter and read fewer
+    // files than the layout holds
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs2: QueryStageExec => Seq(qs2.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    // the probe's corpus-sided input (bm25Probe checkpoints it, which
+    // moves the file scan into the checkpoint job — audit the relation
+    // the probe actually reads)
+    val pruned = Search.probedPostings(idx, qs)
+    pruned.collect()
+    val pScans = scans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(pScans.nonEmpty, pruned.queryExecution.executedPlan.toString)
+    assert(pScans.forall(_.partitionFilters.nonEmpty),
+      s"no partition filter on the postings scan:\n${pruned.queryExecution.executedPlan}")
+    val filesRead = pScans.map(_.metrics("numFiles").value).sum
+    val totalFiles = new java.io.File(dir + "/postings").listFiles()
+      .filter(_.getName.startsWith("tb="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files — no pruning")
+    // load round-trips the layout and the corpus scalars
+    val loaded = Search.loadBm25Index(spark, dir)
+    assert(loaded.nDocs == idx.nDocs && loaded.sumDl == idx.sumDl &&
+      loaded.nBuckets == idx.nBuckets)
+    assert(Search.bm25Probe(loaded, qs, k = 3).collect().toSeq == got)
+  }
+
   test("int8 quantized search: high recall vs exact cosine, self-retrieval, zero-vector safe") {
     val vecs = (0 until 300).map { id =>
       (id.toLong, Array.tabulate(8)(d2 =>
