@@ -1417,6 +1417,13 @@ object SparkEntry {
           lo = 0.0, hi = 500.0, nBins = 10)
         .orderBy("bin")),
 
+    // k-anonymity audit over the (lang, source) quasi-identifiers: the
+    // release gate before any extract publication — one keyed count plus
+    // a group-cardinality aggregate.
+    "k_anonymity" -> ((s, d) =>
+      graft.analytics.Privacy.kAnonymity(t(s, d, "documents"),
+        Seq("lang", "source"), k = 40)),
+
     // Deterministic train/valid/test split: the label is a pure function
     // of the id (stable under corpus growth — eval docs can never drift
     // into train), aggregated per (split, source) to expose balance.
@@ -3043,6 +3050,13 @@ object SparkEntry {
     "dp_counts" -> dpCountsOracle,
 
     "dp_histogram" -> dpHistogramOracle,
+
+    "k_anonymity" ->
+      ("WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(CASE WHEN n < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+        "CAST(sum(CASE WHEN n < 40 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk, " +
+        "CAST(min(n) AS BIGINT) AS min_group_size FROM g"),
 
     // Split thresholds embed Scala's OWN cumulative-sum doubles (0.9 + 0.05
     // prints as 0.9500000000000001) so both engines compare the draw

@@ -76,4 +76,27 @@ object Privacy {
         col("n") + (geometric(u1, eps) - geometric(u2, eps)).cast("long"))
         .as("n_noisy"))
   }
+
+  /** k-anonymity audit over a quasi-identifier column set (Sweeney 2002):
+    * one row `(n_groups, n_violating, rows_at_risk, min_group_size)` —
+    * a release is k-anonymous iff `n_violating = 0` (every
+    * quasi-identifier combination is shared by ≥ k rows). The release
+    * gate to run BEFORE [[dpCounts]]-style noisy publication, and the
+    * audit that tells you which generalization level a join-linkable
+    * extract needs.
+    *
+    * Scale shape: one map-side-combined keyed count over the
+    * quasi-identifier tuple, then a second aggregate over the
+    * group-cardinality relation — auditing a 100 TB extract is one
+    * data-sized exchange.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2, s"need quasi columns and k >= 2")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_n") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("_n")).as("min_group_size"))
+  }
 }

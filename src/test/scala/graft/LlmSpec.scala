@@ -1952,6 +1952,20 @@ class LlmSpec extends SparkSpec {
     assert(n1 != n2)
   }
 
+  test("k-anonymity: violating groups counted, anonymous release passes") {
+    import graft.analytics.Privacy
+    // groups: (a,x)×3, (a,y)×1, (b,x)×2 — at k=2 the singleton violates
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("q1", "q2")
+    val r = Privacy.kAnonymity(df, Seq("q1", "q2"), k = 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((3L, 1L, 1L, 1L)))
+    // k = 4: every group (3, 1, 2) is below k — all rows at risk
+    val r4 = Privacy.kAnonymity(df, Seq("q1", "q2"), k = 4)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r4 == ((3L, 3L, 6L, 1L)))
+  }
+
   test("chi2 drift: hand-computed statistic, dof, identical-sides zero") {
     import graft.profile.Psi
     // integer values with unit bins so the binning is the identity
