@@ -804,6 +804,21 @@ object SparkEntry {
         .orderBy("split_a", "split_b")
     },
 
+    // Cross-source duplication matrix: which sources copy from which —
+    // the curation readout that sets per-source dedup priorities (and
+    // exposes mirror/scrape relationships). Same composition shape as
+    // split_leakage: two id-keyed joins on the (small) pair relation.
+    "dedup_source_matrix" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.ngramJaccard(docs)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Cluster resolution over the near-dup pair graph: a≈b≈c is ONE cluster
     // even though (a, c) was never compared — keeper selection needs
     // components, not pairs.
@@ -3020,6 +3035,16 @@ object SparkEntry {
         "SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs " +
         "FROM pr JOIN sp sa ON pr.doc_a = sa.doc_id JOIN sp sb ON pr.doc_b = sb.doc_id " +
         "WHERE sa.split <> sb.split GROUP BY 1, 2 ORDER BY split_a, split_b"),
+
+    // same pair relation, sources attached instead of split labels
+    "dedup_source_matrix" ->
+      (shingleCte + ", pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4), " +
+        "src AS (SELECT doc_id, source FROM documents) " +
+        "SELECT sa.source AS source_a, sb.source AS source_b, count(*) AS n_pairs " +
+        "FROM pr JOIN src sa ON pr.doc_a = sa.doc_id JOIN src sb ON pr.doc_b = sb.doc_id " +
+        "GROUP BY 1, 2 ORDER BY source_a, source_b"),
 
     // Target-encode replay: cents sums (round(x*100, 0) — positive domain),
     // identical double operand shapes for the smoothed mean.
