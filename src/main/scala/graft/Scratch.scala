@@ -18,9 +18,9 @@ object Scratch {
   /** The steady top-10 by committed bench cost (BENCH_full.json), the
     * scaling watch-list. */
   val ScaleQueries: Seq[String] = Seq(
-    "lm_score_tri", "dedup_fuzzy", "graph_pagerank", "perplexity_buckets",
-    "dedup_winnow", "quality_train", "lm_score", "bm25_queries",
-    "profile_summarize", "dedup_incremental", "graph_triangles")
+    "lm_score_tri", "dedup_fuzzy", "perplexity_buckets", "split_leakage",
+    "bm25_queries", "lm_score", "dedup_source_matrix", "graph_pagerank",
+    "dedup_winnow", "profile_summarize", "quality_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
