@@ -1439,6 +1439,14 @@ object SparkEntry {
       graft.analytics.Privacy.kAnonymity(t(s, d, "documents"),
         Seq("lang", "source"), k = 40)),
 
+    // ε-DP per-group mean (clamp-and-split: ε/2 on the bounded sum, ε/2
+    // on the count) — completing the DP release family beside the count
+    // and histogram mechanisms.
+    "dp_mean" -> ((s, d) =>
+      graft.analytics.Privacy.dpMean(t(s, d, "events"), col("value"),
+          "event_type", lo = 0.0, hi = 500.0)
+        .orderBy("event_type")),
+
     // Deterministic train/valid/test split: the label is a pure function
     // of the id (stable under corpus growth — eval docs can never drift
     // into train), aggregated per (split, source) to expose balance.
@@ -1986,6 +1994,32 @@ object SparkEntry {
       "SELECT source, CAST(greatest(0, n + CAST(floor(-ln(1.0 - u1) / 1.0) - " +
       "floor(-ln(1.0 - u2) / 1.0) AS BIGINT)) AS BIGINT) AS n_noisy " +
       "FROM u ORDER BY source"
+  }
+
+  // dp_mean replay: clamped 1e-4-unit sums, the group-fingerprint draws,
+  // and geometric scales written with the same integer/dyadic operand
+  // shapes (* 5000000 / 0.5 for the sum, * 1 / 0.5 for the count).
+  private lazy val dpMeanOracle: String = {
+    def draw(expr: String, seed: Long): String = {
+      val (a, b) = graft.llm.Corpus.hashConstants(seed)
+      val m3 = mix32Sql(expr)
+      s"(CAST(($a * (($m3) % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
+    }
+    val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, least(length(event_type), 64)), " +
+      "i -> CAST(ascii(substr(event_type, i, 1)) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+    "WITH a AS (SELECT event_type, count(*) AS n, " +
+      "sum(CAST(floor(least(greatest(value, 0.0), 500.0) * 10000 + 0.5) AS BIGINT)) AS s " +
+      "FROM events WHERE value IS NOT NULL GROUP BY event_type), " +
+      s"k AS (SELECT event_type, n, s, $fp AS fp FROM a), " +
+      s"u AS (SELECT event_type, n, s, ${draw("fp", 7L)} AS u1, ${draw("fp", 8L)} AS u2, " +
+      s"${draw("fp", 9L)} AS u3, ${draw("fp", 10L)} AS u4 FROM k), " +
+      "z AS (SELECT event_type, " +
+      "s + CAST(floor(-ln(1.0 - u1) * 5000000 / 0.5) - floor(-ln(1.0 - u2) * 5000000 / 0.5) AS BIGINT) AS ns, " +
+      "greatest(1, n + CAST(floor(-ln(1.0 - u3) * 1 / 0.5) - floor(-ln(1.0 - u4) * 1 / 0.5) AS BIGINT)) AS nn FROM u) " +
+      "SELECT event_type, CAST(nn AS BIGINT) AS n_noisy, " +
+      "round(CAST(ns AS DOUBLE) / 10000 / nn, 6) AS mean_noisy FROM z ORDER BY event_type"
   }
 
   // dp_histogram replay: drift_psi's binning + zero-filled spine, then the
@@ -3075,6 +3109,8 @@ object SparkEntry {
     "dp_counts" -> dpCountsOracle,
 
     "dp_histogram" -> dpHistogramOracle,
+
+    "dp_mean" -> dpMeanOracle,
 
     "k_anonymity" ->
       ("WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source) " +

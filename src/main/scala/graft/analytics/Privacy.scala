@@ -77,6 +77,49 @@ object Privacy {
         .as("n_noisy"))
   }
 
+  /** ε-DP noisy per-group MEAN of a bounded value — the release shape for
+    * per-slice averages (mean document quality per source, mean spend per
+    * cohort). Standard clamp-and-split construction: values are clamped
+    * into [lo, hi] (bounding the sum's sensitivity at max(|lo|, |hi|)),
+    * ε/2 buys discrete-Laplace noise on the clamped sum and ε/2 on the
+    * count (sensitivity 1), and the released mean is noisy_sum /
+    * max(1, noisy_n) — post-processing, no extra privacy cost.
+    *
+    * Determinism contract: clamped values are 10⁻⁴-unit exact longs (the
+    * winsorize convention — the bounds are config, so every clamped value
+    * is an exact multiple of 10⁻⁴), the geometric scales are written as
+    * `−ln(1−u) · sensUnits / (ε/2)` with integer/dyadic operands so both
+    * engines run identical IEEE ops, and the draws key on the group
+    * fingerprint — bit-reproducible like [[dpCounts]].
+    *
+    * Scale shape: one map-side-combined keyed aggregate, then per-group
+    * columnar noise — releasing per-slice means of a 100 TB table is one
+    * exchange of two longs per group per task.
+    */
+  def dpMean(df: DataFrame, value: Column, groupCol: String,
+             lo: Double, hi: Double, eps: Double = 1.0,
+             seed: Long = 7L): DataFrame = {
+    require(eps > 0, s"epsilon must be positive: $eps")
+    require(hi > lo, s"need hi > lo: [$lo, $hi]")
+    val units = 10000L
+    val sensUnits = math.ceil(math.max(math.abs(lo), math.abs(hi)) * units).toLong
+    val epsHalf = eps / 2
+    val x = floor(least(greatest(value.cast("double"), lit(lo)), lit(hi))
+      * units + lit(0.5)).cast("long")
+    val agg = df.where(value.isNotNull).groupBy(groupCol)
+      .agg(count(lit(1)).as("_n"), sum(x).as("_s"))
+    val key = graft.llm.TextStats.fingerprint(groupCol)
+    def geo(s: Long, scaleUnits: Long): Column =
+      floor(-log(lit(1.0) - graft.llm.Corpus.hashUnit(key, s))
+        * scaleUnits / epsHalf)
+    val noisySum = col("_s") + (geo(seed, sensUnits) - geo(seed + 1, sensUnits)).cast("long")
+    val noisyN = greatest(lit(1L),
+      col("_n") + (geo(seed + 2, 1L) - geo(seed + 3, 1L)).cast("long"))
+    agg.select(col(groupCol), noisyN.as("n_noisy"),
+      graft.functions.Rounding.dround(
+        noisySum.cast("double") / units / noisyN, 6).as("mean_noisy"))
+  }
+
   /** k-anonymity audit over a quasi-identifier column set (Sweeney 2002):
     * one row `(n_groups, n_violating, rows_at_risk, min_group_size)` —
     * a release is k-anonymous iff `n_violating = 0` (every

@@ -1952,6 +1952,26 @@ class LlmSpec extends SparkSpec {
     assert(n1 != n2)
   }
 
+  test("DP mean: clamped, reproducible, exact at huge epsilon") {
+    import graft.analytics.Privacy
+    // the outlier clamps to hi=10: clamped mean = (1 + 2 + 10) / 3
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 1000.0)).toDF("g", "v")
+    val exact = Privacy.dpMean(df, col("v"), "g", 0.0, 10.0, eps = 1e9)
+      .as[(String, Long, Double)].head()
+    assert(exact == (("a", 3L, math.floor(13.0 / 3 * 1e6 + 0.5) / 1e6)))
+    // seeded: reproducible; a different seed draws different noise at
+    // small epsilon
+    val n1 = Privacy.dpMean(df, col("v"), "g", 0.0, 10.0, eps = 0.05)
+      .as[(String, Long, Double)].head()
+    val n2 = Privacy.dpMean(df, col("v"), "g", 0.0, 10.0, eps = 0.05)
+      .as[(String, Long, Double)].head()
+    assert(n1 == n2)
+    val n3 = Privacy.dpMean(df, col("v"), "g", 0.0, 10.0, eps = 0.05, seed = 99L)
+      .as[(String, Long, Double)].head()
+    assert(n1 != n3)
+    assert(n1._2 >= 1L) // released count is clamped positive
+  }
+
   test("k-anonymity: violating groups counted, anonymous release passes") {
     import graft.analytics.Privacy
     // groups: (a,x)×3, (a,y)×1, (b,x)×2 — at k=2 the singleton violates
