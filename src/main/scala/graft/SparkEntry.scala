@@ -1439,6 +1439,13 @@ object SparkEntry {
       graft.analytics.Privacy.kAnonymity(t(s, d, "documents"),
         Seq("lang", "source"), k = 40)),
 
+    // l-diversity audit: k-anonymity's companion — a k-anonymous group
+    // with a constant sensitive attribute still leaks it (homogeneity
+    // attack); every quasi group must carry >= l distinct sensitive values.
+    "l_diversity" -> ((s, d) =>
+      graft.analytics.Privacy.lDiversity(t(s, d, "documents"),
+        Seq("source"), "lang", l = 4)),
+
     // ε-DP per-group mean (clamp-and-split: ε/2 on the bounded sum, ε/2
     // on the count) — completing the DP release family beside the count
     // and histogram mechanisms.
@@ -3111,6 +3118,13 @@ object SparkEntry {
     "dp_histogram" -> dpHistogramOracle,
 
     "dp_mean" -> dpMeanOracle,
+
+    "l_diversity" ->
+      ("WITH u AS (SELECT DISTINCT source, lang FROM documents), " +
+        "g AS (SELECT source, count(*) AS d FROM u GROUP BY source) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(CASE WHEN d < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+        "CAST(min(d) AS BIGINT) AS min_diversity FROM g"),
 
     "k_anonymity" ->
       ("WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source) " +

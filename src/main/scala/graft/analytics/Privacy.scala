@@ -142,4 +142,26 @@ object Privacy {
         sum(when(col("_n") < k, col("_n")).otherwise(0L)).as("rows_at_risk"),
         min(col("_n")).as("min_group_size"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — [[kAnonymity]]'s
+    * companion: a k-anonymous group whose SENSITIVE attribute is constant
+    * still leaks it (the homogeneity attack), so each quasi-identifier
+    * group must carry ≥ l distinct sensitive values. One row `(n_groups,
+    * n_violating, min_diversity)`.
+    *
+    * Scale shape: distinct-per-group via a two-level keyed aggregate
+    * (first `(quasi, sensitive)` distinct — map-side combined — then the
+    * per-group distinct count), then a group-cardinality aggregate; no
+    * count-distinct buffer ever holds a group's value set.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2, s"need quasi columns and l >= 2")
+    df.select((quasiCols :+ sensitiveCol).map(col): _*).distinct()
+      .groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("_d"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("_d") < l, 1L).otherwise(0L)).as("n_violating"),
+        min(col("_d")).as("min_diversity"))
+  }
 }

@@ -1972,6 +1972,20 @@ class LlmSpec extends SparkSpec {
     assert(n1._2 >= 1L) // released count is clamped positive
   }
 
+  test("l-diversity: homogeneous group flagged, diverse release passes") {
+    import graft.analytics.Privacy
+    // group a carries 2 distinct sensitive values, group b only 1
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "x"), ("b", "x"))
+      .toDF("q", "s")
+    val r = Privacy.lDiversity(df, Seq("q"), "s", l = 2)
+      .as[(Long, Long, Long)].head()
+    assert(r == ((2L, 1L, 1L)))
+    // at l = 2 with b removed, the release passes
+    val ok = Privacy.lDiversity(df.where(col("q") =!= "b"), Seq("q"), "s", l = 2)
+      .as[(Long, Long, Long)].head()
+    assert(ok == ((1L, 0L, 2L)))
+  }
+
   test("k-anonymity: violating groups counted, anonymous release passes") {
     import graft.analytics.Privacy
     // groups: (a,x)×3, (a,y)×1, (b,x)×2 — at k=2 the singleton violates
