@@ -128,15 +128,22 @@ object SparkEntry {
         k = 3, partCol = "cluster", maxBlock = 1000000).localCheckpoint()
     })
 
-  // Near-dup cluster resolution is likewise an offline artifact: resolved
-  // once per (session, dir), consumed by dedup_components AND dedup_droplist.
-  private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  // The near-dup PAIR relation + its component resolution are one offline
+  // artifact (PairsIndex): the expensive shingle-Jaccard kernel runs once
+  // per (session, dir) and lands bucket-partitioned on disk; every
+  // consumer (the pair gate itself, split-leakage, the source matrix,
+  // components / droplist / keep-best / cluster stats) reads the layout
+  // instead of re-running candidate generation + verification.
+  private val pairsIndexes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.llm.PairsIndex.Index]
+  private def pairsIdx(s: SparkSession, d: String): graft.llm.PairsIndex.Index =
+    pairsIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
+      graft.llm.PairsIndex.build(t(s, d, "documents"),
+        path = scratchDir(s, "pairs", d), nBuckets = 16))
+  private def jaccPairs(s: SparkSession, d: String): DataFrame =
+    pairsIdx(s, d).pairs(s)
   private def components(s: SparkSession, d: String): DataFrame =
-    ccCache.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
-      // already eager and lineage-truncated (localCheckpoint) — the memo
-      // value is a materialized leaf, no extra cache needed
-      Dedup.connectedComponents(Dedup.ngramJaccard(t(s, d, "documents"))))
+    pairsIdx(s, d).components(s)
 
   private def withK(ev: DataFrame): DataFrame =
     ev.withColumn("k", from_json(col("props"), propsSchema).getField("k"))
@@ -777,8 +784,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"))),
 
-    "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(t(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) => jaccPairs(s, d)),
+
+    // The persisted pair layout probed by bucket: the bucket id is a
+    // literal partition filter (pb = doc_a % nBuckets — plain modulus so
+    // the oracle can replay the same slice), so the scan reads 1/nBuckets
+    // of the pair bytes. Spec-asserted: files read < layout files.
+    "dedup_pairs_index" -> ((s, d) =>
+      pairsIdx(s, d).probeBucket(s, bucket = 3L).orderBy("doc_a", "doc_b")),
 
     // Near-SUBSET detection: shingle containment |A∩B|/min(|A|,|B|) stays
     // high for an excerpt inside a larger doc where Jaccard collapses.
@@ -795,7 +808,7 @@ object SparkEntry {
       val sp = graft.llm.Corpus.splitAssign(docs,
           Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
         .select(col("doc_id"), col("split"))
-      Dedup.ngramJaccard(docs)
+      jaccPairs(s, d)
         .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
         .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
         .where(col("split_a") =!= col("split_b"))
@@ -811,7 +824,7 @@ object SparkEntry {
     "dedup_source_matrix" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val src = docs.select(col("doc_id"), col("source"))
-      Dedup.ngramJaccard(docs)
+      jaccPairs(s, d)
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
         .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
         .groupBy("source_a", "source_b")
@@ -1053,9 +1066,17 @@ object SparkEntry {
       TextStats.tokenEntropy(t(s, d, "documents"))),
 
     // Inverted index build: df + ascending posting list per term, one
-    // keyed aggregate over per-doc-distinct (term, doc) pairs.
-    "inverted_index" -> ((s, d) =>
-      graft.llm.Search.invertedIndex(t(s, d, "documents"))),
+    // keyed aggregate over per-doc-distinct (term, doc) pairs. The
+    // posting list ships as a comma-joined STRING — the cross-engine
+    // comparator sorts rows column-wise and cannot order array cells,
+    // so no list-typed column may reach the gate.
+    "inverted_index" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      graft.llm.Search.invertedIndex(t(s, d, "documents"))
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"), _.cast("string")), ",")
+            .as("postings"))
+    },
 
     // BM25 ranked retrieval: query terms filtered BEFORE any shuffle,
     // broadcast df + corpus scalars, micro-unit term scores, heap top-k.
@@ -1162,8 +1183,11 @@ object SparkEntry {
         .groupBy("lang")
         .agg(sum("_sub").as("n_subtokens"), sum("_w").as("n_words"))
         .select(col("lang"), col("n_subtokens"), col("n_words"),
-          graft.functions.Rounding.dround(
-            col("n_subtokens").cast("double") / col("n_words"), 6)
+          // zero-word guard: Spark's x/0 is NULL but DuckDB's is IEEE NaN
+          // — gate the division so both engines release NULL
+          when(col("n_words") > 0,
+            graft.functions.Rounding.dround(
+              col("n_subtokens").cast("double") / col("n_words"), 6))
             .as("fertility"))
         .orderBy("lang")),
 
@@ -1995,7 +2019,8 @@ object SparkEntry {
       "list_transform(generate_series(1, least(length(source), 64)), " +
       "i -> CAST(ascii(substr(source, i, 1)) AS BIGINT))), " +
       "(a, b) -> (a * 31 + b) % 1000000007)"
-    "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source), " +
+    "WITH c AS (SELECT source, count(*) AS n FROM documents " +
+      "WHERE source IS NOT NULL GROUP BY source), " +
       s"k AS (SELECT source, n, $fp AS fp FROM c), " +
       s"u AS (SELECT source, n, ${draw("fp", 7L)} AS u1, ${draw("fp", 8L)} AS u2 FROM k) " +
       "SELECT source, CAST(greatest(0, n + CAST(floor(-ln(1.0 - u1) / 1.0) - " +
@@ -2018,7 +2043,7 @@ object SparkEntry {
       "(a, b) -> (a * 31 + b) % 1000000007)"
     "WITH a AS (SELECT event_type, count(*) AS n, " +
       "sum(CAST(floor(least(greatest(value, 0.0), 500.0) * 10000 + 0.5) AS BIGINT)) AS s " +
-      "FROM events WHERE value IS NOT NULL GROUP BY event_type), " +
+      "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY event_type), " +
       s"k AS (SELECT event_type, n, s, $fp AS fp FROM a), " +
       s"u AS (SELECT event_type, n, s, ${draw("fp", 7L)} AS u1, ${draw("fp", 8L)} AS u2, " +
       s"${draw("fp", 9L)} AS u3, ${draw("fp", 10L)} AS u4 FROM k), " +
@@ -2216,7 +2241,7 @@ object SparkEntry {
       "FROM documents d LEFT JOIN wn ON d.doc_id = wn.doc_id) " +
       "SELECT lang, CAST(sum(sub) AS BIGINT) AS n_subtokens, " +
       "CAST(sum(w) AS BIGINT) AS n_words, " +
-      "round(CAST(sum(sub) AS DOUBLE) / sum(w), 6) AS fertility " +
+      "CASE WHEN sum(w) > 0 THEN round(CAST(sum(sub) AS DOUBLE) / sum(w), 6) END AS fertility " +
       "FROM l GROUP BY lang ORDER BY lang"
 
   // bpe_train oracle: 8 training rounds UNROLLED as a CTE chain (recursive
@@ -2624,8 +2649,10 @@ object SparkEntry {
         "t AS (SELECT cn, v AS top_v, CAST(c AS BIGINT) AS top_n, " +
         "row_number() OVER (PARTITION BY cn ORDER BY c DESC, v DESC) AS rn " +
         "FROM c WHERE v IS NOT NULL) " +
+        // LEFT join: an all-NULL column has no modal row but must still
+        // release its (n=0, null_cnt) stats row, as the engine side does
         "SELECT s.cn AS column_name, n, null_cnt, n_distinct, min_v, max_v, t.top_v, t.top_n " +
-        "FROM s JOIN t ON s.cn = t.cn AND t.rn = 1 ORDER BY column_name"),
+        "FROM s LEFT JOIN t ON s.cn = t.cn AND t.rn = 1 ORDER BY column_name"),
 
     "profile_by_group" ->
       ("SELECT lang, CAST(min(n_chars) AS DOUBLE) AS col_min, " +
@@ -3271,6 +3298,17 @@ object SparkEntry {
         "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4 " +
         "ORDER BY doc_a, doc_b"),
 
+    // The persisted-layout probe is the SAME pair relation restricted to
+    // one modulus bucket of the left doc id — plain `% 16` so the replay
+    // needs no engine-internal hash.
+    "dedup_pairs_index" ->
+      (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4 " +
+        "AND a.doc_id % 16 = 3 " +
+        "ORDER BY doc_a, doc_b"),
+
     "dedup_embedding" ->
       ("WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) " +
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
@@ -3328,12 +3366,14 @@ object SparkEntry {
         "FROM documents GROUP BY lang ORDER BY lang"),
 
     // Inverted index: distinct (doc, term) then one grouped agg; the
-    // posting list is ORDER BY doc_id (no ties — ids are distinct).
+    // posting list is ORDER BY doc_id (no ties — ids are distinct) and
+    // is emitted as a comma-joined string so the comparator never sees
+    // a list-typed cell.
     "inverted_index" ->
       ("WITH u0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
         "u AS (SELECT DISTINCT doc_id, term FROM u0) " +
         "SELECT term, CAST(count(*) AS BIGINT) AS df, " +
-        "list(doc_id ORDER BY doc_id) AS postings " +
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings " +
         "FROM u GROUP BY term ORDER BY term"),
 
     // BM25 replay: identical arithmetic shapes (constants written as the

@@ -43,7 +43,12 @@ object Privacy {
     val key = graft.llm.TextStats.fingerprint(groupCol)
     val u1 = graft.llm.Corpus.hashUnit(key, seed)
     val u2 = graft.llm.Corpus.hashUnit(key, seed + 1)
-    df.groupBy(groupCol)
+    // NULL group labels are excluded: fingerprint(NULL) is NULL, so the
+    // draw — and the released count — would degenerate (engine-dependent
+    // greatest/NULL semantics). A caller who wants a NULL slice released
+    // must coalesce the label to an explicit sentinel first.
+    df.where(col(groupCol).isNotNull)
+      .groupBy(groupCol)
       .agg(count(lit(1)).as("n"))
       .select(col(groupCol),
         greatest(lit(0L),
@@ -106,7 +111,10 @@ object Privacy {
     val epsHalf = eps / 2
     val x = floor(least(greatest(value.cast("double"), lit(lo)), lit(hi))
       * units + lit(0.5)).cast("long")
-    val agg = df.where(value.isNotNull).groupBy(groupCol)
+    // NULL group labels excluded for the same reason as [[dpCounts]]:
+    // a NULL fingerprint would NULL the draw and corrupt the release.
+    val agg = df.where(value.isNotNull && col(groupCol).isNotNull)
+      .groupBy(groupCol)
       .agg(count(lit(1)).as("_n"), sum(x).as("_s"))
     val key = graft.llm.TextStats.fingerprint(groupCol)
     def geo(s: Long, scaleUnits: Long): Column =

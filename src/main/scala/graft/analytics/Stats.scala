@@ -15,9 +15,11 @@ object Stats {
     * relations: one row `(n_a, n_b, mean_a, mean_b, t, dof)` (t and the
     * Welch–Satterthwaite dof rounded to 4 dp, means to 6 dp).
     *
-    * Determinism contract: values are rounded to CENTS (binary-value
-    * floor(x·100 + 0.5), the library's cents-exact convention — see
-    * target encoding in [[Features]]) and summed as exact longs, so the
+    * Determinism contract: values are rounded to CENTS with the
+    * half-UP form floor(x·100 + 0.5) — deliberately NOT Rounding.cents
+    * (half-away-from-zero): the two differ by one cent on negative .5
+    * boundaries, and the oracles replay this exact floor form — and
+    * summed as exact longs, so the
     * sufficient statistics (n, Σx, Σx²) are partition-invariant and
     * bit-identical on any engine; everything after the aggregate is
     * stateless single-row IEEE arithmetic on those exact sums. The t

@@ -420,8 +420,11 @@ object Dedup {
     * readout behind [[decontaminate]]'s boolean scrub (GPT-3's appendix-C
     * overlap metric: what share of a training doc's distinct n-grams appear
     * anywhere in the benchmark suite). Returns `(idCol, n_grams, n_hit,
-    * frac)` for EVERY training doc, so thresholds can be tuned downstream
-    * instead of baked in.
+    * frac)` for every training doc WITH AT LEAST ONE SHINGLE — a doc
+    * shorter than `shingleLen` tokens produces no shingle rows and is
+    * absent from the output (it cannot be n-gram-contaminated; left-join
+    * the training ids back with n_grams = 0 if a dense relation is
+    * needed). Thresholds tune downstream instead of being baked in.
     *
     * Same scale shape as [[decontaminate]]: the eval side collapses to its
     * distinct shingle set and broadcasts; the training side explodes its

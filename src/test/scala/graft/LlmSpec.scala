@@ -1435,6 +1435,57 @@ class LlmSpec extends SparkSpec {
     assert(keepers == Map(1L -> 1L, 10L -> 10L, 20L -> 20L))
   }
 
+  test("pairs index: one kernel build, bucket probe prunes partitions, load round-trips") {
+    // 20 identical docs (one near-dup clique) + 2 unrelated: the pair
+    // relation spans many doc_a % 16 buckets, so a one-bucket probe must
+    // read STRICTLY fewer partition files than the layout holds.
+    val corpus = ((0 until 20).map(i => (i.toLong, base)) :+
+      (100L, "unrelated words entirely " * 10) :+
+      (101L, "другой corpus altogether distinct " * 10)).toDF("doc_id", "text")
+    val dir = tmpDir("pairsidx")
+    val idx = graft.llm.PairsIndex.build(corpus, dir, nBuckets = 16)
+    // layout parity: the persisted relation IS the direct kernel's
+    val direct = Dedup.ngramJaccard(corpus)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val stored = idx.pairs(spark)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(stored == direct && stored.nonEmpty)
+    // bucket probe: same rows as filtering the full relation... (collect
+    // through the SAME Dataset — .as[...] would re-plan and zero metrics)
+    val probed = idx.probeBucket(spark, 3L)
+    val got = probed.collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(got == direct.filter(_._1 % 16 == 3) && got.nonEmpty)
+    // ...via a partition filter that reads fewer files than the layout
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case f: FileSourceScanExec => Seq(f); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val pScans = scans(probed.queryExecution.executedPlan)
+    assert(pScans.nonEmpty && pScans.forall(_.partitionFilters.nonEmpty),
+      s"no partition filter on the pairs scan:\n${probed.queryExecution.executedPlan}")
+    val filesRead = pScans.map(_.metrics("numFiles").value).sum
+    val totalFiles = new java.io.File(dir + "/pairs").listFiles()
+      .filter(_.getName.startsWith("pb="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files — no pruning")
+    // components persisted at build = direct propagation over the pairs
+    val ccDirect = Dedup.connectedComponents(
+      idx.pairs(spark)).as[(Long, Long)].collect().toMap
+    val loaded = graft.llm.PairsIndex.load(spark, dir)
+    assert(loaded.nBuckets == 16)
+    val ccStored = loaded.components(spark).as[(Long, Long)].collect().toMap
+    assert(ccStored == ccDirect && ccStored.values.toSet == Set(0L))
+  }
+
   test("VectorSumD aggregates elementwise with partial merge") {
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0)))
       .toDF("g", "v").repartition(3) // force partial buffers + merge
