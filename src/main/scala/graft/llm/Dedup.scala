@@ -646,28 +646,67 @@ object Dedup {
       .where(col("jacc") >= threshold)
   }
 
+  /** Containment-safe blocked KEY rows: cold blocks (≤ `maxBlock` docs)
+    * keep the exact all-pairs (blk, 0, 0) key; HOT blocks sub-bucket by
+    * WINNOWING FINGERPRINTS instead of full-signature minhash bands. The
+    * distinction matters for asymmetric (small-inside-big) pairs: a
+    * minhash band over the FULL shingle set is dominated by the big doc's
+    * own content, so an excerpt pair rarely collides — but winnow
+    * fingerprints are LOCAL (any shared token run of length ≥ k + w − 1
+    * guarantees a shared selected hash, MOSS's guarantee), so the excerpt
+    * and its host share sub-keys regardless of the size ratio. Hot-block
+    * fan-out stays bounded two ways: a fingerprint appearing in more than
+    * `maxFpDf` of the block's docs is dropped (within-block boilerplate —
+    * the winnowOverlap df guard; the shared PREFIX itself is ubiquitous
+    * and must not recreate the quadratic bucket), and each surviving
+    * (blk, fp) bucket is at most `maxFpDf` docs, the same per-bucket
+    * bound a cold block has.
+    */
+  private[graft] def containmentBlocks(docs: DataFrame, textCol: String,
+                                       idCol: String, shingleLen: Int,
+                                       blockPrefix: Int, maxBlock: Int,
+                                       winK: Int, winW: Int,
+                                       maxFpDf: Int): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      substring(col(textCol), 1, blockPrefix).as("blk"),
+      TextStats.tokens(col(textCol)).as("_toks"))
+    val sizes = sh.groupBy("blk").agg(count(lit(1)).as("_bn"))
+    val joined = sh.join(sizes, "blk")
+    val cold = joined.where(col("_bn") <= maxBlock)
+      .select(col("id"), col("blk"), lit(0).as("band"), lit(0L).as("sk"))
+    val hotFps = joined.where(col("_bn") > maxBlock)
+      .select(col("id"), col("blk"),
+        explode(graft.functions.native.winnowFps(col("_toks"), winK, winW))
+          .as("sk"))
+      .distinct()
+    val fpDf = hotFps.groupBy("blk", "sk").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxFpDf).select("blk", "sk")
+    val hot = hotFps.join(fpDf, Seq("blk", "sk"))
+      .select(col("id"), col("blk"), lit(1).as("band"), col("sk"))
+    cold.unionByName(hot)
+  }
+
   /** Shingle-set CONTAINMENT pairs — near-SUBSET detection (a quoted
     * excerpt, a doc embedded in a digest, a page wrapping another page's
     * body): `containment = |A∩B| / min(|A|,|B|)`, which stays high when
     * Jaccard collapses because the sizes differ (|A∩B|/|A∪B| of a 100-gram
     * doc inside a 10 000-gram doc is < 0.01 while containment is 1.0).
     *
-    * Candidates reuse [[ngramBlocks]] (prefix blocking, all-pairs within
-    * blocks up to `maxBlock`, minhash sub-buckets beyond). NOTE the hot-
-    * block fallback is Jaccard-tuned: above `maxBlock`, a small-inside-big
-    * pair only collides if a band of the FULL shingle signature agrees, so
-    * asymmetric containment recall degrades in hot blocks — the exhaustive
-    * alignment-robust alternatives already in the library are
-    * [[duplicatedSpans]] (any shared k-window corpus-wide) and the
-    * [[winnowFingerprints]] overlap join. Cold-path semantics (what the
-    * oracle pins) are exact.
+    * Candidates come from [[containmentBlocks]]: prefix blocking with
+    * exact all-pairs within blocks up to `maxBlock`, and winnowing-
+    * fingerprint sub-buckets beyond — alignment-robust for asymmetric
+    * pairs where a Jaccard-tuned minhash band would miss the excerpt
+    * (spec-pinned on a synthesized hot block with a planted excerpt).
+    * Cold-path semantics (what the oracle pins) are exact.
     */
   def containmentPairs(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id", shingleLen: Int = 5,
                        blockPrefix: Int = 40, threshold: Double = 0.8,
-                       maxBlock: Int = 10000, subBands: Int = 4): DataFrame = {
-    val keyed = ngramBlocks(docs, textCol, idCol, shingleLen, blockPrefix,
-      maxBlock, subRows = 1, subBands = subBands)
+                       maxBlock: Int = 10000, winK: Int = 3, winW: Int = 4,
+                       maxFpDf: Int = 1000): DataFrame = {
+    val keyed = containmentBlocks(docs, textCol, idCol, shingleLen,
+      blockPrefix, maxBlock, winK, winW, maxFpDf)
     val a = keyed.alias("a")
     val b = keyed.alias("b")
     val cand = a.join(b,

@@ -2182,6 +2182,38 @@ class LlmSpec extends SparkSpec {
     assert(!jc.map(r => (r._1, r._2)).contains((1L, 2L)))
   }
 
+  test("containment hot block: planted excerpt survives the size guard, fan-out bounded") {
+    // 120 boilerplate docs share the 40-char prefix (one hot block) with
+    // distinct long tails; doc 500 is a SMALL excerpt of doc 7's tail.
+    // Jaccard(7, 500) is tiny (sizes differ ~8×) — a full-signature
+    // minhash band almost never collides for this pair, which is exactly
+    // the recall hole the winnow-fingerprint fallback closes.
+    val hot = (0 until 120).map { i =>
+      val tail = (1 to 80).map(j => s"u${i}w$j").mkString(" ")
+      (i.toLong, prefix + " " + tail)
+    }.toDF("doc_id", "text")
+      .union(Seq((500L,
+        prefix + " " + (10 to 19).map(j => s"u7w$j").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val got = Dedup.containmentPairs(hot, threshold = 0.5, maxBlock = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(got.exists(p => p._1 == 7L && p._2 == 500L && p._3 >= 0.5),
+      s"planted excerpt pair lost in the hot block: ${got.toSeq}")
+    // the guard still bounds the bucket fan-out: no (blk, band, sk)
+    // sub-bucket holds more than maxFpDf docs
+    val keys = Dedup.containmentBlocks(hot, "text", "doc_id", 5, 40,
+      maxBlock = 10, winK = 3, winW = 4, maxFpDf = 30)
+    val bucketSizes = keys.groupBy("blk", "band", "sk").count()
+      .select("count").as[Long].collect()
+    assert(bucketSizes.max <= 30, s"bucket of ${bucketSizes.max} docs")
+    // and with the df cap in force the planted pair STILL collides (its
+    // shared windows are doc-7-specific, df = 2, far under any cap)
+    val capped = Dedup.containmentPairs(hot, threshold = 0.5,
+        maxBlock = 10, maxFpDf = 30)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.exists(p => p._1 == 7L && p._2 == 500L))
+  }
+
   test("triangle census: counts, degrees, clustering on a known graph") {
     import graft.analytics.Graph
     // K4 minus edge 1-4: triangles {1,2,3} and {2,3,4}
