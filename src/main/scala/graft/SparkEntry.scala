@@ -1612,6 +1612,27 @@ object SparkEntry {
         m.getField("format").as("format"),
         m.getField("width").as("width"),
         m.getField("height").as("height"))
+    },
+
+    // REAL pixel decode, end-to-end: each doc synthesizes a genuine PNG
+    // (zlib-deflated IDAT, CRC'd chunks, all five scanline filters cycled
+    // by row) whose pixel pattern derives from doc_id; PngPixelStats then
+    // inflates, defilters, and sums the raster. The oracle states the
+    // expected sums straight from the pattern formula — decode∘encode
+    // must be the identity, so any inflate/predictor slip hash-fails.
+    "multimodal_pixels" -> { (s, d) =>
+      val w = (lit(16) + col("doc_id") % 16).cast("int")
+      val h = (lit(8) + col("doc_id") % 8).cast("int")
+      val v = (col("doc_id") % 256).cast("int")
+      val st = graft.functions.native.pngPixelStats(
+        graft.functions.native.syntheticPng(w, h, v))
+      t(s, d, "documents").select(col("doc_id"),
+        st.getField("width").as("width"),
+        st.getField("height").as("height"),
+        st.getField("channels").as("channels"),
+        st.getField("sum_r").as("sum_r"),
+        st.getField("sum_g").as("sum_g"),
+        st.getField("sum_b").as("sum_b"))
     }
   )
 
@@ -3554,6 +3575,21 @@ object SparkEntry {
       ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
         "CAST(64 + doc_id % 512 AS INTEGER) AS width, " +
         "CAST(48 + doc_id % 256 AS INTEGER) AS height " +
-        "FROM documents ORDER BY doc_id")
+        "FROM documents ORDER BY doc_id"),
+
+    // Pixel-decode replay: the expected channel sums computed from the
+    // pattern formula alone — the Spark side must earn them through a
+    // real inflate + defilter of the synthesized PNG bytes.
+    "multimodal_pixels" ->
+      ("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INTEGER) AS w, " +
+        "CAST(8 + doc_id % 8 AS INTEGER) AS h, doc_id % 256 AS v FROM documents), " +
+        "px AS (SELECT doc_id, w, h, (7 * xs.x + 13 * ys.y + v) AS base " +
+        "FROM d, generate_series(0, 30) xs(x), generate_series(0, 14) ys(y) " +
+        "WHERE xs.x < w AND ys.y < h) " +
+        "SELECT doc_id, w AS width, h AS height, CAST(3 AS INTEGER) AS channels, " +
+        "CAST(sum(base % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
+        "FROM px GROUP BY doc_id, w, h ORDER BY doc_id")
   )
 }

@@ -734,6 +734,72 @@ case class DeflateSize(child: Expression, level: Int)
   override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
 }
 
+/** A REAL synthesized PNG byte stream from (width, height, variant) —
+  * [[graft.llm.Multimodal.encodePng]] with the deterministic pattern
+  * `channel(x, y, c) = (7x + 13y + variant + 101c) mod 256`, RGB, all
+  * five scanline filters cycled by row. The pattern is plain modular
+  * arithmetic so an oracle can state the expected DECODED content
+  * without any codec; the bytes in between are genuine zlib-compressed,
+  * CRC'd PNG.
+  */
+case class SyntheticPng(first: Expression, second: Expression,
+                        third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(w: Any, h: Any, v: Any): Any = {
+    val width = w.asInstanceOf[Number].intValue()
+    val height = h.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].intValue()
+    graft.llm.Multimodal.encodePng(width, height, 3,
+      (x, y, c) => (7 * x + 13 * y + variant + 101 * c) % 256)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): SyntheticPng = copy(first = a, second = b, third = c)
+}
+
+/** Decoded-pixel statistics of a PNG payload — `(width, height, channels,
+  * sum_r, sum_g, sum_b)`, or NULL when [[graft.llm.Multimodal.decodePng]]
+  * rejects the bytes. The sums run over the fully DEFILTERED raster, so
+  * any predictor or inflate slip shows up as a wrong sum — this is how
+  * the gate pins the decoder against the construction formula.
+  */
+case class PngPixelStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("channels", IntegerType), StructField("sum_r", LongType),
+    StructField("sum_g", LongType), StructField("sum_b", LongType)))
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodePng(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(img) =>
+        val sums = new Array[Long](3)
+        val n = img.width * img.height
+        var p = 0
+        while (p < n) {
+          var c = 0
+          while (c < 3) {
+            sums(c) += img.pixels(p * img.channels + c) & 0xFF
+            c += 1
+          }
+          p += 1
+        }
+        org.apache.spark.sql.catalyst.InternalRow(
+          java.lang.Integer.valueOf(img.width),
+          java.lang.Integer.valueOf(img.height),
+          java.lang.Integer.valueOf(img.channels),
+          java.lang.Long.valueOf(sums(0)), java.lang.Long.valueOf(sums(1)),
+          java.lang.Long.valueOf(sums(2)))
+    }
+
+  override protected def withNewChildInternal(c: Expression): PngPixelStats =
+    copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -797,6 +863,13 @@ object native {
 
   /** `(format, width, height)` header parse of a binary image payload. */
   def imageMeta(c: Column): Column = column(ImageMeta(expression(c)))
+
+  /** A real synthesized PNG from (width, height, variant). */
+  def syntheticPng(w: Column, h: Column, v: Column): Column =
+    column(SyntheticPng(expression(w), expression(h), expression(v)))
+
+  /** Decoded-pixel stats `(width, height, channels, sum_r, sum_g, sum_b)`. */
+  def pngPixelStats(c: Column): Column = column(PngPixelStats(expression(c)))
 
   /** Per-doc micro-unit logistic gradient contributions under a model. */
   def qualityGrad(text: Column, label: Column,

@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   * expression) is REAL byte arithmetic: PNG IHDR dimensions at their fixed
   * offsets and a proper JPEG marker walk to the SOF segment — pure public
   * format knowledge (PNG spec §11.2.2, JPEG/JFIF ITU T.81 §B.2.2), no
-  * codec library needed. Only FRAME decoding (pixel data) remains stubbed
-  * (`fakeFrameDecoder` — no image/audio codecs in this environment); the
-  * Spark-side plumbing — schema, batching, partition sizing, the
-  * mapPartitions decode boundary — is real and tested, so swapping in a
-  * JNI/JavaCV pixel decoder is a one-function change.
+  * codec library needed. PIXEL decoding is real too for PNG:
+  * [[decodePng]] is a full 8-bit truecolor decoder (chunk walk + CRC,
+  * zlib inflate via the JDK, all five scanline filters), with
+  * [[encodePng]] as its synthesis twin and [[pngFrameDecoder]] as the
+  * per-row frame extractor; only non-PNG codecs (JPEG entropy decode,
+  * audio/video) stay behind the [[decodeFrames]] boundary with
+  * `fakeFrameDecoder` standing in, so swapping in a JNI/JavaCV decoder
+  * is a one-function change.
   */
 object Multimodal {
 
@@ -63,6 +66,219 @@ object Multimodal {
   /** A decoded-media metadata record. */
   final case class MediaMeta(media_id: Long, n_bytes: Long, width: Int,
       height: Int, n_frames: Int)
+
+  /** A fully decoded raster: `pixels` is row-major interleaved bytes
+    * (`channels` per pixel — 3 = RGB, 4 = RGBA), exactly the PNG raw
+    * scanline layout after defiltering.
+    */
+  final case class PngImage(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte])
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG encoder (PNG spec, ISO/IEC 15948): 8-bit non-interlaced
+    * RGB/RGBA, scanlines filtered with type `y % 5` — deliberately cycling
+    * through ALL FIVE filter types (None/Sub/Up/Average/Paeth) so a decoder
+    * that mishandles any predictor produces wrong pixels — then
+    * zlib-compressed (JDK Deflater) into one IDAT, with correct CRC32 on
+    * every chunk. `pixel(x, y, c)` supplies each channel byte. Used to
+    * synthesize test/gate images; the bytes are valid PNG (spec-checked
+    * against the JDK's own ImageIO reader).
+    */
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && (channels == 3 || channels == 4),
+      s"unsupported raster ${width}x$height/$channels")
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    var prev = new Array[Int](stride)
+    var cur = new Array[Int](stride)
+    var off = 0
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      raw(off) = ft.toByte; off += 1
+      var i = 0
+      var x = 0
+      while (x < width) {
+        var c = 0
+        while (c < channels) { cur(i) = pixel(x, y, c) & 0xFF; i += 1; c += 1 }
+        x += 1
+      }
+      i = 0
+      while (i < stride) {
+        val a = if (i >= channels) cur(i - channels) else 0
+        val b = prev(i)
+        val d = if (i >= channels) prev(i - channels) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >>> 1
+          case _ => paeth(a, b, d)
+        }
+        raw(off) = ((cur(i) - pred) & 0xFF).toByte
+        off += 1; i += 1
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zOut.size() + 64)
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
+      out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+    }
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      be32(data.length)
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(crc.getValue.toInt)
+    }
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put((if (channels == 3) 2 else 6).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL PNG pixel decoder — the frame-content counterpart of
+    * [[decodeImageMeta]]'s header walk, closing the last stubbed corner of
+    * the multimodal family: chunk walk with CRC32 verification, IDAT
+    * concatenation, zlib inflate (JDK Inflater), and full scanline
+    * DEFILTERING of all five predictor types. Supports the dominant
+    * web-corpus layout — 8-bit non-interlaced truecolor (RGB / RGBA);
+    * returns None for anything else (palette, 16-bit, interlaced, CRC
+    * mismatch, truncated stream) rather than guessing. Pure JDK — no codec
+    * library; per-row cost is O(bytes), a columnar map like every other
+    * doc-local kernel.
+    */
+  def decodePng(bytes: Array[Byte]): Option[PngImage] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 45 || !sig.indices.forall(i => u8(i) == sig(i))) return None
+    var width = 0; var height = 0; var channels = 0
+    var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var done = false
+    while (!done) {
+      if (pos + 8 > bytes.length) return None
+      val len = be32(pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val tag = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue.toInt != be32(pos + 8 + len)) return None
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(pos + 8); height = be32(pos + 12)
+          val depth = u8(pos + 16); val colorType = u8(pos + 17)
+          val interlace = u8(pos + 20)
+          if (depth != 8 || interlace != 0 ||
+              (colorType != 2 && colorType != 6)) return None
+          channels = if (colorType == 2) 3 else 4
+          if (width <= 0 || height <= 0 ||
+              width.toLong * height * channels > (1L << 30)) return None
+          sawIhdr = true
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk: CRC checked, content skipped
+      }
+      pos += 12 + len
+    }
+    if (!sawIhdr || idat.size() == 0) return None
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, got, raw.length - got)
+        if (n == 0 && infl.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally infl.end()
+    if (got != raw.length) return None
+    val px = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (1 + stride)) & 0xFF
+      if (ft > 4) return None
+      val in = y * (1 + stride) + 1
+      val outRow = y * stride
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= channels) px(outRow + i - channels) & 0xFF else 0
+        val b = if (y > 0) px(outRow - stride + i) & 0xFF else 0
+        val c = if (y > 0 && i >= channels) px(outRow - stride + i - channels) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >>> 1
+          case _ => paeth(a, b, c)
+        }
+        px(outRow + i) = (((raw(in + i) & 0xFF) + pred) & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(PngImage(width, height, channels, px))
+  }
+
+  /** Real frame decoder for [[decodeFrames]]: decodes a PNG payload and
+    * emits one feature row per PIXEL ROW — [rowIndex, width, channels,
+    * meanR, meanG, meanB, min, max] (means/extrema over the row's first
+    * three channels, 0-255 scale). Payloads that are not decodable PNGs
+    * produce no frames (the scrub posture: undecodable media is dropped,
+    * not invented).
+    */
+  def pngFrameDecoder(bytes: Array[Byte]): Iterator[Array[Float]] =
+    decodePng(bytes) match {
+      case None => Iterator.empty
+      case Some(img) =>
+        val stride = img.width * img.channels
+        (0 until img.height).iterator.map { y =>
+          val sums = new Array[Long](3)
+          var mn = 255; var mx = 0
+          var x = 0
+          while (x < img.width) {
+            var c = 0
+            while (c < 3) {
+              val v = img.pixels(y * stride + x * img.channels + c) & 0xFF
+              sums(c) += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              c += 1
+            }
+            x += 1
+          }
+          Array(y.toFloat, img.width.toFloat, img.channels.toFloat,
+            sums(0).toFloat / img.width, sums(1).toFloat / img.width,
+            sums(2).toFloat / img.width, mn.toFloat, mx.toFloat)
+        }
+    }
 
   /** Attach a binary payload column. For the synthetic corpus the payload is
     * the UTF-8 document text — standing in for real image/audio bytes.

@@ -1610,6 +1610,67 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(_._3.length == 8))
   }
 
+  test("PNG codec: decode∘encode identity, ImageIO cross-parity both ways, rejects damage") {
+    def pattern(v: Int)(x: Int, y: Int, c: Int): Int = (7 * x + 13 * y + v + 101 * c) % 256
+    // identity through our own encoder (all five filters cycle over 15 rows)
+    val bytes = Multimodal.encodePng(23, 15, 3, pattern(9))
+    val img = Multimodal.decodePng(bytes).get
+    assert(img.width == 23 && img.height == 15 && img.channels == 3)
+    for (y <- 0 until 15; x <- 0 until 23; c <- 0 until 3)
+      assert((img.pixels((y * 23 + x) * 3 + c) & 0xFF) == pattern(9)(x, y, c),
+        s"pixel ($x,$y,$c)")
+    // the bytes are REAL PNG: the JDK's own reader decodes the same raster
+    val io = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(io.getWidth == 23 && io.getHeight == 15)
+    for (y <- 0 until 15; x <- 0 until 23) {
+      val rgb = io.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) == pattern(9)(x, y, 0))
+      assert(((rgb >> 8) & 0xFF) == pattern(9)(x, y, 1))
+      assert((rgb & 0xFF) == pattern(9)(x, y, 2))
+    }
+    // ...and our decoder reads a PNG the JDK WROTE (foreign filter choices)
+    val bi = new java.awt.image.BufferedImage(9, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 7; x <- 0 until 9)
+      bi.setRGB(x, y, (pattern(3)(x, y, 0) << 16) | (pattern(3)(x, y, 1) << 8) | pattern(3)(x, y, 2))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", baos)
+    Multimodal.decodePng(baos.toByteArray).foreach { ours =>
+      // the JDK may write RGB as color type 2 (3ch); if it chose a layout
+      // we support, the raster must match exactly
+      for (y <- 0 until 7; x <- 0 until 9; c <- 0 until 3)
+        assert((ours.pixels((y * 9 + x) * ours.channels + c) & 0xFF) == pattern(3)(x, y, c))
+    }
+    // RGBA round-trips through our codec
+    val rgba = Multimodal.decodePng(Multimodal.encodePng(5, 4, 4, pattern(1))).get
+    assert(rgba.channels == 4)
+    for (y <- 0 until 4; x <- 0 until 5; c <- 0 until 4)
+      assert((rgba.pixels((y * 5 + x) * 4 + c) & 0xFF) == pattern(1)(x, y, c))
+    // damage is rejected, never mis-decoded: truncation and a flipped byte
+    assert(Multimodal.decodePng(bytes.take(bytes.length - 9)).isEmpty)
+    val corrupt = bytes.clone(); corrupt(40) = (corrupt(40) ^ 0x5A).toByte
+    assert(Multimodal.decodePng(corrupt).isEmpty) // CRC catches it
+    assert(Multimodal.decodePng("not a png".getBytes).isEmpty)
+  }
+
+  test("real PNG frame decoder: per-row means through the decodeFrames boundary") {
+    def pattern(x: Int, y: Int, c: Int): Int = (7 * x + 13 * y + 5 + 101 * c) % 256
+    val payload = Multimodal.encodePng(8, 6, 3, pattern)
+    val media = Seq((42L, payload)).toDF("media_id", "content")
+    val rows = Multimodal.decodeFrames(spark, media, Multimodal.pngFrameDecoder)
+      .as[(Long, Int, Seq[Float])].collect().toSeq.sortBy(_._2)
+    assert(rows.map(_._2) == (0 until 6), "one frame per pixel row")
+    rows.foreach { case (_, y, feat) =>
+      assert(feat(0) == y.toFloat && feat(1) == 8.0f && feat(2) == 3.0f)
+      for (c <- 0 until 3) {
+        val mean = (0 until 8).map(x => pattern(x, y, c)).sum.toFloat / 8
+        assert(math.abs(feat(3 + c) - mean) < 1e-4, s"row $y ch $c")
+      }
+    }
+    // an undecodable payload yields NO frames (scrub, don't invent)
+    val bad = Seq((1L, "junk".getBytes)).toDF("media_id", "content")
+    assert(Multimodal.decodeFrames(spark, bad, Multimodal.pngFrameDecoder).count() == 0)
+  }
+
   test("image header parse: PNG IHDR offsets, JPEG marker walk, rejects garbage") {
     def hexBytes(h: String): Array[Byte] =
       h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
