@@ -230,6 +230,51 @@ object Pipeline {
       s"pq/adc top-5 ${pqTop.map(_.getLong(0)).mkString(",")}; " +
       s"ivf-pq top-5 ${ivfPqTop.map(_.getLong(0)).mkString(",")}; " +
       s"$nSem semantic near-dup pairs; $nKnn k-NN graph edges")
+    // 5. the STREAMING curation stage: the same dedup → gopher story as a
+    //    continuous ingest — one readStream→writeStream stage per sink
+    //    (curated silver, junk-source heavy hitters), restartable from its
+    //    RocksDB checkpoint (recovery is spec-pinned in the test suite)
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = s"$outDir/stream_src"
+      val streamDocs = docs.limit(300).select(col("doc_id"), col("text"),
+        col("source"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long") +
+          col("doc_id") % 600).cast("timestamp").as("ts"))
+      // two source drops = two micro-batches through the same checkpoint
+      streamDocs.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = streamDocs.schema
+      val cur = graft.stream.StreamPipeline.curate(
+        spark.readStream.schema(schema).parquet(srcDir), minWords = 10)
+      val silverQ = cur.writeStream
+        .option("checkpointLocation", s"$outDir/stream_ck_silver")
+        .outputMode("append").format("parquet").start(s"$outDir/stream_silver")
+      val hitsQ = graft.stream.StreamPipeline.junkSources(cur, threshold = 3L)
+        .writeStream.option("checkpointLocation", s"$outDir/stream_ck_hits")
+        .outputMode("append").format("parquet").start(s"$outDir/stream_hits")
+      try {
+        silverQ.processAllAvailable(); hitsQ.processAllAvailable()
+        streamDocs.where(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(srcDir)
+        silverQ.processAllAvailable(); hitsQ.processAllAvailable()
+      } finally { silverQ.stop(); hitsQ.stop() }
+      val sil = spark.read.parquet(s"$outDir/stream_silver")
+      val nHits = spark.read.parquet(s"$outDir/stream_hits").count()
+      println(s"[pipeline] streaming: ${sil.count()} docs curated in 2 micro-batches " +
+        s"(${sil.where(col("kept") === 1).count()} kept, " +
+        s"${sil.where(col("kept") === 0).count()} dropped; " +
+        s"$nHits junk-source heavy-hitter emissions)")
+    } finally prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
     println(s"[pipeline] counters:\n${dq.renderPrometheus()}")
     spark.stop()
   }

@@ -173,18 +173,22 @@ object TextStats {
     */
   def gopherFilter(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", minWords: Int = 50,
-                   maxWords: Int = 100000): DataFrame = {
+                   maxWords: Int = 100000,
+                   keepCols: Seq[String] = Nil): DataFrame = {
     val rep = graft.functions.native.gramRepetition(
       tokens(col(textCol)), topOrders = Seq(2), dupOrders = Seq(5))
     def frac(c: Column): Column =
       graft.functions.Rounding.dround(
         c.cast("double") / greatest(length(col(textCol)), lit(1)), 4)
-    val sig = docs.select(col(idCol),
+    // keepCols thread pass-through columns (source, event time) into the
+    // output so STREAMING consumers stay one projection — a join-back
+    // would be a stream-stream shuffle
+    val sig = docs.select(col(idCol) +: keepCols.map(col) ++: Seq(
       tokenCount(col(textCol)).as("n_words"),
       meanWordLen(col(textCol)).as("_mwl"),
       symbolRatio(col(textCol)).as("_sym"),
       frac(rep.getItem(0)).as("top2_frac"),
-      frac(rep.getItem(1)).as("dup5_frac"))
+      frac(rep.getItem(1)).as("dup5_frac")): _*)
     // docs with <2 tokens have no grams: GramRepetition yields 0 chars,
     // matching the relational form's left-join coalesce(frac, 0)
     val failed =
@@ -194,8 +198,8 @@ object TextStats {
       when(col("_sym") > 0.1, 4).otherwise(0) +
       when(col("top2_frac") > 0.20, 8).otherwise(0) +
       when(col("dup5_frac") > 0.15, 16).otherwise(0)
-    sig.select(col(idCol), col("n_words"),
-        failed.cast("long").as("rules_failed"))
+    sig.select(col(idCol) +: keepCols.map(col) ++: Seq(col("n_words"),
+        failed.cast("long").as("rules_failed")): _*)
       .withColumn("kept",
         when(col("rules_failed") === 0, 1L).otherwise(0L))
   }

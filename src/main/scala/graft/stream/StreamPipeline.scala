@@ -1,0 +1,60 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** The streaming corpus-curation stage end to end — the stream-shaped twin
+  * of [[graft.Pipeline]]'s batch story, composed from the library's
+  * streaming operators in ONE readStream→writeStream stage per sink:
+  *
+  *   raw doc stream → [[StreamDedup.exact]] (watermark-GC'd 32-byte state)
+  *     → [[graft.llm.TextStats.gopherFilter]] (doc-local, zero shuffle)
+  *     → three readouts: the curated silver stream, junk-flooding source
+  *       detection ([[StreamHeavyHitters]] over DROPPED docs), and
+  *       windowed drop alerts ([[DqAlerts]]).
+  *
+  * All state is bounded: dedup keys live one watermark window, heavy-hitter
+  * counters are one long per source (TTL-expirable), alert windows close at
+  * the watermark. A restart from the checkpoint resumes exactly — the
+  * recovery spec kills the stage between batches and asserts cross-restart
+  * dedup plus sequential-run parity on every sink.
+  */
+object StreamPipeline {
+
+  /** Dedup + quality-annotate in one projection over the deduped stream.
+    * Input columns: (`idCol`, `textCol`, source, ts). Output: (`idCol`,
+    * source, ts, n_words, rules_failed, kept).
+    */
+  def curate(docs: DataFrame, watermark: String = "10 minutes",
+             textCol: String = "text", idCol: String = "doc_id",
+             minWords: Int = 50): DataFrame =
+    graft.llm.TextStats.gopherFilter(
+      StreamDedup.exact(docs, textCol, "ts", watermark),
+      textCol, idCol, minWords, keepCols = Seq("source", "ts"))
+
+  /** Sources flooding junk: heavy hitters over the DROPPED docs' source
+    * ids — the per-key counter emits at `threshold` then every `every`,
+    * so a misbehaving crawl domain surfaces while the stream runs, with
+    * output volume independent of the event rate.
+    */
+  def junkSources(curated: DataFrame, threshold: Long = 3L,
+                  every: Long = 2L): Dataset[HeavyHit] =
+    StreamHeavyHitters.hits(
+      curated.where(col("kept") === 0)
+        .select(col("source").cast("string")).as[String](Encoders.STRING),
+      threshold, every)
+
+  /** Windowed drop-alert feed: per-(source, rule-family) counts over
+    * tumbling event-time windows, append-emitted on window close — the
+    * [[DqAlerts]] shape with the gopher verdict as the violation type.
+    */
+  def dropAlerts(curated: DataFrame, windowLen: String = "1 minute"): DataFrame =
+    // no second withWatermark: the curated stream already carries the
+    // dedup stage's watermark on ts (redefining one is disallowed when
+    // stateful operators chain)
+    DqAlerts.alertCounts(
+      curated.where(col("kept") === 0)
+        .select(col("ts"), col("source").as("loc"),
+          concat(lit("gopher_rules_"), col("rules_failed")).as("type")),
+      windowLen, watermark = None)
+}

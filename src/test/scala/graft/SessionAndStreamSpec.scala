@@ -552,6 +552,104 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming e2e curation: dedup→gopher→silver/hitters/alerts survive a checkpoint restart (RocksDB)") {
+    import graft.stream.{HeavyHit, StreamPipeline}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val srcDir = tmpDir("e2esrc")
+    val silverDir = tmpDir("e2esilver"); val hitsDir = tmpDir("e2ehits")
+    val alertsDir = tmpDir("e2ealerts")
+    val ck = Map("silver" -> tmpDir("e2eck1"), "hits" -> tmpDir("e2eck2"),
+      "alerts" -> tmpDir("e2eck3"))
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+      .add("source", StringType).add("ts", TimestampType)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // good: 60 distinct letter-words (every gopher rule passes);
+    // junk: 10 distinct 6-letter words (ONLY the word-count rule fires →
+    // rules_failed = 1, a stable alert type)
+    def good(tag: String) = // 60 DISTINCT words: every gopher rule passes
+      (1 to 60).map(j => s"${tag}word$j").mkString(" ")
+    def junk(tag: String) = // 10 distinct words: only word-count fires (=1)
+      (1 to 10).map(j => s"${tag}junky$j").mkString(" ")
+    def writeBatch(rows: Seq[(Long, String, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "source", "ts")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def startAll() = {
+      val cur = StreamPipeline.curate(
+        spark.readStream.schema(schema).parquet(srcDir))
+      Seq(
+        cur.writeStream.option("checkpointLocation", ck("silver"))
+          .outputMode("append").format("parquet").start(silverDir),
+        StreamPipeline.junkSources(cur, threshold = 3L, every = 2L)
+          .writeStream.option("checkpointLocation", ck("hits"))
+          .outputMode("append").format("parquet").start(hitsDir),
+        StreamPipeline.dropAlerts(cur)
+          .writeStream.option("checkpointLocation", ck("alerts"))
+          .outputMode("append").format("parquet").start(alertsDir))
+    }
+    try {
+      // run 1: one good doc (+ an in-batch duplicate), three junk docs
+      // from the flooding source srcJ (counter reaches the threshold)
+      writeBatch(Seq(
+        (1L, good("a"), "srcA", ts("2024-01-01 00:00:00")),
+        (2L, good("a"), "srcA", ts("2024-01-01 00:00:05")), // dup: dropped
+        (3L, junk("p"), "srcJ", ts("2024-01-01 00:00:10")),
+        (4L, junk("q"), "srcJ", ts("2024-01-01 00:00:15")),
+        (5L, junk("r"), "srcJ", ts("2024-01-01 00:00:20"))))
+      val qs1 = startAll()
+      try qs1.foreach(_.processAllAvailable()) finally qs1.foreach(_.stop())
+      // run 2, SAME checkpoints: a text-duplicate of doc 1 (dropped only
+      // if the dedup state came back), a fresh good doc, two more srcJ
+      // junk docs (counter must resume 3 → milestone 5), and a far-future
+      // row to advance the watermark
+      writeBatch(Seq(
+        (6L, good("a"), "srcB", ts("2024-01-01 00:01:00")),
+        (7L, good("b"), "srcB", ts("2024-01-01 00:01:10")),
+        (8L, junk("s"), "srcJ", ts("2024-01-01 00:01:20")),
+        (9L, junk("t"), "srcJ", ts("2024-01-01 00:01:30")),
+        (10L, good("z"), "srcOK", ts("2024-01-01 00:20:00"))))
+      val qs2 = startAll()
+      try {
+        qs2.foreach(_.processAllAvailable())
+        // one more batch so the advanced watermark closes the 00:00/00:01
+        // alert windows
+        writeBatch(Seq((11L, good("y"), "srcOK", ts("2024-01-01 00:40:00"))))
+        qs2.foreach(_.processAllAvailable())
+      } finally qs2.foreach(_.stop())
+      val silver = spark.read.parquet(silverDir)
+      val keptIds = silver.where(col("kept") === 1)
+        .select("doc_id").as[Long].collect().toSet
+      val allIds = silver.select("doc_id").as[Long].collect().toSeq
+      // doc 2 (in-batch dup) and doc 6 (CROSS-RESTART dup) never surface;
+      // junk docs surface with kept = 0
+      assert(keptIds == Set(1L, 7L, 10L, 11L), s"kept = $keptIds")
+      assert(!allIds.contains(6L), "cross-restart duplicate leaked — dedup state lost")
+      assert(allIds.size == allIds.toSet.size, "replay duplicated a doc")
+      assert(silver.where(col("kept") === 0).select("doc_id").as[Long]
+        .collect().toSet == Set(3L, 4L, 5L, 8L, 9L))
+      // heavy hitters: threshold hit in run 1, milestone 5 in run 2 —
+      // 5 = 3 + 2 proves the RocksDB counter survived the restart
+      val hits = spark.read.parquet(hitsDir).as[HeavyHit].collect().toSet
+      assert(hits == Set(HeavyHit("srcJ", 3L), HeavyHit("srcJ", 5L)), s"hits = $hits")
+      // alerts: the junk drops aggregate per closed window under the
+      // stable rule type; the two srcJ windows carry 3 + 2 drops
+      val alerts = spark.read.parquet(alertsDir)
+        .select("loc", "type", "n").as[(String, String, Long)].collect().toSet
+      assert(alerts == Set(("srcJ", "gopher_rules_1", 3L),
+        ("srcJ", "gopher_rules_1", 2L)), s"alerts = $alerts")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("salted join matches the unsalted join exactly") {
     import graft.core.Skew
     val left = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
