@@ -1361,22 +1361,38 @@ object SparkEntry {
     },
 
     // Sequential conversion funnel: first view → first click at-or-after it
-    // → first purchase at-or-after that, counted per stage. Each stage is a
-    // keyed aggregate + keyed join — no window over the whole event log.
+    // → first purchase at-or-after that, counted per stage. ONE user-keyed
+    // window pass: running min of view-ms / qualifying-click-ms per row
+    // (both windows share the (user, (ms, stage)) sort — one exchange, one
+    // sort), then per-user flags on the SAME partitioning and a one-row
+    // global sum. The previous 3-aggregate + 2-join chain cost five
+    // exchanges; at 100 TB this shuffles the filtered event log once.
+    // Ties: a click at the same ms as the first view qualifies (>=), so
+    // the sort breaks ties by stage — view before click before purchase.
     "funnel" -> { (s, d) =>
+      val stage = when(col("event_type") === "view", 0)
+        .when(col("event_type") === "click", 1).otherwise(2)
       val e = t(s, d, "events")
-        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
-      val v = e.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ms").as("v_ms"))
-      val c = e.where(col("event_type") === "click").join(v, "user_id")
-        .where(col("ms") >= col("v_ms"))
-        .groupBy("user_id").agg(min("ms").as("c_ms"))
-      val p = e.where(col("event_type") === "purchase").join(c, "user_id")
-        .where(col("ms") >= col("c_ms"))
-        .groupBy("user_id").agg(min("ms").as("p_ms"))
-      v.agg(count(lit(1)).as("n_viewed"))
-        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
-        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), stage.as("stage"),
+          unix_millis(col("ts")).as("ms"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ms"), col("stage"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      // v_run non-null at a row ⟺ a view happened at-or-before it; a click
+      // there IS a qualifying click (ms >= first view by construction)
+      val step1 = e.withColumn("v_run",
+        min(when(col("stage") === 0, col("ms"))).over(w))
+      val step2 = step1.withColumn("c_run",
+        min(when(col("stage") === 1 && col("v_run").isNotNull, col("ms"))).over(w))
+      step2.groupBy("user_id").agg(
+          max(col("v_run").isNotNull).as("viewed"),
+          max(col("c_run").isNotNull).as("clicked"),
+          max(col("stage") === 2 && col("c_run").isNotNull).as("purchased"))
+        .agg(sum(when(col("viewed"), 1L).otherwise(0L)).as("n_viewed"),
+          sum(when(col("clicked"), 1L).otherwise(0L)).as("n_clicked"),
+          sum(when(col("purchased"), 1L).otherwise(0L)).as("n_purchased"))
     },
 
     // Retention cohorts: users grouped by first-active day, distinct active
