@@ -1653,6 +1653,25 @@ object SparkEntry {
         st.getField("sum_r").as("sum_r"),
         st.getField("sum_g").as("sum_g"),
         st.getField("sum_b").as("sum_b"))
+    },
+
+    // REAL audio decode, end-to-end: each doc synthesizes a genuine
+    // RIFF/WAVE 16-bit PCM clip whose sample formula derives from doc_id;
+    // WavAudioStats walks the chunk layout, reads the s16le samples, and
+    // releases integer-exact clip statistics (energy, zero crossings,
+    // peak). The oracle recomputes them from the formula alone.
+    "multimodal_audio" -> { (s, d) =>
+      val n = (lit(256) + col("doc_id") % 256).cast("int")
+      val v = (col("doc_id") % 1000).cast("long")
+      val st = graft.functions.native.wavAudioStats(
+        graft.functions.native.syntheticWav(n, v))
+      t(s, d, "documents").select(col("doc_id"),
+        st.getField("sample_rate").as("sample_rate"),
+        st.getField("channels").as("channels"),
+        st.getField("n_samples").as("n_samples"),
+        st.getField("sum_sq").as("sum_sq"),
+        st.getField("n_zero_cross").as("n_zero_cross"),
+        st.getField("peak").as("peak"))
     }
   )
 
@@ -3610,6 +3629,27 @@ object SparkEntry {
         "CAST(sum(base % 256) AS BIGINT) AS sum_r, " +
         "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
         "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
-        "FROM px GROUP BY doc_id, w, h ORDER BY doc_id")
+        "FROM px GROUP BY doc_id, w, h ORDER BY doc_id"),
+
+    // Audio replay: the PCM sample formula restated in BIGINT arithmetic;
+    // energy / crossings / peak from the raw samples — the Spark side must
+    // earn them by parsing the RIFF chunks and s16le data it synthesized.
+    "multimodal_audio" ->
+      ("WITH d AS (SELECT doc_id, CAST(256 + doc_id % 256 AS BIGINT) AS n, " +
+        "doc_id % 1000 AS v FROM documents), " +
+        "sm AS (SELECT doc_id, n, i.i AS i, " +
+        "((31 * i.i * i.i + 17 * i.i + 97 * v) % 65536) - 32768 AS s " +
+        "FROM d, generate_series(0, 511) i(i) WHERE i.i < n), " +
+        "cr AS (SELECT doc_id, count(*) AS zc FROM (" +
+        "SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM sm) " +
+        "WHERE p IS NOT NULL AND ((p < 0 AND s >= 0) OR (p >= 0 AND s < 0)) " +
+        "GROUP BY doc_id) " +
+        "SELECT sm.doc_id, CAST(16000 AS INTEGER) AS sample_rate, " +
+        "CAST(1 AS INTEGER) AS channels, CAST(max(n) AS BIGINT) AS n_samples, " +
+        "CAST(sum(s * s) AS BIGINT) AS sum_sq, " +
+        "CAST(coalesce(max(cr.zc), 0) AS BIGINT) AS n_zero_cross, " +
+        "CAST(max(abs(s)) AS INTEGER) AS peak " +
+        "FROM sm LEFT JOIN cr ON sm.doc_id = cr.doc_id " +
+        "GROUP BY sm.doc_id ORDER BY sm.doc_id")
   )
 }

@@ -800,6 +800,70 @@ case class PngPixelStats(child: Expression)
     copy(child = c)
 }
 
+/** A REAL synthesized WAV byte stream from (nSamples, variant) — 16-bit
+  * mono PCM at 16 kHz via [[graft.llm.Multimodal.encodeWav]], with the
+  * deterministic sample formula `s(i) = ((31i² + 17i + 97·variant) mod
+  * 65536) − 32768`: plain BIGINT modular arithmetic, so an oracle can
+  * state the decoded clip's statistics without any audio library.
+  */
+case class SyntheticWav(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(n: Any, v: Any): Any = {
+    val nSamples = n.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].longValue()
+    val samples = Array.tabulate(nSamples) { i =>
+      (((31L * i * i + 17L * i + 97L * variant) % 65536L) - 32768L).toShort
+    }
+    graft.llm.Multimodal.encodeWav(16000, 1, samples)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SyntheticWav = copy(left = l, right = r)
+}
+
+/** Decoded-PCM statistics of a WAV payload — `(sample_rate, channels,
+  * n_samples, sum_sq, n_zero_cross, peak)`, or NULL when
+  * [[graft.llm.Multimodal.decodeWav]] rejects the bytes. Integer-exact
+  * (sum of squares as BIGINT, sign-change crossings, max |s|), so the
+  * gate pins the decoder bit-for-bit against the construction formula.
+  */
+case class WavAudioStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("n_samples", LongType), StructField("sum_sq", LongType),
+    StructField("n_zero_cross", LongType), StructField("peak", IntegerType)))
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodeWav(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(a) =>
+        var ss = 0L; var zc = 0L; var peak = 0
+        var i = 0
+        while (i < a.samples.length) {
+          val s = a.samples(i).toInt
+          ss += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0) {
+            val p = a.samples(i - 1).toInt
+            if ((p < 0 && s >= 0) || (p >= 0 && s < 0)) zc += 1
+          }
+          i += 1
+        }
+        org.apache.spark.sql.catalyst.InternalRow(
+          java.lang.Integer.valueOf(a.sampleRate),
+          java.lang.Integer.valueOf(a.channels),
+          java.lang.Long.valueOf(a.samples.length.toLong),
+          java.lang.Long.valueOf(ss), java.lang.Long.valueOf(zc),
+          java.lang.Integer.valueOf(peak))
+    }
+
+  override protected def withNewChildInternal(c: Expression): WavAudioStats =
+    copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -870,6 +934,13 @@ object native {
 
   /** Decoded-pixel stats `(width, height, channels, sum_r, sum_g, sum_b)`. */
   def pngPixelStats(c: Column): Column = column(PngPixelStats(expression(c)))
+
+  /** A real synthesized 16-bit PCM WAV from (nSamples, variant). */
+  def syntheticWav(n: Column, v: Column): Column =
+    column(SyntheticWav(expression(n), expression(v)))
+
+  /** Decoded-PCM stats `(sample_rate, channels, n_samples, sum_sq, n_zero_cross, peak)`. */
+  def wavAudioStats(c: Column): Column = column(WavAudioStats(expression(c)))
 
   /** Per-doc micro-unit logistic gradient contributions under a model. */
   def qualityGrad(text: Column, label: Column,

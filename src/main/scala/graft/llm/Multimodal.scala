@@ -247,6 +247,112 @@ object Multimodal {
     Some(PngImage(width, height, channels, px))
   }
 
+  /** A decoded PCM clip: 16-bit samples, interleaved when stereo. */
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      samples: Array[Short])
+
+  /** REAL WAV encoder (RIFF/WAVE, 16-bit PCM): the canonical little-endian
+    * chunk layout — RIFF size header, `fmt ` with PCM tag/channels/rates,
+    * `data` with interleaved s16le samples. Pure public format knowledge
+    * (Microsoft/IBM RIFF spec); used to synthesize gate/test clips.
+    */
+  def encodeWav(sampleRate: Int, channels: Int,
+                samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && (channels == 1 || channels == 2) &&
+      samples.length % channels == 0, s"bad clip $sampleRate/$channels")
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(16).putShort(1).putShort(channels.toShort)
+    buf.putInt(sampleRate).putInt(sampleRate * channels * 2)
+    buf.putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** REAL WAV decoder — the audio counterpart of [[decodePng]]: RIFF
+    * signature check, chunk walk on little-endian sizes (even-padded per
+    * the spec), `fmt ` validation (PCM, 16-bit, mono/stereo), `data`
+    * samples read s16le. Returns None for non-PCM, other bit depths,
+    * truncated chunks, or a missing fmt/data — never guesses. Pure JDK
+    * byte arithmetic, doc-local like every decode kernel here.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
+    if (bytes.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var sampleRate = 0; var channels = 0; var sawFmt = false
+    var samples: Array[Short] = null
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val len = b.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val fmt = b.getShort(pos + 8) & 0xFFFF
+          channels = b.getShort(pos + 10) & 0xFFFF
+          sampleRate = b.getInt(pos + 12)
+          val bits = b.getShort(pos + 22) & 0xFFFF
+          if (fmt != 1 || bits != 16 ||
+              (channels != 1 && channels != 2) || sampleRate <= 0) return None
+          sawFmt = true
+        case "data" =>
+          if (len % 2 != 0) return None
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = b.getShort(pos + 8 + 2 * i); i += 1
+          }
+        case _ => () // LIST/fact/cue …: skipped by size
+      }
+      pos += 8 + len + (len & 1) // chunks are even-padded
+    }
+    if (!sawFmt || samples == null) return None
+    if (samples.length % channels != 0) return None
+    Some(WavAudio(sampleRate, channels, samples))
+  }
+
+  /** Real frame decoder for [[decodeFrames]] over WAV payloads: one
+    * feature row per `window`-sample window (last window may be short) —
+    * [windowIndex, nSamples, rms, zeroCrossRate, peak] (rms/peak on the
+    * raw s16 scale). Undecodable payloads produce no frames.
+    */
+  def wavFrameDecoder(window: Int = 1024)(bytes: Array[Byte]): Iterator[Array[Float]] =
+    decodeWav(bytes) match {
+      case None => Iterator.empty
+      case Some(a) =>
+        val n = a.samples.length
+        (0 until (n + window - 1) / window).iterator.map { wi =>
+          val lo = wi * window; val hi = math.min(lo + window, n)
+          var ss = 0L; var zc = 0L; var peak = 0
+          var i = lo
+          while (i < hi) {
+            val s = a.samples(i).toInt
+            ss += s.toLong * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            if (i > lo) {
+              val p = a.samples(i - 1).toInt
+              if ((p < 0 && s >= 0) || (p >= 0 && s < 0)) zc += 1
+            }
+            i += 1
+          }
+          val m = hi - lo
+          Array(wi.toFloat, m.toFloat, math.sqrt(ss.toDouble / m).toFloat,
+            zc.toFloat / math.max(m - 1, 1), peak.toFloat)
+        }
+    }
+
   /** Real frame decoder for [[decodeFrames]]: decodes a PNG payload and
     * emits one feature row per PIXEL ROW — [rowIndex, width, channels,
     * meanR, meanG, meanB, min, max] (means/extrema over the row's first

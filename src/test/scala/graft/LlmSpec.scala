@@ -1652,6 +1652,62 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodePng("not a png".getBytes).isEmpty)
   }
 
+  test("WAV codec: decode∘encode identity, javax.sound cross-parity both ways, rejects damage") {
+    def sample(i: Int): Short = (((31L * i * i + 17L * i + 97L * 5) % 65536L) - 32768L).toShort
+    val samples = Array.tabulate(300)(sample)
+    val bytes = Multimodal.encodeWav(16000, 1, samples)
+    // identity through our own codec
+    val a = Multimodal.decodeWav(bytes).get
+    assert(a.sampleRate == 16000 && a.channels == 1)
+    assert(a.samples.toSeq == samples.toSeq)
+    // the bytes are REAL WAV: the JDK's own audio reader agrees on format
+    // and raw PCM content
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    val pcm = ais.readAllBytes()
+    val fromJdk = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    assert((0 until 300).forall(i => fromJdk.get(i) == samples(i)))
+    // ...and our decoder reads a WAV the JDK WROTE
+    val jdkOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 300),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, jdkOut)
+    val back = Multimodal.decodeWav(jdkOut.toByteArray).get
+    assert(back.samples.toSeq == samples.toSeq && back.sampleRate == 16000)
+    // stereo round-trips (interleaved samples preserved in order)
+    val st = Multimodal.decodeWav(
+      Multimodal.encodeWav(8000, 2, samples.take(60))).get
+    assert(st.channels == 2 && st.samples.toSeq == samples.take(60).toSeq)
+    // damage rejected: truncation, non-PCM format tag, garbage
+    assert(Multimodal.decodeWav(bytes.take(50)).isEmpty)
+    val nonPcm = bytes.clone(); nonPcm(20) = 3 // IEEE-float tag
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+    assert(Multimodal.decodeWav("RIFFnope".getBytes).isEmpty)
+  }
+
+  test("WAV frame decoder: windowed RMS/ZCR through the decodeFrames boundary") {
+    val samples = Array.tabulate(2500)(i =>
+      (((31L * i * i + 17L * i) % 65536L) - 32768L).toShort)
+    val media = Seq((9L, Multimodal.encodeWav(16000, 1, samples)))
+      .toDF("media_id", "content")
+    val rows = Multimodal.decodeFrames(spark, media,
+        Multimodal.wavFrameDecoder(1024))
+      .as[(Long, Int, Seq[Float])].collect().toSeq.sortBy(_._2)
+    assert(rows.map(_._2) == Seq(0, 1, 2), "three windows incl. short tail")
+    assert(rows(0)._3(1) == 1024f && rows(2)._3(1) == 452f)
+    // window-0 RMS replayed directly from the formula
+    val ss = samples.take(1024).map(s => s.toLong * s).sum
+    assert(math.abs(rows(0)._3(2) - math.sqrt(ss.toDouble / 1024)) < 1e-2)
+    val bad = Seq((1L, "not audio".getBytes)).toDF("media_id", "content")
+    assert(Multimodal.decodeFrames(spark, bad,
+      Multimodal.wavFrameDecoder(1024)).count() == 0)
+  }
+
   test("real PNG frame decoder: per-row means through the decodeFrames boundary") {
     def pattern(x: Int, y: Int, c: Int): Int = (7 * x + 13 * y + 5 + 101 * c) % 256
     val payload = Multimodal.encodePng(8, 6, 3, pattern)
