@@ -1672,6 +1672,29 @@ object SparkEntry {
         st.getField("sum_sq").as("sum_sq"),
         st.getField("n_zero_cross").as("n_zero_cross"),
         st.getField("peak").as("peak"))
+    },
+
+    // REAL video-shaped decode, end-to-end: each doc synthesizes a genuine
+    // ANIMATED PNG (acTL/fcTL/fdAT bookkeeping, per-frame zlib streams,
+    // strict sequence numbers) and ApngFrameStats must frame-SAMPLE it —
+    // decode every 2nd frame through the shared inflate+defilter core and
+    // release the sampled frames' channel sums. The oracle restates the
+    // per-frame pattern formula over the sampled frame indices only.
+    "multimodal_video" -> { (s, d) =>
+      val w = (lit(8) + col("doc_id") % 8).cast("int")
+      val h = (lit(4) + col("doc_id") % 4).cast("int")
+      val nf = (lit(4) + col("doc_id") % 4).cast("int")
+      val v = (col("doc_id") % 256).cast("int")
+      val st = graft.functions.native.apngFrameStats(
+        graft.functions.native.syntheticApng(w, h, nf, v), sampleEvery = 2)
+      t(s, d, "documents").select(col("doc_id"),
+        st.getField("width").as("width"),
+        st.getField("height").as("height"),
+        st.getField("n_frames").as("n_frames"),
+        st.getField("n_sampled").as("n_sampled"),
+        st.getField("sum_r").as("sum_r"),
+        st.getField("sum_g").as("sum_g"),
+        st.getField("sum_b").as("sum_b"))
     }
   )
 
@@ -3650,6 +3673,25 @@ object SparkEntry {
         "CAST(coalesce(max(cr.zc), 0) AS BIGINT) AS n_zero_cross, " +
         "CAST(max(abs(s)) AS INTEGER) AS peak " +
         "FROM sm LEFT JOIN cr ON sm.doc_id = cr.doc_id " +
-        "GROUP BY sm.doc_id ORDER BY sm.doc_id")
+        "GROUP BY sm.doc_id ORDER BY sm.doc_id"),
+
+    // Video replay: the per-frame pattern restated over the SAMPLED frame
+    // indices (every 2nd) — the Spark side must earn the sums by walking
+    // the animation chunks and inflating each sampled frame for real.
+    "multimodal_video" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w, " +
+        "CAST(4 + doc_id % 4 AS INTEGER) AS h, " +
+        "CAST(4 + doc_id % 4 AS INTEGER) AS nf, doc_id % 256 AS v FROM documents), " +
+        "px AS (SELECT doc_id, w, h, nf, " +
+        "(7 * xs.x + 13 * ys.y + 23 * fs.f + v) AS base " +
+        "FROM d, generate_series(0, 15) xs(x), generate_series(0, 7) ys(y), " +
+        "generate_series(0, 6, 2) fs(f) " +
+        "WHERE xs.x < w AND ys.y < h AND fs.f < nf) " +
+        "SELECT doc_id, w AS width, h AS height, nf AS n_frames, " +
+        "CAST((nf + 1) // 2 AS INTEGER) AS n_sampled, " +
+        "CAST(sum(base % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
+        "FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id")
   )
 }

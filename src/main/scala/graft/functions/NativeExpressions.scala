@@ -864,6 +864,82 @@ case class WavAudioStats(child: Expression)
     copy(child = c)
 }
 
+/** A REAL synthesized APNG clip from (width, height, nFrames, variant) —
+  * [[graft.llm.Multimodal.encodeApng]] with the per-frame pattern
+  * `channel(f, x, y, c) = (7x + 13y + 23f + variant + 101c) mod 256`,
+  * RGB, genuine acTL/fcTL/fdAT chunk bookkeeping and per-frame zlib
+  * streams. The animation twin of [[SyntheticPng]].
+  */
+case class SyntheticApng(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(w: Any, h: Any, n: Any, v: Any): Any = {
+    val width = w.asInstanceOf[Number].intValue()
+    val height = h.asInstanceOf[Number].intValue()
+    val nFrames = n.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].intValue()
+    graft.llm.Multimodal.encodeApng(width, height, 3, nFrames,
+      (f, x, y, c) => (7 * x + 13 * y + 23 * f + variant + 101 * c) % 256)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): SyntheticApng =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Sampled-frame statistics of an APNG payload — every `sampleEvery`-th
+  * frame decoded through the real inflate + defilter path, channel sums
+  * accumulated over the SAMPLED frames only: `(width, height, n_frames,
+  * n_sampled, sum_r, sum_g, sum_b)`, NULL when the animation walk rejects
+  * the bytes. The video-curation gate shape: frame-sample → features.
+  */
+case class ApngFrameStats(child: Expression, sampleEvery: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(sampleEvery >= 1, s"sampleEvery must be >= 1: $sampleEvery")
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_frames", IntegerType), StructField("n_sampled", IntegerType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodeApngFrames(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(frames) =>
+        val sums = new Array[Long](3)
+        var sampled = 0
+        var fi = 0
+        while (fi < frames.size) {
+          if (fi % sampleEvery == 0) {
+            sampled += 1
+            val img = frames(fi)
+            val n = img.width * img.height
+            var p = 0
+            while (p < n) {
+              var c = 0
+              while (c < 3) {
+                sums(c) += img.pixels(p * img.channels + c) & 0xFF; c += 1
+              }
+              p += 1
+            }
+          }
+          fi += 1
+        }
+        val h = frames.head
+        org.apache.spark.sql.catalyst.InternalRow(
+          java.lang.Integer.valueOf(h.width), java.lang.Integer.valueOf(h.height),
+          java.lang.Integer.valueOf(frames.size), java.lang.Integer.valueOf(sampled),
+          java.lang.Long.valueOf(sums(0)), java.lang.Long.valueOf(sums(1)),
+          java.lang.Long.valueOf(sums(2)))
+    }
+
+  override protected def withNewChildInternal(c: Expression): ApngFrameStats =
+    copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -938,6 +1014,14 @@ object native {
   /** A real synthesized 16-bit PCM WAV from (nSamples, variant). */
   def syntheticWav(n: Column, v: Column): Column =
     column(SyntheticWav(expression(n), expression(v)))
+
+  /** A real synthesized APNG clip from (width, height, nFrames, variant). */
+  def syntheticApng(w: Column, h: Column, n: Column, v: Column): Column =
+    column(SyntheticApng(expression(w), expression(h), expression(n), expression(v)))
+
+  /** Sampled-frame stats of an APNG payload (every `sampleEvery`-th frame). */
+  def apngFrameStats(c: Column, sampleEvery: Int): Column =
+    column(ApngFrameStats(expression(c), sampleEvery))
 
   /** Decoded-PCM stats `(sample_rate, channels, n_samples, sum_sq, n_zero_cross, peak)`. */
   def wavAudioStats(c: Column): Column = column(WavAudioStats(expression(c)))

@@ -89,10 +89,12 @@ object Multimodal {
     * synthesize test/gate images; the bytes are valid PNG (spec-checked
     * against the JDK's own ImageIO reader).
     */
-  def encodePng(width: Int, height: Int, channels: Int,
-                pixel: (Int, Int, Int) => Int): Array[Byte] = {
-    require(width > 0 && height > 0 && (channels == 3 || channels == 4),
-      s"unsupported raster ${width}x$height/$channels")
+  /** Filter (type `y % 5`, all five predictors exercised) and
+    * zlib-deflate one raster — the shared scanline core of [[encodePng]]
+    * and the APNG frame writer.
+    */
+  private def filterAndDeflate(width: Int, height: Int, channels: Int,
+                               pixel: (Int, Int, Int) => Int): Array[Byte] = {
     val stride = width * channels
     val raw = new Array[Byte](height * (1 + stride))
     var prev = new Array[Int](stride)
@@ -133,7 +135,14 @@ object Multimodal {
     val buf = new Array[Byte](8192)
     while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
     defl.end()
-    val out = new java.io.ByteArrayOutputStream(zOut.size() + 64)
+    zOut.toByteArray
+  }
+
+  /** Chunk writer shared by the PNG and APNG encoders: length, tag, data,
+    * CRC32 over tag+data — the spec layout byte for byte.
+    */
+  private final class ChunkWriter {
+    val out = new java.io.ByteArrayOutputStream(1024)
     def be32(v: Int): Unit = {
       out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
       out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
@@ -146,15 +155,25 @@ object Multimodal {
       crc.update(tb); crc.update(data)
       be32(crc.getValue.toInt)
     }
-    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(width).putInt(height)
-      .put(8.toByte).put((if (channels == 3) 2 else 6).toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
-    chunk("IHDR", ihdr)
-    chunk("IDAT", zOut.toByteArray)
-    chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
+    def signature(): Unit =
+      out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def ihdr(width: Int, height: Int, channels: Int): Unit =
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put((if (channels == 3) 2 else 6).toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array())
+  }
+
+  def encodePng(width: Int, height: Int, channels: Int,
+                pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && (channels == 3 || channels == 4),
+      s"unsupported raster ${width}x$height/$channels")
+    val w = new ChunkWriter
+    w.signature()
+    w.ihdr(width, height, channels)
+    w.chunk("IDAT", filterAndDeflate(width, height, channels, pixel))
+    w.chunk("IEND", Array.emptyByteArray)
+    w.out.toByteArray
   }
 
   /** REAL PNG pixel decoder — the frame-content counterpart of
@@ -206,10 +225,21 @@ object Multimodal {
       pos += 12 + len
     }
     if (!sawIhdr || idat.size() == 0) return None
+    inflateRaster(idat.toByteArray, width, height, channels)
+      .map(PngImage(width, height, channels, _))
+  }
+
+  /** zlib-inflate one frame's filtered scanlines and DEFILTER all five
+    * predictor types — the shared raster core of [[decodePng]] and the
+    * APNG frame walk. None on truncation, bad filter bytes, or a stream
+    * that doesn't fit the expected raster exactly.
+    */
+  private def inflateRaster(z: Array[Byte], width: Int, height: Int,
+                            channels: Int): Option[Array[Byte]] = {
     val stride = width * channels
     val raw = new Array[Byte](height * (1 + stride))
     val infl = new java.util.zip.Inflater()
-    infl.setInput(idat.toByteArray)
+    infl.setInput(z)
     var got = 0
     try {
       while (got < raw.length && !infl.finished()) {
@@ -244,7 +274,7 @@ object Multimodal {
       }
       y += 1
     }
-    Some(PngImage(width, height, channels, px))
+    Some(px)
   }
 
   /** A decoded PCM clip: 16-bit samples, interleaved when stereo. */
@@ -322,6 +352,151 @@ object Multimodal {
     if (samples.length % channels != 0) return None
     Some(WavAudio(sampleRate, channels, samples))
   }
+
+  /** REAL APNG encoder (the PNG spec's Animated PNG extension, now part
+    * of core PNG): acTL animation control, one fcTL frame control per
+    * frame with running sequence numbers, frame 0 in IDAT and subsequent
+    * frames in fdAT chunks (sequence number + the frame's own complete
+    * zlib stream). All frames full-canvas, dispose NONE / blend SOURCE —
+    * the common synthesized-clip layout. `pixel(f, x, y, c)` supplies
+    * each frame's channel bytes; every frame cycles all five scanline
+    * filters like [[encodePng]].
+    */
+  def encodeApng(width: Int, height: Int, channels: Int, nFrames: Int,
+                 pixel: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    require(nFrames >= 1 && width > 0 && height > 0 &&
+      (channels == 3 || channels == 4), s"bad clip ${width}x$height×$nFrames")
+    val w = new ChunkWriter
+    w.signature()
+    w.ihdr(width, height, channels)
+    w.chunk("acTL", java.nio.ByteBuffer.allocate(8)
+      .putInt(nFrames).putInt(0).array())
+    var seq = 0
+    def fctl(): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26)
+      b.putInt(seq).putInt(width).putInt(height).putInt(0).putInt(0)
+      b.putShort(1).putShort(10).put(0.toByte).put(0.toByte)
+      seq += 1
+      b.array()
+    }
+    w.chunk("fcTL", fctl())
+    w.chunk("IDAT",
+      filterAndDeflate(width, height, channels, pixel(0, _, _, _)))
+    var f = 1
+    while (f < nFrames) {
+      w.chunk("fcTL", fctl())
+      val z = filterAndDeflate(width, height, channels, pixel(f, _, _, _))
+      val fd = java.nio.ByteBuffer.allocate(4 + z.length)
+        .putInt(seq).put(z).array()
+      seq += 1
+      w.chunk("fdAT", fd)
+      f += 1
+    }
+    w.chunk("IEND", Array.emptyByteArray)
+    w.out.toByteArray
+  }
+
+  /** REAL APNG frame extraction — the video-shaped decode: chunk walk
+    * with CRC32 verification, acTL/fcTL/fdAT bookkeeping with strict
+    * sequence-number checking, then each frame's zlib stream inflated and
+    * defiltered through the shared raster core. Supports the full-canvas
+    * frame subset [[encodeApng]] writes (8-bit truecolor, no regional
+    * offsets, dispose NONE / blend SOURCE) and returns None for anything
+    * else — including a plain PNG (no acTL). One decoded frame per fcTL,
+    * in presentation order.
+    */
+  def decodeApngFrames(bytes: Array[Byte]): Option[Seq[PngImage]] = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (bytes.length < 57 || !sig.indices.forall(i => u8(i) == sig(i))) return None
+    var width = 0; var height = 0; var channels = 0
+    var nFrames = -1
+    var expectSeq = 0
+    // frames under assembly: data buffer per fcTL seen so far
+    val frames = scala.collection.mutable.ArrayBuffer.empty[java.io.ByteArrayOutputStream]
+    var pos = 8
+    var done = false
+    while (!done) {
+      if (pos + 8 > bytes.length) return None
+      val len = be32(pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return None
+      val tag = new String(bytes, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue.toInt != be32(pos + 8 + len)) return None
+      tag match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = be32(pos + 8); height = be32(pos + 12)
+          val depth = u8(pos + 16); val colorType = u8(pos + 17)
+          if (depth != 8 || u8(pos + 20) != 0 ||
+              (colorType != 2 && colorType != 6)) return None
+          channels = if (colorType == 2) 3 else 4
+          if (width <= 0 || height <= 0 ||
+              width.toLong * height * channels > (1L << 30)) return None
+        case "acTL" =>
+          if (len != 8) return None
+          nFrames = be32(pos + 8)
+          if (nFrames < 1) return None
+        case "fcTL" =>
+          if (len != 26 || be32(pos + 8) != expectSeq) return None
+          expectSeq += 1
+          // full-canvas subset only: dims must match, offsets zero
+          if (be32(pos + 12) != width || be32(pos + 16) != height ||
+              be32(pos + 20) != 0 || be32(pos + 24) != 0) return None
+          frames += new java.io.ByteArrayOutputStream()
+        case "IDAT" =>
+          if (frames.isEmpty) return None // default image not in animation
+          frames.head.write(bytes, pos + 8, len)
+        case "fdAT" =>
+          if (len < 4 || frames.size < 2 || be32(pos + 8) != expectSeq) return None
+          expectSeq += 1
+          frames.last.write(bytes, pos + 12, len - 4)
+        case "IEND" => done = true
+        case _ => ()
+      }
+      pos += 12 + len
+    }
+    if (nFrames < 0 || frames.size != nFrames) return None
+    val out = frames.map { buf =>
+      if (buf.size() == 0) return None
+      inflateRaster(buf.toByteArray, width, height, channels) match {
+        case Some(px) => PngImage(width, height, channels, px)
+        case None => return None
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  /** Frame-SAMPLING decoder for [[decodeFrames]] over APNG payloads — the
+    * video curation shape: decode the animation, keep every
+    * `sampleEvery`-th frame, one feature row per KEPT frame —
+    * [frameIndex, width, channels, meanR, meanG, meanB]. Undecodable
+    * payloads produce no frames.
+    */
+  def apngFrameDecoder(sampleEvery: Int = 2)(bytes: Array[Byte]): Iterator[Array[Float]] =
+    decodeApngFrames(bytes) match {
+      case None => Iterator.empty
+      case Some(fs) =>
+        fs.iterator.zipWithIndex
+          .filter(_._2 % sampleEvery == 0)
+          .map { case (img, fi) =>
+            val n = img.width * img.height
+            val sums = new Array[Long](3)
+            var p = 0
+            while (p < n) {
+              var c = 0
+              while (c < 3) {
+                sums(c) += img.pixels(p * img.channels + c) & 0xFF; c += 1
+              }
+              p += 1
+            }
+            Array(fi.toFloat, img.width.toFloat, img.channels.toFloat,
+              sums(0).toFloat / n, sums(1).toFloat / n, sums(2).toFloat / n)
+          }
+    }
 
   /** Real frame decoder for [[decodeFrames]] over WAV payloads: one
     * feature row per `window`-sample window (last window may be short) —

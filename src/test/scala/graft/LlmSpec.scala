@@ -1652,6 +1652,40 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodePng("not a png".getBytes).isEmpty)
   }
 
+  test("APNG codec: per-frame identity, frame sampling, ImageIO reads frame 0, rejects damage") {
+    def pattern(f: Int, x: Int, y: Int, c: Int): Int = (7 * x + 13 * y + 23 * f + 9 + 101 * c) % 256
+    val bytes = Multimodal.encodeApng(11, 7, 3, 5, pattern)
+    // every frame decodes to its own pattern through the animation walk
+    val frames = Multimodal.decodeApngFrames(bytes).get
+    assert(frames.size == 5)
+    for (f <- 0 until 5; y <- 0 until 7; x <- 0 until 11; c <- 0 until 3)
+      assert((frames(f).pixels((y * 11 + x) * 3 + c) & 0xFF) == pattern(f, x, y, c),
+        s"frame $f pixel ($x,$y,$c)")
+    // the bytes are REAL PNG to a non-animated reader: the JDK's ImageIO
+    // ignores the animation chunks and decodes frame 0 (the IDAT image)
+    val io = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(io.getWidth == 11 && io.getHeight == 7)
+    for (y <- 0 until 7; x <- 0 until 11)
+      assert(((io.getRGB(x, y) >> 16) & 0xFF) == pattern(0, x, y, 0))
+    // frame SAMPLING through the decodeFrames boundary: every 2nd frame
+    val media = Seq((3L, bytes)).toDF("media_id", "content")
+    val rows = Multimodal.decodeFrames(spark, media,
+        Multimodal.apngFrameDecoder(2))
+      .as[(Long, Int, Seq[Float])].collect().toSeq.sortBy(_._2)
+    // decodeFrames re-indexes the emitted rows 0..n; the ORIGINAL frame
+    // index rides in feature slot 0
+    assert(rows.map(_._2) == Seq(0, 1, 2) &&
+      rows.map(_._3(0)) == Seq(0f, 2f, 4f), "sampled frames 0/2/4")
+    val mean0r = (for (y <- 0 until 7; x <- 0 until 11) yield pattern(0, x, y, 0)).sum.toFloat / 77
+    assert(math.abs(rows(0)._3(3) - mean0r) < 1e-3)
+    // a PLAIN png is not an animation; damage and seq reorder are rejected
+    assert(Multimodal.decodeApngFrames(
+      Multimodal.encodePng(5, 5, 3, pattern(0, _, _, _))).isEmpty)
+    assert(Multimodal.decodeApngFrames(bytes.take(bytes.length - 20)).isEmpty)
+    val corrupt = bytes.clone(); corrupt(60) = (corrupt(60) ^ 0x11).toByte
+    assert(Multimodal.decodeApngFrames(corrupt).isEmpty)
+  }
+
   test("WAV codec: decode∘encode identity, javax.sound cross-parity both ways, rejects damage") {
     def sample(i: Int): Short = (((31L * i * i + 17L * i + 97L * 5) % 65536L) - 32768L).toShort
     val samples = Array.tabulate(300)(sample)
