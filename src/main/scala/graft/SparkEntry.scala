@@ -1695,6 +1695,23 @@ object SparkEntry {
         st.getField("sum_r").as("sum_r"),
         st.getField("sum_g").as("sum_g"),
         st.getField("sum_b").as("sum_b"))
+    },
+
+    // Video DEDUP, end-to-end real: clips (the same synthesized animations
+    // as multimodal_video) pair by decoded-raster frame hash — re-uploads
+    // and shared-footage detection. The oracle derives which frames must
+    // decode identically straight from the construction formula (same
+    // dims, same (23f + v) mod 256 phase) — the Spark side must earn the
+    // pairs by decoding and hashing actual pixels.
+    "dedup_clips" -> { (s, d) =>
+      val w = (lit(8) + col("doc_id") % 8).cast("int")
+      val h = (lit(4) + col("doc_id") % 4).cast("int")
+      val nf = (lit(4) + col("doc_id") % 4).cast("int")
+      val v = (col("doc_id") % 256).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticApng(w, h, nf, v).as("content"))
+      Multimodal.clipDupPairs(media, sampleEvery = 2)
+        .orderBy("clip_a", "clip_b")
     }
   )
 
@@ -3692,6 +3709,21 @@ object SparkEntry {
         "CAST(sum(base % 256) AS BIGINT) AS sum_r, " +
         "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
         "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
-        "FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id")
+        "FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id"),
+
+    // Clip-dedup replay: two sampled frames decode to IDENTICAL rasters
+    // iff the clips share dimensions and the pattern phase (23f + v) mod
+    // 256 — the equality the frame-content hash realizes pixel-wise.
+    "dedup_clips" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w, " +
+        "CAST(4 + doc_id % 4 AS INTEGER) AS h, " +
+        "CAST(4 + doc_id % 4 AS INTEGER) AS nf, doc_id % 256 AS v FROM documents), " +
+        "k AS (SELECT doc_id, w, h, (23 * fs.f + v) % 256 AS phase " +
+        "FROM d, generate_series(0, 6, 2) fs(f) WHERE fs.f < nf) " +
+        "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k a JOIN k b ON a.w = b.w AND a.h = b.h " +
+        "AND a.phase = b.phase AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY clip_a, clip_b")
   )
 }

@@ -940,6 +940,44 @@ case class ApngFrameStats(child: Expression, sampleEvery: Int)
     copy(child = c)
 }
 
+/** Per-sampled-frame CONTENT hashes of an APNG payload —
+  * `array<struct<frame_idx int, fhash long>>` over every `sampleEvery`-th
+  * frame, where `fhash` is the base-31 mod 1e9+7 polynomial fold of
+  * (width, height, channels, then every decoded pixel byte in raster
+  * order). Two frames share a hash iff their decoded rasters are
+  * identical (dimensions prefixed so equal-content different-shape
+  * sequences cannot coincide), which is what clip-level dedup joins on.
+  * NULL when the animation walk rejects the bytes.
+  */
+case class ApngFrameHashes(child: Expression, sampleEvery: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(sampleEvery >= 1, s"sampleEvery must be >= 1: $sampleEvery")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType), StructField("fhash", LongType))))
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodeApngFrames(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(frames) =>
+        val P = 1000000007L
+        val rows = frames.zipWithIndex.collect {
+          case (img, fi) if fi % sampleEvery == 0 =>
+            var h = ((img.width * 31L + img.height) * 31L + img.channels) % P
+            var i = 0
+            while (i < img.pixels.length) {
+              h = (h * 31L + (img.pixels(i) & 0xFF)) % P
+              i += 1
+            }
+            org.apache.spark.sql.catalyst.InternalRow(
+              java.lang.Integer.valueOf(fi), java.lang.Long.valueOf(h))
+        }
+        new GenericArrayData(rows.toArray[Any])
+    }
+
+  override protected def withNewChildInternal(c: Expression): ApngFrameHashes =
+    copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -1022,6 +1060,10 @@ object native {
   /** Sampled-frame stats of an APNG payload (every `sampleEvery`-th frame). */
   def apngFrameStats(c: Column, sampleEvery: Int): Column =
     column(ApngFrameStats(expression(c), sampleEvery))
+
+  /** Sampled-frame content hashes `array<(frame_idx, fhash)>` of an APNG. */
+  def apngFrameHashes(c: Column, sampleEvery: Int): Column =
+    column(ApngFrameHashes(expression(c), sampleEvery))
 
   /** Decoded-PCM stats `(sample_rate, channels, n_samples, sum_sq, n_zero_cross, peak)`. */
   def wavAudioStats(c: Column): Column = column(WavAudioStats(expression(c)))

@@ -498,6 +498,35 @@ object Multimodal {
           }
     }
 
+  /** Clip-level video near-dup pairs by SAMPLED-FRAME content hash — the
+    * dedup op a video corpus actually runs (re-uploads, re-encodes of the
+    * same cut, clips sharing stock footage): decode every `sampleEvery`-th
+    * frame of each clip for real, hash each decoded raster
+    * (dimension-prefixed polynomial fold), and pair clips sharing any
+    * frame hash — `(clip_a, clip_b, n_shared)` with the shared-frame
+    * count. The join is a hash-bucket equi-join (never all-pairs); frame
+    * contents appearing in more than `maxDf` clips are dropped BEFORE
+    * pairing (black frames, channel intros — the ubiquitous-content
+    * hazard that would otherwise make a bucket quadratic, the same df
+    * guard as [[Dedup.winnowOverlap]]).
+    */
+  def clipDupPairs(media: DataFrame, idCol: String = "media_id",
+                   contentCol: String = "content", sampleEvery: Int = 2,
+                   maxDf: Int = 1000): DataFrame = {
+    val fh = media.select(col(idCol).as("id"),
+        explode(graft.functions.native.apngFrameHashes(col(contentCol),
+          sampleEvery)).as("f"))
+      .select(col("id"), col("f").getField("fhash").as("fhash"))
+      .localCheckpoint(false) // feeds the df guard AND both join sides
+    val rare = fh.groupBy("fhash").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("fhash")
+    val kept = fh.join(rare, "fhash")
+    kept.alias("a").join(kept.alias("b"),
+        col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("clip_a"), col("b.id").as("clip_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Real frame decoder for [[decodeFrames]] over WAV payloads: one
     * feature row per `window`-sample window (last window may be short) —
     * [windowIndex, nSamples, rms, zeroCrossRate, peak] (rms/peak on the

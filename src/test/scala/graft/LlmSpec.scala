@@ -1686,6 +1686,26 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeApngFrames(corrupt).isEmpty)
   }
 
+  test("clip dedup: re-upload found by frame hash, ubiquitous frames df-capped") {
+    def clip(v: Int, nf: Int) = Multimodal.encodeApng(6, 4, 3, nf,
+      (f, x, y, c) => (7 * x + 13 * y + 23 * f + v + 101 * c) % 256)
+    // clips 1 and 2 are the same cut (identical frames); 3 overlaps them
+    // in ONE frame (phase 23·2+10 = 56 = 23·0+56); 4 is unrelated
+    val media = Seq(
+      (1L, clip(10, 4)), (2L, clip(10, 4)), (3L, clip(56, 2)),
+      (4L, clip(99, 4))).toDF("media_id", "content")
+    val pairs = Multimodal.clipDupPairs(media)
+      .as[(Long, Long, Long)].collect().toSet
+    // 1-2 share both sampled frames (f=0,2); 3's f=0 matches their f=2
+    assert(pairs == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)), pairs.toString)
+    // a frame content present in EVERY clip is dropped by the df cap
+    // before pairing: with maxDf = 2 the 1/2/3-shared frame vanishes and
+    // only the exclusive 1-2 frame survives
+    val capped = Multimodal.clipDupPairs(media, maxDf = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L)), capped.toString)
+  }
+
   test("WAV codec: decode∘encode identity, javax.sound cross-parity both ways, rejects damage") {
     def sample(i: Int): Short = (((31L * i * i + 17L * i + 97L * 5) % 65536L) - 32768L).toShort
     val samples = Array.tabulate(300)(sample)
