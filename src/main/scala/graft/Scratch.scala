@@ -15,12 +15,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
 
-  /** The steady top-10 by committed bench cost (BENCH_full.json), the
-    * scaling watch-list. */
+  /** The steady top-12 by committed bench cost (BENCH_full.json), the
+    * scaling watch-list — rotated round 10 (the pairs-index memo pushed
+    * split_leakage/dedup_source_matrix off; dedup_clips and the
+    * containment hot-block rework enter). */
   val ScaleQueries: Seq[String] = Seq(
-    "lm_score_tri", "dedup_fuzzy", "perplexity_buckets", "split_leakage",
-    "bm25_queries", "lm_score", "dedup_source_matrix", "graph_pagerank",
-    "dedup_winnow", "profile_summarize", "quality_train")
+    "dedup_fuzzy", "bm25_queries", "graph_pagerank", "lm_score_tri",
+    "dedup_winnow", "dp_mean", "dedup_incremental", "tfidf_top_terms",
+    "profile_summarize", "corpus_budget", "dedup_containment", "dedup_clips")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
