@@ -1686,6 +1686,59 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeApngFrames(corrupt).isEmpty)
   }
 
+  test("codec property sweep: random rasters/clips/PCM round-trip bit-exact") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 40 random PNGs: dims 1..33, RGB and RGBA, arbitrary pixel bytes —
+    // every (filter type × edge geometry) combination gets exercised
+    for (i <- 0 until 40) {
+      val p = Gen.Parameters.default
+      def draw(g: Gen[Int], k: Long) = g.apply(p, Seed(9000L + 31 * i + k)).get
+      val w = draw(Gen.chooseNum(1, 33), 1)
+      val h = draw(Gen.chooseNum(1, 17), 2)
+      val ch = draw(Gen.oneOf(3, 4), 3)
+      val seed = draw(Gen.chooseNum(0, 1 << 20), 4)
+      def pix(x: Int, y: Int, c: Int): Int =
+        (x * 2654435761L + y * 40503L + c * 997L + seed).toInt & 0xFF
+      val img = Multimodal.decodePng(Multimodal.encodePng(w, h, ch, pix)).get
+      assert(img.width == w && img.height == h && img.channels == ch, s"case $i")
+      var ok = true
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        ok &&= (img.pixels((y * w + x) * ch + c) & 0xFF) == pix(x, y, c)
+      assert(ok, s"PNG case $i ($w x $h x $ch seed $seed)")
+    }
+    // 25 random WAV clips: lengths incl. 0 and 1, mono/stereo
+    for (i <- 0 until 25) {
+      val p = Gen.Parameters.default
+      def draw(g: Gen[Int], k: Long) = g.apply(p, Seed(7700L + 31 * i + k)).get
+      val ch = draw(Gen.oneOf(1, 2), 1)
+      val n = draw(Gen.chooseNum(0, 400), 2) / ch * ch
+      val seed = draw(Gen.chooseNum(0, 1 << 20), 3)
+      val samples = Array.tabulate(n)(j =>
+        ((j * 2654435761L + seed) & 0xFFFF).toInt.toShort)
+      val a = Multimodal.decodeWav(Multimodal.encodeWav(44100, ch, samples)).get
+      assert(a.channels == ch && a.samples.toSeq == samples.toSeq, s"WAV case $i")
+    }
+    // 15 random APNG clips: 1..6 frames, random dims — per-frame identity
+    for (i <- 0 until 15) {
+      val p = Gen.Parameters.default
+      def draw(g: Gen[Int], k: Long) = g.apply(p, Seed(5500L + 31 * i + k)).get
+      val w = draw(Gen.chooseNum(1, 19), 1)
+      val h = draw(Gen.chooseNum(1, 11), 2)
+      val nf = draw(Gen.chooseNum(1, 6), 3)
+      val seed = draw(Gen.chooseNum(0, 1 << 20), 4)
+      def pix(f: Int, x: Int, y: Int, c: Int): Int =
+        (f * 7919 + x * 2654435761L + y * 40503L + c * 997L + seed).toInt & 0xFF
+      val frames = Multimodal.decodeApngFrames(
+        Multimodal.encodeApng(w, h, 3, nf, pix)).get
+      assert(frames.size == nf, s"APNG case $i")
+      var ok = true
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        ok &&= (frames(f).pixels((y * w + x) * 3 + c) & 0xFF) == pix(f, x, y, c)
+      assert(ok, s"APNG case $i ($w x $h x$nf seed $seed)")
+    }
+  }
+
   test("clip dedup: re-upload found by frame hash, ubiquitous frames df-capped") {
     def clip(v: Int, nf: Int) = Multimodal.encodeApng(6, 4, 3, nf,
       (f, x, y, c) => (7 * x + 13 * y + 23 * f + v + 101 * c) % 256)
