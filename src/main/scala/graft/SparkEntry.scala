@@ -1068,6 +1068,13 @@ object SparkEntry {
     "embed_project" -> ((s, d) =>
       Similarity.randomProject(t(s, d, "embeddings"), outDim = 8)),
 
+    // Exact covariance of the embedding corpus — PCA/whitening's
+    // sufficient statistic: ONE wide aggregate of 10⁻³-quantized
+    // component sums + upper-triangle second moments (order-invariant
+    // integer sums, map-side combined), d²-bounded assembly driver-side.
+    "embed_covariance" -> ((s, d) =>
+      Similarity.covariance(t(s, d, "embeddings")).orderBy("i", "j")),
+
     // ---- 2.H text analysis ----
     "text_stats" -> ((s, d) =>
       TextStats.langStats(t(s, d, "documents"))),
@@ -3172,6 +3179,24 @@ object SparkEntry {
         "FROM m, generate_series(0, 7) tj(j) GROUP BY vec_id, j) " +
         "SELECT vec_id, CAST(j AS BIGINT) AS dim, " +
         "round(s / 1000000.0, 6) AS value FROM s ORDER BY vec_id, dim"),
+
+    // Covariance replay: the same 10⁻³ quantization (plain floor(x+0.5)
+    // half-up, exactly the QuantMillis form), exact integer component and
+    // pairwise-product sums, then the identical IEEE op sequence
+    // (Sij/n − (Si/n)(Sj/n)) / 1e6 rounded 6 dp.
+    "embed_covariance" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id, ti.i AS i, CAST(floor(v[ti.i] * 1000 + 0.5) AS BIGINT) AS q " +
+        "FROM e, generate_series(1, 64) ti(i)), " +
+        "n AS (SELECT count(*) AS n FROM e), " +
+        "s AS (SELECT i, sum(q) AS si FROM q GROUP BY i), " +
+        "p AS (SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS sij " +
+        "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2) " +
+        "SELECT CAST(p.i - 1 AS BIGINT) AS i, CAST(p.j - 1 AS BIGINT) AS j, " +
+        "round((CAST(sij AS DOUBLE) / n.n - (CAST(sa.si AS DOUBLE) / n.n) * " +
+        "(CAST(sb.si AS DOUBLE) / n.n)) / 1000000.0, 6) AS cov " +
+        "FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i CROSS JOIN n " +
+        "ORDER BY i, j"),
 
     // int8 cosine search: the same quantization replay, then INTEGER dot
     // products (exact in doubles at any accumulation order) — only the

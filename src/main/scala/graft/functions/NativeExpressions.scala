@@ -978,6 +978,71 @@ case class ApngFrameHashes(child: Expression, sampleEvery: Int)
     copy(child = c)
 }
 
+/** 10⁻³-unit quantization of an array<float|double> vector —
+  * `array<double>` whose entries are the EXACT integers
+  * floor(x·1000 + 0.5). The covariance/PCA pipeline sums these (and
+  * their pairwise products) instead of raw floats, so the sufficient
+  * statistics are order-invariant and bit-identical cross-engine — the
+  * vector twin of the cents-exact t-test convention.
+  */
+case class QuantMillis(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    // input must already be array<double> (cast array<float> upstream
+    // once — the DotProductD convention)
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(arr.getDouble(i) * 1000 + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantMillis =
+    copy(child = c)
+}
+
+/** Flattened upper-triangle outer product of the 10⁻³-quantized vector —
+  * `array<double>` of the d(d+1)/2 exact integer products qᵢ·qⱼ (i ≤ j,
+  * row-major). One [[VectorSumD]] aggregate over this column yields the
+  * full second-moment matrix in a single map-side-combined pass: the
+  * covariance of a 100 TB embedding table costs one scan + one exchange
+  * of d(d+1)/2 doubles per task.
+  */
+case class OuterProductMillis(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    // array<double> input required (cast upstream, as QuantMillis)
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(arr.getDouble(i) * 1000 + 0.5)
+      i += 1
+    }
+    val out = new Array[Double](n * (n + 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) { out(k) = q(i) * q(j); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): OuterProductMillis =
+    copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -1077,6 +1142,13 @@ object native {
   /** Aggregate: elementwise sum of array<double> vectors (map-side combined). */
   def vecsum(c: Column): Column =
     column(VectorSumD(expression(c)).toAggregateExpression())
+
+  /** 10⁻³-unit exact quantization of an array<double> vector. */
+  def quantMillis(c: Column): Column = column(QuantMillis(expression(c)))
+
+  /** Upper-triangle outer product of the 10⁻³-quantized vector. */
+  def outerProductMillis(c: Column): Column =
+    column(OuterProductMillis(expression(c)))
 
   /** Int8 quantization of an array<float|double> vector (+ its scale). */
   def int8quant(c: Column): Column = column(Int8Quantize(expression(c)))

@@ -258,6 +258,146 @@ object Similarity {
         graft.functions.Rounding.dround(col("col") / 1000000.0, 6)
           .as("value"))
 
+  /** Exact covariance matrix of the embedding column — the sufficient
+    * statistic behind PCA/whitening/anisotropy diagnostics. Vectors are
+    * quantized to EXACT 10⁻³-unit integers ([[graft.functions.QuantMillis]]);
+    * ONE wide aggregate sums n, the component sums, and the
+    * [[graft.functions.OuterProductMillis]] upper-triangle second moments
+    * (all map-side combined — a 100 TB covariance is one scan + one
+    * exchange of d(d+1)/2 doubles per task, order-invariant and
+    * bit-identical cross-engine). The assembled relation is `(i, j, cov)`
+    * over the upper triangle, cov = (Sᵢⱼ/n − (Sᵢ/n)(Sⱼ/n)) / 10⁶ rounded
+    * 6 dp — the d²-bounded OUTPUT is built driver-side (config-bounded
+    * collect, the toBounds convention).
+    */
+  def covariance(embs: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val v = asD(col(vecCol))
+    val row = embs.agg(
+      count(lit(1)).as("n"),
+      graft.functions.native.vecsum(graft.functions.native.quantMillis(v)).as("s"),
+      graft.functions.native.vecsum(graft.functions.native.outerProductMillis(v)).as("sp"))
+      .collect().head
+    val n = row.getLong(0).toDouble
+    val s = row.getSeq[Double](1).toArray
+    val sp = row.getSeq[Double](2).toArray
+    val d = s.length
+    // driver twin of Rounding.dround(_, 6): binary-value half-away rounding
+    def r6(x: Double): Double =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+      else -(math.floor(-x * 1e6 + 0.5) / 1e6)
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    var k = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val cov = (sp(k) / n - (s(i) / n) * (s(j) / n)) / 1000000.0
+        out += ((i.toLong, j.toLong, r6(cov)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    import spark.implicits._
+    out.result().toDF("i", "j", "cov")
+  }
+
+  /** A fitted PCA model: eigenvalues (descending) and the matching
+    * orthonormal components (rows), from the exact [[covariance]].
+    */
+  final case class PcaModel(eigenvalues: Array[Double],
+      components: Array[Array[Double]])
+
+  /** Exact PCA of the embedding column: the [[covariance]] statistic
+    * (one distributed pass) eigendecomposed driver-side by cyclic JACOBI
+    * rotations — deterministic (fixed sweep order, fixed threshold) and
+    * d×d-bounded, the same artifact-sized-driver-work posture as BPE's
+    * merge loop. Returns the top `k` components by eigenvalue
+    * (descending; ties broken by original dimension order).
+    *
+    * Spec-gated (the iterative eigensolver has no SQL replay): planted
+    * anisotropic data recovers its dominant direction, components are
+    * orthonormal, and C·v = λ·v holds within tolerance.
+    */
+  def pca(embs: DataFrame, k: Int, idCol: String = "vec_id",
+          vecCol: String = "embedding"): PcaModel = {
+    val covRows = covariance(embs, idCol, vecCol).collect()
+    val d = (math.sqrt(8.0 * covRows.length + 1) - 1).toInt / 2
+    val c = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    // cyclic Jacobi: rotate out each off-diagonal (p, q) in row-major
+    // order until the off-diagonal mass is numerically zero
+    val vMat = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = c(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (c(q)(q) - c(p)(p)) / (2 * apq)
+            val t =
+              if (theta == 0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val cs = 1 / math.sqrt(t * t + 1)
+            val sn = t * cs
+            var i = 0
+            while (i < d) {
+              val cip = c(i)(p); val ciq = c(i)(q)
+              c(i)(p) = cs * cip - sn * ciq
+              c(i)(q) = sn * cip + cs * ciq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val cpi = c(p)(i); val cqi = c(q)(i)
+              c(p)(i) = cs * cpi - sn * cqi
+              c(q)(i) = sn * cpi + cs * cqi
+              val vip = vMat(i)(p); val viq = vMat(i)(q)
+              vMat(i)(p) = cs * vip - sn * viq
+              vMat(i)(q) = sn * vip + cs * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-c(i)(i), i)).take(k)
+    PcaModel(order.map(i => c(i)(i)).toArray,
+      order.map(i => (0 until d).map(vMat(_)(i)).toArray).toArray)
+  }
+
+  /** Project the embedding column onto a fitted [[PcaModel]] — long-form
+    * `(id, pc, value)`: one codegen'd [[graft.functions.DotProductD]] per
+    * component against a literal component vector, zero shuffle.
+    */
+  def pcaProject(embs: DataFrame, model: PcaModel,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val v = asD(col(vecCol))
+    val pcs = model.components.zipWithIndex.map { case (comp, i) =>
+      graft.functions.native.dotd(v,
+        array(comp.map(x => lit(x)).toIndexedSeq: _*)).as(s"_pc$i")
+    }
+    embs.select((col(idCol) +: pcs.toIndexedSeq): _*)
+      .select(col(idCol), posexplode(array(
+        model.components.indices.map(i => col(s"_pc$i")): _*)))
+      .select(col(idCol), col("pos").cast("long").as("pc"),
+        col("col").as("value"))
+  }
+
   /** Approximate cosine top-k over INT8-QUANTIZED codes — the search that
     * consumes [[quantizeInt8]]'s 4×-smaller corpus. Per-vector scales
     * cancel in cosine, so scoring is integer dot products only (cast to

@@ -1486,6 +1486,60 @@ class LlmSpec extends SparkSpec {
     assert(ccStored == ccDirect && ccStored.values.toSet == Set(0L))
   }
 
+  test("PCA: planted direction recovered, orthonormal components, eigen residual tiny") {
+    // planted anisotropy in 8 dims: variance ~9 along u = e0+e1 (normalized),
+    // ~1 along e2, ~0.01 elsewhere — deterministic pseudo-noise
+    val invSqrt2 = 1.0 / math.sqrt(2)
+    val vecs = (0 until 400).map { i =>
+      def n(k: Int) = (((i * 2654435761L + k * 40503L) % 2001) - 1000) / 1000.0
+      val a = 3.0 * n(1); val b = 1.0 * n(2)
+      val v = Array.tabulate(8)(d => 0.1 * n(3 + d))
+      v(0) += a * invSqrt2; v(1) += a * invSqrt2; v(2) += b
+      (i.toLong, v.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val m = Similarity.pca(embs, k = 3)
+    assert(m.eigenvalues.length == 3 && m.components.length == 3)
+    // eigenvalues descending and separated as planted
+    assert(m.eigenvalues(0) > m.eigenvalues(1) &&
+      m.eigenvalues(1) > m.eigenvalues(2))
+    assert(m.eigenvalues(0) > 4 * m.eigenvalues(1), m.eigenvalues.toSeq.toString)
+    // first component aligns with the planted direction
+    val c0 = m.components(0)
+    val align = math.abs(c0(0) * invSqrt2 + c0(1) * invSqrt2)
+    assert(align > 0.99, s"PC1 misaligned: $align ${c0.toSeq}")
+    // orthonormality
+    for (a <- 0 until 3; b <- a until 3) {
+      val dot = (0 until 8).map(i => m.components(a)(i) * m.components(b)(i)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<$a,$b> = $dot")
+    }
+    // C v = lambda v within tolerance, against the exact covariance
+    val cov = Array.ofDim[Double](8, 8)
+    Similarity.covariance(embs).collect().foreach { r =>
+      cov(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2)
+      cov(r.getLong(1).toInt)(r.getLong(0).toInt) = r.getDouble(2)
+    }
+    for (e <- 0 until 3) {
+      val v = m.components(e)
+      val cv = (0 until 8).map(i => (0 until 8).map(j => cov(i)(j) * v(j)).sum)
+      val resid = math.sqrt((0 until 8).map(i =>
+        math.pow(cv(i) - m.eigenvalues(e) * v(i), 2)).sum)
+      assert(resid < 1e-6, s"eigen residual $e: $resid")
+    }
+    // projection: one value per (vector, component); PC1 variance dominates
+    val proj = Similarity.pcaProject(embs, m)
+      .as[(Long, Long, Double)].collect()
+    assert(proj.length == 400 * 3)
+    def varOf(pc: Long) = {
+      val xs = proj.filter(_._2 == pc).map(_._3)
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    assert(varOf(0) > 4 * varOf(1) && varOf(1) > varOf(2),
+      s"projected variances ${varOf(0)} ${varOf(1)} ${varOf(2)}")
+  }
+
   test("VectorSumD aggregates elementwise with partial merge") {
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0)))
       .toDF("g", "v").repartition(3) // force partial buffers + merge
