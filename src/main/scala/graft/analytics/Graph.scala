@@ -44,6 +44,7 @@ object Graph {
       .unionAll(ed.select(col("dst").as("id")))
       .distinct().localCheckpoint()
     val n = nodes.count()
+    if (n == 0) return nodes.select(col("id"), lit(0L).as("r")) // empty graph
     val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
     val base = 15L * RankUnit / (100L * n)
     var r = nodes.select(col("id"), lit(RankUnit / n).as("r"))

@@ -31,7 +31,7 @@ object PairsIndex {
   final case class Index(path: String, nBuckets: Int) {
     /** The full pair relation (doc_a, doc_b, jacc) from the layout. */
     def pairs(spark: SparkSession): DataFrame =
-      spark.read.parquet(path + "/pairs")
+      graft.core.Layouts.read(spark, path + "/pairs")
         .select(col("doc_a"), col("doc_b"), col("jacc"))
 
     /** (id, component) cluster labels resolved at build time. */
@@ -44,7 +44,7 @@ object PairsIndex {
       * `doc_a % nBuckets` computed driver-side plus an id filter.)
       */
     def probeBucket(spark: SparkSession, bucket: Long): DataFrame =
-      spark.read.parquet(path + "/pairs")
+      graft.core.Layouts.read(spark, path + "/pairs")
         .where(col("pb") === bucket)
         .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
@@ -61,8 +61,9 @@ object PairsIndex {
     val spark = docs.sparkSession
     val p = Dedup.ngramJaccard(docs, textCol, idCol, shingleLen,
       blockPrefix, threshold, maxBlock).localCheckpoint()
-    p.withColumn("pb", pmod(col("doc_a"), lit(nBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("pb").parquet(path + "/pairs")
+    graft.core.Layouts.writePartitioned(
+      p.withColumn("pb", pmod(col("doc_a"), lit(nBuckets.toLong))),
+      path + "/pairs", "pb")
     Dedup.connectedComponents(p)
       .write.mode("overwrite").parquet(path + "/components")
     import spark.implicits._

@@ -174,26 +174,30 @@ object Search {
                      textCol: String = "text", idCol: String = "doc_id"): Bm25Index = {
     val spark = docs.sparkSession
     val toks = TextStats.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("tb", termBucket(col("term"), nBuckets))
-      .write.mode("overwrite").partitionBy("tb").parquet(path + "/postings")
+    graft.core.Layouts.writePartitioned(
+      docs.select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+          explode(toks).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", termBucket(col("term"), nBuckets)),
+      path + "/postings", "tb")
+    // coalesce: an empty corpus sums to NULL — the stats row must stay
+    // well-typed so an empty index loads and probes (to zero hits)
     val st = docs.select(size(toks).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .collect().head
     import spark.implicits._
     Seq((st.getLong(0), st.getLong(1), nBuckets))
       .toDF("n_docs", "sum_dl", "n_buckets")
       .write.mode("overwrite").parquet(path + "/stats")
-    Bm25Index(spark.read.parquet(path + "/postings"),
+    Bm25Index(graft.core.Layouts.read(spark, path + "/postings"),
       st.getLong(0), st.getLong(1), nBuckets, path)
   }
 
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): Bm25Index = {
     val st = spark.read.parquet(path + "/stats").collect().head
-    Bm25Index(spark.read.parquet(path + "/postings"),
+    Bm25Index(graft.core.Layouts.read(spark, path + "/postings"),
       st.getLong(0), st.getLong(1), st.getInt(2), path)
   }
 

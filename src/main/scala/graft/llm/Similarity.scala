@@ -279,6 +279,9 @@ object Similarity {
       graft.functions.native.vecsum(graft.functions.native.quantMillis(v)).as("s"),
       graft.functions.native.vecsum(graft.functions.native.outerProductMillis(v)).as("sp"))
       .collect().head
+    import spark.implicits._
+    if (row.getLong(0) == 0L) // empty corpus: no moments, empty relation
+      return Seq.empty[(Long, Long, Double)].toDF("i", "j", "cov")
     val n = row.getLong(0).toDouble
     val s = row.getSeq[Double](1).toArray
     val sp = row.getSeq[Double](2).toArray
@@ -299,7 +302,6 @@ object Similarity {
       }
       i += 1
     }
-    import spark.implicits._
     out.result().toDF("i", "j", "cov")
   }
 
@@ -468,11 +470,12 @@ object Similarity {
                              vecCol: String = "embedding"): IvfIndex = {
     val spark = embs.sparkSession
     val idx = buildIvfIndex(embs, kClusters, iters, idCol, vecCol)
-    embs.join(idx.assignments.withColumnRenamed("id", idCol), idCol)
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$path/vectors")
+    graft.core.Layouts.writePartitioned(
+      embs.join(idx.assignments.withColumnRenamed("id", idCol), idCol),
+      s"$path/vectors", "cluster")
     idx.save(path)
-    idx.copy(clusteredVectors = Some(spark.read.parquet(s"$path/vectors")))
+    idx.copy(clusteredVectors =
+      Some(graft.core.Layouts.read(spark, s"$path/vectors")))
   }
 
   /** Nearest-centroid assignment against a FROZEN centroid relation
@@ -508,12 +511,12 @@ object Similarity {
                        vecCol: String = "embedding"): IvfIndex = {
     val spark = batch.sparkSession
     val asg = assignToCentroids(batch, index.centroids, idCol, vecCol)
-    batch.join(asg.withColumnRenamed("id", idCol), idCol)
-      .write.mode("append").partitionBy("cluster")
-      .parquet(s"$path/vectors")
+    graft.core.Layouts.writePartitioned(
+      batch.join(asg.withColumnRenamed("id", idCol), idCol),
+      s"$path/vectors", "cluster", mode = "append")
     asg.write.mode("append").parquet(s"$path/assignments")
     IvfIndex(spark.read.parquet(s"$path/assignments"), index.centroids,
-      Some(spark.read.parquet(s"$path/vectors")))
+      Some(graft.core.Layouts.read(spark, s"$path/vectors")))
   }
 
   /** Reload a [[IvfIndex.save]]d index: probes run against storage with no
@@ -525,7 +528,9 @@ object Similarity {
     val fs = vecDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     IvfIndex(spark.read.parquet(s"$path/assignments"),
       spark.read.parquet(s"$path/centroids"),
-      if (fs.exists(vecDir)) Some(spark.read.parquet(s"$path/vectors")) else None)
+      if (fs.exists(vecDir))
+        Some(graft.core.Layouts.read(spark, s"$path/vectors"))
+      else None)
   }
 
   /** ANN top-k through a prebuilt [[IvfIndex]]: rank the query against the k
@@ -626,7 +631,15 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
     val v0 = embs.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
-    val dim = v0.select(size(col("v"))).head().getInt(0)
+    val dimRow = v0.select(size(col("v"))).limit(1).collect()
+    if (dimRow.isEmpty) {
+      // empty corpus: a well-typed empty index (probes return zero hits)
+      val spark = embs.sparkSession
+      import spark.implicits._
+      return (Seq.empty[(Long, Int, Int)].toDF("id", "sub", "code"),
+        Seq.empty[(Int, Int, Seq[Double])].toDF("sub", "code", "cvec"))
+    }
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val d = dim / m
     val sv = v0.select(col("id"),
@@ -710,6 +723,11 @@ object Similarity {
   private def adcTable(books: DataFrame, query: DataFrame): DataFrame = {
     val meta = books.agg(countDistinct("sub").as("m"),
       first(size(col("cvec"))).as("d")).head()
+    if (meta.getLong(0) == 0L) { // empty codebooks (empty corpus): no table
+      val spark = books.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Int, Int, Long)].toDF("sub", "code", "_pm")
+    }
     val (m, d) = (meta.getLong(0).toInt, meta.getInt(1))
     val qsv = query.select(
         posexplode(array((0 until m).map(j =>
@@ -767,9 +785,8 @@ object Similarity {
     val (codes, books) = pqIndex(embs, m, kCodes, iters, idCol, vecCol)
     val c = cents.persist(); val b = books.persist()
     c.count(); b.count()
-    codes.join(assign, "id")
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$path/codes")
+    graft.core.Layouts.writePartitioned(
+      codes.join(assign, "id"), s"$path/codes", "cluster")
     c.write.mode("overwrite").parquet(s"$path/centroids")
     b.write.mode("overwrite").parquet(s"$path/codebooks")
     // The interim assignment and codes relations (cached by ivfIndex/pqIndex
@@ -778,7 +795,7 @@ object Similarity {
     // corpus-sized blocks stay resident for the session (IvfPqIndex
     // .unpersist only frees centroids and codebooks).
     assign.unpersist(); codes.unpersist()
-    IvfPqIndex(c, b, spark.read.parquet(s"$path/codes"))
+    IvfPqIndex(c, b, graft.core.Layouts.read(spark, s"$path/codes"))
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
