@@ -2459,7 +2459,8 @@ object SparkEntry {
       "SELECT CAST(sum(n1 + n0) AS BIGINT) AS n, " +
       "round(CAST(sum(ok) AS DOUBLE) / sum(n1 + n0), 6) AS accuracy, " +
       "round(CAST(sum(ll) AS DOUBLE) / 1000000 / sum(n1 + n0), 6) AS log_loss, " +
-      "round(CAST(sum(n1 * (2 * cum0 + n0)) AS DOUBLE) / (2.0 * sum(n1) * sum(n0)), 6) AS auc " +
+      "CASE WHEN sum(n1) > 0 AND sum(n0) > 0 THEN " +
+      "round(CAST(sum(n1 * (2 * cum0 + n0)) AS DOUBLE) / (2.0 * sum(n1) * sum(n0)), 6) END AS auc " +
       "FROM c"
   }
 
@@ -3261,7 +3262,8 @@ object SparkEntry {
         "t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j), " +
         "c AS (SELECT v, sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cna, " +
         "sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnb FROM j), " +
-        "g AS (SELECT v, abs(CAST(cna AS DOUBLE) / ta - CAST(cnb AS DOUBLE) / tb) AS d FROM c, t) " +
+        "g AS (SELECT v, abs(CASE WHEN ta > 0 THEN CAST(cna AS DOUBLE) / ta ELSE 0.0 END " +
+        "- CASE WHEN tb > 0 THEN CAST(cnb AS DOUBLE) / tb ELSE 0.0 END) AS d FROM c, t) " +
         "SELECT round(d, 6) AS ks, CAST(v AS BIGINT) AS at_value FROM g " +
         "ORDER BY d DESC, v LIMIT 1"),
 

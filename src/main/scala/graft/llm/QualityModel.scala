@@ -262,8 +262,11 @@ object QualityModel {
           col("_okt").cast("double") / col("_n"), 6).as("accuracy"),
         graft.functions.Rounding.dround(
           col("_llt").cast("double") / 1000000 / col("_n"), 6).as("log_loss"),
-        graft.functions.Rounding.dround(
-          col("_u2").cast("double") / (lit(2.0) * col("_t1") * col("_t0")), 6)
+        // AUC is undefined when either class is absent (the ranking has
+        // nothing to compare) — release NULL, not a division crash
+        when(col("_t1") > 0 && col("_t0") > 0,
+          graft.functions.Rounding.dround(
+            col("_u2").cast("double") / (lit(2.0) * col("_t1") * col("_t0")), 6))
           .as("auc"))
   }
 }

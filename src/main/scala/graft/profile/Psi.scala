@@ -191,9 +191,15 @@ object Psi {
         (col("oa") + sum(col("na")).over(wv)).as("cna"),
         (col("ob") + sum(col("nb")).over(wv)).as("cnb"))
       .crossJoin(broadcast(tot))
+      // an EMPTY side's empirical CDF is identically 0 (its sum is over no
+      // observations): D degenerates to the other side's max CDF = 1 — the
+      // maximal-drift signal, not a divide-by-zero crash. Mirrored in the
+      // oracle's CASE form.
       .select(col("v"),
-        abs(col("cna").cast("double") / col("ta") -
-          col("cnb").cast("double") / col("tb")).as("d"))
+        abs(when(col("ta") > 0, col("cna").cast("double") / col("ta"))
+            .otherwise(lit(0.0)) -
+          when(col("tb") > 0, col("cnb").cast("double") / col("tb"))
+            .otherwise(lit(0.0))).as("d"))
       .orderBy(col("d").desc, col("v"))
       .limit(1)
       .select(graft.functions.Rounding.dround(col("d"), scale).as("ks"),
