@@ -400,6 +400,49 @@ object Similarity {
         col("col").as("value"))
   }
 
+  /** Mahalanobis (WHITENED-distance) embedding outliers — the OOD /
+    * corrupted-vector gate Euclidean norms miss: a vector of modest norm
+    * lying along a low-variance direction is many sigma out, while a
+    * large vector along the dominant direction is ordinary. Distance² =
+    * Σᵢ projᵢ² / max(λᵢ, `minVar`) over the [[pca]] basis (the mean is
+    * removed first — Mahalanobis is about the centered cloud). Flags
+    * vectors with distance ≥ `threshold` (in sigma units).
+    *
+    * Scale shape: the model is a fitted artifact (one covariance pass +
+    * d×d driver eigen); scoring is ONE projection pass — k codegen'd dots
+    * per row against literal component vectors, zero shuffle beyond the
+    * final flag filter. Spec-gated like [[pca]].
+    */
+  def mahalanobisOutliers(embs: DataFrame, k: Int = 8,
+                          threshold: Double = 4.0, minVar: Double = 1e-9,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val model = pca(embs, k)
+    if (model.eigenvalues.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF(idCol, "mdist")
+    }
+    // center on the mean (exact 1e-3-quantized mean, matching covariance)
+    val meanRow = embs.agg(
+        count(lit(1)).as("n"),
+        graft.functions.native.vecsum(
+          graft.functions.native.quantMillis(asD(col(vecCol)))).as("s"))
+      .collect().head
+    val n = meanRow.getLong(0).toDouble
+    val mean = meanRow.getSeq[Double](1).toArray.map(_ / n / 1000.0)
+    val v = asD(col(vecCol))
+    val centered = array(mean.indices.map(i =>
+      element_at(v, i + 1) - lit(mean(i))): _*)
+    val dist2 = model.components.zipWithIndex.map { case (comp, i) =>
+      val proj = graft.functions.native.dotd(centered,
+        array(comp.map(x => lit(x)).toIndexedSeq: _*))
+      proj * proj / lit(math.max(model.eigenvalues(i), minVar))
+    }.reduce(_ + _)
+    embs.select(col(idCol), sqrt(dist2).as("mdist"))
+      .where(col("mdist") >= threshold)
+  }
+
   /** Approximate cosine top-k over INT8-QUANTIZED codes — the search that
     * consumes [[quantizeInt8]]'s 4×-smaller corpus. Per-vector scales
     * cancel in cosine, so scoring is integer dot products only (cast to

@@ -1540,6 +1540,33 @@ class LlmSpec extends SparkSpec {
       s"projected variances ${varOf(0)} ${varOf(1)} ${varOf(2)}")
   }
 
+  test("Mahalanobis outliers: low-variance-direction vector flagged, big on-axis vector not") {
+    val invSqrt2 = 1.0 / math.sqrt(2)
+    // bulk cloud: big variance along e0+e1, tiny (0.03-scale noise) elsewhere
+    val bulk = (0 until 300).map { i =>
+      def nz(k: Int) = (((i * 2654435761L + k * 40503L) % 2001) - 1000) / 1000.0
+      val a = 3.0 * nz(1)
+      val v = Array.tabulate(8)(d => 0.03 * nz(2 + d))
+      v(0) += a * invSqrt2; v(1) += a * invSqrt2
+      (i.toLong, v.toSeq)
+    }
+    // 900: HUGE along the dominant direction — ordinary in whitened space;
+    // 901: modest norm 0.6 along e5 (a ~0.017-sigma direction) — way out
+    val onAxis = (900L, Array.tabulate(8)(d =>
+      if (d <= 1) 4.0 * invSqrt2 else 0.0).toSeq)
+    val offAxis = (901L, Array.tabulate(8)(d =>
+      if (d == 5) 0.6 else 0.0).toSeq)
+    val embs = (bulk :+ onAxis :+ offAxis).toDF("vec_id", "embedding")
+    val flagged = Similarity.mahalanobisOutliers(embs, k = 8, threshold = 6.0)
+      .as[(Long, Double)].collect().toMap
+    assert(flagged.contains(901L), s"off-axis outlier missed: $flagged")
+    assert(!flagged.contains(900L), s"on-axis vector wrongly flagged: $flagged")
+    // and the euclidean norms ORDER THE OTHER WAY — the point of whitening
+    assert(math.sqrt(4.0 * 4.0) > 0.6)
+    // bulk false-positive rate stays low
+    assert(flagged.keySet.count(_ < 300L) < 15, flagged.keySet.toString)
+  }
+
   test("VectorSumD aggregates elementwise with partial merge") {
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0)))
       .toDF("g", "v").repartition(3) // force partial buffers + merge
