@@ -1681,6 +1681,26 @@ object SparkEntry {
         st.getField("peak").as("peak"))
     },
 
+    // The typed mapPartitions decode boundary under the gate for AUDIO:
+    // the same synthesized WAVs stream through decodeFrames with the real
+    // wavFrameDecoder (256-sample windows) and release integer-exact
+    // window features; the oracle replays the windows from the formula.
+    "multimodal_audio_frames" -> { (s, d) =>
+      val n = (lit(256) + col("doc_id") % 256).cast("int")
+      val v = (col("doc_id") % 1000).cast("long")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticWav(n, v).as("content"))
+      Multimodal.decodeFrames(s, media, Multimodal.wavFrameDecoder(256))
+        .select(col("media_id"), col("frame_idx"),
+          element_at(col("features"), 2).cast("long").as("n_samples"),
+          // zc rode as the float ratio zc/(m-1); small ints are exact in
+          // float, so the reconstruction is lossless
+          floor(element_at(col("features"), 4) *
+            greatest(element_at(col("features"), 2) - 1, lit(1.0f)) + 0.5)
+            .cast("long").as("n_zero_cross"),
+          element_at(col("features"), 5).cast("int").as("peak"))
+    },
+
     // REAL video-shaped decode, end-to-end: each doc synthesizes a genuine
     // ANIMATED PNG (acTL/fcTL/fdAT bookkeeping, per-frame zlib streams,
     // strict sequence numbers) and ApngFrameStats must frame-SAMPLE it —
@@ -3737,6 +3757,24 @@ object SparkEntry {
         "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
         "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
         "FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id"),
+
+    // Windowed-audio replay: per-256-sample-window count / crossings /
+    // peak restated from the sample formula (crossings stay WITHIN a
+    // window, as the frame decoder computes them).
+    "multimodal_audio_frames" ->
+      ("WITH d AS (SELECT doc_id, CAST(256 + doc_id % 256 AS BIGINT) AS n, " +
+        "doc_id % 1000 AS v FROM documents), " +
+        "sm AS (SELECT doc_id, n, i.i AS i, i.i // 256 AS w, " +
+        "((31 * i.i * i.i + 17 * i.i + 97 * v) % 65536) - 32768 AS s " +
+        "FROM d, generate_series(0, 511) i(i) WHERE i.i < n), " +
+        "lg AS (SELECT doc_id, w, i, s, " +
+        "lag(s) OVER (PARTITION BY doc_id, w ORDER BY i) AS p FROM sm), " +
+        "z AS (SELECT doc_id, w, count(*) AS m, max(abs(s)) AS peak, " +
+        "sum(CASE WHEN p IS NOT NULL AND ((p < 0 AND s >= 0) OR (p >= 0 AND s < 0)) " +
+        "THEN 1 ELSE 0 END) AS zc FROM lg GROUP BY doc_id, w) " +
+        "SELECT doc_id AS media_id, CAST(w AS INTEGER) AS frame_idx, " +
+        "CAST(m AS BIGINT) AS n_samples, CAST(zc AS BIGINT) AS n_zero_cross, " +
+        "CAST(peak AS INTEGER) AS peak FROM z ORDER BY media_id, frame_idx"),
 
     // Clip-dedup replay: two sampled frames decode to IDENTICAL rasters
     // iff the clips share dimensions and the pattern phase (23f + v) mod
