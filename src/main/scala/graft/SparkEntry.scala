@@ -1497,6 +1497,22 @@ object SparkEntry {
       graft.analytics.Privacy.lDiversity(t(s, d, "documents"),
         Seq("source"), "lang", l = 4)),
 
+    // k-anonymity REMEDIATION closing the audit loop: walk a
+    // generalization ladder — (lang, source) → (lang, *) → (*, *) — and
+    // release the first level where every quasi group reaches k = 40.
+    // Level 0 violates (singleton (lang, source) cells exist) and level 1
+    // satisfies, so the released groups are the per-lang counts with
+    // source suppressed; the oracle replays the ladder walk in SQL.
+    "k_generalize" -> { (s, d) =>
+      import graft.analytics.Privacy.GenLevel
+      graft.analytics.Privacy.generalizeUntilK(t(s, d, "documents"),
+        Seq(
+          GenLevel(0, Seq("lang" -> col("lang"), "source" -> col("source"))),
+          GenLevel(1, Seq("lang" -> col("lang"), "source" -> lit("*"))),
+          GenLevel(2, Seq("lang" -> lit("*"), "source" -> lit("*")))),
+        k = 40).orderBy("lang", "source")
+    },
+
     // ε-DP per-group mean (clamp-and-split: ε/2 on the bounded sum, ε/2
     // on the count) — completing the DP release family beside the count
     // and histogram mechanisms.
@@ -3306,6 +3322,23 @@ object SparkEntry {
         "CAST(sum(CASE WHEN n < 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
         "CAST(sum(CASE WHEN n < 40 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk, " +
         "CAST(min(n) AS BIGINT) AS min_group_size FROM g"),
+
+    // Remediation replay: the generalization-ladder walk in SQL — the
+    // chosen level is the first whose min group count reaches k = 40,
+    // and the release is that level's group-count relation.
+    "k_generalize" ->
+      ("WITH l0 AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2), " +
+        "l1 AS (SELECT lang, '*' AS source, count(*) AS n FROM documents GROUP BY 1), " +
+        "l2 AS (SELECT '*' AS lang, '*' AS source, count(*) AS n FROM documents), " +
+        "chosen AS (SELECT CASE " +
+        "WHEN (SELECT coalesce(min(n), 9223372036854775807) FROM l0) >= 40 THEN 0 " +
+        "WHEN (SELECT coalesce(min(n), 9223372036854775807) FROM l1) >= 40 THEN 1 " +
+        "ELSE 2 END AS lvl), " +
+        "u AS (SELECT 0 AS l, * FROM l0 UNION ALL SELECT 1, * FROM l1 " +
+        "UNION ALL SELECT 2, * FROM l2) " +
+        "SELECT CAST(chosen.lvl AS INTEGER) AS level, lang, source, " +
+        "CAST(n AS BIGINT) AS n FROM u, chosen WHERE u.l = chosen.lvl " +
+        "ORDER BY lang, source"),
 
     // Split thresholds embed Scala's OWN cumulative-sum doubles (0.9 + 0.05
     // prints as 0.9500000000000001) so both engines compare the draw

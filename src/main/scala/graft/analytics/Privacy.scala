@@ -172,4 +172,45 @@ object Privacy {
         sum(when(col("_d") < l, 1L).otherwise(0L)).as("n_violating"),
         min(col("_d")).as("min_diversity"))
   }
+
+  /** A generalization LEVEL for [[generalizeUntilK]]: named quasi-identifier
+    * expressions (coarser at higher levels — suppress a column to a
+    * literal, bucket a numeric, truncate a code).
+    */
+  final case class GenLevel(level: Int, quasi: Seq[(String, Column)])
+
+  /** k-anonymity REMEDIATION — [[kAnonymity]] audits, this fixes: walk the
+    * generalization `levels` from most specific to most general and
+    * release the FIRST level whose every quasi group holds ≥ k rows,
+    * as `(level, quasi..., n)` group counts (the release shape — row-level
+    * release would defeat the generalization). Returns the ladder's last
+    * level if none satisfies (callers check `min(n)` — at the top level
+    * everything is one group, so full suppression always satisfies k ≤ n).
+    *
+    * Scale shape: ONE map-side-combined keyed count per probed level
+    * (≤ |levels|, a config constant — typically 3-4), each with a one-row
+    * min aggregate; the release itself is group-cardinality-sized. No
+    * level's probe reads more than the quasi projection.
+    */
+  def generalizeUntilK(df: DataFrame, levels: Seq[GenLevel],
+                       k: Int): DataFrame = {
+    require(levels.nonEmpty && k >= 2, s"need levels and k >= 2")
+    val it = levels.iterator
+    var chosen: DataFrame = null
+    var done = false
+    while (!done && it.hasNext) {
+      val lv = it.next()
+      val grouped = df
+        .select(lv.quasi.map { case (n, c) => c.as(n) }: _*)
+        .groupBy(lv.quasi.map { case (n, _) => col(n) }: _*)
+        .agg(count(lit(1)).as("n"))
+      val minRow = grouped.agg(min(col("n"))).collect().head
+      // empty extract: no group violates — trivially k-anonymous
+      val minN = if (minRow.isNullAt(0)) Long.MaxValue else minRow.getLong(0)
+      chosen = grouped.select(lit(lv.level).as("level") +:
+        lv.quasi.map { case (n, _) => col(n) } :+ col("n"): _*)
+      done = minN >= k || !it.hasNext
+    }
+    chosen
+  }
 }

@@ -1567,6 +1567,33 @@ class LlmSpec extends SparkSpec {
     assert(flagged.keySet.count(_ < 300L) < 15, flagged.keySet.toString)
   }
 
+  test("generalizeUntilK walks the ladder to the first satisfying level") {
+    import graft.analytics.Privacy
+    import graft.analytics.Privacy.GenLevel
+    def levels = Seq(
+      GenLevel(0, Seq("a" -> col("a"), "b" -> col("b"))),
+      GenLevel(1, Seq("a" -> col("a"), "b" -> lit("*"))),
+      GenLevel(2, Seq("a" -> lit("*"), "b" -> lit("*"))))
+    // (a, b) has a singleton cell; (a, *) gives 3 + 3 — k = 3 picks level 1
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "q"),
+      ("y", "p"), ("y", "p"), ("y", "p")).toDF("a", "b")
+    val r1 = Privacy.generalizeUntilK(df, levels, k = 3)
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(r1 == Set((1, "x", "*", 3L), (1, "y", "*", 3L)), r1.toString)
+    // k = 2: level 0 still violates (the 'x q' singleton); k = 1 stops at 0
+    val r0 = Privacy.generalizeUntilK(df, levels, k = 2)
+      .select("level").distinct().as[Int].collect().toSeq
+    assert(r0 == Seq(1))
+    // k beyond any lang group forces full suppression (one total-count row)
+    val r2 = Privacy.generalizeUntilK(df, levels, k = 5)
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(r2 == Set((2, "*", "*", 6L)), r2.toString)
+    // empty extract: trivially anonymous at the FIRST level, zero rows
+    val r3 = Privacy.generalizeUntilK(df.limit(0), levels, k = 3)
+    assert(r3.select("level").distinct().as[Int].collect().isEmpty &&
+      r3.columns.toSeq == Seq("level", "a", "b", "n"))
+  }
+
   test("VectorSumD aggregates elementwise with partial merge") {
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0)))
       .toDF("g", "v").repartition(3) // force partial buffers + merge
