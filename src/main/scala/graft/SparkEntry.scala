@@ -1618,6 +1618,24 @@ object SparkEntry {
       graft.etl.Synthetic.agrawal(s, 1000)),
 
     // ---- 2.H multimodal ----
+    // Cross-modal referential integrity — the first audit a paired
+    // image/text (or doc/embedding) corpus needs: which documents lack a
+    // vector, which vectors are orphaned, how many align. One full-outer
+    // keyed join + a one-row aggregate; at 100 TB both sides shuffle once
+    // on the id.
+    "modality_coverage" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id").as("id"))
+      val vecs = t(s, d, "embeddings").select(col("vec_id").as("id"))
+        .withColumn("_v", lit(1))
+      docs.withColumn("_d", lit(1))
+        .join(vecs, Seq("id"), "full_outer")
+        .agg(
+          sum(when(col("_d").isNotNull && col("_v").isNotNull, 1L)
+            .otherwise(0L)).as("n_paired"),
+          sum(when(col("_v").isNull, 1L).otherwise(0L)).as("n_docs_only"),
+          sum(when(col("_d").isNull, 1L).otherwise(0L)).as("n_vecs_only"))
+    },
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asBinary(t(s, d, "documents")))
         ),
@@ -3790,6 +3808,14 @@ object SparkEntry {
         "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
         "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
         "FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id"),
+
+    "modality_coverage" ->
+      ("WITH d AS (SELECT doc_id AS id FROM documents), " +
+        "v AS (SELECT vec_id AS id FROM embeddings) " +
+        "SELECT CAST(sum(CASE WHEN d.id IS NOT NULL AND v.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_paired, " +
+        "CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_only, " +
+        "CAST(sum(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_only " +
+        "FROM d FULL OUTER JOIN v ON d.id = v.id"),
 
     // Windowed-audio replay: per-256-sample-window count / crossings /
     // peak restated from the sample formula (crossings stay WITHIN a
