@@ -1084,6 +1084,25 @@ object SparkEntry {
     "token_entropy" -> ((s, d) =>
       TextStats.tokenEntropy(t(s, d, "documents"))),
 
+    // Vocabulary growth (Heaps' law readout) over 5-gram shingles: how
+    // many DISTINCT shingles first appear in each tenth of the corpus —
+    // flat late deciles mean a saturated/duplicative corpus, steep ones
+    // mean genuinely novel data. One keyed min per shingle (map-side
+    // combined) + a one-row broadcast of the id ceiling + a ten-group
+    // count: two exchanges at any corpus size.
+    "vocab_growth" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val firsts = docs
+        .select(explode(Dedup.shingles(TextStats.tokens(col("text")), 5))
+          .as("sh"), col("doc_id"))
+        .groupBy("sh").agg(min("doc_id").as("first_doc"))
+      val nd = docs.agg(max(col("doc_id")).as("max_id"))
+      firsts.crossJoin(broadcast(nd))
+        .groupBy(expr("first_doc * 10 DIV (max_id + 1)").as("decile"))
+        .agg(count(lit(1)).as("n_new_shingles"))
+        .orderBy("decile")
+    },
+
     // Inverted index build: df + ascending posting list per term, one
     // keyed aggregate over per-doc-distinct (term, doc) pairs. The
     // posting list ships as a comma-joined STRING — the cross-engine
@@ -3562,6 +3581,17 @@ object SparkEntry {
         "round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens, " +
         "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+
+    // Vocabulary-growth replay: first-occurrence doc per 5-gram shingle
+    // (the shingleCte extraction), integer decile arithmetic identical on
+    // both sides.
+    "vocab_growth" ->
+      (shingleCte +
+        ", u AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+        "f AS (SELECT g, min(doc_id) AS fd FROM u GROUP BY g), " +
+        "m AS (SELECT max(doc_id) AS mx FROM documents) " +
+        "SELECT (fd * 10) // (mx + 1) AS decile, CAST(count(*) AS BIGINT) AS n_new_shingles " +
+        "FROM f, m GROUP BY 1 ORDER BY decile"),
 
     // Inverted index: distinct (doc, term) then one grouped agg; the
     // posting list is ORDER BY doc_id (no ties — ids are distinct) and
