@@ -1601,6 +1601,25 @@ object SparkEntry {
     "pack_concat" -> ((s, d) =>
       graft.llm.Corpus.packConcat(t(s, d, "documents"), budget = 512)),
 
+    // Packing-efficiency readout: per language, how full the context bins
+    // actually are (mean fill vs the 512 budget, emptiest/fullest bin) —
+    // the utilization number that decides whether the packer or the
+    // chunker needs tuning. Two keyed aggregates over the bin relation.
+    "pack_efficiency" -> ((s, d) =>
+      graft.llm.Corpus.packSequences(t(s, d, "documents"), budget = 512)
+        .groupBy("lang", "bin").agg(sum("n_tok").as("_bt"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_bins"),
+          sum("_bt").as("total_tok"),
+          min("_bt").as("min_bin_tok"),
+          max("_bt").as("max_bin_tok"))
+        .select(col("lang"), col("n_bins"), col("total_tok"),
+          col("min_bin_tok"), col("max_bin_tok"),
+          graft.functions.Rounding.dround(
+            col("total_tok").cast("double") / col("n_bins") / 512, 6)
+            .as("mean_fill"))
+        .orderBy("lang")),
+
     // Overlapping token-window chunking (RAG / context-window prep): pure
     // per-row explode, chunk identity = (doc, ordinal) — deterministic
     // under any partitioning, no shuffle anywhere.
@@ -3436,6 +3455,19 @@ object SparkEntry {
         "string_agg(d.text, ' <eos> ' ORDER BY p.doc_id) AS seq_text " +
         "FROM p JOIN documents d USING (doc_id) " +
         "GROUP BY p.lang, p.bin ORDER BY p.lang, p.bin"),
+
+    "pack_efficiency" ->
+      (s"WITH b AS (SELECT doc_id, lang, ${mix32Sql("doc_id")} % 64 AS shard, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "p AS (SELECT doc_id, lang, CAST(floor(COALESCE(SUM(n_tok) " +
+        "OVER (PARTITION BY lang ORDER BY shard, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin, " +
+        "n_tok FROM b), " +
+        "g AS (SELECT lang, bin, SUM(n_tok) AS bt FROM p GROUP BY 1, 2) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_bins, " +
+        "CAST(sum(bt) AS BIGINT) AS total_tok, " +
+        "CAST(min(bt) AS BIGINT) AS min_bin_tok, CAST(max(bt) AS BIGINT) AS max_bin_tok, " +
+        "round(CAST(sum(bt) AS DOUBLE) / count(*) / 512, 6) AS mean_fill " +
+        "FROM g GROUP BY lang ORDER BY lang"),
 
     "chunk_documents" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), tk -> tk <> '') AS tk FROM documents), " +
