@@ -1601,6 +1601,29 @@ object SparkEntry {
     "pack_concat" -> ((s, d) =>
       graft.llm.Corpus.packConcat(t(s, d, "documents"), budget = 512)),
 
+    // Per-SOURCE curation scoreboard: gopher keep rate + mean heuristic
+    // quality per crawl source — the table that sets per-source dedup and
+    // filter priorities (and exposes a junk domain at a glance). Quality
+    // rides as exact 1e-4 units so the per-source mean is order-invariant.
+    "source_scoreboard" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val gf = TextStats.gopherFilter(docs, keepCols = Seq("source"))
+      val q = docs.select(col("doc_id"),
+        floor(TextStats.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long").as("_q"))
+      gf.join(q, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+          sum("_q").as("_qs"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          graft.functions.Rounding.dround(
+            col("n_kept").cast("double") / col("n_docs"), 6).as("keep_rate"),
+          graft.functions.Rounding.dround(
+            col("_qs").cast("double") / 10000 / col("n_docs"), 6)
+            .as("mean_quality"))
+        .orderBy("source")
+    },
+
     // Packing-efficiency readout: per language, how full the context bins
     // actually are (mean fill vs the 512 budget, emptiest/fullest bin) —
     // the utilization number that decides whether the packer or the
@@ -3742,6 +3765,33 @@ object SparkEntry {
         "SELECT doc_id, n_words, rules_failed, " +
         "CAST(CASE WHEN rules_failed = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept " +
         "FROM f ORDER BY doc_id"),
+
+    // Scoreboard replay: the gopher rule bitmask CTE joined with the
+    // 1e-4-unit quality, grouped per source with the same IEEE chains.
+    "source_scoreboard" ->
+      (repStatsCte + ", " +
+        "s AS (SELECT doc_id, len(w) AS n_words, " +
+        "round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w), 4) AS mwl, " +
+        "round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS sym " +
+        "FROM t), " +
+        "r AS (SELECT doc_id, round(t2 * 1.0 / tl, 4) AS top2, round(d5 * 1.0 / tl, 4) AS dup5 FROM a), " +
+        "f AS (SELECT s.doc_id AS doc_id, " +
+        "CASE WHEN (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END) " +
+        "+ (CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END) " +
+        "+ (CASE WHEN sym > 0.1 THEN 4 ELSE 0 END) " +
+        "+ (CASE WHEN coalesce(top2, 0) > 0.20 THEN 8 ELSE 0 END) " +
+        "+ (CASE WHEN coalesce(dup5, 0) > 0.15 THEN 16 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS kept " +
+        "FROM s LEFT JOIN r ON s.doc_id = r.doc_id), " +
+        "q AS (SELECT doc_id, CAST(floor((0.3 * least(1.0, length(text) / 500.0) + " +
+        "0.4 * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))) + " +
+        s"0.3 * (len(list_filter(string_split(text,' '), tk -> list_contains($allStop, tk))) * 1.0 / " +
+        "len(string_split(text,' ')))) * 10000 + 0.5) AS BIGINT) AS qm FROM documents) " +
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(f.kept) AS BIGINT) AS n_kept, " +
+        "round(CAST(sum(f.kept) AS DOUBLE) / count(*), 6) AS keep_rate, " +
+        "round(CAST(sum(q.qm) AS DOUBLE) / 10000 / count(*), 6) AS mean_quality " +
+        "FROM documents d JOIN f ON d.doc_id = f.doc_id JOIN q ON d.doc_id = q.doc_id " +
+        "GROUP BY d.source ORDER BY d.source"),
 
     "pii_redact" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
