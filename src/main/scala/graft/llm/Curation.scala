@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The one-call corpus curation pipeline — the composition a training-data
+  * team actually runs, in the canonical order, as a single facade over the
+  * library's stages:
+  *
+  *   1. EXACT dedup (content-hash, keep the lowest id);
+  *   2. NEAR-dup cluster resolution via the persisted [[PairsIndex]]
+  *      (built here if absent), keeping each cluster's HIGHEST-quality
+  *      member (ties to the lower id);
+  *   3. the Gopher quality filter (doc-local rule bitmask);
+  *   4. optional benchmark DECONTAMINATION against an eval set
+  *      (broadcast shingle probe);
+  *   5. optional global token-BUDGET cut by quality (per-score-bucket
+  *      cumsum — no global window).
+  *
+  * Returns the curated corpus plus a per-stage [[Curation.Report]] so the
+  * yield of every stage is observable (the numbers a curation run logs).
+  * Each stage is the library operator itself — same plans, same scale
+  * posture; the facade adds ordering and accounting only.
+  */
+object Curation {
+
+  final case class Report(nInput: Long, nAfterExact: Long,
+      nAfterNearDup: Long, nAfterQuality: Long, nAfterDecontam: Long,
+      nFinal: Long) {
+    override def toString: String =
+      s"input=$nInput exact=$nAfterExact nearDup=$nAfterNearDup " +
+        s"quality=$nAfterQuality decontam=$nAfterDecontam final=$nFinal"
+  }
+
+  def run(docs: DataFrame, pairsPath: String,
+          evalSet: Option[DataFrame] = None,
+          tokenBudget: Option[Long] = None,
+          textCol: String = "text", idCol: String = "doc_id",
+          minWords: Int = 50, k: Int = 40): (DataFrame, Report) = {
+    val spark = docs.sparkSession
+    val nInput = docs.count()
+
+    // 1. exact: keep each content hash's lowest id
+    val keepIds = Dedup.exact(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val afterExact = docs.join(keepIds, idCol)
+    val nExact = afterExact.count()
+
+    // 2. near-dup: resolve components once (persisted artifact), keep the
+    //    highest-quality member of each cluster
+    val idx = PairsIndex.build(afterExact, pairsPath, textCol = textCol,
+      idCol = idCol)
+    val cc = idx.components(spark)
+    val quality = afterExact.select(col(idCol).as("id"),
+      TextStats.qualityScore(col(textCol)).as("_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("_q").desc, col("id").asc)
+    val dropIds = cc.join(quality, "id")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > 1)
+      .select(col("id").as(idCol))
+    val afterNearDup = afterExact.join(dropIds, Seq(idCol), "left_anti")
+      .localCheckpoint(false) // three downstream stages reuse this relation
+    val nNearDup = afterNearDup.count()
+
+    // 3. quality rules
+    val kept = TextStats.gopherFilter(afterNearDup, textCol, idCol,
+        minWords = minWords)
+      .where(col("kept") === 1).select(col(idCol))
+    val afterQuality = afterNearDup.join(kept, idCol)
+    val nQuality = afterQuality.count()
+
+    // 4. decontamination (optional)
+    val afterDecontam = evalSet match {
+      case Some(ev) =>
+        val flagged = Dedup.decontaminate(afterQuality, ev, textCol, idCol)
+          .select(col("id").as(idCol))
+        afterQuality.join(flagged, Seq(idCol), "left_anti")
+      case None => afterQuality
+    }
+    val nDecontam = afterDecontam.count()
+
+    // 5. token budget (optional): best docs by quality until spent
+    val finalDf = tokenBudget match {
+      case Some(b) =>
+        val sel = Corpus.selectBudget(afterDecontam, b,
+            score = TextStats.qualityScore(col(textCol)),
+            tokens = TextStats.tokenCount(col(textCol)), idCol = idCol)
+          .where(col("keep")).select(col(idCol))
+        afterDecontam.join(sel, idCol)
+      case None => afterDecontam
+    }
+    val nFinal = finalDf.count()
+
+    (finalDf,
+      Report(nInput, nExact, nNearDup, nQuality, nDecontam, nFinal))
+  }
+}

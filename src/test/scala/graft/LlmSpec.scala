@@ -1594,6 +1594,36 @@ class LlmSpec extends SparkSpec {
       r3.columns.toSeq == Seq("level", "a", "b", "n"))
   }
 
+  test("Curation.run: every stage drops exactly its targets, report counts match") {
+    import graft.llm.Curation
+    def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
+    val bench = Seq((9000L, words("bench", 60))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, words("a", 60)),               // survives everything
+      (2L, words("a", 60)),               // EXACT dup of 1 → dropped at stage 1
+      (3L, words("a", 59) + " azz"),      // NEAR dup of 1; 1 wins on quality tie rules
+      (4L, words("b", 10)),               // too short → gopher drop
+      (5L, words("bench", 60)),           // benchmark copy → decontaminated
+      (6L, words("c", 60))                // survives everything
+    ).toDF("doc_id", "text")
+    val (out, rep) = Curation.run(corpus, tmpDir("curidx") + "/pairs_idx",
+      evalSet = Some(bench))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(rep.nInput == 6 && rep.nAfterExact == 5)
+    // near-dup stage drops ONE of {1, 3} (quality-ranked keeper)
+    assert(rep.nAfterNearDup == 4)
+    assert(rep.nAfterQuality == 3, rep.toString) // doc 4 fails word count
+    assert(rep.nAfterDecontam == 2 && rep.nFinal == 2)
+    assert(ids.contains(6L) && !ids.contains(2L) && !ids.contains(4L) &&
+      !ids.contains(5L), ids.toString)
+    assert((ids - 6L).subsetOf(Set(1L, 3L)) && (ids - 6L).size == 1)
+    // with a token budget, the cut keeps the best-quality docs only
+    val (out2, rep2) = Curation.run(corpus, tmpDir("curidx2") + "/pairs_idx",
+      evalSet = Some(bench), tokenBudget = Some(60L))
+    assert(rep2.nFinal >= 1 && rep2.nFinal <= 2 &&
+      out2.count() == rep2.nFinal)
+  }
+
   test("VectorSumD aggregates elementwise with partial merge") {
     val df = Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (2, Seq(10.0, 20.0)))
       .toDF("g", "v").repartition(3) // force partial buffers + merge
