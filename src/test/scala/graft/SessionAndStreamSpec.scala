@@ -650,6 +650,35 @@ class SessionAndStreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming novelty: repeated content stops counting, new content counts once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.stream.StreamNovelty.newShingleCounts(
+        input.toDF().toDF("ts", "text"), watermark = "2 minutes")
+      .writeStream.format("memory").queryName("novelty_stream")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // doc A: 10 tokens → 6 distinct 5-gram shingles, all new
+      val a = (1 to 10).map("aw" + _).mkString(" ")
+      // doc B shares A's trailing 5 tokens: its 6 shingles overlap A in 1
+      val b = ((6 to 10).map("aw" + _) ++ (1 to 5).map("bw" + _)).mkString(" ")
+      input.addData((ts("2024-01-01 00:00:10"), a))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 00:01:10"), a), // full repeat: zero new
+        (ts("2024-01-01 00:01:20"), b)) // 5 new, 1 already seen
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      input.addData((ts("2024-01-01 00:30:00"), "closer xx yy zz ww vv"))
+      q.processAllAvailable()
+      val got = spark.table("novelty_stream")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(got(ts("2024-01-01 00:00:00")) == 6L, got.toString)
+      assert(got(ts("2024-01-01 00:01:00")) == 5L, got.toString)
+    } finally q.stop()
+  }
+
   test("salted join matches the unsalted join exactly") {
     import graft.core.Skew
     val left = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
