@@ -129,6 +129,14 @@ object Pipeline {
       s"$nBudget docs inside the 10k-token quality budget; " +
       s"$nChunks overlapping context chunks")
 
+    // 3a¼. the ONE-CALL curation facade: the same stages as above in the
+    //      canonical order with per-stage yield accounting — what a user
+    //      of the library actually calls
+    val (curated, curRep) = graft.llm.Curation.run(docs,
+      s"$outDir/pairs_idx", evalSet = Some(docs.where(col("doc_id") < 10)),
+      tokenBudget = Some(20000L), minWords = 10)
+    println(s"[pipeline] curation: $curRep -> ${curated.count()} docs survive")
+
     // 3a½. split & release: growth-stable train/valid/test labels, the
     //      eval-leakage check over the near-dup pair relation, a KS drift
     //      test between split length distributions, and a DP-noised
