@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   * expression) is REAL byte arithmetic: PNG IHDR dimensions at their fixed
   * offsets and a proper JPEG marker walk to the SOF segment — pure public
   * format knowledge (PNG spec §11.2.2, JPEG/JFIF ITU T.81 §B.2.2), no
-  * codec library needed. PIXEL decoding is real too for PNG:
-  * [[decodePng]] is a full 8-bit truecolor decoder (chunk walk + CRC,
-  * zlib inflate via the JDK, all five scanline filters), with
-  * [[encodePng]] as its synthesis twin and [[pngFrameDecoder]] as the
-  * per-row frame extractor; only non-PNG codecs (JPEG entropy decode,
-  * audio/video) stay behind the [[decodeFrames]] boundary with
-  * `fakeFrameDecoder` standing in, so swapping in a JNI/JavaCV decoder
-  * is a one-function change.
+  * codec library needed. PIXEL decoding is real across the family:
+  * [[decodePng]] (full 8-bit truecolor: chunk walk + CRC, zlib inflate,
+  * all five scanline filters) with [[encodePng]] as its synthesis twin,
+  * [[Jpeg.decode]] (baseline sequential Huffman + reference IDCT +
+  * YCbCr), [[decodeApngFrames]] (animation frame extraction), and
+  * [[decodeWav]] (RIFF/PCM audio); [[imageFrameDecoder]] /
+  * [[pngFrameDecoder]] / [[apngFrameDecoder]] / [[wavFrameDecoder]] feed
+  * the typed [[decodeFrames]] boundary. `fakeFrameDecoder` remains only
+  * as the stand-in for codecs outside the family (video containers,
+  * compressed audio), where a JNI/JavaCV decoder is a one-function swap.
   */
 object Multimodal {
 
@@ -556,6 +558,45 @@ object Multimodal {
             zc.toFloat / math.max(m - 1, 1), peak.toFloat)
         }
     }
+
+  /** Real IMAGE frame decoder for [[decodeFrames]] dispatching on the
+    * payload's magic bytes: PNG through [[decodePng]], JPEG through the
+    * baseline [[Jpeg.decode]] — one feature row per PIXEL ROW in either
+    * case ([rowIndex, width, channels, mean per channel (first 3, or the
+    * gray channel replicated), min, max]). Undecodable payloads produce
+    * no frames.
+    */
+  def imageFrameDecoder(bytes: Array[Byte]): Iterator[Array[Float]] = {
+    val img =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+          (bytes(1) & 0xFF) == 0xD8) Jpeg.decode(bytes)
+      else decodePng(bytes)
+    img match {
+      case None => Iterator.empty
+      case Some(im) =>
+        val stride = im.width * im.channels
+        (0 until im.height).iterator.map { y =>
+          val sums = new Array[Long](3)
+          var mn = 255; var mx = 0
+          var x = 0
+          while (x < im.width) {
+            var c = 0
+            while (c < 3) {
+              val ch = math.min(c, im.channels - 1)
+              val v = im.pixels(y * stride + x * im.channels + ch) & 0xFF
+              sums(c) += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              c += 1
+            }
+            x += 1
+          }
+          Array(y.toFloat, im.width.toFloat, im.channels.toFloat,
+            sums(0).toFloat / im.width, sums(1).toFloat / im.width,
+            sums(2).toFloat / im.width, mn.toFloat, mx.toFloat)
+        }
+    }
+  }
 
   /** Real frame decoder for [[decodeFrames]]: decodes a PNG payload and
     * emits one feature row per PIXEL ROW — [rowIndex, width, channels,

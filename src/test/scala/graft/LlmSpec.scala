@@ -1897,6 +1897,79 @@ class LlmSpec extends SparkSpec {
     assert(capped == Set((1L, 2L, 1L)), capped.toString)
   }
 
+  test("JPEG baseline decoder: tolerance parity with ImageIO on gray and color, rejects non-baseline") {
+    import java.awt.image.BufferedImage
+    def writeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); w.dispose()
+      bos.toByteArray
+    }
+    // GRAYSCALE: smooth gradient + texture, 37x23 (partial edge MCUs)
+    val g = new BufferedImage(37, 23, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val v = (96 + 3 * x + 2 * y + ((x * y) % 5)) % 256
+      g.getRaster.setSample(x, y, 0, v)
+    }
+    val gBytes = writeJpeg(g, 0.9f)
+    val ours = Multimodal.decodePng(gBytes) // sanity: NOT a png
+    assert(ours.isEmpty)
+    val gd = graft.llm.Jpeg.decode(gBytes).get
+    assert(gd.width == 37 && gd.height == 23 && gd.channels == 1)
+    val gRef = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gBytes))
+    var gMax = 0
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val want = gRef.getRaster.getSample(x, y, 0)
+      val got = gd.pixels(y * 37 + x) & 0xFF
+      gMax = math.max(gMax, math.abs(want - got))
+    }
+    // the JPEG spec does not mandate a bit-exact IDCT: conforming
+    // decoders may differ by ±1 per sample
+    assert(gMax <= 2, s"gray max diff $gMax")
+    // COLOR: smooth gradients so unspecified chroma upsampling filters
+    // nearly agree; 41x19, default (possibly subsampled) writer settings
+    val c = new BufferedImage(41, 19, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 19; x <- 0 until 41)
+      c.setRGB(x, y, ((40 + 4 * x) << 16) | ((60 + 5 * y) << 8) | (200 - 3 * x))
+    val cBytes = writeJpeg(c, 0.92f)
+    val cd = graft.llm.Jpeg.decode(cBytes).get
+    assert(cd.width == 41 && cd.height == 19 && cd.channels == 3)
+    val cRef = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(cBytes))
+    var cMax = 0; var cSum = 0L
+    for (y <- 0 until 19; x <- 0 until 41; ch <- 0 until 3) {
+      val want = (cRef.getRGB(x, y) >> (16 - 8 * ch)) & 0xFF
+      val got = cd.pixels((y * 41 + x) * 3 + ch) & 0xFF
+      cMax = math.max(cMax, math.abs(want - got))
+      cSum += math.abs(want - got)
+    }
+    val cMean = cSum.toDouble / (19 * 41 * 3)
+    assert(cMax <= 8 && cMean <= 1.5, s"color max $cMax mean $cMean")
+    // header parse agrees with the dedicated meta walk
+    assert(Multimodal.decodeImageMeta(cBytes).contains(("jpeg", 41, 19)))
+    // damage / unsupported: truncation and a PNG payload are rejected
+    assert(graft.llm.Jpeg.decode(cBytes.take(60)).isEmpty)
+    assert(graft.llm.Jpeg.decode(
+      Multimodal.encodePng(4, 4, 3, (_, _, _) => 7)).isEmpty)
+    // the dispatching image frame decoder routes BOTH formats through the
+    // decodeFrames boundary: one row per pixel row, real means
+    val media = Seq(
+      (1L, gBytes),
+      (2L, Multimodal.encodePng(6, 4, 3, (x, y, c) => (x + y + c) % 256)))
+      .toDF("media_id", "content")
+    val rows = Multimodal.decodeFrames(spark, media, Multimodal.imageFrameDecoder)
+      .as[(Long, Int, Seq[Float])].collect().toSeq
+    assert(rows.count(_._1 == 1L) == 23 && rows.count(_._1 == 2L) == 4)
+    val j0 = rows.filter(r => r._1 == 1L && r._2 == 0).head._3
+    val refMean = (0 until 37).map(x => gRef.getRaster.getSample(x, 0, 0)).sum.toFloat / 37
+    assert(math.abs(j0(3) - refMean) <= 2.0f, s"jpeg row-0 mean ${j0(3)} vs $refMean")
+  }
+
   test("WAV codec: decode∘encode identity, javax.sound cross-parity both ways, rejects damage") {
     def sample(i: Int): Short = (((31L * i * i + 17L * i + 97L * 5) % 65536L) - 32768L).toShort
     val samples = Array.tabulate(300)(sample)
