@@ -1776,6 +1776,25 @@ object SparkEntry {
         st.getField("peak").as("peak"))
     },
 
+    // The typed mapPartitions decode boundary under the gate for IMAGES:
+    // the same synthesized PNGs stream through decodeFrames with the
+    // dispatching imageFrameDecoder and release integer-exact per-pixel-
+    // row extrema; the oracle replays the rows from the pattern formula.
+    "multimodal_image_frames" -> { (s, d) =>
+      val w = (lit(16) + col("doc_id") % 16).cast("int")
+      val h = (lit(8) + col("doc_id") % 8).cast("int")
+      val v = (col("doc_id") % 256).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticPng(w, h, v).as("content"))
+      Multimodal.decodeFrames(s, media, Multimodal.imageFrameDecoder)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("int").as("row_idx"),
+          element_at(col("features"), 2).cast("int").as("width"),
+          element_at(col("features"), 3).cast("int").as("channels"),
+          element_at(col("features"), 7).cast("int").as("min_px"),
+          element_at(col("features"), 8).cast("int").as("max_px"))
+    },
+
     // The typed mapPartitions decode boundary under the gate for AUDIO:
     // the same synthesized WAVs stream through decodeFrames with the real
     // wavFrameDecoder (256-sample windows) and release integer-exact
@@ -3928,6 +3947,20 @@ object SparkEntry {
         "CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_only, " +
         "CAST(sum(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_only " +
         "FROM d FULL OUTER JOIN v ON d.id = v.id"),
+
+    // Image-frame replay: per-pixel-row min/max over the pattern formula,
+    // decoded for real on the Spark side.
+    "multimodal_image_frames" ->
+      ("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INTEGER) AS w, " +
+        "CAST(8 + doc_id % 8 AS INTEGER) AS h, doc_id % 256 AS v FROM documents), " +
+        "px AS (SELECT doc_id, w, h, ys.y AS y, " +
+        "(7 * xs.x + 13 * ys.y + v + 101 * cs.c) % 256 AS pv " +
+        "FROM d, generate_series(0, 30) xs(x), generate_series(0, 14) ys(y), " +
+        "generate_series(0, 2) cs(c) WHERE xs.x < w AND ys.y < h) " +
+        "SELECT doc_id AS media_id, CAST(y AS INTEGER) AS row_idx, " +
+        "CAST(w AS INTEGER) AS width, CAST(3 AS INTEGER) AS channels, " +
+        "CAST(min(pv) AS INTEGER) AS min_px, CAST(max(pv) AS INTEGER) AS max_px " +
+        "FROM px GROUP BY doc_id, y, w ORDER BY media_id, row_idx"),
 
     // Windowed-audio replay: per-256-sample-window count / crossings /
     // peak restated from the sample formula (crossings stay WITHIN a
