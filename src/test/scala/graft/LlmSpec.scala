@@ -1857,6 +1857,54 @@ class LlmSpec extends SparkSpec {
       val a = Multimodal.decodeWav(Multimodal.encodeWav(44100, ch, samples)).get
       assert(a.channels == ch && a.samples.toSeq == samples.toSeq, s"WAV case $i")
     }
+    // 12 random JPEGs via the JDK writer: random dims (partial MCUs),
+    // qualities, gray/color — our baseline decoder must stay inside the
+    // T.81 conformance tolerance vs ImageIO's own decode
+    for (i <- 0 until 12) {
+      val p = Gen.Parameters.default
+      def draw(g: Gen[Int], k: Long) = g.apply(p, Seed(3300L + 31 * i + k)).get
+      val w = draw(Gen.chooseNum(8, 50), 1)
+      val h = draw(Gen.chooseNum(8, 40), 2)
+      val gray = draw(Gen.oneOf(0, 1), 3) == 1
+      val q = draw(Gen.chooseNum(70, 97), 4) / 100f
+      val seed = draw(Gen.chooseNum(0, 1 << 16), 5)
+      val img = new java.awt.image.BufferedImage(w, h,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // smooth NON-WRAPPING ramps + mild texture: a mod-256 wrap is a
+        // sharp chroma edge where the (spec-unspecified) upsampling
+        // filters of two conforming decoders legitimately diverge — the
+        // tolerance bound is only meaningful away from such edges
+        def ch(o: Int) =
+          30 + o + ((2 * x + 3 * y) * 140) / (2 * w + 3 * h) + ((x + y + seed) % 7)
+        if (gray) img.getRaster.setSample(x, y, 0, ch(0))
+        else img.setRGB(x, y, (ch(0) << 16) | (ch(25) << 8) | ch(50))
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val wp = wr.getDefaultWriteParam
+      wp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      wp.setCompressionQuality(q)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), wp)
+      ios.close(); wr.dispose()
+      val bytes = bos.toByteArray
+      val got = graft.llm.Jpeg.decode(bytes).get
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(got.width == w && got.height == h, s"JPEG case $i dims")
+      var worst = 0
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until got.channels) {
+        val want =
+          if (gray) ref.getRaster.getSample(x, y, 0)
+          else (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xFF
+        worst = math.max(worst,
+          math.abs(want - (got.pixels((y * w + x) * got.channels + c) & 0xFF)))
+      }
+      val bound = if (gray) 2 else 8
+      assert(worst <= bound, s"JPEG case $i ($w x $h gray=$gray q=$q): max diff $worst")
+    }
     // 15 random APNG clips: 1..6 frames, random dims — per-frame identity
     for (i <- 0 until 15) {
       val p = Gen.Parameters.default
