@@ -1606,12 +1606,12 @@ object SparkEntry {
     // filter priorities (and exposes a junk domain at a glance). Quality
     // rides as exact 1e-4 units so the per-source mean is order-invariant.
     "source_scoreboard" -> { (s, d) =>
-      val docs = t(s, d, "documents")
-      val gf = TextStats.gopherFilter(docs, keepCols = Seq("source"))
-      val q = docs.select(col("doc_id"),
+      // quality precomputes as a column BEFORE the filter and rides
+      // keepCols through it: ONE corpus projection, zero joins
+      val docs = t(s, d, "documents").withColumn("_q",
         floor(TextStats.qualityScore(col("text")) * 10000 + 0.5)
-          .cast("long").as("_q"))
-      gf.join(q, "doc_id")
+          .cast("long"))
+      TextStats.gopherFilter(docs, keepCols = Seq("source", "_q"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
           sum("_q").as("_qs"))
