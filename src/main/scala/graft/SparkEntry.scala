@@ -1361,12 +1361,7 @@ object SparkEntry {
 
     // TF-IDF: explode → tf per (doc,term) → df per term → smoothed idf →
     // top-3 terms per doc. The full multi-stage corpus pipeline in one
-    // query; every shuffle is keyed on (doc,term), term, or doc. df is a
-    // COUNT WINDOW over the tf relation, not a groupBy+self-join: the join
-    // form references tf from two branches, and identical exchanges in two
-    // branches of one plan are not reliably deduplicated at runtime — the
-    // corpus explode+aggregate ran twice. The window form is one linear
-    // pipeline: scan → tf aggregate → term-keyed window → doc-keyed rank.
+    // query; every shuffle is keyed on (doc,term), term, or doc.
     "tfidf_top_terms" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")

@@ -47,9 +47,12 @@ object Curation {
     val nExact = afterExact.count()
 
     // 2. near-dup: resolve components once (persisted artifact), keep the
-    //    highest-quality member of each cluster
-    val idx = PairsIndex.build(afterExact, pairsPath, textCol = textCol,
-      idCol = idCol)
+    //    highest-quality member of each cluster. An existing layout at
+    //    `pairsPath` is REUSED (that is the build-once/read-many point of
+    //    the artifact); the kernel only runs when no index is there yet.
+    val idx = PairsIndex.loadIfPresent(spark, pairsPath).getOrElse(
+      PairsIndex.build(afterExact, pairsPath, textCol = textCol,
+        idCol = idCol))
     val cc = idx.components(spark)
     val quality = afterExact.select(col(idCol).as("id"),
       TextStats.qualityScore(col(textCol)).as("_q"))

@@ -163,14 +163,26 @@ object Jpeg {
 
   /** Decode to an interleaved 8-bit raster ([[Multimodal.PngImage]]
     * container: channels = 1 for grayscale, 3 for color).
+    *
+    * Corpus bytes are untrusted: every segment's declared length is
+    * validated against what the parser reads before reading it, raster
+    * dimensions are capped (a few-hundred-byte stream must not demand a
+    * multi-GB allocation — the same `1<<30` bomb guard as the PNG path),
+    * and a final NonFatal catch pins the None-on-malformed contract even
+    * for shapes the explicit checks miss.
     */
-  def decode(bytes: Array[Byte]): Option[Multimodal.PngImage] = {
+  def decode(bytes: Array[Byte]): Option[Multimodal.PngImage] =
+    try decodeUnsafe(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeUnsafe(bytes: Array[Byte]): Option[Multimodal.PngImage] = {
     def u8(i: Int) = bytes(i) & 0xFF
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     if (bytes.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
     val qt = Array.ofDim[Int](4, 64)
     val dcH = new Array[Huff](4); val acH = new Array[Huff](4)
     var comps: Array[Component] = null
+    var scanComps: Array[Component] = null // components in SOS order
     var width = 0; var height = 0
     var restartInterval = 0
     var pos = 2
@@ -192,6 +204,9 @@ object Jpeg {
             while (p < pos + 2 + len) {
               val pq = u8(p) >> 4; val tq = u8(p) & 0x0F
               if (tq > 3 || pq > 1) return None
+              // the table id byte plus 64 8- or 16-bit quantizers must fit
+              // inside the declared segment length
+              if (p + 1 + (if (pq == 0) 64 else 128) > pos + 2 + len) return None
               var k = 0
               p += 1
               while (k < 64) {
@@ -205,6 +220,7 @@ object Jpeg {
             while (p < pos + 2 + len) {
               val tc = u8(p) >> 4; val th = u8(p) & 0x0F
               if (th > 3 || tc > 1) return None
+              if (p + 17 > pos + 2 + len) return None // id + 16 count bytes
               val bits = Array.tabulate(16)(i => u8(p + 1 + i))
               val n = bits.sum
               if (p + 17 + n > pos + 2 + len) return None
@@ -214,10 +230,12 @@ object Jpeg {
               p += 17 + n
             }
           case 0xC0 => // SOF0 baseline
+            if (len < 8) return None // precision + dims + component count
             if (u8(seg) != 8) return None // 8-bit only
             height = be16(seg + 1); width = be16(seg + 3)
             val nc = u8(seg + 5)
             if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            if (len < 8 + 3 * nc) return None // 3 bytes per component
             comps = Array.tabulate(nc) { i =>
               val o = seg + 6 + 3 * i
               val c = Component(u8(o), u8(o + 1) >> 4, u8(o + 1) & 0x0F, u8(o + 2))
@@ -227,19 +245,25 @@ object Jpeg {
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
                0xCB | 0xCD | 0xCE | 0xCF =>
             return None // non-baseline frame types
-          case 0xDD => restartInterval = be16(seg)
+          case 0xDD =>
+            if (len < 4) return None
+            restartInterval = be16(seg)
           case 0xDA => // SOS
-            if (comps == null) return None
+            if (comps == null || len < 3) return None
             val ns = u8(seg)
             if (ns != comps.length) return None // single interleaved scan only
-            var i = 0
-            while (i < ns) {
+            if (len < 6 + 2 * ns) return None // per-comp ids + Ss/Se/AhAl
+            // data units within an MCU interleave in SCAN-header order
+            // (T.81 A.2.3), which JFIF files keep equal to frame order but
+            // T.81 does not require — decode in SOS order, not SOF order
+            scanComps = Array.tabulate(ns) { i =>
               val cid = u8(seg + 1 + 2 * i)
               val c = comps.find(_.id == cid).getOrElse(return None)
               c.dcTable = u8(seg + 2 + 2 * i) >> 4
               c.acTable = u8(seg + 2 + 2 * i) & 0x0F
-              i += 1
+              c
             }
+            if (scanComps.map(_.id).distinct.length != ns) return None
             scanStart = pos + 2 + len
           case _ => () // APPn/COM/etc: skip
         }
@@ -250,6 +274,15 @@ object Jpeg {
     val hMax = comps.map(_.h).max; val vMax = comps.map(_.v).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // decompression-bomb guard (mirrors decodePng): the output raster and
+    // every padded component plane must stay under 1 GiB of samples —
+    // header fields are 16-bit, so a crafted few-hundred-byte stream could
+    // otherwise demand multi-GB allocations (or overflow bw*bh to a
+    // negative array size). Sizes computed in Long BEFORE any allocation.
+    val outCells = width.toLong * height * (if (comps.length == 1) 1 else 3)
+    val maxPlane = comps.map(c =>
+      (mcusX.toLong * c.h * 8) * (mcusY.toLong * c.v * 8)).max
+    if (outCells > (1L << 30) || maxPlane > (1L << 30)) return None
     comps.foreach { c =>
       c.bw = mcusX * c.h * 8; c.bh = mcusY * c.v * 8
       c.data = new Array[Int](c.bw * c.bh)
@@ -267,8 +300,8 @@ object Jpeg {
       }
       val mx = mcu % mcusX; val my = mcu / mcusX
       var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
+      while (ci < scanComps.length) {
+        val c = scanComps(ci)
         var by = 0
         while (by < c.v) {
           var bx = 0
@@ -335,7 +368,14 @@ object Jpeg {
         y += 1
       }
     } else {
-      val Array(cy, cb, cr) = comps
+      // select Y/Cb/Cr by COMPONENT ID (JFIF pins 1/2/3, but T.81 lets the
+      // frame header list them in any order); fall back to SOF position
+      // only when the stream uses non-JFIF ids
+      val (cy, cb, cr) =
+        (comps.find(_.id == 1), comps.find(_.id == 2), comps.find(_.id == 3)) match {
+          case (Some(y0), Some(b0), Some(r0)) => (y0, b0, r0)
+          case _ => (comps(0), comps(1), comps(2))
+        }
       def sample(c: Component, x: Int, y: Int): Int = {
         val sx = x * c.h / hMax; val sy = y * c.v / vMax
         c.data(sy * c.bw + sx)

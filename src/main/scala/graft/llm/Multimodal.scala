@@ -519,6 +519,10 @@ object Multimodal {
         explode(graft.functions.native.apngFrameHashes(col(contentCol),
           sampleEvery)).as("f"))
       .select(col("id"), col("f").getField("fhash").as("fhash"))
+      // one row per distinct frame CONTENT per clip: a clip internally
+      // repeating a raster (black frames, held stills) must not multiply
+      // n_shared through the within-hash self-join
+      .distinct()
       .localCheckpoint(false) // feeds the df guard AND both join sides
     val rare = fh.groupBy("fhash").agg(count(lit(1)).as("_df"))
       .where(col("_df") <= maxDf).select("fhash")

@@ -74,4 +74,17 @@ object PairsIndex {
 
   def load(spark: SparkSession, path: String): Index =
     Index(path, spark.read.parquet(path + "/meta").collect().head.getInt(0))
+
+  /** Load the index at `path` if a complete layout is there (the meta
+    * parquet is written LAST by [[build]], so its presence implies the
+    * pairs and components landed); None when absent — the probe callers
+    * like [[Curation.run]] use to honour build-once/read-many.
+    */
+  def loadIfPresent(spark: SparkSession, path: String): Option[Index] = {
+    val fs = new org.apache.hadoop.fs.Path(path + "/meta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path + "/meta")))
+      Some(load(spark, path))
+    else None
+  }
 }

@@ -1606,8 +1606,8 @@ class LlmSpec extends SparkSpec {
       (5L, words("bench", 60)),           // benchmark copy → decontaminated
       (6L, words("c", 60))                // survives everything
     ).toDF("doc_id", "text")
-    val (out, rep) = Curation.run(corpus, tmpDir("curidx") + "/pairs_idx",
-      evalSet = Some(bench))
+    val idxPath = tmpDir("curidx") + "/pairs_idx"
+    val (out, rep) = Curation.run(corpus, idxPath, evalSet = Some(bench))
     val ids = out.select("doc_id").as[Long].collect().toSet
     assert(rep.nInput == 6 && rep.nAfterExact == 5)
     // near-dup stage drops ONE of {1, 3} (quality-ranked keeper)
@@ -1622,6 +1622,16 @@ class LlmSpec extends SparkSpec {
       evalSet = Some(bench), tokenBudget = Some(60L))
     assert(rep2.nFinal >= 1 && rep2.nFinal <= 2 &&
       out2.count() == rep2.nFinal)
+    // build-once/read-many: a SECOND run against the same pairs path must
+    // REUSE the persisted index, not re-run the pair kernel — the meta
+    // parquet (written last by the build) is untouched by run 2
+    val metaDir = new java.io.File(idxPath + "/meta")
+    def metaState() = metaDir.listFiles().map(f => (f.getName, f.lastModified))
+      .toSeq.sortBy(_._1)
+    val before = metaState()
+    val (_, repAgain) = Curation.run(corpus, idxPath, evalSet = Some(bench))
+    assert(metaState() == before, "pairs index was rebuilt on reuse")
+    assert(repAgain.nFinal == rep.nFinal)
   }
 
   test("VectorSumD aggregates elementwise with partial merge") {
@@ -1943,6 +1953,15 @@ class LlmSpec extends SparkSpec {
     val capped = Multimodal.clipDupPairs(media, maxDf = 2)
       .as[(Long, Long, Long)].collect().toSet
     assert(capped == Set((1L, 2L, 1L)), capped.toString)
+    // a clip INTERNALLY repeating a raster (held stills, black frames)
+    // counts each shared content ONCE: two clips that are 6 copies of the
+    // same frame share n_shared = 1, not 3 x 3
+    def still(v: Int) = Multimodal.encodeApng(6, 4, 3, 6,
+      (_, x, y, c) => (7 * x + 13 * y + v + 101 * c) % 256)
+    val stills = Seq((1L, still(5)), (2L, still(5))).toDF("media_id", "content")
+    val rep = Multimodal.clipDupPairs(stills)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep == Set((1L, 2L, 1L)), rep.toString)
   }
 
   test("JPEG baseline decoder: tolerance parity with ImageIO on gray and color, rejects non-baseline") {
@@ -2016,6 +2035,95 @@ class LlmSpec extends SparkSpec {
     val j0 = rows.filter(r => r._1 == 1L && r._2 == 0).head._3
     val refMean = (0 until 37).map(x => gRef.getRaster.getSample(x, 0, 0)).sum.toFloat / 37
     assert(math.abs(j0(3) - refMean) <= 2.0f, s"jpeg row-0 mean ${j0(3)} vs $refMean")
+  }
+
+  test("JPEG decoder: hostile streams return None, never throw") {
+    import graft.llm.Jpeg
+    def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // a DQT whose declared length can't hold the 64 quantizer bytes
+    assert(Jpeg.decode(bs(0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x03, 0x00)).isEmpty)
+    // a DHT with room for the id byte but not the 16 count bytes
+    assert(Jpeg.decode(bs(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x04, 0x00, 0x01)).isEmpty)
+    // a DHT whose counts claim more values than the segment carries
+    assert(Jpeg.decode(bs(Seq(0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x13, 0x00) ++
+      Seq.fill(16)(0x02): _*)).isEmpty)
+    // SOF0 with a truncated component list
+    assert(Jpeg.decode(bs(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x0B, 0x08,
+      0x00, 0x10, 0x00, 0x10, 0x03, 0x01, 0x22, 0x00)).isEmpty)
+    // decompression bomb: 65535 x 65535 x 3 from a 25-byte stream must be
+    // rejected before any allocation
+    assert(Jpeg.decode(bs(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0xFF, 0xFF, 0xFF, 0xFF, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)).isEmpty)
+    // truncations of a real JPEG at EVERY prefix length: None or a decoded
+    // raster, never an exception escaping decode
+    val img = new java.awt.image.BufferedImage(24, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 24)
+      img.setRGB(x, y, ((10 * x) << 16) | ((7 * y) << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val full = bos.toByteArray
+    for (n <- 0 to full.length) Jpeg.decode(full.take(n)) // must not throw
+    // random single-byte corruptions: same no-throw contract
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val mut = full.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      Jpeg.decode(mut)
+    }
+    // bomb with a COMPLETE header: patch the real stream's SOF dims to
+    // 65535 x 65535 — valid tables and scan follow, so the decode reaches
+    // the allocation point and the raster cap must reject it (the
+    // unguarded path would demand a multi-GB plane)
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i + 1 < full.length) {
+      if ((full(i) & 0xFF) == 0xFF && (full(i + 1) & 0xFF) == 0xC0) sof = i
+      else i += 1
+    }
+    assert(sof > 0)
+    val bomb = full.clone()
+    for (k <- 0 until 4) bomb(sof + 5 + k) = 0xFF.toByte // height, width
+    assert(Jpeg.decode(bomb).isEmpty)
+  }
+
+  test("JPEG decoder: chroma components selected by id, not SOF position") {
+    // A conforming stream whose FRAME header lists components as 1,3,2
+    // (T.81 allows any order; the scan header and entropy stream keep the
+    // JFIF 1,2,3 interleave): byte-swap the Cb/Cr SOF entries of a JDK
+    // JPEG. A position-based decoder swaps the chroma channels; an
+    // id-based one must still match ImageIO on the ORIGINAL bytes.
+    val img = new java.awt.image.BufferedImage(20, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 20)
+      img.setRGB(x, y, ((40 + 9 * x) << 16) | ((30 + 5 * y) << 8) | (60 + 3 * (x + y)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val orig = bos.toByteArray
+    // locate SOF0 and swap the 3-byte entries of components 2 and 3
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i + 1 < orig.length) {
+      if ((orig(i) & 0xFF) == 0xFF && (orig(i + 1) & 0xFF) == 0xC0) sof = i
+      else i += 1
+    }
+    assert(sof > 0, "no SOF0 in JDK jpeg")
+    val seg = sof + 4 // past marker + length
+    assert((orig(seg + 6) & 0xFF) == 1 && (orig(seg + 9) & 0xFF) == 2 &&
+      (orig(seg + 12) & 0xFF) == 3, "unexpected JFIF component layout")
+    val mut = orig.clone()
+    for (k <- 0 until 3) {
+      mut(seg + 9 + k) = orig(seg + 12 + k)
+      mut(seg + 12 + k) = orig(seg + 9 + k)
+    }
+    val got = graft.llm.Jpeg.decode(mut).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(orig))
+    var worst = 0
+    for (y <- 0 until 12; x <- 0 until 20; c <- 0 until 3)
+      worst = math.max(worst, math.abs(((ref.getRGB(x, y) >> (16 - 8 * c)) & 0xFF) -
+        (got.pixels((y * 20 + x) * 3 + c) & 0xFF)))
+    assert(worst <= 8, s"reordered-SOF decode diverged: max diff $worst")
   }
 
   test("WAV codec: decode∘encode identity, javax.sound cross-parity both ways, rejects damage") {
