@@ -145,6 +145,23 @@ object SparkEntry {
   private def components(s: SparkSession, d: String): DataFrame =
     pairsIdx(s, d).components(s)
 
+  // The INCREMENTALLY-maintained twin of pairsIdx: history (doc_id % 3
+  // != 0) is built once, the "new crawl" (% 3 == 0) arrives later as a
+  // PairsIndex.append — O(batch) pair maintenance against stored hashed
+  // shingle sets, the corpus text never rescanned. The gate pins the
+  // layered pair relation against the same full-corpus oracle as the
+  // one-shot build, proving increment ≡ rebuild.
+  private val pairsIncIndexes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.llm.PairsIndex.Index]
+  private def pairsIncIdx(s: SparkSession, d: String): graft.llm.PairsIndex.Index =
+    pairsIncIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val idx = graft.llm.PairsIndex.build(
+        t(s, d, "documents").where(col("doc_id") % 3 =!= 0),
+        path = scratchDir(s, "pairs_inc", d), nBuckets = 16)
+      graft.llm.PairsIndex.append(idx,
+        t(s, d, "documents").where(col("doc_id") % 3 === 0), batchId = 1L)
+    })
+
   // The n-gram LM is an offline model artifact (NgramLm.save/load is the
   // disk form): train once per (session, dir, order), score many —
   // lm_score and perplexity_buckets share the bigram model, lm_score_tri
@@ -804,6 +821,12 @@ object SparkEntry {
     // of the pair bytes. Spec-asserted: files read < layout files.
     "dedup_pairs_index" -> ((s, d) =>
       pairsIdx(s, d).probeBucket(s, bucket = 3L).orderBy("doc_a", "doc_b")),
+
+    // Incremental pair maintenance: history index + one appended crawl
+    // must equal the from-scratch pair relation over the full corpus —
+    // the oracle is literally the one-shot kernel's SQL.
+    "pairs_index_append" -> ((s, d) =>
+      pairsIncIdx(s, d).pairs(s).orderBy("doc_a", "doc_b")),
 
     // Near-SUBSET detection: shingle containment |A∩B|/min(|A|,|B|) stays
     // high for an excerpt inside a larger doc where Jaccard collapses.
@@ -3578,6 +3601,16 @@ object SparkEntry {
         "ORDER BY doc_a, doc_b"),
 
     "dedup_ngram_jaccard" ->
+      (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc " +
+        "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.4 " +
+        "ORDER BY doc_a, doc_b"),
+
+    // Incrementally-built layout ≡ one-shot kernel: the same full-corpus
+    // pair SQL as dedup_ngram_jaccard (the split into history + appended
+    // crawl is invisible in the result — that is the gate).
+    "pairs_index_append" ->
       (shingleCte + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
         "round(len(list_intersect(a.sh, b.sh)) * 1.0 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jacc " +
         "FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id " +

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Jaccard similarity of two array<string> columns as ONE hash-set pass.
+/** Jaccard similarity of two array<string> or array<bigint> columns as
+  * ONE hash-set pass.
   *
   * The declarative form `size(array_intersect(a,b)) /
   * size(array_union(a,b))` materializes two intermediate arrays per row
@@ -19,24 +20,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * either array. NULL on empty union, matching Divide's null-on-zero.
   * A NULL *element* counts as one distinct value present in its array —
   * exactly array_intersect/array_union's semantics — so the FuseJaccard
-  * rewrite is safe on containsNull arrays too.
+  * rewrite is safe on containsNull arrays too. The bigint path serves the
+  * PairsIndex hashed-shingle sets (same statistic, 64-bit element space).
   */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
 
+  private lazy val isLongElems = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val setA = new java.util.HashSet[UTF8String]()
+    val setA = new java.util.HashSet[AnyRef]()
+    def elem(arr: ArrayData, i: Int): AnyRef =
+      if (isLongElems) java.lang.Long.valueOf(arr.getLong(i))
+      else arr.getUTF8String(i)
     var hasNullA = false
     var i = 0
     val na = a.numElements()
     while (i < na) {
-      if (a.isNullAt(i)) hasNullA = true else setA.add(a.getUTF8String(i))
+      if (a.isNullAt(i)) hasNullA = true else setA.add(elem(a, i))
       i += 1
     }
-    val seenB = new java.util.HashSet[UTF8String]()
+    val seenB = new java.util.HashSet[AnyRef]()
     var hasNullB = false
     var inter = 0
     var j = 0
@@ -45,7 +56,7 @@ case class JaccardSim(left: Expression, right: Expression)
       if (b.isNullAt(j)) {
         if (!hasNullB) { hasNullB = true; if (hasNullA) inter += 1 }
       } else {
-        val el = b.getUTF8String(j)
+        val el = elem(b, j)
         if (seenB.add(el) && setA.contains(el)) inter += 1
       }
       j += 1

@@ -1,10 +1,12 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted near-duplicate PAIR index — the build-once/read-many artifact
-  * for the shingle-Jaccard pair relation and its component resolution.
+  * for the shingle-Jaccard pair relation and its component resolution,
+  * with O(batch) INCREMENTAL maintenance for a corpus that grows crawl by
+  * crawl.
   *
   * Every curation readout over near-dup structure (droplist, cluster
   * stats, split-leakage audit, cross-source duplication matrix) consumes
@@ -22,6 +24,23 @@ import org.apache.spark.sql.functions._
   *    cross-engine gate pins a probe bucket's content verbatim).
   *  - `components/` — (id, component) from min-label propagation over the
   *    pairs, the cluster resolution every keeper-selection consumes.
+  *  - `sigs/` — (id, blk, sh) per document: the prefix block key and the
+  *    64-bit-HASHED shingle set, partitioned by `sb = xxhash64(blk) %
+  *    nBuckets`. This is what makes [[append]] O(batch): a new crawl's
+  *    pairs against history verify from stored hashes — the historical
+  *    TEXT is never re-read or re-tokenized. The relation costs ~8 bytes
+  *    per corpus token (one long per shingle position — smaller than the
+  *    text, with zero tokenize cost on every future increment); a
+  *    pipeline that cannot afford it uses the fixed-size approximate
+  *    [[SignatureStore]] instead. Jaccard over the 64-bit hashes equals
+  *    Jaccard over the string shingles absent a 64-bit collision
+  *    (probability ~n²/2⁶⁴ per block — negligible at any block size the
+  *    maxBlock guard admits).
+  *  - `pairs_inc/b<id>/`, `sigs_inc/b<id>/` — per-append increments, each
+  *    partitioned like its base relation. A re-run of the same `batchId`
+  *    OVERWRITES its own subdirectories (idempotent recovery, the
+  *    [[SignatureStore]] streaming-ingest scheme); readers union base +
+  *    increments.
   *
   * A by-doc probe reads |probe buckets| / nBuckets of the pair bytes —
   * partition pruning at the scan, never the corpus, never any text.
@@ -29,30 +48,70 @@ import org.apache.spark.sql.functions._
 object PairsIndex {
 
   final case class Index(path: String, nBuckets: Int) {
-    /** The full pair relation (doc_a, doc_b, jacc) from the layout. */
+
+    private def incDirs(spark: SparkSession, sub: String): Seq[String] = {
+      val base = new org.apache.hadoop.fs.Path(path + "/" + sub)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.filter(_.isDirectory)
+        .map(_.getPath.toString).sorted
+    }
+
+    /** Base + every committed increment of a partitioned relation. */
+    private def layered(spark: SparkSession, baseSub: String,
+                        incSub: String): DataFrame =
+      incDirs(spark, incSub)
+        .map(graft.core.Layouts.read(spark, _))
+        .foldLeft(graft.core.Layouts.read(spark, path + "/" + baseSub))(
+          _ unionByName _)
+
+    /** The full pair relation (doc_a, doc_b, jacc): build output plus all
+      * appended increments.
+      */
     def pairs(spark: SparkSession): DataFrame =
-      graft.core.Layouts.read(spark, path + "/pairs")
+      layered(spark, "pairs", "pairs_inc")
         .select(col("doc_a"), col("doc_b"), col("jacc"))
 
-    /** (id, component) cluster labels resolved at build time. */
+    /** (id, blk, sh) stored signature rows (base + increments). */
+    private[llm] def sigs(spark: SparkSession): DataFrame =
+      layered(spark, "sigs", "sigs_inc")
+
+    /** (id, component) cluster labels — rewritten on every append so they
+      * always resolve the FULL pair relation.
+      */
     def components(spark: SparkSession): DataFrame =
       spark.read.parquet(path + "/components")
 
     /** Pairs whose LEFT doc falls in `bucket` — the partition-pruned probe
       * shape: the bucket id is a literal partition filter, so the scan
-      * reads one of nBuckets partitions. (A by-doc-id probe is this with
-      * `doc_a % nBuckets` computed driver-side plus an id filter.)
+      * reads one of nBuckets partitions of the base AND of each increment.
+      * (A by-doc-id probe is this with `doc_a % nBuckets` computed
+      * driver-side plus an id filter.)
       */
     def probeBucket(spark: SparkSession, bucket: Long): DataFrame =
-      graft.core.Layouts.read(spark, path + "/pairs")
+      layered(spark, "pairs", "pairs_inc")
         .where(col("pb") === bucket)
         .select(col("doc_a"), col("doc_b"), col("jacc"))
   }
 
+  /** One shingle-signature relation: (id, blk, sh=hashed shingle set). */
+  private def sigsOf(docs: DataFrame, textCol: String, idCol: String,
+                     shingleLen: Int, blockPrefix: Int): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      substring(col(textCol), 1, blockPrefix).as("blk"),
+      array_distinct(transform(
+        Dedup.shingles(TextStats.tokens(col(textCol)), shingleLen),
+        s => xxhash64(s))).as("sh"))
+
+  private def withSb(sigs: DataFrame, nBuckets: Int): DataFrame =
+    sigs.withColumn("sb", pmod(xxhash64(col("blk")), lit(nBuckets.toLong)))
+
   /** Build the index at `path`. The ngram-Jaccard kernel runs EXACTLY
     * once: the pair relation is checkpointed, feeds the partitioned
     * layout write and the component propagation, and the component labels
-    * are persisted beside it. All knobs forward to [[Dedup.ngramJaccard]].
+    * are persisted beside it. All knobs forward to [[Dedup.ngramJaccard]]
+    * and are recorded in `meta` so [[append]] replays them identically.
     */
   def build(docs: DataFrame, path: String, nBuckets: Int = 16,
             textCol: String = "text", idCol: String = "doc_id",
@@ -64,12 +123,157 @@ object PairsIndex {
     graft.core.Layouts.writePartitioned(
       p.withColumn("pb", pmod(col("doc_a"), lit(nBuckets.toLong))),
       path + "/pairs", "pb")
+    graft.core.Layouts.writePartitioned(
+      withSb(sigsOf(docs, textCol, idCol, shingleLen, blockPrefix), nBuckets),
+      path + "/sigs", "sb")
     Dedup.connectedComponents(p)
       .write.mode("overwrite").parquet(path + "/components")
     import spark.implicits._
-    Seq(nBuckets).toDF("n_buckets")
+    Seq((nBuckets, shingleLen, blockPrefix, threshold, maxBlock))
+      .toDF("n_buckets", "shingle_len", "block_prefix", "threshold", "max_block")
       .write.mode("overwrite").parquet(path + "/meta")
     Index(path, nBuckets)
+  }
+
+  /** Threshold-tuned minhash band key over a HASHED shingle set — the
+    * hot-block sub-bucket key of [[append]], the same affine-min-fold
+    * construction as [[Dedup.ngramBlocks]] but over the stored 64-bit
+    * hashes (both sides of an append compute it from the same hash space,
+    * which is all LSH bucketing needs).
+    */
+  private def bandKeys(sh: Column, subRows: Int, subBands: Int): Column = {
+    val P = graft.functions.PolyHash.P1
+    transform(sequence(lit(0), lit(subBands - 1)), b =>
+      struct(b.as("band"),
+        aggregate(
+          transform(sequence(lit(0), lit(subRows - 1)), r => {
+            val i = b * lit(subRows) + r
+            array_min(transform(sh, h =>
+              pmod(pmod(h, lit(P)) * (i * 2 + 1) + i * lit(7919L), lit(P))))
+          }),
+          lit(0L), (acc, x) => (acc * 31 + x) % lit(P)).as("sk")))
+  }
+
+  /** Incrementally fold a new batch of documents into the index —
+    * O(batch + touched history), never O(corpus):
+    *
+    *  1. the batch's (blk, sh) signatures are computed from ITS text only;
+    *  2. history signatures are read from `sigs/` RESTRICTED to the
+    *     batch's block buckets (a literal `sb IN (...)` partition filter —
+    *     at most nBuckets values — then an equi-semi-join on blk), so a
+    *     batch touching few blocks reads few bytes and the corpus text is
+    *     never touched;
+    *  3. candidate pairs within each touched block: exact all-pairs where
+    *     the UNION block size ≤ maxBlock (the gate-pinned semantics);
+    *     bigger blocks sub-bucket by minhash band keys over the stored
+    *     hash sets ([[bandKeys]]) — the [[Dedup.ngramBlocks]] hot-block
+    *     guard. Pairs require ≥ 1 batch-side doc (old×old pairs already
+    *     landed at build time), verify by exact Jaccard over the hashed
+    *     sets, and land in `pairs_inc/b<batchId>/` partitioned by pb;
+    *  4. batch signatures land in `sigs_inc/b<batchId>/`;
+    *  5. `components/` is rewritten from the OLD labels (as id—label
+    *     edges, which preserve old connectivity exactly — labels are
+    *     cluster-min ids) plus the new pairs, via a sibling-directory +
+    *     rename swap, so a reader never sees a half-written resolution.
+    *
+    * Idempotent per `batchId`: every write is an OVERWRITE of that batch's
+    * own subdirectories, so a crashed append is repaired by re-running it
+    * (the [[SignatureStore]] recovery contract). Batch ids must be fresh
+    * (docs already in the index must not be re-appended), and appends are
+    * sequential — one writer at a time, like any table maintenance.
+    *
+    * Exactness vs a from-scratch rebuild: identical wherever union blocks
+    * stay ≤ maxBlock (the oracle-gated regime). A block that GROWS hot
+    * across appends keeps its historical exact pairs (a rebuild would
+    * LSH-approximate them) and finds new pairs at the same banded recall
+    * a rebuild would — the append never loses a pair a rebuild had.
+    */
+  def append(idx: Index, batch: DataFrame, batchId: Long,
+             textCol: String = "text", idCol: String = "doc_id",
+             subBands: Int = 2): Index = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(idx.path + "/meta").collect().head
+    val shingleLen = meta.getAs[Int]("shingle_len")
+    val blockPrefix = meta.getAs[Int]("block_prefix")
+    val threshold = meta.getAs[Double]("threshold")
+    val maxBlock = meta.getAs[Int]("max_block")
+    val subRows = math.max(1,
+      math.ceil(math.log(0.5) / math.log(math.max(threshold, 0.05))).toInt)
+
+    val newSigs = withSb(
+      sigsOf(batch, textCol, idCol, shingleLen, blockPrefix), idx.nBuckets)
+      .localCheckpoint() // batch-sized; read by 3 downstream stages
+    // touched partition buckets: at most nBuckets distinct values, so the
+    // collect is bounded by config, and the IN-filter is a literal
+    // partition predicate the sigs scan prunes on
+    val touchedSb = newSigs.select("sb").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val oldSigs = idx.sigs(spark)
+      .where(col("sb").isin(touchedSb: _*))
+      .join(newSigs.select("blk").distinct(), Seq("blk"), "left_semi")
+    val all = oldSigs.select(col("id"), col("blk"), col("sh"), lit(false).as("_new"))
+      .unionByName(newSigs.select(col("id"), col("blk"), col("sh"),
+        lit(true).as("_new")))
+    val sizes = all.groupBy("blk").agg(count(lit(1)).as("_bn"))
+    val joined = all.join(sizes, "blk")
+    val cold = joined.where(col("_bn") <= maxBlock)
+      .select(col("id"), col("blk"), col("_new"), lit(0).as("band"), lit(0L).as("sk"))
+    val hot = joined.where(col("_bn") > maxBlock)
+      .select(col("id"), col("blk"), col("_new"),
+        explode(bandKeys(col("sh"), subRows, subBands)).as("bs"))
+      .select(col("id"), col("blk"), col("_new"),
+        col("bs.band").as("band"), col("bs.sk").as("sk"))
+    val keyed = cold.unionByName(hot)
+    val a = keyed.alias("a"); val b = keyed.alias("b")
+    // ≥ 1 batch doc per pair: old×old pairs are already in the layout
+    val cand = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
+        col("a.sk") === col("b.sk") && col("a.id") < col("b.id") &&
+        (col("a._new") || col("b._new")))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val shd = all.select(col("id"), col("sh"))
+    val newPairs = cand
+      .join(shd.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shd.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.Rounding.dround(
+          Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jacc"))
+      .where(col("jacc") >= threshold)
+      .localCheckpoint() // feeds the layout write AND the re-resolution
+    // write order is load-bearing for crash re-runs: sigs first (so a
+    // future append never misses this batch's history), then pairs, then
+    // the component swap — each an overwrite of batch-scoped state
+    graft.core.Layouts.writePartitioned(newSigs,
+      idx.path + s"/sigs_inc/b$batchId", "sb")
+    graft.core.Layouts.writePartitioned(
+      newPairs.withColumn("pb", pmod(col("doc_a"), lit(idx.nBuckets.toLong))),
+      idx.path + s"/pairs_inc/b$batchId", "pb")
+    // re-resolve components: old labels as edges preserve old connectivity
+    // (label = cluster-min id), so propagation over labels + new pairs is
+    // exactly the resolution of the full pair relation — without reading
+    // the full pair relation
+    val oldEdges = idx.components(spark)
+      .select(col("id").as("doc_a"), col("component").as("doc_b"))
+    val comp = Dedup.connectedComponents(
+      oldEdges.unionByName(newPairs.select("doc_a", "doc_b")))
+    val tmp = idx.path + "/components_next"
+    comp.write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(idx.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(idx.path + "/components")
+    val aside = new org.apache.hadoop.fs.Path(idx.path + "/components_prev")
+    fs.delete(aside, true)
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(
+        s"PairsIndex.append: rename(components -> components_prev) returned " +
+          s"false under ${idx.path}; index unchanged, new copy at $tmp")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
+      throw new java.io.IOException(
+        s"PairsIndex.append: rename(components_next -> components) returned " +
+          s"false under ${idx.path}; old copy preserved at components_prev")
+    fs.delete(aside, true)
+    idx
   }
 
   def load(spark: SparkSession, path: String): Index =

@@ -1486,6 +1486,70 @@ class LlmSpec extends SparkSpec {
     assert(ccStored == ccDirect && ccStored.values.toSet == Set(0L))
   }
 
+  test("pairs index append: increment equals rebuild, idempotent, components re-resolve") {
+    import graft.llm.PairsIndex
+    // shared 40-char block prefixes so docs co-block; distinct word tails
+    // so Jaccard varies. A = history, B and C = two later crawls; B5001 is
+    // a near-copy of history doc 1 (cross-batch pair), B5002 of B5001
+    // (intra-batch pair), C6001 of B5001 (increment-to-increment pair —
+    // found through the APPENDED sigs, proving increments join history).
+    val pre = "shared prefix block for the append test pad "
+    def doc(words: String) = pre + words
+    val a = Seq(
+      (1L, doc("alpha beta gamma delta epsilon zeta eta theta iota kappa")),
+      (2L, doc("alpha beta gamma delta epsilon zeta eta theta iota QQQ")),
+      (3L, doc("totally different words one two three four five six seven")),
+      (4L, doc("mars venus jupiter saturn neptune uranus mercury pluto moon sun")))
+      .toDF("doc_id", "text")
+    val b = Seq(
+      (5001L, doc("alpha beta gamma delta epsilon zeta eta theta iota kapZa")),
+      (5002L, doc("alpha beta gamma delta epsilon zeta eta theta iota kapZa")),
+      (5003L, doc("nothing in common with anything else here at all really")))
+      .toDF("doc_id", "text")
+    val c = Seq(
+      (6001L, doc("alpha beta gamma delta epsilon zeta eta theta iota kapZa")))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("pairsinc")
+    val idx = PairsIndex.build(a, dir, nBuckets = 8)
+    PairsIndex.append(idx, b, batchId = 1L)
+    def pairSet(i: PairsIndex.Index) =
+      i.pairs(spark).as[(Long, Long, Double)].collect().toSet
+    def compMap(i: PairsIndex.Index) =
+      i.components(spark).as[(Long, Long)].collect().toMap
+    val fullAb = PairsIndex.build(a.unionByName(b), tmpDir("pairsfull"), nBuckets = 8)
+    assert(pairSet(idx) == pairSet(fullAb) && pairSet(idx).nonEmpty,
+      s"append != rebuild: ${pairSet(idx)} vs ${pairSet(fullAb)}")
+    assert(compMap(idx) == compMap(fullAb))
+    // cross-batch, intra-batch, and far-pair structure all present
+    val ids = pairSet(idx).map(p => (p._1, p._2))
+    assert(ids.contains((1L, 5001L)) && ids.contains((5001L, 5002L)))
+    // idempotent: a crashed-and-replayed batch overwrites itself
+    PairsIndex.append(idx, b, batchId = 1L)
+    assert(pairSet(idx) == pairSet(fullAb))
+    // a second increment pairs against BOTH history and increment 1
+    PairsIndex.append(idx, c, batchId = 2L)
+    val fullAbc = PairsIndex.build(a.unionByName(b).unionByName(c),
+      tmpDir("pairsfull2"), nBuckets = 8)
+    assert(pairSet(idx) == pairSet(fullAbc))
+    assert(compMap(idx) == compMap(fullAbc))
+    assert(pairSet(idx).map(p => (p._1, p._2)).contains((5001L, 6001L)))
+    // probeBucket unions increments with the same pb partition semantics
+    val probed = idx.probeBucket(spark, 5001L % 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probed == pairSet(idx).filter(_._1 % 8 == 5001L % 8) && probed.nonEmpty)
+    // reuse loader still works and Curation-style load sees the increments
+    val reloaded = PairsIndex.loadIfPresent(spark, dir).get
+    assert(pairSet(reloaded) == pairSet(fullAbc))
+    // hot-block guard: with maxBlock=2 the shared-prefix block goes hot on
+    // append; an EXACT copy still pairs (identical hashed sets band
+    // identically, the pigeonhole the banded path guarantees)
+    val dirHot = tmpDir("pairshot")
+    val hotIdx = PairsIndex.build(a, dirHot, nBuckets = 8, maxBlock = 2)
+    PairsIndex.append(hotIdx, b, batchId = 1L)
+    val hotIds = pairSet(hotIdx).map(p => (p._1, p._2))
+    assert(hotIds.contains((5001L, 5002L)), s"hot-block exact pair lost: $hotIds")
+  }
+
   test("PCA: planted direction recovered, orthonormal components, eigen residual tiny") {
     // planted anisotropy in 8 dims: variance ~9 along u = e0+e1 (normalized),
     // ~1 along e2, ~0.01 elsewhere — deterministic pseudo-noise
