@@ -1871,6 +1871,49 @@ object SparkEntry {
         graft.functions.native.syntheticApng(w, h, nf, v).as("content"))
       Multimodal.clipDupPairs(media, sampleEvery = 2)
         .orderBy("clip_a", "clip_b")
+    },
+
+    // LOSSY-container frame sampling, end-to-end real: each doc
+    // synthesizes a genuine MJPEG clip (back-to-back baseline JPEGs from
+    // the JDK encoder), the container is split by a real marker walk, and
+    // every 2nd frame runs the full baseline JPEG decode (Huffman +
+    // dequant + IDCT + color convert) through the typed decodeFrames
+    // boundary. The gate pins the EXACT fields — frame identity and
+    // decoded dimensions (a frame only counts if its entropy decode
+    // succeeds); pixel content is quantized and stays outside the
+    // hash-exact oracle by the documented JPEG contract.
+    "multimodal_mjpeg" -> { (s, d) =>
+      val w = (lit(8) + col("doc_id") % 8).cast("int")
+      val h = (lit(4) + col("doc_id") % 4).cast("int")
+      val nf = (lit(2) + col("doc_id") % 4).cast("int")
+      val v = (col("doc_id") % 256).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticMjpeg(w, h, nf, v).as("content"))
+      Multimodal.decodeFrames(s, media, Multimodal.mjpegFrameDecoder(2))
+        .select(col("media_id"), col("frame_idx"),
+          element_at(col("features"), 1).cast("int").as("src_frame"),
+          element_at(col("features"), 2).cast("int").as("width"),
+          element_at(col("features"), 3).cast("int").as("height"),
+          element_at(col("features"), 4).cast("int").as("channels"))
+    },
+
+    // Clip dedup over the LOSSY container: same pair kernel as
+    // dedup_clips, but the frames are real JPEGs — equal (w, h, phase)
+    // frames are byte-identical (deterministic encoder) hence
+    // raster-identical after decode, while distinct phases sit ≥16 luma
+    // levels apart so quantization noise cannot collapse them. The oracle
+    // derives the shared-content pairs straight from the phase formula;
+    // the Spark side earns them by decoding and hashing actual pixels.
+    "dedup_clips_mjpeg" -> { (s, d) =>
+      val w = (lit(8) + col("doc_id") % 8).cast("int")
+      val h = (lit(4) + col("doc_id") % 4).cast("int")
+      val nf = (lit(4) + col("doc_id") % 4).cast("int")
+      val v = (col("doc_id") % 256).cast("int")
+      val media = t(s, d, "documents").where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("media_id"),
+          graft.functions.native.syntheticMjpeg(w, h, nf, v).as("content"))
+      Multimodal.clipDupPairs(media, sampleEvery = 2)
+        .orderBy("clip_a", "clip_b")
     }
   )
 
@@ -4016,6 +4059,37 @@ object SparkEntry {
         "CAST(4 + doc_id % 4 AS INTEGER) AS h, " +
         "CAST(4 + doc_id % 4 AS INTEGER) AS nf, doc_id % 256 AS v FROM documents), " +
         "k AS (SELECT doc_id, w, h, (23 * fs.f + v) % 256 AS phase " +
+        "FROM d, generate_series(0, 6, 2) fs(f) WHERE fs.f < nf) " +
+        "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k a JOIN k b ON a.w = b.w AND a.h = b.h " +
+        "AND a.phase = b.phase AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY clip_a, clip_b"),
+
+    // MJPEG frame-sample replay: the sampled frame identities and the
+    // DECODED dimensions restated from the construction formula — every
+    // row the Spark side emits had to survive a full baseline JPEG decode
+    // of real JDK-encoded bytes to earn its (width, height).
+    "multimodal_mjpeg" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w, " +
+        "CAST(4 + doc_id % 4 AS INTEGER) AS h, " +
+        "CAST(2 + doc_id % 4 AS INTEGER) AS nf FROM documents) " +
+        "SELECT doc_id AS media_id, CAST(fs.f // 2 AS INTEGER) AS frame_idx, " +
+        "CAST(fs.f AS INTEGER) AS src_frame, w AS width, h AS height, " +
+        "CAST(3 AS INTEGER) AS channels " +
+        "FROM d, generate_series(0, 4, 2) fs(f) WHERE fs.f < nf " +
+        "ORDER BY media_id, frame_idx"),
+
+    // MJPEG clip-dedup replay: sampled frames decode to identical rasters
+    // iff the clips share dimensions and the coarse pattern phase
+    // (23f + v) mod 16 — equal phases are byte-identical JPEGs, distinct
+    // phases sit ≥16 luma levels apart (beyond quantization noise).
+    "dedup_clips_mjpeg" ->
+      ("WITH d AS (SELECT doc_id, CAST(8 + doc_id % 8 AS INTEGER) AS w, " +
+        "CAST(4 + doc_id % 4 AS INTEGER) AS h, " +
+        "CAST(4 + doc_id % 4 AS INTEGER) AS nf, doc_id % 256 AS v " +
+        "FROM documents WHERE doc_id % 7 = 0), " +
+        "k AS (SELECT DISTINCT doc_id, w, h, (23 * fs.f + v) % 16 AS phase " +
         "FROM d, generate_series(0, 6, 2) fs(f) WHERE fs.f < nf) " +
         "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
         "CAST(count(*) AS BIGINT) AS n_shared " +

@@ -978,6 +978,83 @@ case class ApngFrameHashes(child: Expression, sampleEvery: Int)
     copy(child = c)
 }
 
+/** A REAL synthesized MJPEG clip from (width, height, nFrames, variant) —
+  * [[graft.llm.Multimodal.encodeMjpeg]] with the per-frame pattern
+  * `channel(f, x, y, c) = (7x + 13y + 101c + 16·((23f + variant) mod 16))
+  * mod 256`: back-to-back genuine baseline JPEG streams from the JDK's
+  * own encoder. The phase is COARSE (multiples of 16) on purpose: JPEG is
+  * lossy, so two frames must differ by well more than the quantization
+  * noise for "different phase ⇒ different decoded raster" to hold — which
+  * is the invariant the clip-dedup oracle states. Equal (w, h, phase)
+  * frames are byte-identical by construction (deterministic encoder),
+  * hence raster-identical after decode.
+  */
+case class SyntheticMjpeg(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(w: Any, h: Any, n: Any, v: Any): Any = {
+    val width = w.asInstanceOf[Number].intValue()
+    val height = h.asInstanceOf[Number].intValue()
+    val nFrames = n.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].intValue()
+    graft.llm.Multimodal.encodeMjpeg(width, height, nFrames,
+      (f, x, y, c) =>
+        (7 * x + 13 * y + 101 * c + 16 * ((23 * f + variant) % 16)) % 256)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): SyntheticMjpeg =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Per-sampled-frame CONTENT hashes of a CLIP payload, dispatching on the
+  * container's magic bytes: PNG signature → the APNG frame walk, SOI
+  * (FFD8) → the MJPEG split + baseline JPEG decode. Same hash as
+  * [[ApngFrameHashes]] — base-31 mod 1e9+7 fold over (width, height,
+  * channels, decoded raster bytes) — so mixed-container corpora dedup in
+  * one relation: two frames share a hash iff their DECODED rasters are
+  * identical, regardless of which container carried them. NULL when
+  * neither walk accepts the bytes.
+  */
+case class ClipFrameHashes(child: Expression, sampleEvery: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(sampleEvery >= 1, s"sampleEvery must be >= 1: $sampleEvery")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType), StructField("fhash", LongType))))
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val frames =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+          (bytes(1) & 0xFF) == 0xD8)
+        graft.llm.Multimodal.decodeMjpegFrames(bytes)
+      else graft.llm.Multimodal.decodeApngFrames(bytes)
+    frames match {
+      case None => null
+      case Some(fs) =>
+        val P = 1000000007L
+        val rows = fs.zipWithIndex.collect {
+          case (img, fi) if fi % sampleEvery == 0 =>
+            var h = ((img.width * 31L + img.height) * 31L + img.channels) % P
+            var i = 0
+            while (i < img.pixels.length) {
+              h = (h * 31L + (img.pixels(i) & 0xFF)) % P
+              i += 1
+            }
+            org.apache.spark.sql.catalyst.InternalRow(
+              java.lang.Integer.valueOf(fi), java.lang.Long.valueOf(h))
+        }
+        new GenericArrayData(rows.toArray[Any])
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): ClipFrameHashes =
+    copy(child = c)
+}
+
 /** 10⁻³-unit quantization of an array<float|double> vector —
   * `array<double>` whose entries are the EXACT integers
   * floor(x·1000 + 0.5). The covariance/PCA pipeline sums these (and
@@ -1129,6 +1206,14 @@ object native {
   /** Sampled-frame content hashes `array<(frame_idx, fhash)>` of an APNG. */
   def apngFrameHashes(c: Column, sampleEvery: Int): Column =
     column(ApngFrameHashes(expression(c), sampleEvery))
+
+  /** A real synthesized MJPEG clip from (width, height, nFrames, variant). */
+  def syntheticMjpeg(w: Column, h: Column, n: Column, v: Column): Column =
+    column(SyntheticMjpeg(expression(w), expression(h), expression(n), expression(v)))
+
+  /** Container-dispatching sampled-frame content hashes (APNG or MJPEG). */
+  def clipFrameHashes(c: Column, sampleEvery: Int): Column =
+    column(ClipFrameHashes(expression(c), sampleEvery))
 
   /** Decoded-PCM stats `(sample_rate, channels, n_samples, sum_sq, n_zero_cross, peak)`. */
   def wavAudioStats(c: Column): Column = column(WavAudioStats(expression(c)))

@@ -506,17 +506,19 @@ object Multimodal {
     * frame of each clip for real, hash each decoded raster
     * (dimension-prefixed polynomial fold), and pair clips sharing any
     * frame hash — `(clip_a, clip_b, n_shared)` with the shared-frame
-    * count. The join is a hash-bucket equi-join (never all-pairs); frame
-    * contents appearing in more than `maxDf` clips are dropped BEFORE
-    * pairing (black frames, channel intros — the ubiquitous-content
-    * hazard that would otherwise make a bucket quadratic, the same df
-    * guard as [[Dedup.winnowOverlap]]).
+    * count. Containers dispatch by magic bytes (APNG or MJPEG — mixed
+    * corpora dedup in one relation, since the hash is over the DECODED
+    * raster). The join is a hash-bucket equi-join (never all-pairs);
+    * frame contents appearing in more than `maxDf` clips are dropped
+    * BEFORE pairing (black frames, channel intros — the
+    * ubiquitous-content hazard that would otherwise make a bucket
+    * quadratic, the same df guard as [[Dedup.winnowOverlap]]).
     */
   def clipDupPairs(media: DataFrame, idCol: String = "media_id",
                    contentCol: String = "content", sampleEvery: Int = 2,
                    maxDf: Int = 1000): DataFrame = {
     val fh = media.select(col(idCol).as("id"),
-        explode(graft.functions.native.apngFrameHashes(col(contentCol),
+        explode(graft.functions.native.clipFrameHashes(col(contentCol),
           sampleEvery)).as("f"))
       .select(col("id"), col("f").getField("fhash").as("fhash"))
       // one row per distinct frame CONTENT per clip: a clip internally
@@ -561,6 +563,148 @@ object Multimodal {
           Array(wi.toFloat, m.toFloat, math.sqrt(ss.toDouble / m).toFloat,
             zc.toFloat / math.max(m - 1, 1), peak.toFloat)
         }
+    }
+
+  /** A REAL MJPEG-shaped clip: `nFrames` back-to-back baseline JPEG
+    * streams (the multipart / motion-JPEG layout — each frame a complete
+    * SOI..EOI stream), encoded through the JDK's own ImageIO JPEG writer
+    * at `quality`. `pixel(f, x, y, c)` supplies each frame's RGB bytes.
+    * The lossy twin of [[encodeApng]]: frames with IDENTICAL inputs
+    * produce identical bytes (and so identical decoded rasters — what
+    * clip dedup keys on), while pixel CONTENT is quantized and therefore
+    * deliberately outside the hash-exact oracle (the JPEG contract, see
+    * [[Jpeg]]).
+    */
+  def encodeMjpeg(width: Int, height: Int, nFrames: Int,
+                  pixel: (Int, Int, Int, Int) => Int,
+                  quality: Float = 0.9f): Array[Byte] = {
+    require(nFrames >= 1 && width > 0 && height > 0,
+      s"bad clip ${width}x$height×$nFrames")
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, (pixel(f, x, y, 0) << 16) |
+            (pixel(f, x, y, 1) << 8) | pixel(f, x, y, 2))
+          x += 1
+        }
+        y += 1
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val wp = wr.getDefaultWriteParam
+      wp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      wp.setCompressionQuality(quality)
+      // memory-cached stream: no temp-file I/O inside executor tasks
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      wr.setOutput(ios)
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), wp)
+      ios.flush()
+      wr.dispose()
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** `[start, end)` byte ranges of the concatenated JPEG frames of an
+    * MJPEG stream — a real marker walk per frame (segments skipped by
+    * their declared lengths, entropy data scanned with 0xFF00-stuffing
+    * and RST awareness), NOT a byte grep for FFD9, which can occur inside
+    * segment payloads. None when the stream is not wall-to-wall
+    * well-formed JPEG frames.
+    */
+  private[graft] def mjpegFrameRanges(bytes: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var p = 0
+    while (p < bytes.length) {
+      if (p + 2 > bytes.length || u8(p) != 0xFF || u8(p + 1) != 0xD8) return None
+      val start = p
+      p += 2
+      var end = -1
+      while (end < 0) {
+        if (p + 2 > bytes.length) return None
+        if (u8(p) != 0xFF) return None
+        val m = u8(p + 1)
+        if (m == 0xFF) p += 1 // fill byte
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) p += 2 // standalone
+        else if (m == 0xD9) end = p + 2 // EOI
+        else if (m == 0xDA) { // SOS: header, then entropy-coded data
+          if (p + 4 > bytes.length) return None
+          val len = (u8(p + 2) << 8) | u8(p + 3)
+          if (len < 2 || p + 2 + len > bytes.length) return None
+          p += 2 + len
+          var inEntropy = true
+          while (inEntropy) {
+            if (p + 1 >= bytes.length) return None
+            if (u8(p) == 0xFF) {
+              val m2 = u8(p + 1)
+              if (m2 == 0x00 || (m2 >= 0xD0 && m2 <= 0xD7)) p += 2
+              else if (m2 == 0xFF) p += 1
+              else inEntropy = false // real marker; outer loop handles it
+            } else p += 1
+          }
+        } else {
+          if (p + 4 > bytes.length) return None
+          val len = (u8(p + 2) << 8) | u8(p + 3)
+          if (len < 2 || p + 2 + len > bytes.length) return None
+          p += 2 + len
+        }
+      }
+      out += ((start, end))
+      p = end
+    }
+    if (out.isEmpty) None else Some(out.toSeq)
+  }
+
+  /** REAL MJPEG frame extraction: split the concatenated stream by marker
+    * walk ([[mjpegFrameRanges]]), then decode EVERY frame through the
+    * baseline [[Jpeg.decode]] (Huffman + dequant + IDCT + color convert).
+    * Strict like [[decodeApngFrames]]: None if the container walk fails
+    * or any frame is undecodable (the scrub posture — a half-broken clip
+    * is dropped, not half-invented).
+    */
+  def decodeMjpegFrames(bytes: Array[Byte]): Option[Seq[PngImage]] =
+    mjpegFrameRanges(bytes).flatMap { ranges =>
+      val frames = ranges.map { case (s, e) =>
+        Jpeg.decode(java.util.Arrays.copyOfRange(bytes, s, e))
+      }
+      if (frames.forall(_.isDefined)) Some(frames.map(_.get)) else None
+    }
+
+  /** Real MJPEG frame decoder for [[decodeFrames]]: every
+    * `sampleEvery`-th frame fully decoded, one feature row per SAMPLED
+    * frame — [frameIndex, width, height, channels, meanR, meanG, meanB]
+    * (means over the decoded raster, 0-255 scale; a grayscale frame
+    * replicates its channel). Undecodable payloads produce no frames.
+    */
+  def mjpegFrameDecoder(sampleEvery: Int = 2)(bytes: Array[Byte]): Iterator[Array[Float]] =
+    decodeMjpegFrames(bytes) match {
+      case None => Iterator.empty
+      case Some(fs) =>
+        fs.iterator.zipWithIndex
+          .filter(_._2 % sampleEvery == 0)
+          .map { case (img, fi) =>
+            val n = img.width * img.height
+            val sums = new Array[Long](3)
+            var p = 0
+            while (p < n) {
+              var c = 0
+              while (c < 3) {
+                val ch = math.min(c, img.channels - 1)
+                sums(c) += img.pixels(p * img.channels + ch) & 0xFF
+                c += 1
+              }
+              p += 1
+            }
+            Array(fi.toFloat, img.width.toFloat, img.height.toFloat,
+              img.channels.toFloat, sums(0).toFloat / n, sums(1).toFloat / n,
+              sums(2).toFloat / n)
+          }
     }
 
   /** Real IMAGE frame decoder for [[decodeFrames]] dispatching on the

@@ -2101,6 +2101,74 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(j0(3) - refMean) <= 2.0f, s"jpeg row-0 mean ${j0(3)} vs $refMean")
   }
 
+  test("MJPEG container: marker-walk split, real per-frame decode, clip dedup dispatch") {
+    def pix(f: Int, x: Int, y: Int, c: Int) =
+      (7 * x + 13 * y + 101 * c + 16 * ((23 * f + 5) % 16)) % 256
+    val clip = Multimodal.encodeMjpeg(20, 12, 4, pix)
+    // the split finds exactly 4 frames, each decoding to the right dims
+    val ranges = Multimodal.mjpegFrameRanges(clip).get
+    assert(ranges.size == 4 && ranges.head._1 == 0 && ranges.last._2 == clip.length)
+    assert(ranges.sliding(2).forall { case Seq(a, b) => a._2 == b._1; case _ => true })
+    val frames = Multimodal.decodeMjpegFrames(clip).get
+    assert(frames.size == 4 && frames.forall(f => f.width == 20 && f.height == 12))
+    // per-frame parity with ImageIO's own decode on a SMOOTH clip (the
+    // wrap-mod-256 pattern has sharp chroma edges where two conforming
+    // decoders legitimately diverge — same caveat as the random sweep)
+    val smooth = Multimodal.encodeMjpeg(20, 12, 3,
+      (f, x, y, c) => 40 + 10 * f + 4 * x + 6 * y + 20 * c)
+    val sRanges = Multimodal.mjpegFrameRanges(smooth).get
+    val sFrames = Multimodal.decodeMjpegFrames(smooth).get
+    for (((s0, e0), fi) <- sRanges.zipWithIndex) {
+      val fb = java.util.Arrays.copyOfRange(smooth, s0, e0)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      assert(ref.getWidth == 20 && ref.getHeight == 12)
+      var worst = 0
+      for (y <- 0 until 12; x <- 0 until 20; c <- 0 until 3)
+        worst = math.max(worst,
+          math.abs(((ref.getRGB(x, y) >> (16 - 8 * c)) & 0xFF) -
+            (sFrames(fi).pixels((y * 20 + x) * 3 + c) & 0xFF)))
+      assert(worst <= 8, s"frame $fi diverged from ImageIO: $worst")
+    }
+    // an FFD9 byte pair INSIDE a segment payload must not split a frame:
+    // splice a COM segment whose body contains FF D9 right after SOI
+    val com = Array(0xFF, 0xFE, 0x00, 0x06, 0xFF, 0xD9, 0x41, 0x42).map(_.toByte)
+    val single = java.util.Arrays.copyOfRange(clip, ranges(0)._1, ranges(0)._2)
+    val spliced = single.take(2) ++ com ++ single.drop(2)
+    val r2 = Multimodal.mjpegFrameRanges(spliced).get
+    assert(r2.size == 1 && r2.head == (0, spliced.length),
+      s"COM payload FFD9 split the frame: $r2")
+    assert(Multimodal.decodeMjpegFrames(spliced).get.size == 1)
+    // truncation / garbage rejected, never thrown
+    assert(Multimodal.decodeMjpegFrames(clip.take(clip.length - 3)).isEmpty)
+    assert(Multimodal.decodeMjpegFrames("nonsense".getBytes).isEmpty)
+    for (n <- 0 until clip.length by 7) Multimodal.decodeMjpegFrames(clip.take(n))
+    // sampled decode through the typed decodeFrames boundary
+    val media = Seq((1L, clip)).toDF("media_id", "content")
+    val rows = Multimodal.decodeFrames(spark, media, Multimodal.mjpegFrameDecoder(2))
+      .as[(Long, Int, Seq[Float])].collect().toSeq.sortBy(_._2)
+    assert(rows.map(_._3.head.toInt) == Seq(0, 2)) // sampled frame ids
+    assert(rows.forall(r => r._3(1) == 20f && r._3(2) == 12f && r._3(3) == 3f))
+    // clip dedup dispatches on container magic: two identical MJPEG clips
+    // pair; a same-pattern APNG never collides with a JPEG raster (lossy
+    // vs lossless decode differ), but two identical APNGs still pair
+    def apng(v: Int) = Multimodal.encodeApng(20, 12, 3, 4,
+      (f, x, y, c) => (7 * x + 13 * y + 101 * c + 16 * ((23 * f + v) % 16)) % 256)
+    val mixed = Seq(
+      (1L, clip), (2L, clip.clone()), (3L, apng(5)), (4L, apng(5)),
+      (5L, Multimodal.encodeMjpeg(20, 12, 4, (f, x, y, c) => pix(f + 1, x, y, c))))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.clipDupPairs(mixed)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 2L)) && pairs.contains((3L, 4L, 2L)),
+      pairs.toString)
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L)), pairs.toString)
+    // clip 5 shares frame CONTENTS with 1/2 where the phase cycle
+    // overlaps: phases of 5 at sampled f∈{0,2} are (23·1+5)%16, (23·3+5)%16
+    // = {12, 10}; clip 1 sampled phases {5%16, (46+5)%16} = {5, 3} — no
+    // overlap, so no pair with 5 at all
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), pairs.toString)
+  }
+
   test("JPEG decoder: hostile streams return None, never throw") {
     import graft.llm.Jpeg
     def bs(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
