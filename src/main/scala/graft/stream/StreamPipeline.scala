@@ -32,6 +32,39 @@ object StreamPipeline {
       StreamDedup.exact(docs, textCol, "ts", watermark),
       textCol, idCol, minWords, keepCols = Seq("source", "ts"))
 
+  /** NEAR-dup-aware streaming curation: each micro-batch ingests into the
+    * persistent [[graft.llm.SignatureStore]] (near-dups resolve against
+    * ALL history via stored signatures — exact copies included, identical
+    * signatures band identically), drops the duplicates, applies the
+    * gopher quality rules, and lands the curated batch in
+    * `<outPath>/b<batchId>` (overwrite — idempotent under recovery, the
+    * store's own exactly-once scheme). This is the stage [[curate]]
+    * cannot be: in-stream LSH filtering needs a per-doc fold across band
+    * groups, which chained stateful operators disallow — the store-backed
+    * foreachBatch shape is the sanctioned form, with
+    * [[StreamDedupNear.matches]] as its low-latency in-stream match feed
+    * twin (horizon-bounded state, no store).
+    */
+  def curateNearStream(outPath: String, storePath: String, docs: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       minWords: Int = 50,
+                       cfg: graft.llm.SignatureStore.Config =
+                         graft.llm.SignatureStore.Config())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batch = df.toDF()
+        val verdicts = graft.llm.SignatureStore.ingest(batch.sparkSession,
+          storePath, batch, textCol, idCol, cfg, batchId = Some(id))
+        val kept = batch.join(
+          verdicts.where(!col("is_dup")).select(col("id").as(idCol)), idCol)
+        graft.llm.TextStats.gopherFilter(kept, textCol, idCol, minWords,
+            keepCols = Seq("source", "ts"))
+          .where(col("kept") === 1)
+          .write.mode("overwrite").parquet(outPath + "/b" + id)
+        ()
+      }
+
   /** Sources flooding junk: heavy hitters over the DROPPED docs' source
     * ids — the per-key counter emits at `threshold` then every `every`,
     * so a misbehaving crawl domain surfaces while the stream runs, with

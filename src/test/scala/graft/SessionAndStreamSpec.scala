@@ -475,6 +475,73 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: LSH owner match, exact copy always caught, state GC'd at horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.StreamDedupNear
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again because repetition makes shingles overlap heavily indeed"
+    val near = base.replace("lazy", "sleepy") // one-word edit: high Jaccard
+    val other = "completely unrelated text about tax law filings in " +
+      "autumn with no overlapping phrases whatsoever to speak of here"
+    val q = StreamDedupNear.matches(
+        input.toDF().toDF("doc_id", "ts", "text"), watermark = "1 minute")
+      .toDF()
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    def verdictMap() = graft.stream.StreamDedupNear.verdictsOf(
+        spark.table("neardup_stream"))
+      .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+    try {
+      // batch 1: original + exact copy + near-dup + unrelated
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00"), base),
+        (2L, ts("2024-01-01 00:00:05"), base),   // exact copy: MUST match
+        (3L, ts("2024-01-01 00:00:10"), near),   // near-dup: should match
+        (4L, ts("2024-01-01 00:00:15"), other))  // novel: no verdict row
+      q.processAllAvailable()
+      val v1 = verdictMap()
+      assert(v1.get(2L).contains(1L), s"exact copy missed: $v1")
+      assert(v1.get(3L).contains(1L), s"near-dup missed: $v1")
+      assert(!v1.contains(1L) && !v1.contains(4L), s"false positive: $v1")
+      // exact copy agrees in EVERY band; the near-dup in at least one
+      val bands = spark.table("neardup_stream")
+        .groupBy("id").count().as[(Long, Long)].collect().toMap
+      assert(bands(2L) == 8L && bands(3L) >= 1L, bands.toString)
+      // push the watermark past the horizon: owner state is GC'd, so a
+      // re-arrival of the SAME text is novel again (bounded state, the
+      // StreamDedup contract)
+      input.addData((90L, ts("2024-01-01 00:05:00"), "horizon closer one"))
+      q.processAllAvailable()
+      input.addData((5L, ts("2024-01-01 00:10:00"), base))
+      q.processAllAvailable()
+      val v2 = verdictMap()
+      assert(!v2.contains(5L), s"GC'd owner still matched: $v2")
+      // ...and a copy of the RE-ARRIVED doc matches the new owner
+      input.addData((6L, ts("2024-01-01 00:10:10"), base))
+      q.processAllAvailable()
+      val v3 = verdictMap()
+      assert(v3.get(6L).contains(5L), s"new-owner copy missed: $v3")
+    } finally q.stop()
+    // the foreachBatch verdict sink: per-batch parquet, idempotent layout
+    val input2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val vDir = tmpDir("neardup_verdicts")
+    val q2 = StreamDedupNear.verdictStream(vDir,
+        input2.toDF().toDF("doc_id", "ts", "text"), watermark = "1 minute")
+      .option("checkpointLocation", tmpDir("neardup_ckpt"))
+      .start()
+    try {
+      input2.addData(
+        (11L, ts("2024-01-01 00:00:00"), base),
+        (12L, ts("2024-01-01 00:00:05"), base))
+      q2.processAllAvailable()
+      val got = spark.read.option("recursiveFileLookup", "true").parquet(vDir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((12L, 11L, 8L)), got.toString)
+    } finally q2.stop()
+  }
+
   test("streaming ingest scores documents: BPE + quality model compose with stream dedup") {
     // the round-7 scoring surface is stateless columnar expressions, so it
     // drops straight into a streaming ingest: dedup state stays 32 bytes
@@ -549,6 +616,38 @@ class SessionAndStreamSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark.table("sess_stream").as[(Long, Long)].collect().toSet
       assert(rows.contains((1L, 2L)) && rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup curation: store-backed foreachBatch drops cross-batch near-copies") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.StreamPipeline
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def good(tag: String) = (1 to 60).map(j => s"${tag}word$j").mkString(" ")
+    val nearA = good("a").replace("aword30", "changed30") // one-word edit
+    val nearA2 = good("a").replace("aword31", "other31")
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val outDir = tmpDir("nearcur_out"); val storeDir = tmpDir("nearcur_store")
+    val q = StreamPipeline.curateNearStream(outDir, storeDir,
+        input.toDF().toDF("doc_id", "text", "source", "ts"))
+      .option("checkpointLocation", tmpDir("nearcur_ck"))
+      .start()
+    try {
+      // batch 1: original + in-batch near-copy + short junk
+      input.addData(
+        (1L, good("a"), "s1", ts("2024-01-01 00:00:00")),
+        (2L, nearA, "s1", ts("2024-01-01 00:00:05")),
+        (3L, "too short", "s2", ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      // batch 2: ANOTHER near-copy of doc 1 (must resolve via the STORE —
+      // no horizon, full history) + a fresh good doc
+      input.addData(
+        (4L, nearA2, "s3", ts("2024-01-01 01:00:00")),
+        (5L, good("b"), "s3", ts("2024-01-01 01:00:10")))
+      q.processAllAvailable()
+      val kept = spark.read.option("recursiveFileLookup", "true")
+        .parquet(outDir).select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 5L), s"kept = $kept")
     } finally q.stop()
   }
 
