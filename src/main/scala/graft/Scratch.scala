@@ -15,14 +15,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
 
-  /** The steady top-12 by committed bench cost (BENCH_full.json), the
-    * scaling watch-list — rotated round 10 (the pairs-index memo pushed
-    * split_leakage/dedup_source_matrix off; dedup_clips and the
-    * containment hot-block rework enter). */
+  /** The steady top by committed bench cost (BENCH_full.json), the
+    * scaling watch-list — rotated round 11: the round-11 additions
+    * (incremental pairs, the two MJPEG gates) enter so their growth is
+    * probed from day one; corpus_budget (flat, cheap) leaves. */
   val ScaleQueries: Seq[String] = Seq(
     "dedup_fuzzy", "bm25_queries", "graph_pagerank", "lm_score_tri",
     "dedup_winnow", "dp_mean", "dedup_incremental", "tfidf_top_terms",
-    "profile_summarize", "corpus_budget", "dedup_containment", "dedup_clips")
+    "profile_summarize", "dedup_containment", "dedup_clips",
+    "pairs_index_append", "multimodal_mjpeg", "dedup_clips_mjpeg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
