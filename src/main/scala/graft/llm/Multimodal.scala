@@ -760,6 +760,21 @@ object Multimodal {
           }
     }
 
+  /** Real CLIP frame decoder for [[decodeFrames]] dispatching on the
+    * container's magic bytes — the decoder twin of the
+    * [[graft.functions.ClipFrameHashes]] expression, so a mixed
+    * APNG/MJPEG corpus feature-extracts through one boundary: PNG
+    * signature → [[apngFrameDecoder]] rows
+    * ([fi, width, channels, meanR, meanG, meanB]), SOI →
+    * [[mjpegFrameDecoder]] rows
+    * ([fi, width, height, channels, meanR, meanG, meanB]). Undecodable
+    * payloads produce no frames.
+    */
+  def clipFrameDecoder(sampleEvery: Int = 2)(bytes: Array[Byte]): Iterator[Array[Float]] =
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+      mjpegFrameDecoder(sampleEvery)(bytes)
+    else apngFrameDecoder(sampleEvery)(bytes)
+
   /** Real IMAGE frame decoder for [[decodeFrames]] dispatching on the
     * payload's magic bytes: PNG through [[decodePng]], JPEG through the
     * baseline [[Jpeg.decode]] — one feature row per PIXEL ROW in either

@@ -276,6 +276,87 @@ object PairsIndex {
     idx
   }
 
+  /** Fold every increment into the base layout — table maintenance for an
+    * index that has accumulated many appends (readers union base + all
+    * increments, so probe planning cost grows with append count; compact
+    * restores the one-layout read path). NO kernel re-run: the layered
+    * pairs and sigs are re-written partitioned, components are already
+    * current (every append re-resolves them). Each relation swaps via a
+    * sibling directory + rename (aside → in → delete), so a crash leaves
+    * a complete copy at the live or `_precompact` path; the increment
+    * directories are removed LAST, and a crash before that point merely
+    * leaves increments that are a subset of the new base — re-running
+    * compact (or [[recover]]) heals either state. Run while no append is
+    * active, like any table maintenance.
+    */
+  def compact(idx: Index): Index = {
+    // any live SparkSession works; the Index carries no session
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(idx.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapIn(sub: String, write: String => Unit): Unit = {
+      val tmp = idx.path + "/" + sub + "_compacting"
+      write(tmp)
+      val live = new org.apache.hadoop.fs.Path(idx.path + "/" + sub)
+      val aside = new org.apache.hadoop.fs.Path(idx.path + s"/${sub}_precompact")
+      fs.delete(aside, true)
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(
+          s"PairsIndex.compact: rename($sub -> ${sub}_precompact) returned " +
+            s"false under ${idx.path}; index unchanged, new copy at $tmp")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
+        throw new java.io.IOException(
+          s"PairsIndex.compact: rename(${sub}_compacting -> $sub) returned " +
+            s"false under ${idx.path}; old copy preserved at ${sub}_precompact")
+      fs.delete(aside, true)
+    }
+    // distinct/dropDuplicates make a re-run after a mid-compact crash
+    // self-healing: if increments were already folded into the base but
+    // not yet deleted, the layered read double-counts — the dedupe
+    // collapses it back to the true relation
+    swapIn("pairs", tmp => graft.core.Layouts.writePartitioned(
+      idx.pairs(spark).distinct()
+        .withColumn("pb", pmod(col("doc_a"), lit(idx.nBuckets.toLong))),
+      tmp, "pb"))
+    swapIn("sigs", tmp => graft.core.Layouts.writePartitioned(
+      idx.sigs(spark).dropDuplicates("id"), tmp, "sb"))
+    fs.delete(new org.apache.hadoop.fs.Path(idx.path + "/pairs_inc"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(idx.path + "/sigs_inc"), true)
+    idx
+  }
+
+  /** Crash recovery for [[compact]]'s swaps: restore a relation from its
+    * `_precompact` aside if the swap died between renames, promote a
+    * committed `_compacting` copy if both live and aside are gone, and
+    * clear stale siblings otherwise. Returns true if anything was done.
+    */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var acted = false
+    Seq("pairs", "sigs").foreach { sub =>
+      val live = new org.apache.hadoop.fs.Path(path + "/" + sub)
+      val aside = new org.apache.hadoop.fs.Path(path + s"/${sub}_precompact")
+      val tmp = new org.apache.hadoop.fs.Path(path + s"/${sub}_compacting")
+      val tmpComplete = fs.exists(tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_schema.json"))
+      if (fs.exists(aside) && !fs.exists(live)) {
+        if (!fs.rename(aside, live))
+          throw new java.io.IOException(
+            s"PairsIndex.recover: rename(${sub}_precompact -> $sub) returned false under $path")
+        fs.delete(tmp, true); acted = true
+      } else if (!fs.exists(live) && tmpComplete) {
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(
+            s"PairsIndex.recover: rename(${sub}_compacting -> $sub) returned false under $path")
+        acted = true
+      } else if (fs.exists(live) && (fs.exists(aside) || fs.exists(tmp))) {
+        fs.delete(aside, true); fs.delete(tmp, true); acted = true
+      }
+    }
+    acted
+  }
+
   def load(spark: SparkSession, path: String): Index =
     Index(path, spark.read.parquet(path + "/meta").collect().head.getInt(0))
 

@@ -1548,6 +1548,34 @@ class LlmSpec extends SparkSpec {
     PairsIndex.append(hotIdx, b, batchId = 1L)
     val hotIds = pairSet(hotIdx).map(p => (p._1, p._2))
     assert(hotIds.contains((5001L, 5002L)), s"hot-block exact pair lost: $hotIds")
+    // compaction folds both increments into the base: same relation, the
+    // increment dirs gone, and a fresh append still works afterwards
+    val before = pairSet(idx)
+    PairsIndex.compact(idx)
+    assert(pairSet(idx) == before)
+    assert(!new java.io.File(dir + "/pairs_inc").exists &&
+      !new java.io.File(dir + "/sigs_inc").exists)
+    assert(pairSet(PairsIndex.load(spark, dir)) == before)
+    // compact is idempotent, and recover on a healthy index is a no-op
+    PairsIndex.compact(idx)
+    assert(pairSet(idx) == before)
+    assert(!PairsIndex.recover(spark, dir))
+    // post-compact append: increments stack on the compacted base
+    PairsIndex.append(idx, Seq(
+        (7001L, doc("alpha beta gamma delta epsilon zeta eta theta iota kapZa")))
+      .toDF("doc_id", "text"), batchId = 3L)
+    assert(pairSet(idx).map(p => (p._1, p._2)).contains((6001L, 7001L)))
+    // crash healing: simulate a crash AFTER the pairs swap but BEFORE the
+    // increment delete by re-creating a duplicate increment of the base's
+    // own rows — a re-run of compact collapses the double-count
+    val healthy = pairSet(idx)
+    val dup = idx.pairs(spark).limit(2).localCheckpoint()
+    graft.core.Layouts.writePartitioned(
+      dup.withColumn("pb", org.apache.spark.sql.functions.pmod(
+        col("doc_a"), lit(8L))), dir + "/pairs_inc/b99", "pb")
+    PairsIndex.compact(idx)
+    assert(pairSet(idx) == healthy &&
+      pairSet(PairsIndex.load(spark, dir)) == healthy)
   }
 
   test("PCA: planted direction recovered, orthonormal components, eigen residual tiny") {
@@ -2148,6 +2176,17 @@ class LlmSpec extends SparkSpec {
       .as[(Long, Int, Seq[Float])].collect().toSeq.sortBy(_._2)
     assert(rows.map(_._3.head.toInt) == Seq(0, 2)) // sampled frame ids
     assert(rows.forall(r => r._3(1) == 20f && r._3(2) == 12f && r._3(3) == 3f))
+    // the dispatching clip decoder routes BOTH containers through one
+    // decodeFrames boundary
+    val both = Seq(
+      (1L, clip),
+      (2L, Multimodal.encodeApng(6, 4, 3, 4, (f, x, y, c) => (x + y + f + c) % 256)))
+      .toDF("media_id", "content")
+    val bothRows = Multimodal.decodeFrames(spark, both, Multimodal.clipFrameDecoder(2))
+      .as[(Long, Int, Seq[Float])].collect().toSeq
+    assert(bothRows.count(_._1 == 1L) == 2 && bothRows.count(_._1 == 2L) == 2)
+    assert(bothRows.filter(_._1 == 1L).forall(_._3(1) == 20f)) // mjpeg width
+    assert(bothRows.filter(_._1 == 2L).forall(_._3(1) == 6f))  // apng width
     // clip dedup dispatches on container magic: two identical MJPEG clips
     // pair; a same-pattern APNG never collides with a JPEG raster (lossy
     // vs lossless decode differ), but two identical APNGs still pair
