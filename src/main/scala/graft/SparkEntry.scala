@@ -1145,6 +1145,18 @@ object SparkEntry {
       graft.llm.Search.bm25TopK(t(s, d, "documents"),
         Seq("spark", "window", "agg"), k = 10)),
 
+    // HYBRID retrieval: reciprocal-rank fusion of the BM25 leg and the
+    // dense cosine leg — the RAG-pipeline shape. The legs do the
+    // corpus-sized work (each already scale-shaped); the fusion joins two
+    // k-row relations. Rank-exact in both engines (micro-unit BM25,
+    // 6-dp cosine, id tiebreaks), so the fused order replays in SQL.
+    "hybrid_topk" -> { (s, d) =>
+      val embs = t(s, d, "embeddings")
+      val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
+      graft.llm.Search.hybridTopK(t(s, d, "documents"), embs,
+        Seq("spark", "window", "agg"), q, k = 10)
+    },
+
     // Batch retrieval: a query RELATION scored in one pass — semi-join on
     // the union term set, broadcast fan-out to queries, per-query
     // WindowGroupLimit top-k on the exact integer micro-sums.
@@ -3791,6 +3803,39 @@ object SparkEntry {
         "ELSE -floor(-(s * 1000000.0) + 0.5) END AS t FROM sc) " +
         "SELECT doc_id, round(SUM(t) / 1000000.0, 6) AS score FROM m " +
         "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
+
+    // RRF replay: both legs' top-10 ranked on their exact keys, a full
+    // outer join, 1/(60+rank) terms summed in the same left-to-right IEEE
+    // order the Spark expression uses.
+    "hybrid_topk" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+        "l AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t), " +
+        "st AS (SELECT count(*) AS n_docs, SUM(dl) AS sum_dl FROM l), " +
+        "u AS (SELECT doc_id, unnest(w) AS term FROM t), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM u " +
+        "WHERE term IN ('spark', 'window', 'agg') GROUP BY doc_id, term), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) AS s " +
+        "FROM tf JOIN df USING (term) JOIN l ON l.doc_id = tf.doc_id CROSS JOIN st), " +
+        "m AS (SELECT doc_id, CASE WHEN s * 1000000.0 >= 0 " +
+        "THEN floor(s * 1000000.0 + 0.5) " +
+        "ELSE -floor(-(s * 1000000.0) + 0.5) END AS t FROM sc), " +
+        "lex10 AS (SELECT doc_id, SUM(t) AS sm FROM m " +
+        "GROUP BY doc_id ORDER BY sm DESC, doc_id LIMIT 10), " +
+        "lexr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sm DESC, doc_id) AS lex_rank FROM lex10), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings ORDER BY vec_id LIMIT 1), " +
+        "d10 AS (SELECT vec_id, round(list_inner_product(CAST(embedding AS DOUBLE[]), qv) / " +
+        "(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * " +
+        "sqrt(list_inner_product(qv, qv))), 6) AS sim " +
+        "FROM embeddings, q ORDER BY sim DESC, vec_id LIMIT 10), " +
+        "dr AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS dense_rank FROM d10) " +
+        "SELECT COALESCE(lx.doc_id, dr.doc_id) AS doc_id, " +
+        "round(COALESCE(1.0 / (60 + lex_rank), 0) + COALESCE(1.0 / (60 + dense_rank), 0), 6) AS rrf, " +
+        "CAST(lex_rank AS INTEGER) AS lex_rank, CAST(dense_rank AS INTEGER) AS dense_rank " +
+        "FROM lexr lx FULL OUTER JOIN dr ON lx.doc_id = dr.doc_id " +
+        "ORDER BY rrf DESC, doc_id LIMIT 10"),
 
     // Batch-BM25 replay: the query relation as VALUES, the same scoring
     // CTEs, a per-query ROW_NUMBER on (integer micro-sum DESC, doc_id).

@@ -262,4 +262,47 @@ object Search {
         graft.functions.Rounding.dround(
           col("_s").cast("double") / 1e6, 6).as("score"))
   }
+
+  /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009) of
+    * the lexical BM25 leg and the dense cosine leg, the standard fusion a
+    * RAG/retrieval pipeline runs when neither sparse nor dense alone is
+    * trusted: `rrf(doc) = Σ_legs 1/(kRrf + rank_leg(doc))`, a missing leg
+    * contributing 0. Rank-based fusion needs no score normalization
+    * across legs (the whole point), and since both legs rank on already
+    * cross-engine-exact keys (micro-unit BM25 sums, 6-dp-rounded cosine,
+    * id tiebreaks), the fused ordering replays exactly in SQL.
+    *
+    * Scale posture: the legs do all the data-sized work and are the
+    * library's own scale-shaped operators (query terms filtered AT the
+    * corpus scan; dense top-k via broadcast query + TakeOrdered) — the
+    * fusion itself joins two k-row relations, constant-size at any
+    * corpus. `docIds` must align with the embedding ids (the corpus's
+    * doc↔vector alignment, audited by `modality_coverage`).
+    */
+  def hybridTopK(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+                 queryVec: DataFrame, k: Int = 10, legK: Int = 10,
+                 kRrf: Int = 60,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = bm25TopK(docs, terms, legK, textCol, idCol)
+      .withColumn("lex_rank", row_number().over(w))
+      .select(col("doc_id"), col("lex_rank"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("sim").desc, col("vec_id"))
+    val dense = Similarity.topK(embs, queryVec, legK)
+      .withColumn("dense_rank", row_number().over(wd))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    // both legs are k-row relations: the single-partition windows and the
+    // full outer join are constant-size, never corpus-sized
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        graft.functions.Rounding.dround(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")), lit(0.0)),
+          6).as("rrf"),
+        col("lex_rank"), col("dense_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

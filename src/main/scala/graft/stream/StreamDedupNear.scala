@@ -59,15 +59,17 @@ object StreamDedupNear {
   final case class Match(id: Long, ts: java.sql.Timestamp, band: Int,
                          keep_id: Long, est: Double)
 
-  private def step(cfg: Config, horizonMs: Long)(
-      key: (Int, Long), in: Iterator[Keyed],
-      state: GroupState[Owner]): Iterator[Match] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    // deterministic first-arrival under micro-batch grouping: earliest
-    // (ts, id) wins ownership of a fresh bucket
-    val docs = in.toList.sortBy(d => (d.ts.getTime, d.id))
-    if (docs.isEmpty) return Iterator.empty
-    var owner = state.getOption
+  /** The pure per-bucket transition shared by BOTH streaming engines
+    * (flatMapGroupsWithState here, transformWithState in
+    * [[StreamDedupNearTws]] — one function, so the two paths cannot drift
+    * semantically): fold `incoming` into the bucket's owner state,
+    * earliest (ts, id) claiming a fresh bucket, later docs
+    * estimate-matched against the owner signature.
+    */
+  private[stream] def fold(cfg: Config, prev: Option[Owner],
+      incoming: List[Keyed]): (List[Match], Option[Owner]) = {
+    val docs = incoming.sortBy(d => (d.ts.getTime, d.id))
+    var owner = prev
     val out = List.newBuilder[Match]
     docs.foreach { d =>
       owner match {
@@ -82,6 +84,16 @@ object StreamDedupNear {
           owner = Some(o.copy(lastMs = math.max(o.lastMs, d.ts.getTime)))
       }
     }
+    (out.result(), owner)
+  }
+
+  private def step(cfg: Config, horizonMs: Long)(
+      key: (Int, Long), in: Iterator[Keyed],
+      state: GroupState[Owner]): Iterator[Match] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val docs = in.toList
+    if (docs.isEmpty) return Iterator.empty
+    val (out, owner) = fold(cfg, state.getOption, docs)
     val o = owner.get
     state.update(o)
     // GC once no arrival inside the horizon can still be a duplicate of
@@ -89,31 +101,29 @@ object StreamDedupNear {
     // past fires immediately and would thrash)
     state.setTimeoutTimestamp(
       math.max(o.lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
-    out.result().iterator
+    out.iterator
   }
 
-  /** Per-band match stream: one row per (document, matching band). The
-    * input must carry `idCol` (long), `textCol`, and event-time `tsCol`;
-    * `watermark` doubles as the dedup horizon (how long a bucket owner is
-    * retained — the [[StreamDedup]] contract).
-    */
-  def matches(docs: DataFrame, textCol: String = "text",
-              idCol: String = "doc_id", tsCol: String = "ts",
-              watermark: String = "10 minutes",
-              cfg: Config = Config()): Dataset[Match] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  private[stream] def horizonMsOf(watermark: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
     require(iv.months == 0, s"calendar-month horizons are ambiguous: $watermark")
-    val horizonMs = iv.days * 86400000L + iv.microseconds / 1000L
+    iv.days * 86400000L + iv.microseconds / 1000L
+  }
+
+  /** The watermarked, banded [[Keyed]] stream both engines consume. */
+  private[stream] def keyedStream(docs: DataFrame, textCol: String,
+      idCol: String, tsCol: String, watermark: String,
+      cfg: Config): Dataset[Keyed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sig = docs.select(
       col(idCol).as("id"), col(tsCol).as("ts"),
       graft.llm.Dedup.minhashSignature(
         graft.llm.Dedup.shingles(
           graft.llm.TextStats.tokens(col(textCol)), cfg.shingleLen),
         cfg.numHashes).as("sig"))
-    val keyed = sig.select(col("id"), col("ts"), col("sig"),
+    sig.select(col("id"), col("ts"), col("sig"),
         explode(transform(sequence(lit(0), lit(cfg.bands - 1)), b =>
           struct(b.as("band"),
             aggregate(
@@ -125,9 +135,35 @@ object StreamDedupNear {
         col("id"), col("sig"), col("ts"))
       .withWatermark("ts", watermark)
       .as[Keyed]
-    keyed.groupByKey(k => (k.band, k.bucket))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(step(cfg, horizonMs))
+  }
+
+  /** Per-band match stream: one row per (document, matching band). The
+    * input must carry `idCol` (long), `textCol`, and event-time `tsCol`;
+    * `watermark` doubles as the dedup horizon (how long a bucket owner is
+    * retained — the [[StreamDedup]] contract).
+    * `useTransformWithState = true` routes the SAME transition through
+    * Spark 4's state-v2 engine ([[StreamDedupNearTws]] — requires the
+    * RocksDB state store provider; checkpoints are not interchangeable
+    * between the engines).
+    */
+  def matches(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id", tsCol: String = "ts",
+              watermark: String = "10 minutes",
+              cfg: Config = Config(),
+              useTransformWithState: Boolean = false): Dataset[Match] = {
+    val horizonMs = horizonMsOf(watermark)
+    val keyed = keyedStream(docs, textCol, idCol, tsCol, watermark, cfg)
+    if (useTransformWithState)
+      StreamDedupNearTws.matches(keyed, cfg, horizonMs)
+    else
+      keyed.groupByKey(k => (k.band, k.bucket))(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaInt,
+            org.apache.spark.sql.Encoders.scalaLong))
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(step(cfg, horizonMs))(
+          org.apache.spark.sql.Encoders.product[Owner],
+          org.apache.spark.sql.Encoders.product[Match])
   }
 
   /** Fold a micro-batch of [[Match]] rows into per-document verdicts:

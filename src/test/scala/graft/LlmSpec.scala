@@ -612,6 +612,40 @@ class LlmSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("hybrid RRF fusion: both-leg docs outrank single-leg, missing leg contributes zero") {
+    import graft.llm.Search
+    // doc 1 matches the terms AND is the dense neighbour; doc 2 lexical
+    // only; vec 3 dense only; doc 4 neither
+    val docs = Seq(
+      (1L, "spark window agg spark"),
+      (2L, "spark window plain words here"),
+      (4L, "nothing relevant at all")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // the query vector (vec 0)
+      (1L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.8f, 0.2f)),
+      (4L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = embs.orderBy("vec_id").limit(1).select(col("embedding").as("qvec"))
+    val out = Search.hybridTopK(docs, embs, Seq("spark", "window", "agg"),
+        q, k = 10, legK = 3)
+      .as[(Long, Double, Option[Int], Option[Int])].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    // vec 0 IS the query: it ranks 1 dense; doc 1 is in BOTH legs
+    assert(byId(1L)._3.isDefined && byId(1L)._4.isDefined)
+    assert(byId(2L)._3.isDefined && byId(2L)._4.isEmpty)
+    assert(byId(3L)._3.isEmpty && byId(3L)._4.isDefined)
+    // rrf arithmetic: doc 1 = 1/(60+lex) + 1/(60+dense)
+    val d1 = byId(1L)
+    val want = 1.0 / (60 + d1._3.get) + 1.0 / (60 + d1._4.get)
+    assert(math.abs(d1._2 - want) < 1e-6, s"${d1._2} vs $want")
+    // a doc present in both legs beats every single-leg doc here (its
+    // two terms each exceed any single term at these ranks)
+    assert(out.head._1 == 1L, out.toString)
+    // doc 4 appears dense-only (every embedding is in the dense top-3
+    // candidate pool of size legK=3... it is rank-4 of 4 → absent)
+    assert(!byId.contains(4L) || byId(4L)._3.isEmpty)
+  }
+
   test("BM25 index: probe prunes to the query terms' buckets, parity with direct") {
     import graft.llm.Search
     // 30 docs over a 20-term vocabulary spread across many buckets

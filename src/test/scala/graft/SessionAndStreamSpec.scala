@@ -524,6 +524,52 @@ class SessionAndStreamSpec extends SparkSpec {
       val v3 = verdictMap()
       assert(v3.get(6L).contains(5L), s"new-owner copy missed: $v3")
     } finally q.stop()
+    // the SAME scenario through the state-v2 transformWithState engine
+    // (shared fold ⇒ identical semantics; RocksDB provider required)
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val inputT = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val qT = StreamDedupNear.matches(
+        inputT.toDF().toDF("doc_id", "ts", "text"), watermark = "1 minute",
+        useTransformWithState = true)
+      .toDF()
+      .writeStream.format("memory").queryName("neardup_tws")
+      .outputMode("append").start()
+    try {
+      inputT.addData(
+        (1L, ts("2024-01-01 00:00:00"), base),
+        (2L, ts("2024-01-01 00:00:05"), base),
+        (3L, ts("2024-01-01 00:00:10"), near),
+        (4L, ts("2024-01-01 00:00:15"), other))
+      qT.processAllAvailable()
+      val vT = graft.stream.StreamDedupNear.verdictsOf(
+          spark.table("neardup_tws"))
+        .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+      assert(vT.get(2L).contains(1L) && vT.get(3L).contains(1L) &&
+        !vT.contains(1L) && !vT.contains(4L), s"tws: $vT")
+      // horizon GC through the native timer: owner expires, re-arrival
+      // is novel, its copy matches the NEW owner
+      inputT.addData((90L, ts("2024-01-01 00:05:00"), "tws closer one"))
+      qT.processAllAvailable()
+      inputT.addData((5L, ts("2024-01-01 00:10:00"), base))
+      qT.processAllAvailable()
+      inputT.addData((6L, ts("2024-01-01 00:10:10"), base))
+      qT.processAllAvailable()
+      val vT2 = graft.stream.StreamDedupNear.verdictsOf(
+          spark.table("neardup_tws"))
+        .select("doc_id", "keep_id").as[(Long, Long)].collect().toMap
+      assert(!vT2.contains(5L) && vT2.get(6L).contains(5L), s"tws GC: $vT2")
+    } finally {
+      qT.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
     // the foreachBatch verdict sink: per-batch parquet, idempotent layout
     val input2 = MemoryStream[(Long, java.sql.Timestamp, String)]
     val vDir = tmpDir("neardup_verdicts")
