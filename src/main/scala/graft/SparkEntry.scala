@@ -174,6 +174,18 @@ object SparkEntry {
       (org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d, n),
       graft.llm.NgramLm.train(t(s, d, "documents"), n = n).localCheckpoint())
 
+  // TARGET-domain LM for the DSIR selection statistic: trained on the
+  // English slice only (the "domain" a target-flavoured mix up-weights),
+  // memoized beside the raw-corpus model it is compared against.
+  private val lmTargetCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def lmTargetModel(s: SparkSession, d: String): DataFrame =
+    lmTargetCache.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
+      graft.llm.NgramLm.train(
+        t(s, d, "documents").where(col("lang") === "en"), n = 2)
+        .localCheckpoint())
+
   private def withK(ev: DataFrame): DataFrame =
     ev.withColumn("k", from_json(col("props"), propsSchema).getField("k"))
 
@@ -1361,6 +1373,16 @@ object SparkEntry {
     // and exercises the folded single-scan position relation at n > 2.
     "lm_score_tri" -> ((s, d) =>
       graft.llm.NgramLm.score(t(s, d, "documents"), lmModel(s, d, 3), n = 3)),
+
+    // DSIR-style data selection (Xie et al. 2023, LM form): per doc, the
+    // mean per-token log-likelihood gap between the TARGET-domain model
+    // (trained on the English slice) and the raw-corpus model — positive
+    // ⇒ more target-like than background, the up-weighting statistic a
+    // target-flavoured mix uses. Both scores are the exact micro-unit
+    // machinery, so the gap replays exactly.
+    "dsir_weights" -> ((s, d) =>
+      graft.llm.NgramLm.dsirWeights(t(s, d, "documents"),
+        lmTargetModel(s, d), lmModel(s, d, 2)).orderBy("doc_id")),
 
     // CCNet's actual consumption of the LM score: the head/middle/tail
     // corpus split on perplexity terciles (exactNtile — no global window).
@@ -2767,6 +2789,37 @@ object SparkEntry {
       "round(-SUM(t)/(count(*) * 1000000.0), 6) AS lm_score " +
       "FROM tm GROUP BY doc_id ORDER BY doc_id"
 
+  // dsir_weights oracle: the lm_score chain TWICE — raw counts (u/big/nn,
+  // shared CTE) and target counts over the English slice (ut/bigt/nnt) —
+  // scoring the same position relation under both, then the gap of the
+  // two 6-dp-rounded means. The nnt.n > 0 guard mirrors dsirWeights'
+  // empty-target contract.
+  private val dsirOracleSql: String =
+    lmScoreCte +
+      ", tokst AS (SELECT doc_id, list_filter(string_split(text, ' '), t2 -> t2 <> '') AS tk " +
+      "FROM documents WHERE lang = 'en'), " +
+      "tvt AS (SELECT doc_id, tk FROM tokst WHERE len(tk) > 0), " +
+      "u0t AS (SELECT unnest(tk) AS g FROM tvt), " +
+      "ut AS (SELECT g, count(*) AS c FROM u0t GROUP BY g), " +
+      "nnt AS (SELECT count(*) AS n FROM u0t), " +
+      "b0t AS (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM tvt WHERE len(tk) >= 2), " +
+      "bigt AS (SELECT array_to_string(tk[i:i+1], ' ') AS g, count(*) AS c FROM b0t GROUP BY 1), " +
+      "sct AS (SELECT pos.doc_id, " +
+      "CASE WHEN i >= 2 AND b.c IS NOT NULL THEN CAST(b.c AS DOUBLE) / cu.c " +
+      "WHEN u1.c IS NOT NULL THEN (CAST(u1.c AS DOUBLE) / nnt.n) * (CASE WHEN i >= 2 THEN 0.4 ELSE 1.0 END) " +
+      "ELSE (1.0 / nnt.n) * (CASE WHEN i >= 2 THEN 0.4 ELSE 1.0 END) END AS s " +
+      "FROM pos LEFT JOIN bigt b ON b.g = pos.g2 LEFT JOIN ut cu ON cu.g = pos.c2 " +
+      "LEFT JOIN ut u1 ON u1.g = pos.w1 CROSS JOIN nnt), " +
+      "tmt AS (SELECT doc_id, CASE WHEN ln(s)/ln(10) * 1000000.0 >= 0 " +
+      "THEN floor(ln(s)/ln(10) * 1000000.0 + 0.5) " +
+      "ELSE -floor(-(ln(s)/ln(10) * 1000000.0) + 0.5) END AS t FROM sct), " +
+      "aggr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+      "round(-SUM(t)/(count(*) * 1000000.0), 6) AS lr FROM tm GROUP BY doc_id), " +
+      "aggt AS (SELECT doc_id, round(-SUM(t)/(count(*) * 1000000.0), 6) AS lt FROM tmt GROUP BY doc_id) " +
+      "SELECT aggr.doc_id AS doc_id, n_tok, round(lr - lt, 6) AS dsir_logratio " +
+      "FROM aggr JOIN aggt ON aggr.doc_id = aggt.doc_id " +
+      "WHERE (SELECT n FROM nnt) > 0 ORDER BY aggr.doc_id"
+
   // perplexity_buckets oracle: the lm_score replay, then the literal SQL
   // ntile(3) on (lm_score, doc_id) — the exact division exactNtile
   // reproduces without a global window.
@@ -2826,6 +2879,7 @@ object SparkEntry {
     "lm_score" -> lmScoreOracleSql,
     "perplexity_buckets" -> perplexityBucketsOracleSql,
     "lm_score_tri" -> lmScoreTriOracleSql,
+    "dsir_weights" -> dsirOracleSql,
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 

@@ -238,6 +238,46 @@ object NgramLm {
     */
   val MaxBroadcastRows: Long = 2000000L
 
+  /** DSIR-style data-selection statistic (the LM form of Xie et al. 2023's
+    * importance resampling): per document, the mean per-token log10
+    * likelihood GAP between a TARGET-domain n-gram model and the
+    * RAW-corpus model — `dsir_logratio = lm_raw − lm_target` (both are
+    * mean NEGATIVE log10 probabilities, so positive ⇒ the doc is more
+    * probable under the target domain than under the background, i.e.
+    * worth up-weighting when composing a target-flavoured training mix).
+    *
+    * Both scores run the [[score]] machinery (exact integer micro-unit
+    * term sums, 6-dp edge round), so the ratio is cross-engine exact.
+    * Scale posture: two model-scoring passes over the corpus — each the
+    * one-scan position relation score() builds — and the
+    * models themselves are vocab-sized relations; nothing new shuffles.
+    * An EMPTY target model (no docs matched the target filter) has no
+    * distribution to score under: the result is the empty relation, not
+    * a division by zero.
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame, raw: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  n: Int = 2, alpha: Double = 0.4): DataFrame = {
+    val tTotal = target.where(col("k") === 0)
+      .agg(max("cnt")).collect().head match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (tTotal == 0L)
+      docs.limit(0).select(col(idCol), lit(0L).as("n_tok"),
+        lit(0.0).as("dsir_logratio"))
+    else {
+      val st = score(docs, target, textCol, idCol, n, alpha)
+        .select(col(idCol), col("lm_score").as("_t"))
+      val sr = score(docs, raw, textCol, idCol, n, alpha)
+        .select(col(idCol), col("n_tok"), col("lm_score").as("_r"))
+      sr.join(st, idCol)
+        .select(col(idCol), col("n_tok"),
+          graft.functions.Rounding.dround(col("_r") - col("_t"), 6)
+            .as("dsir_logratio"))
+    }
+  }
+
   /** CCNet's corpus split by LM perplexity: rank documents on
     * (lm_score, id) ascending and cut into `n` SQL-ntile buckets —
     * `head` = cleanest third, `middle`, `tail` = noisiest (Wenzek et al.

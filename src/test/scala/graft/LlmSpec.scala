@@ -1239,6 +1239,35 @@ class LlmSpec extends SparkSpec {
       m.as[(String, Int, Long)].collect().sorted.toSeq)
   }
 
+  test("DSIR weights: target-like docs score positive, background negative, empty target empties") {
+    import graft.llm.NgramLm
+    // target domain = the "en"-tagged slice; doc 10 is pure target
+    // phrasing, doc 11 pure background, doc 12 mixed
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat too", "en"),
+      (2L, "the dog ran to the cat and sat on the mat", "en"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve", "es"),
+      (4L, "uno dos tres catorce quince uno dos tres cuatro", "es"),
+      (10L, "the cat sat on the mat", "und"),
+      (11L, "uno dos tres cuatro cinco", "und"),
+      (12L, "the cat uno dos", "und")).toDF("doc_id", "text", "lang")
+    val target = NgramLm.train(docs.where(col("lang") === "en"), n = 2)
+    val raw = NgramLm.train(docs, n = 2)
+    val w = NgramLm.dsirWeights(docs, target, raw)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L))
+    // pure-target doc looks MORE probable under the target model than the
+    // background mix; pure-background looks less; ordering holds
+    assert(w(10L) > 0, s"target doc not up-weighted: $w")
+    assert(w(11L) < 0, s"background doc not down-weighted: $w")
+    assert(w(10L) > w(12L) && w(12L) > w(11L), s"ordering: $w")
+    // empty target slice → no distribution → empty relation, never 1/0
+    val none = NgramLm.dsirWeights(docs,
+      NgramLm.train(docs.where(col("lang") === "xx"), n = 2), raw)
+    assert(none.collect().isEmpty)
+    assert(none.columns.toSeq == Seq("doc_id", "n_tok", "dsir_logratio"))
+  }
+
   test("ngram LM: scoring plan reads the corpus ONCE at n=3 (folded boundary legs)") {
     import graft.llm.NgramLm
     val dir = tmpDir("lmscan")
