@@ -98,6 +98,20 @@ object SparkEntry {
       graft.llm.Search.buildBm25Index(t(s, d, "documents"),
         path = scratchDir(s, "bm25", d), nBuckets = 16))
 
+  // The incrementally-maintained twin: history (doc_id % 3 != 0) built
+  // once, the "new crawl" appended as postings/stats increments — probes
+  // must be indistinguishable from a from-scratch rebuild.
+  private val bm25IncIndexes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.llm.Search.Bm25Index]
+  private def bm25IncIdx(s: SparkSession, d: String): graft.llm.Search.Bm25Index =
+    bm25IncIndexes.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val idx = graft.llm.Search.buildBm25Index(
+        t(s, d, "documents").where(col("doc_id") % 3 =!= 0),
+        path = scratchDir(s, "bm25_inc", d), nBuckets = 16)
+      graft.llm.Search.appendToBm25Index(idx,
+        t(s, d, "documents").where(col("doc_id") % 3 === 0), batchId = 1L)
+    })
+
   // The incremental-dedup signature store is an offline artifact too:
   // built once per (session, dir) from the even-id half of the corpus, then
   // probed (read-only) by the gate query — matching how a pipeline builds
@@ -1190,6 +1204,18 @@ object SparkEntry {
         (3L, "vector table scan"), (4L, "slow fast merge"),
         (5L, "data query the")).toDF("query_id", "qtext")
       graft.llm.Search.bm25Probe(bm25Idx(s, d), qs, k = 5)
+    },
+
+    // Incremental index maintenance: history index + one appended crawl
+    // must probe exactly like the from-scratch rebuild — same layered
+    // postings relation, additive corpus scalars, identical arithmetic,
+    // so it shares bm25_queries' oracle verbatim.
+    "bm25_index_append" -> { (s, d) =>
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"), (2L, "customer stream join"),
+        (3L, "vector table scan"), (4L, "slow fast merge"),
+        (5L, "data query the")).toDF("query_id", "qtext")
+      graft.llm.Search.bm25Probe(bm25IncIdx(s, d), qs, k = 5)
     },
 
     "lang_id" -> ((s, d) =>
@@ -3898,6 +3924,7 @@ object SparkEntry {
     // identical arithmetic through the persisted bucket-partitioned
     // index (bucketing is layout only), so the same replay gates it
     "bm25_index" -> bm25QueriesOracleSql,
+    "bm25_index_append" -> bm25QueriesOracleSql,
 
     // Token entropy replay: per-term micro-bit rounding (c·ln(c)/ln(2),
     // floor(x+0.5) — terms are ≥ 0) BEFORE the sum, so both engines add

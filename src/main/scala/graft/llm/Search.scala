@@ -194,11 +194,77 @@ object Search {
       st.getLong(0), st.getLong(1), nBuckets, path)
   }
 
+  /** Base + every appended increment of the postings layout. */
+  private def layeredPostings(spark: org.apache.spark.sql.SparkSession,
+                              path: String): DataFrame = {
+    val incBase = new org.apache.hadoop.fs.Path(path + "/postings_inc")
+    val fs = incBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val incs =
+      if (!fs.exists(incBase)) Seq.empty
+      else fs.listStatus(incBase).toSeq.filter(_.isDirectory)
+        .map(_.getPath.toString).sorted
+    incs.map(graft.core.Layouts.read(spark, _))
+      .foldLeft(graft.core.Layouts.read(spark, path + "/postings"))(
+        _ unionByName _)
+  }
+
+  /** Per-increment corpus stats beside the base stats row. */
+  private def layeredStats(spark: org.apache.spark.sql.SparkSession,
+                           path: String): (Long, Long, Int) = {
+    val base = spark.read.parquet(path + "/stats").collect().head
+    val incBase = new org.apache.hadoop.fs.Path(path + "/stats_inc")
+    val fs = incBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (n, dl) =
+      if (!fs.exists(incBase)) (0L, 0L)
+      else {
+        val r = spark.read.option("recursiveFileLookup", "true")
+          .parquet(path + "/stats_inc")
+          .agg(coalesce(sum("n_docs"), lit(0L)),
+            coalesce(sum("sum_dl"), lit(0L))).collect().head
+        (r.getLong(0), r.getLong(1))
+      }
+    (base.getLong(0) + n, base.getLong(1) + dl, base.getInt(2))
+  }
+
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
                     path: String): Bm25Index = {
-    val st = spark.read.parquet(path + "/stats").collect().head
-    Bm25Index(graft.core.Layouts.read(spark, path + "/postings"),
-      st.getLong(0), st.getLong(1), st.getInt(2), path)
+    val (nDocs, sumDl, nBuckets) = layeredStats(spark, path)
+    Bm25Index(layeredPostings(spark, path), nDocs, sumDl, nBuckets, path)
+  }
+
+  /** Incrementally fold a new crawl into a persisted BM25 index —
+    * O(batch), the history never re-tokenized: the batch's (doc, term,
+    * tf, dl) postings land in `postings_inc/b<batchId>/` partitioned by
+    * the SAME term-bucket function (a term's postings still live entirely
+    * in its bucket across base + increments, so df stays exact and probes
+    * partition-prune every layer), and the batch's (n_docs, sum_dl) stats
+    * land beside them — the corpus scalars are additive. Idempotent per
+    * `batchId` (overwrite of that batch's own subdirectories, the
+    * [[graft.llm.PairsIndex.append]] recovery contract); batch ids must be
+    * fresh, appends sequential. A probe of the appended index is
+    * EXACTLY a probe of a from-scratch rebuild — same postings relation,
+    * same scalars, same arithmetic (the gate pins it).
+    */
+  def appendToBm25Index(idx: Bm25Index, batch: DataFrame, batchId: Long,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Bm25Index = {
+    val spark = batch.sparkSession
+    val toks = TextStats.tokens(col(textCol))
+    graft.core.Layouts.writePartitioned(
+      batch.select(col(idCol).as("doc_id"), size(toks).cast("long").as("dl"),
+          explode(toks).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", termBucket(col("term"), idx.nBuckets)),
+      idx.path + s"/postings_inc/b$batchId", "tb")
+    import spark.implicits._
+    val st = batch.select(size(toks).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .collect().head
+    Seq((st.getLong(0), st.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(idx.path + s"/stats_inc/b$batchId")
+    loadBm25Index(spark, idx.path)
   }
 
   /** BM25 for a query relation AGAINST THE INDEX — identical arithmetic

@@ -695,6 +695,28 @@ class LlmSpec extends SparkSpec {
     assert(loaded.nDocs == idx.nDocs && loaded.sumDl == idx.sumDl &&
       loaded.nBuckets == idx.nBuckets)
     assert(Search.bm25Probe(loaded, qs, k = 3).collect().toSeq == got)
+    // INCREMENTAL maintenance: build on half the corpus, append the rest —
+    // the probe must equal the full-corpus build exactly (postings layer,
+    // scalars add), and a replayed batch id overwrites itself
+    val dirInc = tmpDir("bm25inc")
+    val half = Search.buildBm25Index(docs.where(col("doc_id") % 2 === 0),
+      dirInc, nBuckets = 8)
+    val grown = Search.appendToBm25Index(half,
+      docs.where(col("doc_id") % 2 =!= 0), batchId = 1L)
+    assert(grown.nDocs == idx.nDocs && grown.sumDl == idx.sumDl)
+    assert(Search.bm25Probe(grown, qs, k = 3).collect().toSeq == got)
+    val replayed = Search.appendToBm25Index(half,
+      docs.where(col("doc_id") % 2 =!= 0), batchId = 1L)
+    assert(Search.bm25Probe(replayed, qs, k = 3).collect().toSeq == got)
+    // a second increment stacks; loadBm25Index sees every layer
+    val grown2 = Search.appendToBm25Index(replayed,
+      Seq((100L, "w3 w3 w3")).toDF("doc_id", "text"), batchId = 2L)
+    val expect2 = Search.bm25ForQueries(
+      docs.unionByName(Seq((100L, "w3 w3 w3")).toDF("doc_id", "text")),
+      qs, k = 3).collect().toSeq
+    assert(Search.bm25Probe(grown2, qs, k = 3).collect().toSeq == expect2)
+    assert(Search.bm25Probe(Search.loadBm25Index(spark, dirInc), qs, k = 3)
+      .collect().toSeq == expect2)
   }
 
   test("int8 quantized search: high recall vs exact cosine, self-retrieval, zero-vector safe") {
