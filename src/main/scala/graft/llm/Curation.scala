@@ -48,10 +48,21 @@ object Curation {
 
     // 2. near-dup: resolve components once (persisted artifact), keep the
     //    highest-quality member of each cluster. An existing layout at
-    //    `pairsPath` is REUSED (that is the build-once/read-many point of
-    //    the artifact); the kernel only runs when no index is there yet.
-    val idx = PairsIndex.loadIfPresent(spark, pairsPath).getOrElse(
-      PairsIndex.build(afterExact, pairsPath, textCol = textCol,
+    //    `pairsPath` is REUSED only when its corpus FINGERPRINT matches
+    //    the deduped corpus being curated — a stale index (corpus grew or
+    //    changed since the build) would silently skip near-dup resolution
+    //    for every doc it has never seen, so mismatch or a
+    //    pre-fingerprint layout rebuilds instead.
+    val corpusFp = {
+      val r = afterExact.agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        coalesce(org.apache.spark.sql.functions.sum(col(idCol)),
+          org.apache.spark.sql.functions.lit(0L))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val idx = PairsIndex.loadIfPresent(spark, pairsPath)
+      .filter(_ => PairsIndex.fingerprint(spark, pairsPath).contains(corpusFp))
+      .getOrElse(PairsIndex.build(afterExact, pairsPath, textCol = textCol,
         idCol = idCol))
     val cc = idx.components(spark)
     val quality = afterExact.select(col(idCol).as("id"),

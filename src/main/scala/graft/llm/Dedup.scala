@@ -557,7 +557,7 @@ object Dedup {
     * (subRows = 1) would NOT split a boilerplate block: the min over the
     * shingle set is dominated by the shared boilerplate shingles.
     */
-  private def deriveSubRows(threshold: Double): Int =
+  private[llm] def deriveSubRows(threshold: Double): Int =
     if (threshold >= 0.95) 8
     else math.max(1, math.ceil(math.log(0.5) / math.log(math.max(threshold, 0.05))).toInt)
 

@@ -333,6 +333,9 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = tag(pos)
       val len = b.getInt(pos + 4)
+      // hostile-bytes guard: a negative length would loop the walk
+      // forever, an oversized one would read (PCM) or zero-pad (ADPCM)
+      // past EOF — both are the documented None, like the JPEG walk
       if (len < 0 || pos + 8 + len > bytes.length) return None
       id match {
         case "fmt " =>
@@ -548,7 +551,11 @@ object Multimodal {
               }
               p += 1
             }
-            Array(fi.toFloat, img.width.toFloat, img.channels.toFloat,
+            // row shape shared with mjpegFrameDecoder so the dispatching
+            // clipFrameDecoder yields ONE uniform relation over mixed
+            // containers: [fi, width, height, channels, meanR, meanG, meanB]
+            Array(fi.toFloat, img.width.toFloat, img.height.toFloat,
+              img.channels.toFloat,
               sums(0).toFloat / n, sums(1).toFloat / n, sums(2).toFloat / n)
           }
     }
@@ -763,11 +770,10 @@ object Multimodal {
   /** Real CLIP frame decoder for [[decodeFrames]] dispatching on the
     * container's magic bytes — the decoder twin of the
     * [[graft.functions.ClipFrameHashes]] expression, so a mixed
-    * APNG/MJPEG corpus feature-extracts through one boundary: PNG
-    * signature → [[apngFrameDecoder]] rows
-    * ([fi, width, channels, meanR, meanG, meanB]), SOI →
-    * [[mjpegFrameDecoder]] rows
-    * ([fi, width, height, channels, meanR, meanG, meanB]). Undecodable
+    * APNG/MJPEG corpus feature-extracts through one boundary with ONE
+    * uniform row shape: PNG signature → [[apngFrameDecoder]], SOI →
+    * [[mjpegFrameDecoder]], both emitting
+    * [fi, width, height, channels, meanR, meanG, meanB]. Undecodable
     * payloads produce no frames.
     */
   def clipFrameDecoder(sampleEvery: Int = 2)(bytes: Array[Byte]): Iterator[Array[Float]] =

@@ -118,6 +118,11 @@ object PairsIndex {
             shingleLen: Int = 5, blockPrefix: Int = 40,
             threshold: Double = 0.4, maxBlock: Int = 10000): Index = {
     val spark = docs.sparkSession
+    // a rebuild replaces the WHOLE layout — leftover increments or meta
+    // of a previous index at this path must not leak into the new one
+    val basePath = new org.apache.hadoop.fs.Path(path)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(basePath)) { fs.delete(basePath, true); () }
     val p = Dedup.ngramJaccard(docs, textCol, idCol, shingleLen,
       blockPrefix, threshold, maxBlock).localCheckpoint()
     graft.core.Layouts.writePartitioned(
@@ -128,11 +133,42 @@ object PairsIndex {
       path + "/sigs", "sb")
     Dedup.connectedComponents(p)
       .write.mode("overwrite").parquet(path + "/components")
+    // corpus fingerprint (row count + id sum, both ADDITIVE so appends
+    // can extend it): how a reuse caller detects a stale index built from
+    // a different corpus (see Curation.run)
+    val fp = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(col(idCol)), lit(0L)).as("s")).collect().head
     import spark.implicits._
-    Seq((nBuckets, shingleLen, blockPrefix, threshold, maxBlock))
-      .toDF("n_buckets", "shingle_len", "block_prefix", "threshold", "max_block")
+    Seq((nBuckets, shingleLen, blockPrefix, threshold, maxBlock,
+        fp.getLong(0), fp.getLong(1)))
+      .toDF("n_buckets", "shingle_len", "block_prefix", "threshold",
+        "max_block", "fp_n_docs", "fp_id_sum")
       .write.mode("overwrite").parquet(path + "/meta")
     Index(path, nBuckets)
+  }
+
+  /** The index's corpus fingerprint — (row count, id sum) of everything
+    * built + appended; None for a pre-fingerprint layout (callers treat
+    * that as unknown and rebuild).
+    */
+  def fingerprint(spark: SparkSession, path: String): Option[(Long, Long)] = {
+    val meta = spark.read.parquet(path + "/meta")
+    if (!meta.columns.contains("fp_n_docs")) None
+    else {
+      val base = meta.select("fp_n_docs", "fp_id_sum").collect().head
+      val incBase = new org.apache.hadoop.fs.Path(path + "/meta_inc")
+      val fs = incBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (n, s) =
+        if (!fs.exists(incBase)) (0L, 0L)
+        else {
+          val r = spark.read.option("recursiveFileLookup", "true")
+            .parquet(path + "/meta_inc")
+            .agg(coalesce(sum("fp_n_docs"), lit(0L)),
+              coalesce(sum("fp_id_sum"), lit(0L))).collect().head
+          (r.getLong(0), r.getLong(1))
+        }
+      Some((base.getLong(0) + n, base.getLong(1) + s))
+    }
   }
 
   /** Threshold-tuned minhash band key over a HASHED shingle set — the
@@ -174,13 +210,16 @@ object PairsIndex {
     *  5. `components/` is rewritten from the OLD labels (as id—label
     *     edges, which preserve old connectivity exactly — labels are
     *     cluster-min ids) plus the new pairs, via a sibling-directory +
-    *     rename swap, so a reader never sees a half-written resolution.
+    *     rename swap — never a half-WRITTEN directory, though the rename
+    *     pair itself is not atomic: a reader probing components at the
+    *     exact swap instant can catch the path absent, so appends run in
+    *     a maintenance window like any table rewrite.
     *
     * Idempotent per `batchId`: every write is an OVERWRITE of that batch's
     * own subdirectories, so a crashed append is repaired by re-running it
     * (the [[SignatureStore]] recovery contract). Batch ids must be fresh
     * (docs already in the index must not be re-appended), and appends are
-    * sequential — one writer at a time, like any table maintenance.
+    * sequential — one writer at a time.
     *
     * Exactness vs a from-scratch rebuild: identical wherever union blocks
     * stay ≤ maxBlock (the oracle-gated regime). A block that GROWS hot
@@ -189,16 +228,23 @@ object PairsIndex {
     * a rebuild would — the append never loses a pair a rebuild had.
     */
   def append(idx: Index, batch: DataFrame, batchId: Long,
-             textCol: String = "text", idCol: String = "doc_id",
-             subBands: Int = 2): Index = {
+             textCol: String = "text", idCol: String = "doc_id"): Index = {
+    // band depth and width mirror the build-time kernel exactly: subRows
+    // from the recorded threshold via the SHARED derivation, subBands at
+    // the kernel's fixed width (ngramJaccard's default — build exposes no
+    // knob for it, so neither does append)
+    val subBands = 2
     val spark = batch.sparkSession
     val meta = spark.read.parquet(idx.path + "/meta").collect().head
     val shingleLen = meta.getAs[Int]("shingle_len")
     val blockPrefix = meta.getAs[Int]("block_prefix")
     val threshold = meta.getAs[Double]("threshold")
     val maxBlock = meta.getAs[Int]("max_block")
-    val subRows = math.max(1,
-      math.ceil(math.log(0.5) / math.log(math.max(threshold, 0.05))).toInt)
+    // the SAME band-depth derivation the build-time kernel uses
+    // (including its high-threshold special case) — a private formula
+    // copy here would silently diverge the hot-block banding from what a
+    // rebuild computes
+    val subRows = Dedup.deriveSubRows(threshold)
 
     val newSigs = withSb(
       sigsOf(batch, textCol, idCol, shingleLen, blockPrefix), idx.nBuckets)
@@ -249,6 +295,12 @@ object PairsIndex {
     graft.core.Layouts.writePartitioned(
       newPairs.withColumn("pb", pmod(col("doc_a"), lit(idx.nBuckets.toLong))),
       idx.path + s"/pairs_inc/b$batchId", "pb")
+    // extend the corpus fingerprint additively (idempotent per batch dir)
+    val fp = newSigs.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("id")), lit(0L)).as("s")).collect().head
+    import spark.implicits._
+    Seq((fp.getLong(0), fp.getLong(1))).toDF("fp_n_docs", "fp_id_sum")
+      .write.mode("overwrite").parquet(idx.path + s"/meta_inc/b$batchId")
     // re-resolve components: old labels as edges preserve old connectivity
     // (label = cluster-min id), so propagation over labels + new pairs is
     // exactly the resolution of the full pair relation — without reading
@@ -284,10 +336,15 @@ object PairsIndex {
     * current (every append re-resolves them). Each relation swaps via a
     * sibling directory + rename (aside → in → delete), so a crash leaves
     * a complete copy at the live or `_precompact` path; the increment
-    * directories are removed LAST, and a crash before that point merely
-    * leaves increments that are a subset of the new base — re-running
-    * compact (or [[recover]]) heals either state. Run while no append is
-    * active, like any table maintenance.
+    * directories are removed LAST. A crash between the swaps and that
+    * delete leaves increments that are ALREADY IN the new base, and the
+    * layered read double-counts until compact is RE-RUN (its rewrite
+    * dedups, so the re-run fully heals — [[recover]] only repairs
+    * interrupted swaps, it cannot tell folded-but-undeleted increments
+    * from fresh ones). Maintenance-window contract like
+    * [[SignatureStore.compact]]: run while no append is active AND no
+    * reader is probing — the rename pair is not atomic, so a concurrent
+    * reader can catch the live directory absent between the two renames.
     */
   def compact(idx: Index): Index = {
     // any live SparkSession works; the Index carries no session

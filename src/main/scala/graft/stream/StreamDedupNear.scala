@@ -118,11 +118,17 @@ object StreamDedupNear {
     val spark = docs.sparkSession
     import spark.implicits._
     val sig = docs.select(
-      col(idCol).as("id"), col(tsCol).as("ts"),
-      graft.llm.Dedup.minhashSignature(
+        col(idCol).as("id"), col(tsCol).as("ts"),
         graft.llm.Dedup.shingles(
-          graft.llm.TextStats.tokens(col(textCol)), cfg.shingleLen),
-        cfg.numHashes).as("sig"))
+          graft.llm.TextStats.tokens(col(textCol)), cfg.shingleLen).as("_sh"))
+      // a doc shorter than the shingle length has NO shingle set — the
+      // minhash sentinel signature would make every such doc "match"
+      // every other (est 1.0 on identical sentinels). The batch twin's
+      // exact-Jaccard verify yields no pair for empty-vs-empty, so the
+      // stream mirrors it: shingle-less docs pass through as novel.
+      .where(size(col("_sh")) > 0)
+      .select(col("id"), col("ts"),
+        graft.llm.Dedup.minhashSignature(col("_sh"), cfg.numHashes).as("sig"))
     sig.select(col("id"), col("ts"), col("sig"),
         explode(transform(sequence(lit(0), lit(cfg.bands - 1)), b =>
           struct(b.as("band"),

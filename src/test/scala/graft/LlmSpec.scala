@@ -1809,6 +1809,18 @@ class LlmSpec extends SparkSpec {
     val (_, repAgain) = Curation.run(corpus, idxPath, evalSet = Some(bench))
     assert(metaState() == before, "pairs index was rebuilt on reuse")
     assert(repAgain.nFinal == rep.nFinal)
+    // ...but a STALE index must NOT be reused: grow the corpus with a
+    // fresh near-dup pair — the fingerprint mismatch forces a rebuild and
+    // the new pair is resolved (one of docs 7/8 dropped at the near-dup
+    // stage), instead of both sailing through on the old components
+    val grown = corpus.unionByName(Seq(
+      (7L, words("g", 60)),
+      (8L, words("g", 59) + " gzz")).toDF("doc_id", "text"))
+    val (outG, repG) = Curation.run(grown, idxPath, evalSet = Some(bench))
+    assert(metaState() != before, "stale pairs index reused for a grown corpus")
+    val gIds = outG.select("doc_id").as[Long].collect().toSet
+    assert((gIds & Set(7L, 8L)).size == 1, s"new near-dup pair unresolved: $gIds")
+    assert(repG.nAfterNearDup == repG.nAfterExact - 2) // 1-3 pair + 7-8 pair
   }
 
   test("VectorSumD aggregates elementwise with partial merge") {
@@ -2002,7 +2014,8 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(_._2) == Seq(0, 1, 2) &&
       rows.map(_._3(0)) == Seq(0f, 2f, 4f), "sampled frames 0/2/4")
     val mean0r = (for (y <- 0 until 7; x <- 0 until 11) yield pattern(0, x, y, 0)).sum.toFloat / 77
-    assert(math.abs(rows(0)._3(3) - mean0r) < 1e-3)
+    assert(rows(0)._3(1) == 11f && rows(0)._3(2) == 7f && rows(0)._3(3) == 3f)
+    assert(math.abs(rows(0)._3(4) - mean0r) < 1e-3)
     // a PLAIN png is not an animation; damage and seq reorder are rejected
     assert(Multimodal.decodeApngFrames(
       Multimodal.encodePng(5, 5, 3, pattern(0, _, _, _))).isEmpty)

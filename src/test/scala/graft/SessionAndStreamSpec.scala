@@ -499,12 +499,18 @@ class SessionAndStreamSpec extends SparkSpec {
         (1L, ts("2024-01-01 00:00:00"), base),
         (2L, ts("2024-01-01 00:00:05"), base),   // exact copy: MUST match
         (3L, ts("2024-01-01 00:00:10"), near),   // near-dup: should match
-        (4L, ts("2024-01-01 00:00:15"), other))  // novel: no verdict row
+        (4L, ts("2024-01-01 00:00:15"), other),  // novel: no verdict row
+        // two UNRELATED sub-shingle-length docs: both have an empty
+        // shingle set — they must NOT sentinel-match each other
+        (7L, ts("2024-01-01 00:00:16"), "hi there"),
+        (8L, ts("2024-01-01 00:00:17"), "buy gold now"))
       q.processAllAvailable()
       val v1 = verdictMap()
       assert(v1.get(2L).contains(1L), s"exact copy missed: $v1")
       assert(v1.get(3L).contains(1L), s"near-dup missed: $v1")
       assert(!v1.contains(1L) && !v1.contains(4L), s"false positive: $v1")
+      assert(!v1.contains(7L) && !v1.contains(8L),
+        s"shingle-less docs sentinel-matched: $v1")
       // exact copy agrees in EVERY band; the near-dup in at least one
       val bands = spark.table("neardup_stream")
         .groupBy("id").count().as[(Long, Long)].collect().toMap
