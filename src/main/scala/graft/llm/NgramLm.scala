@@ -88,9 +88,25 @@ object NgramLm {
     */
   def score(df: DataFrame, model: DataFrame, textCol: String = "text",
             idCol: String = "doc_id", n: Int = 2,
-            alpha: Double = 0.4): DataFrame = {
+            alpha: Double = 0.4): DataFrame =
+    termMicroRelation(df, Seq(model), textCol, idCol, n, alpha)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), sum("_tm_0").as("_sum"))
+      .select(col(idCol), col("n_tok"),
+        graft.functions.Rounding.dround(
+          -col("_sum").cast("double") / (col("n_tok") * 1e6), 6)
+          .as("lm_score"))
+
+  /** One row per token position with one micro log10-probability term
+    * column PER MODEL (`_tm_0`, `_tm_1`, …) — the shared core of [[score]]
+    * and [[dsirWeights]]. The corpus-sized position relation is built and
+    * scanned ONCE however many models score it (two for DSIR — the fused
+    * form halves the corpus work vs two score() passes); each model adds
+    * only its vocab-sized sliced joins.
+    */
+  private def termMicroRelation(df: DataFrame, models: Seq[DataFrame],
+      textCol: String, idCol: String, n: Int, alpha: Double): DataFrame = {
     require(n >= 1 && n <= 5, s"order must be in [1, 5], got $n")
-    val spark = df.sparkSession
     // JOIN FUSION: the backoff denominator ctx_k of the k-gram ending at
     // position i is the count of tokens i−k+1..i−1 — exactly the
     // (k−1)-word PREFIX of that gram. So the context counts ride the
@@ -113,37 +129,40 @@ object NgramLm {
     // match a position key); keeping it makes aug self-sufficient for the
     // metadata. The blocks are vocabulary-sized; the model cache is
     // dropped as soon as the metadata job has run.
-    val m = model.persist()
-    val aug = m.alias("a")
-      .join(m.select(col("gram").as("_pg"), col("cnt").as("_pc")),
-        expr("substring_index(a.gram, ' ', a.k - 1)") === col("_pg"), "left")
-      .select(col("a.gram").as("gram"), col("a.k").as("k"),
-        col("a.cnt").as("cnt"), col("_pc").as("pfx"))
-      .localCheckpoint(false)
-    // A checkpointed relation carries no size statistics, so Spark would
-    // sort-merge every model join even when a slice is kilobytes. ONE tiny
-    // metadata job over the checkpointed blocks (vocab-sized input, ≤ n+1
-    // output rows) yields the per-order row counts for the broadcast
-    // decision AND the total-token count N — N then enters the scoring
-    // plan as a LITERAL, killing the crossJoin broadcast stage the old
-    // plan paid for it. Every model join takes its DISJOINT per-order
-    // slice: the n broadcast hash tables then sum to ONE model copy in
-    // executor memory — an unsliced shared relation would be strictly
-    // worse, since under AQE each join materializes its own broadcast
-    // (plan-asserted in LlmSpec: one exchange per order, every one fed by
-    // the checkpoint scan, never by recomputed training). An order whose
-    // slice exceeds the cap falls back to a keyed-shuffle join.
-    val meta = aug.groupBy("k").agg(count(lit(1)).as("rows"),
-      max(when(col("k") === 0, col("cnt"))).as("n0")).collect()
-    m.unpersist()
-    val sliceRows: Map[Int, Long] =
-      meta.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val totalN: Long = meta.collectFirst {
-      case r if r.getInt(0) == 0 => r.getLong(2)
-    }.getOrElse(0L)
-    def modelSlice(k: Int): DataFrame = {
-      val s = aug.where(col("k") === k)
-      if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
+    final case class Prepared(slice: Int => DataFrame, totalN: Long)
+    val prepared = models.map { model =>
+      val m = model.persist()
+      val aug = m.alias("a")
+        .join(m.select(col("gram").as("_pg"), col("cnt").as("_pc")),
+          expr("substring_index(a.gram, ' ', a.k - 1)") === col("_pg"), "left")
+        .select(col("a.gram").as("gram"), col("a.k").as("k"),
+          col("a.cnt").as("cnt"), col("_pc").as("pfx"))
+        .localCheckpoint(false)
+      // A checkpointed relation carries no size statistics, so Spark would
+      // sort-merge every model join even when a slice is kilobytes. ONE tiny
+      // metadata job over the checkpointed blocks (vocab-sized input, ≤ n+1
+      // output rows) yields the per-order row counts for the broadcast
+      // decision AND the total-token count N — N then enters the scoring
+      // plan as a LITERAL, killing the crossJoin broadcast stage the old
+      // plan paid for it. Every model join takes its DISJOINT per-order
+      // slice: the n broadcast hash tables then sum to ONE model copy in
+      // executor memory — an unsliced shared relation would be strictly
+      // worse, since under AQE each join materializes its own broadcast
+      // (plan-asserted in LlmSpec: one exchange per order, every one fed by
+      // the checkpoint scan, never by recomputed training). An order whose
+      // slice exceeds the cap falls back to a keyed-shuffle join.
+      val meta = aug.groupBy("k").agg(count(lit(1)).as("rows"),
+        max(when(col("k") === 0, col("cnt"))).as("n0")).collect()
+      m.unpersist()
+      val sliceRows: Map[Int, Long] =
+        meta.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val totalN: Long = meta.collectFirst {
+        case r if r.getInt(0) == 0 => r.getLong(2)
+      }.getOrElse(0L)
+      Prepared(k => {
+        val s = aug.where(col("k") === k)
+        if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
+      }, totalN)
     }
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
     // One row per token position, identified only by the HIGHEST-order gram
@@ -185,51 +204,49 @@ object NgramLm {
       when(col("_kmax") >= k, substring_index(col("_gs"), " ", -k))
     val pos = posRaw.select(Seq(col(idCol), col("_kmax")) ++
       (1 to n).map(k => gk(k).as(s"_g$k")): _*)
-    // total token count N: collected with the metadata job, a plan literal
-    val joined0 = pos.withColumn("_N", lit(totalN))
-    // ONE keyed left join per order, carrying count AND context count.
-    // The model side joins UNPROJECTED (renamed only AFTER the join, via
-    // a SubqueryAlias that analysis erases), so each broadcast's input is
-    // the bare Filter(k = const) over the checkpoint scan — column
-    // pruning still reaches the scan, and the slices are disjoint, so
-    // executor memory across all n hash tables is one model copy.
-    val withCtx = (1 to n).foldLeft(joined0) { case (d, k) =>
-      val mk = modelSlice(k).alias(s"_m$k")
-      d.join(mk, d(s"_g$k") === col(s"_m$k.gram"), "left")
-        .select(d.columns.map(d(_)) ++
-          Seq(col(s"_m$k.cnt").as(s"_n$k"), col(s"_m$k.pfx").as(s"_x$k")): _*)
+    // ONE keyed left join per order PER MODEL, carrying count AND context
+    // count. The model side joins UNPROJECTED (renamed only AFTER the
+    // join, via a SubqueryAlias that analysis erases), so each broadcast's
+    // input is the bare Filter(k = const) over the checkpoint scan —
+    // column pruning still reaches the scan, and the slices are disjoint,
+    // so executor memory across a model's n hash tables is one model copy.
+    val withCtx = prepared.zipWithIndex.foldLeft(pos) { case (d0, (pm, j)) =>
+      (1 to n).foldLeft(d0) { case (d, k) =>
+        val a = s"_m${j}_$k"
+        val mk = pm.slice(k).alias(a)
+        d.join(mk, d(s"_g$k") === col(s"$a.gram"), "left")
+          .select(d.columns.map(d(_)) ++
+            Seq(col(s"$a.cnt").as(s"_n${j}_$k"),
+              col(s"$a.pfx").as(s"_x${j}_$k")): _*)
+      }
     }
     // largest available order wins; each level dropped multiplies by alpha
     val kMax = col("_kmax")
-    val sCases = (n to 2 by -1).map { k =>
-      (col(s"_n$k").isNotNull && kMax >= k,
-        col(s"_n$k").cast("double") / col(s"_x$k"),
-        kMax - k)
-    } :+ ((col("_n1").isNotNull, col("_n1").cast("double") / col("_N"),
-      kMax - 1)) :+
-      ((lit(true), lit(1.0) / col("_N"), kMax - 1))
     // alpha^drop as a CASE of repeated literal products — libm pow() is not
     // guaranteed bit-identical across engines; IEEE multiplication is
     def alphaPow(drop: Column): Column =
       (1 until n).foldLeft(when(drop <= 0, lit(1.0))) { case (w, d) =>
         w.when(drop === d, (1 to d).map(_ => lit(alpha)).reduce(_ * _))
       }.otherwise(lit(Double.NaN))
-    val sCol = sCases.foldRight(lit(Double.NaN)) { case ((cond, v, drop), e) =>
-      when(cond, v * alphaPow(drop)).otherwise(e)
-    }
-    val termMicros = {
+    def termMicrosOf(j: Int): Column = {
+      // total token count N: collected with the metadata job, a plan literal
+      val nLit = lit(prepared(j).totalN)
+      val sCases = (n to 2 by -1).map { k =>
+        (col(s"_n${j}_$k").isNotNull && kMax >= k,
+          col(s"_n${j}_$k").cast("double") / col(s"_x${j}_$k"),
+          kMax - k)
+      } :+ ((col(s"_n${j}_1").isNotNull,
+        col(s"_n${j}_1").cast("double") / nLit, kMax - 1)) :+
+        ((lit(true), lit(1.0) / nLit, kMax - 1))
+      val sCol = sCases.foldRight(lit(Double.NaN)) { case ((cond, v, drop), e) =>
+        when(cond, v * alphaPow(drop)).otherwise(e)
+      }
       val t = (log(sCol) / log(lit(10.0))) * 1e6
       // binary-value round, sign-aware (terms are ≤ 0)
       when(t >= 0, floor(t + 0.5)).otherwise(-floor(-t + 0.5)).cast("long")
     }
-    withCtx
-      .select(col(idCol), termMicros.as("_tm"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tok"), sum("_tm").as("_sum"))
-      .select(col(idCol), col("n_tok"),
-        graft.functions.Rounding.dround(
-          -col("_sum").cast("double") / (col("n_tok") * 1e6), 6)
-          .as("lm_score"))
+    withCtx.select(col(idCol) +:
+      models.indices.map(j => termMicrosOf(j).as(s"_tm_$j")): _*)
   }
 
   /** Model slices at or under this row count are broadcast (a gram row is
@@ -267,14 +284,20 @@ object NgramLm {
       docs.limit(0).select(col(idCol), lit(0L).as("n_tok"),
         lit(0.0).as("dsir_logratio"))
     else {
-      val st = score(docs, target, textCol, idCol, n, alpha)
-        .select(col(idCol), col("lm_score").as("_t"))
-      val sr = score(docs, raw, textCol, idCol, n, alpha)
-        .select(col(idCol), col("n_tok"), col("lm_score").as("_r"))
-      sr.join(st, idCol)
+      // FUSED: one corpus-sized position relation scores under BOTH
+      // models (each adds only its vocab-sized sliced joins), then one
+      // keyed aggregate carries both micro sums — half the corpus work of
+      // two score() passes, identical values (same per-term rounding,
+      // same per-model sums)
+      def lm(sumCol: Column): Column = graft.functions.Rounding.dround(
+        -sumCol.cast("double") / (col("n_tok") * 1e6), 6)
+      termMicroRelation(docs, Seq(target, raw), textCol, idCol, n, alpha)
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_tok"),
+          sum("_tm_0").as("_st"), sum("_tm_1").as("_sr"))
         .select(col(idCol), col("n_tok"),
-          graft.functions.Rounding.dround(col("_r") - col("_t"), 6)
-            .as("dsir_logratio"))
+          graft.functions.Rounding.dround(
+            lm(col("_sr")) - lm(col("_st")), 6).as("dsir_logratio"))
     }
   }
 
