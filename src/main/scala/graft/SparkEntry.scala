@@ -1434,6 +1434,23 @@ object SparkEntry {
     // Text normalization: the cheap cleanup pass every corpus pipeline runs
     // before dedup/tokenization (case-fold, squeeze whitespace, strip
     // non-alphanumerics).
+    // Crawl-over-crawl snapshot diff: per-doc added/removed/changed/
+    // unchanged between two deterministic snapshot views of the corpus
+    // (prev drops ids %10=0, cur drops %13=0 and re-fetches %7=0 with
+    // changed text). One full-outer id join over 32-byte content hashes;
+    // the oracle restates the statuses from the construction formulas —
+    // the Spark side earns them by hashing and joining.
+    "corpus_diff" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val prev = docs.where(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val cur = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" refetched")))
+            .otherwise(col("text")).as("text"))
+      graft.llm.Corpus.snapshotDiff(prev, cur).orderBy("doc_id")
+    },
+
     "text_normalize" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -4042,6 +4059,15 @@ object SparkEntry {
     "text_normalize" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), " +
         "' +', ' ', 'g') AS norm_text FROM documents ORDER BY doc_id"),
+
+    // Snapshot-diff replay: statuses restated from the snapshot-derivation
+    // formulas (prev drops %10=0, cur drops %13=0 and changes %7=0).
+    "corpus_diff" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN 'added' " +
+        "WHEN doc_id % 13 = 0 THEN 'removed' " +
+        "WHEN doc_id % 7 = 0 THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM documents WHERE NOT (doc_id % 10 = 0 AND doc_id % 13 = 0) " +
+        "ORDER BY doc_id"),
 
     "word_freq" ->
       ("SELECT word, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) AS word " +

@@ -335,4 +335,34 @@ object Corpus {
           / budget).cast("long"))
       .select(col(idCol), col(groupCol), col("bin"), col("n_tok"))
   }
+
+  /** Crawl-over-crawl snapshot DIFF — the change accounting every
+    * recurring-ingest pipeline logs before deciding what to reprocess:
+    * per-doc status between a previous and a current snapshot, by id
+    * presence and CONTENT hash:
+    *
+    *   - `added`     — id only in the current snapshot;
+    *   - `removed`   — id only in the previous one;
+    *   - `changed`   — id in both, content hash differs (a re-fetch that
+    *     actually changed — the docs that need re-dedup/re-scoring);
+    *   - `unchanged` — id in both, identical content (skip — the whole
+    *     point of diffing before reprocessing).
+    *
+    * One full-outer keyed join on the id; content compares as sha2 hashes
+    * (32 bytes per side), so document text never enters the exchange —
+    * the [[Dedup.exact]] posture. Returns `(idCol, status)`; roll up with
+    * a groupBy for the per-status counts a run log records.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(idCol), sha2(col(textCol), 256).as(h))
+    hashed(prev, "_hp").join(hashed(cur, "_hc"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_hp").isNull, lit("added"))
+          .when(col("_hc").isNull, lit("removed"))
+          .when(col("_hp") === col("_hc"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

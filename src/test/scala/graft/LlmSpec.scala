@@ -612,6 +612,23 @@ class LlmSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("snapshot diff: added/removed/changed/unchanged by id and content hash") {
+    import graft.llm.Corpus
+    val prev = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "same text"), (2L, "new text"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(prev, cur)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got.toString)
+    // degenerate sides: everything added / everything removed
+    assert(Corpus.snapshotDiff(prev.limit(0), cur).as[(Long, String)]
+      .collect().forall(_._2 == "added"))
+    assert(Corpus.snapshotDiff(prev, cur.limit(0)).as[(Long, String)]
+      .collect().forall(_._2 == "removed"))
+  }
+
   test("hybrid RRF fusion: both-leg docs outrank single-leg, missing leg contributes zero") {
     import graft.llm.Search
     // doc 1 matches the terms AND is the dense neighbour; doc 2 lexical
