@@ -109,4 +109,56 @@ object Curation {
     (finalDf,
       Report(nInput, nExact, nNearDup, nQuality, nDecontam, nFinal))
   }
+
+  /** Per-stage yields of one INCREMENTAL curation batch. */
+  final case class IncReport(nInput: Long, nAfterDedup: Long,
+      nAfterQuality: Long, nFinal: Long) {
+    override def toString: String =
+      s"input=$nInput dedup=$nAfterDedup quality=$nAfterQuality final=$nFinal"
+  }
+
+  /** The INCREMENTAL twin of [[run]] — what a daily-crawl pipeline
+    * actually executes per batch, O(batch) against all history:
+    *
+    *   1. exact + near dedup via ONE [[SignatureStore.ingest]] (identical
+    *      texts have identical signatures, so the store resolves both;
+    *      matches run against stored history signatures — the corpus text
+    *      is never rescanned, and the batch enters the store so FUTURE
+    *      batches resolve against it);
+    *   2. the Gopher quality rules (doc-local);
+    *   3. optional benchmark decontamination (broadcast shingle probe).
+    *
+    * Returns the curated batch + an [[IncReport]]. The streaming shape of
+    * the same composition is [[graft.stream.StreamPipeline.curateNearStream]];
+    * this is its batch form for orchestrated (one-job-per-crawl)
+    * pipelines. Batch-local semantics match the store's documented
+    * per-pair (not per-chain) recall contract.
+    */
+  def runIncremental(batch: DataFrame, storePath: String,
+                     evalSet: Option[DataFrame] = None,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     minWords: Int = 50,
+                     cfg: SignatureStore.Config = SignatureStore.Config())
+      : (DataFrame, IncReport) = {
+    val spark = batch.sparkSession
+    val nInput = batch.count()
+    val verdicts = SignatureStore.ingest(spark, storePath, batch,
+      textCol, idCol, cfg)
+    val kept = batch.join(
+      verdicts.where(!col("is_dup")).select(col("id").as(idCol)), idCol)
+    val nDedup = kept.count()
+    val good = TextStats.gopherFilter(kept, textCol, idCol, minWords)
+      .where(col("kept") === 1).select(col(idCol))
+    val afterQuality = kept.join(good, idCol)
+    val nQuality = afterQuality.count()
+    val finalDf = evalSet match {
+      case Some(ev) =>
+        val flagged = Dedup.decontaminate(afterQuality, ev, textCol, idCol)
+          .select(col("id").as(idCol))
+        afterQuality.join(flagged, Seq(idCol), "left_anti")
+      case None => afterQuality
+    }
+    val nFinal = finalDf.count()
+    (finalDf, IncReport(nInput, nDedup, nQuality, nFinal))
+  }
 }

@@ -612,6 +612,30 @@ class LlmSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("incremental curation: per-batch dedup against history, quality and decontam stages") {
+    import graft.llm.Curation
+    def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
+    val store = tmpDir("inccur") + "/store"
+    val bench = Seq((9000L, words("bench", 60))).toDF("doc_id", "text")
+    // batch 1: two good docs + a short one
+    val (out1, rep1) = Curation.runIncremental(Seq(
+        (1L, words("a", 60)), (2L, words("b", 60)), (3L, "too short"))
+      .toDF("doc_id", "text"), store, evalSet = Some(bench))
+    assert(rep1 == Curation.IncReport(3, 3, 2, 2))
+    assert(out1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    // batch 2: an exact copy of doc 1 and a near-copy of doc 2 resolve
+    // against the STORE (history never rescanned); a benchmark copy is
+    // decontaminated; one genuinely new doc survives
+    val (out2, rep2) = Curation.runIncremental(Seq(
+        (11L, words("a", 60)),                       // exact copy of 1
+        (12L, words("b", 59) + " bzz"),              // near-copy of 2
+        (13L, words("bench", 60)),                   // benchmark text
+        (14L, words("c", 60)))                       // new
+      .toDF("doc_id", "text"), store, evalSet = Some(bench))
+    assert(rep2 == Curation.IncReport(4, 2, 2, 1), rep2.toString)
+    assert(out2.select("doc_id").as[Long].collect().toSet == Set(14L))
+  }
+
   test("snapshot diff: added/removed/changed/unchanged by id and content hash") {
     import graft.llm.Corpus
     val prev = Seq((1L, "same text"), (2L, "old text"), (3L, "gone"))
