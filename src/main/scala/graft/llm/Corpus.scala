@@ -356,13 +356,18 @@ object Corpus {
   def snapshotDiff(prev: DataFrame, cur: DataFrame,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
-    def hashed(df: DataFrame, h: String) =
-      df.select(col(idCol), sha2(col(textCol), 256).as(h))
-    hashed(prev, "_hp").join(hashed(cur, "_hc"), Seq(idCol), "full_outer")
+    // presence keys on a NON-NULL marker, not on the hash: sha2(NULL) is
+    // NULL, so a null-text doc would otherwise read as absent and
+    // misclassify; content compares null-safely (null text <=> null text
+    // is unchanged, null vs non-null is a change)
+    def hashed(df: DataFrame, h: String, in: String) =
+      df.select(col(idCol), sha2(col(textCol), 256).as(h), lit(true).as(in))
+    hashed(prev, "_hp", "_inP")
+      .join(hashed(cur, "_hc", "_inC"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("_hp").isNull, lit("added"))
-          .when(col("_hc").isNull, lit("removed"))
-          .when(col("_hp") === col("_hc"), lit("unchanged"))
+        when(col("_inP").isNull, lit("added"))
+          .when(col("_inC").isNull, lit("removed"))
+          .when(col("_hp") <=> col("_hc"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

@@ -44,22 +44,18 @@ object Curation {
     val keepIds = Dedup.exact(docs, textCol, idCol)
       .select(col("keep_id").as(idCol))
     val afterExact = docs.join(keepIds, idCol)
-    val nExact = afterExact.count()
 
     // 2. near-dup: resolve components once (persisted artifact), keep the
     //    highest-quality member of each cluster. An existing layout at
-    //    `pairsPath` is REUSED only when its corpus FINGERPRINT matches
-    //    the deduped corpus being curated — a stale index (corpus grew or
-    //    changed since the build) would silently skip near-dup resolution
-    //    for every doc it has never seen, so mismatch or a
-    //    pre-fingerprint layout rebuilds instead.
-    val corpusFp = {
-      val r = afterExact.agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)),
-        coalesce(org.apache.spark.sql.functions.sum(col(idCol)),
-          org.apache.spark.sql.functions.lit(0L))).collect().head
-      (r.getLong(0), r.getLong(1))
-    }
+    //    `pairsPath` is REUSED only when its corpus FINGERPRINT (count +
+    //    content-hash XOR) matches the deduped corpus being curated — a
+    //    stale index (corpus grew, shrank, or had docs re-fetched with
+    //    changed text since the build) would silently skip near-dup
+    //    resolution for the content it has never seen, so mismatch or a
+    //    pre-fingerprint layout rebuilds instead. The fingerprint job
+    //    doubles as the nExact count (one pass, not two).
+    val corpusFp = PairsIndex.corpusFingerprintOf(afterExact, textCol, idCol)
+    val nExact = corpusFp._1
     val idx = PairsIndex.loadIfPresent(spark, pairsPath)
       .filter(_ => PairsIndex.fingerprint(spark, pairsPath).contains(corpusFp))
       .getOrElse(PairsIndex.build(afterExact, pairsPath, textCol = textCol,
@@ -78,20 +74,11 @@ object Curation {
     val nNearDup = afterNearDup.count()
 
     // 3. quality rules
-    val kept = TextStats.gopherFilter(afterNearDup, textCol, idCol,
-        minWords = minWords)
-      .where(col("kept") === 1).select(col(idCol))
-    val afterQuality = afterNearDup.join(kept, idCol)
+    val afterQuality = qualityStage(afterNearDup, textCol, idCol, minWords)
     val nQuality = afterQuality.count()
 
     // 4. decontamination (optional)
-    val afterDecontam = evalSet match {
-      case Some(ev) =>
-        val flagged = Dedup.decontaminate(afterQuality, ev, textCol, idCol)
-          .select(col("id").as(idCol))
-        afterQuality.join(flagged, Seq(idCol), "left_anti")
-      case None => afterQuality
-    }
+    val afterDecontam = decontamStage(afterQuality, evalSet, textCol, idCol)
     val nDecontam = afterDecontam.count()
 
     // 5. token budget (optional): best docs by quality until spent
@@ -109,6 +96,28 @@ object Curation {
     (finalDf,
       Report(nInput, nExact, nNearDup, nQuality, nDecontam, nFinal))
   }
+
+  /** The Gopher-keep stage shared by [[run]] and [[runIncremental]] (one
+    * definition, so the facades cannot drift).
+    */
+  private def qualityStage(docs: DataFrame, textCol: String, idCol: String,
+                           minWords: Int): DataFrame = {
+    val kept = TextStats.gopherFilter(docs, textCol, idCol,
+        minWords = minWords)
+      .where(col("kept") === 1).select(col(idCol))
+    docs.join(kept, idCol)
+  }
+
+  /** The optional decontamination stage shared by both facades. */
+  private def decontamStage(docs: DataFrame, evalSet: Option[DataFrame],
+                            textCol: String, idCol: String): DataFrame =
+    evalSet match {
+      case Some(ev) =>
+        val flagged = Dedup.decontaminate(docs, ev, textCol, idCol)
+          .select(col("id").as(idCol))
+        docs.join(flagged, Seq(idCol), "left_anti")
+      case None => docs
+    }
 
   /** Per-stage yields of one INCREMENTAL curation batch. */
   final case class IncReport(nInput: Long, nAfterDedup: Long,
@@ -138,26 +147,23 @@ object Curation {
                      evalSet: Option[DataFrame] = None,
                      textCol: String = "text", idCol: String = "doc_id",
                      minWords: Int = 50,
-                     cfg: SignatureStore.Config = SignatureStore.Config())
+                     cfg: SignatureStore.Config = SignatureStore.Config(),
+                     batchId: Option[Long] = None)
       : (DataFrame, IncReport) = {
     val spark = batch.sparkSession
     val nInput = batch.count()
+    // batchId forwards to the store's idempotent-replay contract: an
+    // orchestrator retrying a crashed crawl job with the SAME id
+    // overwrites its own per-batch store writes instead of appending the
+    // batch's signatures twice
     val verdicts = SignatureStore.ingest(spark, storePath, batch,
-      textCol, idCol, cfg)
+      textCol, idCol, cfg, batchId = batchId)
     val kept = batch.join(
       verdicts.where(!col("is_dup")).select(col("id").as(idCol)), idCol)
     val nDedup = kept.count()
-    val good = TextStats.gopherFilter(kept, textCol, idCol, minWords)
-      .where(col("kept") === 1).select(col(idCol))
-    val afterQuality = kept.join(good, idCol)
+    val afterQuality = qualityStage(kept, textCol, idCol, minWords)
     val nQuality = afterQuality.count()
-    val finalDf = evalSet match {
-      case Some(ev) =>
-        val flagged = Dedup.decontaminate(afterQuality, ev, textCol, idCol)
-          .select(col("id").as(idCol))
-        afterQuality.join(flagged, Seq(idCol), "left_anti")
-      case None => afterQuality
-    }
+    val finalDf = decontamStage(afterQuality, evalSet, textCol, idCol)
     val nFinal = finalDf.count()
     (finalDf, IncReport(nInput, nDedup, nQuality, nFinal))
   }

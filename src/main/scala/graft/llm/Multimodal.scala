@@ -335,8 +335,10 @@ object Multimodal {
       val len = b.getInt(pos + 4)
       // hostile-bytes guard: a negative length would loop the walk
       // forever, an oversized one would read (PCM) or zero-pad (ADPCM)
-      // past EOF — both are the documented None, like the JPEG walk
-      if (len < 0 || pos + 8 + len > bytes.length) return None
+      // past EOF — both are the documented None, like the JPEG walk.
+      // Long arithmetic: len near Int.MaxValue must not wrap the sum
+      // negative and slip past the bound
+      if (len < 0 || pos + 8 + len.toLong > bytes.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None
@@ -531,8 +533,9 @@ object Multimodal {
   /** Frame-SAMPLING decoder for [[decodeFrames]] over APNG payloads — the
     * video curation shape: decode the animation, keep every
     * `sampleEvery`-th frame, one feature row per KEPT frame —
-    * [frameIndex, width, channels, meanR, meanG, meanB]. Undecodable
-    * payloads produce no frames.
+    * [frameIndex, width, height, channels, meanR, meanG, meanB] (the
+    * shape shared with [[mjpegFrameDecoder]]). Undecodable payloads
+    * produce no frames.
     */
   def apngFrameDecoder(sampleEvery: Int = 2)(bytes: Array[Byte]): Iterator[Array[Float]] =
     decodeApngFrames(bytes) match {

@@ -118,33 +118,68 @@ object PairsIndex {
             shingleLen: Int = 5, blockPrefix: Int = 40,
             threshold: Double = 0.4, maxBlock: Int = 10000): Index = {
     val spark = docs.sparkSession
-    // a rebuild replaces the WHOLE layout — leftover increments or meta
-    // of a previous index at this path must not leak into the new one
+    // a rebuild replaces the WHOLE layout (leftover increments or meta of
+    // a previous index must not leak into the new one) but must not
+    // DESTROY the old artifact before the new one is complete: when an
+    // index already exists, build into a `_rebuilding` sibling and swap
+    // directories at the end — a crash mid-build leaves the old index
+    // fully intact at `path` (the compact() discipline, at the root)
     val basePath = new org.apache.hadoop.fs.Path(path)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(basePath)) { fs.delete(basePath, true); () }
+    val hadOld = fs.exists(basePath)
+    val buildPath = if (hadOld) path + "_rebuilding" else path
+    val bp = new org.apache.hadoop.fs.Path(buildPath)
+    if (fs.exists(bp) && hadOld) { fs.delete(bp, true); () } // stale crashed sibling
     val p = Dedup.ngramJaccard(docs, textCol, idCol, shingleLen,
       blockPrefix, threshold, maxBlock).localCheckpoint()
     graft.core.Layouts.writePartitioned(
       p.withColumn("pb", pmod(col("doc_a"), lit(nBuckets.toLong))),
-      path + "/pairs", "pb")
+      buildPath + "/pairs", "pb")
     graft.core.Layouts.writePartitioned(
       withSb(sigsOf(docs, textCol, idCol, shingleLen, blockPrefix), nBuckets),
-      path + "/sigs", "sb")
+      buildPath + "/sigs", "sb")
     Dedup.connectedComponents(p)
-      .write.mode("overwrite").parquet(path + "/components")
-    // corpus fingerprint (row count + id sum, both ADDITIVE so appends
-    // can extend it): how a reuse caller detects a stale index built from
-    // a different corpus (see Curation.run)
-    val fp = docs.agg(count(lit(1)).as("n"),
-      coalesce(sum(col(idCol)), lit(0L)).as("s")).collect().head
+      .write.mode("overwrite").parquet(buildPath + "/components")
+    // corpus fingerprint (row count + XOR of per-doc (id, text) hashes —
+    // both combine across disjoint batches, so appends can extend it, and
+    // the CONTENT hash catches an in-place re-fetch that changed a doc's
+    // text under the same id, which a count/id-sum alone cannot): how a
+    // reuse caller detects a stale index built from a different corpus
+    // (see Curation.run)
+    val fp = corpusFingerprintOf(docs, textCol, idCol)
     import spark.implicits._
     Seq((nBuckets, shingleLen, blockPrefix, threshold, maxBlock,
-        fp.getLong(0), fp.getLong(1)))
+        fp._1, fp._2))
       .toDF("n_buckets", "shingle_len", "block_prefix", "threshold",
-        "max_block", "fp_n_docs", "fp_id_sum")
-      .write.mode("overwrite").parquet(path + "/meta")
+        "max_block", "fp_n_docs", "fp_hash")
+      .write.mode("overwrite").parquet(buildPath + "/meta")
+    if (hadOld) {
+      val aside = new org.apache.hadoop.fs.Path(path + "_prebuild")
+      fs.delete(aside, true)
+      if (!fs.rename(basePath, aside))
+        throw new java.io.IOException(
+          s"PairsIndex.build: rename($path -> ${path}_prebuild) returned " +
+            s"false; old index untouched, new copy at $buildPath")
+      if (!fs.rename(bp, basePath))
+        throw new java.io.IOException(
+          s"PairsIndex.build: rename($buildPath -> $path) returned false; " +
+            s"old index preserved at ${path}_prebuild")
+      fs.delete(aside, true)
+    }
     Index(path, nBuckets)
+  }
+
+  /** (row count, XOR of xxhash64(id, text)) — the corpus fingerprint
+    * [[build]] records, [[append]] extends, and reuse callers compare.
+    * XOR combines across disjoint doc sets, so increments fold in with
+    * one ⊕.
+    */
+  def corpusFingerprintOf(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id"): (Long, Long) = {
+    val r = docs.agg(count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col(idCol), col(textCol))), lit(0L)).as("h"))
+      .collect().head
+    (r.getLong(0), r.getLong(1))
   }
 
   /** The index's corpus fingerprint — (row count, id sum) of everything
@@ -153,21 +188,21 @@ object PairsIndex {
     */
   def fingerprint(spark: SparkSession, path: String): Option[(Long, Long)] = {
     val meta = spark.read.parquet(path + "/meta")
-    if (!meta.columns.contains("fp_n_docs")) None
+    if (!meta.columns.contains("fp_hash")) None
     else {
-      val base = meta.select("fp_n_docs", "fp_id_sum").collect().head
+      val base = meta.select("fp_n_docs", "fp_hash").collect().head
       val incBase = new org.apache.hadoop.fs.Path(path + "/meta_inc")
       val fs = incBase.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val (n, s) =
+      val (n, h) =
         if (!fs.exists(incBase)) (0L, 0L)
         else {
           val r = spark.read.option("recursiveFileLookup", "true")
             .parquet(path + "/meta_inc")
             .agg(coalesce(sum("fp_n_docs"), lit(0L)),
-              coalesce(sum("fp_id_sum"), lit(0L))).collect().head
+              coalesce(bit_xor(col("fp_hash")), lit(0L))).collect().head
           (r.getLong(0), r.getLong(1))
         }
-      Some((base.getLong(0) + n, base.getLong(1) + s))
+      Some((base.getLong(0) + n, base.getLong(1) ^ h))
     }
   }
 
@@ -295,11 +330,11 @@ object PairsIndex {
     graft.core.Layouts.writePartitioned(
       newPairs.withColumn("pb", pmod(col("doc_a"), lit(idx.nBuckets.toLong))),
       idx.path + s"/pairs_inc/b$batchId", "pb")
-    // extend the corpus fingerprint additively (idempotent per batch dir)
-    val fp = newSigs.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("id")), lit(0L)).as("s")).collect().head
+    // extend the corpus fingerprint (idempotent per batch dir): count adds,
+    // the content hash folds in by XOR
+    val fp = corpusFingerprintOf(batch, textCol, idCol)
     import spark.implicits._
-    Seq((fp.getLong(0), fp.getLong(1))).toDF("fp_n_docs", "fp_id_sum")
+    Seq((fp._1, fp._2)).toDF("fp_n_docs", "fp_hash")
       .write.mode("overwrite").parquet(idx.path + s"/meta_inc/b$batchId")
     // re-resolve components: old labels as edges preserve old connectivity
     // (label = cluster-min id), so propagation over labels + new pairs is
@@ -391,6 +426,30 @@ object PairsIndex {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var acted = false
+    // whole-index rebuild swap (build() into a sibling): restore the old
+    // index if the swap died between its renames, promote a COMPLETE
+    // rebuilt sibling (meta is written last) if both root and aside are
+    // gone, and clear stale siblings otherwise
+    val root = new org.apache.hadoop.fs.Path(path)
+    val rootAside = new org.apache.hadoop.fs.Path(path + "_prebuild")
+    val rootTmp = new org.apache.hadoop.fs.Path(path + "_rebuilding")
+    val tmpDone = fs.exists(rootTmp) &&
+      fs.exists(new org.apache.hadoop.fs.Path(rootTmp, "meta"))
+    if (!fs.exists(root) && fs.exists(rootAside)) {
+      if (!fs.rename(rootAside, root))
+        throw new java.io.IOException(
+          s"PairsIndex.recover: rename(${path}_prebuild -> $path) returned false")
+      fs.delete(rootTmp, true); acted = true
+    } else if (!fs.exists(root) && tmpDone) {
+      if (!fs.rename(rootTmp, root))
+        throw new java.io.IOException(
+          s"PairsIndex.recover: rename(${path}_rebuilding -> $path) returned false")
+      acted = true
+    } else if (fs.exists(root) &&
+        (fs.exists(rootAside) || fs.exists(rootTmp))) {
+      fs.delete(rootAside, true); fs.delete(rootTmp, true); acted = true
+    }
+    if (!fs.exists(root)) return acted
     Seq("pairs", "sigs").foreach { sub =>
       val live = new org.apache.hadoop.fs.Path(path + "/" + sub)
       val aside = new org.apache.hadoop.fs.Path(path + s"/${sub}_precompact")

@@ -121,11 +121,14 @@ object StreamDedupNear {
         col(idCol).as("id"), col(tsCol).as("ts"),
         graft.llm.Dedup.shingles(
           graft.llm.TextStats.tokens(col(textCol)), cfg.shingleLen).as("_sh"))
-      // a doc shorter than the shingle length has NO shingle set — the
+      // a doc with NO tokens (empty/whitespace-only text) has an empty
+      // shingle set (WordShingles pads any 1..n-1-token doc to one
+      // whole-doc shingle, so only zero-token text is empty) — the
       // minhash sentinel signature would make every such doc "match"
-      // every other (est 1.0 on identical sentinels). The batch twin's
-      // exact-Jaccard verify yields no pair for empty-vs-empty, so the
-      // stream mirrors it: shingle-less docs pass through as novel.
+      // every other (est 1.0 on identical all-sentinel signatures). The
+      // batch twin's exact-Jaccard verify yields no pair for
+      // empty-vs-empty, so the stream mirrors it: token-less docs pass
+      // through as novel.
       .where(size(col("_sh")) > 0)
       .select(col("id"), col("ts"),
         graft.llm.Dedup.minhashSignature(col("_sh"), cfg.numHashes).as("sig"))

@@ -651,6 +651,15 @@ class LlmSpec extends SparkSpec {
       .collect().forall(_._2 == "added"))
     assert(Corpus.snapshotDiff(prev, cur.limit(0)).as[(Long, String)]
       .collect().forall(_._2 == "removed"))
+    // NULL text is still PRESENCE: null→text is changed (not added),
+    // text→null is changed (not removed), null→null is unchanged
+    val pN = Seq((1L, null: String), (2L, "was text"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val cN = Seq((1L, "now fetched"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val gotN = Corpus.snapshotDiff(pN, cN).as[(Long, String)].collect().toMap
+    assert(gotN == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"),
+      gotN.toString)
   }
 
   test("hybrid RRF fusion: both-leg docs outrank single-leg, missing leg contributes zero") {
@@ -1704,6 +1713,44 @@ class LlmSpec extends SparkSpec {
       pairSet(PairsIndex.load(spark, dir)) == healthy)
   }
 
+  test("pairs index rebuild-over-existing: crash-safe swap, recover restores every interrupted state") {
+    import java.io.File
+    import graft.llm.PairsIndex
+    def mv(a: String, b: String) = assert(new File(a).renameTo(new File(b)))
+    val docs = ((0 until 6).map(i => (i.toLong, base)) :+
+      (50L, "wholly unrelated corpus text " * 10)).toDF("doc_id", "text")
+    val dir = tmpDir("pairsswap") + "/idx"
+    val idx = PairsIndex.build(docs, dir, nBuckets = 4)
+    def pairSet(i: PairsIndex.Index) =
+      i.pairs(spark).as[(Long, Long, Double)].collect().toSet
+    val v1 = pairSet(idx)
+    // rebuild over the existing layout: same relation, no leftover siblings
+    val v2 = pairSet(PairsIndex.build(docs, dir, nBuckets = 4))
+    assert(v2 == v1)
+    assert(!new File(dir + "_rebuilding").exists && !new File(dir + "_prebuild").exists)
+    // crash state A: died between rename(root->aside) and rename(tmp->root)
+    // — root gone, old index parked at _prebuild. recover restores the OLD
+    // index (conservative: the interrupted rebuild is simply discarded).
+    mv(dir, dir + "_prebuild")
+    assert(PairsIndex.loadIfPresent(spark, dir).isEmpty) // mid-crash: absent, a reuse caller would rebuild
+    assert(PairsIndex.recover(spark, dir))
+    assert(pairSet(PairsIndex.load(spark, dir)) == v1)
+    assert(!new File(dir + "_prebuild").exists)
+    // crash state B: root gone, no aside, COMPLETE sibling (meta present)
+    // — recover promotes the finished rebuild
+    mv(dir, dir + "_rebuilding")
+    assert(PairsIndex.recover(spark, dir))
+    assert(pairSet(PairsIndex.load(spark, dir)) == v1)
+    // crash state C: healthy root plus a stale INCOMPLETE sibling (no
+    // meta — died mid-write) — recover clears the litter, root untouched
+    val stale = new File(dir + "_rebuilding")
+    assert(stale.mkdirs())
+    assert(PairsIndex.recover(spark, dir))
+    assert(!stale.exists && pairSet(PairsIndex.load(spark, dir)) == v1)
+    // healthy layout: recover is a no-op
+    assert(!PairsIndex.recover(spark, dir))
+  }
+
   test("PCA: planted direction recovered, orthonormal components, eigen residual tiny") {
     // planted anisotropy in 8 dims: variance ~9 along u = e0+e1 (normalized),
     // ~1 along e2, ~0.01 elsewhere — deterministic pseudo-noise
@@ -1862,6 +1909,15 @@ class LlmSpec extends SparkSpec {
     val gIds = outG.select("doc_id").as[Long].collect().toSet
     assert((gIds & Set(7L, 8L)).size == 1, s"new near-dup pair unresolved: $gIds")
     assert(repG.nAfterNearDup == repG.nAfterExact - 2) // 1-3 pair + 7-8 pair
+    // an IN-PLACE content change (same ids, same count — one doc
+    // re-fetched with different text) must also invalidate the index:
+    // the fingerprint XORs content hashes, not just ids
+    val changedState = metaState()
+    val refetched = grown.withColumn("text",
+      when(col("doc_id") === 6L, lit(words("q", 60))).otherwise(col("text")))
+    Curation.run(refetched, idxPath, evalSet = Some(bench))
+    assert(metaState() != changedState,
+      "stale pairs index reused after an in-place content change")
   }
 
   test("VectorSumD aggregates elementwise with partial merge") {

@@ -500,10 +500,12 @@ class SessionAndStreamSpec extends SparkSpec {
         (2L, ts("2024-01-01 00:00:05"), base),   // exact copy: MUST match
         (3L, ts("2024-01-01 00:00:10"), near),   // near-dup: should match
         (4L, ts("2024-01-01 00:00:15"), other),  // novel: no verdict row
-        // two UNRELATED sub-shingle-length docs: both have an empty
-        // shingle set — they must NOT sentinel-match each other
-        (7L, ts("2024-01-01 00:00:16"), "hi there"),
-        (8L, ts("2024-01-01 00:00:17"), "buy gold now"))
+        // two TOKEN-LESS docs (empty / whitespace-only): both have an
+        // empty shingle set, hence identical all-sentinel signatures —
+        // they must NOT sentinel-match each other (short-but-nonempty
+        // docs are safe: WordShingles pads them to one whole-doc shingle)
+        (7L, ts("2024-01-01 00:00:16"), ""),
+        (8L, ts("2024-01-01 00:00:17"), "   "))
       q.processAllAvailable()
       val v1 = verdictMap()
       assert(v1.get(2L).contains(1L), s"exact copy missed: $v1")
@@ -827,6 +829,47 @@ class SessionAndStreamSpec extends SparkSpec {
         .as[(java.sql.Timestamp, Long)].collect().toMap
       assert(got(ts("2024-01-01 00:00:00")) == 6L, got.toString)
       assert(got(ts("2024-01-01 00:01:00")) == 5L, got.toString)
+    } finally q.stop()
+  }
+
+  test("streaming novelty equals batch vocab_growth on the same corpus replay") {
+    // The two implementations compute the same statistic (distinct
+    // 5-gram shingles by FIRST appearance) over different axes — corpus
+    // decile (batch gate query) vs event-time window (stream). Replaying
+    // each doc as its own micro-batch, in doc_id order, with doc i's
+    // timestamp inside minute i, makes the axes coincide: window minute
+    // == corpus decile. The watermark horizon covers the whole replay, so
+    // stream-side "first within horizon" == batch-side global first.
+    implicit val sqlCtx = spark.sqlContext
+    // token windows overlap across docs (i*7+j mod 23) → nontrivial
+    // cross-doc shingle sharing the test does not need to precompute:
+    // agreement IS the assertion
+    def text(i: Int) = (0 until 10).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")
+    val docs = (0L until 10L).map(i => (i, text(i.toInt)))
+    val dir = tmpDir("novelparity")
+    docs.toDF("doc_id", "text").write.parquet(dir + "/documents.parquet")
+    val batch = SparkEntry.queries("vocab_growth")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.stream.StreamNovelty.newShingleCounts(
+        input.toDF().toDF("ts", "text"), watermark = "20 minutes")
+      .writeStream.format("memory").queryName("novelty_parity")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      docs.foreach { case (i, t) =>
+        input.addData((ts(f"2024-01-01 00:$i%02d:10"), t))
+        q.processAllAvailable() // one micro-batch per doc: arrival order = doc_id order
+      }
+      input.addData((ts("2024-01-01 01:00:00"), "closer xx yy zz ww vv"))
+      q.processAllAvailable()
+      val stream = spark.table("novelty_parity")
+        .as[(java.sql.Timestamp, Long)].collect()
+        .map { case (w, n) => (w.toLocalDateTime.getMinute.toLong, n) }.toMap
+      assert(stream == batch, s"stream=$stream batch=$batch")
+      // the agreement is non-vacuous: several deciles, not all trivial
+      assert(batch.size >= 3 && batch.values.sum > batch(0L), batch.toString)
     } finally q.stop()
   }
 
