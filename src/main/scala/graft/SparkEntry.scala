@@ -1152,6 +1152,14 @@ object SparkEntry {
         .orderBy("decile")
     },
 
+    // Per-doc novelty: fraction of a doc's distinct 5-gram shingles that
+    // FIRST appear in it — the per-doc refinement of vocab_growth and the
+    // crawl-source contribution signal. Novel counts come from the
+    // vocabulary-sized firsts relation (one shingle-keyed exchange), the
+    // denominator is doc-local, and the final join is doc ⋈ doc.
+    "doc_novelty" -> ((s, d) =>
+      graft.llm.Corpus.docNovelty(t(s, d, "documents"))),
+
     // Inverted index build: df + ascending posting list per term, one
     // keyed aggregate over per-doc-distinct (term, doc) pairs. The
     // posting list ships as a comma-joined STRING — the cross-engine
@@ -1216,6 +1224,18 @@ object SparkEntry {
         (3L, "vector table scan"), (4L, "slow fast merge"),
         (5L, "data query the")).toDF("query_id", "qtext")
       graft.llm.Search.bm25Probe(bm25IncIdx(s, d), qs, k = 5)
+    },
+
+    // Hard-negative mining for retrieval training: top-k BM25 docs per
+    // query that match SOME but not ALL query terms — high-scoring
+    // partial matches (full matches are presumed positives, zero-term
+    // docs never scored). Same scoring kernel as bm25_queries.
+    "hard_negatives" -> { (s, d) =>
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"), (2L, "customer stream join"),
+        (3L, "vector table scan"), (4L, "slow fast merge"),
+        (5L, "data query the")).toDF("query_id", "qtext")
+      graft.llm.Search.bm25HardNegatives(t(s, d, "documents"), qs, k = 5)
     },
 
     "lang_id" -> ((s, d) =>
@@ -2706,7 +2726,10 @@ object SparkEntry {
       "round(CAST(sum(h) AS DOUBLE) / 1000000 / count(*), 6) AS mean_heur " +
       "FROM b GROUP BY bin ORDER BY bin"
 
-  private lazy val bm25QueriesOracleSql: String =
+  // The per-(query, doc) micro-score CTE chain shared by the BM25
+  // retrieval and hard-negative oracles — mirrors Search.perQueryMicroScores
+  // (j carries both the summed micro score and the matched-term count).
+  private lazy val bm25ScoreCtes: String =
     "WITH q(query_id, term) AS (VALUES (1, 'spark'), (1, 'window'), (1, 'agg'), " +
       "(2, 'customer'), (2, 'stream'), (2, 'join'), " +
       "(3, 'vector'), (3, 'table'), (3, 'scan'), " +
@@ -2726,13 +2749,29 @@ object SparkEntry {
       "m AS (SELECT doc_id, term, CASE WHEN s * 1000000.0 >= 0 " +
       "THEN floor(s * 1000000.0 + 0.5) " +
       "ELSE -floor(-(s * 1000000.0) + 0.5) END AS t FROM sc), " +
-      "j AS (SELECT q.query_id, m.doc_id, SUM(t) AS s FROM m JOIN q USING (term) " +
-      "GROUP BY 1, 2), " +
-      "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "j AS (SELECT q.query_id, m.doc_id, SUM(t) AS s, " +
+      "CAST(count(*) AS BIGINT) AS n_match FROM m JOIN q USING (term) " +
+      "GROUP BY 1, 2)"
+
+  private lazy val bm25QueriesOracleSql: String =
+    bm25ScoreCtes +
+      ", rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
       "ORDER BY s DESC, doc_id) AS rank FROM j) " +
       "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, " +
       "CAST(rank AS BIGINT) AS rank, round(s / 1000000.0, 6) AS score " +
       "FROM rk WHERE rank <= 5 ORDER BY query_id, rank"
+
+  // Hard negatives: the same scored relation restricted to docs matching
+  // strictly fewer than the query's distinct term count, re-ranked.
+  private lazy val hardNegativesOracleSql: String =
+    bm25ScoreCtes +
+      ", nq AS (SELECT query_id, count(*) AS n_q FROM q GROUP BY 1), " +
+      "rk AS (SELECT j.*, ROW_NUMBER() OVER (PARTITION BY j.query_id " +
+      "ORDER BY s DESC, doc_id) AS rank FROM j JOIN nq USING (query_id) " +
+      "WHERE n_match < n_q) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, " +
+      "CAST(rank AS BIGINT) AS rank, round(s / 1000000.0, 6) AS score, " +
+      "n_match FROM rk WHERE rank <= 5 ORDER BY query_id, rank"
 
   // model_eval replay: per-distinct-micro-score label counts, the exclusive
   // cumulative-negatives window, and the same clamp/ln/floor operand shapes
@@ -3868,6 +3907,20 @@ object SparkEntry {
         "SELECT (fd * 10) // (mx + 1) AS decile, CAST(count(*) AS BIGINT) AS n_new_shingles " +
         "FROM f, m GROUP BY 1 ORDER BY decile"),
 
+    // Per-doc novelty replay: firsts relation as in vocab_growth, novel
+    // counts grouped by first doc, doc-local distinct-shingle denominator
+    // (len of the already-distinct sh list).
+    "doc_novelty" ->
+      (shingleCte +
+        ", u AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+        "f AS (SELECT g, min(doc_id) AS fd FROM u GROUP BY g), " +
+        "nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM f GROUP BY 1), " +
+        "pd AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM s) " +
+        "SELECT pd.doc_id, n_shingles, COALESCE(n_novel, 0) AS n_novel, " +
+        "round(COALESCE(n_novel, 0) / " +
+        "(CASE WHEN n_shingles > 0 THEN CAST(n_shingles AS DOUBLE) ELSE 1.0 END), 6) AS novelty " +
+        "FROM pd LEFT JOIN nv USING (doc_id) ORDER BY pd.doc_id"),
+
     // Inverted index: distinct (doc, term) then one grouped agg; the
     // posting list is ORDER BY doc_id (no ties — ids are distinct) and
     // is emitted as a comma-joined string so the comparator never sees
@@ -3942,6 +3995,7 @@ object SparkEntry {
     // index (bucketing is layout only), so the same replay gates it
     "bm25_index" -> bm25QueriesOracleSql,
     "bm25_index_append" -> bm25QueriesOracleSql,
+    "hard_negatives" -> hardNegativesOracleSql,
 
     // Token entropy replay: per-term micro-bit rounding (c·ln(c)/ln(2),
     // floor(x+0.5) — terms are ≥ 0) BEFORE the sum, so both engines add

@@ -370,4 +370,41 @@ object Corpus {
           .when(col("_hp") <=> col("_hc"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Per-document NOVELTY score — the fraction of a doc's distinct
+    * `shingleLen`-gram shingles that FIRST appear in that doc (by
+    * ascending id order over the corpus): the per-doc refinement of the
+    * decile-level `vocab_growth` readout, and the per-doc contribution
+    * signal a curation pipeline ranks crawl sources by (a mirror
+    * re-fetch scores ~0, genuinely new material ~1).
+    *
+    * Scale shape — no corpus-sized join-back: the novel count per doc is
+    * the group-size of `min(doc_id)` per shingle (ONE map-side-combined
+    * shingle-keyed exchange, then a doc-keyed count over the
+    * vocabulary-sized firsts relation), and the per-doc denominator is
+    * doc-LOCAL (`size(array_distinct(...))` riding the same scan). The
+    * final join is doc-cardinality ⋈ doc-cardinality.
+    *
+    * Returns `(idCol, n_shingles, n_novel, novelty)`; a token-less doc
+    * has no shingles and scores 0.
+    */
+  def docNovelty(docs: DataFrame, shingleLen: Int = 5,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val sh = array_distinct(
+      Dedup.shingles(TextStats.tokens(col(textCol)), shingleLen))
+    val perDoc = docs.select(col(idCol),
+      size(sh).cast("long").as("n_shingles"))
+    val novel = docs
+      .select(col(idCol).as("_d"), explode(sh).as("_sh"))
+      .groupBy("_sh").agg(min("_d").as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        graft.functions.Rounding.dround(
+          coalesce(col("n_novel"), lit(0L)) /
+            when(col("n_shingles") > 0, col("n_shingles").cast("double"))
+              .otherwise(lit(1.0)), 6).as("novelty"))
+  }
 }

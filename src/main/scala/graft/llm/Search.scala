@@ -104,6 +104,61 @@ object Search {
                      textCol: String = "text", idCol: String = "doc_id",
                      qidCol: String = "query_id", qtextCol: String = "qtext",
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perQuery = perQueryMicroScores(docs, queries, textCol, idCol,
+      qidCol, qtextCol, k1, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("_s").desc, col("doc_id"))
+    perQuery
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("doc_id"), col("rank"),
+        graft.functions.Rounding.dround(
+          col("_s").cast("double") / 1e6, 6).as("score"))
+  }
+
+  /** Hard-NEGATIVE mining for retrieval/embedding training: per query,
+    * the top-`k` BM25-scoring docs that do NOT match every query term —
+    * high-scoring partial matches, the negatives contrastive training
+    * needs (random negatives are trivially separable; full matches are
+    * presumed positives and excluded). Scoring, arithmetic, and
+    * tie-breaks are [[bm25ForQueries]]'s (one shared kernel), so the
+    * oracle replay differs only in the full-match filter.
+    *
+    * Returns `(qidCol, doc_id, rank, score, n_match)` — `n_match` the
+    * number of distinct query terms the doc contains, strictly less than
+    * the query's term count by construction.
+    */
+  def bm25HardNegatives(docs: DataFrame, queries: DataFrame, k: Int = 5,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        qidCol: String = "query_id", qtextCol: String = "qtext",
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nq = queries.select(col(qidCol),
+        explode(array_distinct(TextStats.tokens(col(qtextCol)))).as("term"))
+      .groupBy(qidCol).agg(count(lit(1)).as("_nq"))
+    val perQuery = perQueryMicroScores(docs, queries, textCol, idCol,
+      qidCol, qtextCol, k1, b)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("_s").desc, col("doc_id"))
+    perQuery
+      .join(broadcast(nq), qidCol)
+      .where(col("n_match") < col("_nq"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("doc_id"), col("rank"),
+        graft.functions.Rounding.dround(
+          col("_s").cast("double") / 1e6, 6).as("score"),
+        col("n_match"))
+  }
+
+  /** The scoring kernel shared by [[bm25ForQueries]] and
+    * [[bm25HardNegatives]]: per-(query, doc) micro-unit BM25 score `_s`
+    * plus `n_match`, the count of distinct query terms present in the
+    * doc. Only docs matching ≥1 query term appear.
+    */
+  private def perQueryMicroScores(docs: DataFrame, queries: DataFrame,
+                                  textCol: String, idCol: String,
+                                  qidCol: String, qtextCol: String,
+                                  k1: Double, b: Double): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
     val qt = queries.select(col(qidCol),
       explode(array_distinct(TextStats.tokens(col(qtextCol)))).as("term"))
@@ -133,18 +188,11 @@ object Search {
       val x = s * 1e6
       when(x >= 0, floor(x + 0.5)).otherwise(-floor(-x + 0.5)).cast("long")
     }
-    val perQuery = scored
+    scored
       .select(col("doc_id"), col("term"), micro.as("_m"))
       .join(broadcast(qt), "term")
-      .groupBy(col(qidCol), col("doc_id")).agg(sum(col("_m")).as("_s"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(qidCol).orderBy(col("_s").desc, col("doc_id"))
-    perQuery
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col(qidCol), col("doc_id"), col("rank"),
-        graft.functions.Rounding.dround(
-          col("_s").cast("double") / 1e6, 6).as("score"))
+      .groupBy(col(qidCol), col("doc_id"))
+      .agg(sum(col("_m")).as("_s"), count(lit(1)).as("n_match"))
   }
 
   /** Persisted BM25 index: the postings relation laid out on disk

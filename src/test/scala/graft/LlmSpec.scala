@@ -2930,6 +2930,58 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: full matches excluded, partial matches ranked, zero matches absent") {
+    import graft.llm.Search
+    val d = Seq(
+      (1L, "spark window agg pad"),   // matches ALL of query 10 → presumed positive, excluded
+      (2L, "spark window miss pad"),  // 2 of 3 → hard negative
+      (3L, "spark other stuff pad"),  // 1 of 3 → hard negative
+      (4L, "wholly unrelated here"),  // 0 of 3 → never scored
+      (5L, "spark window agg agg")    // all 3 again → excluded
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "spark window agg")).toDF("query_id", "qtext")
+    val r = Search.bm25HardNegatives(d, qs, k = 5)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq.sortBy(_._3)
+    assert(r.map(_._2) == Seq(2L, 3L), r.toString) // ranked by score: 2 terms > 1 term
+    assert(r.map(_._5) == Seq(2L, 1L))
+    assert(r.map(_._3) == Seq(1L, 2L)) // ranks dense from 1 after exclusion
+    // the excluded full matches top the UNfiltered ranking (they are the
+    // positives the negatives are hard relative to)
+    val full = Search.bm25ForQueries(d, qs, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._3)
+    assert(Set(1L, 5L).contains(full.head._2))
+    // a duplicated query term counts ONCE toward the full-match bar
+    val qd = Seq((11L, "spark spark window")).toDF("query_id", "qtext")
+    val rd = Search.bm25HardNegatives(d, qd, k = 5)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(!rd.map(_._2).contains(2L), // doc 2 has both distinct terms → full match now
+      s"doc with every distinct term not excluded: $rd")
+    assert(rd.map(_._2).toSet == Set(3L), rd.toString)
+  }
+
+  test("doc novelty: exact copy scores zero, fresh doc scores one, overlap in between") {
+    import graft.llm.Corpus
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val d = Seq(
+      (1L, words("a", 12)),                       // 8 shingles, all first here
+      (2L, words("a", 12)),                       // exact copy → 0 novel
+      (3L, words("a", 8) + " " + words("b", 8)),  // prefix shared with doc 1
+      (4L, words("c", 12)),                       // disjoint → novelty 1
+      (5L, "tiny doc")                            // <5 tokens → 1 padded whole-doc shingle
+    ).toDF("doc_id", "text")
+    val r = Corpus.docNovelty(d)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) == ((8L, 8L, 1.0)), r.toString)
+    assert(r(2L) == ((8L, 0L, 0.0)), r.toString)
+    assert(r(4L) == ((8L, 8L, 1.0)), r.toString)
+    assert(r(5L) == ((1L, 1L, 1.0)), r.toString)
+    // doc 3: 12 shingles, the first 4 (within words("a",8)) already seen
+    // in doc 1, the rest cross into b-words → novel
+    assert(r(3L)._1 == 12L && r(3L)._2 == 8L, r.toString)
+    assert(math.abs(r(3L)._3 - 8.0 / 12.0) < 1e-6, r.toString)
+  }
+
   test("pagerank: exact integer fixpoints, hub outranks leaves, deterministic") {
     import graft.analytics.Graph
     // 2-cycle: perfectly symmetric — the integer recurrence is a fixpoint
