@@ -98,6 +98,15 @@ object SparkEntry {
       graft.llm.Search.buildBm25Index(t(s, d, "documents"),
         path = scratchDir(s, "bm25", d), nBuckets = 16))
 
+  // Unigram-LM seed-vocab memo: the tokenizer is a corpus artifact —
+  // trained once per (session, dir), encoded with many times.
+  private val unigramVocabs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.llm.Unigram.Vocab]
+  private def unigramVocab(s: SparkSession, d: String): graft.llm.Unigram.Vocab =
+    unigramVocabs.getOrElseUpdate(
+      (org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
+      graft.llm.Unigram.seed(t(s, d, "documents"), maxLen = 6, topK = 200))
+
   // The incrementally-maintained twin: history (doc_id % 3 != 0) built
   // once, the "new crawl" appended as postings/stats increments — probes
   // must be indistinguishable from a from-scratch rebuild.
@@ -1338,6 +1347,22 @@ object SparkEntry {
           vocabCap = 1 << 22)
         .zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "a", "b")
+    },
+
+    // The SECOND real tokenizer design: unigram-LM (SentencePiece seed
+    // form) — substring-frequency vocab trained ON the corpus (top-200 +
+    // all single chars, integer micro-nat costs), then per doc the
+    // Viterbi-optimal piece count and total cost. The combined
+    // cost·2^20+pieces objective makes the optimum VALUE unique, so both
+    // fields replay exactly — the oracle rebuilds the vocab with plain
+    // aggregates and runs the DP as a recursive CTE over word positions.
+    "unigram_encode" -> { (s, d) =>
+      val v = unigramVocab(s, d)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.native.unigramStats(col("text"), v).as("_u"))
+        .select(col("doc_id"), col("_u.n_pieces").as("n_pieces"),
+          col("_u.cost").as("cost"))
     },
 
     // Model-based quality scoring (hashed-BoW logistic classifier) under a
@@ -2670,6 +2695,43 @@ object SparkEntry {
   // adjacent-pair counts over v(r−1)'s symbolizations → best pair by
   // (count DESC, a, b) → one leftmost-greedy merge fold (the bpe_tokens
   // oracle's list_reduce, capturing the joined best-pair row).
+  // Unigram-encode replay: rebuild the seed vocabulary with plain
+  // aggregates (substring explode of the distinct-word relation, top-200
+  // by count DESC / piece ASC plus all single chars, micro-nat costs
+  // against the selected total), then run the Viterbi DP as a RECURSIVE
+  // CTE over word positions — each recursion step appends dp[e+1] =
+  // min over candidate pieces ending at e+1 of dp[start] + cost·2^20 + 1.
+  // The combined objective's optimum VALUE is unique, so the (cost,
+  // n_pieces) split (// and % by 2^20) is tie-free cross-engine.
+  private lazy val unigramEncodeOracleSql: String = {
+    val (ln, k, sc) = (6, 200, graft.llm.Unigram.Scale)
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT unnest(string_split(text, ' ')) AS w, doc_id FROM documents),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w0 WHERE w <> '' GROUP BY w),
+       |wi AS (SELECT w, f, CAST(unnest(generate_series(1, len(w))) AS INT) AS i FROM wf),
+       |wil AS (SELECT w, f, i, CAST(unnest(generate_series(1, least($ln, len(w) - i + 1))) AS INT) AS l FROM wi),
+       |subs AS (SELECT substr(w, i, l) AS piece, SUM(f) AS cnt FROM wil GROUP BY 1),
+       |sel AS (SELECT piece, cnt FROM (
+       |  SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn FROM subs)
+       |  WHERE rn <= $k OR len(piece) = 1),
+       |tot AS (SELECT SUM(cnt) AS t FROM sel),
+       |costs AS (SELECT piece, CAST(floor(1000000 * ln(CAST(t AS DOUBLE) / cnt) + 0.5) AS BIGINT) AS c FROM sel, tot),
+       |cand AS (SELECT wd.w, wd.i, wd.i + wd.l - 1 AS e, costs.c
+       |  FROM (SELECT DISTINCT w, i, l FROM wil) wd
+       |  JOIN costs ON costs.piece = substr(wd.w, wd.i, wd.l)),
+       |vit(w, e, dps) AS (
+       |  SELECT w, 0, [CAST(0 AS BIGINT)] FROM wf
+       |  UNION ALL
+       |  SELECT v.w, v.e + 1, list_append(v.dps,
+       |    (SELECT MIN(v.dps[c.i] + $sc * c.c + 1) FROM cand c WHERE c.w = v.w AND c.e = v.e + 1))
+       |  FROM vit v WHERE v.e < len(v.w)),
+       |best AS (SELECT w, dps[len(w) + 1] AS obj FROM vit WHERE e = len(w))
+       |SELECT doc_id, CAST(SUM(obj % $sc) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(obj // $sc) AS BIGINT) AS cost
+       |FROM w0 JOIN best ON w0.w = best.w GROUP BY doc_id ORDER BY doc_id"""
+      .stripMargin.replace("\n", " ")
+  }
+
   private lazy val bpeTrainOracleSql: String = {
     val k = 8
     def fold(a: String, b: String) =
@@ -2954,6 +3016,7 @@ object SparkEntry {
     "bpe_encode" -> bpeEncodeOracleSql,
     "tokenizer_fertility" -> tokenizerFertilityOracleSql,
     "bpe_train" -> bpeTrainOracleSql,
+    "unigram_encode" -> unigramEncodeOracleSql,
     "quality_model" -> qualityModelOracleSql,
     "model_calibration" -> modelCalibrationOracleSql,
     "model_eval" -> modelEvalOracleSql,

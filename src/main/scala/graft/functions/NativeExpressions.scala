@@ -685,6 +685,55 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): BpeTokens = copy(child = c)
 }
 
+/** Unigram-LM tokenizer stats of a whitespace-tokenized STRING under a
+  * fixed piece-cost table — `(n_pieces, cost)` struct: Viterbi-optimal
+  * piece count and total micro-nat cost, summed over words. Delegates to
+  * [[graft.llm.Unigram.encodeStats]] (ONE implementation of the DP,
+  * shared with the driver twin and the recursive-CTE oracle's contract).
+  * The vocab rides the expression tree as a literal, like [[BpeCount]]'s
+  * merge table — tokenizer vocabularies are config-sized artifacts.
+  */
+case class UnigramStats(child: Expression, pieces: Seq[(String, Long)],
+                        total: Long, maxLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pieces", LongType), StructField("cost", LongType)))
+
+  @transient private lazy val vocab =
+    graft.llm.Unigram.Vocab(pieces.toMap, total, maxLen)
+
+  override def nullSafeEval(input: Any): Any = {
+    val (np, c) = graft.llm.Unigram.encodeStats(
+      input.asInstanceOf[UTF8String].toString, vocab)
+    org.apache.spark.sql.catalyst.InternalRow(np, c)
+  }
+
+  override protected def withNewChildInternal(c: Expression): UnigramStats = copy(child = c)
+}
+
+/** The unigram-LM PIECE sequence of a STRING — `array<string>` of
+  * Viterbi-optimal pieces in document order ([[UnigramStats]]' first
+  * field is its length). The E-step workhorse of
+  * [[graft.llm.Unigram.train]]: evaluated over the distinct-word
+  * relation, its exploded output re-counts piece usage with one keyed
+  * aggregate. Same backpointer DP as [[graft.llm.Unigram.segment]].
+  */
+case class UnigramPieces(child: Expression, pieces: Seq[(String, Long)],
+                         total: Long, maxLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType)
+
+  @transient private lazy val vocab =
+    graft.llm.Unigram.Vocab(pieces.toMap, total, maxLen)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(graft.llm.Unigram.encodePieces(
+        input.asInstanceOf[UTF8String].toString, vocab)
+      .map(UTF8String.fromString))
+
+  override protected def withNewChildInternal(c: Expression): UnigramPieces = copy(child = c)
+}
+
 /** Hashed bag-of-words logistic quality score of a STRING (one tight loop
   * per row; delegates to [[graft.llm.QualityModel.scoreText]] so the merge
   * of semantics lives in exactly one place). Weights are a config-sized
@@ -1237,6 +1286,16 @@ object native {
   /** The full BPE token sequence (array<string>, document order). */
   def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeTokens(expression(c), merges))
+
+  /** Unigram-LM `(n_pieces, cost)` stats under a vocab artifact. */
+  def unigramStats(c: Column, v: graft.llm.Unigram.Vocab): Column =
+    column(UnigramStats(expression(c), v.costs.toSeq.sortBy(_._1),
+      v.total, v.maxLen))
+
+  /** Unigram-LM Viterbi piece sequence (array<string>, document order). */
+  def unigramPieces(c: Column, v: graft.llm.Unigram.Vocab): Column =
+    column(UnigramPieces(expression(c), v.costs.toSeq.sortBy(_._1),
+      v.total, v.maxLen))
 
   /** Hashed-BoW logistic quality score under a model artifact. */
   def qualityModelScore(c: Column, m: graft.llm.QualityModel.Model): Column =

@@ -2982,6 +2982,61 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(r(3L)._3 - 8.0 / 12.0) < 1e-6, r.toString)
   }
 
+  test("unigram tokenizer: Viterbi equals brute force, pieces round-trip, hard-EM loss non-increasing") {
+    import graft.llm.Unigram
+    val docs = Seq(
+      (1L, "abab abab abab cd"), (2L, "abab ab cd cd"),
+      (3L, "abcd abab ab"), (4L, "dcba abab abab")).toDF("doc_id", "text")
+    val v = Unigram.seed(docs, topK = 6, maxLen = 4)
+    // character coverage is unconditional; the dominant substring is a piece
+    assert(Set("a", "b", "c", "d").subsetOf(v.costs.keySet), v.costs.keySet)
+    assert(v.costs.contains("abab"))
+    assert(Unigram.segment("abab", v).toSeq == Seq("abab"))
+    // pieces concatenate back to the word (incl. an OOV char via unkCost)
+    for (w <- Seq("abab", "ab", "cd", "abcd", "dcba", "axb"))
+      assert(Unigram.segment(w, v).mkString == w, w)
+    // Viterbi == exhaustive minimum of the combined objective
+    def brute(word: String): Long = {
+      def go(i: Int): Long =
+        if (i == word.length) 0L
+        else (1 to math.min(v.maxLen, word.length - i)).flatMap { l =>
+          val p = word.substring(i, i + l)
+          val c = v.costs.get(p).orElse(if (l == 1) Some(v.unkCost) else None)
+          c.flatMap { cc =>
+            val rest = go(i + l)
+            if (rest == Long.MaxValue) None
+            else Some(cc * Unigram.Scale + 1L + rest)
+          }
+        }.minOption.getOrElse(Long.MaxValue)
+      go(0)
+    }
+    for (w <- Seq("abab", "abcd", "dcba", "ababab", "aaaa", "axb"))
+      assert(Unigram.wordObj(w, v) == brute(w), w)
+    // encodeStats agrees with the concatenated segment stream, and the
+    // native expression agrees with the driver twin
+    val text = "abab ab  cd abcd"
+    val (np, cost) = Unigram.encodeStats(text, v)
+    val segs = Unigram.encodePieces(text, v)
+    assert(np == segs.length && segs.mkString == text.replace(" ", ""))
+    val exprRow = Seq(Tuple1(text)).toDF("text")
+      .select(graft.functions.native.unigramStats(col("text"), v).as("u"))
+      .select("u.n_pieces", "u.cost").as[(Long, Long)].collect().head
+    assert(exprRow == ((np, cost)))
+    // seed is partitioning-invariant
+    val v2 = Unigram.seed(docs.repartition(7), topK = 6, maxLen = 4)
+    assert(v2.costs == v.costs && v2.total == v.total)
+    // hard-EM: loss measured entering each epoch; after the first prune
+    // (epoch-0 loss is under the 4x-oversized seed) it never increases
+    val (tv, losses) = Unigram.train(docs, vocabSize = 16, maxLen = 4, epochs = 4)
+    assert(losses.length == 4)
+    assert(losses.drop(1).sliding(2).forall(p => p.length < 2 || p(1) <= p(0)),
+      losses.toString)
+    assert(Set("a", "b", "c", "d").subsetOf(tv.costs.keySet))
+    assert(tv.costs.size <= 16)
+    // the trained model still segments the dominant word as one piece
+    assert(Unigram.segment("abab", tv).toSeq == Seq("abab"))
+  }
+
   test("pagerank: exact integer fixpoints, hub outranks leaves, deterministic") {
     import graft.analytics.Graph
     // 2-cycle: perfectly symmetric — the integer recurrence is a fixpoint
