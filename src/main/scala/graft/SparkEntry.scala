@@ -1365,6 +1365,25 @@ object SparkEntry {
           col("_u.cost").as("cost"))
     },
 
+    // The two tokenizer designs on the same quality readout: unigram-LM
+    // pieces per whitespace word, per language (compare against
+    // tokenizer_fertility's BPE column to pick a tokenizer per corpus).
+    "unigram_fertility" -> { (s, d) =>
+      val v = unigramVocab(s, d)
+      t(s, d, "documents").select(col("lang"),
+          graft.functions.native.unigramStats(col("text"), v)
+            .getField("n_pieces").as("_p"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("_w"))
+        .groupBy("lang").agg(sum("_p").as("n_pieces"), sum("_w").as("n_words"))
+        .select(col("lang"), col("n_pieces"), col("n_words"),
+          when(col("n_words") > 0,
+            graft.functions.Rounding.dround(
+              col("n_pieces").cast("double") / col("n_words"), 6))
+            .as("fertility"))
+        .orderBy("lang")
+    },
+
     // Model-based quality scoring (hashed-BoW logistic classifier) under a
     // fixed literal model artifact — the oracle recomputes the identical
     // in-order fold, PolyHash feature index, sigmoid and 6-dp edge round.
@@ -2703,7 +2722,7 @@ object SparkEntry {
   // min over candidate pieces ending at e+1 of dp[start] + cost·2^20 + 1.
   // The combined objective's optimum VALUE is unique, so the (cost,
   // n_pieces) split (// and % by 2^20) is tie-free cross-engine.
-  private lazy val unigramEncodeOracleSql: String = {
+  private lazy val unigramBestCte: String = {
     val (ln, k, sc) = (6, 200, graft.llm.Unigram.Scale)
     s"""WITH RECURSIVE
        |w0 AS (SELECT unnest(string_split(text, ' ')) AS w, doc_id FROM documents),
@@ -2725,11 +2744,32 @@ object SparkEntry {
        |  SELECT v.w, v.e + 1, list_append(v.dps,
        |    (SELECT MIN(v.dps[c.i] + $sc * c.c + 1) FROM cand c WHERE c.w = v.w AND c.e = v.e + 1))
        |  FROM vit v WHERE v.e < len(v.w)),
-       |best AS (SELECT w, dps[len(w) + 1] AS obj FROM vit WHERE e = len(w))
-       |SELECT doc_id, CAST(SUM(obj % $sc) AS BIGINT) AS n_pieces,
-       |  CAST(SUM(obj // $sc) AS BIGINT) AS cost
-       |FROM w0 JOIN best ON w0.w = best.w GROUP BY doc_id ORDER BY doc_id"""
+       |best AS (SELECT w, dps[len(w) + 1] AS obj FROM vit WHERE e = len(w))"""
       .stripMargin.replace("\n", " ")
+  }
+
+  private lazy val unigramEncodeOracleSql: String = {
+    val sc = graft.llm.Unigram.Scale
+    unigramBestCte +
+      s" SELECT doc_id, CAST(SUM(obj % $sc) AS BIGINT) AS n_pieces, " +
+      s"CAST(SUM(obj // $sc) AS BIGINT) AS cost " +
+      "FROM w0 JOIN best ON w0.w = best.w GROUP BY doc_id ORDER BY doc_id"
+  }
+
+  // Per-lang unigram fertility: per-doc word and piece totals from the
+  // same best relation, LEFT JOIN so wordless docs contribute zeros.
+  private lazy val unigramFertilityOracleSql: String = {
+    val sc = graft.llm.Unigram.Scale
+    unigramBestCte +
+      s", wn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS w, " +
+      s"CAST(SUM(obj % $sc) AS BIGINT) AS p " +
+      "FROM w0 JOIN best ON w0.w = best.w GROUP BY doc_id), " +
+      "l AS (SELECT d.lang, coalesce(wn.p, 0) AS p, coalesce(wn.w, 0) AS w " +
+      "FROM documents d LEFT JOIN wn ON d.doc_id = wn.doc_id) " +
+      "SELECT lang, CAST(sum(p) AS BIGINT) AS n_pieces, " +
+      "CAST(sum(w) AS BIGINT) AS n_words, " +
+      "CASE WHEN sum(w) > 0 THEN round(CAST(sum(p) AS DOUBLE) / sum(w), 6) END AS fertility " +
+      "FROM l GROUP BY lang ORDER BY lang"
   }
 
   private lazy val bpeTrainOracleSql: String = {
@@ -3017,6 +3057,7 @@ object SparkEntry {
     "tokenizer_fertility" -> tokenizerFertilityOracleSql,
     "bpe_train" -> bpeTrainOracleSql,
     "unigram_encode" -> unigramEncodeOracleSql,
+    "unigram_fertility" -> unigramFertilityOracleSql,
     "quality_model" -> qualityModelOracleSql,
     "model_calibration" -> modelCalibrationOracleSql,
     "model_eval" -> modelEvalOracleSql,

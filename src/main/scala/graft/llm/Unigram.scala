@@ -188,6 +188,26 @@ object Unigram {
     out.toArray
   }
 
+  /** Persist the vocab artifact — `(piece, cost)` rows plus a one-row
+    * meta of (total, maxLen) — reloadable across sessions like the BPE
+    * merge table and the index layouts.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, v: Vocab,
+           path: String): Unit = {
+    import spark.implicits._
+    v.costs.toSeq.sortBy(_._1).toDF("piece", "cost")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/pieces")
+    Seq((v.total, v.maxLen)).toDF("total", "max_len")
+      .write.mode("overwrite").parquet(path + "/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Vocab = {
+    val m = spark.read.parquet(path + "/meta").collect().head
+    Vocab(spark.read.parquet(path + "/pieces").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      m.getLong(0), m.getInt(1))
+  }
+
   /** Hard-EM (Viterbi-EM) training: per epoch, segment every distinct
     * word under the current model (E — a per-row native expression over
     * the word relation, weighted by frequency), re-estimate piece counts

@@ -3035,6 +3035,12 @@ class LlmSpec extends SparkSpec {
     assert(tv.costs.size <= 16)
     // the trained model still segments the dominant word as one piece
     assert(Unigram.segment("abab", tv).toSeq == Seq("abab"))
+    // artifact round-trip: save/load preserves the exact model
+    val vp = tmpDir("unigramvocab") + "/v"
+    Unigram.save(spark, tv, vp)
+    val lv = Unigram.load(spark, vp)
+    assert(lv.costs == tv.costs && lv.total == tv.total &&
+      lv.maxLen == tv.maxLen && lv.unkCost == tv.unkCost)
   }
 
   test("pagerank: exact integer fixpoints, hub outranks leaves, deterministic") {
