@@ -825,6 +825,14 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) =>
       Dedup.duplicatedSpans(t(s, d, "documents"), k = 10)),
 
+    // The EDITING form of exact-substring dedup (Lee et al. 2022): cut
+    // every non-canonical duplicated 10-token span from the text itself,
+    // keeping the global-first occurrence — detection's companion
+    // transform. One 32-byte window-hash exchange decides; the cut is a
+    // doc-local two-pointer native kernel.
+    "dedup_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(t(s, d, "documents"), k = 10)),
+
     // Incremental dedup: probe the odd-id half of the corpus (the "new
     // crawl") against a persisted signature store built from the even-id
     // half (the "history") — matched docs resolve to the stored CANONICAL
@@ -3454,6 +3462,26 @@ object SparkEntry {
         "d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1) " +
         "SELECT doc_id, count(*) AS n_dup_windows, min(pos) AS first_pos " +
         "FROM w JOIN d USING (win) GROUP BY doc_id ORDER BY doc_id"),
+
+    // Editing replay: duplicated-window occurrences ranked by (doc, pos)
+    // — rank 1 is canonical; a token is cut iff some non-canonical start
+    // lands within the 10-token window ending at it.
+    "dedup_span_removal" ->
+      ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, gs.i AS p, array_to_string(ws[gs.i:(gs.i+9)], ' ') AS win " +
+        "FROM wd, LATERAL (SELECT unnest(range(1, greatest(len(ws)-9, 1)+1)) AS i) gs), " +
+        "m AS (SELECT doc_id, p, count(*) OVER (PARTITION BY win) AS n, " +
+        "row_number() OVER (PARTITION BY win ORDER BY doc_id, p) AS rn FROM w), " +
+        "bad AS (SELECT doc_id, p FROM m WHERE n > 1 AND rn > 1), " +
+        "u AS (SELECT doc_id, gs.j AS j, list_extract(ws, gs.j) AS tok FROM wd, " +
+        "LATERAL (SELECT unnest(range(1, len(ws)+1)) AS j) gs), " +
+        "kept AS (SELECT u.doc_id, u.j, u.tok FROM u WHERE NOT EXISTS " +
+        "(SELECT 1 FROM bad b WHERE b.doc_id = u.doc_id AND b.p BETWEEN u.j - 9 AND u.j)), " +
+        "agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text, " +
+        "CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id) " +
+        "SELECT wd.doc_id, coalesce(agg.clean_text, '') AS clean_text, " +
+        "CAST(len(wd.ws) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed " +
+        "FROM wd LEFT JOIN agg USING (doc_id) ORDER BY wd.doc_id"),
 
     "decontaminate" ->
       (shingleCte +

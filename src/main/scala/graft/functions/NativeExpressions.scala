@@ -734,6 +734,51 @@ case class UnigramPieces(child: Expression, pieces: Seq[(String, Long)],
   override protected def withNewChildInternal(c: Expression): UnigramPieces = copy(child = c)
 }
 
+/** Span-removal cleanup of a token array: given the sorted 1-based start
+  * positions of k-token windows to cut, returns `(clean_text, n_removed)`
+  * — the text with every token covered by ≥1 listed window removed,
+  * rejoined on single spaces. Two-pointer sweep, O(tokens + starts): a
+  * token at position j is covered iff some consumed start p ≤ j has
+  * p + k − 1 ≥ j, i.e. the running max window end reaches j. The
+  * doc-local half of [[graft.llm.Dedup.removeDuplicatedSpans]] — the
+  * corpus-wide duplicate decision arrives as the `starts` column.
+  */
+case class RemoveCoveredSpans(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType), StructField("n_removed", LongType)))
+
+  override def nullSafeEval(toks: Any, starts: Any): Any = {
+    val ts = toks.asInstanceOf[ArrayData]
+    val ss = starts.asInstanceOf[ArrayData]
+    val n = ts.numElements()
+    val m = ss.numElements()
+    val sb = new java.lang.StringBuilder
+    var removed = 0L
+    var si = 0
+    var maxEnd = 0L
+    var j = 1
+    while (j <= n) {
+      while (si < m && ss.getLong(si) <= j) {
+        val e = ss.getLong(si) + k - 1
+        if (e > maxEnd) maxEnd = e
+        si += 1
+      }
+      if (maxEnd >= j) removed += 1
+      else {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(ts.getUTF8String(j - 1).toString)
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(sb.toString), removed)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): RemoveCoveredSpans = copy(left = l, right = r)
+}
+
 /** Hashed bag-of-words logistic quality score of a STRING (one tight loop
   * per row; delegates to [[graft.llm.QualityModel.scoreText]] so the merge
   * of semantics lives in exactly one place). Weights are a config-sized
@@ -1296,6 +1341,10 @@ object native {
   def unigramPieces(c: Column, v: graft.llm.Unigram.Vocab): Column =
     column(UnigramPieces(expression(c), v.costs.toSeq.sortBy(_._1),
       v.total, v.maxLen))
+
+  /** `(clean_text, n_removed)` after cutting k-token windows at `starts`. */
+  def removeCoveredSpans(toks: Column, starts: Column, k: Int): Column =
+    column(RemoveCoveredSpans(expression(toks), expression(starts), k))
 
   /** Hashed-BoW logistic quality score under a model artifact. */
   def qualityModelScore(c: Column, m: graft.llm.QualityModel.Model): Column =

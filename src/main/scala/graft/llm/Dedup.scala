@@ -156,6 +156,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_windows"), min("pos").as("first_pos"))
   }
 
+  /** Exact-substring dedup as a TRANSFORM (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" cut, in
+    * window form): remove from every document each k-token span whose
+    * window content occurs more than once in the corpus, keeping only the
+    * CANONICAL occurrence (global min (doc, pos) per window content) —
+    * [[duplicatedSpans]] detects; this edits. A token is cut iff covered
+    * by ≥1 non-canonical duplicated-window occurrence; canonical
+    * occurrences protect nothing beyond their own window.
+    *
+    * Returns `(idCol, clean_text, n_removed)` for EVERY input doc
+    * (clean_text may be empty for a fully-duplicated doc).
+    *
+    * Scale shape: window hashes shuffle ONCE (count + first-occurrence
+    * rank in two window ops over the same exchange — 32-byte keys, text
+    * never shuffles); cut starts fly back doc-keyed (duplicate-volume
+    * sized, not corpus sized); the edit itself is a doc-local two-pointer
+    * native kernel riding a doc ⋈ doc join. Ubiquitous windows (the
+    * boilerplate this op exists to cut) skew their hash partition — the
+    * same posture as [[duplicatedSpans]]; the per-row payload is 40
+    * bytes, so even a million-occurrence window is a ~40 MB partition.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", k: Int = 10): DataFrame = {
+    require(k >= 2, s"window must cover at least 2 tokens: $k")
+    val wins = docs
+      .select(col(idCol), split(col(textCol), " ").as("_ws"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("_ws")) - (k - 1), lit(1))),
+          i => array_join(slice(col("_ws"), i, lit(k)), " "))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("p"),
+        sha2(col("col"), 256).as("_h"))
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("_h")
+    val cuts = wins
+      .withColumn("_rn", row_number().over(byH.orderBy(col(idCol), col("p"))))
+      .withColumn("_n", count(lit(1)).over(byH))
+      .where(col("_n") > 1 && col("_rn") > 1)
+      .groupBy(idCol).agg(sort_array(collect_list("p")).as("_cuts"))
+    docs
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol),
+        graft.functions.native.removeCoveredSpans(
+          split(col(textCol), " "),
+          coalesce(col("_cuts"), array().cast("array<long>")), k).as("_c"))
+      .select(col(idCol), col("_c.clean_text").as("clean_text"),
+        col("_c.n_removed").as("n_removed"))
+  }
+
   /** Distinct word n-gram shingles of a token array (native expression; the
     * set semantics match `list_distinct(list_transform(...))` in the oracle —
     * only intersection/union sizes are consumed downstream, so element order

@@ -2982,6 +2982,29 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(r(3L)._3 - 8.0 / 12.0) < 1e-6, r.toString)
   }
 
+  test("span removal: canonical survives, exact copy fully cut, shared span cut from the later doc") {
+    import graft.llm.Dedup
+    def ws(p: String, a: Int, b: Int) = (a to b).map(p + _).mkString(" ")
+    val t1 = ws("c", 1, 15)
+    val t3 = ws("x", 1, 5) + " " + ws("c", 3, 12) + " " + ws("y", 1, 5)
+    val docs = Seq((1L, t1), (2L, t1), (3L, t3), (4L, ws("z", 1, 12)))
+      .toDF("doc_id", "text")
+    val r = Dedup.removeDuplicatedSpans(docs, k = 10)
+      .as[(Long, String, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(1L) == ((t1, 0L)), r(1L))   // global-first occurrences: untouched
+    assert(r(2L) == (("", 15L)), r(2L))  // exact copy: every window dup → fully cut
+    assert(r(4L) == ((ws("z", 1, 12), 0L))) // unique doc untouched
+    // doc 3's middle span c3..c12 duplicates doc 1's window at pos 3
+    // (canonical by (doc, pos)) → its 10 tokens cut, flanks survive
+    assert(r(3L) == ((ws("x", 1, 5) + " " + ws("y", 1, 5), 10L)), r(3L))
+    // token conservation on every row
+    val orig = Map(1L -> t1, 2L -> t1, 3L -> t3, 4L -> ws("z", 1, 12))
+    r.foreach { case (id, (clean, removed)) =>
+      val kept = clean.split(" ").count(_.nonEmpty)
+      assert(kept + removed == orig(id).split(" ").length, id)
+    }
+  }
+
   test("unigram tokenizer: Viterbi equals brute force, pieces round-trip, hard-EM loss non-increasing") {
     import graft.llm.Unigram
     val docs = Seq(
