@@ -1255,6 +1255,14 @@ object SparkEntry {
       graft.llm.Search.bm25HardNegatives(t(s, d, "documents"), qs, k = 5)
     },
 
+    // C4-style blocklist gate: substring occurrences of any listed
+    // pattern (overlapping counted, phrases cross word boundaries) via a
+    // compiled Aho-Corasick automaton — ONE text pass however long the
+    // list; kept = zero-tolerance budget. The oracle replays the same
+    // start-position match semantics per pattern.
+    "blocklist_filter" -> ((s, d) =>
+      graft.llm.Blocklist.filter(t(s, d, "documents"), blocklistPatterns)),
+
     "lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("lang"), TextStats.langId(col("text")).as("pred_lang"))
@@ -2730,6 +2738,24 @@ object SparkEntry {
   // min over candidate pieces ending at e+1 of dp[start] + cost·2^20 + 1.
   // The combined objective's optimum VALUE is unique, so the (cost,
   // n_pieces) split (// and % by 2^20) is tie-free cross-engine.
+  // The gate's blocklist: common corpus words plus multi-word phrases
+  // (phrases exercise cross-word matching; 'low' nests inside 'slow' to
+  // exercise overlapping/suffix hits).
+  private val blocklistPatterns =
+    Seq("slow", "low", "dup", "merge slow", "slow small")
+
+  private lazy val blocklistFilterOracleSql: String = {
+    val pats = blocklistPatterns.map(p => s"('$p')").mkString(", ")
+    s"WITH p(pat) AS (VALUES $pats), " +
+      "d AS (SELECT doc_id, text FROM documents), " +
+      "pos AS (SELECT doc_id, CAST(unnest(range(1, len(text) + 1)) AS INT) AS j, text FROM d), " +
+      "m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pos " +
+      "JOIN p ON substr(pos.text, pos.j, len(p.pat)) = p.pat GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(m.n, 0) AS n_matches, " +
+      "coalesce(m.n, 0) <= 0 AS kept " +
+      "FROM d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id"
+  }
+
   private lazy val unigramBestCte: String = {
     val (ln, k, sc) = (6, 200, graft.llm.Unigram.Scale)
     s"""WITH RECURSIVE
@@ -3066,6 +3092,7 @@ object SparkEntry {
     "bpe_train" -> bpeTrainOracleSql,
     "unigram_encode" -> unigramEncodeOracleSql,
     "unigram_fertility" -> unigramFertilityOracleSql,
+    "blocklist_filter" -> blocklistFilterOracleSql,
     "quality_model" -> qualityModelOracleSql,
     "model_calibration" -> modelCalibrationOracleSql,
     "model_eval" -> modelEvalOracleSql,

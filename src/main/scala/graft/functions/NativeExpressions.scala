@@ -779,6 +779,26 @@ case class RemoveCoveredSpans(left: Expression, right: Expression, k: Int)
       r: Expression): RemoveCoveredSpans = copy(left = l, right = r)
 }
 
+/** Total occurrences of ANY of a fixed pattern list in a STRING —
+  * overlapping substring matches, counted by a compiled Aho–Corasick
+  * automaton in ONE pass (O(text + matches) independent of pattern
+  * count; the blocklist kernel of [[graft.llm.Blocklist]]). The pattern
+  * list rides the tree as a literal; the automaton compiles lazily per
+  * executor.
+  */
+case class MultiPatternCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val ac = graft.llm.Blocklist.compile(patterns)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(graft.llm.Blocklist.countMatches(
+      input.asInstanceOf[UTF8String].toString, ac))
+
+  override protected def withNewChildInternal(c: Expression): MultiPatternCount = copy(child = c)
+}
+
 /** Hashed bag-of-words logistic quality score of a STRING (one tight loop
   * per row; delegates to [[graft.llm.QualityModel.scoreText]] so the merge
   * of semantics lives in exactly one place). Weights are a config-sized
@@ -1345,6 +1365,10 @@ object native {
   /** `(clean_text, n_removed)` after cutting k-token windows at `starts`. */
   def removeCoveredSpans(toks: Column, starts: Column, k: Int): Column =
     column(RemoveCoveredSpans(expression(toks), expression(starts), k))
+
+  /** Total Aho–Corasick occurrences of any pattern in a text column. */
+  def multiPatternCount(c: Column, patterns: Seq[String]): Column =
+    column(MultiPatternCount(expression(c), patterns))
 
   /** Hashed-BoW logistic quality score under a model artifact. */
   def qualityModelScore(c: Column, m: graft.llm.QualityModel.Model): Column =

@@ -2982,6 +2982,38 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(r(3L)._3 - 8.0 / 12.0) < 1e-6, r.toString)
   }
 
+  test("blocklist: Aho-Corasick counts equal naive scan, overlaps and nested patterns counted") {
+    import graft.llm.Blocklist
+    // classic AC corpus: 'hers' triggers he+hers, 'she' triggers she+he
+    val pats = Seq("he", "she", "his", "hers")
+    val ac = Blocklist.compile(pats)
+    assert(Blocklist.countMatches("ushers", ac) == 3L)   // she, he, hers
+    assert(Blocklist.countMatches("hishers", ac) == 4L)  // his, she, he, hers
+    assert(Blocklist.countMatches("xyz", ac) == 0L)
+    // overlapping self-matches
+    val ac2 = Blocklist.compile(Seq("aa"))
+    assert(Blocklist.countMatches("aaaa", ac2) == 3L)
+    // randomized parity vs the naive per-pattern scan
+    val rnd = new scala.util.Random(7)
+    val alpha = "abch es"
+    (1 to 200).foreach { _ =>
+      val text = (1 to rnd.nextInt(60)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(Blocklist.countMatches(text, ac) == Blocklist.countNaive(text, pats), text)
+    }
+    // the operator: phrase crossing a word boundary, budget flag
+    val docs = Seq(
+      (1L, "clean words only here"),
+      (2L, "merge slow path taken"),   // phrase 'merge slow' + 'slow' + 'low'
+      (3L, "slow slow glow")           // slow x2, low x3
+    ).toDF("doc_id", "text")
+    val r = Blocklist.filter(docs,
+        Seq("slow", "low", "merge slow", "dup", "slow small"))
+      .as[(Long, Long, Boolean)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(1L) == ((0L, true)), r.toString)
+    assert(r(2L) == ((3L, false)), r.toString)
+    assert(r(3L) == ((5L, false)), r.toString)
+  }
+
   test("span removal: canonical survives, exact copy fully cut, shared span cut from the later doc") {
     import graft.llm.Dedup
     def ws(p: String, a: Int, b: Int) = (a to b).map(p + _).mkString(" ")
