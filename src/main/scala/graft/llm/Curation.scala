@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   *   2. NEAR-dup cluster resolution via the persisted [[PairsIndex]]
   *      (built here if absent), keeping each cluster's HIGHEST-quality
   *      member (ties to the lower id);
+  *   2b. optional exact-substring SPAN CUT ([[Dedup.removeDuplicatedSpans]]
+  *      — rewrites text, drops nothing directly);
   *   3. the Gopher quality filter (doc-local rule bitmask);
+  *   3b. optional BLOCKLIST gate ([[Blocklist.filter]], zero tolerance);
   *   4. optional benchmark DECONTAMINATION against an eval set
   *      (broadcast shingle probe);
   *   5. optional global token-BUDGET cut by quality (per-score-bucket
@@ -26,17 +29,21 @@ object Curation {
 
   final case class Report(nInput: Long, nAfterExact: Long,
       nAfterNearDup: Long, nAfterQuality: Long, nAfterDecontam: Long,
-      nFinal: Long) {
+      nFinal: Long, nSpanTokensCut: Long = 0L,
+      nAfterBlocklist: Long = -1L) {
     override def toString: String =
       s"input=$nInput exact=$nAfterExact nearDup=$nAfterNearDup " +
-        s"quality=$nAfterQuality decontam=$nAfterDecontam final=$nFinal"
+        s"spanTokensCut=$nSpanTokensCut quality=$nAfterQuality " +
+        s"blocklist=$nAfterBlocklist decontam=$nAfterDecontam final=$nFinal"
   }
 
   def run(docs: DataFrame, pairsPath: String,
           evalSet: Option[DataFrame] = None,
           tokenBudget: Option[Long] = None,
           textCol: String = "text", idCol: String = "doc_id",
-          minWords: Int = 50, k: Int = 40): (DataFrame, Report) = {
+          minWords: Int = 50, k: Int = 40,
+          spanDedupK: Option[Int] = None,
+          blocklist: Seq[String] = Nil): (DataFrame, Report) = {
     val spark = docs.sparkSession
     val nInput = docs.count()
 
@@ -73,12 +80,39 @@ object Curation {
       .localCheckpoint(false) // three downstream stages reuse this relation
     val nNearDup = afterNearDup.count()
 
+    // 2b. optional exact-substring span CUT (Lee et al. form): rewrite
+    //     each doc with its non-canonical duplicated k-token spans
+    //     removed — an EDIT, not a drop (a fully-cut doc falls to the
+    //     quality stage's word floor). Runs after doc-level dedup so
+    //     only genuinely partial overlaps reach the window kernel.
+    val (afterSpans, nSpanCut) = spanDedupK match {
+      case Some(kk) =>
+        val cleaned = Dedup.removeDuplicatedSpans(afterNearDup, textCol,
+            idCol, kk)
+          .localCheckpoint(false) // feeds the rewrite AND the cut count
+        val rewritten = afterNearDup.drop(textCol)
+          .join(cleaned.select(col(idCol),
+            col("clean_text").as(textCol), col("n_removed")), idCol)
+        val cut = cleaned.agg(coalesce(sum("n_removed"), lit(0L)))
+          .collect().head.getLong(0)
+        (rewritten.drop("n_removed"), cut)
+      case None => (afterNearDup, 0L)
+    }
+
     // 3. quality rules
-    val afterQuality = qualityStage(afterNearDup, textCol, idCol, minWords)
+    val afterQuality = qualityStage(afterSpans, textCol, idCol, minWords)
     val nQuality = afterQuality.count()
 
+    // 3b. optional blocklist gate (zero-tolerance Aho-Corasick match)
+    val afterBlocklist =
+      if (blocklist.isEmpty) afterQuality
+      else afterQuality.join(
+        Blocklist.filter(afterQuality, blocklist, textCol, idCol)
+          .where(col("kept")).select(col(idCol)), idCol)
+    val nBlocklist = if (blocklist.isEmpty) nQuality else afterBlocklist.count()
+
     // 4. decontamination (optional)
-    val afterDecontam = decontamStage(afterQuality, evalSet, textCol, idCol)
+    val afterDecontam = decontamStage(afterBlocklist, evalSet, textCol, idCol)
     val nDecontam = afterDecontam.count()
 
     // 5. token budget (optional): best docs by quality until spent
@@ -94,7 +128,8 @@ object Curation {
     val nFinal = finalDf.count()
 
     (finalDf,
-      Report(nInput, nExact, nNearDup, nQuality, nDecontam, nFinal))
+      Report(nInput, nExact, nNearDup, nQuality, nDecontam, nFinal,
+        nSpanCut, nBlocklist))
   }
 
   /** The Gopher-keep stage shared by [[run]] and [[runIncremental]] (one

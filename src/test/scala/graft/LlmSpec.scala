@@ -1859,6 +1859,32 @@ class LlmSpec extends SparkSpec {
       r3.columns.toSeq == Seq("level", "a", "b", "n"))
   }
 
+  test("Curation.run optional stages: span cut edits text in place, blocklist drops matchers") {
+    import graft.llm.Curation
+    def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
+    val t1 = words("a", 60)
+    val span = (1 to 20).map(j => s"aw$j").mkString(" ")
+    val t2 = words("b", 60) + " " + span // doc 1's first 20 words appended: below near-dup threshold, above the span window
+    val t3 = words("c", 60) + " blocked"
+    val corpus = Seq((1L, t1), (2L, t2), (3L, t3), (4L, words("d", 60)))
+      .toDF("doc_id", "text")
+    val (out, rep) = Curation.run(corpus, tmpDir("curopt") + "/idx",
+      spanDedupK = Some(10), blocklist = Seq("blocked"))
+    val byId = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rep.nAfterExact == 4 && rep.nAfterNearDup == 4, rep.toString)
+    assert(byId(1L) == t1)                        // canonical text untouched
+    assert(byId(2L) == words("b", 60), byId(2L))  // the copied span cut in place
+    assert(rep.nSpanTokensCut == 20L, rep.toString)
+    assert(!byId.contains(3L), byId.keySet)       // blocklist drop
+    assert(rep.nAfterQuality == 4 && rep.nAfterBlocklist == 3, rep.toString)
+    assert(byId(4L) == words("d", 60) && rep.nFinal == 3)
+    // stages default OFF: same corpus, no span cut, doc 3 survives
+    val (out0, rep0) = Curation.run(corpus, tmpDir("curopt0") + "/idx")
+    assert(rep0.nSpanTokensCut == 0L && rep0.nAfterBlocklist == rep0.nAfterQuality)
+    assert(out0.select("doc_id").as[Long].collect().toSet.contains(3L))
+    assert(out0.where(col("doc_id") === 2L).select("text").as[String].head == t2)
+  }
+
   test("Curation.run: every stage drops exactly its targets, report counts match") {
     import graft.llm.Curation
     def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
