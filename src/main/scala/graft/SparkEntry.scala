@@ -1274,6 +1274,13 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         ),
 
+    // TRAINED language-ID: multinomial Naive Bayes fit on the even-id
+    // half, scored over every doc — integer micro-unit log-probs end to
+    // end, so the full train + predict loop replays hash-exact in the
+    // oracle. Reads next to lang_id's heuristic confusion matrix.
+    "langid_nb" -> ((s, d) =>
+      graft.llm.NaiveBayes.confusion(t(s, d, "documents"))),
+
     // Gopher-style per-doc quality signals: n-gram repetition, mean word
     // length, symbol density — the cheap filters a pretraining pipeline
     // gates on. One shuffle-free columnar pass.
@@ -4188,6 +4195,43 @@ object SparkEntry {
         "0.4 * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))) + " +
         s"0.3 * (len(list_filter(string_split(text,' '), t -> list_contains($allStop, t))) * 1.0 / " +
         "len(string_split(text,' '))), 4) AS quality FROM documents ORDER BY doc_id"),
+
+    // langid_nb oracle: the full Naive Bayes train + predict replay —
+    // Laplace-smoothed (label, word) conditionals and priors as half-up
+    // micro-unit log10 BIGINTs (the lm_score convention), scores as pure
+    // integer sums, argmax with the label-order tiebreak.
+    "langid_nb" -> {
+      def m(x: String): String =
+        s"CAST(CASE WHEN ln($x)/ln(10)*1000000.0 >= 0 " +
+          s"THEN floor(ln($x)/ln(10)*1000000.0 + 0.5) " +
+          s"ELSE -floor(-(ln($x)/ln(10)*1000000.0) + 0.5) END AS BIGINT)"
+      "WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0), " +
+        "tt AS (SELECT lang AS label, unnest(string_split(text, ' ')) AS word FROM tr), " +
+        "c AS (SELECT label, word, count(*) AS c FROM tt GROUP BY 1, 2), " +
+        "voc AS (SELECT DISTINCT word FROM c), " +
+        "v AS (SELECT count(*) AS v FROM voc), " +
+        "nd AS (SELECT lang AS label, count(*) AS nd FROM tr GROUP BY 1), " +
+        "ndt AS (SELECT count(*) AS ndt FROM tr), " +
+        "lb AS (SELECT label, sum(c) AS tot FROM c GROUP BY 1), " +
+        "labels AS (SELECT lb.label, lb.tot, v.v, " +
+        m("CAST(nd.nd AS DOUBLE) / ndt.ndt") + " AS prior_micro, " +
+        m("1.0 / (lb.tot + v.v)") + " AS oov_micro " +
+        "FROM lb JOIN nd USING (label) CROSS JOIN v CROSS JOIN ndt), " +
+        "mo AS (SELECT voc.word, labels.label, " +
+        m("CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (labels.tot + labels.v)") + " AS lp " +
+        "FROM voc CROSS JOIN labels LEFT JOIN c ON c.word = voc.word AND c.label = labels.label), " +
+        "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "sin AS (SELECT tk.doc_id, mo.label, sum(mo.lp) AS s_in, count(*) AS n_in " +
+        "FROM tk JOIN mo ON mo.word = tk.word GROUP BY 1, 2), " +
+        "base AS (SELECT doc_id, lang AS true_lang, len(string_split(text, ' ')) AS n_tok FROM documents), " +
+        "sc AS (SELECT base.doc_id, base.true_lang, labels.label, " +
+        "labels.prior_micro + coalesce(sin.s_in, 0) + (base.n_tok - coalesce(sin.n_in, 0)) * labels.oov_micro AS score " +
+        "FROM base CROSS JOIN labels LEFT JOIN sin ON sin.doc_id = base.doc_id AND sin.label = labels.label), " +
+        "pr AS (SELECT doc_id, true_lang, label, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc) " +
+        "SELECT true_lang AS lang, label AS pred_lang, CAST(count(*) AS BIGINT) AS n " +
+        "FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, pred_lang"
+    },
 
     "token_count" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws, " +

@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier — the trained companion of the
+  * [[TextStats.langId]] stopword heuristic (reference analog: the
+  * profiling/validation services' reliance on the `lang` column, e.g.
+  * datagen quality fields in de4ml's `datagen.py`; the classifier itself is
+  * north-star surface for corpus curation: CLD/fastText-style supervised
+  * language-ID over crawl text).
+  *
+  * Everything is counts + integer micro-unit log10 probabilities (the
+  * [[NgramLm]] convention): per-(label, word) Laplace-smoothed conditional
+  * log-probs and per-label priors are rounded HALF-UP to 1e-6 log10 units
+  * once, and every downstream score is a BIGINT sum of those micro terms —
+  * bitwise-identical under any aggregation order, so the whole train +
+  * predict loop replays hash-exact in the DuckDB oracle.
+  *
+  * Scale posture: training is one explode + two keyed aggregates over the
+  * corpus (map-side partials; the shuffle key is a word, never text).
+  * The model is (vocab × labels)-sized — broadcast on the scoring join, so
+  * prediction over 100 TB is one explode + broadcast-join + keyed agg and
+  * the label spine rides a one-row-per-label broadcast cross (the house
+  * bounded-scalar pattern). No driver loop, no UDF.
+  */
+object NaiveBayes {
+
+  /** Half-up micro-unit log10: round(log10(x) * 1e6) as BIGINT, sign-aware
+    * (the [[NgramLm]] term convention — replayable in any engine).
+    */
+  private def microLog10(x: Column): Column = {
+    val t = (log(x) / log(lit(10.0))) * 1e6
+    when(t >= 0, floor(t + 0.5)).otherwise(-floor(-t + 0.5)).cast("long")
+  }
+
+  /** Trained model relations. `labels` is one row per label:
+    * (label, prior_micro, oov_micro); `condprob` is the full
+    * (vocab × labels) grid: (word, label, lp_micro) — Laplace-smoothed, so
+    * a word seen only under some labels still scores under all of them.
+    */
+  final case class NbModel(labels: DataFrame, condprob: DataFrame)
+
+  /** Train on `df(labelCol, textCol)`: whitespace tokens, multinomial
+    * event model, Laplace alpha = 1 over the train vocabulary:
+    * P(w|l) = (c_lw + 1) / (tot_l + V), prior P(l) = docs_l / docs,
+    * out-of-vocabulary words score at the smoothing floor 1 / (tot_l + V).
+    */
+  def train(df: DataFrame, textCol: String, labelCol: String): NbModel = {
+    val tok = df.select(col(labelCol).as("label"),
+      explode(TextStats.tokens(col(textCol))).as("word"))
+    val counts = tok.groupBy("label", "word").agg(count(lit(1)).as("c"))
+    val vocab = counts.select("word").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    val docTotals = df.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val nDocs = df.agg(count(lit(1)).as("ndt"))
+    val labels = counts.groupBy("label").agg(sum("c").as("tot"))
+      .join(docTotals, "label")
+      .crossJoin(broadcast(vSize)).crossJoin(broadcast(nDocs))
+      .select(col("label"), col("tot"), col("v"),
+        microLog10(col("nd").cast("double") / col("ndt")).as("prior_micro"),
+        microLog10(lit(1.0) / (col("tot") + col("v"))).as("oov_micro"))
+    val condprob = vocab.crossJoin(broadcast(labels.select("label", "tot", "v")))
+      .join(counts, Seq("word", "label"), "left")
+      .select(col("word"), col("label"),
+        microLog10((coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+          (col("tot") + col("v"))).as("lp_micro"))
+    NbModel(labels.select("label", "prior_micro", "oov_micro"), condprob)
+  }
+
+  /** Score every row of `df` under `model`: one (id, label) micro-unit
+    * BIGINT score per label — prior + in-vocab conditional terms + the OOV
+    * floor for unseen words. Returns (idCol, label, score_micro).
+    */
+  def score(df: DataFrame, model: NbModel, textCol: String,
+      idCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("word"))
+    val inVocab = tok.join(broadcast(model.condprob), "word")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum("lp_micro").as("s_in"), count(lit(1)).as("n_in"))
+    df.select(col(idCol), TextStats.tokenCount(col(textCol)).as("n_tok"))
+      .crossJoin(broadcast(model.labels))
+      .join(inVocab, Seq(idCol, "label"), "left")
+      .select(col(idCol), col("label"),
+        (col("prior_micro") + coalesce(col("s_in"), lit(0L)) +
+          (col("n_tok") - coalesce(col("n_in"), lit(0L))) * col("oov_micro"))
+          .as("score_micro"))
+  }
+
+  /** Argmax label per row (ties broken by label code order — the
+    * [[TextStats.langId]] tiebreak convention). (idCol, pred_label).
+    */
+  def predict(df: DataFrame, model: NbModel, textCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("label"))
+    score(df, model, textCol, idCol)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"))
+  }
+
+  /** The gate readout: train on the even-id half (the deterministic holdout
+    * split), predict EVERY doc, emit the (true label, predicted label)
+    * confusion matrix — the shape [[TextStats.langId]]'s gate uses, so the
+    * heuristic and the trained classifier read side-by-side.
+    */
+  def confusion(docs: DataFrame): DataFrame = {
+    val model = train(docs.where(col("doc_id") % 2 === 0), "text", "lang")
+    predict(docs, model, "text", "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("pred_label").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .select("lang", "pred_lang", "n")
+      .orderBy("lang", "pred_lang")
+  }
+}

@@ -1974,6 +1974,40 @@ class LlmSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("naive bayes language model: trains, generalizes, tiebreaks by label order") {
+    import graft.llm.NaiveBayes
+    val train = Seq(
+      (0L, "le chat et le chien", "fr"), (2L, "le pain et la vie", "fr"),
+      (4L, "the cat and the dog", "en"), (6L, "the bread and a life", "en"))
+      .toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.train(train, "text", "lang")
+    // held-out docs with overlapping + OOV words route to the right label
+    val test = Seq((1L, "the dog and a cat"), (3L, "le chien et la chat"),
+      (5L, "zz qq ww")).toDF("doc_id", "text")
+    val pred = NaiveBayes.predict(test, model, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(pred(1L) == "en" && pred(3L) == "fr")
+    // all-OOV doc: symmetric corpus (same tot, same prior) → exact score
+    // tie → label code order wins
+    assert(pred(5L) == "en")
+    // confusion over the gate corpus. The synthetic corpus's lang label is
+    // INDEPENDENT of its text (one shared vocab), so accuracy here is
+    // prior-dominated — assert structure, not skill: every doc lands in
+    // the matrix, predictions come from trained labels, and NB does at
+    // least as well as the majority-class baseline it degenerates to.
+    val d = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val cm = NaiveBayes.confusion(d).as[(String, String, Long)].collect()
+    val total = cm.map(_._3).sum
+    assert(total == d.count())
+    val trained = d.where($"doc_id" % 2 === 0).select("lang").distinct()
+      .as[String].collect().toSet
+    assert(cm.map(_._2).toSet.subsetOf(trained))
+    val diag = cm.filter(r => r._1 == r._2).map(_._3).sum.toDouble
+    val majority = d.groupBy("lang").count().agg(max("count")).as[Long].head
+    assert(diag >= 0.9 * majority,
+      s"NB diag $diag should approach the majority baseline $majority")
+  }
+
   test("text ops handle degenerate inputs (single token, short text)") {
     val d = Seq((1L, "x"), (2L, "ab cd")).toDF("doc_id", "text")
     // shingles of a too-short token array: one windowed shingle, no crash
