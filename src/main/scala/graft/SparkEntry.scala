@@ -825,6 +825,13 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) =>
       Dedup.duplicatedSpans(t(s, d, "documents"), k = 10)),
 
+    // Content-defined-chunking dedup (rsync/FastCDC family): rolling-hash
+    // boundary rule → chunk hashes → corpus-wide duplicated-byte ledger
+    // by first-occurrence-wins. The storage-dedup complement of the span
+    // operators: O(n) map per doc + ONE (hash, len)-keyed exchange.
+    "dedup_cdc" -> ((s, d) =>
+      graft.llm.Cdc.dedupStats(t(s, d, "documents")).orderBy("doc_id")),
+
     // The EDITING form of exact-substring dedup (Lee et al. 2022): cut
     // every non-canonical duplicated 10-token span from the text itself,
     // keeping the global-first occurrence — detection's companion
@@ -3488,6 +3495,32 @@ object SparkEntry {
         "FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey " +
         "AND a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey " +
         "WHERE levenshtein(a.c_name, b.c_name) <= 2 ORDER BY key_a, key_b"),
+
+    // dedup_cdc oracle: the boundary rule, chunking, and chunk hashes
+    // restated in plain integer arithmetic — an O(n·w) refold per position
+    // (the oracle's license to be naive) against Spark's O(n) rolling pass.
+    "dedup_cdc" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0), " +
+        "p AS (SELECT doc_id, text, unnest(generate_series(8, n)) AS i FROM d WHERE n >= 8), " +
+        "b AS (SELECT doc_id, i FROM p WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(i - 7, i), j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) % 64 = 63), " +
+        "cl AS (SELECT d.doc_id, d.text, " +
+        "list_sort(list_distinct(coalesce(list(b.i), CAST([] AS BIGINT[])) || [CAST(d.n AS BIGINT)])) AS ends " +
+        "FROM d LEFT JOIN b ON b.doc_id = d.doc_id GROUP BY d.doc_id, d.text, d.n), " +
+        "ck0 AS (SELECT doc_id, text, ends, unnest(generate_series(1, len(ends))) AS k FROM cl), " +
+        "ck AS (SELECT doc_id, text, k AS idx, " +
+        "CASE WHEN k = 1 THEN 1 ELSE CAST(ends[k - 1] AS INTEGER) + 1 END AS s, " +
+        "CAST(ends[k] AS INTEGER) AS e FROM ck0), " +
+        "ch AS (SELECT doc_id, idx, e - s + 1 AS len, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(s, e), " +
+        "j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007) AS hash " +
+        "FROM ck), " +
+        "rk AS (SELECT doc_id, len, ROW_NUMBER() OVER (PARTITION BY hash, len ORDER BY doc_id, idx) AS rn FROM ch) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(len) AS BIGINT) AS n_chars, " +
+        "CAST(coalesce(sum(CASE WHEN rn > 1 THEN len END), 0) AS BIGINT) AS dup_chars, " +
+        "round(coalesce(sum(CASE WHEN rn > 1 THEN len END), 0) * 1.0 / sum(len), 6) AS dup_ratio " +
+        "FROM rk GROUP BY doc_id ORDER BY doc_id"),
 
     "dedup_substring" ->
       ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +

@@ -818,6 +818,80 @@ case class QualityScore(child: Expression, weights: Seq[Double], bias: Double)
   override protected def withNewChildInternal(c: Expression): QualityScore = copy(child = c)
 }
 
+/** Content-defined chunks of a text column (the rsync/LBFS/FastCDC
+  * family): cut after any position whose ROLLING window hash lands in the
+  * boundary residue class, so chunk boundaries depend only on local
+  * content — an insertion early in a document shifts every fixed-size
+  * block but leaves all content-defined chunks after the next boundary
+  * byte-identical, which is what makes chunk-hash dedup robust to
+  * prepended boilerplate. Returns `array<struct<idx, start, len, hash>>`
+  * (start 1-based — SQL substr convention).
+  *
+  * The boundary rule at code-point position i (1-based, i ≥ w) is
+  * `H(i) % divisor == divisor − 1` where H(i) is the [[PolyHash]] base-31
+  * mod-1e9+7 fold over the last `w` code points — STATELESS, so the exact
+  * boundary set (and per-chunk hash, the same fold over the chunk) replays
+  * in the DuckDB oracle with plain integer arithmetic. Production CDC adds
+  * min/max chunk clamps (those make boundaries history-dependent); the
+  * pure rule keeps expected chunk length = `divisor` chars and the oracle
+  * exact. One O(n) pass per row — the rolling update subtracts the
+  * outgoing code point, no per-position refold.
+  */
+case class CdcChunks(child: Expression, w: Int, divisor: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1 && divisor >= 2)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType), StructField("start", IntegerType),
+    StructField("len", IntegerType), StructField("hash", LongType))))
+
+  private val pw1: Long = { // B1^(w-1) mod P1
+    var r = 1L; var i = 1
+    while (i < w) { r = (r * PolyHash.B1) % PolyHash.P1; i += 1 }
+    r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // code points (DuckDB substr/length count characters, not UTF-16 units)
+    val cps = new Array[Int](s.codePointCount(0, s.length))
+    var ci = 0; var off = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      cps(ci) = cp; ci += 1; off += Character.charCount(cp)
+    }
+    val n = cps.length
+    val out = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.InternalRow]()
+    var win = 0L // rolling hash of the last min(i+1, w) code points
+    var ch = 0L  // running hash of the current chunk
+    var start = 0 // 0-based chunk start
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val cp = cps(i)
+      if (i >= w) {
+        val drop = (cps(i - w) * pw1) % PolyHash.P1
+        win = ((win - drop) % PolyHash.P1 + PolyHash.P1) % PolyHash.P1
+      }
+      win = (win * PolyHash.B1 + cp) % PolyHash.P1
+      ch = (ch * PolyHash.B1 + cp) % PolyHash.P1
+      if (i >= w - 1 && win % divisor == divisor - 1) {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          idx + 1, start + 1, i - start + 1, ch)
+        idx += 1; start = i + 1; ch = 0L
+      }
+      i += 1
+    }
+    if (start < n)
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        idx + 1, start + 1, n - start, ch)
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
 /** Deflate (zlib) compressed byte count of the UTF-8 text — the
   * compression-ratio quality signal's kernel (Gopher/RefinedWeb axis:
   * highly compressible = repetitive/templated text, near-incompressible =
@@ -1321,6 +1395,12 @@ object native {
   /** Deflate-compressed byte count of a string (see [[DeflateSize]]). */
   def deflateSize(text: Column, level: Int = 6): Column =
     column(DeflateSize(expression(text), level))
+
+  /** Content-defined chunks `array<struct<idx, start, len, hash>>` of a
+    * text column (see [[CdcChunks]]).
+    */
+  def cdcChunks(text: Column, w: Int, divisor: Long): Column =
+    column(CdcChunks(expression(text), w, divisor))
 
   /** Integer micro-unit random-sign projection of an array<double> vector
     * (see [[RandomSignProject]]).

@@ -1974,6 +1974,37 @@ class LlmSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("cdc chunking: partitions text, survives a prepended edit, ledgers dup bytes") {
+    import graft.llm.Cdc
+    val text = (1 to 400).map(i => ((i * 2654435761L) % 997).toString).mkString(" ")
+    val d = Seq((1L, text), (2L, "PREPENDED BOILERPLATE " + text),
+      (3L, text), (4L, "entirely unrelated content qq ww ee rr")).toDF("doc_id", "text")
+    val ch = Cdc.chunks(d, "text", "doc_id")
+      .as[(Long, Int, Int, Int, Long)].collect().groupBy(_._1)
+    // chunks partition each doc exactly: contiguous starts, lens sum to n
+    for ((id, cs) <- ch) {
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._3 + a._4); case _ => ()
+      }
+      val n = d.where($"doc_id" === id).select(length($"text")).as[Int].head
+      assert(sorted.map(_._4).sum == n)
+    }
+    // content-defined: the prepended doc re-synchronizes — its chunk hash
+    // set shares all but the head chunk(s) with the original
+    val h1 = ch(1L).map(_._5).toSet
+    val h2 = ch(2L).map(_._5).toSet
+    assert((h1 intersect h2).size >= h1.size - 2,
+      s"CDC should resync after an edit: ${h1.size} vs shared ${(h1 intersect h2).size}")
+    // dup ledger: doc 3 (identical to doc 1) is fully duplicate bytes
+    val st = Cdc.dedupStats(d).as[(Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(st(1L)._4 == 0L)
+    assert(st(3L)._4 == st(3L)._3 && st(3L)._5 == 1.0)
+    assert(st(4L)._4 == 0L)
+  }
+
   test("naive bayes language model: trains, generalizes, tiebreaks by label order") {
     import graft.llm.NaiveBayes
     val train = Seq(
