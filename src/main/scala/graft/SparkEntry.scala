@@ -2044,6 +2044,25 @@ object SparkEntry {
         .orderBy("clip_a", "clip_b")
     },
 
+    // IMAGE near-dup by PERCEPTUAL hash, end-to-end real: each doc
+    // synthesizes a genuine 32×32 PNG whose gradient slopes derive from
+    // its group id and whose brightness offset varies per doc; the real
+    // decode path feeds a 64-bit average-hash, band-blocked Hamming
+    // pairing finds the near-dups. The gate is exact because the aHash
+    // bit rule is integer cross-multiplication and brightness shifts
+    // cancel in it — the oracle re-derives every bit from the pattern
+    // formula and must agree on the PAIRS, not just the stats.
+    "dedup_phash" -> { (s, d) =>
+      val grp = floor(col("doc_id") / 4).cast("long")
+      val a = (lit(1) + (grp * 7919) % 97).cast("int")
+      val b = (lit(1) + (grp * 104729) % 89).cast("int")
+      val sh = ((col("doc_id") % 4) * 5).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticPngGrad(32, 32, a, b, sh)
+          .as("content"))
+      Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
+    },
+
     // LOSSY-container frame sampling, end-to-end real: each doc
     // synthesizes a genuine MJPEG clip (back-to-back baseline JPEGs from
     // the JDK encoder), the container is split by a real marker walk, and
@@ -4528,6 +4547,38 @@ object SparkEntry {
         "FROM k a JOIN k b ON a.w = b.w AND a.h = b.h " +
         "AND a.phase = b.phase AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 ORDER BY clip_a, clip_b"),
+
+    // dedup_phash oracle: every aHash bit re-derived from the gradient
+    // formula (integer cross-multiplied mean rule), the four 16-bit bands
+    // PACKED as integers (a band XOR's popcount sums to the full Hamming
+    // distance, so no per-bit pair join), the same df-64 guard, candidate
+    // pairs from band equality.
+    "dedup_phash" ->
+      ("WITH par AS (SELECT doc_id, 1 + ((doc_id // 4) * 7919) % 97 AS a, " +
+        "1 + ((doc_id // 4) * 104729) % 89 AS b, (doc_id % 4) * 5 AS sh FROM documents), " +
+        "px AS (SELECT doc_id, ((ys.y * 8) // 32) * 8 + (xs.x * 8) // 32 AS k, " +
+        "(xs.x * a + ys.y * b) % 200 + sh AS v " +
+        "FROM par, generate_series(0, 31) xs(x), generate_series(0, 31) ys(y)), " +
+        "bs AS (SELECT doc_id, k, sum(v) AS s, count(*) AS c FROM px GROUP BY 1, 2), " +
+        "ts AS (SELECT doc_id, sum(v) AS t FROM px GROUP BY 1), " +
+        "bits AS (SELECT bs.doc_id, bs.k, CASE WHEN bs.s * 1024 > ts.t * bs.c THEN 1 ELSE 0 END AS bit " +
+        "FROM bs JOIN ts ON ts.doc_id = bs.doc_id), " +
+        "bnd AS (SELECT doc_id, k // 16 AS band, " +
+        "sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS bv FROM bits GROUP BY 1, 2), " +
+        "rare AS (SELECT band, bv FROM bnd GROUP BY 1, 2 HAVING count(*) <= 64), " +
+        "kept AS (SELECT bnd.* FROM bnd JOIN rare ON rare.band = bnd.band AND rare.bv = bnd.bv), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM kept x " +
+        "JOIN kept y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id), " +
+        "wide AS (SELECT doc_id, max(CASE WHEN band = 0 THEN bv END) AS b0, " +
+        "max(CASE WHEN band = 1 THEN bv END) AS b1, " +
+        "max(CASE WHEN band = 2 THEN bv END) AS b2, " +
+        "max(CASE WHEN band = 3 THEN bv END) AS b3 FROM bnd GROUP BY doc_id), " +
+        "hm AS (SELECT cand.ida, cand.idb, " +
+        "bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + " +
+        "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming " +
+        "FROM cand JOIN wide x ON x.doc_id = cand.ida JOIN wide y ON y.doc_id = cand.idb) " +
+        "SELECT ida AS id_a, idb AS id_b, CAST(hamming AS INTEGER) AS hamming " +
+        "FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"),
 
     // MJPEG frame-sample replay: the sampled frame identities and the
     // DECODED dimensions restated from the construction formula — every

@@ -948,6 +948,84 @@ case class SyntheticPng(first: Expression, second: Expression,
       c: Expression): SyntheticPng = copy(first = a, second = b, third = c)
 }
 
+/** A REAL synthesized PNG whose pattern is a per-image GRADIENT
+  * `pixel(x, y, ·) = (x·a + y·b) mod 200 + shift` (all three channels
+  * equal): distinct (a, b) slopes give structurally distinct images while
+  * `shift ≤ 55` is a pure brightness offset that never wraps — exactly the
+  * perturbation a mean-thresholded perceptual hash ([[PngAHash64]]) is
+  * invariant to, which is what the image near-dup gate needs a formula
+  * for. Dimensions are constructor constants (the gate's rasters are
+  * fixed-size); slopes/shift ride as columns.
+  */
+case class SyntheticPngGrad(imgW: Int, imgH: Int, first: Expression,
+                            second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(a: Any, b: Any, s: Any): Any = {
+    val sa = a.asInstanceOf[Number].intValue()
+    val sb = b.asInstanceOf[Number].intValue()
+    val sh = s.asInstanceOf[Number].intValue()
+    require(sh >= 0 && sh <= 55, s"shift must stay wrap-free, got $sh")
+    graft.llm.Multimodal.encodePng(imgW, imgH, 3,
+      (x, y, _) => (x * sa + y * sb) % 200 + sh)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): SyntheticPngGrad = copy(first = a, second = b, third = c)
+}
+
+/** 64-bit average-hash (aHash) of a PNG payload's DECODED raster: the
+  * image is binned into an 8×8 grid (floor-division bins, so any
+  * dimensions work), and bit `8·by + bx` is set iff that cell's mean of
+  * channel 0 exceeds the whole-image mean — compared in exact integer
+  * cross-multiplied form `cell_sum · n_pixels > total_sum · cell_count`,
+  * so the hash replays bit-identically in any engine from the pixel
+  * formula. Brightness shifts cancel in the comparison (both sides gain
+  * the same offset), which is the perceptual property: re-encodes and
+  * exposure tweaks keep the hash, unrelated images differ in ~32 bits.
+  * NULL when [[graft.llm.Multimodal.decodePng]] rejects the bytes.
+  * Products stay within Long: decodePng caps rasters at 2^30 samples.
+  */
+case class PngAHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodePng(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(img) =>
+        val w = img.width; val h = img.height; val ch = img.channels
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val k = by * 8 + x * 8 / w
+            val v = img.pixels((y * w + x) * ch) & 0xFF
+            sums(k) += v; cnts(k) += 1; total += v
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (cnts(k) > 0 && sums(k) * n > total * cnts(k)) hash |= 1L << k
+          k += 1
+        }
+        java.lang.Long.valueOf(hash)
+    }
+
+  override protected def withNewChildInternal(c: Expression): PngAHash64 =
+    copy(child = c)
+}
+
 /** Decoded-pixel statistics of a PNG payload — `(width, height, channels,
   * sum_r, sum_g, sum_b)`, or NULL when [[graft.llm.Multimodal.decodePng]]
   * rejects the bytes. The sums run over the fully DEFILTERED raster, so
@@ -1460,6 +1538,15 @@ object native {
   /** A real synthesized PNG from (width, height, variant). */
   def syntheticPng(w: Column, h: Column, v: Column): Column =
     column(SyntheticPng(expression(w), expression(h), expression(v)))
+
+  /** Gradient-pattern PNG (see [[SyntheticPngGrad]]). */
+  def syntheticPngGrad(imgW: Int, imgH: Int, a: Column, b: Column,
+      shift: Column): Column =
+    column(SyntheticPngGrad(imgW, imgH, expression(a), expression(b),
+      expression(shift)))
+
+  /** 64-bit average-hash of a PNG's decoded raster (see [[PngAHash64]]). */
+  def pngAHash64(c: Column): Column = column(PngAHash64(expression(c)))
 
   /** Decoded-pixel stats `(width, height, channels, sum_r, sum_g, sum_b)`. */
   def pngPixelStats(c: Column): Column = column(PngPixelStats(expression(c)))

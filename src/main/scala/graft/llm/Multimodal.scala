@@ -598,6 +598,51 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** IMAGE near-dup by perceptual hash: every payload decodes through the
+    * real PNG path into a 64-bit average-hash
+    * ([[graft.functions.PngAHash64]]), candidates block on 4×16-bit hash
+    * BANDS (the simhash pigeonhole: ≤ 3 flipped bits cannot touch all 4
+    * bands, so Hamming ≤ 3 recall is guaranteed; 4..`tau` pairs are
+    * caught whenever a band survives — the aHash near-dups this gate
+    * targets are brightness shifts, which leave the hash IDENTICAL), and
+    * survivors verify by exact popcount. Scale
+    * posture matches [[clipDupPairs]]: only (id, hash) enters the
+    * exchange — 16 bytes per image however large the rasters — bucket
+    * df capped at `maxDf` so a hot band cannot go quadratic. The cap
+    * default is far lower than the text operators' (64 vs 1000) because
+    * perceptual-hash bands are STRUCTURED, not uniform: natural and
+    * synthetic images alike concentrate on a few band values (dark top
+    * rows, flat backgrounds → all-zero bands shared by thousands), while
+    * a true re-upload cluster is rarely more than dozens of copies — a
+    * bucket above the cap is a degenerate pattern, not a dup cluster.
+    * Returns (id_a, id_b, hamming).
+    */
+  def imageDupPairs(media: DataFrame, idCol: String = "media_id",
+                    contentCol: String = "content", tau: Int = 6,
+                    maxDf: Int = 64): DataFrame = {
+    val ph = media.select(col(idCol).as("id"),
+        graft.functions.native.pngAHash64(col(contentCol)).as("ph"))
+      .where(col("ph").isNotNull)
+    val bands = ph.select(col("id"), col("ph"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bucket",
+        expr("shiftright(ph, 16 * band)").bitwiseAND(lit(65535L)))
+      .localCheckpoint(false) // feeds the df guard AND both join sides
+    val rare = bands.groupBy("band", "bucket").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("band", "bucket")
+    val kept = bands.join(rare, Seq("band", "bucket"))
+    kept.alias("a").join(kept.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ph").as("pha"), col("b.ph").as("phb"))
+      .distinct() // a pair agreeing on several bands counts once
+      .withColumn("hamming",
+        bit_count(col("pha").bitwiseXOR(col("phb"))).cast("int"))
+      .where(col("hamming") <= tau)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Real frame decoder for [[decodeFrames]] over WAV payloads: one
     * feature row per `window`-sample window (last window may be short) —
     * [windowIndex, nSamples, rms, zeroCrossRate, peak] (rms/peak on the

@@ -1974,6 +1974,30 @@ class LlmSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("perceptual image hash: brightness-invariant, separates unrelated images") {
+    import graft.functions.native
+    val d = Seq(
+      (1L, 3, 5, 0),   // base gradient
+      (2L, 3, 5, 40),  // same gradient, +40 brightness → SAME aHash
+      (3L, 57, 23, 0), // unrelated gradient
+      (4L, 3, 5, 0)    // byte-identical re-upload of 1
+    ).toDF("media_id", "a", "b", "sh")
+      .select(col("media_id"), native.syntheticPngGrad(32, 32,
+        col("a"), col("b"), col("sh")).as("content"))
+    val ph = d.select(col("media_id"), native.pngAHash64(col("content")).as("ph"))
+      .as[(Long, Long)].collect().toMap
+    assert(ph(1L) == ph(2L), "aHash must be brightness-shift invariant")
+    assert(ph(1L) == ph(4L))
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(3L)) > 6,
+      "unrelated gradients must exceed the pairing radius")
+    val pairs = graft.llm.Multimodal.imageDupPairs(d)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)))
+    // undecodable payloads drop out instead of pairing
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    assert(graft.llm.Multimodal.imageDupPairs(junk).count() == 0)
+  }
+
   test("cdc chunking: partitions text, survives a prepended edit, ledgers dup bytes") {
     import graft.llm.Cdc
     val text = (1 to 400).map(i => ((i * 2654435761L) % 997).toString).mkString(" ")
