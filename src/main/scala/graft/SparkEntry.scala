@@ -1965,6 +1965,20 @@ object SparkEntry {
         st.getField("peak").as("peak"))
     },
 
+    // AUDIO near-dup, end-to-end real: clips synthesize genuine WAVs whose
+    // sample phase derives from their GROUP id and whose length varies per
+    // doc — the real PCM decode feeds per-window content hashes, shared
+    // windows pair the clips (re-uploads / sampled loops). The oracle
+    // derives which windows MUST decode identically straight from the
+    // sample formula; the Spark side earns the pairs by decoding.
+    "dedup_audio" -> { (s, d) =>
+      val n = (lit(256) + (col("doc_id") % 4) * 128).cast("int")
+      val v = floor(col("doc_id") / 4).cast("long") % 1000
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticWav(n, v).as("content"))
+      Multimodal.audioDupPairs(media).orderBy("clip_a", "clip_b")
+    },
+
     // The typed mapPartitions decode boundary under the gate for IMAGES:
     // the same synthesized PNGs stream through decodeFrames with the
     // dispatching imageFrameDecoder and release integer-exact per-pixel-
@@ -4473,6 +4487,26 @@ object SparkEntry {
         "CAST(max(abs(s)) AS INTEGER) AS peak " +
         "FROM sm LEFT JOIN cr ON sm.doc_id = cr.doc_id " +
         "GROUP BY sm.doc_id ORDER BY sm.doc_id"),
+
+    // dedup_audio oracle: per-window hashes restated from the sample
+    // formula in its nonnegative pre-offset form (the fold input is
+    // s + 32768 = the raw mod-65536 value), then the same distinct /
+    // df-guard / pair-count chain as dedup_clips.
+    "dedup_audio" ->
+      ("WITH d AS (SELECT doc_id, 256 + (doc_id % 4) * 128 AS n, " +
+        "(doc_id // 4) % 1000 AS v FROM documents), " +
+        "w AS (SELECT doc_id, v, unnest(generate_series(0, n // 256 - 1)) AS wi FROM d), " +
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(256 * wi, 256 * wi + 255), " +
+        "i -> (31 * i * i + 17 * i + 97 * v) % 65536)), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS whash FROM w), " +
+        "hd AS (SELECT DISTINCT doc_id, whash FROM h), " +
+        "rare AS (SELECT whash FROM hd GROUP BY whash HAVING count(*) <= 1000), " +
+        "k AS (SELECT hd.doc_id, hd.whash FROM hd JOIN rare USING (whash)) " +
+        "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k a JOIN k b ON a.whash = b.whash AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY clip_a, clip_b"),
 
     // Video replay: the per-frame pattern restated over the SAMPLED frame
     // indices (every 2nd) — the Spark side must earn the sums by walking

@@ -1089,6 +1089,47 @@ case class SyntheticWav(left: Expression, right: Expression)
       r: Expression): SyntheticWav = copy(left = l, right = r)
 }
 
+/** Per-window content hashes of a WAV payload's DECODED PCM: one
+  * [[PolyHash]] base-31 mod-1e9+7 fold per FULL `window`-sample window
+  * (tail remainder discarded — the audio-fingerprinting convention),
+  * folding the UNSIGNED sample image `s + 32768` so the polynomial stays
+  * in nonnegative BIGINT arithmetic any engine replays. Multi-channel
+  * audio hashes the interleaved stream (channel-coherent windows).
+  * NULL when [[graft.llm.Multimodal.decodeWav]] rejects the bytes. The
+  * audio leg of the decoded-raster hash family ([[ClipFrameHashes]] for
+  * video): equal window hash ⇔ byte-equal decoded PCM window.
+  */
+case class WavWindowHashes(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodeWav(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(a) =>
+        val s = a.samples
+        val nw = s.length / window
+        val out = new Array[Long](nw)
+        var w = 0
+        while (w < nw) {
+          var h = 0L
+          var i = w * window
+          val end = i + window
+          while (i < end) {
+            h = (h * PolyHash.B1 + (s(i) + 32768L)) % PolyHash.P1
+            i += 1
+          }
+          out(w) = h
+          w += 1
+        }
+        new GenericArrayData(out)
+    }
+
+  override protected def withNewChildInternal(c: Expression): WavWindowHashes =
+    copy(child = c)
+}
+
 /** Decoded-PCM statistics of a WAV payload — `(sample_rate, channels,
   * n_samples, sum_sq, n_zero_cross, peak)`, or NULL when
   * [[graft.llm.Multimodal.decodeWav]] rejects the bytes. Integer-exact
@@ -1552,6 +1593,10 @@ object native {
   def pngPixelStats(c: Column): Column = column(PngPixelStats(expression(c)))
 
   /** A real synthesized 16-bit PCM WAV from (nSamples, variant). */
+  /** Per-window decoded-PCM content hashes (see [[WavWindowHashes]]). */
+  def wavWindowHashes(c: Column, window: Int): Column =
+    column(WavWindowHashes(expression(c), window))
+
   def syntheticWav(n: Column, v: Column): Column =
     column(SyntheticWav(expression(n), expression(v)))
 

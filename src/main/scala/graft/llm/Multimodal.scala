@@ -643,6 +643,33 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** AUDIO near-dup by decoded-PCM window hash — the audio leg of
+    * [[clipDupPairs]] (video) and [[imageDupPairs]] (images), closing the
+    * modality family: every payload decodes through the real WAV path,
+    * each full `window`-sample span hashes
+    * ([[graft.functions.WavWindowHashes]]), clips pair on shared window
+    * CONTENT with the same df guard (silence/test-tone windows shared by
+    * thousands of clips cannot go quadratic). Only (id, 8-byte hash)
+    * enters the exchange — audio bytes never shuffle. Returns
+    * (clip_a, clip_b, n_shared) — shared DISTINCT window contents.
+    */
+  def audioDupPairs(media: DataFrame, idCol: String = "media_id",
+                    contentCol: String = "content", window: Int = 256,
+                    maxDf: Int = 1000): DataFrame = {
+    val wh = media.select(col(idCol).as("id"),
+        explode(graft.functions.native.wavWindowHashes(col(contentCol),
+          window)).as("whash"))
+      .distinct() // a clip repeating a window (looped silence) counts once
+      .localCheckpoint(false) // feeds the df guard AND both join sides
+    val rare = wh.groupBy("whash").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("whash")
+    val kept = wh.join(rare, "whash")
+    kept.alias("a").join(kept.alias("b"),
+        col("a.whash") === col("b.whash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("clip_a"), col("b.id").as("clip_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Real frame decoder for [[decodeFrames]] over WAV payloads: one
     * feature row per `window`-sample window (last window may be short) —
     * [windowIndex, nSamples, rms, zeroCrossRate, peak] (rms/peak on the

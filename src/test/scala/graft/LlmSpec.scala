@@ -1974,6 +1974,25 @@ class LlmSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("audio dedup: shared decoded windows pair clips, loops count once, junk drops") {
+    def wav(n: Int, f: Int => Int): Array[Byte] =
+      Multimodal.encodeWav(16000, 1, Array.tabulate(n)(i => f(i).toShort))
+    val tone = (i: Int) => (i * 37) % 20000 - 10000
+    val d = Seq(
+      (1L, wav(512, tone)),                  // 2 windows
+      (2L, wav(768, tone)),                  // 3 windows, first 2 shared with 1
+      (3L, wav(512, i => tone(i) + 1)),      // same length, different samples
+      (4L, wav(512, i => tone(i % 256))),    // window 0 looped twice = clip 1's w0
+      (9L, Array[Byte](1, 2, 3))             // undecodable
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.audioDupPairs(d)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 2L, s"full shared prefix: $pairs")
+    // the loop clip's repeated window content counts ONCE per pair
+    assert(pairs((1L, 4L)) == 1L && pairs((2L, 4L)) == 1L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.keys.exists(p => p._1 == 9L || p._2 == 9L))
+  }
+
   test("perceptual image hash: brightness-invariant, separates unrelated images") {
     import graft.functions.native
     val d = Seq(
