@@ -45,6 +45,27 @@ object SparkEntry {
 
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
+  // Synthesized crawl URLs for the canonicalization gates: every group of
+  // four docs carries the SAME page under four raw disguises — scheme/host
+  // case, www alias, explicit default port, duplicated + trailing slashes,
+  // shuffled/tracking query params, a fragment. The general canonicalizer
+  // must collapse each group to one form the oracle states from the
+  // construction formula.
+  private def crawlUrls(s: SparkSession, d: String): DataFrame = {
+    val g = floor(col("doc_id") / 4).cast("long").cast("string")
+    val r = col("doc_id") % 4
+    t(s, d, "documents").select(col("doc_id"),
+      when(r === 0, concat(lit("http://www.site"), g,
+          lit(".example.com/a//b/?id="), g, lit("&utm_source=feed")))
+        .when(r === 1, concat(lit("HTTP://WWW.Site"), g,
+          lit(".Example.COM:80/a/b?utm_campaign=x&id="), g))
+        .when(r === 2, concat(lit("http://site"), g,
+          lit(".example.com/a/b/?id="), g, lit("#frag")))
+        .otherwise(concat(lit("http://site"), g,
+          lit(".example.com:80/a/b?id="), g, lit("&ref=tw")))
+        .as("url"))
+  }
+
   // Scratch parent for materialized offline artifacts (index layouts, the
   // signature store). java.io.tmpdir would be DRIVER-LOCAL: on a real
   // cluster, executor write tasks land partitions on their own local disks
@@ -1280,6 +1301,27 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         ),
+
+    // URL canonicalization under the gate: four messy raw variants per
+    // group (case, www, default port, dup/trailing slashes, tracking
+    // params, fragments) — the GENERAL rule-chain canonicalizer must
+    // collapse each to the one canonical form the oracle predicts from
+    // the construction formula.
+    "url_canonicalize" -> ((s, d) =>
+      crawlUrls(s, d).select(col("doc_id"), col("url"),
+        graft.llm.Urls.canonicalize(col("url")).as("canonical"))
+        .orderBy("doc_id")),
+
+    // URL dedup: canonical-form groups — the crawl-frontier primitive
+    // (same page under URL noise = ONE fetch). Canonicalize riding the
+    // scan, then a plain keyed aggregate on the canonical string.
+    "dedup_url" -> ((s, d) =>
+      crawlUrls(s, d)
+        .select(col("doc_id"),
+          graft.llm.Urls.canonicalize(col("url")).as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .orderBy("canonical")),
 
     // TRAINED language-ID: multinomial Naive Bayes fit on the even-id
     // half, scored over every doc — integer micro-unit log-probs end to
@@ -4261,6 +4303,26 @@ object SparkEntry {
         "0.4 * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))) + " +
         s"0.3 * (len(list_filter(string_split(text,' '), t -> list_contains($allStop, t))) * 1.0 / " +
         "len(string_split(text,' '))), 4) AS quality FROM documents ORDER BY doc_id"),
+
+    // url_canonicalize oracle: the construction formula's raw variants AND
+    // the one canonical form they must collapse to, stated directly — the
+    // Spark side must EARN the right column through the general rule
+    // chain (case, ports, www, slashes, tracking params, sort, fragment).
+    "url_canonicalize" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g, doc_id % 4 AS r FROM documents) " +
+        "SELECT doc_id, CASE r " +
+        "WHEN 0 THEN 'http://www.site' || g || '.example.com/a//b/?id=' || g || '&utm_source=feed' " +
+        "WHEN 1 THEN 'HTTP://WWW.Site' || g || '.Example.COM:80/a/b?utm_campaign=x&id=' || g " +
+        "WHEN 2 THEN 'http://site' || g || '.example.com/a/b/?id=' || g || '#frag' " +
+        "ELSE 'http://site' || g || '.example.com:80/a/b?id=' || g || '&ref=tw' END AS url, " +
+        "'http://site' || g || '.example.com/a/b?id=' || g AS canonical " +
+        "FROM d ORDER BY doc_id"),
+
+    "dedup_url" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id // 4 AS VARCHAR) AS g FROM documents) " +
+        "SELECT 'http://site' || g || '.example.com/a/b?id=' || g AS canonical, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc " +
+        "FROM d GROUP BY 1 ORDER BY canonical"),
 
     // langid_nb oracle: the full Naive Bayes train + predict replay —
     // Laplace-smoothed (label, word) conditionals and priors as half-up

@@ -1974,6 +1974,30 @@ class LlmSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("url canonicalization: rules hold on edge cases beyond the gate corpus") {
+    import graft.llm.Urls
+    val cases = Seq(
+      // https default port + multi-param sort + tracking drop
+      "HTTPS://Shop.COM:443/Cart?zz=1&utm_medium=m&aa=2&fbclid=x" ->
+        "https://shop.com/Cart?aa=2&zz=1",
+      // non-default port kept; path case preserved
+      "http://Host.net:8080/API//v2/" -> "http://host.net:8080/API/v2",
+      // empty path -> root; all-tracking query drops the '?'
+      "http://www.a.com?gclid=1&ref=x" -> "http://a.com/",
+      // root slash stays; fragment dropped
+      "https://b.org/#top" -> "https://b.org/",
+      // param without '=' sorts too; 'referrer' is NOT the 'ref' tracker
+      "http://c.io/p?b&a=1&referrer=keep" -> "http://c.io/p?a=1&b&referrer=keep"
+    ).toDF("url", "expected")
+    val out = cases.select(Urls.canonicalize(col("url")).as("got"),
+      col("expected")).as[(String, String)].collect()
+    out.foreach { case (got, exp) => assert(got == exp, s"$got != $exp") }
+    // idempotence: canonicalizing a canonical form is a no-op
+    val twice = cases.select(Urls.canonicalize(Urls.canonicalize(col("url")))
+      .as("g2"), col("expected")).as[(String, String)].collect()
+    twice.foreach { case (got, exp) => assert(got == exp) }
+  }
+
   test("audio dedup: shared decoded windows pair clips, loops count once, junk drops") {
     def wav(n: Int, f: Int => Int): Array[Byte] =
       Multimodal.encodeWav(16000, 1, Array.tabulate(n)(i => f(i).toShort))
