@@ -45,6 +45,21 @@ object SparkEntry {
 
   private val propsSchema = StructType(Seq(StructField("k", LongType)))
 
+  // Synthesized crawl HTML for the extraction gate: the doc text wrapped
+  // in markup noise — a script containing a literal '<', a style rule
+  // containing a literal tag, a comment, boilerplate nav with entities,
+  // and the &amp;lt; double-decode trap.
+  private def crawlHtml(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"),
+      concat(
+        lit("<HTML><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var t = 1 < 2;" +
+          "</script><style>.m { content: \"<p>\"; }</style></head><body>" +
+          "<!-- crawler boilerplate --><nav>Home &gt; Section &amp; Index" +
+          "</nav><div class=\"main\"><p>"),
+        col("text"),
+        lit(" &amp;lt; tricky</p></div></body></HTML>")).as("html"))
+
   // Synthesized crawl URLs for the canonicalization gates: every group of
   // four docs carries the SAME page under four raw disguises — scheme/host
   // case, www alias, explicit default port, duplicated + trailing slashes,
@@ -1301,6 +1316,17 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
         ),
+
+    // HTML → text extraction under the gate: every doc's text is wrapped
+    // in genuine markup noise (script with a literal '<' inside, style
+    // with a literal tag inside, a comment, entities including the
+    // double-decode trap &amp;lt;) — the general rule chain must recover
+    // exactly the visible text the oracle states from the formula.
+    "html_extract" -> ((s, d) =>
+      crawlHtml(s, d).select(col("doc_id"),
+        graft.llm.Html.title(col("html")).as("title"),
+        graft.llm.Html.extractText(col("html")).as("content"))
+        .orderBy("doc_id")),
 
     // URL canonicalization under the gate: four messy raw variants per
     // group (case, www, default port, dup/trailing slashes, tracking
@@ -4303,6 +4329,15 @@ object SparkEntry {
         "0.4 * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))) + " +
         s"0.3 * (len(list_filter(string_split(text,' '), t -> list_contains($allStop, t))) * 1.0 / " +
         "len(string_split(text,' '))), 4) AS quality FROM documents ORDER BY doc_id"),
+
+    // html_extract oracle: the visible text and title stated straight from
+    // the wrapper formula — the Spark side must earn them through the
+    // general strip/decode chain (note '&lt;' survives literally: the
+    // input had &amp;lt;, and amp decodes LAST).
+    "html_extract" ->
+      ("SELECT doc_id, 'Doc ' || doc_id AS title, " +
+        "'Doc ' || doc_id || ' Home > Section & Index ' || text || ' &lt; tricky' AS content " +
+        "FROM documents ORDER BY doc_id"),
 
     // url_canonicalize oracle: the construction formula's raw variants AND
     // the one canonical form they must collapse to, stated directly — the

@@ -1974,6 +1974,30 @@ class LlmSpec extends SparkSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("html extraction: element strip, entity decode order, whitespace collapse") {
+    import graft.llm.Html
+    val cases = Seq(
+      // nested '<' inside script; unclosed attr quote styles; CRLF collapse
+      ("<body><script>if (a<b && c>d) {}</script>one\r\n\t two</body>", "one two"),
+      // style with braces + a tag-looking string inside
+      ("<style>p::before { content: \"</div>\"; }</style>x<b>y</b>z", "x y z"),
+      // comments spanning lines; entity zoo; &amp; decodes last
+      ("<!-- a\nb --><p>5 &lt; 6 &amp; 7 &gt; 4, &quot;q&quot; &#39;s&#39; &amp;amp;</p>",
+        "5 < 6 & 7 > 4, \"q\" 's' &amp;"),
+      // no title tag -> empty title; bare text passes through
+      ("plain text, no markup", "plain text, no markup")
+    ).toDF("html", "expected")
+    cases.select(Html.extractText(col("html")).as("got"), col("expected"))
+      .as[(String, String)].collect()
+      .foreach { case (got, exp) => assert(got == exp, s"[$got] != [$exp]") }
+    val titles = Seq(
+      ("<html><head><TITLE lang=en>A &amp; B</TITLE></head></html>", "A & B"),
+      ("no title here", "")).toDF("html", "expected")
+    titles.select(Html.title(col("html")).as("got"), col("expected"))
+      .as[(String, String)].collect()
+      .foreach { case (got, exp) => assert(got == exp, s"[$got] != [$exp]") }
+  }
+
   test("url canonicalization: rules hold on edge cases beyond the gate corpus") {
     import graft.llm.Urls
     val cases = Seq(
