@@ -161,6 +161,20 @@ object SparkEntry {
   // built once per (session, dir) from the even-id half of the corpus, then
   // probed (read-only) by the gate query — matching how a pipeline builds
   // the store from history and probes each new crawl against it.
+  // CDC chunk-hash store built once per (session, dir) on the even-id
+  // history half; the incremental gate probes it READ-ONLY with the odd
+  // half (idempotent under bench reps — appendToStore is the spec-pinned
+  // lifecycle write, not part of the gate).
+  private val cdcStores =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def cdcStore(s: SparkSession, d: String): String =
+    cdcStores.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "cdcstore", d)
+      graft.llm.Cdc.buildStore(s, path,
+        t(s, d, "documents").where(col("doc_id") % 2 === 0))
+      path
+    })
+
   private val sigStores =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def sigStore(s: SparkSession, d: String): String =
@@ -867,6 +881,14 @@ object SparkEntry {
     // operators: O(n) map per doc + ONE (hash, len)-keyed exchange.
     "dedup_cdc" -> ((s, d) =>
       graft.llm.Cdc.dedupStats(t(s, d, "documents")).orderBy("doc_id")),
+
+    // The INCREMENTAL CDC ledger: the odd-id crawl accounted against the
+    // persisted even-id chunk-hash store — history text never rescanned,
+    // O(batch) chunking plus one keyed join against 16-byte keys.
+    "dedup_cdc_incremental" -> ((s, d) =>
+      graft.llm.Cdc.probeStats(s, cdcStore(s, d),
+        t(s, d, "documents").where(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")),
 
     // The EDITING form of exact-substring dedup (Lee et al. 2022): cut
     // every non-canonical duplicated 10-token span from the text itself,
@@ -3090,6 +3112,33 @@ object SparkEntry {
       s"SELECT idx, round(w, 6) AS w FROM w$epochs ORDER BY idx"
   }
 
+  // Shared CDC oracle plumbing: the chunk relation `ch(doc_id, idx, len,
+  // hash)` from the boundary-rule + chunk-hash restatement, and the
+  // per-doc ledger select over a ranked relation `rk(doc_id, len, rn)`.
+  private val cdcChunkCte: String =
+    "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0), " +
+      "p AS (SELECT doc_id, text, unnest(generate_series(8, n)) AS i FROM d WHERE n >= 8), " +
+      "b AS (SELECT doc_id, i FROM p WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(i - 7, i), j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), " +
+      "(a, c) -> (a * 31 + c) % 1000000007) % 64 = 63), " +
+      "cl AS (SELECT d.doc_id, d.text, " +
+      "list_sort(list_distinct(coalesce(list(b.i), CAST([] AS BIGINT[])) || [CAST(d.n AS BIGINT)])) AS ends " +
+      "FROM d LEFT JOIN b ON b.doc_id = d.doc_id GROUP BY d.doc_id, d.text, d.n), " +
+      "ck0 AS (SELECT doc_id, text, ends, unnest(generate_series(1, len(ends))) AS k FROM cl), " +
+      "ck AS (SELECT doc_id, text, k AS idx, " +
+      "CASE WHEN k = 1 THEN 1 ELSE CAST(ends[k - 1] AS INTEGER) + 1 END AS s, " +
+      "CAST(ends[k] AS INTEGER) AS e FROM ck0), " +
+      "ch AS (SELECT doc_id, idx, e - s + 1 AS len, " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(s, e), " +
+      "j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007) AS hash " +
+      "FROM ck)"
+
+  private def cdcLedgerSelect(where: String): String =
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(len) AS BIGINT) AS n_chars, " +
+      "CAST(coalesce(sum(CASE WHEN rn > 1 THEN len END), 0) AS BIGINT) AS dup_chars, " +
+      "round(coalesce(sum(CASE WHEN rn > 1 THEN len END), 0) * 1.0 / sum(len), 6) AS dup_ratio " +
+      s"FROM rk $where GROUP BY doc_id"
+
   // lm_score oracle: the full train + score replay — distributed n-gram
   // counting is plain GROUP BY, backoff is the same CASE, terms are the
   // same micro-unit integers (ln(s)/ln(10), binary-value round). The CTE
@@ -3601,27 +3650,18 @@ object SparkEntry {
     // restated in plain integer arithmetic — an O(n·w) refold per position
     // (the oracle's license to be naive) against Spark's O(n) rolling pass.
     "dedup_cdc" ->
-      ("WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0), " +
-        "p AS (SELECT doc_id, text, unnest(generate_series(8, n)) AS i FROM d WHERE n >= 8), " +
-        "b AS (SELECT doc_id, i FROM p WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "list_transform(generate_series(i - 7, i), j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), " +
-        "(a, c) -> (a * 31 + c) % 1000000007) % 64 = 63), " +
-        "cl AS (SELECT d.doc_id, d.text, " +
-        "list_sort(list_distinct(coalesce(list(b.i), CAST([] AS BIGINT[])) || [CAST(d.n AS BIGINT)])) AS ends " +
-        "FROM d LEFT JOIN b ON b.doc_id = d.doc_id GROUP BY d.doc_id, d.text, d.n), " +
-        "ck0 AS (SELECT doc_id, text, ends, unnest(generate_series(1, len(ends))) AS k FROM cl), " +
-        "ck AS (SELECT doc_id, text, k AS idx, " +
-        "CASE WHEN k = 1 THEN 1 ELSE CAST(ends[k - 1] AS INTEGER) + 1 END AS s, " +
-        "CAST(ends[k] AS INTEGER) AS e FROM ck0), " +
-        "ch AS (SELECT doc_id, idx, e - s + 1 AS len, " +
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(s, e), " +
-        "j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))), (a, c) -> (a * 31 + c) % 1000000007) AS hash " +
-        "FROM ck), " +
-        "rk AS (SELECT doc_id, len, ROW_NUMBER() OVER (PARTITION BY hash, len ORDER BY doc_id, idx) AS rn FROM ch) " +
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(len) AS BIGINT) AS n_chars, " +
-        "CAST(coalesce(sum(CASE WHEN rn > 1 THEN len END), 0) AS BIGINT) AS dup_chars, " +
-        "round(coalesce(sum(CASE WHEN rn > 1 THEN len END), 0) * 1.0 / sum(len), 6) AS dup_ratio " +
-        "FROM rk GROUP BY doc_id ORDER BY doc_id"),
+      (cdcChunkCte +
+        ", rk AS (SELECT doc_id, len, ROW_NUMBER() OVER (PARTITION BY hash, len ORDER BY doc_id, idx) AS rn FROM ch) " +
+        cdcLedgerSelect("") + " ORDER BY doc_id"),
+
+    // Incremental replay: the SAME chunk relation, but first-occurrence
+    // order puts the even-id history crawl ahead of every batch chunk —
+    // the window key (doc_id % 2, doc_id, idx) IS "store hit OR earlier
+    // in batch". Ledger released for the batch half only.
+    "dedup_cdc_incremental" ->
+      (cdcChunkCte +
+        ", rk AS (SELECT doc_id, len, ROW_NUMBER() OVER (PARTITION BY hash, len ORDER BY (doc_id % 2), doc_id, idx) AS rn FROM ch) " +
+        cdcLedgerSelect("WHERE doc_id % 2 = 1") + " ORDER BY doc_id"),
 
     "dedup_substring" ->
       ("WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +

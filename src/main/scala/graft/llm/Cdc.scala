@@ -30,6 +30,18 @@ object Cdc {
       .select(col(idCol), col("c.idx").as("idx"), col("c.start").as("start"),
         col("c.len").as("len"), col("c.hash").as("hash"))
 
+  /** Shared ledger aggregation: per-doc chunk counts/bytes with a
+    * precomputed boolean dup flag column `_dup`.
+    */
+  private def ledger(flagged: DataFrame, idCol: String): DataFrame =
+    flagged.select(col(idCol), col("len").cast("long").as("len"),
+        when(col("_dup"), col("len")).otherwise(lit(0)).cast("long").as("dup"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"), sum("len").as("n_chars"),
+        sum("dup").as("dup_chars"))
+      .withColumn("dup_ratio", graft.functions.Rounding.dround(
+        col("dup_chars").cast("double") / col("n_chars"), 6))
+
   /** Per-document duplicated-byte ledger: n_chunks, n_chars, dup_chars
     * (chars in chunks whose (hash, len) already occurred at a smaller
     * (id, idx) — global first occurrence keeps ownership), dup_ratio.
@@ -39,13 +51,78 @@ object Cdc {
     val ch = chunks(docs, textCol, idCol, w, divisor)
     val rk = Window.partitionBy(col("hash"), col("len"))
       .orderBy(col(idCol), col("idx"))
-    val dup = when(row_number().over(rk) > 1, col("len")).otherwise(lit(0))
-    ch.select(col(idCol), col("len").cast("long").as("len"),
-        dup.cast("long").as("dup"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_chunks"), sum("len").as("n_chars"),
-        sum("dup").as("dup_chars"))
-      .withColumn("dup_ratio", graft.functions.Rounding.dround(
-        col("dup_chars").cast("double") / col("n_chars"), 6))
+    ledger(ch.withColumn("_dup", row_number().over(rk) > 1), idCol)
+  }
+
+  // ---- persisted chunk-hash store: the CDC family's O(batch) increment --
+
+  /** The CDC family's incremental artifact (the engine invariant: every
+    * artifact family — signatures, IVF, BM25 postings, pairs — has an
+    * O(batch) increment; this is the chunk-dedup one). The store holds
+    * only DISTINCT (hash, len) chunk keys — 16 bytes per distinct chunk,
+    * ~16/divisor of corpus bytes — bucket-partitioned by `pmod(hash,
+    * nBuckets)` so appends land beside their bucket. History TEXT is never
+    * rescanned: a new crawl's duplicated-byte ledger is the batch's own
+    * O(batch) chunk pass plus one keyed join against the hash store.
+    */
+  val storeBuckets = 16
+
+  private def storeKeys(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) graft.core.Layouts.read(spark, path).select("hash", "len")
+    else spark.range(0).select(col("id").as("hash"),
+      col("id").cast("int").as("len"))
+  }
+
+  /** (Re)build the store from a corpus: distinct chunk keys, bucketed. */
+  def buildStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      w: Int = 8, divisor: Long = 64L): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    val keys = chunks(docs, textCol, idCol, w, divisor)
+      .select("hash", "len").distinct()
+      .withColumn("bucket", pmod(col("hash"), lit(storeBuckets.toLong)))
+    graft.core.Layouts.writePartitioned(keys, path, "bucket")
+  }
+
+  /** READ-ONLY batch ledger against the store: a batch chunk is duplicate
+    * if its (hash, len) exists in history OR occurred earlier in the batch
+    * itself ((id, idx) order) — exactly the ordering "history ingested
+    * first". Idempotent (no store mutation); an absent store means no
+    * history. Same output shape as [[dedupStats]].
+    */
+  def probeStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      w: Int = 8, divisor: Long = 64L): DataFrame = {
+    val ch = chunks(batch, textCol, idCol, w, divisor)
+    val known = storeKeys(spark, path).withColumn("_hit", lit(1))
+    val rk = Window.partitionBy(col("hash"), col("len"))
+      .orderBy(col(idCol), col("idx"))
+    val flagged = ch.join(known, Seq("hash", "len"), "left")
+      .withColumn("_dup", col("_hit").isNotNull || row_number().over(rk) > 1)
+    ledger(flagged, idCol)
+  }
+
+  /** Fold a batch's NEW chunk keys into the store (append-only increments
+    * beside their bucket; the store stays a distinct-key relation because
+    * only keys absent from history are written). Call after
+    * [[probeStats]] — the ledger is the read, this is the write.
+    */
+  def appendToStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      w: Int = 8, divisor: Long = 64L): Unit = {
+    val newKeys = chunks(batch, textCol, idCol, w, divisor)
+      .select("hash", "len").distinct()
+      .join(storeKeys(spark, path), Seq("hash", "len"), "left_anti")
+      .withColumn("bucket", pmod(col("hash"), lit(storeBuckets.toLong)))
+      // EAGER materialization: the write lands on the path the anti-join
+      // reads — the keys must be computed before the first new file lands
+      .localCheckpoint(true)
+    graft.core.Layouts.writePartitioned(newKeys, path, "bucket",
+      mode = "append")
   }
 }

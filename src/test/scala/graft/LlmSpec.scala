@@ -2096,6 +2096,36 @@ class LlmSpec extends SparkSpec {
     assert(st(4L)._4 == 0L)
   }
 
+  test("cdc store: history probe, append == rebuild, idempotent, absent-store fallback") {
+    import graft.llm.Cdc
+    val textA = (1 to 300).map(i => ((i * 48271L) % 1009).toString).mkString(" ")
+    val textC = (1 to 300).map(i => ((i * 16807L) % 2003).toString).mkString(" ")
+    val crawl1 = Seq((1L, textA), (2L, textC + " tail one")).toDF("doc_id", "text")
+    val crawl2 = Seq((3L, textA), (4L, "fresh " + textC.reverse)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cdcstore").toString
+    val p1 = s"$dir/s1"
+    Cdc.buildStore(spark, p1, crawl1)
+    def probe() = Cdc.probeStats(spark, p1, crawl2)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val st = probe()
+    assert(st(3L)._5 == 1.0, s"re-crawled doc must be all dup bytes: $st")
+    assert(st(4L)._4 < st(4L)._3, "fresh doc must keep novel bytes")
+    assert(probe() == st, "read-only probe must be idempotent")
+    // append == rebuild on the union, and re-append adds nothing
+    Cdc.appendToStore(spark, p1, crawl2)
+    def keys(p: String) = graft.core.Layouts.read(spark, p)
+      .select("hash", "len").as[(Long, Int)].collect().toSet
+    val p2 = s"$dir/s2"
+    Cdc.buildStore(spark, p2, crawl1.union(crawl2))
+    assert(keys(p1) == keys(p2), "incremental store must equal the rebuild")
+    Cdc.appendToStore(spark, p1, crawl2)
+    assert(keys(p1) == keys(p2), "re-appending a seen batch must be a no-op")
+    // absent store: only within-batch duplication counts
+    val cold = Cdc.probeStats(spark, s"$dir/nowhere", crawl2)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(cold(3L)._4 == 0L && cold(4L)._4 == 0L)
+  }
+
   test("naive bayes language model: trains, generalizes, tiebreaks by label order") {
     import graft.llm.NaiveBayes
     val train = Seq(
