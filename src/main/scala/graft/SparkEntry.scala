@@ -721,6 +721,14 @@ object SparkEntry {
       graft.analytics.Sketches.kmvDistinctBy(t(s, d, "events"),
         "event_type", "user_id", k = 64)),
 
+    // HLL distinct sketch: 64 max-registers per group (map-side combinable
+    // — the mergeable-sketch posture KMV's k-minima share), deterministic
+    // over the engine-agnostic mix32+PolyHash draw; exact count rides
+    // along as the quality readout.
+    "distinct_hll" -> ((s, d) =>
+      graft.analytics.Sketches.hllDistinctBy(t(s, d, "events"),
+        "event_type", "user_id").orderBy("event_type")),
+
     // Theta-style set-operation estimates from two KMV sketches — the
     // cohort/corpus overlap diagnostic without a distinct-join: each side
     // reduces to one fixed-size k-minima row.
@@ -2364,6 +2372,32 @@ object SparkEntry {
        |SELECT event_type, CASE WHEN nh < $k THEN CAST(nh AS DOUBLE)
        |  ELSE ($k - 1) * 1000000007.0 / hk END AS est_distinct
        |FROM a ORDER BY event_type""".stripMargin.replace("\n", " ")
+  }
+
+  // HLL replay: the same mix+affine hash chain as kmvOracle, bucket/rho
+  // register construction, EXACT integer register sum (2^(26-reg), empty
+  // buckets 2^26), the raw estimate and linear-counting fallback spelled
+  // with the identical IEEE operation order.
+  private lazy val hllOracle: String = {
+    val (a, b) = graft.llm.Corpus.hashConstants(42L)
+    s"""WITH m0 AS (SELECT event_type, user_id % 4294967296 AS x0 FROM events WHERE user_id IS NOT NULL),
+       |m1 AS (SELECT event_type, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1 FROM m0),
+       |m2 AS (SELECT event_type, (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2 FROM m1),
+       |mx AS (SELECT event_type, xor(x2, x2 >> 16) AS mv FROM m2),
+       |h AS (SELECT event_type, ($a * (mv % 1000000007) + $b) % 1000000007 AS hv FROM mx),
+       |r AS (SELECT event_type, hv & 63 AS bucket,
+       |  CASE WHEN hv >> 6 = 0 THEN 25 ELSE 25 - length(bin(hv >> 6)) END AS rho FROM h),
+       |g AS (SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+       |s AS (SELECT event_type, count(*) AS nb,
+       |  sum(CAST(1 AS BIGINT) << (26 - reg)) AS sp FROM g GROUP BY 1),
+       |e AS (SELECT event_type, 64 - nb AS zeros,
+       |  (0.7213 / (1 + 1.079 / 64.0)) * 4096 * 67108864.0 / (sp + (64 - nb) * 67108864) AS eraw FROM s),
+       |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+       |SELECT e.event_type AS event_type,
+       |  round(CASE WHEN zeros > 0 AND eraw <= 160.0 THEN 64.0 * ln(64.0 / zeros) ELSE eraw END, 4) AS est_hll,
+       |  CAST(x.n_exact AS BIGINT) AS n_exact
+       |FROM e JOIN x ON e.event_type = x.event_type ORDER BY e.event_type""".stripMargin.replace("\n", " ")
   }
 
   // Theta-style KMV set-operation replay: per-side k-minima via the same
@@ -4109,6 +4143,7 @@ object SparkEntry {
     // Rebuilds the KMV sketch exactly: mix32 scatter + seeded affine draw
     // per distinct user_id, k smallest hashes per group, (k-1)*P1/h_k.
     "distinct_kmv" -> kmvOracle,
+    "distinct_hll" -> hllOracle,
     "kmv_overlap" -> kmvOverlapOracle,
 
     // deliberately the UNSALTED join: hash-equality proves the salted plan

@@ -24,6 +24,52 @@ object Sketches {
     df.groupBy(groupCol).agg(
       graft.functions.native.kmvDistinct(col(idCol), k, seed).as("est_distinct"))
 
+  /** HyperLogLog distinct-count estimate (Flajolet et al. 2007) of `idCol`
+    * per `groupCol` — the MERGEABLE-sketch companion of [[kmvDistinctBy]]:
+    * where KMV keeps k minima, HLL keeps m = 64 one-byte registers whose
+    * per-group state is a plain `max` aggregate — map-side combinable, so
+    * a 100 TB cardinality readout shuffles 64 tiny rows per group however
+    * many executors feed it. Deterministic over the [[graft.llm.Corpus
+    * .mix32]] + affine PolyHash draw (NOT xxhash — the approximation error
+    * itself replays bit-for-bit in the oracle):
+    *
+    *   bucket = h & 63, v = h >> 6 (< 2^24), rho = 25 − bitwidth(v)
+    *   (25 when v = 0); register = max rho per (group, bucket);
+    *   S = Σ 2^(26−reg) over all 64 registers (missing ⇒ reg 0 ⇒ 2^26 —
+    *   EXACT integer, max 2^32); E = α·m²·2^26 / S, with the standard
+    *   linear-counting fallback m·ln(m/zeros) when E ≤ 2.5m and empty
+    *   buckets remain.
+    *
+    * Returns `(groupCol, est_hll, n_exact)` — the exact count rides along
+    * as the sketch-quality readout (the ann_recall_eval convention).
+    */
+  def hllDistinctBy(df: DataFrame, groupCol: String, idCol: String,
+                    seed: Long = 42L): DataFrame = {
+    val P1 = graft.functions.PolyHash.P1
+    val (a, b) = graft.llm.Corpus.hashConstants(seed)
+    val rows = df.where(col(idCol).isNotNull)
+    val hv = pmod(lit(a) * pmod(graft.llm.Corpus.mix32(col(idCol)), lit(P1))
+      + lit(b), lit(P1))
+    val v = shiftright(hv, 6)
+    val rho = when(v === 0, lit(25)).otherwise(lit(25) - length(bin(v)))
+    val regs = rows
+      .select(col(groupCol), hv.bitwiseAND(lit(63L)).as("bucket"), rho.as("rho"))
+      .groupBy(groupCol, "bucket").agg(max("rho").as("reg"))
+    val alpha = 0.7213 / (1 + 1.079 / 64.0)
+    val est = regs.groupBy(groupCol)
+      .agg(count(lit(1)).as("nb"),
+        sum(expr("shiftleft(cast(1 as bigint), 26 - reg)")).as("sp"))
+      .select(col(groupCol), (lit(64) - col("nb")).as("zeros"),
+        (lit(alpha) * 4096 * 67108864.0 /
+          (col("sp") + (lit(64) - col("nb")) * lit(67108864L))).as("eraw"))
+      .select(col(groupCol), graft.functions.Rounding.dround(
+        when(col("zeros") > 0 && col("eraw") <= 160.0,
+          lit(64.0) * log(lit(64.0) / col("zeros"))).otherwise(col("eraw")), 4)
+        .as("est_hll"))
+    est.join(rows.groupBy(groupCol)
+        .agg(countDistinct(col(idCol)).as("n_exact")), groupCol)
+  }
+
   /** Theta-style set-operation estimates between two id sets from their KMV
     * sketches — the corpus-overlap diagnostic (shared users between event
     * cohorts, shared documents between sources) WITHOUT a distinct-join:

@@ -2096,6 +2096,23 @@ class LlmSpec extends SparkSpec {
     assert(st(4L)._4 == 0L)
   }
 
+  test("hll sketch: linear-counting and raw regimes bracket the truth, deterministic") {
+    import graft.analytics.Sketches
+    val small = (1 to 20).map(i => ("a", i.toLong)) // linear-counting regime
+    val big = (1 to 5000).map(i => ("b", (i * 7919).toLong)) // raw regime
+    val df = (small ++ big).toDF("g", "id")
+    val est = Sketches.hllDistinctBy(df, "g", "id")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(est("a")._3 == 20L && est("b")._3 == 5000L)
+    // LC at n<<m is tight; raw HLL at m=64 has sigma ~13% — allow 3 sigma
+    assert(math.abs(est("a")._2 - 20.0) <= 4.0, s"LC regime: ${est("a")}")
+    assert(math.abs(est("b")._2 - 5000.0) / 5000.0 <= 0.4, s"raw: ${est("b")}")
+    // deterministic: same draw, same estimate, duplicates don't move it
+    val est2 = Sketches.hllDistinctBy(df.union(df), "g", "id")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(est2("a") == est("a")._2 && est2("b") == est("b")._2)
+  }
+
   test("cdc store: history probe, append == rebuild, idempotent, absent-store fallback") {
     import graft.llm.Cdc
     val textA = (1 to 300).map(i => ((i * 48271L) % 1009).toString).mkString(" ")
