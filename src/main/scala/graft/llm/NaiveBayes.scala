@@ -49,7 +49,12 @@ object NaiveBayes {
   def train(df: DataFrame, textCol: String, labelCol: String): NbModel = {
     val tok = df.select(col(labelCol).as("label"),
       explode(TextStats.tokens(col(textCol))).as("word"))
+    // counts is VOCAB-sized after the aggregate but its subtree is the
+    // corpus explode: four consumers below (vocab, V, totals, condprob)
+    // would each replan that pass — the lazy checkpoint makes the corpus
+    // contribute ONE scan to training
     val counts = tok.groupBy("label", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val vocab = counts.select("word").distinct()
     val vSize = vocab.agg(count(lit(1)).as("v"))
     val docTotals = df.groupBy(col(labelCol).as("label"))
@@ -61,6 +66,7 @@ object NaiveBayes {
       .select(col("label"), col("tot"), col("v"),
         microLog10(col("nd").cast("double") / col("ndt")).as("prior_micro"),
         microLog10(lit(1.0) / (col("tot") + col("v"))).as("oov_micro"))
+      .localCheckpoint(false) // label-count rows; feeds condprob AND scoring
     val condprob = vocab.crossJoin(broadcast(labels.select("label", "tot", "v")))
       .join(counts, Seq("word", "label"), "left")
       .select(col("word"), col("label"),
