@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
   * team actually runs, in the canonical order, as a single facade over the
   * library's stages:
   *
+  *   0a. optional HTML → text extraction ([[Html.extractText]] — markup
+  *      must be gone before any content stage reads the text);
+  *   0b. optional canonical-URL dedup ([[Urls.canonicalize]], lowest id
+  *      keeps) — the cheapest drop, no content compared;
   *   1. EXACT dedup (content-hash, keep the lowest id);
   *   2. NEAR-dup cluster resolution via the persisted [[PairsIndex]]
   *      (built here if absent), keeping each cluster's HIGHEST-quality
@@ -30,9 +34,9 @@ object Curation {
   final case class Report(nInput: Long, nAfterExact: Long,
       nAfterNearDup: Long, nAfterQuality: Long, nAfterDecontam: Long,
       nFinal: Long, nSpanTokensCut: Long = 0L,
-      nAfterBlocklist: Long = -1L) {
+      nAfterBlocklist: Long = -1L, nAfterUrl: Long = -1L) {
     override def toString: String =
-      s"input=$nInput exact=$nAfterExact nearDup=$nAfterNearDup " +
+      s"input=$nInput url=$nAfterUrl exact=$nAfterExact nearDup=$nAfterNearDup " +
         s"spanTokensCut=$nSpanTokensCut quality=$nAfterQuality " +
         s"blocklist=$nAfterBlocklist decontam=$nAfterDecontam final=$nFinal"
   }
@@ -43,14 +47,37 @@ object Curation {
           textCol: String = "text", idCol: String = "doc_id",
           minWords: Int = 50, k: Int = 40,
           spanDedupK: Option[Int] = None,
-          blocklist: Seq[String] = Nil): (DataFrame, Report) = {
+          blocklist: Seq[String] = Nil,
+          htmlInput: Boolean = false,
+          urlCol: Option[String] = None): (DataFrame, Report) = {
     val spark = docs.sparkSession
     val nInput = docs.count()
 
+    // 0a. markup strip (crawl front door): every content stage below —
+    //     quality words, shingles, span cuts — assumes markup is gone,
+    //     so extraction rewrites textCol FIRST.
+    val text0 =
+      if (htmlInput) docs.withColumn(textCol, Html.extractText(col(textCol)))
+      else docs
+
+    // 0b. URL-level dedup: same canonical URL = the same page fetched
+    //     twice — the cheapest drop in the pipeline (no content compared),
+    //     so it runs before any text stage. Lowest id keeps.
+    val (afterUrl, nUrl) = urlCol match {
+      case Some(u) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_curl")).orderBy(col(idCol))
+        val kept = text0.withColumn("_curl", Urls.canonicalize(col(u)))
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_curl", "_rn")
+        (kept, kept.count())
+      case None => (text0, -1L)
+    }
+
     // 1. exact: keep each content hash's lowest id
-    val keepIds = Dedup.exact(docs, textCol, idCol)
+    val keepIds = Dedup.exact(afterUrl, textCol, idCol)
       .select(col("keep_id").as(idCol))
-    val afterExact = docs.join(keepIds, idCol)
+    val afterExact = afterUrl.join(keepIds, idCol)
 
     // 2. near-dup: resolve components once (persisted artifact), keep the
     //    highest-quality member of each cluster. An existing layout at
@@ -129,7 +156,7 @@ object Curation {
 
     (finalDf,
       Report(nInput, nExact, nNearDup, nQuality, nDecontam, nFinal,
-        nSpanCut, nBlocklist))
+        nSpanCut, nBlocklist, nUrl))
   }
 
   /** The Gopher-keep stage shared by [[run]] and [[runIncremental]] (one

@@ -1859,6 +1859,33 @@ class LlmSpec extends SparkSpec {
       r3.columns.toSeq == Seq("level", "a", "b", "n"))
   }
 
+  test("Curation.run front door: html extraction feeds the stages, url dedup drops refetches") {
+    import graft.llm.Curation
+    def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
+    // docs 1 and 2: the SAME page under two raw URLs (url dedup territory);
+    // doc 3: distinct page whose text passes minWords ONLY after markup
+    // strips (tags are not words)
+    val corpus = Seq(
+      (1L, s"<html><body><p>${words("a", 60)}</p></body></html>",
+        "http://www.X.com:80/p?utm_source=s&id=1"),
+      (2L, s"<html><body><p>${words("zz", 60)}</p></body></html>",
+        "http://x.com/p?id=1"),
+      (3L, s"<script>junk()</script><p>${words("b", 60)}</p>",
+        "https://y.org/q")
+    ).toDF("doc_id", "text", "url")
+    val (out, rep) = Curation.run(corpus, tmpDir("cururl") + "/idx",
+      htmlInput = true, urlCol = Some("url"))
+    val byId = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rep.nAfterUrl == 2, rep.toString)      // refetch dropped FIRST
+    assert(!byId.contains(2L) && byId.keySet == Set(1L, 3L))
+    assert(byId(1L) == words("a", 60), byId(1L))  // markup gone from output
+    assert(byId(3L) == words("b", 60))            // script never counted as words
+    // front door OFF: the url refetch reaches the content stages
+    // (different markup = different text, so exact dedup keeps all three)
+    val (_, rep0) = Curation.run(corpus, tmpDir("cururl0") + "/idx")
+    assert(rep0.nAfterUrl == -1L && rep0.nAfterExact == 3, rep0.toString)
+  }
+
   test("Curation.run optional stages: span cut edits text in place, blocklist drops matchers") {
     import graft.llm.Curation
     def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
