@@ -161,6 +161,18 @@ object SparkEntry {
   // built once per (session, dir) from the even-id half of the corpus, then
   // probed (read-only) by the gate query — matching how a pipeline builds
   // the store from history and probes each new crawl against it.
+  // CSV twin of the documents table, written once per (session, dir): the
+  // scan_csv gate must recover the parquet-exact rows from the CSV bytes
+  // (header, quoting, type re-application from the explicit schema).
+  private val csvDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def csvDir(s: SparkSession, d: String): String =
+    csvDirs.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "csvsrc", d)
+      graft.etl.Sources.writeCsv(t(s, d, "documents"), path)
+      path
+    })
+
   // CDC chunk-hash store built once per (session, dir) on the even-id
   // history half; the incremental gate probes it READ-ONLY with the odd
   // half (idempotent under bench reps — appendToStore is the spec-pinned
@@ -307,6 +319,15 @@ object SparkEntry {
     // ---- 2.A sources ----
     "scan_parquet" -> ((s, d) =>
       t(s, d, "region").select("r_regionkey", "r_name")),
+
+    // CSV source round-trip: the documents table written as quoted
+    // header-CSV once per session, read back through the explicit-schema
+    // CSV source — the gate proves byte-level quoting/typing fidelity
+    // against the parquet original (the third source format).
+    "scan_csv" -> ((s, d) =>
+      graft.etl.Sources.csv(s, csvDir(s, d),
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .orderBy("doc_id")),
 
     // S5: keyed read with limit + server-ts annotation (reference
     // storage.py:48-58); ORDER BY before LIMIT keeps it deterministic.
@@ -925,6 +946,12 @@ object SparkEntry {
     // shingle sets).
     "dedup_minhash_est" -> ((s, d) =>
       Dedup.minhashEstimate(t(s, d, "documents"))),
+
+    // Sketch-quality calibration: the estimate's error against exact
+    // Jaccard over the SAME candidate pairs, one-row readout (the
+    // ann_recall_eval convention for the dedup sketch).
+    "minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(t(s, d, "documents"))),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"))),
@@ -2308,6 +2335,23 @@ object SparkEntry {
         |FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")
 
+  // Calibration replay: exact jacc and the agreement estimate on the same
+  // candidates, per-pair |err| to half-up micro-units, integer aggregate.
+  private lazy val minhashCalibrationOracle: String =
+    minhashCandCte +
+      """, pe AS (SELECT round(len(list_intersect(hx.sh, hy.sh)) * 1.0 /
+        |  len(list_distinct(list_concat(hx.sh, hy.sh))), 4) AS jacc,
+        |  list_sum(list_transform(generate_series(1, 16),
+        |    i -> CASE WHEN sx.sig[i] = sy.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+        |  FROM cand JOIN hs hx ON doc_a = hx.doc_id JOIN hs hy ON doc_b = hy.doc_id
+        |  JOIN sig sx ON doc_a = sx.doc_id JOIN sig sy ON doc_b = sy.doc_id),
+        |em AS (SELECT CAST(floor(abs(est - jacc) * 1000000.0 + 0.5) AS BIGINT) AS em FROM pe)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(sum(em) / (count(*) * 1000000.0), 6) AS mean_abs_err,
+        |  round(max(em) / 1000000.0, 6) AS max_abs_err,
+        |  CAST(sum(CASE WHEN em > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_10pct
+        |FROM em""".stripMargin.replace("\n", " ")
+
   // Incremental-store probe replay: rebuild the even-half store's
   // canonicals (est-pair components among evens, min-label walk), then the
   // odd→even banded-bucket matches with the same agreement estimate, and
@@ -3302,6 +3346,10 @@ object SparkEntry {
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
+    // the CSV round-trip must land exactly on the parquet original
+    "scan_csv" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
     "scan_limit" ->
       ("SELECT event_id, props AS data, epoch_ms(ts) AS __ts FROM events " +
         "ORDER BY event_id LIMIT 100"),
@@ -3668,6 +3716,7 @@ object SparkEntry {
 
     "dedup_minhash" -> minhashOracle,
     "dedup_minhash_est" -> minhashEstOracle,
+    "minhash_calibration" -> minhashCalibrationOracle,
     "dedup_incremental" -> incrementalOracle,
 
     // Blocked levenshtein record linkage: both engines' levenshtein is the

@@ -27,4 +27,18 @@ object Sources {
     spark.readStream.schema(bronzeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(path)
+
+  /** CSV read with an EXPLICIT schema (inference would cost a second scan
+    * and can mis-type sparse columns) — header + RFC-4180 quoting, the
+    * third source format beside parquet and JSON lines. `multiLine` stays
+    * off: quoted embedded newlines would force whole-file parsing and kill
+    * split-ability, so upstream writers must escape them ([[writeCsv]]
+    * round-trips everything else).
+    */
+  def csv(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** The matching writer: header + quoting-when-needed. */
+  def writeCsv(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
 }

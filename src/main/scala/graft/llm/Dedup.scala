@@ -252,6 +252,36 @@ object Dedup {
       .where(col("jacc") >= threshold)
   }
 
+  /** Sketch-quality calibration of the MinHash estimate against exact
+    * shingle Jaccard over the SAME LSH candidate pairs — the
+    * `ann_recall_eval` convention applied to the dedup sketch: the one-row
+    * readout a pipeline checks before trusting the cheap estimate as its
+    * pre-verify threshold. Per-pair error goes to half-up integer
+    * micro-units BEFORE aggregation (the engine-portable-sum convention),
+    * so mean/max replay bit-for-bit. Returns
+    * `(n_pairs, mean_abs_err, max_abs_err, n_over_10pct)`.
+    */
+  def minhashCalibration(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleLen: Int = 5, bands: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val exact = minhash(docs, textCol, idCol, shingleLen, bands, rowsPerBand,
+      threshold = 0.0)
+    val est = minhashEstimate(docs, textCol, idCol, shingleLen, bands,
+      rowsPerBand)
+    val e = abs(col("est_jacc") - col("jacc")) * 1e6
+    val em = when(e >= 0, floor(e + 0.5)).otherwise(-floor(-e + 0.5))
+      .cast("long")
+    exact.join(est, Seq("doc_a", "doc_b"))
+      .select(em.as("em"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.Rounding.dround(
+          sum("em").cast("double") / (count(lit(1)) * 1e6), 6)
+          .as("mean_abs_err"),
+        graft.functions.Rounding.dround(max("em").cast("double") / 1e6, 6)
+          .as("max_abs_err"),
+        sum(when(col("em") > 100000L, 1L).otherwise(0L)).as("n_over_10pct"))
+  }
+
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: the fraction of
     * agreeing signature positions (E[estimate] = J). This is the cheap
     * threshold a pipeline applies BEFORE exact verification — the estimate
