@@ -16,14 +16,18 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
 
   /** The steady top by committed bench cost (BENCH_full.json), the
-    * scaling watch-list — rotated round 11: the round-11 additions
-    * (incremental pairs, the two MJPEG gates) enter so their growth is
-    * probed from day one; corpus_budget (flat, cheap) leaves. */
+    * scaling watch-list — rotated round 11b: the session's new operator
+    * families (CDC, perceptual/audio dedup, trained lang-ID, the
+    * calibration readout) enter so their growth is probed from day one;
+    * the flat round-10 rows (dp_mean, profile_summarize, lm_score_tri,
+    * multimodal_mjpeg — all ≤1.3×/decade twice running) rotate out. */
   val ScaleQueries: Seq[String] = Seq(
-    "dedup_fuzzy", "bm25_queries", "graph_pagerank", "lm_score_tri",
-    "dedup_winnow", "dp_mean", "dedup_incremental", "tfidf_top_terms",
-    "profile_summarize", "dedup_containment", "dedup_clips",
-    "pairs_index_append", "multimodal_mjpeg", "dedup_clips_mjpeg")
+    "dedup_fuzzy", "bm25_queries", "graph_pagerank",
+    "dedup_winnow", "dedup_incremental", "tfidf_top_terms",
+    "dedup_containment", "dedup_clips", "pairs_index_append",
+    "dedup_clips_mjpeg",
+    "dedup_cdc", "dedup_cdc_incremental", "dedup_phash", "dedup_audio",
+    "langid_nb", "minhash_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

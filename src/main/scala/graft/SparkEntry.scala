@@ -2202,6 +2202,22 @@ object SparkEntry {
       Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
     },
 
+    // CROSS-FORMAT perceptual dedup with the LOSSY codec inside the
+    // hash-exact gate: each group is the SAME margin-engineered
+    // checkerboard stored once as PNG (even doc) and once as real
+    // JDK-encoded JPEG (odd doc). Cell means sit 80 gray levels from the
+    // global mean while JPEG quantization moves them a few — so every
+    // aHash bit, and therefore every dup pair, is a pure integer function
+    // of the group id the oracle states; the Spark side must earn the
+    // pairs through BOTH real decoders and collide them at Hamming 0.
+    "dedup_phash_mixed" -> { (s, d) =>
+      val g = floor(col("doc_id") / 2).cast("long")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticImageCheck(32, 32, g,
+          col("doc_id") % 2 === 1).as("content"))
+      Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
+    },
+
     // LOSSY-container frame sampling, end-to-end real: each doc
     // synthesizes a genuine MJPEG clip (back-to-back baseline JPEGs from
     // the JDK encoder), the container is split by a real marker walk, and
@@ -4828,6 +4844,38 @@ object SparkEntry {
         "max(CASE WHEN band = 1 THEN bv END) AS b1, " +
         "max(CASE WHEN band = 2 THEN bv END) AS b2, " +
         "max(CASE WHEN band = 3 THEN bv END) AS b3 FROM bnd GROUP BY doc_id), " +
+        "hm AS (SELECT cand.ida, cand.idb, " +
+        "bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + " +
+        "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming " +
+        "FROM cand JOIN wide x ON x.doc_id = cand.ida JOIN wide y ON y.doc_id = cand.idb) " +
+        "SELECT ida AS id_a, idb AS id_b, CAST(hamming AS INTEGER) AS hamming " +
+        "FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"),
+
+    // dedup_phash_mixed oracle: the checkerboard's aHash bits restated
+    // from the rank formula alone (cell high ⇔ rank ≤ 32 ⇔ mean 200 > the
+    // exact global mean 120 — JPEG noise cannot cross the 80-level
+    // margin), then the identical band/guard/pair chain as dedup_phash.
+    "dedup_phash_mixed" ->
+      ("WITH d AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "gs AS (SELECT DISTINCT g FROM d), " +
+        "m0 AS (SELECT g, ks.k, (g * 64 + ks.k) % 4294967296 AS x0 " +
+        "FROM gs, generate_series(0, 63) ks(k)), " +
+        "m1 AS (SELECT g, k, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1 FROM m0), " +
+        "m2 AS (SELECT g, k, (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2 FROM m1), " +
+        "chh AS (SELECT g, k, xor(x2, x2 >> 16) AS h FROM m2), " +
+        "rk AS (SELECT g, k, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, k) AS rn FROM chh), " +
+        "bnd AS (SELECT g, k // 16 AS band, " +
+        "sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END * (CAST(1 AS BIGINT) << (k % 16))) AS bv " +
+        "FROM rk GROUP BY 1, 2), " +
+        "db AS (SELECT d.doc_id, bnd.band, bnd.bv FROM d JOIN bnd ON bnd.g = d.g), " +
+        "rare AS (SELECT band, bv FROM db GROUP BY 1, 2 HAVING count(*) <= 64), " +
+        "kept AS (SELECT db.doc_id, db.band, db.bv FROM db JOIN rare ON rare.band = db.band AND rare.bv = db.bv), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM kept x " +
+        "JOIN kept y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id), " +
+        "wide AS (SELECT doc_id, max(CASE WHEN band = 0 THEN bv END) AS b0, " +
+        "max(CASE WHEN band = 1 THEN bv END) AS b1, " +
+        "max(CASE WHEN band = 2 THEN bv END) AS b2, " +
+        "max(CASE WHEN band = 3 THEN bv END) AS b3 FROM db GROUP BY doc_id), " +
         "hm AS (SELECT cand.ida, cand.idb, " +
         "bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + " +
         "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming " +

@@ -952,7 +952,7 @@ case class SyntheticPng(first: Expression, second: Expression,
   * `pixel(x, y, ·) = (x·a + y·b) mod 200 + shift` (all three channels
   * equal): distinct (a, b) slopes give structurally distinct images while
   * `shift ≤ 55` is a pure brightness offset that never wraps — exactly the
-  * perturbation a mean-thresholded perceptual hash ([[PngAHash64]]) is
+  * perturbation a mean-thresholded perceptual hash ([[ImageAHash64]]) is
   * invariant to, which is what the image near-dup gate needs a formula
   * for. Dimensions are constructor constants (the gate's rasters are
   * fixed-size); slopes/shift ride as columns.
@@ -976,24 +976,74 @@ case class SyntheticPngGrad(imgW: Int, imgH: Int, first: Expression,
       c: Expression): SyntheticPngGrad = copy(first = a, second = b, third = c)
 }
 
-/** 64-bit average-hash (aHash) of a PNG payload's DECODED raster: the
-  * image is binned into an 8×8 grid (floor-division bins, so any
-  * dimensions work), and bit `8·by + bx` is set iff that cell's mean of
-  * channel 0 exceeds the whole-image mean — compared in exact integer
-  * cross-multiplied form `cell_sum · n_pixels > total_sum · cell_count`,
-  * so the hash replays bit-identically in any engine from the pixel
-  * formula. Brightness shifts cancel in the comparison (both sides gain
-  * the same offset), which is the perceptual property: re-encodes and
-  * exposure tweaks keep the hash, unrelated images differ in ~32 bits.
-  * NULL when [[graft.llm.Multimodal.decodePng]] rejects the bytes.
-  * Products stay within Long: decodePng caps rasters at 2^30 samples.
+/** A REAL synthesized image — PNG or baseline JPEG (JDK encoder), chosen
+  * by the `jpeg` flag — whose content is a per-group CHECKERBOARD of
+  * 4×4-pixel cells at two MARGIN-ENGINEERED gray levels: exactly half the
+  * 8×8 grid cells at 200, half at 40 (the high half = the 32
+  * smallest-ranked cell hashes of `group`), so the global mean is exactly
+  * 120 and every cell mean sits 80 levels from it. JPEG quantization
+  * perturbs flat-cell means by a few levels — far inside the margin —
+  * which is what lets a LOSSY payload live under the hash-exact
+  * [[ImageAHash64]] gate: the bit pattern (and therefore the dup pairs)
+  * is a pure integer function of `group`, stated by the oracle, and the
+  * PNG original and JPEG re-encode of a group MUST collide at Hamming 0.
   */
-case class PngAHash64(child: Expression)
+case class SyntheticImageCheck(imgW: Int, imgH: Int, left: Expression,
+                               right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  require(imgW % 8 == 0 && imgH % 8 == 0, "cells must align with the 8x8 grid")
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(g: Any, j: Any): Any = {
+    val group = g.asInstanceOf[Number].longValue()
+    val jpeg = j.asInstanceOf[Boolean]
+    // rank the 64 cells by a NONLINEAR mix of (group, cell); the 32
+    // smallest are HIGH. An affine hash would shift all 64 values by a
+    // group-constant and preserve most ranks — adjacent groups would come
+    // out near-identical; mix32's xorshift rounds decorrelate them.
+    val ranked = (0 until 64)
+      .map(k => (graft.llm.Corpus.mix32L(group * 64 + k), k))
+      .sorted.map(_._2)
+    val high = ranked.take(32).toSet
+    val cw = imgW / 8; val chh = imgH / 8
+    def pixel(x: Int, y: Int, c: Int): Int = {
+      val k = (y / chh) * 8 + (x / cw)
+      if (high(k)) 200 else 40
+    }
+    if (jpeg) graft.llm.Multimodal.encodeMjpeg(imgW, imgH, 1,
+      (_, x, y, c) => pixel(x, y, c))
+    else graft.llm.Multimodal.encodePng(imgW, imgH, 3, pixel)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SyntheticImageCheck = copy(left = l, right = r)
+}
+
+/** 64-bit average-hash (aHash) of an image payload's DECODED raster —
+  * PNG or baseline JPEG, dispatched by magic bytes
+  * ([[graft.llm.Multimodal.decodeImage]]): format must never matter to a
+  * perceptual hash, so a PNG original and its JPEG re-encode hash from
+  * their rasters through ONE rule. The image is binned into an 8×8 grid
+  * (floor-division bins, so any dimensions work), and bit `8·by + bx` is
+  * set iff that cell's mean of channel 0 exceeds the whole-image mean —
+  * compared in exact integer cross-multiplied form
+  * `cell_sum · n_pixels > total_sum · cell_count`, so the hash replays
+  * bit-identically in any engine from the pixel formula. Brightness
+  * shifts cancel in the comparison (both sides gain the same offset),
+  * which is the perceptual property: re-encodes and exposure tweaks keep
+  * the hash, unrelated images differ in ~32 bits. JPEG quantization
+  * perturbs cell means by a few levels, so bits stay formula-predictable
+  * whenever the pattern's cell-vs-global margin dominates (the
+  * dedup_phash_mixed gate engineers an 80-level margin). NULL when the
+  * bytes decode as neither format. Products stay within Long: both
+  * decoders cap rasters at 2^30 samples.
+  */
+case class ImageAHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
-    graft.llm.Multimodal.decodePng(input.asInstanceOf[Array[Byte]]) match {
+    graft.llm.Multimodal.decodeImage(input.asInstanceOf[Array[Byte]]) match {
       case None => null
       case Some(img) =>
         val w = img.width; val h = img.height; val ch = img.channels
@@ -1022,7 +1072,7 @@ case class PngAHash64(child: Expression)
         java.lang.Long.valueOf(hash)
     }
 
-  override protected def withNewChildInternal(c: Expression): PngAHash64 =
+  override protected def withNewChildInternal(c: Expression): ImageAHash64 =
     copy(child = c)
 }
 
@@ -1586,8 +1636,15 @@ object native {
     column(SyntheticPngGrad(imgW, imgH, expression(a), expression(b),
       expression(shift)))
 
-  /** 64-bit average-hash of a PNG's decoded raster (see [[PngAHash64]]). */
-  def pngAHash64(c: Column): Column = column(PngAHash64(expression(c)))
+  /** 64-bit average-hash of a decoded PNG/JPEG raster (see [[ImageAHash64]]). */
+  def imageAHash64(c: Column): Column = column(ImageAHash64(expression(c)))
+
+  /** Margin-engineered checkerboard image, PNG or JPEG (see
+    * [[SyntheticImageCheck]]).
+    */
+  def syntheticImageCheck(imgW: Int, imgH: Int, group: Column,
+      jpeg: Column): Column =
+    column(SyntheticImageCheck(imgW, imgH, expression(group), expression(jpeg)))
 
   /** Decoded-pixel stats `(width, height, channels, sum_r, sum_g, sum_b)`. */
   def pngPixelStats(c: Column): Column = column(PngPixelStats(expression(c)))

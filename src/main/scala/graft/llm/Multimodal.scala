@@ -600,12 +600,14 @@ object Multimodal {
 
   /** IMAGE near-dup by perceptual hash: every payload decodes through the
     * real PNG path into a 64-bit average-hash
-    * ([[graft.functions.PngAHash64]]), candidates block on 4×16-bit hash
+    * ([[graft.functions.ImageAHash64]]), candidates block on 4×16-bit hash
     * BANDS (the simhash pigeonhole: ≤ 3 flipped bits cannot touch all 4
     * bands, so Hamming ≤ 3 recall is guaranteed; 4..`tau` pairs are
     * caught whenever a band survives — the aHash near-dups this gate
     * targets are brightness shifts, which leave the hash IDENTICAL), and
-    * survivors verify by exact popcount. Scale
+    * survivors verify by exact popcount. Payloads decode by magic bytes
+    * — PNG and baseline JPEG hash through one raster rule, so a PNG
+    * original pairs with its JPEG re-encode. Scale
     * posture matches [[clipDupPairs]]: only (id, hash) enters the
     * exchange — 16 bytes per image however large the rasters — bucket
     * df capped at `maxDf` so a hot band cannot go quadratic. The cap
@@ -621,7 +623,7 @@ object Multimodal {
                     contentCol: String = "content", tau: Int = 6,
                     maxDf: Int = 64): DataFrame = {
     val ph = media.select(col(idCol).as("id"),
-        graft.functions.native.pngAHash64(col(contentCol)).as("ph"))
+        graft.functions.native.imageAHash64(col(contentCol)).as("ph"))
       .where(col("ph").isNotNull)
     val bands = ph.select(col("id"), col("ph"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -842,6 +844,16 @@ object Multimodal {
           }
     }
 
+  /** Still-image raster decode dispatching on magic bytes: SOI →
+    * [[Jpeg.decode]], PNG signature → [[decodePng]] — ONE decode boundary
+    * for mixed-format image corpora (web images are mostly JPEG with a
+    * PNG tail; format must never matter to downstream raster consumers).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[PngImage] =
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+        (bytes(1) & 0xFF) == 0xD8) Jpeg.decode(bytes)
+    else decodePng(bytes)
+
   /** Real CLIP frame decoder for [[decodeFrames]] dispatching on the
     * container's magic bytes — the decoder twin of the
     * [[graft.functions.ClipFrameHashes]] expression, so a mixed
@@ -864,11 +876,7 @@ object Multimodal {
     * no frames.
     */
   def imageFrameDecoder(bytes: Array[Byte]): Iterator[Array[Float]] = {
-    val img =
-      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
-          (bytes(1) & 0xFF) == 0xD8) Jpeg.decode(bytes)
-      else decodePng(bytes)
-    img match {
+    decodeImage(bytes) match {
       case None => Iterator.empty
       case Some(im) =>
         val stride = im.width * im.channels

@@ -2078,7 +2078,7 @@ class LlmSpec extends SparkSpec {
     ).toDF("media_id", "a", "b", "sh")
       .select(col("media_id"), native.syntheticPngGrad(32, 32,
         col("a"), col("b"), col("sh")).as("content"))
-    val ph = d.select(col("media_id"), native.pngAHash64(col("content")).as("ph"))
+    val ph = d.select(col("media_id"), native.imageAHash64(col("content")).as("ph"))
       .as[(Long, Long)].collect().toMap
     assert(ph(1L) == ph(2L), "aHash must be brightness-shift invariant")
     assert(ph(1L) == ph(4L))
@@ -2090,6 +2090,24 @@ class LlmSpec extends SparkSpec {
     // undecodable payloads drop out instead of pairing
     val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
     assert(graft.llm.Multimodal.imageDupPairs(junk).count() == 0)
+  }
+
+  test("cross-format perceptual dedup: a PNG and its JPEG re-encode collide") {
+    import graft.functions.native
+    // same checkerboard group as PNG and as a real JDK-encoded JPEG; a
+    // different group as the non-dup control
+    val d = Seq((1L, 7L, false), (2L, 7L, true), (3L, 8L, false))
+      .toDF("media_id", "g", "jpeg")
+      .select(col("media_id"),
+        native.syntheticImageCheck(32, 32, col("g"), col("jpeg")).as("content"))
+    val ph = d.select(col("media_id"), native.imageAHash64(col("content")).as("ph"))
+      .as[(Long, Long)].collect().toMap
+    assert(ph(1L) == ph(2L),
+      "JPEG quantization must not cross the 80-level margin")
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(3L)) > 6)
+    val pairs = graft.llm.Multimodal.imageDupPairs(d)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
   }
 
   test("cdc chunking: partitions text, survives a prepended edit, ledgers dup bytes") {
