@@ -173,6 +173,19 @@ object SparkEntry {
       path
     })
 
+  // HLL register store built once per (session, dir) on the even-event-id
+  // history half; the incremental gate max-merges the odd half READ-ONLY.
+  private val hllStores =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def hllStore(s: SparkSession, d: String): String =
+    hllStores.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "hllstore", d)
+      graft.analytics.Sketches.buildHllStore(s, path,
+        t(s, d, "events").where(col("event_id") % 2 === 0),
+        "event_type", "user_id")
+      path
+    })
+
   // CDC chunk-hash store built once per (session, dir) on the even-id
   // history half; the incremental gate probes it READ-ONLY with the odd
   // half (idempotent under bench reps — appendToStore is the spec-pinned
@@ -748,6 +761,17 @@ object SparkEntry {
     // along as the quality readout.
     "distinct_hll" -> ((s, d) =>
       graft.analytics.Sketches.hllDistinctBy(t(s, d, "events"),
+        "event_type", "user_id").orderBy("event_type")),
+
+    // INCREMENTAL cardinality: the odd-id batch's registers max-merged
+    // with the persisted even-id history store — history rows never
+    // rescanned, and by the sketch's merge theorem the result is
+    // BIT-EXACTLY the one-shot estimate on the union, which is what the
+    // oracle states (the strongest append ≡ rebuild gate in the engine:
+    // not equivalent-by-spec but equal-by-algebra).
+    "distinct_hll_incremental" -> ((s, d) =>
+      graft.analytics.Sketches.hllMergeProbe(s, hllStore(s, d),
+        t(s, d, "events").where(col("event_id") % 2 === 1),
         "event_type", "user_id").orderBy("event_type")),
 
     // Theta-style set-operation estimates from two KMV sketches — the
@@ -2458,6 +2482,28 @@ object SparkEntry {
        |  round(CASE WHEN zeros > 0 AND eraw <= 160.0 THEN 64.0 * ln(64.0 / zeros) ELSE eraw END, 4) AS est_hll,
        |  CAST(x.n_exact AS BIGINT) AS n_exact
        |FROM e JOIN x ON e.event_type = x.event_type ORDER BY e.event_type""".stripMargin.replace("\n", " ")
+  }
+
+  // Incremental-HLL replay: the ONE-SHOT estimate over the full relation —
+  // max-merge associativity makes the split-and-merge Spark side land on
+  // it bit-exactly (no separate incremental arithmetic to restate).
+  private lazy val hllIncOracle: String = {
+    val (a, b) = graft.llm.Corpus.hashConstants(42L)
+    s"""WITH m0 AS (SELECT event_type, user_id % 4294967296 AS x0 FROM events WHERE user_id IS NOT NULL),
+       |m1 AS (SELECT event_type, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1 FROM m0),
+       |m2 AS (SELECT event_type, (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2 FROM m1),
+       |mx AS (SELECT event_type, xor(x2, x2 >> 16) AS mv FROM m2),
+       |h AS (SELECT event_type, ($a * (mv % 1000000007) + $b) % 1000000007 AS hv FROM mx),
+       |r AS (SELECT event_type, hv & 63 AS bucket,
+       |  CASE WHEN hv >> 6 = 0 THEN 25 ELSE 25 - length(bin(hv >> 6)) END AS rho FROM h),
+       |g AS (SELECT event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+       |s AS (SELECT event_type, count(*) AS nb,
+       |  sum(CAST(1 AS BIGINT) << (26 - reg)) AS sp FROM g GROUP BY 1),
+       |e AS (SELECT event_type, 64 - nb AS zeros,
+       |  (0.7213 / (1 + 1.079 / 64.0)) * 4096 * 67108864.0 / (sp + (64 - nb) * 67108864) AS eraw FROM s)
+       |SELECT event_type,
+       |  round(CASE WHEN zeros > 0 AND eraw <= 160.0 THEN 64.0 * ln(64.0 / zeros) ELSE eraw END, 4) AS est_hll
+       |FROM e ORDER BY event_type""".stripMargin.replace("\n", " ")
   }
 
   // Theta-style KMV set-operation replay: per-side k-minima via the same
@@ -4209,6 +4255,7 @@ object SparkEntry {
     // per distinct user_id, k smallest hashes per group, (k-1)*P1/h_k.
     "distinct_kmv" -> kmvOracle,
     "distinct_hll" -> hllOracle,
+    "distinct_hll_incremental" -> hllIncOracle,
     "kmv_overlap" -> kmvOverlapOracle,
 
     // deliberately the UNSALTED join: hash-equality proves the salted plan

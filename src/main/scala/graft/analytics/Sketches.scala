@@ -45,18 +45,35 @@ object Sketches {
     */
   def hllDistinctBy(df: DataFrame, groupCol: String, idCol: String,
                     seed: Long = 42L): DataFrame = {
+    val rows = df.where(col(idCol).isNotNull)
+    hllEstimate(hllRegisters(rows, groupCol, idCol, seed), groupCol)
+      .join(rows.groupBy(groupCol)
+        .agg(countDistinct(col(idCol)).as("n_exact")), groupCol)
+  }
+
+  /** The HLL register relation `(groupCol, bucket, reg)` — the sketch's
+    * whole state, and the MERGE unit: registers from any corpus split
+    * max-merge to exactly the one-shot registers (max is associative and
+    * commutative), which is what makes the sketch incrementally
+    * maintainable with a bit-exact append ≡ rebuild guarantee.
+    */
+  def hllRegisters(rows: DataFrame, groupCol: String, idCol: String,
+                   seed: Long = 42L): DataFrame = {
     val P1 = graft.functions.PolyHash.P1
     val (a, b) = graft.llm.Corpus.hashConstants(seed)
-    val rows = df.where(col(idCol).isNotNull)
     val hv = pmod(lit(a) * pmod(graft.llm.Corpus.mix32(col(idCol)), lit(P1))
       + lit(b), lit(P1))
     val v = shiftright(hv, 6)
     val rho = when(v === 0, lit(25)).otherwise(lit(25) - length(bin(v)))
-    val regs = rows
-      .select(col(groupCol), hv.bitwiseAND(lit(63L)).as("bucket"), rho.as("rho"))
-      .groupBy(groupCol, "bucket").agg(max("rho").as("reg"))
+    rows.select(col(groupCol), hv.bitwiseAND(lit(63L)).as("bucket"),
+        rho.as("rho"))
+      .groupBy(groupCol, "bucket").agg(max("rho").cast("int").as("reg"))
+  }
+
+  /** Estimate from a register relation: `(groupCol, est_hll)`. */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
     val alpha = 0.7213 / (1 + 1.079 / 64.0)
-    val est = regs.groupBy(groupCol)
+    regs.groupBy(groupCol)
       .agg(count(lit(1)).as("nb"),
         sum(expr("shiftleft(cast(1 as bigint), 26 - reg)")).as("sp"))
       .select(col(groupCol), (lit(64) - col("nb")).as("zeros"),
@@ -66,8 +83,44 @@ object Sketches {
         when(col("zeros") > 0 && col("eraw") <= 160.0,
           lit(64.0) * log(lit(64.0) / col("zeros"))).otherwise(col("eraw")), 4)
         .as("est_hll"))
-    est.join(rows.groupBy(groupCol)
-        .agg(countDistinct(col(idCol)).as("n_exact")), groupCol)
+  }
+
+  /** (Re)build a persisted HLL register store — the cardinality artifact
+    * of the incremental family (64 ints per group, ~nothing on disk).
+    */
+  def buildHllStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, groupCol: String, idCol: String,
+      seed: Long = 42L): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    graft.core.Layouts.writePartitioned(
+      hllRegisters(df.where(col(idCol).isNotNull), groupCol, idCol, seed)
+        .withColumn("bucket_part", pmod(col("bucket"), lit(8L))),
+      path, "bucket_part")
+  }
+
+  /** Distinct-count estimates for history ∪ batch WITHOUT rescanning
+    * history rows: the batch's registers max-merge with the stored ones —
+    * bit-exactly the one-shot estimate on the union corpus (the sketch's
+    * merge theorem, which the incremental gate pins against the one-shot
+    * oracle). Read-only; an absent store contributes nothing.
+    */
+  def hllMergeProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, groupCol: String, idCol: String,
+      seed: Long = 42L): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored =
+      if (fs.exists(p))
+        graft.core.Layouts.read(spark, path).select(groupCol, "bucket", "reg")
+      else spark.range(0).select(col("id").cast("string").as(groupCol),
+        col("id").as("bucket"), col("id").cast("int").as("reg"))
+    val merged = hllRegisters(batch.where(col(idCol).isNotNull), groupCol,
+        idCol, seed)
+      .unionByName(stored)
+      .groupBy(groupCol, "bucket").agg(max("reg").as("reg"))
+    hllEstimate(merged, groupCol)
   }
 
   /** Theta-style set-operation estimates between two id sets from their KMV

@@ -2158,6 +2158,25 @@ class LlmSpec extends SparkSpec {
     assert(est2("a") == est("a")._2 && est2("b") == est("b")._2)
   }
 
+  test("hll store: max-merge of any split lands bit-exactly on the one-shot estimate") {
+    import graft.analytics.Sketches
+    val df = (1 to 3000).map(i => (s"g${i % 3}", (i * 104729).toLong))
+      .toDF("g", "id")
+    val oneShot = Sketches.hllDistinctBy(df, "g", "id")
+      .select("g", "est_hll").as[(String, Double)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("hllstore").toString
+    // history = ids % 3 == 0, batch = the rest (an arbitrary uneven split)
+    Sketches.buildHllStore(spark, s"$dir/s", df.where($"id" % 3 === 0), "g", "id")
+    val merged = Sketches.hllMergeProbe(spark, s"$dir/s",
+        df.where($"id" % 3 =!= 0), "g", "id")
+      .as[(String, Double)].collect().toMap
+    assert(merged == oneShot, s"$merged vs $oneShot")
+    // absent store: probe degrades to the batch's own one-shot estimate
+    val cold = Sketches.hllMergeProbe(spark, s"$dir/nowhere", df, "g", "id")
+      .as[(String, Double)].collect().toMap
+    assert(cold == oneShot)
+  }
+
   test("cdc store: history probe, append == rebuild, idempotent, absent-store fallback") {
     import graft.llm.Cdc
     val textA = (1 to 300).map(i => ((i * 48271L) % 1009).toString).mkString(" ")
