@@ -2128,6 +2128,23 @@ object SparkEntry {
       Multimodal.audioDupPairs(media).orderBy("clip_a", "clip_b")
     },
 
+    // COMPRESSED-audio dedup, end-to-end real: clips synthesize genuine
+    // IMA-ADPCM WAVEs (4-bit blocks, carried step index, fact truncation)
+    // sharing waveforms per variant class; the real ADPCM decode feeds
+    // per-BLOCK content hashes (window = the 505-sample block) and clips
+    // pair on shared decoded blocks. Same-variant clips share their full
+    // prefix so shared blocks = min(block counts) — stated by the oracle;
+    // the converse (distinct (variant, block) ⇒ distinct decoded content)
+    // is proven EXHAUSTIVELY over all 1024×4 gate parameters by spec.
+    "dedup_audio_adpcm" -> { (s, d) =>
+      val n = (lit(17) + lit(505) * (lit(1) + col("doc_id") % 4)).cast("int")
+      val v = (floor(col("doc_id") / 4).cast("long") % 1024).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticWavAdpcm(n, v).as("content"))
+      Multimodal.audioDupPairs(media, window = 505)
+        .orderBy("clip_a", "clip_b")
+    },
+
     // The typed mapPartitions decode boundary under the gate for IMAGES:
     // the same synthesized PNGs stream through decodeFrames with the
     // dispatching imageFrameDecoder and release integer-exact per-pixel-
@@ -4771,6 +4788,17 @@ object SparkEntry {
         "CAST(max(abs(s)) AS INTEGER) AS peak " +
         "FROM sm LEFT JOIN cr ON sm.doc_id = cr.doc_id " +
         "GROUP BY sm.doc_id ORDER BY sm.doc_id"),
+
+    // dedup_audio_adpcm oracle: same-variant clips share their full sample
+    // prefix, so shared decoded blocks = min(full-block counts); the
+    // AdpcmDistinct spec's exhaustive sweep licenses the equality (no two
+    // different (variant, block) positions decode to the same content).
+    "dedup_audio_adpcm" ->
+      ("WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS nb, (doc_id // 4) % 1024 AS v FROM documents) " +
+        "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
+        "CAST(least(a.nb, b.nb) AS BIGINT) AS n_shared " +
+        "FROM d a JOIN d b ON a.v = b.v AND a.doc_id < b.doc_id " +
+        "ORDER BY clip_a, clip_b"),
 
     // dedup_audio oracle: per-window hashes restated from the sample
     // formula in its nonnegative pre-offset form (the fold input is

@@ -1139,6 +1139,52 @@ case class SyntheticWav(left: Expression, right: Expression)
       r: Expression): SyntheticWav = copy(left = l, right = r)
 }
 
+/** A REAL synthesized IMA-ADPCM WAVE clip from (nSamples, variant): a
+  * triangle wave whose period (64 + v mod 64) and DC offset
+  * (96·(v/64 mod 16)) both derive from the variant — 1024 structurally
+  * distinct waveforms — compressed through the genuine
+  * [[graft.llm.Adpcm]] encoder (4-byte block headers, carried step index,
+  * zero-padded final block, `fact`-chunk truncation). Clips sharing a
+  * variant share their full sample prefix, so their encoded (and decoded)
+  * 505-sample blocks are IDENTICAL up to the shorter length — the
+  * compressed-audio dedup gate's ground truth; the AdpcmDistinct spec
+  * proves the converse (distinct (variant, block) ⇒ distinct decoded
+  * content) exhaustively over the gate's whole parameter space.
+  */
+case class SyntheticWavAdpcm(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(n: Any, v: Any): Any = {
+    val nSamples = n.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].intValue()
+    graft.llm.Multimodal.encodeWavAdpcm(16000,
+      SyntheticWavAdpcm.samples(nSamples, variant))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SyntheticWavAdpcm = copy(left = l, right = r)
+}
+
+object SyntheticWavAdpcm {
+  /** The raw waveform — shared with the exhaustive-distinctness spec.
+    * Period 101 is remapped to 128: 2·101 = 202 divides 505·2, so p = 101
+    * repeats its raw content every second BLOCK (505 ≡ 0 mod 202 after
+    * two), and the exhaustive sweep showed the decoded contents collide
+    * too — the one period in [64, 127] whose triangle aliases the block
+    * length (128 aliases nothing: 256 divides no 505·d, d ≤ 3).
+    */
+  def samples(nSamples: Int, variant: Int): Array[Short] = {
+    val p0 = 64 + (variant % 64)
+    val p = if (p0 == 101) 128 else p0
+    val dc = 96 * ((variant / 64) % 16)
+    Array.tabulate(nSamples) { i =>
+      val ph = i % (2 * p)
+      (256 * (p - math.abs(ph - p)) - 128 * p + dc).toShort
+    }
+  }
+}
+
 /** Per-window content hashes of a WAV payload's DECODED PCM: one
   * [[PolyHash]] base-31 mod-1e9+7 fold per FULL `window`-sample window
   * (tail remainder discarded — the audio-fingerprinting convention),
@@ -1653,6 +1699,10 @@ object native {
   /** Per-window decoded-PCM content hashes (see [[WavWindowHashes]]). */
   def wavWindowHashes(c: Column, window: Int): Column =
     column(WavWindowHashes(expression(c), window))
+
+  /** Synthesized IMA-ADPCM WAVE clip (see [[SyntheticWavAdpcm]]). */
+  def syntheticWavAdpcm(n: Column, v: Column): Column =
+    column(SyntheticWavAdpcm(expression(n), expression(v)))
 
   def syntheticWav(n: Column, v: Column): Column =
     column(SyntheticWav(expression(n), expression(v)))

@@ -2049,6 +2049,42 @@ class LlmSpec extends SparkSpec {
     twice.foreach { case (got, exp) => assert(got == exp) }
   }
 
+  test("adpcm dedup ground truth: exhaustive (variant, block) decoded-content distinctness") {
+    import graft.functions.SyntheticWavAdpcm
+    // The dedup_audio_adpcm oracle states n_shared = min(block counts),
+    // which requires (a) same-variant clips decode identical shared
+    // blocks and (b) NO two distinct (variant, block) positions decode to
+    // the same content. Prove both over the gate's ENTIRE parameter
+    // space: all 1024 variants at the maximum length, every full block.
+    val spb = graft.llm.Adpcm.samplesPerBlock(256)
+    def blockHashes(n: Int, v: Int): Seq[Long] = {
+      val wav = Multimodal.encodeWavAdpcm(16000, SyntheticWavAdpcm.samples(n, v))
+      val a = Multimodal.decodeWav(wav).get
+      (0 until a.samples.length / spb).map { w =>
+        var h = 0L
+        var i = w * spb
+        while (i < (w + 1) * spb) {
+          h = (h * 31 + (a.samples(i) + 32768L)) % 1000000007L
+          i += 1
+        }
+        h
+      }
+    }
+    val seen = scala.collection.mutable.HashMap.empty[Long, (Int, Int)]
+    for (v <- 0 until 1024) {
+      val hs = blockHashes(17 + 505 * 4, v)
+      assert(hs.size == 4)
+      for ((h, k) <- hs.zipWithIndex) {
+        seen.get(h).foreach { prev =>
+          fail(s"decoded-content collision: (v=$v, k=$k) vs $prev")
+        }
+        seen(h) = (v, k)
+      }
+      // (a) the shorter same-variant clip's blocks ARE the prefix
+      assert(blockHashes(17 + 505 * 2, v) == hs.take(2))
+    }
+  }
+
   test("audio dedup: shared decoded windows pair clips, loops count once, junk drops") {
     def wav(n: Int, f: Int => Int): Array[Byte] =
       Multimodal.encodeWav(16000, 1, Array.tabulate(n)(i => f(i).toShort))
