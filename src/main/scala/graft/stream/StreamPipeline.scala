@@ -21,16 +21,56 @@ import org.apache.spark.sql.functions._
   */
 object StreamPipeline {
 
+  /** The crawl front door for streams — the stage-0a/0b twin of
+    * [[graft.llm.Curation.run]]'s batch front door, and deliberately
+    * STATELESS: HTML extraction and URL canonicalization are pure
+    * columnar projections, so they compose with any downstream stateful
+    * operator without adding state or watermark interactions; [[curate]]
+    * chains a canonical-URL dedup in front of content dedup when `urlCol`
+    * is set.
+    */
+  def frontDoor(docs: DataFrame, htmlInput: Boolean = false,
+                urlCol: Option[String] = None, textCol: String = "text")
+      : DataFrame = {
+    val text0 =
+      if (htmlInput)
+        docs.withColumn(textCol, graft.llm.Html.extractText(col(textCol)))
+      else docs
+    urlCol match {
+      case Some(u) =>
+        text0.withColumn("_curl", graft.llm.Urls.canonicalize(col(u)))
+      case None => text0
+    }
+  }
+
   /** Dedup + quality-annotate in one projection over the deduped stream.
     * Input columns: (`idCol`, `textCol`, source, ts). Output: (`idCol`,
-    * source, ts, n_words, rules_failed, kept).
+    * source, ts, n_words, rules_failed, kept). With `htmlInput`, markup
+    * strips BEFORE the content hash and the quality words; with `urlCol`,
+    * a refetch of the same canonical URL drops FIRST through its own
+    * watermark-GC'd 32-byte key state (append mode supports the chained
+    * dedup-then-dedup shape), then content dedup catches the same text
+    * under different URLs - the batch facade's stage 0b / stage 1 order.
     */
   def curate(docs: DataFrame, watermark: String = "10 minutes",
              textCol: String = "text", idCol: String = "doc_id",
-             minWords: Int = 50): DataFrame =
-    graft.llm.TextStats.gopherFilter(
-      StreamDedup.exact(docs, textCol, "ts", watermark),
+             minWords: Int = 50, htmlInput: Boolean = false,
+             urlCol: Option[String] = None): DataFrame = {
+    val fd = frontDoor(docs, htmlInput, urlCol, textCol)
+    val deduped = urlCol match {
+      case Some(_) =>
+        // the chain defines the watermark ONCE (redefining it downstream
+        // of a stateful operator is disallowed); the content stage rides
+        // the URL stage's watermark
+        StreamDedup.exact(fd, "_curl", "ts", watermark)
+          .drop("_curl", "content_hash")
+          .withColumn("content_hash", sha2(col(textCol), 256))
+          .dropDuplicatesWithinWatermark("content_hash")
+      case None => StreamDedup.exact(fd, textCol, "ts", watermark)
+    }
+    graft.llm.TextStats.gopherFilter(deduped,
       textCol, idCol, minWords, keepCols = Seq("source", "ts"))
+  }
 
   /** NEAR-dup-aware streaming curation: each micro-batch ingests into the
     * persistent [[graft.llm.SignatureStore]] (near-dups resolve against

@@ -475,6 +475,41 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming front door: html strips, url refetch drops, chained content dedup holds") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.StreamPipeline
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def words(tag: String) = (1 to 60).map(j => s"${tag}w$j").mkString(" ")
+    val q = StreamPipeline.curate(
+        input.toDF().toDF("doc_id", "ts", "text", "source", "url"),
+        watermark = "1 minute", htmlInput = true, urlCol = Some("url"))
+      .writeStream.format("memory").queryName("frontdoor_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // 1 and 2: same canonical URL (refetch) — 2 drops at the URL stage
+        (1L, ts("2024-01-01 00:00:00"), s"<p>${words("a")}</p>", "s1",
+          "http://www.A.com/p?id=1&utm_source=x"),
+        (2L, ts("2024-01-01 00:00:05"), s"<div>${words("a2")}</div>", "s1",
+          "HTTP://a.com:80/p?id=1"),
+        // 3: distinct URL, but its MARKUP-STRIPPED text equals doc 1's —
+        // the chained content dedup must drop it
+        (3L, ts("2024-01-01 00:00:10"), s"<b>${words("a")}</b>", "s2",
+          "http://b.org/q"),
+        // 4: genuinely new
+        (4L, ts("2024-01-01 00:00:15"), s"<p>${words("z")}</p>", "s3",
+          "http://c.net/r"))
+      q.processAllAvailable()
+      // doc 2 proves URL dedup (different markup text, same canonical
+      // URL); doc 3 proves content dedup runs on the STRIPPED text (raw
+      // markup differs from doc 1's, visible text is identical)
+      val out = spark.table("frontdoor_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 4L), s"front door kept $out")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: LSH owner match, exact copy always caught, state GC'd at horizon") {
     implicit val sqlCtx = spark.sqlContext
     import graft.stream.StreamDedupNear
