@@ -111,14 +111,13 @@ object Sketches {
       seed: Long = 42L): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchRegs = hllRegisters(batch.where(col(idCol).isNotNull), groupCol,
+      idCol, seed)
     val stored =
       if (fs.exists(p))
         graft.core.Layouts.read(spark, path).select(groupCol, "bucket", "reg")
-      else spark.range(0).select(col("id").cast("string").as(groupCol),
-        col("id").as("bucket"), col("id").cast("int").as("reg"))
-    val merged = hllRegisters(batch.where(col(idCol).isNotNull), groupCol,
-        idCol, seed)
-      .unionByName(stored)
+      else batchRegs.limit(0) // schema-exact empty, whatever the group type
+    val merged = batchRegs.unionByName(stored)
       .groupBy(groupCol, "bucket").agg(max("reg").as("reg"))
     hllEstimate(merged, groupCol)
   }
