@@ -34,6 +34,14 @@ object Urls {
 
   def canonicalize(u: Column): Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    when(scheme === "", u).otherwise(canonicalizeParsed(u, scheme))
+  }
+
+  /** The rule chain for a string that DID parse a scheme; anything else
+    * (relative links, data:, garbage) passes through unchanged — a
+    * canonicalizer must never manufacture a URL out of a non-URL.
+    */
+  private def canonicalizeParsed(u: Column, scheme: Column): Column = {
     val rest = regexp_replace(
       regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""), "#.*$", "")
     val authority = lower(regexp_extract(rest, "^([^/?]*)", 1))

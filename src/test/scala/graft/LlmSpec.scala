@@ -2038,7 +2038,10 @@ class LlmSpec extends SparkSpec {
       // root slash stays; fragment dropped
       "https://b.org/#top" -> "https://b.org/",
       // param without '=' sorts too; 'referrer' is NOT the 'ref' tracker
-      "http://c.io/p?b&a=1&referrer=keep" -> "http://c.io/p?a=1&b&referrer=keep"
+      "http://c.io/p?b&a=1&referrer=keep" -> "http://c.io/p?a=1&b&referrer=keep",
+      // non-URLs pass through unchanged — never manufacture a URL
+      "relative/path?x=1" -> "relative/path?x=1",
+      "" -> ""
     ).toDF("url", "expected")
     val out = cases.select(Urls.canonicalize(col("url")).as("got"),
       col("expected")).as[(String, String)].collect()
