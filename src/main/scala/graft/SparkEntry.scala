@@ -1835,6 +1835,15 @@ object SparkEntry {
     // ε-DP noisy histogram: every bin of the fixed binning released —
     // empty bins included (suppressing them leaks emptiness) — with the
     // same seeded discrete-Laplace draw keyed on the bin index.
+    // ε-DP median via the EXPONENTIAL mechanism (Gumbel-max over the bin
+    // spine) — the family's first non-additive-noise release: one
+    // mechanism invocation per group, candidate utilities in exact
+    // integers, the winner selected by a seeded deterministic draw.
+    "dp_quantile" -> ((s, d) =>
+      graft.analytics.Privacy.dpQuantile(t(s, d, "events"), "event_type",
+        col("value"), q = 0.5, lo = 0.0, hi = 500.0)
+        .orderBy("event_type")),
+
     "dp_histogram" -> ((s, d) =>
       graft.analytics.Privacy.dpHistogram(t(s, d, "events"), col("value"),
           lo = 0.0, hi = 500.0, nBins = 10)
@@ -2800,6 +2809,36 @@ object SparkEntry {
       "SELECT source, CAST(greatest(0, n + CAST(floor(-ln(1.0 - u1) / 1.0) - " +
       "floor(-ln(1.0 - u2) / 1.0) AS BIGINT)) AS BIGINT) AS n_noisy " +
       "FROM u ORDER BY source"
+  }
+
+  // dp_quantile replay: the clamped binning, spine cumulative ranks,
+  // exact-integer utilities, the (group-fingerprint·1000 + bin)-keyed
+  // hash draw, the Gumbel chain with the identical IEEE operand shapes,
+  // and the (score DESC, bin) argmax.
+  private lazy val dpQuantileOracle: String = {
+    val (a, b) = graft.llm.Corpus.hashConstants(11L)
+    val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, least(length(event_type), 64)), " +
+      "i -> CAST(ascii(substr(event_type, i, 1)) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+    val m3 = mix32Sql("key")
+    val draw = s"(CAST(($a * (($m3) % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
+    "WITH ev AS (SELECT event_type, least(greatest(value, 0.0), 500.0) AS v " +
+      "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL), " +
+      "bb AS (SELECT event_type, CAST(least(floor((v - 0.0) / 5.0), 99.0) AS BIGINT) AS bin, " +
+      "count(*) AS c FROM ev GROUP BY 1, 2), " +
+      "g AS (SELECT t.event_type, s.bin, coalesce(bb.c, 0) AS c " +
+      "FROM (SELECT DISTINCT event_type FROM bb) t " +
+      "CROSS JOIN generate_series(0, 99) s(bin) " +
+      "LEFT JOIN bb ON bb.event_type = t.event_type AND bb.bin = s.bin), " +
+      "r AS (SELECT event_type, bin, " +
+      "sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS rnk, " +
+      "sum(c) OVER (PARTITION BY event_type) AS n FROM g), " +
+      s"k AS (SELECT event_type, bin, -abs(100 * rnk - 50 * n) AS u2, $fp * 1000 + bin AS key FROM r), " +
+      s"u AS (SELECT event_type, bin, u2, $draw AS uu FROM k), " +
+      "sc AS (SELECT event_type, bin, (1.0 / 200.0) * u2 + (-ln(-ln(uu))) AS score FROM u), " +
+      "rk AS (SELECT event_type, bin, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, bin) AS rn FROM sc) " +
+      "SELECT event_type, CAST(0.0 + (bin + 1) * 5.0 AS DOUBLE) AS dp_value FROM rk WHERE rn = 1 ORDER BY event_type"
   }
 
   // dp_mean replay: clamped 1e-4-unit sums, the group-fingerprint draws,
@@ -4136,6 +4175,7 @@ object SparkEntry {
     "dp_counts" -> dpCountsOracle,
 
     "dp_histogram" -> dpHistogramOracle,
+    "dp_quantile" -> dpQuantileOracle,
 
     "dp_mean" -> dpMeanOracle,
 

@@ -31,6 +31,59 @@ object Privacy {
   private def geometric(u: Column, eps: Double): Column =
     floor(-log(lit(1.0) - u) / lit(eps))
 
+  /** ε-DP QUANTILE via the exponential mechanism (McSherry-Talwar 2007) —
+    * the privacy family's first NON-additive-noise release: instead of
+    * noising a statistic, a candidate is SAMPLED with probability
+    * ∝ exp(ε·u/2Δu), realized as the Gumbel-max trick (argmax of
+    * score + Gumbel noise ≡ the exponential-mechanism draw), with the
+    * same seeded per-(group, candidate) hash draw as every sampler here.
+    *
+    * Candidates are the right edges of `nBins` fixed-width bins over
+    * [lo, hi] (values clamped); utility of candidate k is
+    * `−|rank_k − q·n|` where rank_k counts values in bins ≤ k —
+    * sensitivity 1, computed in exact integers as `−|100·rank_k − qi·n|`
+    * with `qi = round(100q)`, so the score arithmetic replays across
+    * engines (the Gumbel chain is per-row IEEE ops on the deterministic
+    * draw). Releases `(groupCol, dp_value)` — one row per group, ε cost
+    * independent of nBins (one mechanism invocation per group).
+    */
+  def dpQuantile(df: DataFrame, groupCol: String, value: Column, q: Double,
+                 lo: Double, hi: Double, nBins: Int = 100,
+                 eps: Double = 1.0, seed: Long = 11L): DataFrame = {
+    require(eps > 0 && q > 0 && q < 1, s"bad (eps, q) = ($eps, $q)")
+    val qi = math.round(q * 100).toInt
+    val width = (hi - lo) / nBins
+    val ev = df.where(value.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol),
+        least(greatest(value, lit(lo)), lit(hi)).as("_v"))
+    val binned = ev
+      .select(col(groupCol), least(floor((col("_v") - lo) / width),
+        lit((nBins - 1).toDouble)).cast("long").as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as("c"))
+    val spine = ev.sparkSession.range(nBins).select(col("id").as("bin"))
+    val grid = binned.select(groupCol).distinct()
+      .crossJoin(broadcast(spine))
+      .join(binned, Seq(groupCol, "bin"), "left")
+      .select(col(groupCol), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("bin")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val scored = grid
+      .withColumn("rank", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .withColumn("_u2", -abs(lit(100L) * col("rank") - lit(qi) * col("n")))
+      .withColumn("_key",
+        graft.llm.TextStats.fingerprint(groupCol) * 1000L + col("bin"))
+      .withColumn("_g", -log(-log(graft.llm.Corpus.hashUnit(col("_key"), seed))))
+      .withColumn("_score", lit(eps / 200.0) * col("_u2") + col("_g"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_score").desc, col("bin"))
+    scored.withColumn("_rn", row_number().over(wTop))
+      .where(col("_rn") === 1)
+      .select(col(groupCol),
+        (lit(lo) + (col("bin") + 1) * width).as("dp_value"))
+  }
+
   /** ε-DP noisy per-group counts: `(groupCol, n_noisy)` with
     * `n_noisy = max(0, n + G₁ − G₂)` (counts have sensitivity 1; the
     * nonnegative clamp is standard post-processing and costs no privacy).

@@ -2180,6 +2180,28 @@ class LlmSpec extends SparkSpec {
     assert(st(4L)._4 == 0L)
   }
 
+  test("dp quantile: concentrates near the true median, deterministic, empty-safe") {
+    import graft.analytics.Privacy
+    // uniform values over [0, 500): sharp utility peak at the median bin,
+    // so at eps=1, n=1000 the mechanism lands within a few bins w.h.p. —
+    // and the draw is seeded, so "w.h.p." is a FIXED deterministic outcome
+    val df = (1 to 1000).map(i => ("a", (i % 500).toDouble)) ++
+      (1 to 1000).map(i => ("b", ((i * 7) % 100).toDouble)) // median ~50
+    val d = df.toDF("g", "value")
+    val rel = Privacy.dpQuantile(d, "g", col("value"), q = 0.5,
+        lo = 0.0, hi = 500.0)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(rel("a") - 250.0) <= 25.0, s"group a: ${rel("a")}")
+    assert(math.abs(rel("b") - 50.0) <= 25.0, s"group b: ${rel("b")}")
+    // deterministic: the release is a pure function of (data, seed, eps)
+    val rel2 = Privacy.dpQuantile(d, "g", col("value"), q = 0.5,
+        lo = 0.0, hi = 500.0).as[(String, Double)].collect().toMap
+    assert(rel2 == rel)
+    // empty input releases nothing (no group to key a draw on)
+    assert(Privacy.dpQuantile(d.limit(0), "g", col("value"), q = 0.5,
+      lo = 0.0, hi = 500.0).count() == 0)
+  }
+
   test("hll sketch: linear-counting and raw regimes bracket the truth, deterministic") {
     import graft.analytics.Sketches
     val small = (1 to 20).map(i => ("a", i.toLong)) // linear-counting regime
