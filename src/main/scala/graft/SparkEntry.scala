@@ -4620,10 +4620,10 @@ object SparkEntry {
         "nd AS (SELECT lang AS label, count(*) AS nd FROM tr GROUP BY 1), " +
         "ndt AS (SELECT count(*) AS ndt FROM tr), " +
         "lb AS (SELECT label, sum(c) AS tot FROM c GROUP BY 1), " +
-        "labels AS (SELECT lb.label, lb.tot, v.v, " +
+        "labels AS (SELECT nd.label, coalesce(lb.tot, 0) AS tot, v.v, " +
         m("CAST(nd.nd AS DOUBLE) / ndt.ndt") + " AS prior_micro, " +
-        m("1.0 / (lb.tot + v.v)") + " AS oov_micro " +
-        "FROM lb JOIN nd USING (label) CROSS JOIN v CROSS JOIN ndt), " +
+        m("1.0 / greatest(coalesce(lb.tot, 0) + v.v, 1)") + " AS oov_micro " +
+        "FROM nd LEFT JOIN lb USING (label) CROSS JOIN v CROSS JOIN ndt), " +
         "mo AS (SELECT voc.word, labels.label, " +
         m("CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (labels.tot + labels.v)") + " AS lp " +
         "FROM voc CROSS JOIN labels LEFT JOIN c ON c.word = voc.word AND c.label = labels.label), " +

@@ -40,17 +40,28 @@ object Privacy {
     *
     * Candidates are the right edges of `nBins` fixed-width bins over
     * [lo, hi] (values clamped); utility of candidate k is
-    * `−|rank_k − q·n|` where rank_k counts values in bins ≤ k —
-    * sensitivity 1, computed in exact integers as `−|100·rank_k − qi·n|`
-    * with `qi = round(100q)`, so the score arithmetic replays across
-    * engines (the Gumbel chain is per-row IEEE ops on the deterministic
-    * draw). Releases `(groupCol, dp_value)` — one row per group, ε cost
-    * independent of nBins (one mechanism invocation per group).
+    * `−|rank_k − q·n|` where rank_k counts values in bins ≤ k, computed
+    * in exact integers as `−|100·rank_k − qi·n|` with `qi = round(100q)`,
+    * so the score arithmetic replays across engines (the Gumbel chain is
+    * per-row IEEE ops on the deterministic draw). Releases
+    * `(groupCol, dp_value)` — one row per group, ε cost independent of
+    * nBins (one mechanism invocation per group).
+    *
+    * Neighbor convention: the ε accounting is under BOUNDED (swap)
+    * neighbors — one record changes value, n fixed — where the scaled
+    * utility `|100·rank − qi·n|` moves by at most 100 (Δu = 100, matching
+    * the `eps/200 = ε/2Δu` coefficient below). Under add/remove neighbors
+    * both rank and n change (Δu ≤ 100 + qi), so an unbounded-DP caller
+    * should budget this release as up to `ε·(100+qi)/100 < 2ε`.
     */
   def dpQuantile(df: DataFrame, groupCol: String, value: Column, q: Double,
                  lo: Double, hi: Double, nBins: Int = 100,
                  eps: Double = 1.0, seed: Long = 11L): DataFrame = {
     require(eps > 0 && q > 0 && q < 1, s"bad (eps, q) = ($eps, $q)")
+    // nBins ≤ 1000 keeps `_key = fingerprint·1000 + bin` collision-free
+    // across groups; hi > lo keeps the bin width finite and positive.
+    require(hi > lo, s"degenerate candidate range: [$lo, $hi]")
+    require(nBins >= 1 && nBins <= 1000, s"nBins out of [1, 1000]: $nBins")
     val qi = math.round(q * 100).toInt
     val width = (hi - lo) / nBins
     val ev = df.where(value.isNotNull && col(groupCol).isNotNull)

@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaccard similarity of two array<string> or array<bigint> columns as
@@ -27,9 +28,22 @@ case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
 
+  // Both operands must agree on the element type: nullSafeEval dispatches
+  // ONE accessor (getLong vs getUTF8String) for both sides, so a mixed
+  // array<bigint>/array<string> call must fail analysis, not read garbage.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "jaccard_sim requires two array<string> or two array<bigint> " +
+          s"arguments, got ${l.catalogString} and ${r.catalogString}")
+    }
+
   private lazy val isLongElems = left.dataType match {
-    case org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType, _) => true
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 

@@ -62,12 +62,18 @@ object Curation {
 
     // 0b. URL-level dedup: same canonical URL = the same page fetched
     //     twice — the cheapest drop in the pipeline (no content compared),
-    //     so it runs before any text stage. Lowest id keeps.
+    //     so it runs before any text stage. Lowest id keeps. Docs with a
+    //     null or blank URL BYPASS this stage (each keys on its own id —
+    //     a window would otherwise pool every URL-less doc into one
+    //     partition and keep only the lowest id); content dedup below is
+    //     the stage that judges them.
     val (afterUrl, nUrl) = urlCol match {
       case Some(u) =>
+        val curl = coalesce(nullif(Urls.canonicalize(col(u)), lit("")),
+          concat(lit("\u0000doc:"), col(idCol).cast("string")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("_curl")).orderBy(col(idCol))
-        val kept = text0.withColumn("_curl", Urls.canonicalize(col(u)))
+        val kept = text0.withColumn("_curl", curl)
           .withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_curl", "_rn")
         (kept, kept.count())

@@ -60,12 +60,18 @@ object NaiveBayes {
     val docTotals = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("nd"))
     val nDocs = df.agg(count(lit(1)).as("ndt"))
-    val labels = counts.groupBy("label").agg(sum("c").as("tot"))
-      .join(docTotals, "label")
+    // The label spine is docTotals, NOT the token counts: a label whose
+    // training docs are all token-less has no row in `counts` but still has
+    // a prior, and must survive into the model (else predict can never emit
+    // it). Its token total coalesces to 0; greatest(·, 1) guards the
+    // 1/(tot+V) smoothing when the whole train vocabulary is empty too.
+    val tokTotals = counts.groupBy("label").agg(sum("c").as("tot"))
+    val labels = docTotals.join(tokTotals, Seq("label"), "left")
       .crossJoin(broadcast(vSize)).crossJoin(broadcast(nDocs))
-      .select(col("label"), col("tot"), col("v"),
+      .select(col("label"), coalesce(col("tot"), lit(0L)).as("tot"), col("v"),
         microLog10(col("nd").cast("double") / col("ndt")).as("prior_micro"),
-        microLog10(lit(1.0) / (col("tot") + col("v"))).as("oov_micro"))
+        microLog10(lit(1.0) / greatest(col("tot") + col("v"), lit(1L)))
+          .as("oov_micro"))
       .localCheckpoint(false) // label-count rows; feeds condprob AND scoring
     val condprob = vocab.crossJoin(broadcast(labels.select("label", "tot", "v")))
       .join(counts, Seq("word", "label"), "left")

@@ -59,10 +59,17 @@ object StreamPipeline {
     val fd = frontDoor(docs, htmlInput, urlCol, textCol)
     val deduped = urlCol match {
       case Some(_) =>
+        // Null/blank URLs bypass the URL stage on a per-doc key: sha2(null)
+        // is null and dropDuplicatesWithinWatermark pools null keys, so
+        // every URL-less doc in the watermark window would otherwise
+        // collapse to one row. Content dedup below still judges them.
+        val keyed = fd.withColumn("_curl",
+          coalesce(nullif(col("_curl"), lit("")),
+            concat(lit("\u0000id:"), col(idCol).cast("string"))))
         // the chain defines the watermark ONCE (redefining it downstream
         // of a stateful operator is disallowed); the content stage rides
         // the URL stage's watermark
-        StreamDedup.exact(fd, "_curl", "ts", watermark)
+        StreamDedup.exact(keyed, "_curl", "ts", watermark)
           .drop("_curl", "content_hash")
           .withColumn("content_hash", sha2(col(textCol), 256))
           .dropDuplicatesWithinWatermark("content_hash")

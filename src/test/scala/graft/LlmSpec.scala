@@ -1886,6 +1886,26 @@ class LlmSpec extends SparkSpec {
     assert(rep0.nAfterUrl == -1L && rep0.nAfterExact == 3, rep0.toString)
   }
 
+  test("Curation.run url dedup: null and blank URLs bypass the stage per-doc") {
+    import graft.llm.Curation
+    def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
+    // three DISTINCT pages with no usable URL (null, null, blank) plus one
+    // genuine refetch pair — ONLY the refetch may drop at the URL stage
+    // (pooling the URL-less docs into one window partition would silently
+    // keep just the lowest id)
+    val corpus = Seq(
+      (1L, words("a", 60), null: String),
+      (2L, words("b", 60), null: String),
+      (3L, words("c", 60), ""),
+      (4L, words("d", 60), "http://x.com/p?id=1"),
+      (5L, words("e", 60), "HTTP://X.com:80/p?id=1")).toDF("doc_id", "text", "url")
+    val (out, rep) = Curation.run(corpus, tmpDir("curnullurl") + "/idx",
+      urlCol = Some("url"))
+    assert(rep.nAfterUrl == 4, rep.toString)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
   test("Curation.run optional stages: span cut edits text in place, blocklist drops matchers") {
     import graft.llm.Curation
     def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
@@ -2200,6 +2220,13 @@ class LlmSpec extends SparkSpec {
     // empty input releases nothing (no group to key a draw on)
     assert(Privacy.dpQuantile(d.limit(0), "g", col("value"), q = 0.5,
       lo = 0.0, hi = 500.0).count() == 0)
+    // guards: a zero-width candidate range and a bin count that would
+    // collide the (group, bin) draw key are rejected up front
+    intercept[IllegalArgumentException] {
+      Privacy.dpQuantile(d, "g", col("value"), q = 0.5, lo = 5.0, hi = 5.0) }
+    intercept[IllegalArgumentException] {
+      Privacy.dpQuantile(d, "g", col("value"), q = 0.5, lo = 0.0, hi = 1.0,
+        nBins = 1001) }
   }
 
   test("hll sketch: linear-counting and raw regimes bracket the truth, deterministic") {
@@ -2300,6 +2327,39 @@ class LlmSpec extends SparkSpec {
     val majority = d.groupBy("lang").count().agg(max("count")).as[Long].head
     assert(diag >= 0.9 * majority,
       s"NB diag $diag should approach the majority baseline $majority")
+  }
+
+  test("naive bayes: a label whose train docs are all token-less survives training") {
+    import graft.llm.NaiveBayes
+    // "und" docs carry NULL text: tokens(null) explodes to nothing, so the
+    // label has a prior but zero token counts — it must still be in the
+    // model and winnable at predict time (prior-dominated OOV scoring)
+    val train = Seq(
+      (0L, "the cat", "en"), (2L, "the dog", "en"),
+      (4L, null: String, "und"), (6L, null: String, "und"),
+      (8L, null: String, "und")).toDF("doc_id", "text", "lang")
+    val model = NaiveBayes.train(train, "text", "lang")
+    assert(model.labels.select("label").as[String].collect().toSet ==
+      Set("en", "und"))
+    // all-OOV doc: score = prior + 1·oov. With V=3: en = log(2/5·1/7),
+    // und = log(3/5·1/3) — und wins on both prior AND smoothing floor
+    val pred = NaiveBayes.predict(Seq((1L, "zz")).toDF("doc_id", "text"),
+      model, "text", "doc_id").as[(Long, String)].collect().toMap
+    assert(pred(1L) == "und", pred.toString)
+  }
+
+  test("JaccardSim rejects mismatched array element types at analysis") {
+    val df = Seq((Seq("a", "b"), Seq(1L, 2L))).toDF("s", "l")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.native.jaccardSim(col("s"), col("l")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("jaccard_sim"), ex.getMessage)
+    // the homogeneous bigint path still analyzes and evaluates
+    val ok = Seq((Seq(1L, 2L), Seq(2L, 3L))).toDF("a", "b")
+      .select(graft.functions.native.jaccardSim(col("a"), col("b")))
+      .as[Double].head
+    assert(ok == 1.0 / 3.0)
   }
 
   test("text ops handle degenerate inputs (single token, short text)") {

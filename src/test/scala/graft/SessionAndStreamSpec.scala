@@ -510,6 +510,36 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming front door: null-url docs bypass url dedup on a per-doc key") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.StreamPipeline
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def words(tag: String) = (1 to 60).map(j => s"${tag}w$j").mkString(" ")
+    val q = StreamPipeline.curate(
+        input.toDF().toDF("doc_id", "ts", "text", "source", "url"),
+        watermark = "1 minute", urlCol = Some("url"))
+      .writeStream.format("memory").queryName("nullurl_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // 1 and 2: DISTINCT docs, both with no URL — sha2(null) pools to
+        // one null state key unless the stage substitutes a per-doc key,
+        // which would silently collapse 2 into 1
+        (1L, ts("2024-01-01 00:00:00"), words("a"), "s1", null: String),
+        (2L, ts("2024-01-01 00:00:05"), words("b"), "s1", null: String),
+        // 3: null URL but SAME text as 1 — the chained content stage must
+        // still catch it (the bypass defers judgment, not skips it)
+        (3L, ts("2024-01-01 00:00:10"), words("a"), "s2", null: String),
+        // 4: blank URL is as unusable as null
+        (4L, ts("2024-01-01 00:00:15"), words("c"), "s3", ""))
+      q.processAllAvailable()
+      val out = spark.table("nullurl_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 4L), s"null-url front door kept $out")
+    } finally q.stop()
+  }
+
   test("streaming near-dup: LSH owner match, exact copy always caught, state GC'd at horizon") {
     implicit val sqlCtx = spark.sqlContext
     import graft.stream.StreamDedupNear
