@@ -2252,6 +2252,27 @@ object SparkEntry {
       Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
     },
 
+    // IMAGE near-dup by DCT PERCEPTUAL hash (pHash proper), end-to-end
+    // real: same synthesized-PNG shape as dedup_phash but a different
+    // gradient family, hashed in the FREQUENCY domain — integer 2D DCT
+    // (literal fixed-point basis), top-left 8×8 coefficients, bits
+    // against the AC median. The per-doc brightness offsets here (up to
+    // 51 levels) leave the hash EXACTLY unchanged because the basis's AC
+    // rows sum to zero — no margin argument — so every group collides at
+    // Hamming 0 and the oracle re-derives each coefficient, the median,
+    // every bit and every pair from the pixel formula and the same
+    // literal matrix.
+    "dedup_phash_dct" -> { (s, d) =>
+      val grp = floor(col("doc_id") / 4).cast("long")
+      val a = (lit(1) + (grp * 4409) % 101).cast("int")
+      val b = (lit(1) + (grp * 9973) % 83).cast("int")
+      val sh = ((col("doc_id") % 4) * 17).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticPngGrad(32, 32, a, b, sh)
+          .as("content"))
+      Multimodal.imageDupPairsDct(media).orderBy("id_a", "id_b")
+    },
+
     // CROSS-FORMAT perceptual dedup with the LOSSY codec inside the
     // hash-exact gate: each group is the SAME margin-engineered
     // checkerboard stored once as PNG (even doc) and once as real
@@ -4965,6 +4986,49 @@ object SparkEntry {
         "FROM cand JOIN wide x ON x.doc_id = cand.ida JOIN wide y ON y.doc_id = cand.idb) " +
         "SELECT ida AS id_a, idb AS id_b, CAST(hamming AS INTEGER) AS hamming " +
         "FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"),
+
+    // dedup_phash_dct oracle: the full frequency-domain replay — the SAME
+    // fixed-point DCT basis stated as a 256-entry literal matrix, the
+    // separable integer transform as two join-aggregates, the AC lower
+    // median as the rank-32 order statistic, bits/bands/df-guard/popcount
+    // exactly as dedup_phash.
+    "dedup_phash_dct" -> {
+      val mat = (for { u <- 0 until 8; x <- 0 until 32 }
+        yield s"($u,$x,${graft.functions.Dct8x32.C(u)(x)})").mkString(", ")
+      "WITH par AS (SELECT doc_id, 1 + ((doc_id // 4) * 4409) % 101 AS a, " +
+        "1 + ((doc_id // 4) * 9973) % 83 AS b, (doc_id % 4) * 17 AS sh FROM documents), " +
+        s"mat AS (SELECT * FROM (VALUES $mat) m(u, x, c)), " +
+        "px AS (SELECT doc_id, xs.x, ys.y, (xs.x * a + ys.y * b) % 200 + sh AS v " +
+        "FROM par, generate_series(0, 31) xs(x), generate_series(0, 31) ys(y)), " +
+        "g1 AS (SELECT px.doc_id, m.u, px.y, sum(px.v * m.c) AS gv " +
+        "FROM px JOIN mat m ON m.x = px.x GROUP BY 1, 2, 3), " +
+        "f AS (SELECT g1.doc_id, g1.u, m.u AS vf, sum(g1.gv * m.c) AS fv " +
+        "FROM g1 JOIN mat m ON m.x = g1.y GROUP BY 1, 2, 3), " +
+        "ac AS (SELECT doc_id, u * 8 + vf AS k, fv FROM f WHERE NOT (u = 0 AND vf = 0)), " +
+        "med AS (SELECT doc_id, fv AS med FROM (SELECT doc_id, fv, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY fv) AS rn FROM ac) WHERE rn = 32), " +
+        "bits AS (SELECT ac.doc_id, ac.k, CASE WHEN ac.fv > med.med THEN 1 ELSE 0 END AS bit " +
+        "FROM ac JOIN med USING (doc_id)), " +
+        // bnd is MATERIALIZED: DuckDB inlines plain CTEs per reference, and
+        // rare/kept(×2)/wide(×2) would re-run the whole DCT chain six
+        // times (measured 544 s → 10.9 s at sf0.1)
+        "bnd AS MATERIALIZED (SELECT doc_id, k // 16 AS band, " +
+        "sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS bv FROM bits GROUP BY 1, 2), " +
+        "rare AS (SELECT band, bv FROM bnd GROUP BY 1, 2 HAVING count(*) <= 64), " +
+        "kept AS (SELECT bnd.* FROM bnd JOIN rare ON rare.band = bnd.band AND rare.bv = bnd.bv), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM kept x " +
+        "JOIN kept y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id), " +
+        "wide AS (SELECT doc_id, max(CASE WHEN band = 0 THEN bv END) AS b0, " +
+        "max(CASE WHEN band = 1 THEN bv END) AS b1, " +
+        "max(CASE WHEN band = 2 THEN bv END) AS b2, " +
+        "max(CASE WHEN band = 3 THEN bv END) AS b3 FROM bnd GROUP BY doc_id), " +
+        "hm AS (SELECT cand.ida, cand.idb, " +
+        "bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + " +
+        "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming " +
+        "FROM cand JOIN wide x ON x.doc_id = cand.ida JOIN wide y ON y.doc_id = cand.idb) " +
+        "SELECT ida AS id_a, idb AS id_b, CAST(hamming AS INTEGER) AS hamming " +
+        "FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"
+    },
 
     // dedup_phash_mixed oracle: the checkerboard's aHash bits restated
     // from the rank formula alone (cell high ⇔ rank ≤ 32 ⇔ mean 200 > the

@@ -1076,6 +1076,114 @@ case class ImageAHash64(child: Expression)
     copy(child = c)
 }
 
+/** The 8×32 fixed-point DCT-II basis shared by [[ImageDctHash64]] and its
+  * oracle: `C(u)(x) = round(cos((2x+1)·u·π/64) · 2^14)`, rounded half AWAY
+  * FROM ZERO so the table keeps the cosine's antisymmetry
+  * (`C(u)(31−x) = ±C(u)(x)` exactly). Two consequences the hash leans on:
+  * every AC row sums to exactly 0 (so a uniform brightness shift moves NO
+  * AC coefficient — the perceptual invariance is EXACT in integers, not
+  * approximate), and the whole transform is integer multiply-adds bounded
+  * by 32·255·2^28 < 2^42 — replayable bit-identically from a literal
+  * matrix in any engine.
+  */
+object Dct8x32 {
+  val Scale = 16384L
+  val C: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+    val raw = math.cos((2 * x + 1) * u * math.Pi / 64) * Scale
+    (math.signum(raw) * math.round(math.abs(raw))).toLong
+  }
+}
+
+/** 64-bit DCT perceptual hash (pHash) of an image payload's decoded
+  * raster — the frequency-domain companion of [[ImageAHash64]]: the
+  * raster bins to a 32×32 integer grayscale (floor-division bins, floor
+  * cell means — exact on the gate's native 32×32 images), a separable
+  * integer 2D DCT ([[Dct8x32]]) keeps the top-left 8×8 coefficient
+  * block, and bit `8u+v` (v the vertical frequency) is set iff
+  * `F[u][v]` exceeds the LOWER MEDIAN of the 63 AC coefficients (the
+  * 32nd smallest — well-defined on ties). The DC bit is always 0, so
+  * the hash sees only shape, never overall level: a uniform brightness
+  * shift leaves every bit EXACTLY unchanged (zero AC row sums), where
+  * aHash's invariance needs its margin argument. PNG or baseline JPEG
+  * by magic bytes; NULL when the bytes decode as neither. All
+  * arithmetic is exact Long (|F| ≤ 32²·255·2^28 < 2^47), so the hash —
+  * and every dup pair built from it — replays bit-identically from the
+  * pixel formula in the DuckDB oracle.
+  */
+case class ImageDctHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodeImage(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(img) =>
+        val w = img.width; val h = img.height; val ch = img.channels
+        val sums = new Array[Long](1024)
+        val cnts = new Array[Long](1024)
+        var y = 0
+        while (y < h) {
+          val by = y * 32 / h
+          var x = 0
+          while (x < w) {
+            val k = by * 32 + x * 32 / w
+            sums(k) += img.pixels((y * w + x) * ch) & 0xFF
+            cnts(k) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val q = new Array[Long](1024)
+        var k = 0
+        while (k < 1024) {
+          if (cnts(k) > 0) q(k) = sums(k) / cnts(k)
+          k += 1
+        }
+        // separable: G[u][y] = Σ_x C[u][x]·q[y][x]; F[8u+v] = Σ_y C[v][y]·G[u][y]
+        val g = new Array[Long](8 * 32)
+        var u = 0
+        while (u < 8) {
+          val cu = Dct8x32.C(u)
+          var yy = 0
+          while (yy < 32) {
+            var s = 0L
+            var x = 0
+            while (x < 32) { s += cu(x) * q(yy * 32 + x); x += 1 }
+            g(u * 32 + yy) = s
+            yy += 1
+          }
+          u += 1
+        }
+        val f = new Array[Long](64)
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cv = Dct8x32.C(v)
+            var s = 0L
+            var yy = 0
+            while (yy < 32) { s += cv(yy) * g(u * 32 + yy); yy += 1 }
+            f(u * 8 + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+        java.util.Arrays.sort(ac)
+        val med = ac(31)
+        var hash = 0L
+        k = 1
+        while (k < 64) {
+          if (f(k) > med) hash |= 1L << k
+          k += 1
+        }
+        java.lang.Long.valueOf(hash)
+    }
+
+  override protected def withNewChildInternal(c: Expression): ImageDctHash64 =
+    copy(child = c)
+}
+
 /** Decoded-pixel statistics of a PNG payload — `(width, height, channels,
   * sum_r, sum_g, sum_b)`, or NULL when [[graft.llm.Multimodal.decodePng]]
   * rejects the bytes. The sums run over the fully DEFILTERED raster, so
@@ -1684,6 +1792,11 @@ object native {
 
   /** 64-bit average-hash of a decoded PNG/JPEG raster (see [[ImageAHash64]]). */
   def imageAHash64(c: Column): Column = column(ImageAHash64(expression(c)))
+
+  /** 64-bit DCT perceptual hash of a decoded PNG/JPEG raster (see
+    * [[ImageDctHash64]]).
+    */
+  def imageDctHash64(c: Column): Column = column(ImageDctHash64(expression(c)))
 
   /** Margin-engineered checkerboard image, PNG or JPEG (see
     * [[SyntheticImageCheck]]).

@@ -621,10 +621,37 @@ object Multimodal {
     */
   def imageDupPairs(media: DataFrame, idCol: String = "media_id",
                     contentCol: String = "content", tau: Int = 6,
-                    maxDf: Int = 64): DataFrame = {
-    val ph = media.select(col(idCol).as("id"),
-        graft.functions.native.imageAHash64(col(contentCol)).as("ph"))
-      .where(col("ph").isNotNull)
+                    maxDf: Int = 64): DataFrame =
+    hash64DupPairs(media.select(col(idCol).as("id"),
+      graft.functions.native.imageAHash64(col(contentCol)).as("ph")),
+      tau, maxDf)
+
+  /** IMAGE near-dup by DCT perceptual hash — [[imageDupPairs]] with the
+    * frequency-domain [[graft.functions.ImageDctHash64]] in place of the
+    * cell-mean aHash: the raster bins to 32×32, an integer 2D DCT keeps
+    * the top-left 8×8 coefficients, bits compare each AC coefficient to
+    * their median. Because the DC coefficient never enters a bit, a
+    * uniform brightness shift leaves the hash EXACTLY unchanged (the
+    * fixed-point basis rows sum to zero — no margin argument needed),
+    * while structural change redistributes low-frequency energy and
+    * flips ~half the bits. Same banded pigeonhole blocking, df guard and
+    * exact popcount verify; only (id, 8-byte hash) ever shuffles.
+    */
+  def imageDupPairsDct(media: DataFrame, idCol: String = "media_id",
+                       contentCol: String = "content", tau: Int = 6,
+                       maxDf: Int = 64): DataFrame =
+    hash64DupPairs(media.select(col(idCol).as("id"),
+      graft.functions.native.imageDctHash64(col(contentCol)).as("ph")),
+      tau, maxDf)
+
+  /** The shared banded-Hamming pair kernel over any 64-bit perceptual
+    * hash relation `(id, ph)`: 4×16-bit band blocking (≤ 3 flipped bits
+    * cannot touch all 4 bands), per-(band, bucket) df guard at `maxDf`,
+    * exact popcount verify at `tau`. Returns (id_a, id_b, hamming).
+    */
+  private def hash64DupPairs(hashed: DataFrame, tau: Int,
+                             maxDf: Int): DataFrame = {
+    val ph = hashed.where(col("ph").isNotNull)
     val bands = ph.select(col("id"), col("ph"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket",

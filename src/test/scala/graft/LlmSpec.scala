@@ -2348,6 +2348,36 @@ class LlmSpec extends SparkSpec {
     assert(pred(1L) == "und", pred.toString)
   }
 
+  test("ImageDctHash64: exact brightness invariance, structural separation, banded pairs") {
+    import graft.functions.native
+    // the same gradient at four brightness offsets hashes IDENTICALLY —
+    // not within-margin: the fixed-point basis's AC rows sum to exactly
+    // zero, so a uniform shift moves no coefficient at all
+    val shifted = Seq(0, 17, 34, 51).toDF("sh")
+      .select(native.imageDctHash64(
+        native.syntheticPngGrad(32, 32, lit(3), lit(5), col("sh"))).as("ph"))
+      .as[Long].collect().toSet
+    assert(shifted.size == 1, s"brightness must not move the DCT hash: $shifted")
+    // a different slope family redistributes low-frequency energy: far hash
+    val other = spark.range(1).select(native.imageDctHash64(
+        native.syntheticPngGrad(32, 32, lit(11), lit(2), lit(0))))
+      .as[Long].head
+    assert(java.lang.Long.bitCount(shifted.head ^ other) > 6)
+    // undecodable bytes are NULL, and never reach the pair kernel
+    assert(Seq(Array[Byte](1, 2, 3)).toDF("b")
+      .select(native.imageDctHash64(col("b"))).collect().head.isNullAt(0))
+    // the banded kernel pairs within a brightness group, never across slopes
+    val media = Seq(
+      (1L, 3, 5, 0), (2L, 3, 5, 20), (3L, 3, 5, 40),
+      (4L, 11, 2, 0), (5L, 11, 2, 30)).toDF("media_id", "a", "b", "sh")
+      .select(col("media_id"), native.syntheticPngGrad(32, 32, col("a"),
+        col("b"), col("sh")).as("content"))
+    val pairs = graft.llm.Multimodal.imageDupPairsDct(media)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0), (4L, 5L, 0)),
+      pairs.toString)
+  }
+
   test("JaccardSim rejects mismatched array element types at analysis") {
     val df = Seq((Seq("a", "b"), Seq(1L, 2L))).toDF("s", "l")
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
