@@ -2019,6 +2019,29 @@ object SparkEntry {
           col("_rn").cast("long").as("rn")) // inference rule
     },
 
+    // Per-registrable-domain quota — the crawl-diversity cap: each site
+    // keeps its best 3 docs by quality (ties to the lower id). URLs are
+    // synthesized per 5-doc site groups across three suffix classes so
+    // the Spark side must EARN the site key through the full
+    // registrableDomain rule chain (www/userinfo/port strip, case fold,
+    // deep subdomains, a multi-part public suffix), while every 4th group
+    // is URL-less and bypasses the cap per-doc. The oracle states the
+    // domain from the construction formula and replays the ranked window.
+    "domain_quota" -> { (s, d) =>
+      val g = floor(col("doc_id") / 5).cast("long")
+      val url = when(g % 4 === 0, concat(lit("http://www.site"),
+          g.cast("string"), lit(".com/a?id="), col("doc_id").cast("string")))
+        .when(g % 4 === 1, concat(lit("https://u:p@blog"),
+          g.cast("string"), lit(".co.uk:443/p")))
+        .when(g % 4 === 2, concat(lit("HTTP://cdn.static.News"),
+          g.cast("string"), lit(".ORG/x")))
+        .otherwise(lit(null).cast("string"))
+      graft.llm.Corpus.domainQuota(
+          t(s, d, "documents").withColumn("url", url), quota = 3,
+          score = TextStats.qualityScore(col("text")))
+        .orderBy("doc_id")
+    },
+
     // Deterministic Agrawal load corpus (reference locustfile's
     // synth.Agrawal(seed=1729) analog): partition-parallel, pure column
     // arithmetic, engine-reproducible.
@@ -4322,6 +4345,28 @@ object SparkEntry {
       ("SELECT lang, doc_id, n_chars, rn FROM (SELECT lang, doc_id, n_chars, " +
         "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn " +
         "FROM documents) WHERE rn <= 3 ORDER BY lang, rn"),
+
+    // domain_quota oracle: the registrable domain stated from the URL
+    // construction formula (the Spark side parses it out of the raw URL),
+    // quality replayed with the shared 4-dp formula, the ranked window
+    // with the same (score DESC, id ASC) order, URL-less docs ranked on a
+    // per-doc key.
+    "domain_quota" ->
+      ("WITH d AS (SELECT doc_id, doc_id // 5 AS g, " +
+        "round(0.3 * least(1.0, length(text) / 500.0) + " +
+        "0.4 * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))) + " +
+        s"0.3 * (len(list_filter(string_split(text,' '), t -> list_contains($allStop, t))) * 1.0 / " +
+        "len(string_split(text,' '))), 4) AS q FROM documents), " +
+        "dom AS (SELECT doc_id, q, CASE " +
+        "WHEN g % 4 = 0 THEN 'site' || g || '.com' " +
+        "WHEN g % 4 = 1 THEN 'blog' || g || '.co.uk' " +
+        "WHEN g % 4 = 2 THEN 'news' || g || '.org' " +
+        "ELSE NULL END AS domain FROM d), " +
+        "r AS (SELECT doc_id, domain, ROW_NUMBER() OVER " +
+        "(PARTITION BY coalesce(domain, 'doc:' || doc_id) " +
+        "ORDER BY q DESC, doc_id) AS rank FROM dom) " +
+        "SELECT doc_id, domain, CAST(rank AS BIGINT) AS rank FROM r " +
+        "WHERE rank <= 3 ORDER BY doc_id"),
 
     "heavy_hitters" ->
       ("SELECT user_id AS key, count(*) AS cnt FROM events " +

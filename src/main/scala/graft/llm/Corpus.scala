@@ -213,6 +213,34 @@ object Corpus {
         (col("cum_before") < budget).as("keep"))
   }
 
+  /** Per-registrable-domain quota — the crawl-diversity cap every corpus
+    * curation runs (a handful of mega-sites must not dominate the
+    * training mix): rank each site's docs by `score` (ties to the lower
+    * id) and keep the best `quota`. The site key is
+    * [[Urls.registrableDomain]]; docs whose URL has no parseable host
+    * BYPASS the cap on a per-doc sentinel key (the null-URL lesson:
+    * pooling them under one NULL key would silently cap all URL-less
+    * docs at `quota` globally). Returns the kept rows as
+    * `(idCol, domain, rank)` with `domain` NULL for bypassed docs.
+    *
+    * Scale: the `row_number ≤ quota` filter on the raw rank attribute
+    * plans as WindowGroupLimit — each map task keeps its local top-quota
+    * per domain BEFORE the exchange, so even a mega-domain ships
+    * O(quota × tasks) rows, never its full doc set.
+    */
+  def domainQuota(df: DataFrame, quota: Int, score: Column,
+                  urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val dom = Urls.registrableDomain(col(urlCol))
+    val w = Window.partitionBy("_dom").orderBy(col("_s").desc, col(idCol))
+    df.select(col(idCol), dom.as("domain"), score.as("_s"))
+      .withColumn("_dom", coalesce(col("domain"),
+        concat(lit("\u0000doc:"), col(idCol).cast("string"))))
+      .withColumn("_rn", row_number().over(w)) // raw rank attr: group-limit
+      .where(col("_rn") <= quota)
+      .select(col(idCol), col("domain"), col("_rn").cast("long").as("rank"))
+  }
+
   /** Deterministic fixed-size per-stratum sample: rank rows within each
     * stratum by their hash draw (ties by id) and keep the first `n` — the
     * balanced-subset step that caps every language/source at the same count

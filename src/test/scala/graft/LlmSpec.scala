@@ -2348,6 +2348,37 @@ class LlmSpec extends SparkSpec {
     assert(pred(1L) == "und", pred.toString)
   }
 
+  test("registrable domain: suffix rules, deep hosts, ip and non-url; quota caps per site") {
+    import graft.llm.{Corpus, Urls}
+    val cases = Seq(
+      ("http://www.Site.COM/a", "site.com"),
+      ("https://u:p@blog.example.co.uk:443/p", "example.co.uk"),
+      ("http://cdn.static.news.org/x", "news.org"),
+      ("http://192.168.0.1:8080/q", "192.168.0.1"),
+      ("http://localhost/", "localhost"),
+      ("not a url", null))
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), Urls.registrableDomain(col("u")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, e) => assert(got(u) == e, s"$u -> ${got(u)}") }
+    // quota 2 over one 4-doc site: best two by score stay (ties by id are
+    // exercised in the gate); URL-less docs bypass the cap per-doc
+    val docs = Seq(
+      (1L, "http://a.com/1", 0.9), (2L, "http://www.a.com/2", 0.8),
+      (3L, "http://a.com:80/3", 0.7), (4L, "http://a.com/4", 0.95),
+      (5L, null: String, 0.1), (6L, null: String, 0.2))
+      .toDF("doc_id", "url", "sc")
+    val kept = Corpus.domainQuota(docs, quota = 2, score = col("sc"))
+    val m = kept.as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m.keySet == Set(1L, 4L, 5L, 6L), m.toString)
+    assert(m(4L) == (("a.com", 1L)) && m(1L) == (("a.com", 2L)))
+    assert(m(5L)._1 == null && m(5L)._2 == 1L && m(6L)._2 == 1L)
+    // the rank filter must keep planning as a group-limit (local top-k
+    // per domain before the exchange — the mega-domain skew posture)
+    assert(kept.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("ImageDctHash64: exact brightness invariance, structural separation, banded pairs") {
     import graft.functions.native
     // the same gradient at four brightness offsets hashes IDENTICALLY —
