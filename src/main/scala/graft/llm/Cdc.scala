@@ -107,6 +107,62 @@ object Cdc {
     ledger(flagged, idCol)
   }
 
+  // ---- streaming ingestion: per-batch subdirectories, replay-idempotent -
+
+  /** Store subdirectory layout for STREAMING ingestion: each micro-batch's
+    * new keys land in their own bucket-partitioned child `b<batchId>`,
+    * written in OVERWRITE mode — the [[SignatureStore.ingest]] recovery
+    * scheme. A replayed batch (a) rewrites its own subdirectory instead of
+    * appending twice and (b) is EXCLUDED from the history it probes, so a
+    * crash between the ledger and the key write replays to the identical
+    * ledger and identical store contents.
+    */
+  private def streamKeys(spark: org.apache.spark.sql.SparkSession,
+      path: String, exclude: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter(st => st.isDirectory &&
+        st.getPath.getName.matches("b[0-9]+") &&
+        st.getPath.getName != s"b$exclude")
+    children.map(st => graft.core.Layouts.read(spark, st.getPath.toString)
+        .select("hash", "len"))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.range(0).select(col("id").as("hash"),
+        col("id").cast("int").as("len")))
+  }
+
+  /** One micro-batch of the STREAMING chunk-dedup ledger: the batch's
+    * duplicated-byte ledger against all PRIOR batches' keys (own
+    * subdirectory excluded — see [[streamKeys]]), result pinned by an
+    * eager checkpoint BEFORE the batch's new keys (over)write
+    * `path/b<batchId>`. History text is never rescanned: O(batch) chunking
+    * plus one keyed join against the stored keys, the [[appendToStore]]
+    * posture with exactly-once recovery on top.
+    */
+  def ingestBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, batchId: Long, textCol: String = "text",
+      idCol: String = "doc_id", w: Int = 8,
+      divisor: Long = 64L): DataFrame = {
+    val ch = chunks(batch, textCol, idCol, w, divisor)
+      .localCheckpoint(false) // feeds the ledger AND the key write
+    val known = streamKeys(spark, path, exclude = batchId)
+      .withColumn("_hit", lit(1))
+    val rk = Window.partitionBy(col("hash"), col("len"))
+      .orderBy(col(idCol), col("idx"))
+    val led = ledger(ch.join(known, Seq("hash", "len"), "left")
+        .withColumn("_dup", col("_hit").isNotNull || row_number().over(rk) > 1),
+      idCol)
+      .localCheckpoint() // FIX the ledger before the store mutates
+    val newKeys = ch.select("hash", "len").distinct()
+      .join(streamKeys(spark, path, exclude = batchId),
+        Seq("hash", "len"), "left_anti")
+      .withColumn("bucket", pmod(col("hash"), lit(storeBuckets.toLong)))
+    graft.core.Layouts.writePartitioned(newKeys, s"$path/b$batchId", "bucket")
+    led
+  }
+
   /** Fold a batch's NEW chunk keys into the store (append-only increments
     * beside their bucket; the store stays a distinct-key relation because
     * only keys absent from history are written). Call after

@@ -112,6 +112,31 @@ object StreamPipeline {
         ()
       }
 
+  /** STREAMING content-defined-chunking ledger — the CDC stage's stream
+    * twin ([[graft.llm.Cdc.dedupStats]] is the batch story): every
+    * micro-batch chunks its docs at content-defined boundaries, accounts
+    * duplicated bytes against ALL history through the persistent chunk-key
+    * store (O(batch) — history text is never rescanned), and lands its
+    * per-doc ledger in `<outPath>/b<batchId>`. Recovery is exactly-once by
+    * construction: the batch's own store subdirectory is excluded from the
+    * history it probes and overwritten on replay
+    * ([[graft.llm.Cdc.ingestBatch]]), and the ledger write is an
+    * idempotent per-batch overwrite — kill and restart anywhere and every
+    * sink converges to the sequential run.
+    */
+  def cdcLedgerStream(outPath: String, storePath: String, docs: DataFrame,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      w: Int = 8, divisor: Long = 64L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val batch = df.toDF()
+        val led = graft.llm.Cdc.ingestBatch(batch.sparkSession, storePath,
+          batch, id, textCol, idCol, w, divisor)
+        led.write.mode("overwrite").parquet(outPath + "/b" + id)
+        ()
+      }
+
   /** Sources flooding junk: heavy hitters over the DROPPED docs' source
     * ids — the per-key counter emits at `threshold` then every `every`,
     * so a misbehaving crawl domain surfaces while the stream runs, with

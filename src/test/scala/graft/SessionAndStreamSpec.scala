@@ -770,6 +770,52 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cdc ledger: cross-batch duplicated bytes via the store, replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.StreamPipeline
+    def words(tag: String, from: Int, to: Int) =
+      (from to to).map(j => s"$tag$j").mkString(" ")
+    val xs = words("x", 1, 80) // ~10 CDC chunks
+    val input = MemoryStream[(Long, String)]
+    val outDir = tmpDir("cdcs_out"); val storeDir = tmpDir("cdcs_store")
+    val q = StreamPipeline.cdcLedgerStream(outDir, storeDir,
+        input.toDF().toDF("doc_id", "text"))
+      .option("checkpointLocation", tmpDir("cdcs_ck"))
+      .start()
+    try {
+      input.addData((1L, xs), (2L, words("y", 1, 60)))
+      q.processAllAvailable()
+      // batch 1: doc 3 = exact refetch of doc 1 (all bytes dup via the
+      // STORE), doc 4 = half of doc 1 + new tail (partial), doc 5 = fresh
+      input.addData((3L, xs),
+        (4L, words("x", 1, 40) + " " + words("z", 1, 40)),
+        (5L, words("w", 1, 60)))
+      q.processAllAvailable()
+      def led(b: Int) = spark.read.parquet(s"$outDir/b$b")
+        .select("doc_id", "dup_chars", "n_chars", "dup_ratio")
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      val b0 = led(0); val b1 = led(1)
+      assert(b0(1L)._2 == 0L && b0(2L)._2 == 0L, b0.toString)
+      assert(b1(3L)._4 == 1.0, s"exact refetch must be all-dup: ${b1(3L)}")
+      assert(b1(4L)._2 > 0L && b1(4L)._2 < b1(4L)._3, b1(4L).toString)
+      assert(b1(5L)._2 == 0L, b1(5L).toString)
+      // REPLAY batch 1 (the recovery path): ledger identical, store
+      // contents identical — own subdirectory excluded from history and
+      // overwritten, never matched against itself
+      def storeKeySet() = spark.read.option("recursiveFileLookup", "true")
+        .parquet(storeDir).select("hash", "len")
+        .as[(Long, Int)].collect().toSet
+      val keysBefore = storeKeySet()
+      val replay = graft.llm.Cdc.ingestBatch(spark, storeDir,
+          Seq((3L, xs), (4L, words("x", 1, 40) + " " + words("z", 1, 40)),
+            (5L, words("w", 1, 60))).toDF("doc_id", "text"), batchId = 1L)
+        .select("doc_id", "dup_chars", "n_chars", "dup_ratio")
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+      assert(replay == b1, s"replayed ledger diverged: $replay vs $b1")
+      assert(storeKeySet() == keysBefore, "replay must not grow the store")
+    } finally q.stop()
+  }
+
   test("streaming e2e curation: dedup→gopher→silver/hitters/alerts survive a checkpoint restart (RocksDB)") {
     import graft.stream.{HeavyHit, StreamPipeline}
     import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
