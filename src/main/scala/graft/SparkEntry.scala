@@ -2160,6 +2160,23 @@ object SparkEntry {
       Multimodal.audioDupPairs(media).orderBy("clip_a", "clip_b")
     },
 
+    // AUDIO near-dup by SPECTRAL fingerprint, end-to-end real: each group
+    // is ONE waveform rendered at four integer GAINS and lengths — every
+    // PCM byte differs across a group, so the content-hash leg
+    // (dedup_audio) is blind to these pairs, but the integer-DFT peak
+    // constellation is EXACTLY gain-invariant (mag² scales by m², every
+    // argmax holds), so the group collides on its full landmark prefix.
+    // The oracle replays the DFT from the sample formula and the shared
+    // 64-entry literal table, peak argmax, shingle fold, df guard, pairs.
+    "dedup_audio_spectral" -> { (s, d) =>
+      val n = (lit(256) + (col("doc_id") % 4) * 128).cast("int")
+      val v = floor(col("doc_id") / 4).cast("long") % 1000
+      val g = (lit(1) + col("doc_id") % 4).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticWavGain(n, v, g).as("content"))
+      Multimodal.audioDupPairsSpectral(media).orderBy("clip_a", "clip_b")
+    },
+
     // COMPRESSED-audio dedup, end-to-end real: clips synthesize genuine
     // IMA-ADPCM WAVEs (4-bit blocks, carried step index, fact truncation)
     // sharing waveforms per variant class; the real ADPCM decode feeds
@@ -4925,6 +4942,50 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM k a JOIN k b ON a.whash = b.whash AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 ORDER BY clip_a, clip_b"),
+
+    // dedup_audio_spectral oracle: the integer DFT replayed from the
+    // gain-scaled sample formula and the SAME 64-entry fixed-point table
+    // (sin reads it at a +48 modular phase), peak = rank-1 of
+    // (re²+im² DESC, k), length-4 peak runs folded with the shared
+    // PolyHash, then the distinct / df-guard / pair-count chain of
+    // dedup_audio. pk is MATERIALIZED — four self-join references would
+    // otherwise replay the whole transform.
+    "dedup_audio_spectral" -> {
+      val tab = graft.functions.DftTable(64).zipWithIndex
+        .map { case (c, j) => s"($j,$c)" }.mkString(", ")
+      "WITH par AS (SELECT doc_id, 256 + (doc_id % 4) * 128 AS n, " +
+        "(doc_id // 4) % 1000 AS v, 1 + doc_id % 4 AS g FROM documents), " +
+        s"tab AS (SELECT * FROM (VALUES $tab) t(j, c)), " +
+        "sm0 AS (SELECT doc_id, i, g, (v * 1048576 + i) % 4294967296 AS x0 FROM " +
+        "(SELECT doc_id, v, g, unnest(generate_series(0, n - 1)) AS i FROM par)), " +
+        "sm1 AS (SELECT doc_id, i, g, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1 FROM sm0), " +
+        "sm2 AS (SELECT doc_id, i, g, (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2 FROM sm1), " +
+        "sm AS (SELECT doc_id, i // 64 AS wi, i % 64 AS ii, " +
+        "((xor(x2, x2 >> 16) % 8192) - 4096) * g AS s FROM sm2), " +
+        "re AS (SELECT sm.doc_id, sm.wi, ks.k, " +
+        "sum(sm.s * tc.c) AS re, sum(sm.s * ts.c) AS im " +
+        "FROM sm, generate_series(1, 15) ks(k), tab tc, tab ts " +
+        "WHERE tc.j = (ks.k * sm.ii) % 64 AND ts.j = (ks.k * sm.ii + 48) % 64 " +
+        "GROUP BY 1, 2, 3), " +
+        "pk AS MATERIALIZED (SELECT doc_id, wi, " +
+        "max(CASE WHEN rn = 1 THEN k END) * 16 + max(CASE WHEN rn = 2 THEN k END) AS peak FROM " +
+        "(SELECT doc_id, wi, k, ROW_NUMBER() OVER (PARTITION BY doc_id, wi " +
+        "ORDER BY re * re + im * im DESC, k) AS rn FROM re) WHERE rn <= 2 " +
+        "GROUP BY 1, 2), " +
+        "sh AS (SELECT p0.doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "[p0.peak, p1.peak, p2.peak, p3.peak]), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) AS whash " +
+        "FROM pk p0 JOIN pk p1 ON p1.doc_id = p0.doc_id AND p1.wi = p0.wi + 1 " +
+        "JOIN pk p2 ON p2.doc_id = p0.doc_id AND p2.wi = p0.wi + 2 " +
+        "JOIN pk p3 ON p3.doc_id = p0.doc_id AND p3.wi = p0.wi + 3), " +
+        "hd AS (SELECT DISTINCT doc_id, whash FROM sh), " +
+        "rare AS (SELECT whash FROM hd GROUP BY whash HAVING count(*) <= 1000), " +
+        "kk AS (SELECT hd.doc_id, hd.whash FROM hd JOIN rare USING (whash)) " +
+        "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM kk a JOIN kk b ON a.whash = b.whash AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY clip_a, clip_b"
+    },
 
     // Video replay: the per-frame pattern restated over the SAMPLED frame
     // indices (every 2nd) — the Spark side must earn the sums by walking

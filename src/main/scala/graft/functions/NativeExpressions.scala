@@ -1334,6 +1334,143 @@ case class WavWindowHashes(child: Expression, window: Int)
     copy(child = c)
 }
 
+/** A REAL synthesized WAV with an integer GAIN stage: the base waveform
+  * `b(i) = (mix32(variant·2^20 + i) mod 8192) − 4096` times
+  * `gain ∈ [1, 8]` — still a genuine 16-bit PCM clip (|s| ≤ 32760), but
+  * docs sharing a variant at different gains have entirely different PCM
+  * bytes while their spectra differ only by an integer factor. That is
+  * exactly the perturbation [[WavSpectralHashes]] is exactly invariant to
+  * and the content-hash leg ([[WavWindowHashes]]) is blind to — the
+  * spectral dedup gate's formula. The base is the NONLINEAR mix32
+  * scatter, not the [[SyntheticWav]] polynomial: `31i² + 17i + 97v`
+  * collapses modulo small powers of two across (variant, window) pairs —
+  * structurally shared windows by the tens of thousands (the same
+  * affine-aliasing lesson as the checkerboard rank hash) — while mixed
+  * windows are variant-unique.
+  */
+case class SyntheticWavGain(first: Expression, second: Expression,
+                            third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(n: Any, v: Any, g: Any): Any = {
+    val nSamples = n.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].longValue()
+    val gain = g.asInstanceOf[Number].intValue()
+    require(gain >= 1 && gain <= 8, s"gain must stay within s16, got $gain")
+    val samples = Array.tabulate(nSamples) { i =>
+      (((graft.llm.Corpus.mix32L(variant * 1048576L + i) % 8192L) - 4096L)
+        * gain).toShort
+    }
+    graft.llm.Multimodal.encodeWav(16000, 1, samples)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): SyntheticWavGain = copy(first = a, second = b, third = c)
+}
+
+/** The shared fixed-point DFT cosine table ([[WavSpectralHashes]] and its
+  * oracle): `T(j) = round(cos(2πj/window) · 2^7)`, rounded half away from
+  * zero. One table serves both components — `cos(2πki/w) = T((k·i) mod w)`
+  * and `sin(2πki/w) = T((k·i + 3w/4) mod w)` — so the oracle states
+  * `window` literals, not `window²`.
+  */
+object DftTable {
+  def apply(window: Int): Array[Long] = Array.tabulate(window) { j =>
+    val raw = math.cos(2 * math.Pi * j / window) * 128
+    (math.signum(raw) * math.round(math.abs(raw))).toLong
+  }
+}
+
+/** SPECTRAL fingerprint shingles of a WAV payload's decoded PCM — the
+  * frequency-domain audio leg (Wang 2003's constellation idea reduced to
+  * its deterministic core), where [[WavWindowHashes]] is the byte-exact
+  * content leg: per full `window`-sample window, an integer fixed-point
+  * DFT (ONE shared `window`-entry cosine table at scale 2^7, rounded half
+  * away from zero; `sin` reads the same table at a `3·window/4` modular
+  * phase offset) scores bins `1 .. window/4 − 1`, the window's landmark is
+  * its TOP-2 bins by (mag² DESC, bin ASC) packed as `k₁·16 + k₂` (one
+  * peak alone is ~4 bits — chance shingle collisions at corpus scale),
+  * and every `shingle`-length run of consecutive landmarks folds to a
+  * PolyHash — the emitted fingerprint hashes. All arithmetic is exact BIGINT
+  * (|re| ≤ window·2^15·2^7, mag² ≤ 2·2^56 at window 64), so the
+  * fingerprint replays bit-identically from the sample formula plus the
+  * literal table in the oracle.
+  *
+  * The perceptual property is GAIN invariance, and it is EXACT in
+  * integers: an integer-scaled clip `s·m` scales re/im by `m` and every
+  * squared magnitude by `m²`, leaving each window's argmax — and
+  * therefore every landmark hash — unchanged, while the content-hash leg
+  * sees entirely different PCM bytes. NULL when the bytes are not WAV.
+  */
+case class WavSpectralHashes(child: Expression, window: Int, shingle: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 8 && window % 4 == 0, s"window must be a multiple of 4: $window")
+  require(shingle >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val tab: Array[Long] = DftTable(window)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Multimodal.decodeWav(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(a) =>
+        val s = a.samples
+        val nw = s.length / window
+        val nBins = window / 4 - 1
+        val peaks = new Array[Int](nw)
+        var w = 0
+        while (w < nw) {
+          // top-2 bins by (mag² DESC, k ASC): one peak alone (4 bits of
+          // signal) makes chance shingle collisions routine at corpus
+          // scale — the bin PAIR is the landmark
+          var best = Long.MinValue; var bestK = 0
+          var second = Long.MinValue; var secondK = 0
+          var k = 1
+          while (k <= nBins) {
+            var re = 0L; var im = 0L
+            var i = 0
+            while (i < window) {
+              val v = s(w * window + i).toLong
+              val j = (k * i) % window
+              re += v * tab(j)
+              im += v * tab((j + 3 * window / 4) % window)
+              i += 1
+            }
+            val mag = re * re + im * im
+            if (mag > best) {
+              second = best; secondK = bestK
+              best = mag; bestK = k
+            } else if (mag > second) { second = mag; secondK = k }
+            k += 1
+          }
+          peaks(w) = bestK * 16 + secondK
+          w += 1
+        }
+        val nSh = nw - shingle + 1
+        if (nSh <= 0) new GenericArrayData(Array.empty[Long])
+        else {
+          val out = new Array[Long](nSh)
+          var t = 0
+          while (t < nSh) {
+            var h = 0L
+            var u = 0
+            while (u < shingle) {
+              h = (h * PolyHash.B1 + peaks(t + u)) % PolyHash.P1
+              u += 1
+            }
+            out(t) = h
+            t += 1
+          }
+          new GenericArrayData(out)
+        }
+    }
+
+  override protected def withNewChildInternal(c: Expression): WavSpectralHashes =
+    copy(child = c)
+}
+
 /** Decoded-PCM statistics of a WAV payload — `(sample_rate, channels,
   * n_samples, sum_sq, n_zero_cross, peak)`, or NULL when
   * [[graft.llm.Multimodal.decodeWav]] rejects the bytes. Integer-exact
@@ -1809,6 +1946,16 @@ object native {
   def pngPixelStats(c: Column): Column = column(PngPixelStats(expression(c)))
 
   /** A real synthesized 16-bit PCM WAV from (nSamples, variant). */
+  /** Gain-scaled synthetic WAV from (nSamples, variant, gain). */
+  def syntheticWavGain(n: Column, v: Column, g: Column): Column =
+    column(SyntheticWavGain(expression(n), expression(v), expression(g)))
+
+  /** Spectral-peak landmark shingle hashes of decoded PCM (see
+    * [[WavSpectralHashes]]).
+    */
+  def wavSpectralHashes(c: Column, window: Int = 64, shingle: Int = 4): Column =
+    column(WavSpectralHashes(expression(c), window, shingle))
+
   /** Per-window decoded-PCM content hashes (see [[WavWindowHashes]]). */
   def wavWindowHashes(c: Column, window: Int): Column =
     column(WavWindowHashes(expression(c), window))

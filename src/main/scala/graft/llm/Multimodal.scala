@@ -699,6 +699,33 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** AUDIO near-dup by SPECTRAL fingerprint — the frequency-domain leg
+    * next to [[audioDupPairs]]'s byte-exact content hashes: clips pair on
+    * shared landmark hashes ([[graft.functions.WavSpectralHashes]] —
+    * integer-DFT peak-bin runs), which survive transformations that
+    * change every PCM byte but not the spectral shape; integer GAIN
+    * scaling in particular leaves the fingerprint EXACTLY unchanged
+    * (mag² scales by m², every argmax holds). Same scale posture: only
+    * (id, 8-byte hash) shuffles, ubiquitous landmarks (silence, test
+    * tones) df-capped at `maxDf`. Returns (clip_a, clip_b, n_shared).
+    */
+  def audioDupPairsSpectral(media: DataFrame, idCol: String = "media_id",
+                            contentCol: String = "content", window: Int = 64,
+                            shingle: Int = 4, maxDf: Int = 1000): DataFrame = {
+    val wh = media.select(col(idCol).as("id"),
+        explode(graft.functions.native.wavSpectralHashes(col(contentCol),
+          window, shingle)).as("whash"))
+      .distinct() // a clip repeating a landmark run counts once
+      .localCheckpoint(false) // feeds the df guard AND both join sides
+    val rare = wh.groupBy("whash").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("whash")
+    val kept = wh.join(rare, "whash")
+    kept.alias("a").join(kept.alias("b"),
+        col("a.whash") === col("b.whash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("clip_a"), col("b.id").as("clip_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Real frame decoder for [[decodeFrames]] over WAV payloads: one
     * feature row per `window`-sample window (last window may be short) —
     * [windowIndex, nSamples, rms, zeroCrossRate, peak] (rms/peak on the

@@ -2348,6 +2348,42 @@ class LlmSpec extends SparkSpec {
     assert(pred(1L) == "und", pred.toString)
   }
 
+  test("WavSpectralHashes: exact gain invariance, content-hash blindness, spectral pairs") {
+    import graft.functions.native
+    // one waveform at four integer gains: every PCM byte differs, the
+    // spectral fingerprint is IDENTICAL (mag² scales by m², argmax holds)
+    val fps = Seq(1, 2, 3, 4).toDF("g")
+      .select(native.wavSpectralHashes(
+        native.syntheticWavGain(lit(512), lit(7L), col("g"))).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(fps.forall(_ == fps.head) && fps.head.nonEmpty, fps.toString)
+    // ...while the byte-exact content leg shares NOTHING across gains
+    val ch = Seq(1, 2).toDF("g")
+      .select(native.wavWindowHashes(
+        native.syntheticWavGain(lit(512), lit(7L), col("g")), 256).as("h"))
+      .as[Seq[Long]].collect()
+    assert(ch(0).toSet.intersect(ch(1).toSet).isEmpty)
+    // a different variant lands different landmarks (mix32 scatter)
+    val other = spark.range(1).select(native.wavSpectralHashes(
+        native.syntheticWavGain(lit(512), lit(8L), lit(1))))
+      .as[Seq[Long]].head
+    assert(other.toSet.intersect(fps.head.toSet).isEmpty)
+    // undecodable bytes are NULL
+    assert(Seq(Array[Byte](9, 9)).toDF("b")
+      .select(native.wavSpectralHashes(col("b"))).collect().head.isNullAt(0))
+    // the pair kernel: gains of one variant pair fully (shared = the
+    // shorter clip's shingle count), the foreign variant pairs with none
+    val media = Seq((1L, 7L, 1, 512), (2L, 7L, 2, 384), (3L, 7L, 3, 512),
+        (4L, 8L, 1, 512)).toDF("media_id", "v", "g", "n")
+      .select(col("media_id"), native.syntheticWavGain(col("n"), col("v"),
+        col("g")).as("content"))
+    val pairs = graft.llm.Multimodal.audioDupPairsSpectral(media)
+      .as[(Long, Long, Long)].collect().toSet
+    // 512 samples = 8 windows = 5 shingles; 384 = 6 windows = 3 shingles
+    assert(pairs == Set((1L, 2L, 3L), (1L, 3L, 5L), (2L, 3L, 3L)),
+      pairs.toString)
+  }
+
   test("registrable domain: suffix rules, deep hosts, ip and non-url; quota caps per site") {
     import graft.llm.{Corpus, Urls}
     val cases = Seq(
