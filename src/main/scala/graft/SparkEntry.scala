@@ -173,6 +173,20 @@ object SparkEntry {
       path
     })
 
+  // Quantile register store built once per (session, dir) on the
+  // even-orderkey history half; the incremental gate add-merges the odd
+  // half READ-ONLY (count addition = the sketch's merge theorem).
+  private val quantileStores =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def quantileStore(s: SparkSession, d: String): String =
+    quantileStores.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "qsketch", d)
+      graft.analytics.Sketches.buildQuantileStore(s, path,
+        t(s, d, "orders").where(col("o_orderkey") % 2 === 0),
+        "o_orderpriority", col("o_totalprice"), 0.0, 524288.0, 512)
+      path
+    })
+
   // HLL register store built once per (session, dir) on the even-event-id
   // history half; the incremental gate max-merges the odd half READ-ONLY.
   private val hllStores =
@@ -773,6 +787,26 @@ object SparkEntry {
       graft.analytics.Sketches.hllMergeProbe(s, hllStore(s, d),
         t(s, d, "events").where(col("event_id") % 2 === 1),
         "event_type", "user_id").orderBy("event_type")),
+
+    // Mergeable QUANTILE sketch: per-group binned-count registers (512
+    // exact-binary-width bins, so w=(hi-lo)/nBins is an exact double),
+    // readout = rank ceil(q·n) located in the cumulative counts with
+    // linear in-bin interpolation — ≤ nBins longs per group at any corpus
+    // size, error ≤ one bin width by construction.
+    "quantile_sketch" -> ((s, d) =>
+      graft.analytics.Sketches.quantileSketchBy(t(s, d, "lineitem"),
+        "l_returnflag", col("l_extendedprice"), 0.0, 131072.0, 512,
+        Seq(0.5, 0.95, 0.99)).orderBy("l_returnflag", "q")),
+
+    // INCREMENTAL quantiles: the odd-orderkey batch's registers add-merge
+    // with the persisted even-orderkey history store — bit-exactly the
+    // one-shot readout on the union (count addition IS the merge theorem),
+    // which is what the oracle states over ALL orders.
+    "quantile_sketch_incremental" -> ((s, d) =>
+      graft.analytics.Sketches.quantileMergeProbe(s, quantileStore(s, d),
+        t(s, d, "orders").where(col("o_orderkey") % 2 === 1),
+        "o_orderpriority", col("o_totalprice"), 0.0, 524288.0, 512,
+        Seq(0.5, 0.9)).orderBy("o_orderpriority", "q")),
 
     // Theta-style set-operation estimates from two KMV sketches — the
     // cohort/corpus overlap diagnostic without a distinct-join: each side
@@ -2549,6 +2583,27 @@ object SparkEntry {
   // register construction, EXACT integer register sum (2^(26-reg), empty
   // buckets 2^26), the raw estimate and linear-counting fallback spelled
   // with the identical IEEE operation order.
+  /** The quantile-sketch replay: binned counts, cumulative window, rank
+    * ceil(q·n) located where the cumulative first reaches it, in-bin
+    * linear interpolation — the exact arithmetic of
+    * [[graft.analytics.Sketches.quantileEstimate]]. One template serves
+    * the one-shot gate and the incremental one (whose merged registers
+    * equal the one-shot registers by count addition).
+    */
+  private def quantileSketchSql(table: String, groupCol: String,
+      valueCol: String, lo: String, hi: String, w: String, nBins: Int,
+      qs: Seq[Double]): String =
+    s"WITH r AS (SELECT $groupCol AS g, " +
+      s"CAST(least(floor((least(greatest($valueCol, $lo), $hi) - $lo) / $w), ${nBins - 1}.0) AS BIGINT) AS bin, " +
+      s"count(*) AS cnt FROM $table WHERE $valueCol IS NOT NULL AND $groupCol IS NOT NULL GROUP BY 1, 2), " +
+      "c AS (SELECT g, bin, cnt, sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum, " +
+      "sum(cnt) OVER (PARTITION BY g) AS n FROM r), " +
+      s"qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES ${qs.map(q => s"($q)").mkString(", ")}) v(q)), " +
+      "e AS (SELECT c.g, qs.q, CAST(ceil(qs.q * c.n) AS BIGINT) AS rnk, c.bin, c.cum, c.cnt, c.n " +
+      "FROM c, qs WHERE c.cum >= ceil(qs.q * c.n) AND c.cum - c.cnt < ceil(qs.q * c.n)) " +
+      s"SELECT g AS $groupCol, q, round($lo + $w * (bin + (rnk - (cum - cnt)) * 1.0 / cnt), 4) AS est_q, " +
+      "CAST(n AS BIGINT) AS n FROM e ORDER BY 1, 2"
+
   private lazy val hllOracle: String = {
     val (a, b) = graft.llm.Corpus.hashConstants(42L)
     s"""WITH m0 AS (SELECT event_type, user_id % 4294967296 AS x0 FROM events WHERE user_id IS NOT NULL),
@@ -4395,6 +4450,15 @@ object SparkEntry {
     // per distinct user_id, k smallest hashes per group, (k-1)*P1/h_k.
     "distinct_kmv" -> kmvOracle,
     "distinct_hll" -> hllOracle,
+
+    "quantile_sketch" -> quantileSketchSql("lineitem", "l_returnflag",
+      "l_extendedprice", "0.0", "131072.0", "256.0", 512,
+      Seq(0.5, 0.95, 0.99)),
+    // one-shot over ALL orders: the merged (history + batch) registers
+    // equal these registers exactly — the add-merge theorem is the gate
+    "quantile_sketch_incremental" -> quantileSketchSql("orders",
+      "o_orderpriority", "o_totalprice", "0.0", "524288.0", "1024.0", 512,
+      Seq(0.5, 0.9)),
     "distinct_hll_incremental" -> hllIncOracle,
     "kmv_overlap" -> kmvOverlapOracle,
 

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sketch-based aggregates: bounded-state approximations of the aggregations
@@ -120,6 +121,105 @@ object Sketches {
     val merged = batchRegs.unionByName(stored)
       .groupBy(groupCol, "bucket").agg(max("reg").as("reg"))
     hllEstimate(merged, groupCol)
+  }
+
+  // ---- mergeable QUANTILE sketch: binned counts, add-merge registers ---
+
+  /** The quantile sketch's register relation `(groupCol, bin, cnt)` —
+    * per-group counts over `nBins` fixed-width bins spanning [lo, hi]
+    * (values clamped). Counts ADD across any corpus split (sum is
+    * associative and commutative), so this sketch carries the same
+    * bit-exact append ≡ rebuild algebra as the HLL registers: merged
+    * registers equal the one-shot registers EXACTLY, and so does every
+    * readout. The state is ≤ nBins longs per group however large the
+    * corpus — the approx-percentile shape for a 100 TB column where an
+    * exact per-group sort is off the table.
+    */
+  def quantileRegisters(df: DataFrame, groupCol: String, value: Column,
+                        lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(hi > lo, s"degenerate range [$lo, $hi]")
+    require(nBins >= 1 && nBins <= 65536, s"nBins out of range: $nBins")
+    val w = (hi - lo) / nBins
+    val v = least(greatest(value, lit(lo)), lit(hi))
+    df.where(value.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol),
+        least(floor((v - lo) / w), lit((nBins - 1).toDouble))
+          .cast("long").as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile readout from a register relation: one row per (group, q) —
+    * `(groupCol, q, est_q, n)`. Rank `ceil(q·n)` lands in the bin where
+    * the cumulative count first reaches it; the estimate interpolates
+    * linearly inside that bin (`lo + w·(bin + (rank − cum_before)/cnt)`,
+    * the textbook binned-percentile rule). Per-row IEEE arithmetic over
+    * exact integer counts — replays bit-identically in the oracle; the
+    * approximation error is bounded by one bin width by construction.
+    */
+  def quantileEstimate(regs: DataFrame, groupCol: String, qs: Seq[Double],
+                       lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
+    import regs.sparkSession.implicits._
+    val w = (hi - lo) / nBins
+    val wCum = Window.partitionBy(groupCol).orderBy("bin")
+    val wAll = Window.partitionBy(groupCol)
+    regs.withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+      .where(col("cum") >= col("rank") &&
+        (col("cum") - col("cnt")) < col("rank"))
+      .select(col(groupCol), col("q"),
+        graft.functions.Rounding.dround(lit(lo) + lit(w) * (col("bin") +
+          (col("rank") - (col("cum") - col("cnt"))).cast("double") / col("cnt")),
+          4).as("est_q"),
+        col("n"))
+  }
+
+  /** [[quantileRegisters]] → [[quantileEstimate]] in one call, with the
+    * exact per-group count riding along inside `n` (it is exact by
+    * construction — the registers partition the rows).
+    */
+  def quantileSketchBy(df: DataFrame, groupCol: String, value: Column,
+                       lo: Double, hi: Double, nBins: Int,
+                       qs: Seq[Double]): DataFrame =
+    quantileEstimate(quantileRegisters(df, groupCol, value, lo, hi, nBins),
+      groupCol, qs, lo, hi, nBins)
+
+  /** (Re)build a persisted quantile register store — the percentile
+    * artifact of the incremental family (≤ nBins longs per group).
+    */
+  def buildQuantileStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, groupCol: String, value: Column,
+      lo: Double, hi: Double, nBins: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+    graft.core.Layouts.writePartitioned(
+      quantileRegisters(df, groupCol, value, lo, hi, nBins)
+        .withColumn("bucket_part", pmod(col("bin"), lit(8L))),
+      path, "bucket_part")
+  }
+
+  /** Quantiles of history ∪ batch WITHOUT rescanning history rows: the
+    * batch's registers add-merge with the stored ones — bit-exactly the
+    * one-shot readout on the union corpus (count addition is the merge
+    * theorem here, pinned by the incremental gate against the one-shot
+    * oracle). Read-only; an absent store contributes nothing.
+    */
+  def quantileMergeProbe(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, groupCol: String, value: Column,
+      lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchRegs = quantileRegisters(batch, groupCol, value, lo, hi, nBins)
+    val stored =
+      if (fs.exists(p))
+        graft.core.Layouts.read(spark, path).select(groupCol, "bin", "cnt")
+      else batchRegs.limit(0)
+    val merged = batchRegs.unionByName(stored)
+      .groupBy(groupCol, "bin").agg(sum("cnt").as("cnt"))
+    quantileEstimate(merged, groupCol, qs, lo, hi, nBins)
   }
 
   /** Theta-style set-operation estimates between two id sets from their KMV

@@ -2348,6 +2348,37 @@ class LlmSpec extends SparkSpec {
     assert(pred(1L) == "und", pred.toString)
   }
 
+  test("quantile sketch: merge equals one-shot bit-exactly, error within one bin") {
+    import graft.analytics.Sketches
+    val d = (1 to 1000).map(i => ("a", (i % 700).toDouble)) ++
+      (1 to 500).map(i => ("b", ((i * 3) % 200).toDouble))
+    val df = d.toDF("g", "v")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val one = Sketches.quantileSketchBy(df, "g", col("v"), 0.0, 1024.0, 256, qs)
+      .as[(String, Double, Double, Long)].collect().toSet
+    // split arbitrarily, build a store on one half, merge-probe the other:
+    // count addition makes the readout EQUAL, not approximately equal
+    val store = tmpDir("qsketch") + "/s"
+    val (h, b) = (df.where($"v" < 300), df.where($"v" >= 300))
+    Sketches.buildQuantileStore(spark, store, h, "g", col("v"), 0.0, 1024.0, 256)
+    val merged = Sketches.quantileMergeProbe(spark, store, b, "g", col("v"),
+        0.0, 1024.0, 256, qs)
+      .as[(String, Double, Double, Long)].collect().toSet
+    assert(merged == one, s"merge must equal one-shot: $merged vs $one")
+    // error bound: within one bin width (4.0) of the exact percentile
+    val exact = df.stat.approxQuantile("v", Array(0.5), 0.0).head
+    val est = one.find(r => r._1 == "a" && r._2 == 0.5).get._3
+    val exactA = df.where($"g" === "a").stat.approxQuantile("v", Array(0.5), 0.0).head
+    assert(math.abs(est - exactA) <= 4.0, s"est $est vs exact $exactA")
+    // absent store: probe = batch-only readout (the v>=300 batch holds
+    // only group "a" rows → 1 group × 3 qs); empty input releases nothing
+    val cold = Sketches.quantileMergeProbe(spark, tmpDir("qsketch") + "/none",
+      b, "g", col("v"), 0.0, 1024.0, 256, qs)
+    assert(cold.count() == 3)
+    assert(Sketches.quantileSketchBy(df.limit(0), "g", col("v"),
+      0.0, 1024.0, 256, qs).count() == 0)
+  }
+
   test("WavSpectralHashes: exact gain invariance, content-hash blindness, spectral pairs") {
     import graft.functions.native
     // one waveform at four integer gains: every PCM byte differs, the
