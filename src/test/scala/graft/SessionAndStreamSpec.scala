@@ -770,6 +770,50 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain quota: per-site admission cap, null-url bypass, cross-batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.StreamDomainQuota
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamDomainQuota.route(
+        input.toDF().toDF("doc_id", "url"), quota = 2)
+      .toDF()
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append").start()
+    try {
+      // batch 0: three a.com docs (ids out of order — intra-batch rank is
+      // BY ID), one www/port alias of a.com, two URL-less docs
+      input.addData(
+        (3L, "http://a.com/3"), (1L, "http://a.com/1"),
+        (2L, "https://www.A.com:443/2"),
+        (7L, null: String), (8L, ""))
+      q.processAllAvailable()
+      def verdicts() = spark.table("quota_stream")
+        .as[(Long, String, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val v0 = verdicts()
+      assert(v0(1L) == (("a.com", 1L, true)) && v0(2L) == (("a.com", 2L, true)))
+      assert(v0(3L) == (("a.com", 3L, false)), v0.toString) // id-ranked
+      assert(v0(7L) == ((null, 1L, true)) && v0(8L) == ((null, 1L, true)))
+      // batch 1: the a.com counter PERSISTS (drops), a fresh site admits
+      input.addData((9L, "http://a.com/9"), (10L, "http://b.org/x"))
+      q.processAllAvailable()
+      val v1 = verdicts()
+      assert(v1(9L) == (("a.com", 4L, false)) && v1(10L) == (("b.org", 1L, true)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming cdc ledger: cross-batch duplicated bytes via the store, replay idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import graft.stream.StreamPipeline
