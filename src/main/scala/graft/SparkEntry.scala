@@ -173,6 +173,21 @@ object SparkEntry {
       path
     })
 
+  // WARC archive written once per (session, dir): documents as byte-
+  // counted response records (payloads embed a newline to prove the
+  // framing is Content-Length, not lines); the gate re-parses it.
+  private val warcDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def warcDir(s: SparkSession, d: String): String =
+    warcDirs.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "warcsrc", d)
+      graft.etl.Sources.writeWarc(t(s, d, "documents").select(col("doc_id"),
+        concat(lit("http://w"), col("doc_id").cast("string"),
+          lit(".example/x")).as("url"),
+        concat(lit("L1\n"), col("text")).as("text")), path)
+      path
+    })
+
   // Quantile register store built once per (session, dir) on the
   // even-orderkey history half; the incremental gate add-merges the odd
   // half READ-ONLY (count addition = the sketch's merge theorem).
@@ -2074,6 +2089,41 @@ object SparkEntry {
           t(s, d, "documents").withColumn("url", url), quota = 3,
           score = TextStats.qualityScore(col("text")))
         .orderBy("doc_id")
+    },
+
+    // WARC scan: the crawl-archive container read end to end — the memo
+    // writes documents as REAL byte-counted WARC response records (one
+    // file per partition, payloads containing a newline), the gate walks
+    // the records back out at byte offsets. One task per archive file —
+    // the 100 TB crawl-archive sharding.
+    "scan_warc" -> ((s, d) =>
+      graft.etl.Sources.readWarc(s, warcDir(s, d)).orderBy("doc_id")),
+
+    // robots.txt policy: each 4-doc site publishes a robots body with a
+    // nested allow-inside-disallow pair, odd sites prepending a `bot`
+    // group that must NOT apply to `*` — the Spark side must EARN every
+    // verdict through the real group/run parse and the RFC 9309
+    // longest-match rank, while the oracle states the decisions straight
+    // from the construction formula.
+    "robots_filter" -> { (s, d) =>
+      val g = floor(col("doc_id") / 4).cast("long")
+      val dom = concat(lit("site"), g.cast("string"), lit(".com"))
+      val botGroup = when(g % 2 === 1,
+        lit("User-agent: bot\nDisallow: /\n\n")).otherwise(lit(""))
+      val robots = concat(botGroup, lit("User-agent: *\n" +
+        "Disallow: /private # keep drafts out\nAllow: /private/ok\n" +
+        "Disallow: /tmp\n"))
+      val path = when(col("doc_id") % 4 === 0, lit("/a/x"))
+        .when(col("doc_id") % 4 === 1, lit("/private/x"))
+        .when(col("doc_id") % 4 === 2, lit("/private/ok/y"))
+        .otherwise(lit("/tmp/z"))
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("http://"), dom, path).as("url"))
+      val rules = graft.llm.Robots.parseRobots(
+        t(s, d, "documents").where(col("doc_id") % 4 === 0)
+          .select(dom.as("domain"), robots.as("robots")))
+      graft.llm.Robots.decide(docs, rules)
+        .select("doc_id", "url", "allowed").orderBy("doc_id")
     },
 
     // Deterministic Agrawal load corpus (reference locustfile's
@@ -4439,6 +4489,23 @@ object SparkEntry {
         "ORDER BY q DESC, doc_id) AS rank FROM dom) " +
         "SELECT doc_id, domain, CAST(rank AS BIGINT) AS rank FROM r " +
         "WHERE rank <= 3 ORDER BY doc_id"),
+
+    // scan_warc oracle: the archived relation restated — the Spark side
+    // must earn every row through the byte-offset record walk (a payload
+    // newline would desync any line-based reader).
+    "scan_warc" ->
+      ("SELECT doc_id, 'http://w' || doc_id || '.example/x' AS url, " +
+        "'L1' || chr(10) || text AS text FROM documents ORDER BY doc_id"),
+
+    // robots_filter oracle: verdicts from the construction — /a/* has no
+    // matching rule (allowed), /private/x hits Disallow:/private,
+    // /private/ok/y's LONGEST match is Allow:/private/ok, /tmp/z hits
+    // Disallow:/tmp; the foreign `bot` group never applies to `*`.
+    "robots_filter" ->
+      ("SELECT doc_id, 'http://site' || (doc_id // 4) || '.com' || " +
+        "CASE doc_id % 4 WHEN 0 THEN '/a/x' WHEN 1 THEN '/private/x' " +
+        "WHEN 2 THEN '/private/ok/y' ELSE '/tmp/z' END AS url, " +
+        "doc_id % 4 IN (0, 2) AS allowed FROM documents ORDER BY doc_id"),
 
     "heavy_hitters" ->
       ("SELECT user_id AS key, count(*) AS cnt FROM events " +

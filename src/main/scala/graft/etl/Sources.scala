@@ -41,4 +41,109 @@ object Sources {
   /** The matching writer: header + quoting-when-needed. */
   def writeCsv(df: org.apache.spark.sql.DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  // ---- WARC (ISO 28500) — the crawl-archive container -------------------
+
+  /** Write `(idCol, urlCol, textCol)` rows as uncompressed WARC response
+    * records, one WARC FILE per partition. `Content-Length` counts the
+    * payload's UTF-8 BYTES, so payloads containing newlines — even lines
+    * that look like WARC headers — round-trip exactly. That byte-counted
+    * framing is what makes WARC unsplittable by lines; files are the
+    * parallelism unit (exactly how a crawl archive shards at 100 TB:
+    * thousands of ~1 GB WARC files, one task each).
+    *
+    * Records ride Spark's text sink (one record string per row — the
+    * sink's trailing newline lands between records, where [[readWarc]]'s
+    * scanner skips inter-record whitespace).
+    */
+  def writeWarc(df: DataFrame, path: String, idCol: String = "doc_id",
+                urlCol: String = "url", textCol: String = "text"): Unit = {
+    import org.apache.spark.sql.functions._
+    val payloadBytes = octet_length(col(textCol))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
+      col(idCol).cast("string"),
+      lit(">\r\nWARC-Target-URI: "), coalesce(col(urlCol), lit("-")),
+      lit("\r\nContent-Length: "), payloadBytes.cast("string"),
+      lit("\r\n\r\n"), col(textCol), lit("\r\n\r\n"))
+    df.select(rec.as("value")).write.mode("overwrite").text(path)
+  }
+
+  /** Parse a directory of WARC files back to `(doc_id, url, text)` — a
+    * real byte-offset record walk, not a line reader: each file loads
+    * whole (`binaryFile`, one task per file), the scanner finds each
+    * `WARC/1.0` header block, reads its headers up to the blank line,
+    * takes EXACTLY `Content-Length` payload bytes (newlines inside
+    * payloads cannot break framing), and resumes after the record
+    * delimiter. Records of types other than `response`, and records
+    * missing Content-Length, are skipped — the tolerant-reader posture a
+    * real crawl archive needs.
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path + "/*.txt")
+      .select("content").as[Array[Byte]]
+      .flatMap(Sources.parseWarc)
+      .toDF("doc_id", "url", "text")
+  }
+
+  /** The per-file record walk — shared by [[readWarc]] and its spec. */
+  def parseWarc(bytes: Array[Byte]): Iterator[(Long, String, String)] =
+    new Iterator[(Long, String, String)] {
+      private var pos = 0
+      private var nextRec: (Long, String, String) = _
+      private def lineAt(p: Int): (String, Int) = {
+        var e = p
+        while (e < bytes.length && bytes(e) != '\n') e += 1
+        val raw = new String(bytes, p, e - p,
+          java.nio.charset.StandardCharsets.UTF_8)
+        (raw.stripSuffix("\r"), math.min(e + 1, bytes.length))
+      }
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && pos < bytes.length) {
+          val (l0, p0) = lineAt(pos)
+          if (l0.trim != "WARC/1.0") { pos = p0 }
+          else {
+            var p = p0
+            var id = -1L; var url: String = null; var len = -1L
+            var typ: String = null
+            var line = lineAt(p)
+            while (line._1.nonEmpty) {
+              val h = line._1
+              val ci = h.indexOf(':')
+              if (ci > 0) {
+                val k = h.substring(0, ci).trim.toLowerCase
+                val v = h.substring(ci + 1).trim
+                k match {
+                  case "warc-type" => typ = v
+                  case "warc-target-uri" => url = v
+                  case "content-length" =>
+                    len = try v.toLong catch { case _: Exception => -1L }
+                  case "warc-record-id" =>
+                    val m = "urn:graft:(-?[0-9]+)".r.findFirstMatchIn(v)
+                    id = m.map(_.group(1).toLong).getOrElse(-1L)
+                  case _ => ()
+                }
+              }
+              p = line._2
+              line = lineAt(p)
+            }
+            p = line._2 // past the blank header terminator
+            if (len >= 0 && p + len <= bytes.length) {
+              val payload = new String(bytes, p, len.toInt,
+                java.nio.charset.StandardCharsets.UTF_8)
+              pos = p + len.toInt
+              if (typ == "response")
+                nextRec = (id, if (url == "-") null else url, payload)
+            } else pos = bytes.length // truncated tail: stop tolerant
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = nextRec != null
+      override def next(): (Long, String, String) = {
+        val r = nextRec; advance(); r
+      }
+    }
 }

@@ -2348,6 +2348,54 @@ class LlmSpec extends SparkSpec {
     assert(pred(1L) == "und", pred.toString)
   }
 
+  test("warc round-trip: byte-counted framing survives newlines and header-lookalike payloads") {
+    import graft.etl.Sources
+    val dir = tmpDir("warc") + "/w"
+    // a payload that LOOKS like a WARC record: only Content-Length byte
+    // framing survives it — any line-oriented reader desyncs
+    val evil = "line1\nWARC/1.0\nContent-Length: 999\n\nline2"
+    val docs = Seq((1L, "http://a.com/x", "plain"),
+      (2L, null: String, evil),
+      (3L, "http://b.org/y", "")).toDF("doc_id", "url", "text")
+    Sources.writeWarc(docs, dir)
+    val back = Sources.readWarc(spark, dir).as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(back.keySet == Set(1L, 2L, 3L))
+    assert(back(1L) == (("http://a.com/x", "plain")))
+    assert(back(2L) == ((null, evil)))
+    assert(back(3L) == (("http://b.org/y", "")))
+    // tolerant walk: non-response records and truncated tails are skipped
+    val mixed = ("WARC/1.0\r\nWARC-Type: request\r\n" +
+      "WARC-Record-ID: <urn:graft:9>\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
+      .getBytes("UTF-8") ++ "WARC/1.0\r\ntruncated".getBytes("UTF-8")
+    assert(Sources.parseWarc(mixed).toList == Nil)
+  }
+
+  test("robots: star-group parse, longest match with allow ties, tolerant reader") {
+    import graft.llm.Robots
+    val robots = Seq("User-agent: bot", "Disallow: /", "",
+      "User-agent: crawler", "User-agent: *",
+      "Disallow: /private # drafts stay out",
+      "Allow: /private/ok", "Disallow: /tmp",
+      "Junk line without a colon", "Crawl-delay: 10", "Disallow:")
+      .mkString("\n")
+    val rulesDf = Robots.parseRobots(Seq(("a.com", robots))
+      .toDF("domain", "robots"))
+    val rules = rulesDf.as[(String, String, Boolean)].collect().toSet
+    // the bot group's Disallow:/ must NOT leak into *; the empty
+    // Disallow and unknown directives contribute nothing
+    assert(rules == Set(("a.com", "/private", false),
+      ("a.com", "/private/ok", true), ("a.com", "/tmp", false)), rules)
+    val urls = Seq((1L, "http://a.com/"), (2L, "http://www.a.com/private/x"),
+      (3L, "http://a.com/private/ok/y"), (4L, "http://a.com/tmp"),
+      (5L, "http://other.net/anything"), (6L, null: String))
+      .toDF("doc_id", "url")
+    val got = Robots.decide(urls, rulesDf)
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true), got.toString)
+  }
+
   test("quantile sketch: merge equals one-shot bit-exactly, error within one bin") {
     import graft.analytics.Sketches
     val d = (1 to 1000).map(i => ("a", (i % 700).toDouble)) ++
