@@ -2244,6 +2244,25 @@ object SparkEntry {
       Multimodal.audioDupPairs(media).orderBy("clip_a", "clip_b")
     },
 
+    // CLIP near-dup by per-frame DCT pHash, end-to-end real: each group
+    // is ONE animation re-uploaded at four exposures and lengths — every
+    // pixel of every frame differs across a group, so the exact-raster
+    // leg (dedup_clips) is blind, but each sampled frame's DCT hash is
+    // exactly brightness-invariant and the clips collide frame-for-frame.
+    // Frames are native 32×32 — the binning grid itself: a sub-32 raster
+    // occupies only part of the grid, the shift stops being uniform over
+    // it, and the zero-row-sum invariance breaks (measured: frame-2
+    // hashes diverged across shifts on 16×16 frames).
+    "dedup_clips_phash" -> { (s, d) =>
+      val g = floor(col("doc_id") / 4).cast("long")
+      val nf = (lit(2) + col("doc_id") % 4).cast("int")
+      val sh = ((col("doc_id") % 4) * 17).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticApngGrad(32, 32, nf, g, sh)
+          .as("content"))
+      Multimodal.clipDupPairsDct(media).orderBy("clip_a", "clip_b")
+    },
+
     // AUDIO near-dup by SPECTRAL fingerprint, end-to-end real: each group
     // is ONE waveform rendered at four integer GAINS and lengths — every
     // PCM byte differs across a group, so the content-hash leg
@@ -5073,6 +5092,48 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM k a JOIN k b ON a.whash = b.whash AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2 ORDER BY clip_a, clip_b"),
+
+    // dedup_clips_phash oracle: the per-frame DCT hash replayed from the
+    // frame-gradient formula over the full 32×32 grid,
+    // then bands, the df guard and the pair count keyed on the band
+    // QUADRUPLE (a 64-bit pack would need bit 63 — the engine-portable
+    // form of frame-hash equality).
+    "dedup_clips_phash" -> {
+      val mat = (for { u <- 0 until 8; x <- 0 until 32 }
+        yield s"($u,$x,${graft.functions.Dct8x32.C(u)(x)})").mkString(", ")
+      "WITH par AS (SELECT doc_id, doc_id // 4 AS g, 2 + doc_id % 4 AS nf, " +
+        "(doc_id % 4) * 17 AS sh FROM documents), " +
+        s"mat AS (SELECT * FROM (VALUES $mat) m(u, x, c)), " +
+        "fr AS (SELECT doc_id, g, sh, fi FROM " +
+        "(SELECT doc_id, g, sh, nf, unnest([0, 2, 4]) AS fi FROM par) WHERE fi < nf), " +
+        "px AS (SELECT doc_id, fi, xs.x, ys.y, " +
+        "(xs.x * (1 + (31 * g + 7 * fi) % 97) + ys.y * (1 + (13 * g + 11 * fi) % 83)) % 200 + sh AS v " +
+        "FROM fr, generate_series(0, 31) xs(x), generate_series(0, 31) ys(y)), " +
+        "g1 AS (SELECT px.doc_id, px.fi, m.u, px.y, sum(px.v * m.c) AS gv " +
+        "FROM px JOIN mat m ON m.x = px.x GROUP BY 1, 2, 3, 4), " +
+        "f AS (SELECT g1.doc_id, g1.fi, g1.u, m.u AS vf, sum(g1.gv * m.c) AS fv " +
+        "FROM g1 JOIN mat m ON m.x = g1.y GROUP BY 1, 2, 3, 4), " +
+        "ac AS (SELECT doc_id, fi, u * 8 + vf AS k, fv FROM f WHERE NOT (u = 0 AND vf = 0)), " +
+        "med AS (SELECT doc_id, fi, fv AS med FROM (SELECT doc_id, fi, fv, " +
+        "row_number() OVER (PARTITION BY doc_id, fi ORDER BY fv) AS rn FROM ac) WHERE rn = 32), " +
+        "bits AS (SELECT ac.doc_id, ac.fi, ac.k, CASE WHEN ac.fv > med.med THEN 1 ELSE 0 END AS bit " +
+        "FROM ac JOIN med USING (doc_id, fi)), " +
+        "bnd AS (SELECT doc_id, fi, k // 16 AS band, " +
+        "sum(bit * (CAST(1 AS BIGINT) << (k % 16))) AS bv FROM bits GROUP BY 1, 2, 3), " +
+        "wide AS MATERIALIZED (SELECT doc_id, fi, " +
+        "max(CASE WHEN band = 0 THEN bv END) AS b0, " +
+        "max(CASE WHEN band = 1 THEN bv END) AS b1, " +
+        "max(CASE WHEN band = 2 THEN bv END) AS b2, " +
+        "max(CASE WHEN band = 3 THEN bv END) AS b3 FROM bnd GROUP BY 1, 2), " +
+        "hd AS (SELECT DISTINCT doc_id, b0, b1, b2, b3 FROM wide), " +
+        "rare AS (SELECT b0, b1, b2, b3 FROM hd GROUP BY 1, 2, 3, 4 HAVING count(*) <= 1000), " +
+        "kk AS (SELECT hd.* FROM hd JOIN rare USING (b0, b1, b2, b3)) " +
+        "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM kk a JOIN kk b ON a.b0 = b.b0 AND a.b1 = b.b1 AND a.b2 = b.b2 " +
+        "AND a.b3 = b.b3 AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY clip_a, clip_b"
+    },
 
     // dedup_audio_spectral oracle: the integer DFT replayed from the
     // gain-scaled sample formula and the SAME 64-entry fixed-point table

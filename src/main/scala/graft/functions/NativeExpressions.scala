@@ -1117,71 +1117,79 @@ case class ImageDctHash64(child: Expression)
   override def nullSafeEval(input: Any): Any =
     graft.llm.Multimodal.decodeImage(input.asInstanceOf[Array[Byte]]) match {
       case None => null
-      case Some(img) =>
-        val w = img.width; val h = img.height; val ch = img.channels
-        val sums = new Array[Long](1024)
-        val cnts = new Array[Long](1024)
-        var y = 0
-        while (y < h) {
-          val by = y * 32 / h
-          var x = 0
-          while (x < w) {
-            val k = by * 32 + x * 32 / w
-            sums(k) += img.pixels((y * w + x) * ch) & 0xFF
-            cnts(k) += 1
-            x += 1
-          }
-          y += 1
-        }
-        val q = new Array[Long](1024)
-        var k = 0
-        while (k < 1024) {
-          if (cnts(k) > 0) q(k) = sums(k) / cnts(k)
-          k += 1
-        }
-        // separable: G[u][y] = Σ_x C[u][x]·q[y][x]; F[8u+v] = Σ_y C[v][y]·G[u][y]
-        val g = new Array[Long](8 * 32)
-        var u = 0
-        while (u < 8) {
-          val cu = Dct8x32.C(u)
-          var yy = 0
-          while (yy < 32) {
-            var s = 0L
-            var x = 0
-            while (x < 32) { s += cu(x) * q(yy * 32 + x); x += 1 }
-            g(u * 32 + yy) = s
-            yy += 1
-          }
-          u += 1
-        }
-        val f = new Array[Long](64)
-        u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val cv = Dct8x32.C(v)
-            var s = 0L
-            var yy = 0
-            while (yy < 32) { s += cv(yy) * g(u * 32 + yy); yy += 1 }
-            f(u * 8 + v) = s
-            v += 1
-          }
-          u += 1
-        }
-        val ac = java.util.Arrays.copyOfRange(f, 1, 64)
-        java.util.Arrays.sort(ac)
-        val med = ac(31)
-        var hash = 0L
-        k = 1
-        while (k < 64) {
-          if (f(k) > med) hash |= 1L << k
-          k += 1
-        }
-        java.lang.Long.valueOf(hash)
+      case Some(img) => java.lang.Long.valueOf(ImageDctHash64.ofRaster(img))
     }
 
   override protected def withNewChildInternal(c: Expression): ImageDctHash64 =
     copy(child = c)
+}
+
+object ImageDctHash64 {
+  /** The raster → 64-bit DCT hash kernel, shared with the per-frame video
+    * leg ([[ClipFrameDctHashes]]).
+    */
+  def ofRaster(img: graft.llm.Multimodal.PngImage): Long = {
+    val w = img.width; val h = img.height; val ch = img.channels
+    val sums = new Array[Long](1024)
+    val cnts = new Array[Long](1024)
+    var y = 0
+    while (y < h) {
+      val by = y * 32 / h
+      var x = 0
+      while (x < w) {
+        val k = by * 32 + x * 32 / w
+        sums(k) += img.pixels((y * w + x) * ch) & 0xFF
+        cnts(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val q = new Array[Long](1024)
+    var k = 0
+    while (k < 1024) {
+      if (cnts(k) > 0) q(k) = sums(k) / cnts(k)
+      k += 1
+    }
+    // separable: G[u][y] = Σ_x C[u][x]·q[y][x]; F[8u+v] = Σ_y C[v][y]·G[u][y]
+    val g = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      val cu = Dct8x32.C(u)
+      var yy = 0
+      while (yy < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += cu(x) * q(yy * 32 + x); x += 1 }
+        g(u * 32 + yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    val f = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val cv = Dct8x32.C(v)
+        var s = 0L
+        var yy = 0
+        while (yy < 32) { s += cv(yy) * g(u * 32 + yy); yy += 1 }
+        f(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var hash = 0L
+    k = 1
+    while (k < 64) {
+      if (f(k) > med) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
 }
 
 /** Decoded-pixel statistics of a PNG payload — `(width, height, channels,
@@ -1536,6 +1544,79 @@ case class SyntheticApng(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression, d: Expression): SyntheticApng =
     copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** A REAL synthesized APNG whose frames are per-(group, frame) GRADIENTS
+  * with a per-CLIP brightness offset: frame f's pattern is
+  * `(x·a_f + y·b_f) mod 200 + shift` with `a_f = 1 + (31g + 7f) mod 97`,
+  * `b_f = 1 + (13g + 11f) mod 83` — the video twin of
+  * [[SyntheticPngGrad]]: clips of one group share every frame's
+  * STRUCTURE while the shift (≤ 55, wrap-free) re-exposes the whole
+  * clip, which is exactly what the per-frame DCT hash is exactly
+  * invariant to and the exact frame-content hash is blind to. The DCT
+  * invariance is exact only at the binning grid's native 32×32: a
+  * smaller raster occupies part of the grid, the shift stops being
+  * uniform over it, and the zero-row-sum argument no longer applies.
+  */
+case class SyntheticApngGrad(imgW: Int, imgH: Int, first: Expression,
+                             second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(n: Any, g: Any, s: Any): Any = {
+    val nFrames = n.asInstanceOf[Number].intValue()
+    val group = g.asInstanceOf[Number].longValue()
+    val shift = s.asInstanceOf[Number].intValue()
+    require(shift >= 0 && shift <= 55, s"shift must stay wrap-free, got $shift")
+    graft.llm.Multimodal.encodeApng(imgW, imgH, 3, nFrames, (f, x, y, _) => {
+      val a = (1 + (31 * group + 7 * f) % 97).toInt
+      val b = (1 + (13 * group + 11 * f) % 83).toInt
+      (x * a + y * b) % 200 + shift
+    })
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): SyntheticApngGrad = copy(first = a, second = b, third = c)
+}
+
+/** Per-sampled-frame DCT PERCEPTUAL hashes of a video payload (APNG or
+  * MJPEG by magic bytes) — [[ClipFrameHashes]] with the
+  * [[ImageDctHash64]] kernel in place of the exact content fold: each
+  * sampled frame's decoded raster bins to 32×32 and hashes in the
+  * frequency domain, so re-exposed re-uploads (every pixel different)
+  * still collide frame-for-frame at hash EQUALITY, exactly (the zero AC
+  * row sums). `(frame_idx, fhash)` rows; NULL when neither container
+  * decodes.
+  */
+case class ClipFrameDctHashes(child: Expression, sampleEvery: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(sampleEvery >= 1, s"sampleEvery must be >= 1: $sampleEvery")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType), StructField("fhash", LongType))))
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val frames =
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+          (bytes(1) & 0xFF) == 0xD8)
+        graft.llm.Multimodal.decodeMjpegFrames(bytes)
+      else graft.llm.Multimodal.decodeApngFrames(bytes)
+    frames match {
+      case None => null
+      case Some(fs) =>
+        val rows = fs.zipWithIndex.collect {
+          case (img, fi) if fi % sampleEvery == 0 =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              java.lang.Integer.valueOf(fi),
+              java.lang.Long.valueOf(ImageDctHash64.ofRaster(img)))
+        }
+        new GenericArrayData(rows.toArray[Any])
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): ClipFrameDctHashes =
+    copy(child = c)
 }
 
 /** Sampled-frame statistics of an APNG payload — every `sampleEvery`-th
@@ -1970,6 +2051,20 @@ object native {
   /** A real synthesized APNG clip from (width, height, nFrames, variant). */
   def syntheticApng(w: Column, h: Column, n: Column, v: Column): Column =
     column(SyntheticApng(expression(w), expression(h), expression(n), expression(v)))
+
+  /** Gradient-frame APNG with a per-clip brightness shift (see
+    * [[SyntheticApngGrad]]).
+    */
+  def syntheticApngGrad(imgW: Int, imgH: Int, nFrames: Column, group: Column,
+      shift: Column): Column =
+    column(SyntheticApngGrad(imgW, imgH, expression(nFrames),
+      expression(group), expression(shift)))
+
+  /** Per-sampled-frame DCT perceptual hashes of a video payload (see
+    * [[ClipFrameDctHashes]]).
+    */
+  def clipFrameDctHashes(c: Column, sampleEvery: Int): Column =
+    column(ClipFrameDctHashes(expression(c), sampleEvery))
 
   /** Sampled-frame stats of an APNG payload (every `sampleEvery`-th frame). */
   def apngFrameStats(c: Column, sampleEvery: Int): Column =

@@ -598,6 +598,34 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** CLIP near-dup by per-frame DCT PERCEPTUAL hash — [[clipDupPairs]]
+    * with [[graft.functions.ClipFrameDctHashes]] in place of the exact
+    * raster fold: clips pair on shared frame-level DCT hashes, so a
+    * re-exposed re-upload (every pixel of every frame different) still
+    * collides frame-for-frame at hash EQUALITY — the zero-AC-row-sum
+    * exactness, at clip granularity. Same posture: per-clip distinct
+    * hashes, df guard against ubiquitous frames (black/held stills are
+    * WORSE for a perceptual hash — re-exposures of them collide too),
+    * only (id, 8-byte hash) shuffles. Returns (clip_a, clip_b, n_shared).
+    */
+  def clipDupPairsDct(media: DataFrame, idCol: String = "media_id",
+                      contentCol: String = "content", sampleEvery: Int = 2,
+                      maxDf: Int = 1000): DataFrame = {
+    val fh = media.select(col(idCol).as("id"),
+        explode(graft.functions.native.clipFrameDctHashes(col(contentCol),
+          sampleEvery)).as("f"))
+      .select(col("id"), col("f").getField("fhash").as("fhash"))
+      .distinct()
+      .localCheckpoint(false) // feeds the df guard AND both join sides
+    val rare = fh.groupBy("fhash").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("fhash")
+    val kept = fh.join(rare, "fhash")
+    kept.alias("a").join(kept.alias("b"),
+        col("a.fhash") === col("b.fhash") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("clip_a"), col("b.id").as("clip_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** IMAGE near-dup by perceptual hash: every payload decodes through the
     * real PNG path into a 64-bit average-hash
     * ([[graft.functions.ImageAHash64]]), candidates block on 4×16-bit hash

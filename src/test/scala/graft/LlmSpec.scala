@@ -2463,6 +2463,42 @@ class LlmSpec extends SparkSpec {
       pairs.toString)
   }
 
+  test("ClipFrameDctHashes: re-exposed clips collide frame-for-frame, exact leg blind") {
+    import graft.functions.native
+    // one animation at three exposures: per-frame DCT hashes identical,
+    // per-frame exact content hashes all different
+    val clips = Seq((1L, 0), (2L, 17), (3L, 51)).toDF("media_id", "sh")
+      .select(col("media_id"),
+        native.syntheticApngGrad(32, 32, lit(4), lit(5L), col("sh"))
+          .as("content"))
+    val dct = clips.select(col("media_id"),
+        native.clipFrameDctHashes(col("content"), 2).as("f"))
+      .select(col("media_id"), col("f.fhash").as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(dct(1L) == dct(2L) && dct(2L) == dct(3L) && dct(1L).size == 2)
+    val exact = clips.select(col("media_id"),
+        native.clipFrameHashes(col("content"), 2).as("f"))
+      .select(col("media_id"), col("f.fhash").as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(exact(1L).toSet.intersect(exact(2L).toSet).isEmpty)
+    // another group's frames don't collide; undecodable bytes are NULL
+    val foreign = spark.range(1).select(
+        native.clipFrameDctHashes(native.syntheticApngGrad(32, 32, lit(4),
+          lit(6L), lit(0)), 2).getField("fhash"))
+      .as[Seq[Long]].head
+    assert(foreign.toSet.intersect(dct(1L).toSet).isEmpty)
+    assert(Seq(Array[Byte](1)).toDF("b")
+      .select(native.clipFrameDctHashes(col("b"), 2)).collect().head.isNullAt(0))
+    // the pair kernel: shared frames = min sampled count within the group
+    val media = Seq((1L, 5L, 0, 5), (2L, 5L, 34, 3), (3L, 6L, 0, 5))
+      .toDF("media_id", "g", "sh", "nf")
+      .select(col("media_id"), native.syntheticApngGrad(32, 32, col("nf"),
+        col("g"), col("sh")).as("content"))
+    val pairs = graft.llm.Multimodal.clipDupPairsDct(media)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 2L)), pairs.toString) // 5f→3 sampled, 3f→2
+  }
+
   test("registrable domain: suffix rules, deep hosts, ip and non-url; quota caps per site") {
     import graft.llm.{Corpus, Urls}
     val cases = Seq(
