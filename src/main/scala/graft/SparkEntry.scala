@@ -81,6 +81,68 @@ object SparkEntry {
         .as("url"))
   }
 
+  // Synthesized multi-line documents for the C4 line-filter gate: the
+  // corpus text sliced into 8-word lines, each line decorated by formula —
+  // terminal punctuation for 3 of every 4 (doc_id + line) residues, a
+  // "lorem ipsum " placeholder prefix every 13th, a trailing " {" code
+  // brace every 11th — so every C4 rule fires somewhere and the general
+  // filter chain must recover exactly the survivors the oracle restates.
+  private def crawlLines(s: SparkSession, d: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nl = ceil(size(w) / lit(8.0)).cast("int")
+    val lines = transform(sequence(lit(0), nl - 1), i => {
+      val k = col("doc_id") + i
+      val prefix = when(k % 13 === 0, lit("lorem ipsum ")).otherwise(lit(""))
+      val punct = when(k % 4 === 1, lit(".")).when(k % 4 === 2, lit("!"))
+        .when(k % 4 === 3, lit("?")).otherwise(lit(""))
+      val brace = when(k % 11 === 0, lit(" {")).otherwise(lit(""))
+      concat(prefix, array_join(slice(w, i * lit(8) + 1, lit(8)), " "),
+        punct, brace)
+    })
+    t(s, d, "documents")
+      .select(col("doc_id"), array_join(lines, "\n").as("text"))
+  }
+
+  // Synthesized multiscript crawl for the script-mix gate: each doc's
+  // Latin text is salted with formula-sized runs of Cyrillic, Han, and
+  // Arabic characters, so dominance varies per doc and every branch of
+  // the general argmax fires somewhere.
+  private def crawlScripts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(col("doc_id"), concat(col("text"),
+      lit(" "), expr("repeat('я', cast((doc_id % 5) * 40 as int))"),
+      lit(" "), expr("repeat('中', cast((doc_id % 7) * 30 as int))"),
+      lit(" "), expr("repeat('م', cast((doc_id % 3) * 60 as int))"))
+      .as("text"))
+
+  // Synthesized crawl pages with anchors for the link-graph gates: each
+  // doc lives on host site{doc_id % 50} and links to 1–3 formula hosts
+  // site{(doc_id·7 + j·13) % 50} — a 50-node host graph whose edges the
+  // general extraction chain must recover exactly.
+  private def crawlHtmlLinks(s: SparkSession, d: String): DataFrame = {
+    val anchors = transform(
+      sequence(lit(0), (col("doc_id") % 3).cast("int")), j =>
+        concat(lit("<a href=\"http://site"),
+          ((col("doc_id") * 7 + j * 13) % 50).cast("string"),
+          lit(".example.com/p/"), j.cast("string"),
+          lit("\">link</a> ")))
+    t(s, d, "documents").select(col("doc_id"),
+      concat(lit("http://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.com/d/"), col("doc_id").cast("string")).as("url"),
+      concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+        array_join(anchors, ""), lit("</body></html>")).as("html"))
+  }
+
+  // Host-level link edges extracted from the synthesized crawl — shared by
+  // html_links (the edge readout) and link_pagerank (the graph readout).
+  private def linkEdges(s: SparkSession, d: String): DataFrame = {
+    val pages = crawlHtmlLinks(s, d)
+    pages.select(
+        graft.llm.Urls.host(col("url")).as("src_host"),
+        explode(graft.llm.Html.links(col("html"))).as("href"))
+      .select(col("src_host"),
+        graft.llm.Urls.host(col("href")).as("dst_host"))
+  }
+
   // Scratch parent for materialized offline artifacts (index layouts, the
   // signature store). java.io.tmpdir would be DRIVER-LOCAL: on a real
   // cluster, executor write tasks land partitions on their own local disks
@@ -173,6 +235,17 @@ object SparkEntry {
       path
     })
 
+  // ORC copy of documents written once per (session, dir) — the fourth
+  // source format's round-trip gate input.
+  private val orcDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def orcDir(s: SparkSession, d: String): String =
+    orcDirs.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "orcsrc", d)
+      graft.etl.Sources.writeOrc(t(s, d, "documents"), path)
+      path
+    })
+
   // WARC archive written once per (session, dir): documents as byte-
   // counted response records (payloads embed a newline to prove the
   // framing is Content-Length, not lines); the gate re-parses it.
@@ -226,6 +299,20 @@ object SparkEntry {
       val path = scratchDir(s, "cdcstore", d)
       graft.llm.Cdc.buildStore(s, path,
         t(s, d, "documents").where(col("doc_id") % 2 === 0))
+      path
+    })
+
+  // Range-clustered lineitem snapshot with the file-level zone-map
+  // manifest, built once per (session, dir); the scan gate probes it with
+  // a fixed orderkey range and must return exactly the plain filtered
+  // relation while reading only the overlapping files.
+  private val snapshots =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def lineitemSnapshot(s: SparkSession, d: String): String =
+    snapshots.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot", d)
+      graft.core.Snapshot.write(t(s, d, "lineitem"), path,
+        "l_orderkey", nFiles = 16)
       path
     })
 
@@ -368,6 +455,27 @@ object SparkEntry {
     // against the parquet original (the third source format).
     "scan_csv" -> ((s, d) =>
       graft.etl.Sources.csv(s, csvDir(s, d),
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .orderBy("doc_id")),
+
+    // Zone-map snapshot probe: lineitem range-clustered on l_orderkey
+    // with a file-level min/max manifest; a fixed range predicate reads
+    // ONLY the overlapping files (file pruning on a NON-partition column
+    // — the Iceberg/Delta scan-planning tier) yet must return exactly
+    // the plain filtered relation the oracle states.
+    "snapshot_scan" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, lineitemSnapshot(s, d),
+          "l_orderkey", 200L, 399L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // ORC source round-trip: the documents table written as ORC once per
+    // session, read back through the explicit-schema ORC source — the
+    // fourth format (parquet, JSON-lines, CSV, ORC), same columnar
+    // pushdown posture as parquet.
+    "scan_orc" -> ((s, d) =>
+      graft.etl.Sources.orc(s, orcDir(s, d),
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .orderBy("doc_id")),
 
@@ -1458,6 +1566,28 @@ object SparkEntry {
         graft.llm.Html.extractText(col("html")).as("content"))
         .orderBy("doc_id")),
 
+    // Link-graph extraction under the gate: anchors pulled from real
+    // markup by the general href chain, hosts from the general URL rules,
+    // aggregated to a (src_host, dst_host) edge relation — the crawl-graph
+    // front door. Extraction rides the scan; ONE keyed aggregate total.
+    "html_links" -> ((s, d) =>
+      linkEdges(s, d)
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_host", "dst_host")),
+
+    // PageRank over the EXTRACTED host graph — crawl HTML in, ranked
+    // hosts out, through the same integer-exact PR kernel graph_pagerank
+    // gates. Distinct host edges (a page linking a host twice is one
+    // edge), string node ids.
+    "link_pagerank" -> ((s, d) =>
+      graft.analytics.Graph.pagerank(
+          linkEdges(s, d).distinct()
+            .select(col("src_host").as("src"), col("dst_host").as("dst")),
+          iters = 3)
+        .select(col("id").as("host"), col("r").as("rank_micro"))
+        .orderBy("host")),
+
     // URL canonicalization under the gate: four messy raw variants per
     // group (case, www, default port, dup/trailing slashes, tracking
     // params, fragments) — the GENERAL rule-chain canonicalizer must
@@ -1502,6 +1632,34 @@ object SparkEntry {
 
     "gopher_filter" -> ((s, d) =>
       TextStats.gopherFilter(t(s, d, "documents"))),
+
+    // Unicode script-mix detection under the gate: Latin docs salted with
+    // formula-sized Cyrillic/Han/Arabic runs — the general per-script
+    // counts and dominance argmax must land exactly where the oracle's
+    // replay puts them. Four codegen'd regexp counts, shuffle-free.
+    "script_detect" -> ((s, d) =>
+      TextStats.scriptMix(crawlScripts(s, d)).orderBy("doc_id")),
+
+    // LINE-level language segmentation (the CCNet move: language-ID per
+    // paragraph/line, not per document — a mixed-language doc routes each
+    // segment to its own pipeline): the general langId heuristic applied
+    // per constructed line, summarized as per-(doc, lang) line counts.
+    // Explode + one keyed aggregate; the heuristic rides the scan.
+    "lang_segments" -> ((s, d) =>
+      crawlLines(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+        .select(col("doc_id"), TextStats.langId(col("line")).as("pred_lang"))
+        .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("n_lines"))
+        .orderBy("doc_id", "pred_lang")),
+
+    // C4 line-structural filtering under the gate: the corpus sliced into
+    // decorated lines (terminal punctuation by residue, lorem-ipsum
+    // prefixes, code braces) — the general per-line rule chain must keep
+    // exactly the lines the oracle's replay keeps and reassemble the same
+    // clean_text. Doc-local higher-order expressions: one map stage at
+    // any corpus size.
+    "c4_filter" -> ((s, d) =>
+      TextStats.c4Filter(crawlLines(s, d)).orderBy("doc_id")),
 
     "fingerprint_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(t(s, d, "documents"))),
@@ -2930,7 +3088,10 @@ object SparkEntry {
   // PageRank replay: the knn edge relation, then 3 unrolled rounds of the
   // identical integer-DIV recurrence (DuckDB `//` == Spark SQL `DIV` on
   // BIGINT; all operands positive).
-  private lazy val pagerankOracle: String = {
+  // The engine-agnostic integer-PR replay body: expects a CTE chain ending
+  // in `ed(src, dst)`; leaves `r3` holding the final ranks. Shared by the
+  // knn-graph and link-graph pagerank oracles.
+  private lazy val pagerankBodySql: String = {
     val rounds = (1 to 3).map { e =>
       s"c$e AS (SELECT dst AS id, SUM(r${e - 1}.r // deg) AS c FROM ed " +
         s"JOIN r${e - 1} ON r${e - 1}.id = ed.src JOIN dg USING (src) GROUP BY dst), " +
@@ -2938,15 +3099,43 @@ object SparkEntry {
         s"((85 * coalesce(c.c, 0)) // 100) AS r " +
         s"FROM nd LEFT JOIN c$e c ON c.id = nd.id CROSS JOIN nn)"
     }.mkString(", ")
-    knnGraphCte +
-      ", ed AS (SELECT vec_id AS src, nbr_id AS dst FROM rk WHERE rank <= 3), " +
-      "nd AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst AS id FROM ed)), " +
+    "nd AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ed UNION ALL SELECT dst AS id FROM ed)), " +
       "nn AS (SELECT count(*) AS n FROM nd), " +
       "dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src), " +
       "r0 AS (SELECT id, 1000000000000 // n AS r FROM nd CROSS JOIN nn), " +
-      rounds +
-      " SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY vec_id"
+      rounds
   }
+
+  private lazy val pagerankOracle: String =
+    knnGraphCte +
+      ", ed AS (SELECT vec_id AS src, nbr_id AS dst FROM rk WHERE rank <= 3), " +
+      pagerankBodySql +
+      " SELECT id AS vec_id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY vec_id"
+
+  // The link-formula edge relation (replaying crawlHtmlLinks/linkEdges):
+  // host site{doc_id % 50} links hosts site{(doc_id·7 + j·13) % 50} for
+  // j = 0..doc_id % 3.
+  private lazy val linkEdgesCte: String =
+    "WITH lj AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j FROM documents), " +
+      "le AS (SELECT 'site' || (doc_id % 50) || '.example.com' AS src_host, " +
+      "'site' || ((doc_id * 7 + j * 13) % 50) || '.example.com' AS dst_host FROM lj)"
+
+  // The crawlLines construction replayed in SQL (CTE `l` ends holding
+  // `(doc_id, lines)`) — shared by the c4_filter and lang_segments oracles.
+  private lazy val crawlLinesCte: String =
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "l AS (SELECT doc_id, list_transform(" +
+      "generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1), i -> " +
+      "(CASE WHEN (doc_id + i) % 13 = 0 THEN 'lorem ipsum ' ELSE '' END) || " +
+      "array_to_string(w[i*8+1 : i*8+8], ' ') || " +
+      "(CASE (doc_id + i) % 4 WHEN 1 THEN '.' WHEN 2 THEN '!' WHEN 3 THEN '?' ELSE '' END) || " +
+      "(CASE WHEN (doc_id + i) % 11 = 0 THEN ' {' ELSE '' END)) AS lines FROM d)"
+
+  private lazy val linkPagerankOracle: String =
+    linkEdgesCte +
+      ", ed AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM le), " +
+      pagerankBodySql +
+      " SELECT id AS host, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY host"
 
   // Triangle census replay: the knn edge relation undirected+deduped, the
   // classic a<b<c three-way self-join (orientation only changes WHERE the
@@ -3652,6 +3841,18 @@ object SparkEntry {
     // the CSV round-trip must land exactly on the parquet original
     "scan_csv" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    // the ORC round-trip too
+    "scan_orc" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    // snapshot_scan oracle: the plain filtered relation — the Spark side
+    // must land on it through manifest file pruning + the residual filter.
+    "snapshot_scan" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
 
     "scan_limit" ->
       ("SELECT event_id, props AS data, epoch_ms(ts) AS __ts FROM events " +
@@ -4943,6 +5144,73 @@ object SparkEntry {
         "round(CAST(sum(q.qm) AS DOUBLE) / 10000 / count(*), 6) AS mean_quality " +
         "FROM documents d JOIN f ON d.doc_id = f.doc_id JOIN q ON d.doc_id = q.doc_id " +
         "GROUP BY d.source ORDER BY d.source"),
+
+    // html_links oracle: the edge relation stated straight from the link
+    // formula — the Spark side must EARN it through markup extraction and
+    // the URL host rules.
+    "html_links" ->
+      (linkEdgesCte +
+        " SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links " +
+        "FROM le GROUP BY 1, 2 ORDER BY src_host, dst_host"),
+
+    "link_pagerank" -> linkPagerankOracle,
+
+    // script_detect oracle: replay the salting formula, then the same
+    // per-range character counts (literal code-point classes — RE2 here,
+    // java.util.regex on the Spark side, same single-char semantics) and
+    // the same count-then-name-order argmax.
+    "script_detect" ->
+      ("WITH d AS (SELECT doc_id, text || ' ' || " +
+        "repeat('я', CAST((doc_id % 5) * 40 AS INT)) || ' ' || " +
+        "repeat('中', CAST((doc_id % 7) * 30 AS INT)) || ' ' || " +
+        "repeat('م', CAST((doc_id % 3) * 60 AS INT)) AS t2 FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t2, '[؀-ۿ]')) AS BIGINT) AS n_arabic, " +
+        "CAST(len(regexp_extract_all(t2, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic, " +
+        "CAST(len(regexp_extract_all(t2, '[一-鿿]')) AS BIGINT) AS n_han, " +
+        "CAST(len(regexp_extract_all(t2, '[A-Za-z]')) AS BIGINT) AS n_latin " +
+        "FROM d) " +
+        "SELECT doc_id, n_arabic, n_cyrillic, n_han, n_latin, " +
+        "CASE WHEN n_arabic > 0 AND n_arabic = greatest(n_arabic, n_cyrillic, n_han, n_latin) THEN 'arabic' " +
+        "WHEN n_cyrillic > 0 AND n_cyrillic = greatest(n_arabic, n_cyrillic, n_han, n_latin) THEN 'cyrillic' " +
+        "WHEN n_han > 0 AND n_han = greatest(n_arabic, n_cyrillic, n_han, n_latin) THEN 'han' " +
+        "WHEN n_latin > 0 THEN 'latin' ELSE 'none' END AS main_script " +
+        "FROM c ORDER BY doc_id"),
+
+    // lang_segments oracle: the line construction replay + the lang_id
+    // stopword-argmax per LINE, grouped to (doc, lang) counts.
+    "lang_segments" ->
+      (crawlLinesCte +
+        ", x AS (SELECT doc_id, unnest(lines) AS line FROM l), " +
+        "s AS (SELECT doc_id, " +
+        s"len(list_intersect(string_split(line,' '), ${stopList("de")})) AS s_de, " +
+        s"len(list_intersect(string_split(line,' '), ${stopList("en")})) AS s_en, " +
+        s"len(list_intersect(string_split(line,' '), ${stopList("es")})) AS s_es, " +
+        s"len(list_intersect(string_split(line,' '), ${stopList("fr")})) AS s_fr FROM x), " +
+        "b AS (SELECT doc_id, s_de, s_en, s_es, s_fr, " +
+        "greatest(s_de, s_en, s_es, s_fr) AS best FROM s) " +
+        "SELECT doc_id, CASE WHEN s_de > 0 AND s_de = best THEN 'de' " +
+        "WHEN s_en > 0 AND s_en = best THEN 'en' " +
+        "WHEN s_es > 0 AND s_es = best THEN 'es' " +
+        "WHEN s_fr > 0 AND s_fr = best THEN 'fr' ELSE 'und' END AS pred_lang, " +
+        "CAST(count(*) AS BIGINT) AS n_lines FROM b " +
+        "GROUP BY 1, 2 ORDER BY doc_id, pred_lang"),
+
+    // c4_filter oracle: replay the line construction formula, then the
+    // same four general rules (terminal punctuation, ≥5 words, no braces,
+    // no lorem-ipsum) and the ≥3-surviving-lines document gate.
+    "c4_filter" ->
+      (crawlLinesCte +
+        ", k AS (SELECT doc_id, lines, list_filter(lines, ln -> " +
+        "regexp_matches(ln, '[.!?]$') AND len(string_split(ln, ' ')) >= 5 " +
+        "AND NOT contains(ln, '{') AND NOT contains(ln, '}') " +
+        "AND NOT contains(lower(ln), 'lorem ipsum')) AS kept FROM l) " +
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, " +
+        "CAST(len(kept) AS BIGINT) AS n_kept, len(kept) >= 3 AS kept_doc, " +
+        // array_to_string of an EMPTY list is NULL in DuckDB; Spark's
+        // array_join yields '' — pin the '' convention
+        "coalesce(array_to_string(kept, chr(10)), '') AS clean_text " +
+        "FROM k ORDER BY doc_id"),
 
     "pii_redact" ->
       ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +

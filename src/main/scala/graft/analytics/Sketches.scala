@@ -135,18 +135,26 @@ object Sketches {
     * corpus — the approx-percentile shape for a 100 TB column where an
     * exact per-group sort is off the table.
     */
-  def quantileRegisters(df: DataFrame, groupCol: String, value: Column,
-                        lo: Double, hi: Double, nBins: Int): DataFrame = {
+  /** The clamped bin index of `value` — the ONE binning rule, shared by
+    * the batch registers and [[graft.stream.StreamQuantiles]]' streaming
+    * register maintenance (parity depends on both sides binning
+    * identically).
+    */
+  private[graft] def quantileBin(value: Column, lo: Double, hi: Double,
+                                 nBins: Int): Column = {
     require(hi > lo, s"degenerate range [$lo, $hi]")
     require(nBins >= 1 && nBins <= 65536, s"nBins out of range: $nBins")
     val w = (hi - lo) / nBins
     val v = least(greatest(value, lit(lo)), lit(hi))
+    least(floor((v - lo) / w), lit((nBins - 1).toDouble)).cast("long")
+  }
+
+  def quantileRegisters(df: DataFrame, groupCol: String, value: Column,
+                        lo: Double, hi: Double, nBins: Int): DataFrame =
     df.where(value.isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol),
-        least(floor((v - lo) / w), lit((nBins - 1).toDouble))
-          .cast("long").as("bin"))
+        quantileBin(value, lo, hi, nBins).as("bin"))
       .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
-  }
 
   /** Quantile readout from a register relation: one row per (group, q) —
     * `(groupCol, q, est_q, n)`. Rank `ceil(q·n)` lands in the bin where

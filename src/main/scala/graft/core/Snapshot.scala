@@ -1,0 +1,114 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Manifest-driven snapshot layout with FILE-level zone maps — the
+  * Iceberg/Delta scan-planning idea (manifest lists data files with
+  * per-file column statistics; a range predicate prunes whole files
+  * before the scan starts) re-expressed minimally on plain parquet:
+  *
+  *   - [[write]] range-clusters the relation on a chosen stat column
+  *     (`repartitionByRange` + `sortWithinPartitions`, so each file owns
+  *     a narrow value band), then records `(file, min, max, rows)` per
+  *     file in a `_manifest.tsv` beside the data — computed in ONE extra
+  *     pass grouped by `input_file_name()`, never per-file jobs.
+  *   - [[scan]] reads the manifest (driver-side, file-count-sized — the
+  *     100 TB corpus never moves), keeps only files whose [min, max]
+  *     band overlaps the predicate range, and hands Spark exactly that
+  *     file list plus the residual filter. At 1000 executors the win is
+  *     identical to partition pruning but on a NON-partition column:
+  *     a 1% range probe of a clustered 100 TB table schedules ~1% of
+  *     the splits.
+  *
+  * The schema is persisted beside the manifest (the [[Layouts]] rule:
+  * an empty snapshot must read back as a valid empty relation, and
+  * explicit schemas skip footer inference).
+  */
+object Snapshot {
+
+  final case class FileStat(file: String, min: Long, max: Long, rows: Long)
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeText(spark: SparkSession, path: String, text: String): Unit = {
+    val out = fs(spark, path).create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(spark: SparkSession, path: String): String = {
+    val in = fs(spark, path).open(new org.apache.hadoop.fs.Path(path))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Write `df` as a range-clustered snapshot over long-typed `statCol`
+    * with `nFiles` target files, plus the zone-map manifest.
+    */
+  def write(df: DataFrame, path: String, statCol: String,
+            nFiles: Int = 16): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val spark = df.sparkSession
+    df.repartitionByRange(nFiles, col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("overwrite").parquet(path)
+    // One scan for the whole manifest: per-file min/max/rows keyed on the
+    // file identity Spark already carries with every row.
+    // explicit schema: an empty write may leave zero data files, which
+    // would otherwise fail schema inference here
+    val stats = spark.read.schema(df.schema).parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).cast("long").as("mn"),
+        max(col(statCol)).cast("long").as("mx"),
+        count(lit(1)).as("rows"))
+      .collect() // file-count-sized, never data-sized
+      .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_.file)
+    writeText(spark, path + "/_manifest.tsv",
+      stats.map(s => s"${s.file}\t${s.min}\t${s.max}\t${s.rows}")
+        .mkString("", "\n", if (stats.isEmpty) "" else "\n"))
+    writeText(spark, path + "/_schema.json", df.schema.json)
+  }
+
+  /** The manifest rows; empty when the snapshot holds no data files. */
+  def manifest(spark: SparkSession, path: String): Seq[FileStat] =
+    readText(spark, path + "/_manifest.tsv").split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(f, mn, mx, rows) = line.split("\t")
+        FileStat(f, mn.toLong, mx.toLong, rows.toLong)
+      }
+
+  /** The data files a `[lo, hi]` probe of `statCol` must read. */
+  def selectFiles(spark: SparkSession, path: String,
+                  lo: Long, hi: Long): Seq[String] =
+    manifest(spark, path).filter(s => s.max >= lo && s.min <= hi).map(_.file)
+
+  private def snapshotSchema(spark: SparkSession, path: String): StructType =
+    DataType.fromJson(readText(spark, path + "/_schema.json"))
+      .asInstanceOf[StructType]
+
+  /** Range probe: manifest-pruned file list + the residual filter. The
+    * result is exactly `read(path).where(statCol between lo and hi)`,
+    * but Spark only ever lists, opens, and scans the overlapping files.
+    */
+  def scan(spark: SparkSession, path: String, statCol: String,
+           lo: Long, hi: Long): DataFrame = {
+    val schema = snapshotSchema(spark, path)
+    val files = selectFiles(spark, path, lo, hi)
+    val base =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    base.where(col(statCol) >= lo && col(statCol) <= hi)
+  }
+}

@@ -42,6 +42,17 @@ object Sources {
   def writeCsv(df: org.apache.spark.sql.DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** ORC source (the second columnar format beside parquet — explicit
+    * schema skips footer inference, same predicate-pushdown/column-pruning
+    * posture as the parquet scan).
+    */
+  def orc(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** The matching ORC writer. */
+  def writeOrc(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   // ---- WARC (ISO 28500) — the crawl-archive container -------------------
 
   /** Write `(idCol, urlCol, textCol)` rows as uncompressed WARC response

@@ -36,6 +36,15 @@ object Html {
     trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
 
+  /** All `<a href="...">` targets in document order — the crawl-frontier /
+    * link-graph extraction tier (anchors feed PageRank and frontier
+    * scheduling). One codegen'd regexp pass riding the scan; quoted hrefs
+    * only, matching the extraction-baseline posture of [[extractText]].
+    */
+  def links(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\s(?:[^>]*?\\s)?href=\"([^\"]*)\""), lit(1))
+
   private def decodeEntities(c: Column): Column = {
     val base = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ")

@@ -204,6 +204,65 @@ object TextStats {
         when(col("rules_failed") === 0, 1L).otherwise(0L))
   }
 
+  /** C4-style LINE-structural filtering (Raffel et al. 2020 §2.2 — the
+    * complement of [[gopherFilter]]'s whole-document statistics): each
+    * newline-separated line survives only if it (a) ends in terminal
+    * punctuation, (b) has ≥ `minWords` whitespace words, (c) carries no
+    * curly brace (code leak), and (d) is not "lorem ipsum" placeholder
+    * text; a document is kept when ≥ `minKeptLines` lines survive, and
+    * `clean_text` is the surviving lines reassembled. Pure higher-order
+    * array expressions riding the scan — a 100 TB pass is one shuffle-free
+    * map stage, and the rules are SQL-replayable so the whole transform
+    * sits under the hash-exact oracle.
+    */
+  def c4Filter(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id", minWords: Int = 5,
+               minKeptLines: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?]$") && size(split(l, " ")) >= minWords &&
+        !l.contains("{") && !l.contains("}") &&
+        !lower(l).contains("lorem ipsum"))
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (size(kept) >= minKeptLines).as("kept_doc"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** Unicode script ranges for [[scriptMix]] — name → character-class body
+    * (literal code points, so the same class means the same thing to any
+    * regex engine). Alphabetical name order is the dominance tiebreak.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "arabic" -> "\\u0600-\\u06FF",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "han" -> "\\u4E00-\\u9FFF",
+    "latin" -> "A-Za-z")
+
+  /** Per-document Unicode-script mix: character counts per script range
+    * plus the dominant script (most characters; ties break by script name
+    * order; `none` when no range matches) — the script-level complement of
+    * [[langId]] for routing mixed crawls to per-script pipelines. Four
+    * codegen'd regexp counts riding the scan: shuffle-free at any scale,
+    * and count semantics identical in any regex engine (single-char
+    * classes over literal code-point ranges).
+    */
+  def scriptMix(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val counts = scriptRanges.map { case (name, cls) =>
+      name -> regexp_count(col(textCol), lit(s"[$cls]")).cast("long")
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val main = counts.foldRight(lit("none"): Column) {
+      case ((name, c), other) =>
+        when(c > 0 && c === best, lit(name)).otherwise(other)
+    }
+    docs.select(col(idCol) +:
+      counts.map { case (name, c) => c.as(s"n_$name") } :+
+      main.as("main_script"): _*)
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String = "text",
                       idCol: String = "doc_id", scale: Int = 4): DataFrame = {
     val toks = tokens(col(textCol))

@@ -304,6 +304,41 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(d4).count() == 500)
   }
 
+  test("snapshot zone-map: manifest prunes files, probe equals plain filter") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val path = tmpDir("snap") + "/snap"
+    graft.core.Snapshot.write(df, path, "k", nFiles = 10)
+    val man = graft.core.Snapshot.manifest(spark, path)
+    // range partitioner boundaries come from sampling — all 10 partitions
+    // should be populated here, but only multiplicity matters to pruning
+    assert(man.size > 5 && man.size <= 10 && man.map(_.rows).sum == 1000L)
+    // files own disjoint bands after range clustering
+    val sorted = man.sortBy(_.min)
+    assert(sorted.sliding(2).forall {
+      case Seq(a, b) => a.max < b.min; case _ => true })
+    // a narrow probe schedules a strict subset of the files
+    val files = graft.core.Snapshot.selectFiles(spark, path, 250L, 349L)
+    assert(files.nonEmpty && files.size < man.size)
+    val got = graft.core.Snapshot.scan(spark, path, "k", 250L, 349L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (250L to 349L).map(i => (i, s"v$i")))
+    // a probe beyond the domain reads nothing and returns nothing
+    assert(graft.core.Snapshot.selectFiles(spark, path, 5000L, 6000L).isEmpty)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 5000L, 6000L)
+      .count() == 0L)
+  }
+
+  test("snapshot zone-map: empty relation round-trips with its schema") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String)].toDF("k", "v")
+    val path = tmpDir("snapempty") + "/s"
+    graft.core.Snapshot.write(df, path, "k", nFiles = 4)
+    val out = graft.core.Snapshot.scan(spark, path, "k", 0L, 10L)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(out.count() == 0L)
+  }
+
   test("flatten handles struct-in-array-in-struct nesting") {
     import org.apache.spark.sql.types._
     val inner = StructType(Seq(StructField("c", LongType)))

@@ -3345,6 +3345,56 @@ class LlmSpec extends SparkSpec {
     assert(out(3L) == ((3L, 15L, 0L)))
   }
 
+  test("c4 filter: per-line rules and the min-kept-lines document gate") {
+    val doc1 = Seq( // 4 lines, 3 survive → kept
+      "this line ends with terminal punctuation properly.",
+      "so does this one and it is long enough!",
+      "does this question line also survive the filter?",
+      "no terminal punctuation so this line dies").mkString("\n")
+    val doc2 = Seq( // brace, lorem, short → only 1 survives → dropped
+      "function f() { return 1; }",
+      "lorem ipsum dolor sit amet padding words here.",
+      "too short.",
+      "the single surviving line of this document stands alone.")
+      .mkString("\n")
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = TextStats.c4Filter(docs)
+      .as[(Long, Long, Long, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 3L, true)))
+    assert(out(2L) == ((4L, 1L, false)))
+    // clean_text reassembles survivors in order
+    val clean = TextStats.c4Filter(docs).where(col("doc_id") === 1)
+      .select("clean_text").as[String].head()
+    assert(clean == doc1.split("\n").take(3).mkString("\n"))
+  }
+
+  test("html link extraction: quoted hrefs in document order") {
+    val html = "<html><body><a class=\"x\" href=\"http://a.com/1\">one</a>" +
+      "<A HREF=\"http://b.com/2\">two</A><a href='unquoted'>skip</a>" +
+      "<a data-href=\"http://decoy.com\" href=\"/rel\">rel</a></body></html>"
+    val out = Seq(Tuple1(html)).toDF("html")
+      .select(graft.llm.Html.links(col("html")).as("l"))
+      .as[Seq[String]].head()
+    assert(out == Seq("http://a.com/1", "http://b.com/2", "/rel"))
+  }
+
+  test("script mix: per-range counts, dominance argmax, tie and none cases") {
+    val docs = Seq(
+      (1L, "hello world"),          // latin only
+      (2L, "яяяя hi"),              // cyrillic 4 > latin 2
+      (3L, "中中 яя هه xx"),          // four-way tie at 2 → name order: arabic
+      (4L, "12345 !!!")             // no script chars at all
+    ).toDF("doc_id", "text")
+    val out = TextStats.scriptMix(docs)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L, 10L, "latin")))
+    assert(out(2L) == ((2L, 0L, 4L, 0L, 2L, "cyrillic")))
+    assert(out(3L) == ((3L, 2L, 2L, 2L, 2L, "arabic")))
+    assert(out(4L) == ((4L, 0L, 0L, 0L, 0L, "none")))
+  }
+
   test("repetition stats: random docs match an in-memory reference") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

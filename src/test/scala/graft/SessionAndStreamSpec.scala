@@ -1028,6 +1028,40 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile registers equal the one-shot batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    // values spanning clamps (below lo, above hi) and two groups
+    val rows = (0 until 200).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i * 7 % 230) - 5.0))
+    val (lo, hi, nBins) = (0.0, 200.0, 16)
+    val input = MemoryStream[(String, Double)]
+    val q = graft.stream.StreamQuantiles.registers(
+        input.toDF().toDF("g", "v"), "g", col("v"), lo, hi, nBins)
+      .writeStream.format("memory").queryName("squant")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = rows.splitAt(80)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val stream = spark.table("squant")
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      val batch = graft.analytics.Sketches.quantileRegisters(
+          rows.toDF("g", "v"), "g", col("v"), lo, hi, nBins)
+        .as[(String, Long, Long)].collect().toSeq.sorted
+      assert(stream == batch)
+      // and therefore every readout agrees too
+      val sq = graft.analytics.Sketches.quantileEstimate(
+          spark.table("squant"), "g", Seq(0.5, 0.9), lo, hi, nBins)
+        .as[(String, Double, Double, Long)].collect().toSeq.sorted
+      val bq = graft.analytics.Sketches.quantileEstimate(
+          graft.analytics.Sketches.quantileRegisters(
+            rows.toDF("g", "v"), "g", col("v"), lo, hi, nBins),
+          "g", Seq(0.5, 0.9), lo, hi, nBins)
+        .as[(String, Double, Double, Long)].collect().toSeq.sorted
+      assert(sq == bq && sq.size == 4)
+    } finally q.stop()
+  }
+
   test("salted join matches the unsalted join exactly") {
     import graft.core.Skew
     val left = (1 to 1000).map(i => (i % 7, i)).toDF("k", "v")
