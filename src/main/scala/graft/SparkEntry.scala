@@ -316,6 +316,22 @@ object SparkEntry {
       path
     })
 
+  // Versioned snapshot for the INCREMENTAL gate: v1 = even orderkeys,
+  // v2 = the odd-orderkey crawl appended (O(batch) — v1 files carry over
+  // by manifest row, never rescanned). The gate probes v2.
+  private val snapshotsIncr =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def lineitemSnapshotIncr(s: SparkSession, d: String): String =
+    snapshotsIncr.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_incr", d)
+      val li = t(s, d, "lineitem")
+      graft.core.Snapshot.write(li.where(col("l_orderkey") % 2 === 0),
+        path, "l_orderkey", nFiles = 8)
+      graft.core.Snapshot.append(li.where(col("l_orderkey") % 2 === 1),
+        path, "l_orderkey", nFiles = 8)
+      path
+    })
+
   private val sigStores =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def sigStore(s: SparkSession, d: String): String =
@@ -478,6 +494,18 @@ object SparkEntry {
       graft.etl.Sources.orc(s, orcDir(s, d),
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .orderBy("doc_id")),
+
+    // The INCREMENTAL snapshot: the odd-orderkey crawl appended to the
+    // even-orderkey history as a NEW manifest version (history files
+    // carry over by manifest row — O(batch), never rescanned); the probe
+    // of the current version must equal the plain filter over the UNION,
+    // which is what the oracle states over all of lineitem.
+    "snapshot_scan_incremental" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, lineitemSnapshotIncr(s, d),
+          "l_orderkey", 200L, 399L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
 
     // S5: keyed read with limit + server-ts annotation (reference
     // storage.py:48-58); ORDER BY before LIMIT keeps it deterministic.
@@ -3849,6 +3877,14 @@ object SparkEntry {
     // snapshot_scan oracle: the plain filtered relation — the Spark side
     // must land on it through manifest file pruning + the residual filter.
     "snapshot_scan" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // ...and the incremental form: append == rebuild, so the same plain
+    // filter over ALL of lineitem
+    "snapshot_scan_incremental" ->
       ("SELECT l_orderkey, l_linenumber, l_partkey, " +
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 " +

@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     a 1% range probe of a clustered 100 TB table schedules ~1% of
   *     the splits.
   *
+  * Manifests are VERSIONED (`_manifest.v<N>.tsv` + a `_current`
+  * pointer): [[append]] commits a new version whose manifest is the
+  * previous rows plus the increment's — O(batch), history files never
+  * rescanned — and every older version stays readable (time travel).
+  *
   * The schema is persisted beside the manifest (the [[Layouts]] rule:
   * an empty snapshot must read back as a valid empty relation, and
   * explicit schemas skip footer inference).
@@ -51,21 +56,24 @@ object Snapshot {
     } finally in.close()
   }
 
-  /** Write `df` as a range-clustered snapshot over long-typed `statCol`
-    * with `nFiles` target files, plus the zone-map manifest.
-    */
-  def write(df: DataFrame, path: String, statCol: String,
-            nFiles: Int = 16): Unit = {
-    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val spark = df.sparkSession
-    df.repartitionByRange(nFiles, col(statCol))
-      .sortWithinPartitions(statCol)
-      .write.mode("overwrite").parquet(path)
-    // One scan for the whole manifest: per-file min/max/rows keyed on the
-    // file identity Spark already carries with every row.
-    // explicit schema: an empty write may leave zero data files, which
-    // would otherwise fail schema inference here
-    val stats = spark.read.schema(df.schema).parquet(path)
+  // ---- manifest versions (time travel) ---------------------------------
+  // Each write/append commits a NEW numbered manifest (_manifest.v<N>.tsv)
+  // and then flips the one-line _current pointer — the Iceberg/Delta
+  // commit protocol in miniature. Data files are immutable once written,
+  // so every old version stays readable (time travel), the pointer flip
+  // is the atomic commit point, and a crash between the manifest write
+  // and the flip leaves the previous version intact.
+
+  private def currentVersion(spark: SparkSession, path: String): Int =
+    readText(spark, path + "/_current").trim.toInt
+
+  private def statsOf(df: DataFrame, statCol: String, schema: StructType,
+                      dir: String): Seq[FileStat] = {
+    // One scan for the whole manifest delta: per-file min/max/rows keyed
+    // on the file identity Spark already carries with every row.
+    // Explicit schema: an empty write may leave zero data files, which
+    // would otherwise fail schema inference here.
+    df.sparkSession.read.schema(schema).parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(statCol)).cast("long").as("mn"),
         max(col(statCol)).cast("long").as("mx"),
@@ -73,38 +81,86 @@ object Snapshot {
       .collect() // file-count-sized, never data-sized
       .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
-      .sortBy(_.file)
-    writeText(spark, path + "/_manifest.tsv",
-      stats.map(s => s"${s.file}\t${s.min}\t${s.max}\t${s.rows}")
-        .mkString("", "\n", if (stats.isEmpty) "" else "\n"))
-    writeText(spark, path + "/_schema.json", df.schema.json)
+      .sortBy(_.file).toSeq
   }
 
-  /** The manifest rows; empty when the snapshot holds no data files. */
-  def manifest(spark: SparkSession, path: String): Seq[FileStat] =
-    readText(spark, path + "/_manifest.tsv").split("\n").toSeq
+  private def commit(spark: SparkSession, path: String, version: Int,
+                     stats: Seq[FileStat]): Unit = {
+    writeText(spark, path + s"/_manifest.v$version.tsv",
+      stats.map(s => s"${s.file}\t${s.min}\t${s.max}\t${s.rows}")
+        .mkString("", "\n", if (stats.isEmpty) "" else "\n"))
+    writeText(spark, path + "/_current", version.toString)
+  }
+
+  /** Write `df` as version 1 of a range-clustered snapshot over
+    * long-typed `statCol` with `nFiles` target files, plus the zone-map
+    * manifest.
+    */
+  def write(df: DataFrame, path: String, statCol: String,
+            nFiles: Int = 16): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val spark = df.sparkSession
+    val dataDir = path + "/v1"
+    df.repartitionByRange(nFiles, col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("overwrite").parquet(dataDir)
+    writeText(spark, path + "/_schema.json", df.schema.json)
+    commit(spark, path, 1, statsOf(df, statCol, df.schema, dataDir))
+  }
+
+  /** Append a batch as a NEW snapshot version: the increment is
+    * range-clustered and stat'd on its own (O(batch) — history files are
+    * neither moved nor rescanned; their manifest rows carry over), and
+    * the new manifest = history rows + increment rows. Reading the new
+    * version sees history ∪ batch; every older version stays readable.
+    */
+  def append(df: DataFrame, path: String, statCol: String,
+             nFiles: Int = 4): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val spark = df.sparkSession
+    val prev = currentVersion(spark, path)
+    val next = prev + 1
+    val dataDir = path + s"/v$next"
+    df.repartitionByRange(nFiles, col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("overwrite").parquet(dataDir)
+    commit(spark, path, next,
+      manifest(spark, path, Some(prev)) ++
+        statsOf(df, statCol, snapshotSchema(spark, path), dataDir))
+  }
+
+  /** The manifest rows of `version` (default: current); empty when that
+    * version holds no data files.
+    */
+  def manifest(spark: SparkSession, path: String,
+               version: Option[Int] = None): Seq[FileStat] = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    readText(spark, path + s"/_manifest.v$v.tsv").split("\n").toSeq
       .filter(_.nonEmpty).map { line =>
         val Array(f, mn, mx, rows) = line.split("\t")
         FileStat(f, mn.toLong, mx.toLong, rows.toLong)
       }
+  }
 
   /** The data files a `[lo, hi]` probe of `statCol` must read. */
-  def selectFiles(spark: SparkSession, path: String,
-                  lo: Long, hi: Long): Seq[String] =
-    manifest(spark, path).filter(s => s.max >= lo && s.min <= hi).map(_.file)
+  def selectFiles(spark: SparkSession, path: String, lo: Long, hi: Long,
+                  version: Option[Int] = None): Seq[String] =
+    manifest(spark, path, version)
+      .filter(s => s.max >= lo && s.min <= hi).map(_.file)
 
   private def snapshotSchema(spark: SparkSession, path: String): StructType =
     DataType.fromJson(readText(spark, path + "/_schema.json"))
       .asInstanceOf[StructType]
 
-  /** Range probe: manifest-pruned file list + the residual filter. The
-    * result is exactly `read(path).where(statCol between lo and hi)`,
-    * but Spark only ever lists, opens, and scans the overlapping files.
+  /** Range probe of a snapshot version (default: current):
+    * manifest-pruned file list + the residual filter. The result is
+    * exactly `read(version).where(statCol between lo and hi)`, but Spark
+    * only ever lists, opens, and scans the overlapping files.
     */
   def scan(spark: SparkSession, path: String, statCol: String,
-           lo: Long, hi: Long): DataFrame = {
+           lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
     val schema = snapshotSchema(spark, path)
-    val files = selectFiles(spark, path, lo, hi)
+    val files = selectFiles(spark, path, lo, hi, version)
     val base =
       if (files.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

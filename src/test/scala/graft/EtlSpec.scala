@@ -329,6 +329,34 @@ class EtlSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("snapshot append: O(batch) increment, time travel, history pruned not rescanned") {
+    import spark.implicits._
+    val hist = (0L until 500L).map(i => (i, s"h$i")).toDF("k", "v")
+    val batch = (500L until 700L).map(i => (i, s"b$i")).toDF("k", "v")
+    val path = tmpDir("snapincr") + "/s"
+    graft.core.Snapshot.write(hist, path, "k", nFiles = 5)
+    val m1 = graft.core.Snapshot.manifest(spark, path)
+    graft.core.Snapshot.append(batch, path, "k", nFiles = 2)
+    val m2 = graft.core.Snapshot.manifest(spark, path)
+    // history manifest rows carry over VERBATIM — the files were not
+    // rewritten or rescanned; only the increment's rows are new
+    assert(m2.toSet.intersect(m1.toSet) == m1.toSet)
+    assert(m2.map(_.rows).sum == 700L && m1.map(_.rows).sum == 500L)
+    // current version sees history ∪ batch
+    val cur = graft.core.Snapshot.scan(spark, path, "k", 450L, 549L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(cur == (450L to 499L).map(i => (i, s"h$i")) ++
+      (500L to 549L).map(i => (i, s"b$i")))
+    // time travel: version 1 still reads as pre-append state
+    val old = graft.core.Snapshot.scan(spark, path, "k", 450L, 549L,
+      version = Some(1)).orderBy("k").as[(Long, String)].collect().toSeq
+    assert(old == (450L to 499L).map(i => (i, s"h$i")))
+    // a probe inside the increment's band alone skips every history file
+    val incFiles = graft.core.Snapshot.selectFiles(spark, path, 600L, 699L)
+    assert(incFiles.nonEmpty &&
+      incFiles.toSet.intersect(m1.map(_.file).toSet).isEmpty)
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
