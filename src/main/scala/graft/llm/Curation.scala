@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   *      must be gone before any content stage reads the text);
   *   0b. optional canonical-URL dedup ([[Urls.canonicalize]], lowest id
   *      keeps) — the cheapest drop, no content compared;
+  *   0c. optional C4 LINE filter ([[TextStats.c4Filter]] — structural
+  *      line rules rewrite the text, too-few-surviving-lines docs drop;
+  *      before exact dedup, so boilerplate-only differences hash away);
   *   1. EXACT dedup (content-hash, keep the lowest id);
   *   2. NEAR-dup cluster resolution via the persisted [[PairsIndex]]
   *      (built here if absent), keeping each cluster's HIGHEST-quality
@@ -34,9 +37,11 @@ object Curation {
   final case class Report(nInput: Long, nAfterExact: Long,
       nAfterNearDup: Long, nAfterQuality: Long, nAfterDecontam: Long,
       nFinal: Long, nSpanTokensCut: Long = 0L,
-      nAfterBlocklist: Long = -1L, nAfterUrl: Long = -1L) {
+      nAfterBlocklist: Long = -1L, nAfterUrl: Long = -1L,
+      nAfterLines: Long = -1L) {
     override def toString: String =
-      s"input=$nInput url=$nAfterUrl exact=$nAfterExact nearDup=$nAfterNearDup " +
+      s"input=$nInput url=$nAfterUrl lines=$nAfterLines " +
+        s"exact=$nAfterExact nearDup=$nAfterNearDup " +
         s"spanTokensCut=$nSpanTokensCut quality=$nAfterQuality " +
         s"blocklist=$nAfterBlocklist decontam=$nAfterDecontam final=$nFinal"
   }
@@ -49,7 +54,8 @@ object Curation {
           spanDedupK: Option[Int] = None,
           blocklist: Seq[String] = Nil,
           htmlInput: Boolean = false,
-          urlCol: Option[String] = None): (DataFrame, Report) = {
+          urlCol: Option[String] = None,
+          c4MinKeptLines: Option[Int] = None): (DataFrame, Report) = {
     val spark = docs.sparkSession
     val nInput = docs.count()
 
@@ -80,10 +86,26 @@ object Curation {
       case None => (text0, -1L)
     }
 
+    // 0c. optional C4 LINE filter: the structural line rules REWRITE the
+    //     text (boilerplate/code lines cut) and drop docs with too few
+    //     surviving lines. Runs BEFORE exact dedup so that docs
+    //     differing only in boilerplate lines hash identically below
+    //     (the C4/RefinedWeb ordering).
+    val (afterLines, nLines) = c4MinKeptLines match {
+      case Some(mk) =>
+        val f = TextStats.c4Filter(afterUrl, textCol, idCol,
+            minKeptLines = mk)
+          .where(col("kept_doc"))
+          .select(col(idCol), col("clean_text").as(textCol))
+        val kept = afterUrl.drop(textCol).join(f, idCol)
+        (kept, kept.count())
+      case None => (afterUrl, -1L)
+    }
+
     // 1. exact: keep each content hash's lowest id
-    val keepIds = Dedup.exact(afterUrl, textCol, idCol)
+    val keepIds = Dedup.exact(afterLines, textCol, idCol)
       .select(col("keep_id").as(idCol))
-    val afterExact = afterUrl.join(keepIds, idCol)
+    val afterExact = afterLines.join(keepIds, idCol)
 
     // 2. near-dup: resolve components once (persisted artifact), keep the
     //    highest-quality member of each cluster. An existing layout at
@@ -162,7 +184,7 @@ object Curation {
 
     (finalDf,
       Report(nInput, nExact, nNearDup, nQuality, nDecontam, nFinal,
-        nSpanCut, nBlocklist, nUrl))
+        nSpanCut, nBlocklist, nUrl, nLines))
   }
 
   /** The Gopher-keep stage shared by [[run]] and [[runIncremental]] (one

@@ -1886,6 +1886,31 @@ class LlmSpec extends SparkSpec {
     assert(rep0.nAfterUrl == -1L && rep0.nAfterExact == 3, rep0.toString)
   }
 
+  test("Curation.run line filter: boilerplate-only differences hash away before exact dedup") {
+    import graft.llm.Curation
+    def sentence(tag: String) =
+      (1 to 60).map(j => s"${tag}w$j").mkString(" ") + "."
+    // docs 1 and 2: identical content except a no-punctuation boilerplate
+    // line — the C4 stage cuts it, THEN exact dedup collapses the pair.
+    // doc 3: only two surviving lines → drops at the line gate.
+    val body = Seq(sentence("a"), sentence("b"), sentence("c"))
+    val corpus = Seq(
+      (1L, body.mkString("\n")),
+      (2L, (body :+ "cookie banner boilerplate").mkString("\n")),
+      (3L, Seq(sentence("x"), sentence("y"), "no punct tail").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val (out, rep) = Curation.run(corpus, tmpDir("curc4") + "/idx",
+      c4MinKeptLines = Some(3), minWords = 50)
+    assert(rep.nAfterLines == 2, rep.toString)  // doc 3 under the line gate
+    assert(rep.nAfterExact == 1, rep.toString)  // 1 and 2 now hash-equal
+    val kept = out.select("doc_id", "text").as[(Long, String)].collect()
+    assert(kept.toSeq == Seq((1L, body.mkString("\n"))))
+    // gate OFF: the boilerplate line keeps the pair distinct
+    val (_, rep0) = Curation.run(corpus, tmpDir("curc40") + "/idx",
+      minWords = 50)
+    assert(rep0.nAfterLines == -1L && rep0.nAfterExact == 3, rep0.toString)
+  }
+
   test("Curation.run url dedup: null and blank URLs bypass the stage per-doc") {
     import graft.llm.Curation
     def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
