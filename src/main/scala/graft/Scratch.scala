@@ -16,18 +16,20 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
 
   /** The steady top by committed bench cost (BENCH_full.json), the
-    * scaling watch-list — rotated round 11b: the session's new operator
-    * families (CDC, perceptual/audio dedup, trained lang-ID, the
-    * calibration readout) enter so their growth is probed from day one;
-    * the flat round-10 rows (dp_mean, profile_summarize, lm_score_tri,
-    * multimodal_mjpeg — all ≤1.3×/decade twice running) rotate out. */
+    * scaling watch-list — rotated round 12: the standing watch items
+    * (containment, tfidf, winnow, cdc, phash — the ≥2×/decade tail of
+    * round 11b) stay; the flat rows rotate out; the round's new
+    * families (line/script/segment text gates, link graph, zone-map
+    * snapshots, perceptual/spectral dedup, WARC) enter so their growth
+    * is probed from day one. */
   val ScaleQueries: Seq[String] = Seq(
-    "dedup_fuzzy", "bm25_queries", "graph_pagerank",
-    "dedup_winnow", "dedup_incremental", "tfidf_top_terms",
-    "dedup_containment", "dedup_clips", "pairs_index_append",
-    "dedup_clips_mjpeg",
-    "dedup_cdc", "dedup_cdc_incremental", "dedup_phash", "dedup_audio",
-    "langid_nb", "minhash_calibration")
+    "dedup_containment", "tfidf_top_terms", "dedup_winnow",
+    "dedup_cdc", "dedup_phash",
+    "c4_filter", "lang_segments", "script_detect",
+    "html_links", "link_pagerank",
+    "snapshot_scan", "snapshot_scan_incremental",
+    "dedup_phash_dct", "dedup_clips_phash", "dedup_audio_spectral",
+    "scan_warc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -246,6 +246,17 @@ object SparkEntry {
       path
     })
 
+  // JSONL copy of documents written once per (session, dir) — the export
+  // format's round-trip gate input.
+  private val jsonlDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def jsonlDir(s: SparkSession, d: String): String =
+    jsonlDirs.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "jsonlsrc", d)
+      graft.etl.Sources.writeJsonl(t(s, d, "documents"), path)
+      path
+    })
+
   // WARC archive written once per (session, dir): documents as byte-
   // counted response records (payloads embed a newline to prove the
   // framing is Content-Length, not lines); the gate re-parses it.
@@ -329,6 +340,20 @@ object SparkEntry {
         path, "l_orderkey", nFiles = 8)
       graft.core.Snapshot.append(li.where(col("l_orderkey") % 2 === 1),
         path, "l_orderkey", nFiles = 8)
+      path
+    })
+
+  // Versioned snapshot for the DELETE gate: full lineitem, then a
+  // copy-on-write range delete of orderkeys [300, 349] — only the
+  // overlapping files rewrite; the gate probes the post-delete version.
+  private val snapshotsDel =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def lineitemSnapshotDel(s: SparkSession, d: String): String =
+    snapshotsDel.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_del", d)
+      graft.core.Snapshot.write(t(s, d, "lineitem"), path,
+        "l_orderkey", nFiles = 16)
+      graft.core.Snapshot.delete(s, path, "l_orderkey", 300L, 349L)
       path
     })
 
@@ -486,6 +511,16 @@ object SparkEntry {
           col("l_quantity").cast("long").as("qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
 
+    // JSONL round-trip: the documents table exported as JSON-lines (the
+    // ship-to-training format) and read back through the explicit-schema
+    // JSONL source — write fidelity is the gate (string escaping,
+    // numeric typing).
+    "scan_jsonl" -> ((s, d) =>
+      graft.etl.Sources.jsonl(s, jsonlDir(s, d),
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // ORC source round-trip: the documents table written as ORC once per
     // session, read back through the explicit-schema ORC source — the
     // fourth format (parquet, JSON-lines, CSV, ORC), same columnar
@@ -502,6 +537,17 @@ object SparkEntry {
     // which is what the oracle states over all of lineitem.
     "snapshot_scan_incremental" -> ((s, d) =>
       graft.core.Snapshot.scan(s, lineitemSnapshotIncr(s, d),
+          "l_orderkey", 200L, 399L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // Copy-on-write DELETE under the gate: orderkeys [300, 349] removed
+    // as a new manifest version (only overlapping files rewrote —
+    // O(overlap), never O(table)); the probe of the post-delete version
+    // must equal the plain filter excluding the range.
+    "snapshot_delete" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, lineitemSnapshotDel(s, d),
           "l_orderkey", 200L, 399L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
@@ -3874,6 +3920,10 @@ object SparkEntry {
     "scan_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
 
+    // and the JSONL export round-trip
+    "scan_jsonl" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+
     // snapshot_scan oracle: the plain filtered relation — the Spark side
     // must land on it through manifest file pruning + the residual filter.
     "snapshot_scan" ->
@@ -3888,6 +3938,14 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, l_partkey, " +
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // ...and the copy-on-write delete: the filter minus the deleted band
+    "snapshot_delete" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "AND l_orderkey NOT BETWEEN 300 AND 349 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
 
     "scan_limit" ->

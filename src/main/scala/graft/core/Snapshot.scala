@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * The schema is persisted beside the manifest (the [[Layouts]] rule:
   * an empty snapshot must read back as a valid empty relation, and
-  * explicit schemas skip footer inference).
+  * explicit schemas skip footer inference). `statCol` is assumed
+  * NON-NULL (zone maps have no null band; a null row would be invisible
+  * to range probes and silently dropped by [[delete]]'s rewrite).
   */
 object Snapshot {
 
@@ -67,13 +69,13 @@ object Snapshot {
   private def currentVersion(spark: SparkSession, path: String): Int =
     readText(spark, path + "/_current").trim.toInt
 
-  private def statsOf(df: DataFrame, statCol: String, schema: StructType,
-                      dir: String): Seq[FileStat] = {
+  private def statsOf(spark: SparkSession, statCol: String,
+                      schema: StructType, dir: String): Seq[FileStat] = {
     // One scan for the whole manifest delta: per-file min/max/rows keyed
     // on the file identity Spark already carries with every row.
     // Explicit schema: an empty write may leave zero data files, which
     // would otherwise fail schema inference here.
-    df.sparkSession.read.schema(schema).parquet(dir)
+    spark.read.schema(schema).parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(statCol)).cast("long").as("mn"),
         max(col(statCol)).cast("long").as("mx"),
@@ -105,7 +107,7 @@ object Snapshot {
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(dataDir)
     writeText(spark, path + "/_schema.json", df.schema.json)
-    commit(spark, path, 1, statsOf(df, statCol, df.schema, dataDir))
+    commit(spark, path, 1, statsOf(spark, statCol, df.schema, dataDir))
   }
 
   /** Append a batch as a NEW snapshot version: the increment is
@@ -126,7 +128,33 @@ object Snapshot {
       .write.mode("overwrite").parquet(dataDir)
     commit(spark, path, next,
       manifest(spark, path, Some(prev)) ++
-        statsOf(df, statCol, snapshotSchema(spark, path), dataDir))
+        statsOf(spark, statCol, snapshotSchema(spark, path), dataDir))
+  }
+
+  /** Copy-on-write range DELETE: commit a new version with every row
+    * whose `statCol` lies in `[lo, hi]` removed. Only files whose
+    * [min, max] band OVERLAPS the range are rewritten (read, filtered,
+    * re-clustered); every other manifest row carries over verbatim —
+    * O(overlap), never O(table) — and when no file overlaps, the delete
+    * is a pure metadata commit (zero data I/O). Older versions still
+    * read the pre-delete rows (time travel).
+    */
+  def delete(spark: SparkSession, path: String, statCol: String,
+             lo: Long, hi: Long): Unit = {
+    val prev = currentVersion(spark, path)
+    val next = prev + 1
+    val (hit, keep) = manifest(spark, path, Some(prev))
+      .partition(s => s.max >= lo && s.min <= hi)
+    if (hit.isEmpty) { commit(spark, path, next, keep); return }
+    val schema = snapshotSchema(spark, path)
+    val dataDir = path + s"/v$next"
+    spark.read.schema(schema).parquet(hit.map(_.file): _*)
+      .where(!(col(statCol) >= lo && col(statCol) <= hi))
+      .repartitionByRange(math.max(1, hit.size), col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("overwrite").parquet(dataDir)
+    commit(spark, path, next,
+      keep ++ statsOf(spark, statCol, schema, dataDir))
   }
 
   /** The manifest rows of `version` (default: current); empty when that

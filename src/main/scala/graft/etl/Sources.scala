@@ -42,6 +42,20 @@ object Sources {
   def writeCsv(df: org.apache.spark.sql.DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSON-lines source with an explicit schema (the bronze reader
+    * [[bronzeJson]] infers; pipelines with a contract pass the schema and
+    * skip the inference pass).
+    */
+  def jsonl(spark: SparkSession, path: String, schema: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** The matching JSON-lines writer — the ship-to-training export format
+    * (one JSON object per line, splittable by newline because string
+    * values escape theirs).
+    */
+  def writeJsonl(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** ORC source (the second columnar format beside parquet — explicit
     * schema skips footer inference, same predicate-pushdown/column-pruning
     * posture as the parquet scan).

@@ -357,6 +357,33 @@ class EtlSpec extends SparkSpec {
       incFiles.toSet.intersect(m1.map(_.file).toSet).isEmpty)
   }
 
+  test("snapshot delete: copy-on-write rewrites only overlapping files") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val path = tmpDir("snapdel") + "/s"
+    graft.core.Snapshot.write(df, path, "k", nFiles = 10)
+    val m1 = graft.core.Snapshot.manifest(spark, path)
+    graft.core.Snapshot.delete(spark, path, "k", 250L, 349L)
+    val m2 = graft.core.Snapshot.manifest(spark, path)
+    // non-overlapping manifest rows carry over VERBATIM (files untouched)
+    val untouched = m1.filter(s => s.max < 250L || s.min > 349L)
+    assert(untouched.nonEmpty && untouched.forall(m2.contains))
+    // overlapping originals are gone from the new version
+    val hit = m1.filterNot(untouched.contains)
+    assert(hit.nonEmpty && hit.forall(s => !m2.contains(s)))
+    assert(m2.map(_.rows).sum == 900L)
+    // deleted band gone; neighbours inside rewritten files survive
+    val got = graft.core.Snapshot.scan(spark, path, "k", 200L, 399L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == ((200L to 249L) ++ (350L to 399L)).map(i => (i, s"v$i")))
+    // time travel: version 1 still holds the pre-delete rows
+    assert(graft.core.Snapshot.scan(spark, path, "k", 250L, 349L,
+      version = Some(1)).count() == 100L)
+    // a no-overlap delete is a pure metadata commit
+    graft.core.Snapshot.delete(spark, path, "k", 5000L, 6000L)
+    assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 900L)
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
