@@ -119,12 +119,15 @@ object SparkEntry {
   // site{(doc_id·7 + j·13) % 50} — a 50-node host graph whose edges the
   // general extraction chain must recover exactly.
   private def crawlHtmlLinks(s: SparkSession, d: String): DataFrame = {
+    // anchor TEXT = the doc's own (j+1)-th word, so the anchor-term
+    // signal varies per doc and the oracle can restate it
     val anchors = transform(
       sequence(lit(0), (col("doc_id") % 3).cast("int")), j =>
         concat(lit("<a href=\"http://site"),
           ((col("doc_id") * 7 + j * 13) % 50).cast("string"),
-          lit(".example.com/p/"), j.cast("string"),
-          lit("\">link</a> ")))
+          lit(".example.com/p/"), j.cast("string"), lit("\">"),
+          element_at(split(col("text"), " "), (j + 1).cast("int")),
+          lit("</a> ")))
     t(s, d, "documents").select(col("doc_id"),
       concat(lit("http://site"), (col("doc_id") % 50).cast("string"),
         lit(".example.com/d/"), col("doc_id").cast("string")).as("url"),
@@ -1649,6 +1652,27 @@ object SparkEntry {
         .groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"))
         .orderBy("src_host", "dst_host")),
+
+    // Anchor-text index: what OTHER pages call a link target — the
+    // classic off-page relevance signal (anchor terms often describe the
+    // target better than its own text). Hrefs and anchor bodies zip in
+    // document order; per-(dst_host, term) counts, top-3 terms per host
+    // via one WindowGroupLimit — no global sort.
+    "anchor_terms" -> ((s, d) => {
+      val pages = crawlHtmlLinks(s, d)
+      val zipped = pages.select(explode(arrays_zip(
+        graft.llm.Html.links(col("html")).as("href"),
+        graft.llm.Html.anchorTexts(col("html")).as("term"))).as("a"))
+      val counts = zipped.select(
+          graft.llm.Urls.host(col("a.href")).as("dst_host"),
+          col("a.term").as("term"))
+        .groupBy("dst_host", "term").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dst_host").orderBy(col("n").desc, col("term"))
+      counts.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= 3).drop("_rk")
+        .orderBy("dst_host", "term")
+    }),
 
     // PageRank over the EXTRACTED host graph — crawl HTML in, ranked
     // hosts out, through the same integer-exact PR kernel graph_pagerank
@@ -5248,6 +5272,20 @@ object SparkEntry {
         "FROM le GROUP BY 1, 2 ORDER BY src_host, dst_host"),
 
     "link_pagerank" -> linkPagerankOracle,
+
+    // anchor_terms oracle: the (dst_host, term) relation from the link
+    // formula (term = the doc's (j+1)-th word), counted and top-3'd per
+    // host with the same (n DESC, term) tiebreak.
+    "anchor_terms" ->
+      ("WITH lj AS (SELECT doc_id, string_split(text, ' ') AS w, " +
+        "unnest(generate_series(0, doc_id % 3)) AS j FROM documents), " +
+        "e AS (SELECT 'site' || ((doc_id * 7 + j * 13) % 50) || '.example.com' AS dst_host, " +
+        "w[CAST(j + 1 AS INT)] AS term FROM lj), " +
+        "c AS (SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), " +
+        "r AS (SELECT dst_host, term, n, row_number() OVER " +
+        "(PARTITION BY dst_host ORDER BY n DESC, term) AS rk FROM c) " +
+        "SELECT dst_host, term, n FROM r WHERE rk <= 3 " +
+        "ORDER BY dst_host, term"),
 
     // script_detect oracle: replay the salting formula, then the same
     // per-range character counts (literal code-point classes — RE2 here,

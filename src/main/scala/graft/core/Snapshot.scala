@@ -157,6 +157,29 @@ object Snapshot {
       keep ++ statsOf(spark, statCol, schema, dataDir))
   }
 
+  /** Small-file COMPACTION: fold the current version's live files into
+    * `nFiles` fresh range-clustered files as a new version — same rows,
+    * fewer/larger files. This is the maintenance job that keeps the
+    * split count healthy after many appends (each append adds its own
+    * small files) and restores clustering after deletes. Data files are
+    * immutable, so every older version keeps reading the originals.
+    */
+  def compact(spark: SparkSession, path: String, statCol: String,
+              nFiles: Int = 16): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val prev = currentVersion(spark, path)
+    val next = prev + 1
+    val m = manifest(spark, path, Some(prev))
+    if (m.isEmpty) { commit(spark, path, next, Nil); return }
+    val schema = snapshotSchema(spark, path)
+    val dataDir = path + s"/v$next"
+    spark.read.schema(schema).parquet(m.map(_.file): _*)
+      .repartitionByRange(nFiles, col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("overwrite").parquet(dataDir)
+    commit(spark, path, next, statsOf(spark, statCol, schema, dataDir))
+  }
+
   /** The manifest rows of `version` (default: current); empty when that
     * version holds no data files.
     */

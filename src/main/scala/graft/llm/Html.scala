@@ -45,6 +45,15 @@ object Html {
     regexp_extract_all(html,
       lit("(?is)<a\\s(?:[^>]*?\\s)?href=\"([^\"]*)\""), lit(1))
 
+  /** The visible anchor TEXT of every `<a>` element in document order —
+    * the companion of [[links]] (anchor text is the classic off-page
+    * relevance signal: what OTHER pages call the link target). Simple
+    * (non-nested) anchor bodies only, the extraction-baseline posture.
+    */
+  def anchorTexts(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\s[^>]*>([^<]*)</a>"), lit(1))
+
   private def decodeEntities(c: Column): Column = {
     val base = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ")

@@ -384,6 +384,31 @@ class EtlSpec extends SparkSpec {
     assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 900L)
   }
 
+  test("snapshot compaction: fewer files, identical rows, clustering restored") {
+    import spark.implicits._
+    val path = tmpDir("snapcomp") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 300L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k", 6)
+    graft.core.Snapshot.append(
+      (300L until 400L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k", 4)
+    graft.core.Snapshot.append(
+      (400L until 500L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k", 4)
+    val before = graft.core.Snapshot.manifest(spark, path)
+    graft.core.Snapshot.compact(spark, path, "k", nFiles = 4)
+    val after = graft.core.Snapshot.manifest(spark, path)
+    assert(after.size < before.size && after.map(_.rows).sum == 500L)
+    // bands disjoint again after compaction
+    val sorted = after.sortBy(_.min)
+    assert(sorted.sliding(2).forall {
+      case Seq(a, b) => a.max < b.min; case _ => true })
+    // identical relation through any probe
+    val got = graft.core.Snapshot.scan(spark, path, "k", 0L, 499L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (0L until 500L).map(i => (i, s"v$i")))
+    // pre-compaction version still readable
+    assert(graft.core.Snapshot.manifest(spark, path, Some(3)) == before)
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
