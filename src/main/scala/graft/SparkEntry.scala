@@ -2467,6 +2467,27 @@ object SparkEntry {
         st.getField("sum_b").as("sum_b"))
     },
 
+    // REAL GIF decode, end-to-end: each doc synthesizes a genuine GIF89a
+    // (256-entry palette, LZW-compressed index stream crossing code
+    // widths) whose pattern derives from doc_id; GifPixelStats then
+    // LZW-decodes, resolves the palette, and sums the raster. Same
+    // pattern formula as the PNG gate, under a DIFFERENT (LZW)
+    // compression family — GIF is lossless, so the full decode∘encode
+    // identity sits under the hash-exact oracle.
+    "multimodal_gif" -> { (s, d) =>
+      val w = (lit(16) + col("doc_id") % 16).cast("int")
+      val h = (lit(8) + col("doc_id") % 8).cast("int")
+      val v = (col("doc_id") % 256).cast("int")
+      val st = graft.functions.native.gifPixelStats(
+        graft.functions.native.syntheticGif(w, h, v))
+      t(s, d, "documents").select(col("doc_id"),
+        st.getField("width").as("width"),
+        st.getField("height").as("height"),
+        st.getField("sum_r").as("sum_r"),
+        st.getField("sum_g").as("sum_g"),
+        st.getField("sum_b").as("sum_b"))
+    },
+
     // REAL audio decode, end-to-end: each doc synthesizes a genuine
     // RIFF/WAVE 16-bit PCM clip whose sample formula derives from doc_id;
     // WavAudioStats walks the chunk layout, reads the s16le samples, and
@@ -5436,6 +5457,21 @@ object SparkEntry {
         "FROM d, generate_series(0, 30) xs(x), generate_series(0, 14) ys(y) " +
         "WHERE xs.x < w AND ys.y < h) " +
         "SELECT doc_id, w AS width, h AS height, CAST(3 AS INTEGER) AS channels, " +
+        "CAST(sum(base % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
+        "FROM px GROUP BY doc_id, w, h ORDER BY doc_id"),
+
+    // GIF replay: the same pattern formula as the PNG pixel gate — the
+    // Spark side must earn the sums through a real LZW decode + palette
+    // resolution of the synthesized GIF bytes.
+    "multimodal_gif" ->
+      ("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INTEGER) AS w, " +
+        "CAST(8 + doc_id % 8 AS INTEGER) AS h, doc_id % 256 AS v FROM documents), " +
+        "px AS (SELECT doc_id, w, h, (7 * xs.x + 13 * ys.y + v) AS base " +
+        "FROM d, generate_series(0, 30) xs(x), generate_series(0, 14) ys(y) " +
+        "WHERE xs.x < w AND ys.y < h) " +
+        "SELECT doc_id, w AS width, h AS height, " +
         "CAST(sum(base % 256) AS BIGINT) AS sum_r, " +
         "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
         "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +

@@ -1232,6 +1232,67 @@ case class PngPixelStats(child: Expression)
     copy(child = c)
 }
 
+/** A REAL synthesized GIF89a from (width, height, variant): 256-entry
+  * global palette `i → (i, (i+101) mod 256, (i+202) mod 256)` and index
+  * pattern `(7x + 13y + v) mod 256`, LZW-compressed by the from-scratch
+  * [[graft.llm.Gif]] encoder — the same pattern formula the PNG gate
+  * uses, under a different (LZW) compression family.
+  */
+case class SyntheticGif(first: Expression, second: Expression,
+                        third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(w: Any, h: Any, v: Any): Any = {
+    val width = w.asInstanceOf[Number].intValue()
+    val height = h.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].intValue()
+    val palette = Array.tabulate(256)(i =>
+      (i << 16) | (((i + 101) % 256) << 8) | ((i + 202) % 256))
+    graft.llm.Gif.encode(width, height, palette,
+      (x, y) => (7 * x + 13 * y + variant) % 256)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): SyntheticGif = copy(first = a, second = b, third = c)
+}
+
+/** Decoded-pixel statistics of a GIF payload — `(width, height, sum_r,
+  * sum_g, sum_b)` over the palette-RESOLVED raster, or NULL when
+  * [[graft.llm.Gif.decode]] rejects the bytes. Any LZW or palette slip
+  * shows up as a wrong sum — the gate's pin against the formula.
+  */
+case class GifPixelStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("sum_r", LongType), StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  override def nullSafeEval(input: Any): Any =
+    graft.llm.Gif.decode(input.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(img) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val n = img.width * img.height
+        var p = 0
+        while (p < n) {
+          val c = img.rgb(p)
+          sr += (c >> 16) & 0xFF; sg += (c >> 8) & 0xFF; sb += c & 0xFF
+          p += 1
+        }
+        org.apache.spark.sql.catalyst.InternalRow(
+          java.lang.Integer.valueOf(img.width),
+          java.lang.Integer.valueOf(img.height),
+          java.lang.Long.valueOf(sr), java.lang.Long.valueOf(sg),
+          java.lang.Long.valueOf(sb))
+    }
+
+  override protected def withNewChildInternal(c: Expression): GifPixelStats =
+    copy(child = c)
+}
+
 /** A REAL synthesized WAV byte stream from (nSamples, variant) — 16-bit
   * mono PCM at 16 kHz via [[graft.llm.Multimodal.encodeWav]], with the
   * deterministic sample formula `s(i) = ((31i² + 17i + 97·variant) mod
@@ -2025,6 +2086,13 @@ object native {
 
   /** Decoded-pixel stats `(width, height, channels, sum_r, sum_g, sum_b)`. */
   def pngPixelStats(c: Column): Column = column(PngPixelStats(expression(c)))
+
+  /** A real synthesized GIF89a from (width, height, variant). */
+  def syntheticGif(w: Column, h: Column, v: Column): Column =
+    column(SyntheticGif(expression(w), expression(h), expression(v)))
+
+  /** GIF decoded-pixel stats `(width, height, sum_r, sum_g, sum_b)`. */
+  def gifPixelStats(c: Column): Column = column(GifPixelStats(expression(c)))
 
   /** A real synthesized 16-bit PCM WAV from (nSamples, variant). */
   /** Gain-scaled synthetic WAV from (nSamples, variant, gain). */

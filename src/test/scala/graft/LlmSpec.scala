@@ -2737,6 +2737,50 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.decodePng("not a png".getBytes).isEmpty)
   }
 
+  test("GIF codec: LZW identity across code widths, ImageIO cross-parity, rejects damage") {
+    import graft.llm.Gif
+    val palette = Array.tabulate(256)(i =>
+      (i << 16) | (((i + 101) % 256) << 8) | ((i + 202) % 256))
+    def pat(v: Int)(x: Int, y: Int): Int = (7 * x + 13 * y + v) % 256
+    // identity through our own codec on a small raster
+    val bytes = Gif.encode(31, 15, palette, pat(9))
+    val img = Gif.decode(bytes).get
+    assert(img.width == 31 && img.height == 15)
+    for (y <- 0 until 15; x <- 0 until 31)
+      assert((img.indices(y * 31 + x) & 0xFF) == pat(9)(x, y), s"($x,$y)")
+    // the bytes are REAL GIF: the JDK's own reader decodes the same raster
+    val io = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(io.getWidth == 31 && io.getHeight == 15)
+    for (y <- 0 until 15; x <- 0 until 31) {
+      val want = palette(pat(9)(x, y))
+      assert((io.getRGB(x, y) & 0xFFFFFF) == want, s"($x,$y)")
+    }
+    // a large noisy raster crosses 9->10->11->12-bit codes AND the
+    // 4096-entry dictionary reset; identity and ImageIO parity must hold
+    def noisy(x: Int, y: Int): Int = (x * 31 + y * 17 + (x * y) % 97) % 256
+    val big = Gif.encode(120, 90, palette, noisy)
+    val bimg = Gif.decode(big).get
+    for (y <- 0 until 90; x <- 0 until 120)
+      assert((bimg.indices(y * 120 + x) & 0xFF) == noisy(x, y), s"($x,$y)")
+    val bio = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big))
+    for (y <- 0 until 90; x <- 0 until 120)
+      assert((bio.getRGB(x, y) & 0xFFFFFF) == palette(noisy(x, y)), s"($x,$y)")
+    // ...and our decoder reads a GIF the JDK WROTE (foreign LZW choices)
+    val bi = new java.awt.image.BufferedImage(33, 21,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 21; x <- 0 until 33)
+      bi.setRGB(x, y, palette(pat(3)(x, y)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "gif", baos)
+    val theirs = Gif.decode(baos.toByteArray).get
+    for (y <- 0 until 21; x <- 0 until 33)
+      assert(theirs.rgb(y * 33 + x) == (bi.getRGB(x, y) & 0xFFFFFF), s"($x,$y)")
+    // damage is rejected, never mis-decoded
+    assert(Gif.decode(bytes.take(bytes.length - 5)).isEmpty)
+    assert(Gif.decode("definitely not a gif".getBytes).isEmpty)
+    assert(Gif.decode(Array[Byte]()).isEmpty)
+  }
+
   test("APNG codec: per-frame identity, frame sampling, ImageIO reads frame 0, rejects damage") {
     def pattern(f: Int, x: Int, y: Int, c: Int): Int = (7 * x + 13 * y + 23 * f + 9 + 101 * c) % 256
     val bytes = Multimodal.encodeApng(11, 7, 3, 5, pattern)
