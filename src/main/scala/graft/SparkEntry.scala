@@ -2488,6 +2488,28 @@ object SparkEntry {
         st.getField("sum_b").as("sum_b"))
     },
 
+    // Animated-GIF frame table under the gate: each doc synthesizes a
+    // real multi-frame GIF (2-4 frames, per-frame LZW streams); the
+    // typed mapPartitions decode boundary walks every frame and releases
+    // integer-exact per-frame channel sums the oracle replays from the
+    // formula — the GIF leg of the clip/frame family.
+    "multimodal_gif_frames" -> { (s, d) =>
+      val w = (lit(16) + col("doc_id") % 16).cast("int")
+      val h = (lit(8) + col("doc_id") % 8).cast("int")
+      val nf = (lit(2) + col("doc_id") % 3).cast("int")
+      val v = (col("doc_id") % 256).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        graft.functions.native.syntheticGifAnim(w, h, nf, v).as("content"))
+      Multimodal.decodeFrames(s, media, Multimodal.gifFrameSums)
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("int").as("frame_idx"),
+          element_at(col("features"), 2).cast("int").as("width"),
+          element_at(col("features"), 3).cast("int").as("height"),
+          element_at(col("features"), 4).cast("long").as("sum_r"),
+          element_at(col("features"), 5).cast("long").as("sum_g"),
+          element_at(col("features"), 6).cast("long").as("sum_b"))
+    },
+
     // REAL audio decode, end-to-end: each doc synthesizes a genuine
     // RIFF/WAVE 16-bit PCM clip whose sample formula derives from doc_id;
     // WavAudioStats walks the chunk layout, reads the s16le samples, and
@@ -5476,6 +5498,24 @@ object SparkEntry {
         "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
         "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
         "FROM px GROUP BY doc_id, w, h ORDER BY doc_id"),
+
+    // Animated-GIF frame replay: the per-frame pattern formula with the
+    // frame term, summed per (doc, frame).
+    "multimodal_gif_frames" ->
+      ("WITH d AS (SELECT doc_id, CAST(16 + doc_id % 16 AS INTEGER) AS w, " +
+        "CAST(8 + doc_id % 8 AS INTEGER) AS h, " +
+        "CAST(2 + doc_id % 3 AS INTEGER) AS nf, doc_id % 256 AS v FROM documents), " +
+        "px AS (SELECT doc_id, w, h, fs.f AS f, " +
+        "(7 * xs.x + 13 * ys.y + 31 * fs.f + v) AS base " +
+        "FROM d, generate_series(0, 3) fs(f), generate_series(0, 30) xs(x), " +
+        "generate_series(0, 14) ys(y) " +
+        "WHERE fs.f < nf AND xs.x < w AND ys.y < h) " +
+        "SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx, " +
+        "w AS width, h AS height, " +
+        "CAST(sum(base % 256) AS BIGINT) AS sum_r, " +
+        "CAST(sum((base + 101) % 256) AS BIGINT) AS sum_g, " +
+        "CAST(sum((base + 202) % 256) AS BIGINT) AS sum_b " +
+        "FROM px GROUP BY doc_id, f, w, h ORDER BY media_id, frame_idx"),
 
     // Audio replay: the PCM sample formula restated in BIGINT arithmetic;
     // energy / crossings / peak from the raw samples — the Spark side must

@@ -1581,6 +1581,34 @@ case class WavAudioStats(child: Expression)
     copy(child = c)
 }
 
+/** A REAL synthesized ANIMATED GIF from (width, height, nFrames,
+  * variant) — [[graft.llm.Gif.encodeAnimated]] with per-frame index
+  * pattern `(7x + 13y + 31f + variant) mod 256` over the standard
+  * `i → (i, (i+101) mod 256, (i+202) mod 256)` palette. The animation
+  * twin of [[SyntheticGif]].
+  */
+case class SyntheticGifAnim(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(w: Any, h: Any, n: Any, v: Any): Any = {
+    val width = w.asInstanceOf[Number].intValue()
+    val height = h.asInstanceOf[Number].intValue()
+    val nFrames = n.asInstanceOf[Number].intValue()
+    val variant = v.asInstanceOf[Number].intValue()
+    val palette = Array.tabulate(256)(i =>
+      (i << 16) | (((i + 101) % 256) << 8) | ((i + 202) % 256))
+    graft.llm.Gif.encodeAnimated(width, height, nFrames, palette,
+      f => (x, y) => (7 * x + 13 * y + 31 * f + variant) % 256)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression, d: Expression): SyntheticGifAnim =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** A REAL synthesized APNG clip from (width, height, nFrames, variant) —
   * [[graft.llm.Multimodal.encodeApng]] with the per-frame pattern
   * `channel(f, x, y, c) = (7x + 13y + 23f + variant + 101c) mod 256`,
@@ -2093,6 +2121,11 @@ object native {
 
   /** GIF decoded-pixel stats `(width, height, sum_r, sum_g, sum_b)`. */
   def gifPixelStats(c: Column): Column = column(GifPixelStats(expression(c)))
+
+  /** A real synthesized ANIMATED GIF from (w, h, nFrames, variant). */
+  def syntheticGifAnim(w: Column, h: Column, n: Column, v: Column): Column =
+    column(SyntheticGifAnim(expression(w), expression(h), expression(n),
+      expression(v)))
 
   /** A real synthesized 16-bit PCM WAV from (nSamples, variant). */
   /** Gain-scaled synthetic WAV from (nSamples, variant, gain). */

@@ -30,9 +30,19 @@ object Gif {
 
   /** Encode a 256-color palette-indexed raster as a real GIF89a stream. */
   def encode(width: Int, height: Int, palette: Array[Int],
-             idx: (Int, Int) => Int): Array[Byte] = {
+             idx: (Int, Int) => Int): Array[Byte] =
+    encodeAnimated(width, height, 1, palette, _ => idx)
+
+  /** Encode an ANIMATED GIF89a: `nFrames` full frames over one global
+    * palette (each with its own image descriptor + LZW stream — the
+    * frame-table shape the clip gates sample).
+    */
+  def encodeAnimated(width: Int, height: Int, nFrames: Int,
+                     palette: Array[Int],
+                     idx: Int => (Int, Int) => Int): Array[Byte] = {
     require(palette.length == 256, "encoder emits a 256-entry global table")
-    val out = new ArrayBuffer[Byte](width * height / 2 + 800)
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val out = new ArrayBuffer[Byte](nFrames * width * height / 2 + 800)
     def u8(v: Int): Unit = out += (v & 0xFF).toByte
     def le16(v: Int): Unit = { u8(v); u8(v >> 8) }
     "GIF89a".foreach(c => out += c.toByte)
@@ -40,30 +50,34 @@ object Gif {
     u8(0xF7) // global color table, 8-bit color resolution, 256 entries
     u8(0); u8(0) // background index, aspect
     palette.foreach { c => u8(c >> 16); u8(c >> 8); u8(c) }
-    u8(0x2C) // image descriptor
-    le16(0); le16(0); le16(width); le16(height)
-    u8(0) // no local table, no interlace
-    u8(8) // LZW minimum code size
-    // LZW over the index stream
-    val pixels = new Array[Byte](width * height)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        pixels(y * width + x) = (idx(x, y) & 0xFF).toByte; x += 1
+    var f = 0
+    while (f < nFrames) {
+      u8(0x2C) // image descriptor
+      le16(0); le16(0); le16(width); le16(height)
+      u8(0) // no local table, no interlace
+      u8(8) // LZW minimum code size
+      val pat = idx(f)
+      val pixels = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          pixels(y * width + x) = (pat(x, y) & 0xFF).toByte; x += 1
+        }
+        y += 1
       }
-      y += 1
+      val data = lzwEncode(pixels)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        u8(n)
+        var i = 0
+        while (i < n) { out += data(off + i); i += 1 }
+        off += n
+      }
+      u8(0) // block terminator
+      f += 1
     }
-    val data = lzwEncode(pixels)
-    var off = 0
-    while (off < data.length) {
-      val n = math.min(255, data.length - off)
-      u8(n)
-      var i = 0
-      while (i < n) { out += data(off + i); i += 1 }
-      off += n
-    }
-    u8(0) // block terminator
     u8(0x3B) // trailer
     out.toArray
   }
@@ -117,78 +131,91 @@ object Gif {
 
   // ---- decoder ----------------------------------------------------------
 
-  /** Decode a GIF89a/87a stream (first image; extensions skipped), or
+  /** Decode a GIF89a/87a stream's FIRST image (extensions skipped), or
     * None when the bytes are not a well-formed GIF.
     */
-  def decode(bytes: Array[Byte]): Option[GifImage] = {
-    try decodeOrThrow(bytes) catch { case _: Exception => None }
+  def decode(bytes: Array[Byte]): Option[GifImage] =
+    decodeFrames(bytes).flatMap(_.headOption)
+
+  /** Decode every image of a (possibly animated) GIF — each frame must
+    * be a FULL frame (the shape our encoder writes; partial-update
+    * animations are out of scope for the frame-sampling gates).
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[Seq[GifImage]] = {
+    try decodeFramesOrThrow(bytes) catch { case _: Exception => None }
   }
 
-  private def decodeOrThrow(bytes: Array[Byte]): Option[GifImage] = {
+  private def decodeFramesOrThrow(
+      bytes: Array[Byte]): Option[Seq[GifImage]] = {
     def u8(i: Int): Int = bytes(i) & 0xFF
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     if (bytes.length < 13) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF89a" && sig != "GIF87a") return None
     var p = 6
-    p += 4 // logical screen w/h (the image descriptor's dims are used)
+    p += 4 // logical screen w/h (each image descriptor carries its own)
     val packed = u8(p); p += 3 // packed, background, aspect
     var globalPal: Array[Int] = null
     if ((packed & 0x80) != 0) {
       val n = 2 << (packed & 7)
       globalPal = readPalette(bytes, p, n); p += 3 * n
     }
-    // walk blocks to the first image descriptor
-    while (p < bytes.length && u8(p) != 0x2C) {
+    val frames = new ArrayBuffer[GifImage]()
+    var done = false
+    while (!done && p < bytes.length) {
       u8(p) match {
         case 0x21 => // extension: label + sub-blocks
           p += 2
           while (u8(p) != 0) p += 1 + u8(p)
           p += 1
-        case 0x3B => return None // trailer before any image
+        case 0x3B => done = true // trailer
+        case 0x2C =>
+          val width = le16(p + 5); val height = le16(p + 7)
+          val ipacked = u8(p + 9); p += 10
+          var pal = globalPal
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            pal = readPalette(bytes, p, n); p += 3 * n
+          }
+          if (pal == null) return None // no palette in scope
+          val interlaced = (ipacked & 0x40) != 0
+          val mcs = u8(p); p += 1
+          if (mcs < 2 || mcs > 8) return None
+          // concatenate the data sub-blocks
+          val data = new ArrayBuffer[Byte](bytes.length - p)
+          while (u8(p) != 0) {
+            val n = u8(p); p += 1
+            var i = 0
+            while (i < n) { data += bytes(p + i); i += 1 }
+            p += n
+          }
+          p += 1 // block terminator
+          val sequential = lzwDecode(data.toArray, mcs, width * height)
+          if (sequential == null) return None
+          // interlaced streams carry rows in the four GIF passes
+          // (every 8th from 0, every 8th from 4, every 4th from 2, odd
+          // rows) — scatter them back to natural order
+          val indices =
+            if (!interlaced) sequential
+            else {
+              val outRows = new Array[Byte](width * height)
+              var src = 0
+              for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+                   y <- start until height by step) {
+                System.arraycopy(sequential, src * width, outRows,
+                  y * width, width)
+                src += 1
+              }
+              outRows
+            }
+          // a palette smaller than 256 still decodes: widen for rgb()
+          val pal256 =
+            if (pal.length == 256) pal else java.util.Arrays.copyOf(pal, 256)
+          frames += GifImage(width, height, indices, pal256)
         case _ => return None
       }
     }
-    if (p >= bytes.length) return None
-    val width = le16(p + 5); val height = le16(p + 7)
-    val ipacked = u8(p + 9); p += 10
-    var pal = globalPal
-    if ((ipacked & 0x80) != 0) {
-      val n = 2 << (ipacked & 7)
-      pal = readPalette(bytes, p, n); p += 3 * n
-    }
-    if (pal == null) return None // no palette in scope
-    val interlaced = (ipacked & 0x40) != 0
-    val mcs = u8(p); p += 1
-    if (mcs < 2 || mcs > 8) return None
-    // concatenate the data sub-blocks
-    val data = new ArrayBuffer[Byte](bytes.length - p)
-    while (u8(p) != 0) {
-      val n = u8(p); p += 1
-      var i = 0
-      while (i < n) { data += bytes(p + i); i += 1 }
-      p += n
-    }
-    val sequential = lzwDecode(data.toArray, mcs, width * height)
-    if (sequential == null) return None
-    // interlaced streams carry rows in the four GIF passes
-    // (every 8th from 0, every 8th from 4, every 4th from 2, odd rows) —
-    // scatter them back to natural order
-    val indices =
-      if (!interlaced) sequential
-      else {
-        val outRows = new Array[Byte](width * height)
-        var src = 0
-        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
-             y <- start until height by step) {
-          System.arraycopy(sequential, src * width, outRows, y * width, width)
-          src += 1
-        }
-        outRows
-      }
-    // a palette smaller than 256 still decodes: widen to 256 for rgb()
-    val pal256 = if (pal.length == 256) pal else java.util.Arrays.copyOf(pal, 256)
-    Some(GifImage(width, height, indices, pal256))
+    if (frames.isEmpty) None else Some(frames.toSeq)
   }
 
   private def readPalette(bytes: Array[Byte], off: Int, n: Int): Array[Int] = {

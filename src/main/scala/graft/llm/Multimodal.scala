@@ -563,6 +563,54 @@ object Multimodal {
           }
     }
 
+  /** GIF frame decoder for [[decodeFrames]] — the animated-GIF leg of the
+    * clip family: palette-resolved per-frame channel means in the uniform
+    * clip row shape ([fi, width, height, channels, meanR, meanG, meanB]).
+    */
+  def gifFrameDecoder(sampleEvery: Int = 2)(bytes: Array[Byte]): Iterator[Array[Float]] =
+    Gif.decodeFrames(bytes) match {
+      case None => Iterator.empty
+      case Some(fs) =>
+        fs.iterator.zipWithIndex
+          .filter(_._2 % sampleEvery == 0)
+          .map { case (img, fi) =>
+            val n = img.width * img.height
+            val sums = new Array[Long](3)
+            var p = 0
+            while (p < n) {
+              val c = img.rgb(p)
+              sums(0) += (c >> 16) & 0xFF; sums(1) += (c >> 8) & 0xFF
+              sums(2) += c & 0xFF
+              p += 1
+            }
+            Array(fi.toFloat, img.width.toFloat, img.height.toFloat, 3f,
+              sums(0).toFloat / n, sums(1).toFloat / n, sums(2).toFloat / n)
+          }
+    }
+
+  /** Integer-exact per-frame GIF stats for the gate ([fi, width, height,
+    * sumR, sumG, sumB] — sums, not means, so the oracle replays them
+    * exactly; every value < 2²⁴ is float-exact).
+    */
+  def gifFrameSums(bytes: Array[Byte]): Iterator[Array[Float]] =
+    Gif.decodeFrames(bytes) match {
+      case None => Iterator.empty
+      case Some(fs) =>
+        fs.iterator.zipWithIndex.map { case (img, fi) =>
+          val n = img.width * img.height
+          val sums = new Array[Long](3)
+          var p = 0
+          while (p < n) {
+            val c = img.rgb(p)
+            sums(0) += (c >> 16) & 0xFF; sums(1) += (c >> 8) & 0xFF
+            sums(2) += c & 0xFF
+            p += 1
+          }
+          Array(fi.toFloat, img.width.toFloat, img.height.toFloat,
+            sums(0).toFloat, sums(1).toFloat, sums(2).toFloat)
+        }
+    }
+
   /** Clip-level video near-dup pairs by SAMPLED-FRAME content hash — the
     * dedup op a video corpus actually runs (re-uploads, re-encodes of the
     * same cut, clips sharing stock footage): decode every `sampleEvery`-th
@@ -927,13 +975,30 @@ object Multimodal {
     }
 
   /** Still-image raster decode dispatching on magic bytes: SOI →
-    * [[Jpeg.decode]], PNG signature → [[decodePng]] — ONE decode boundary
-    * for mixed-format image corpora (web images are mostly JPEG with a
-    * PNG tail; format must never matter to downstream raster consumers).
+    * [[Jpeg.decode]], `GIF8` → [[Gif.decode]] (palette-resolved to the
+    * uniform 3-channel raster), PNG signature → [[decodePng]] — ONE
+    * decode boundary for mixed-format image corpora (format must never
+    * matter to downstream raster consumers: the same image under any of
+    * the three codecs feeds identical bytes to the perceptual hashes).
     */
   def decodeImage(bytes: Array[Byte]): Option[PngImage] =
     if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
         (bytes(1) & 0xFF) == 0xD8) Jpeg.decode(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8')
+      Gif.decode(bytes).map { g =>
+        // palette-resolve to the uniform 3-channel raster shape
+        val px = new Array[Byte](g.width * g.height * 3)
+        var p = 0
+        while (p < g.width * g.height) {
+          val c = g.rgb(p)
+          px(p * 3) = ((c >> 16) & 0xFF).toByte
+          px(p * 3 + 1) = ((c >> 8) & 0xFF).toByte
+          px(p * 3 + 2) = (c & 0xFF).toByte
+          p += 1
+        }
+        PngImage(g.width, g.height, 3, px)
+      }
     else decodePng(bytes)
 
   /** Real CLIP frame decoder for [[decodeFrames]] dispatching on the
@@ -948,6 +1013,9 @@ object Multimodal {
   def clipFrameDecoder(sampleEvery: Int = 2)(bytes: Array[Byte]): Iterator[Array[Float]] =
     if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
       mjpegFrameDecoder(sampleEvery)(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8')
+      gifFrameDecoder(sampleEvery)(bytes)
     else apngFrameDecoder(sampleEvery)(bytes)
 
   /** Real IMAGE frame decoder for [[decodeFrames]] dispatching on the

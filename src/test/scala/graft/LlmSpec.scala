@@ -2781,6 +2781,41 @@ class LlmSpec extends SparkSpec {
     assert(Gif.decode(Array[Byte]()).isEmpty)
   }
 
+  test("cross-codec raster identity: the same image through GIF and PNG decodes equal") {
+    import graft.llm.Gif
+    // a gray raster both codecs can express exactly
+    val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    def pat(x: Int, y: Int): Int = (x * 5 + y * 3) % 200 + 20
+    val png = Multimodal.encodePng(32, 24, 3, (x, y, _) => pat(x, y))
+    val gif = Gif.encode(32, 24, grayPal, pat)
+    val (a, b) = (Multimodal.decodeImage(png).get, Multimodal.decodeImage(gif).get)
+    assert(a.width == b.width && a.height == b.height && a.channels == b.channels)
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+    // so the perceptual hash cannot tell the codecs apart
+    val hashes = Seq(Tuple1(png), Tuple1(gif)).toDF("payload")
+      .select(graft.functions.native.imageAHash64(col("payload")).as("h"))
+      .as[Long].collect()
+    assert(hashes(0) == hashes(1))
+  }
+
+  test("animated GIF: per-frame identity, sampling, clip dispatch by magic") {
+    import graft.llm.Gif
+    val pal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    def pat(f: Int)(x: Int, y: Int): Int = (x + 2 * y + 5 * f) % 256
+    val bytes = Gif.encodeAnimated(20, 10, 3, pal, f => pat(f))
+    val frames = Gif.decodeFrames(bytes).get
+    assert(frames.size == 3)
+    for (f <- 0 until 3; y <- 0 until 10; x <- 0 until 20)
+      assert((frames(f).indices(y * 20 + x) & 0xFF) == pat(f)(x, y),
+        s"($f,$x,$y)")
+    // every-2nd sampling keeps frames 0 and 2
+    val sampled = Multimodal.gifFrameDecoder(2)(bytes).toSeq
+    assert(sampled.map(_(0)) == Seq(0f, 2f))
+    // the clip dispatcher routes GIF payloads by magic
+    val viaClip = Multimodal.clipFrameDecoder(2)(bytes).toSeq
+    assert(viaClip.map(_(0)) == Seq(0f, 2f) && viaClip.head(3) == 3f)
+  }
+
   test("APNG codec: per-frame identity, frame sampling, ImageIO reads frame 0, rejects damage") {
     def pattern(f: Int, x: Int, y: Int, c: Int): Int = (7 * x + 13 * y + 23 * f + 9 + 101 * c) % 256
     val bytes = Multimodal.encodeApng(11, 7, 3, 5, pattern)
