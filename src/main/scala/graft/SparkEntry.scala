@@ -2731,6 +2731,25 @@ object SparkEntry {
       Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
     },
 
+    // THREE codecs under one perceptual gate: each group of three docs is
+    // the SAME margin-engineered checkerboard stored as PNG (zlib), real
+    // JPEG (DCT, lossy-inside-margin), and GIF (LZW, lossless) — all
+    // three rasters must aHash to the same 64 bits and pair at Hamming 0.
+    // The oracle is codec-blind by construction: it re-derives the bits
+    // from the group formula and pairs every group member.
+    "dedup_phash_tri" -> { (s, d) =>
+      val g = floor(col("doc_id") / 3).cast("long")
+      val r = col("doc_id") % 3
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        when(r === 0, graft.functions.native.syntheticImageCheck(
+            32, 32, g, lit(false)))
+          .when(r === 1, graft.functions.native.syntheticImageCheck(
+            32, 32, g, lit(true)))
+          .otherwise(graft.functions.native.syntheticImageCheckGif(32, 32, g))
+          .as("content"))
+      Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
+    },
+
     // LOSSY-container frame sampling, end-to-end real: each doc
     // synthesizes a genuine MJPEG clip (back-to-back baseline JPEGs from
     // the JDK encoder), the container is split by a real marker walk, and
@@ -3229,6 +3248,38 @@ object SparkEntry {
   // PageRank replay: the knn edge relation, then 3 unrolled rounds of the
   // identical integer-DIV recurrence (DuckDB `//` == Spark SQL `DIV` on
   // BIGINT; all operands positive).
+  // The checkerboard perceptual-gate replay, parameterized by how many
+  // docs share one checkerboard: mix32-ranked cell bits per group, the
+  // same band/df-guard/pair chain as dedup_phash, pairs at Hamming ≤ 6.
+  // Codec-blind by construction — the bits are a pure group function.
+  private def phashCheckOracle(groupSize: Int): String =
+    s"WITH d AS (SELECT doc_id, doc_id // $groupSize AS g FROM documents), " +
+      "gs AS (SELECT DISTINCT g FROM d), " +
+      "m0 AS (SELECT g, ks.k, (g * 64 + ks.k) % 4294967296 AS x0 " +
+      "FROM gs, generate_series(0, 63) ks(k)), " +
+      "m1 AS (SELECT g, k, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1 FROM m0), " +
+      "m2 AS (SELECT g, k, (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2 FROM m1), " +
+      "chh AS (SELECT g, k, xor(x2, x2 >> 16) AS h FROM m2), " +
+      "rk AS (SELECT g, k, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, k) AS rn FROM chh), " +
+      "bnd AS (SELECT g, k // 16 AS band, " +
+      "sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END * (CAST(1 AS BIGINT) << (k % 16))) AS bv " +
+      "FROM rk GROUP BY 1, 2), " +
+      "db AS (SELECT d.doc_id, bnd.band, bnd.bv FROM d JOIN bnd ON bnd.g = d.g), " +
+      "rare AS (SELECT band, bv FROM db GROUP BY 1, 2 HAVING count(*) <= 64), " +
+      "kept AS (SELECT db.doc_id, db.band, db.bv FROM db JOIN rare ON rare.band = db.band AND rare.bv = db.bv), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM kept x " +
+      "JOIN kept y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id), " +
+      "wide AS (SELECT doc_id, max(CASE WHEN band = 0 THEN bv END) AS b0, " +
+      "max(CASE WHEN band = 1 THEN bv END) AS b1, " +
+      "max(CASE WHEN band = 2 THEN bv END) AS b2, " +
+      "max(CASE WHEN band = 3 THEN bv END) AS b3 FROM db GROUP BY doc_id), " +
+      "hm AS (SELECT cand.ida, cand.idb, " +
+      "bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + " +
+      "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming " +
+      "FROM cand JOIN wide x ON x.doc_id = cand.ida JOIN wide y ON y.doc_id = cand.idb) " +
+      "SELECT ida AS id_a, idb AS id_b, CAST(hamming AS INTEGER) AS hamming " +
+      "FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"
+
   // The engine-agnostic integer-PR replay body: expects a CTE chain ending
   // in `ed(src, dst)`; leaves `r3` holding the final ranks. Shared by the
   // knn-graph and link-graph pagerank oracles.
@@ -5808,33 +5859,12 @@ object SparkEntry {
     // from the rank formula alone (cell high ⇔ rank ≤ 32 ⇔ mean 200 > the
     // exact global mean 120 — JPEG noise cannot cross the 80-level
     // margin), then the identical band/guard/pair chain as dedup_phash.
-    "dedup_phash_mixed" ->
-      ("WITH d AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
-        "gs AS (SELECT DISTINCT g FROM d), " +
-        "m0 AS (SELECT g, ks.k, (g * 64 + ks.k) % 4294967296 AS x0 " +
-        "FROM gs, generate_series(0, 63) ks(k)), " +
-        "m1 AS (SELECT g, k, (xor(x0, x0 >> 16) * 73244475) % 4294967296 AS x1 FROM m0), " +
-        "m2 AS (SELECT g, k, (xor(x1, x1 >> 16) * 73244475) % 4294967296 AS x2 FROM m1), " +
-        "chh AS (SELECT g, k, xor(x2, x2 >> 16) AS h FROM m2), " +
-        "rk AS (SELECT g, k, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h, k) AS rn FROM chh), " +
-        "bnd AS (SELECT g, k // 16 AS band, " +
-        "sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END * (CAST(1 AS BIGINT) << (k % 16))) AS bv " +
-        "FROM rk GROUP BY 1, 2), " +
-        "db AS (SELECT d.doc_id, bnd.band, bnd.bv FROM d JOIN bnd ON bnd.g = d.g), " +
-        "rare AS (SELECT band, bv FROM db GROUP BY 1, 2 HAVING count(*) <= 64), " +
-        "kept AS (SELECT db.doc_id, db.band, db.bv FROM db JOIN rare ON rare.band = db.band AND rare.bv = db.bv), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM kept x " +
-        "JOIN kept y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id), " +
-        "wide AS (SELECT doc_id, max(CASE WHEN band = 0 THEN bv END) AS b0, " +
-        "max(CASE WHEN band = 1 THEN bv END) AS b1, " +
-        "max(CASE WHEN band = 2 THEN bv END) AS b2, " +
-        "max(CASE WHEN band = 3 THEN bv END) AS b3 FROM db GROUP BY doc_id), " +
-        "hm AS (SELECT cand.ida, cand.idb, " +
-        "bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) + " +
-        "bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS hamming " +
-        "FROM cand JOIN wide x ON x.doc_id = cand.ida JOIN wide y ON y.doc_id = cand.idb) " +
-        "SELECT ida AS id_a, idb AS id_b, CAST(hamming AS INTEGER) AS hamming " +
-        "FROM hm WHERE hamming <= 6 ORDER BY id_a, id_b"),
+    "dedup_phash_mixed" -> phashCheckOracle(groupSize = 2),
+
+    // ...and the THREE-codec form: the bits are a pure group function,
+    // so the PNG/JPEG/GIF mix never appears in the SQL — only the group
+    // width changes.
+    "dedup_phash_tri" -> phashCheckOracle(groupSize = 3),
 
     // MJPEG frame-sample replay: the sampled frame identities and the
     // DECODED dimensions restated from the construction formula — every

@@ -997,26 +997,58 @@ case class SyntheticImageCheck(imgW: Int, imgH: Int, left: Expression,
   override def nullSafeEval(g: Any, j: Any): Any = {
     val group = g.asInstanceOf[Number].longValue()
     val jpeg = j.asInstanceOf[Boolean]
-    // rank the 64 cells by a NONLINEAR mix of (group, cell); the 32
-    // smallest are HIGH. An affine hash would shift all 64 values by a
-    // group-constant and preserve most ranks — adjacent groups would come
-    // out near-identical; mix32's xorshift rounds decorrelate them.
+    val pixel = CheckCells.pixelFn(imgW, imgH, group)
+    if (jpeg) graft.llm.Multimodal.encodeMjpeg(imgW, imgH, 1,
+      (_, x, y, c) => pixel(x, y))
+    else graft.llm.Multimodal.encodePng(imgW, imgH, 3,
+      (x, y, _) => pixel(x, y))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SyntheticImageCheck = copy(left = l, right = r)
+}
+
+/** The margin-engineered checkerboard shared by every codec leg of the
+  * mixed perceptual gates: rank the 64 cells by a NONLINEAR mix of
+  * (group, cell); the 32 smallest are HIGH (200), the rest LOW (40). An
+  * affine hash would shift all 64 values by a group-constant and
+  * preserve most ranks — adjacent groups would come out near-identical;
+  * mix32's xorshift rounds decorrelate them.
+  */
+private[functions] object CheckCells {
+  def pixelFn(imgW: Int, imgH: Int, group: Long): (Int, Int) => Int = {
     val ranked = (0 until 64)
       .map(k => (graft.llm.Corpus.mix32L(group * 64 + k), k))
       .sorted.map(_._2)
     val high = ranked.take(32).toSet
     val cw = imgW / 8; val chh = imgH / 8
-    def pixel(x: Int, y: Int, c: Int): Int = {
+    (x: Int, y: Int) => {
       val k = (y / chh) * 8 + (x / cw)
       if (high(k)) 200 else 40
     }
-    if (jpeg) graft.llm.Multimodal.encodeMjpeg(imgW, imgH, 1,
-      (_, x, y, c) => pixel(x, y, c))
-    else graft.llm.Multimodal.encodePng(imgW, imgH, 3, pixel)
+  }
+}
+
+/** The GIF leg of the checkerboard family — same [[CheckCells]] pattern
+  * through the LZW codec over a gray palette (GIF is lossless, so the
+  * raster is exact and the aHash bits are the formula's bits with no
+  * margin argument needed).
+  */
+case class SyntheticImageCheckGif(imgW: Int, imgH: Int, child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  require(imgW % 8 == 0 && imgH % 8 == 0, "cells must align with the 8x8 grid")
+  override def dataType: DataType = BinaryType
+
+  private lazy val grayPal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+
+  override def nullSafeEval(g: Any): Any = {
+    val group = g.asInstanceOf[Number].longValue()
+    graft.llm.Gif.encode(imgW, imgH, grayPal,
+      CheckCells.pixelFn(imgW, imgH, group))
   }
 
-  override protected def withNewChildrenInternal(l: Expression,
-      r: Expression): SyntheticImageCheck = copy(left = l, right = r)
+  override protected def withNewChildInternal(c: Expression): SyntheticImageCheckGif =
+    copy(child = c)
 }
 
 /** 64-bit average-hash (aHash) of an image payload's DECODED raster —
@@ -2126,6 +2158,12 @@ object native {
   def syntheticGifAnim(w: Column, h: Column, n: Column, v: Column): Column =
     column(SyntheticGifAnim(expression(w), expression(h), expression(n),
       expression(v)))
+
+  /** The checkerboard gate image through the GIF codec (see
+    * [[SyntheticImageCheckGif]]).
+    */
+  def syntheticImageCheckGif(imgW: Int, imgH: Int, group: Column): Column =
+    column(SyntheticImageCheckGif(imgW, imgH, expression(group)))
 
   /** A real synthesized 16-bit PCM WAV from (nSamples, variant). */
   /** Gain-scaled synthetic WAV from (nSamples, variant, gain). */

@@ -217,17 +217,20 @@ object TextStats {
     */
   def c4Filter(docs: DataFrame, textCol: String = "text",
                idCol: String = "doc_id", minWords: Int = 5,
-               minKeptLines: Int = 3): DataFrame = {
+               minKeptLines: Int = 3,
+               keepCols: Seq[String] = Nil): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, l =>
       l.rlike("[.!?]$") && size(split(l, " ")) >= minWords &&
         !l.contains("{") && !l.contains("}") &&
         !lower(l).contains("lorem ipsum"))
-    docs.select(col(idCol),
+    // keepCols thread pass-through columns (source, event time) so the
+    // STREAMING front door stays one stateless projection
+    docs.select(col(idCol) +: keepCols.map(col) ++: Seq(
       size(lines).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"),
       (size(kept) >= minKeptLines).as("kept_doc"),
-      array_join(kept, "\n").as("clean_text"))
+      array_join(kept, "\n").as("clean_text")): _*)
   }
 
   /** Unicode script ranges for [[scriptMix]] — name → character-class body

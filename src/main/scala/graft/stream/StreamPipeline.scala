@@ -55,8 +55,22 @@ object StreamPipeline {
   def curate(docs: DataFrame, watermark: String = "10 minutes",
              textCol: String = "text", idCol: String = "doc_id",
              minWords: Int = 50, htmlInput: Boolean = false,
-             urlCol: Option[String] = None): DataFrame = {
-    val fd = frontDoor(docs, htmlInput, urlCol, textCol)
+             urlCol: Option[String] = None,
+             c4MinKeptLines: Option[Int] = None): DataFrame = {
+    val fd0 = frontDoor(docs, htmlInput, urlCol, textCol)
+    // optional stage 0c (the batch facade's order): the C4 line rules
+    // REWRITE the text before any dedup state, so boilerplate-only
+    // differences hash away — still a stateless projection
+    val fd = c4MinKeptLines match {
+      case Some(mk) =>
+        val keep = Seq("source", "ts") ++ urlCol.map(_ => "_curl").toSeq
+        graft.llm.TextStats.c4Filter(fd0, textCol, idCol,
+            minKeptLines = mk, keepCols = keep)
+          .where(col("kept_doc"))
+          .withColumnRenamed("clean_text", textCol)
+          .drop("n_lines", "n_kept", "kept_doc")
+      case None => fd0
+    }
     val deduped = urlCol match {
       case Some(_) =>
         // Null/blank URLs bypass the URL stage on a per-doc key: sha2(null)

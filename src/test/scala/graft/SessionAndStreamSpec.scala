@@ -510,6 +510,37 @@ class SessionAndStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming front door: c4 line stage rewrites before dedup state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.stream.StreamPipeline
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def sentence(tag: String) =
+      (1 to 60).map(j => s"${tag}w$j").mkString(" ") + "."
+    val body = Seq(sentence("a"), sentence("b"), sentence("c"))
+    val q = StreamPipeline.curate(
+        input.toDF().toDF("doc_id", "ts", "text", "source"),
+        watermark = "1 minute", c4MinKeptLines = Some(3))
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // 1 and 2: identical after the boilerplate line is cut —
+        // content dedup must see them as EQUAL (c4 runs before state)
+        (1L, ts("2024-01-01 00:00:00"), body.mkString("\n"), "s1"),
+        (2L, ts("2024-01-01 00:00:05"),
+          (body :+ "cookie banner boilerplate").mkString("\n"), "s1"),
+        // 3: only two surviving lines → drops at the line gate
+        (3L, ts("2024-01-01 00:00:10"),
+          Seq(sentence("x"), sentence("y"), "no punct tail").mkString("\n"),
+          "s2"))
+      q.processAllAvailable()
+      val out = spark.table("c4_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(out == Set(1L), s"c4 stream kept $out")
+    } finally q.stop()
+  }
+
   test("streaming front door: null-url docs bypass url dedup on a per-doc key") {
     implicit val sqlCtx = spark.sqlContext
     import graft.stream.StreamPipeline
