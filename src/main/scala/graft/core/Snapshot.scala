@@ -157,6 +157,45 @@ object Snapshot {
       keep ++ statsOf(spark, statCol, schema, dataDir))
   }
 
+  /** IDEMPOTENT streaming append — the `foreachBatch` sink contract:
+    * each micro-batch lands as one snapshot version whose commit records
+    * the batch id, and a RETRY of the same batch id (Structured
+    * Streaming re-delivers the last uncommitted batch after a crash) is
+    * a no-op instead of a duplicate append. Exactly-once ingestion into
+    * the table format falls out of the version protocol: the data write
+    * is invisible until the `_current` flip, and the flip carries the
+    * batch id.
+    *
+    * Wire as
+    * `stream.writeStream.foreachBatch((df, id) => Snapshot.appendBatch(df, path, col, id))`.
+    */
+  def appendBatch(df: DataFrame, path: String, statCol: String,
+                  batchId: Long, nFiles: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val cur = currentVersion(spark, path)
+    val marker = path + s"/_batch.v$cur"
+    val fsys = fs(spark, path)
+    if (fsys.exists(new org.apache.hadoop.fs.Path(marker)) &&
+        readText(spark, marker).trim.toLong == batchId) return // replayed
+    // hand-rolled commit so the batch marker lands BEFORE the pointer
+    // flip: a crash anywhere before the flip leaves _current on the old
+    // version, and the retry re-runs this append idempotently (the data
+    // dir and manifest are simply overwritten); a crash after the flip
+    // means the marker is already visible and the retry no-ops.
+    val next = cur + 1
+    val dataDir = path + s"/v$next"
+    df.repartitionByRange(nFiles, col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("overwrite").parquet(dataDir)
+    val stats = manifest(spark, path, Some(cur)) ++
+      statsOf(spark, statCol, snapshotSchema(spark, path), dataDir)
+    writeText(spark, path + s"/_manifest.v$next.tsv",
+      stats.map(s => s"${s.file}\t${s.min}\t${s.max}\t${s.rows}")
+        .mkString("", "\n", if (stats.isEmpty) "" else "\n"))
+    writeText(spark, path + s"/_batch.v$next", batchId.toString)
+    writeText(spark, path + "/_current", next.toString)
+  }
+
   /** Small-file COMPACTION: fold the current version's live files into
     * `nFiles` fresh range-clustered files as a new version — same rows,
     * fewer/larger files. This is the maintenance job that keeps the

@@ -409,6 +409,42 @@ class EtlSpec extends SparkSpec {
     assert(graft.core.Snapshot.manifest(spark, path, Some(3)) == before)
   }
 
+  test("snapshot streaming ingest: foreachBatch appends, batch replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmpDir("snapstream") + "/s"
+    // initialize the table (schema + v1) from an empty relation
+    graft.core.Snapshot.write(Seq.empty[(Long, String)].toDF("k", "v"),
+      path, "k", nFiles = 1)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.core.Snapshot.appendBatch(df, path, "k", id, nFiles = 2))
+      .option("checkpointLocation", tmpDir("snapstreamckpt"))
+      .start()
+    try {
+      input.addData((0L until 50L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+      input.addData((50L until 80L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 80L)
+    // the foreachBatch retry contract: re-delivery of the LAST batch id
+    // must not duplicate (this is exactly what a post-crash restart does)
+    graft.core.Snapshot.appendBatch(
+      (50L until 80L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      batchId = 1L, nFiles = 2)
+    assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 80L)
+    // a genuinely new batch id still appends
+    graft.core.Snapshot.appendBatch(
+      (80L until 90L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      batchId = 2L, nFiles = 1)
+    val got = graft.core.Snapshot.scan(spark, path, "k", 0L, 99L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (0L until 90L).map(i => (i, s"v$i")))
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
