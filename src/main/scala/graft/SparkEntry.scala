@@ -1686,6 +1686,34 @@ object SparkEntry {
         .select(col("id").as("host"), col("r").as("rank_micro"))
         .orderBy("host")),
 
+    // Crawl-frontier scheduling: the composition a crawler's planner
+    // runs — PageRank over the extracted host graph, joined with the
+    // robots policy (odd-index hosts disallow) and current per-host
+    // holdings, released as an integer priority (rank per doc already
+    // held; zero when disallowed). Each leg is its own gated operator;
+    // this gate pins the COMPOSITION.
+    "frontier_rank" -> ((s, d) => {
+      val ranks = graft.analytics.Graph.pagerank(
+          linkEdges(s, d).distinct()
+            .select(col("src_host").as("src"), col("dst_host").as("dst")),
+          iters = 3)
+        .select(col("id").as("host"), col("r").as("rank_micro"))
+      val usage = t(s, d, "documents")
+        .select(concat(lit("site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n_docs"))
+      val hostIdx = regexp_extract(col("host"), "^site([0-9]+)\\.", 1)
+        .cast("long")
+      ranks.join(usage, Seq("host"), "left")
+        .select(col("host"), col("rank_micro"),
+          (hostIdx % 2 === 0).as("allowed"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .withColumn("priority_micro",
+          when(col("allowed"),
+            expr("rank_micro DIV (n_docs + 1)")).otherwise(lit(0L)))
+        .orderBy("host")
+    }),
+
     // URL canonicalization under the gate: four messy raw variants per
     // group (case, www, default port, dup/trailing slashes, tracking
     // params, fragments) — the GENERAL rule-chain canonicalizer must
@@ -2421,13 +2449,14 @@ object SparkEntry {
         ),
 
     // REAL header decode, end-to-end: each doc synthesizes a valid PNG
-    // (signature + IHDR) or JPEG (SOI + variable-length COM pad + SOF0)
-    // byte stream whose dimensions derive from doc_id; the ImageMeta
-    // native expression then parses the dimensions back OUT of the bytes
+    // (signature + IHDR), JPEG (SOI + variable-length COM pad + SOF0),
+    // or GIF (signature + LITTLE-endian logical screen descriptor) byte
+    // stream whose dimensions derive from doc_id; the ImageMeta native
+    // expression then parses the dimensions back OUT of the bytes
     // (big-endian IHDR reads / a genuine marker walk whose SOF offset
-    // varies with the pad). The oracle recomputes the dims from the
-    // construction formula — parse∘construct must be the identity, so any
-    // arithmetic slip in the byte walk hash-fails the gate.
+    // varies with the pad / the GIF byte swap). The oracle recomputes
+    // the dims from the construction formula — parse∘construct must be
+    // the identity, so any arithmetic slip in the byte walk hash-fails.
     "multimodal_decode" -> { (s, d) =>
       val w = (lit(64) + col("doc_id") % 512).cast("int")
       val h = (lit(48) + col("doc_id") % 256).cast("int")
@@ -2438,7 +2467,14 @@ object SparkEntry {
         expr("repeat('00', cast(doc_id % 32 as int))"),
         lit("FFC0001108"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
         lit("03011100021101031101FFD9"))
-      val payload = unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpgHex))
+      // GIF logical screen descriptor carries w/h LITTLE-endian — the
+      // parser must byte-swap where PNG/JPEG read big-endian
+      val gifHex = concat(lit("474946383961"),
+        lpad(hex(w % 256), 2, "0"), lpad(hex(floor(w / 256).cast("int")), 2, "0"),
+        lpad(hex(h % 256), 2, "0"), lpad(hex(floor(h / 256).cast("int")), 2, "0"),
+        lit("F70000"))
+      val payload = unhex(when(col("doc_id") % 3 === 0, pngHex)
+        .when(col("doc_id") % 3 === 1, jpgHex).otherwise(gifHex))
       val m = graft.functions.native.imageMeta(payload)
       t(s, d, "documents").select(col("doc_id"),
         m.getField("format").as("format"),
@@ -5367,6 +5403,23 @@ object SparkEntry {
 
     "link_pagerank" -> linkPagerankOracle,
 
+    // frontier_rank oracle: the pagerank replay joined with the same
+    // per-host holdings and the parity robots rule, priority as pure
+    // integer division.
+    "frontier_rank" ->
+      (linkEdgesCte +
+        ", ed AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM le), " +
+        pagerankBodySql +
+        ", us AS (SELECT 'site' || (doc_id % 50) || '.example.com' AS host, " +
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1) " +
+        "SELECT r3.id AS host, CAST(r3.r AS BIGINT) AS rank_micro, " +
+        "(CAST(regexp_extract(r3.id, '^site([0-9]+)', 1) AS BIGINT) % 2 = 0) AS allowed, " +
+        "coalesce(us.n_docs, 0) AS n_docs, " +
+        "CASE WHEN CAST(regexp_extract(r3.id, '^site([0-9]+)', 1) AS BIGINT) % 2 = 0 " +
+        "THEN CAST(r3.r AS BIGINT) // (coalesce(us.n_docs, 0) + 1) " +
+        "ELSE CAST(0 AS BIGINT) END AS priority_micro " +
+        "FROM r3 LEFT JOIN us ON us.host = r3.id ORDER BY host"),
+
     // anchor_terms oracle: the (dst_host, term) relation from the link
     // formula (term = the doc's (j+1)-th word), counted and top-3'd per
     // host with the same (n DESC, term) tiebreak.
@@ -5515,7 +5568,8 @@ object SparkEntry {
     // The oracle states the construction formula; the Spark side must
     // recover it by actually PARSING the synthesized header bytes.
     "multimodal_decode" ->
-      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format, " +
+      ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' " +
+        "ELSE 'gif' END AS format, " +
         "CAST(64 + doc_id % 512 AS INTEGER) AS width, " +
         "CAST(48 + doc_id % 256 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id"),

@@ -62,6 +62,11 @@ object Multimodal {
         }
       }
       None
+    } else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
+        u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+      // GIF logical screen descriptor: w/h as LE16
+      Some(("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
     } else None
   }
 
