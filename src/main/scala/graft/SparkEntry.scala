@@ -2711,6 +2711,28 @@ object SparkEntry {
         .orderBy("clip_a", "clip_b")
     },
 
+    // CROSS-CONTAINER clip dedup: each group's clip is stored once as
+    // APNG (even doc) and once as an ANIMATED GIF (odd doc) whose
+    // palette supplies exactly the APNG pattern's +101c channel shifts —
+    // the two containers decode to byte-identical rasters, so the
+    // raster-hash pairing must match them frame-for-frame. The oracle is
+    // container-BLIND: it pairs on (w, h, phase) from the group formula
+    // and the codec never appears in the SQL.
+    "dedup_clips_cross" -> { (s, d) =>
+      val g = floor(col("doc_id") / 2).cast("long")
+      val w = (lit(8) + g % 8).cast("int")
+      val h = (lit(4) + g % 4).cast("int")
+      val nf = (lit(4) + g % 4).cast("int")
+      val v = (g % 256).cast("int")
+      val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0,
+          graft.functions.native.syntheticApng(w, h, nf, v))
+          .otherwise(graft.functions.native.syntheticGifAnim(w, h, nf, v,
+            frameStep = 23)).as("content"))
+      Multimodal.clipDupPairs(media, sampleEvery = 2)
+        .orderBy("clip_a", "clip_b")
+    },
+
     // IMAGE near-dup by PERCEPTUAL hash, end-to-end real: each doc
     // synthesizes a genuine 32×32 PNG whose gradient slopes derive from
     // its group id and whose brightness offset varies per doc; the real
@@ -5828,6 +5850,22 @@ object SparkEntry {
         "CAST(4 + doc_id % 4 AS INTEGER) AS nf, doc_id % 256 AS v FROM documents), " +
         "k AS (SELECT doc_id, w, h, (23 * fs.f + v) % 256 AS phase " +
         "FROM d, generate_series(0, 6, 2) fs(f) WHERE fs.f < nf) " +
+        "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM k a JOIN k b ON a.w = b.w AND a.h = b.h " +
+        "AND a.phase = b.phase AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 ORDER BY clip_a, clip_b"),
+
+    // dedup_clips_cross oracle: group-formula (w, h, phase) pairing —
+    // container-blind (the APNG and its GIF twin decode to the same
+    // raster, so the codec never appears here).
+    "dedup_clips_cross" ->
+      ("WITH d AS (SELECT doc_id, doc_id // 2 AS g FROM documents), " +
+        "p AS (SELECT doc_id, CAST(8 + g % 8 AS INTEGER) AS w, " +
+        "CAST(4 + g % 4 AS INTEGER) AS h, " +
+        "CAST(4 + g % 4 AS INTEGER) AS nf, g % 256 AS v FROM d), " +
+        "k AS (SELECT doc_id, w, h, (23 * fs.f + v) % 256 AS phase " +
+        "FROM p, generate_series(0, 6, 2) fs(f) WHERE fs.f < nf) " +
         "SELECT a.doc_id AS clip_a, b.doc_id AS clip_b, " +
         "CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM k a JOIN k b ON a.w = b.w AND a.h = b.h " +

@@ -1619,8 +1619,9 @@ case class WavAudioStats(child: Expression)
   * `i → (i, (i+101) mod 256, (i+202) mod 256)` palette. The animation
   * twin of [[SyntheticGif]].
   */
-case class SyntheticGifAnim(first: Expression, second: Expression,
-                            third: Expression, fourth: Expression)
+case class SyntheticGifAnim(frameStep: Int, first: Expression,
+                            second: Expression, third: Expression,
+                            fourth: Expression)
     extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
     with CodegenFallback {
   override def dataType: DataType = BinaryType
@@ -1632,8 +1633,11 @@ case class SyntheticGifAnim(first: Expression, second: Expression,
     val variant = v.asInstanceOf[Number].intValue()
     val palette = Array.tabulate(256)(i =>
       (i << 16) | (((i + 101) % 256) << 8) | ((i + 202) % 256))
+    // frameStep 23 makes frame f's raster byte-identical to
+    // SyntheticApng's (7x + 13y + 23f + v + 101c): the palette supplies
+    // the +101c channel shifts — the cross-container clip gate's hook
     graft.llm.Gif.encodeAnimated(width, height, nFrames, palette,
-      f => (x, y) => (7 * x + 13 * y + 31 * f + variant) % 256)
+      f => (x, y) => (7 * x + 13 * y + frameStep * f + variant) % 256)
   }
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
@@ -1722,6 +1726,11 @@ case class ClipFrameDctHashes(child: Expression, sampleEvery: Int)
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
           (bytes(1) & 0xFF) == 0xD8)
         graft.llm.Multimodal.decodeMjpegFrames(bytes)
+      else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8')
+        // palette-resolved to RGB, so an equal-content APNG frame hashes
+        // identically — container-blind clip dedup
+        graft.llm.Multimodal.gifFramesAsRgb(bytes)
       else graft.llm.Multimodal.decodeApngFrames(bytes)
     frames match {
       case None => null
@@ -1881,6 +1890,11 @@ case class ClipFrameHashes(child: Expression, sampleEvery: Int)
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
           (bytes(1) & 0xFF) == 0xD8)
         graft.llm.Multimodal.decodeMjpegFrames(bytes)
+      else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+          bytes(2) == 'F' && bytes(3) == '8')
+        // palette-resolved to RGB, so an equal-content APNG frame hashes
+        // identically — container-blind clip dedup
+        graft.llm.Multimodal.gifFramesAsRgb(bytes)
       else graft.llm.Multimodal.decodeApngFrames(bytes)
     frames match {
       case None => null
@@ -2154,10 +2168,13 @@ object native {
   /** GIF decoded-pixel stats `(width, height, sum_r, sum_g, sum_b)`. */
   def gifPixelStats(c: Column): Column = column(GifPixelStats(expression(c)))
 
-  /** A real synthesized ANIMATED GIF from (w, h, nFrames, variant). */
-  def syntheticGifAnim(w: Column, h: Column, n: Column, v: Column): Column =
-    column(SyntheticGifAnim(expression(w), expression(h), expression(n),
-      expression(v)))
+  /** A real synthesized ANIMATED GIF from (w, h, nFrames, variant);
+    * `frameStep` 23 matches [[SyntheticApng]]'s raster frame-for-frame.
+    */
+  def syntheticGifAnim(w: Column, h: Column, n: Column, v: Column,
+                       frameStep: Int = 31): Column =
+    column(SyntheticGifAnim(frameStep, expression(w), expression(h),
+      expression(n), expression(v)))
 
   /** The checkerboard gate image through the GIF codec (see
     * [[SyntheticImageCheckGif]]).

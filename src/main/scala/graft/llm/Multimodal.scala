@@ -989,22 +989,33 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte]): Option[PngImage] =
     if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
         (bytes(1) & 0xFF) == 0xD8) Jpeg.decode(bytes)
-    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
-        bytes(2) == 'F' && bytes(3) == '8')
-      Gif.decode(bytes).map { g =>
-        // palette-resolve to the uniform 3-channel raster shape
-        val px = new Array[Byte](g.width * g.height * 3)
-        var p = 0
-        while (p < g.width * g.height) {
-          val c = g.rgb(p)
-          px(p * 3) = ((c >> 16) & 0xFF).toByte
-          px(p * 3 + 1) = ((c >> 8) & 0xFF).toByte
-          px(p * 3 + 2) = (c & 0xFF).toByte
-          p += 1
-        }
-        PngImage(g.width, g.height, 3, px)
-      }
+    else if (isGif(bytes)) Gif.decode(bytes).map(gifToRgb)
     else decodePng(bytes)
+
+  private def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8'
+
+  /** Palette-resolve a GIF frame to the uniform 3-channel raster shape —
+    * the same bytes an equal-content PNG frame decodes to, which is what
+    * makes the raster hashes container-blind.
+    */
+  private[graft] def gifToRgb(g: Gif.GifImage): PngImage = {
+    val px = new Array[Byte](g.width * g.height * 3)
+    var p = 0
+    while (p < g.width * g.height) {
+      val c = g.rgb(p)
+      px(p * 3) = ((c >> 16) & 0xFF).toByte
+      px(p * 3 + 1) = ((c >> 8) & 0xFF).toByte
+      px(p * 3 + 2) = (c & 0xFF).toByte
+      p += 1
+    }
+    PngImage(g.width, g.height, 3, px)
+  }
+
+  /** Every frame of an animated GIF as RGB rasters. */
+  def gifFramesAsRgb(bytes: Array[Byte]): Option[Seq[PngImage]] =
+    if (isGif(bytes)) Gif.decodeFrames(bytes).map(_.map(gifToRgb)) else None
 
   /** Real CLIP frame decoder for [[decodeFrames]] dispatching on the
     * container's magic bytes — the decoder twin of the
