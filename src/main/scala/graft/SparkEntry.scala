@@ -2196,6 +2196,14 @@ object SparkEntry {
       graft.analytics.Privacy.lDiversity(t(s, d, "documents"),
         Seq("source"), "lang", l = 4)),
 
+    // t-closeness — the anonymity triad's third audit (skewness attack):
+    // each source's language distribution must sit within total-variation
+    // distance t of the corpus-wide one. Integer terms on the common
+    // denominator, one rounded division per group.
+    "t_closeness" -> ((s, d) =>
+      graft.analytics.Privacy.tCloseness(t(s, d, "documents"),
+        Seq("source"), "lang", t = 0.15)),
+
     // k-anonymity REMEDIATION closing the audit loop: walk a
     // generalization ladder — (lang, source) → (lang, *) → (*, *) — and
     // release the first level where every quasi group reaches k = 40.
@@ -4841,6 +4849,23 @@ object SparkEntry {
         "SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
         "CAST(sum(CASE WHEN d < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
         "CAST(min(d) AS BIGINT) AS min_diversity FROM g"),
+
+    // t_closeness oracle: the same integer-term total-variation algebra —
+    // absent values fold in closed form (N·N_g plus the in-group
+    // corrections), one rounded division per group.
+    "t_closeness" ->
+      ("WITH cgv AS (SELECT source, lang, count(*) AS cgv FROM documents GROUP BY 1, 2), " +
+        "cv AS (SELECT lang, count(*) AS cv FROM documents GROUP BY 1), " +
+        "ng AS (SELECT source, sum(cgv) AS ng FROM cgv GROUP BY 1), " +
+        "nn AS (SELECT count(*) AS n FROM documents), " +
+        "g AS (SELECT cgv.source, min(ng.ng) AS ng, " +
+        "sum(abs(cgv.cgv * nn.n - cv.cv * ng.ng) - cv.cv * ng.ng) AS part " +
+        "FROM cgv JOIN cv USING (lang) JOIN ng USING (source) CROSS JOIN nn GROUP BY 1), " +
+        "dd AS (SELECT round(CAST(part + nn.n * ng AS DOUBLE) / (2.0 * ng * nn.n), 6) AS d " +
+        "FROM g CROSS JOIN nn) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(CASE WHEN d > 0.15 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+        "max(d) AS max_distance FROM dd"),
 
     "k_anonymity" ->
       ("WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source) " +

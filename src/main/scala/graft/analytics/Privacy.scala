@@ -237,6 +237,48 @@ object Privacy {
         min(col("_d")).as("min_diversity"))
   }
 
+  /** t-closeness audit (Li et al. 2007) — the anonymity triad's third
+    * metric: an l-diverse group whose SENSITIVE distribution still skews
+    * far from the table's leaks information (the skewness attack), so
+    * each quasi-identifier group's sensitive-value distribution must sit
+    * within distance `t` of the global one. Categorical sensitive values,
+    * distance = total variation `½·Σ_v |p_g(v) − p(v)|` (the equal-ground
+    * EMD). One row `(n_groups, n_violating, max_distance)`.
+    *
+    * Exactness: the sum runs over INTEGER terms on the common denominator
+    * `N_g·N` — `Σ_{v∈group} (|c_gv·N − c_v·N_g| − c_v·N_g) + N·N_g`
+    * (values absent from a group contribute `c_v·N_g`, folded in closed
+    * form, so no value spine is materialized) — with ONE division per
+    * group rounded at the edge, so the release replays bit-identically.
+    *
+    * Scale shape: two map-side-combined keyed counts ((quasi, v) and v),
+    * a group-keyed join + aggregate, then a group-cardinality release;
+    * the global count is a one-row scalar.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 t: Double): DataFrame = {
+    require(quasiCols.nonEmpty && t > 0 && t <= 1,
+      s"need quasi columns and t in (0, 1], got $t")
+    val cgv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_cgv"))
+    val cv = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("_cv"))
+    val ng = cgv.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_cgv")).as("_ng"))
+    val n = df.count() // Σ of the group counts — null keys group like values
+    val dist = cgv.join(cv, sensitiveCol).join(ng, quasiCols)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(min(col("_ng")).as("_ng2"),
+        sum(abs(col("_cgv") * n - col("_cv") * col("_ng")) -
+          col("_cv") * col("_ng")).as("_part"))
+      .select(graft.functions.Rounding.dround(
+        (col("_part") + lit(n) * col("_ng2")).cast("double") /
+          (lit(2.0) * col("_ng2") * n), 6).as("_d"))
+    dist.agg(
+      count(lit(1)).as("n_groups"),
+      sum(when(col("_d") > t, 1L).otherwise(0L)).as("n_violating"),
+      max(col("_d")).as("max_distance"))
+  }
+
   /** A generalization LEVEL for [[generalizeUntilK]]: named quasi-identifier
     * expressions (coarser at higher levels — suppress a column to a
     * literal, bucket a numeric, truncate a code).

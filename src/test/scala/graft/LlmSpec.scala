@@ -1859,6 +1859,26 @@ class LlmSpec extends SparkSpec {
       r3.columns.toSeq == Seq("level", "a", "b", "n"))
   }
 
+  test("t-closeness: total-variation distance per group, absent values folded") {
+    import graft.analytics.Privacy
+    // group A (4 rows): en 1, fr 3 → p=(.25,.75) vs global (.6,.4) → d=.35
+    // group B (6 rows): en 5, fr 1 → p=(5/6,1/6)             → d=.233333
+    val df = (Seq.fill(1)(("A", "en")) ++ Seq.fill(3)(("A", "fr")) ++
+      Seq.fill(5)(("B", "en")) ++ Seq.fill(1)(("B", "fr")))
+      .toDF("source", "lang")
+    val out = Privacy.tCloseness(df, Seq("source"), "lang", t = 0.3)
+      .as[(Long, Long, Double)].collect().head
+    assert(out == ((2L, 1L, 0.35)))
+    // a group missing a global value entirely: the closed-form fold
+    // (c_v·N_g term) must count it — C holds only "de"
+    val df2 = df.union(Seq.fill(2)(("C", "de")).toDF("source", "lang"))
+    // global now en 6/12, fr 4/12, de 2/12; C p=(0,0,1) → d = ½(6+4+10)/12
+    val out2 = Privacy.tCloseness(df2, Seq("source"), "lang", t = 0.9)
+      .as[(Long, Long, Double)].collect().head
+    assert(out2._1 == 3L &&
+      out2._3 == math.floor(10.0 / 12 * 1e6 + 0.5) / 1e6)
+  }
+
   test("Curation.run front door: html extraction feeds the stages, url dedup drops refetches") {
     import graft.llm.Curation
     def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
