@@ -2196,6 +2196,14 @@ object SparkEntry {
       graft.analytics.Privacy.lDiversity(t(s, d, "documents"),
         Seq("source"), "lang", l = 4)),
 
+    // ε-DP top-k source selection by the PEELING exponential mechanism:
+    // three Gumbel-max rounds, winner removed between rounds, ordered
+    // selection released without counts. Seeded draws → the oracle
+    // replays all three rounds exactly.
+    "dp_topk" -> ((s, d) =>
+      graft.analytics.Privacy.dpTopK(t(s, d, "documents"), "source", k = 3)
+        .orderBy("rank")),
+
     // t-closeness — the anonymity triad's third audit (skewness attack):
     // each source's language distribution must sit within total-variation
     // distance t of the corpus-wide one. Integer terms on the common
@@ -3471,6 +3479,33 @@ object SparkEntry {
       "sc AS (SELECT event_type, bin, (1.0 / 200.0) * u2 + (-ln(-ln(uu))) AS score FROM u), " +
       "rk AS (SELECT event_type, bin, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, bin) AS rn FROM sc) " +
       "SELECT event_type, CAST(0.0 + (bin + 1) * 5.0 AS DOUBLE) AS dp_value FROM rk WHERE rn = 1 ORDER BY event_type"
+  }
+
+  // dp_topk replay: three unrolled peeling rounds — per-round Gumbel keys
+  // fingerprint(item)·31 + r, winners excluded by NOT IN, same
+  // (ε/(2k))·c + Gumbel score and (score DESC, item) tiebreak.
+  private lazy val dpTopKOracle: String = {
+    val (a, b) = graft.llm.Corpus.hashConstants(11L)
+    val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, least(length(item), 64)), " +
+      "i -> CAST(ascii(substr(item, i, 1)) AS BIGINT))), " +
+      "(x, y) -> (x * 31 + y) % 1000000007)"
+    val m3 = mix32Sql("key")
+    val draw = s"(CAST(($a * (($m3) % 1000000007) + $b) % 1000000007 AS DOUBLE) / 1000000007)"
+    def round(r: Int): String = {
+      val excl = if (r == 1) "" else
+        (1 until r).map(p => s"SELECT item FROM w$p").mkString(
+          "WHERE item NOT IN (", " UNION ALL ", ") ")
+      s"r$r AS (SELECT item, c, $fp * 31 + $r AS key FROM c $excl), " +
+        s"u$r AS (SELECT item, (1.0 / 6.0) * c + (-ln(-ln($draw))) AS s FROM r$r), " +
+        s"w$r AS (SELECT item FROM u$r ORDER BY s DESC, item LIMIT 1)"
+    }
+    "WITH c AS (SELECT source AS item, count(*) AS c FROM documents " +
+      "WHERE source IS NOT NULL GROUP BY 1), " +
+      (1 to 3).map(round).mkString(", ") +
+      " SELECT * FROM (SELECT CAST(1 AS INTEGER) AS rank, item FROM w1 " +
+      "UNION ALL SELECT CAST(2 AS INTEGER), item FROM w2 " +
+      "UNION ALL SELECT CAST(3 AS INTEGER), item FROM w3) ORDER BY rank"
   }
 
   // dp_mean replay: clamped 1e-4-unit sums, the group-fingerprint draws,
@@ -4849,6 +4884,8 @@ object SparkEntry {
         "SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
         "CAST(sum(CASE WHEN d < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
         "CAST(min(d) AS BIGINT) AS min_diversity FROM g"),
+
+    "dp_topk" -> dpTopKOracle,
 
     // t_closeness oracle: the same integer-term total-variation algebra —
     // absent values fold in closed form (N·N_g plus the in-group

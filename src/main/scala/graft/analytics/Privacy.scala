@@ -237,6 +237,52 @@ object Privacy {
         min(col("_d")).as("min_diversity"))
   }
 
+  /** ε-DP top-k selection by the PEELING exponential mechanism (McSherry-
+    * Talwar iterated): k rounds, each drawing the remaining item with the
+    * largest `ε/(2k)·count + Gumbel` score (the Gumbel-max trick — argmax
+    * of utility-plus-Gumbel IS an exponential-mechanism draw), winner
+    * removed between rounds. Counts have sensitivity 1 under the module's
+    * bounded-neighbor convention; each round spends ε/k. The release is
+    * the ORDERED SELECTION only — no counts leave (a selection release).
+    *
+    * Determinism: round r's Gumbel keys on `fingerprint(item)·31 + r`
+    * through the seeded [[graft.llm.Corpus.hashUnit]] draw, so the
+    * release replays bit-identically in the oracle and across
+    * partitionings. Scale shape: one keyed count, then k
+    * TakeOrderedAndProject(1) passes — per-partition top-1 then a
+    * driver merge of ONE row per round; the driver never holds more
+    * than k items.
+    */
+  def dpTopK(df: DataFrame, itemCol: String, k: Int,
+             eps: Double = 1.0, seed: Long = 11L): DataFrame = {
+    require(k >= 1 && k <= 64, s"k out of [1, 64]: $k")
+    require(eps > 0, s"eps must be positive: $eps")
+    val spark = df.sparkSession
+    val counts = df.where(col(itemCol).isNotNull)
+      .groupBy(col(itemCol).cast("string").as("item"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // k rounds re-read it; cut lineage once
+    val coef = eps / (2.0 * k)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = counts
+        .where(!col("item").isin(chosen.map(_._2).toSeq: _*))
+        .withColumn("_key",
+          graft.llm.TextStats.fingerprint("item") * lit(31L) + lit(r.toLong))
+        .withColumn("_g",
+          -log(-log(graft.llm.Corpus.hashUnit(col("_key"), seed))))
+        .withColumn("_s", lit(coef) * col("c") + col("_g"))
+        .orderBy(col("_s").desc, col("item"))
+        .select("item").limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else { chosen += ((r, top.head.getString(0))); r += 1 }
+    }
+    import spark.implicits._
+    chosen.toSeq.toDF("rank", "item")
+  }
+
   /** t-closeness audit (Li et al. 2007) — the anonymity triad's third
     * metric: an l-diverse group whose SENSITIVE distribution still skews
     * far from the table's leaks information (the skewness attack), so

@@ -1859,6 +1859,27 @@ class LlmSpec extends SparkSpec {
       r3.columns.toSeq == Seq("level", "a", "b", "n"))
   }
 
+  test("dp top-k: peeling selection is deterministic, distinct, count-responsive") {
+    import graft.analytics.Privacy
+    // one dominant item: with eps high enough the utility term must win
+    // round 1 regardless of the Gumbel draws (score gap > any realized
+    // noise), and the k winners are distinct by construction
+    val df = (Seq.fill(500)("big") ++ Seq.fill(3)("s1") ++
+      Seq.fill(2)("s2") ++ Seq.fill(1)("s3")).toDF("item")
+    val out = Privacy.dpTopK(df, "item", k = 3, eps = 6.0)
+      .as[(Int, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(1, 2, 3))
+    assert(out.map(_._2).distinct.size == 3)
+    assert(out.head._2 == "big") // ε/(2k)·500 = 500 dominates any Gumbel
+    // replay determinism: same seed, same release
+    val again = Privacy.dpTopK(df, "item", k = 3, eps = 6.0)
+      .as[(Int, String)].collect().toSeq.sortBy(_._1)
+    assert(again == out)
+    // fewer items than k: release every item, then stop
+    val tiny = Seq("a", "a", "b").toDF("item")
+    assert(Privacy.dpTopK(tiny, "item", k = 5).count() == 2L)
+  }
+
   test("t-closeness: total-variation distance per group, absent values folded") {
     import graft.analytics.Privacy
     // group A (4 rows): en 1, fr 3 → p=(.25,.75) vs global (.6,.4) → d=.35
