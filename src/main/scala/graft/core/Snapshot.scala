@@ -219,6 +219,17 @@ object Snapshot {
     commit(spark, path, next, statsOf(spark, statCol, schema, dataDir))
   }
 
+  /** The version log — one row per committed version (1..current) with
+    * its file and row totals: the table-format inspection surface (what
+    * `DESCRIBE HISTORY` shows on Delta). Driver-side and
+    * version-count-sized.
+    */
+  def history(spark: SparkSession, path: String): Seq[(Int, Int, Long)] =
+    (1 to currentVersion(spark, path)).map { v =>
+      val m = manifest(spark, path, Some(v))
+      (v, m.size, m.map(_.rows).sum)
+    }
+
   /** The manifest rows of `version` (default: current); empty when that
     * version holds no data files.
     */

@@ -355,6 +355,9 @@ class EtlSpec extends SparkSpec {
     val incFiles = graft.core.Snapshot.selectFiles(spark, path, 600L, 699L)
     assert(incFiles.nonEmpty &&
       incFiles.toSet.intersect(m1.map(_.file).toSet).isEmpty)
+    // the version log reads both commits
+    val log = graft.core.Snapshot.history(spark, path)
+    assert(log.map(h => (h._1, h._3)) == Seq((1, 500L), (2, 700L)))
   }
 
   test("snapshot delete: copy-on-write rewrites only overlapping files") {
