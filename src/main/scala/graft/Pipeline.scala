@@ -107,6 +107,24 @@ object Pipeline {
     val nOverlap = Dedup.winnowOverlap(docs).count()
     println(s"[pipeline] filter: $nKept/${docs.count()} docs pass the Gopher rules; " +
       s"$nOverlap partial-overlap candidate pairs by winnowing fingerprint")
+    // 3c. the zone-map snapshot table format: history written
+    //     range-clustered, a crawl appended as a new version (O(batch)),
+    //     a range probe that reads only overlapping files, and the log
+    val snapPath = s"$outDir/snapshot"
+    val li = Tables(spark, sfDir, "lineitem")
+    graft.core.Snapshot.write(li.where(col("l_orderkey") % 2 === 0),
+      snapPath, "l_orderkey", nFiles = 8)
+    graft.core.Snapshot.append(li.where(col("l_orderkey") % 2 === 1),
+      snapPath, "l_orderkey", nFiles = 8)
+    val snapFiles = graft.core.Snapshot.selectFiles(spark, snapPath, 100L, 199L)
+    val snapTotal = graft.core.Snapshot.manifest(spark, snapPath).size
+    val snapRows = graft.core.Snapshot.scan(spark, snapPath,
+      "l_orderkey", 100L, 199L).count()
+    val snapLog = graft.core.Snapshot.history(spark, snapPath)
+    println(s"[pipeline] snapshot: $snapRows rows from " +
+      s"${snapFiles.size}/$snapTotal files (zone-map pruned); versions " +
+      snapLog.map(h => s"v${h._1}=${h._3}r").mkString(", "))
+
     val nOutliers = Profile.zscoreOutliers(docs, "n_chars", "lang", 1.5).count()
     val balanced = graft.llm.Corpus.sampleStratified(docs, n = 50)
     val mixed = graft.llm.Corpus.mixWeighted(balanced,
