@@ -2822,6 +2822,27 @@ class LlmSpec extends SparkSpec {
     assert(Gif.decode(Array[Byte]()).isEmpty)
   }
 
+  test("GIF LZW: random and degenerate rasters round-trip exactly") {
+    import graft.llm.Gif
+    val pal = Array.tabulate(256)(i => (i << 16) | (i << 8) | i)
+    // deterministic LCG pixels per trial — includes long runs (LZW's
+    // best case) and near-noise (its worst), plus degenerate dims
+    val dims = Seq((1, 1), (1, 7), (7, 1), (255, 1), (2, 2), (13, 29),
+      (64, 3), (40, 40))
+    for (((w, h), t) <- dims.zipWithIndex) {
+      var s = 12345L + t
+      def next(): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) % (if (t % 2 == 0) 256 else 4)).toInt } // noisy / runny
+      val px = Array.fill(h, w)(next())
+      val bytes = Gif.encode(w, h, pal, (x, y) => px(y)(x))
+      val img = Gif.decode(bytes).getOrElse(fail(s"decode failed at $w x $h"))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.indices(y * w + x) & 0xFF) == px(y)(x),
+          s"($w x $h) pixel ($x,$y)")
+    }
+  }
+
   test("cross-codec raster identity: the same image through GIF and PNG decodes equal") {
     import graft.llm.Gif
     // a gray raster both codecs can express exactly
