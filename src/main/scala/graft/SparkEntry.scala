@@ -545,6 +545,17 @@ object SparkEntry {
           col("l_quantity").cast("long").as("qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
 
+    // TIME TRAVEL under the gate: version 1 of the incremental snapshot
+    // read AFTER the append committed version 2 — the probe must see the
+    // pre-append state exactly (immutable data files + per-version
+    // manifests), which the oracle states as the even-orderkey filter.
+    "snapshot_time_travel" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, lineitemSnapshotIncr(s, d),
+          "l_orderkey", 200L, 399L, version = Some(1))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
     // Copy-on-write DELETE under the gate: orderkeys [300, 349] removed
     // as a new manifest version (only overlapping files rewrote —
     // O(overlap), never O(table)); the probe of the post-delete version
@@ -4157,6 +4168,14 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, l_partkey, " +
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // time travel: version 1 is the even-orderkey history, stated as the
+    // plain filter — append must not have disturbed it
+    "snapshot_time_travel" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 AND l_orderkey % 2 = 0 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
 
     // ...and the copy-on-write delete: the filter minus the deleted band
