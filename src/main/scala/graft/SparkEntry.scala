@@ -275,6 +275,24 @@ object SparkEntry {
       path
     })
 
+  // The gz twin: the SAME archived relation as compressed-at-rest WARC
+  // with application/http payloads (status line + headers + blank + body
+  // inside Content-Length) — the Common Crawl shape. The reader must
+  // inflate gzip members AND strip the HTTP header block to recover the
+  // documents.
+  private val warcGzDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def warcGzDir(s: SparkSession, d: String): String =
+    warcGzDirs.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "warcgzsrc", d)
+      graft.etl.Sources.writeWarcGz(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(lit("http://w"), col("doc_id").cast("string"),
+            lit(".example/x")).as("url"),
+          concat(lit("L1\n"), col("text")).as("text")), path, http = true)
+      path
+    })
+
   // Quantile register store built once per (session, dir) on the
   // even-orderkey history half; the incremental gate add-merges the odd
   // half READ-ONLY (count addition = the sketch's merge theorem).
@@ -1666,14 +1684,16 @@ object SparkEntry {
 
     // Anchor-text index: what OTHER pages call a link target — the
     // classic off-page relevance signal (anchor terms often describe the
-    // target better than its own text). Hrefs and anchor bodies zip in
-    // document order; per-(dst_host, term) counts, top-3 terms per host
-    // via one WindowGroupLimit — no global sort.
+    // target better than its own text). (href, term) pairs come from ONE
+    // regex pass per anchor element (aligned by construction — zipping
+    // two independent extractions misaligns on mixed markup); per-
+    // (dst_host, term) counts, top-3 terms per host via one
+    // WindowGroupLimit — no global sort.
     "anchor_terms" -> ((s, d) => {
       val pages = crawlHtmlLinks(s, d)
-      val zipped = pages.select(explode(arrays_zip(
-        graft.llm.Html.links(col("html")).as("href"),
-        graft.llm.Html.anchorTexts(col("html")).as("term"))).as("a"))
+      val zipped = pages.select(explode(
+        graft.llm.Html.anchorPairs(col("html"))).as("a"))
+        .where(col("a.href") =!= "")
       val counts = zipped.select(
           graft.llm.Urls.host(col("a.href")).as("dst_host"),
           col("a.term").as("term"))
@@ -2409,6 +2429,16 @@ object SparkEntry {
     // the 100 TB crawl-archive sharding.
     "scan_warc" -> ((s, d) =>
       graft.etl.Sources.readWarc(s, warcDir(s, d)).orderBy("doc_id")),
+
+    // Gzipped WARC with captured-HTTP payloads — the Common Crawl
+    // container verbatim: per-file gzip member streams (the reader
+    // resyncs members, so per-record-member archives read identically)
+    // and application/http records whose Content-Length spans status
+    // line + headers + blank + body. Same archived relation as
+    // scan_warc; the Spark side must EARN it back through inflate + the
+    // byte-offset walk + the HTTP header skip.
+    "scan_warc_gz" -> ((s, d) =>
+      graft.etl.Sources.readWarc(s, warcGzDir(s, d)).orderBy("doc_id")),
 
     // robots.txt policy: each 4-doc site publishes a robots body with a
     // nested allow-inside-disallow pair, odd sites prepending a `bot`
@@ -5065,6 +5095,13 @@ object SparkEntry {
     // must earn every row through the byte-offset record walk (a payload
     // newline would desync any line-based reader).
     "scan_warc" ->
+      ("SELECT doc_id, 'http://w' || doc_id || '.example/x' AS url, " +
+        "'L1' || chr(10) || text AS text FROM documents ORDER BY doc_id"),
+
+    // scan_warc_gz oracle: the same archived relation — gzip members and
+    // the HTTP header block are container artifacts the reader must
+    // strip without a trace.
+    "scan_warc_gz" ->
       ("SELECT doc_id, 'http://w' || doc_id || '.example/x' AS url, " +
         "'L1' || chr(10) || text AS text FROM documents ORDER BY doc_id"),
 

@@ -307,12 +307,23 @@ object Privacy {
       s"need quasi columns and t in (0, 1], got $t")
     val cgv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("_cgv"))
-    val cv = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("_cv"))
+    val cv = df.groupBy(col(sensitiveCol).as("_sv"))
+      .agg(count(lit(1)).as("_cv"))
     val ng = cgv.groupBy(quasiCols.map(col): _*)
       .agg(sum(col("_cgv")).as("_ng"))
-    val n = df.count() // Σ of the group counts — null keys group like values
-    val dist = cgv.join(cv, sensitiveCol).join(ng, quasiCols)
-      .groupBy(quasiCols.map(col): _*)
+      .select(quasiCols.zipWithIndex.map { case (q, i) =>
+        col(q).as(s"_q$i") } :+ col("_ng"): _*)
+    val n = df.count()
+    // NULL-SAFE joins (<=>): groupBy treats NULL as a value (null keys
+    // group together), so a NULL sensitive value or quasi key is a real
+    // group in cgv/cv/ng — an equi-join would drop it (null != null) and
+    // silently skew the per-group distance while still counting the rows
+    // in N and N_g. The null-safe keys keep the integer identity exact.
+    val dist = cgv
+      .join(cv, cgv(sensitiveCol) <=> cv("_sv"))
+      .join(ng, quasiCols.zipWithIndex.map { case (q, i) =>
+        cgv(q) <=> ng(s"_q$i") }.reduce(_ && _))
+      .groupBy(quasiCols.map(cgv(_)): _*)
       .agg(min(col("_ng")).as("_ng2"),
         sum(abs(col("_cgv") * n - col("_cv") * col("_ng")) -
           col("_cv") * col("_ng")).as("_part"))

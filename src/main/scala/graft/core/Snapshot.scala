@@ -29,9 +29,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * The schema is persisted beside the manifest (the [[Layouts]] rule:
   * an empty snapshot must read back as a valid empty relation, and
-  * explicit schemas skip footer inference). `statCol` is assumed
-  * NON-NULL (zone maps have no null band; a null row would be invisible
-  * to range probes and silently dropped by [[delete]]'s rewrite).
+  * explicit schemas skip footer inference). `statCol` must be NON-NULL
+  * (zone maps have no null band; a null row would be invisible to range
+  * probes and silently dropped by [[delete]]'s rewrite) — ENFORCED at
+  * commit time: the stats pass counts nulls for free and every
+  * write/append fails fast on the first null rather than committing a
+  * quietly incomplete table.
   */
 object Snapshot {
 
@@ -75,13 +78,22 @@ object Snapshot {
     // on the file identity Spark already carries with every row.
     // Explicit schema: an empty write may leave zero data files, which
     // would otherwise fail schema inference here.
-    spark.read.schema(schema).parquet(dir)
+    val rows = spark.read.schema(schema).parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(min(col(statCol)).cast("long").as("mn"),
         max(col(statCol)).cast("long").as("mx"),
-        count(lit(1)).as("rows"))
+        count(lit(1)).as("rows"),
+        count(when(col(statCol).isNull, 1)).as("nulls"))
       .collect() // file-count-sized, never data-sized
-      .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
+    // Fail FAST on null statCol values (same pass — no extra scan): zone
+    // maps have no null band, so a null row would be invisible to every
+    // range probe and silently dropped by delete's rewrite filter. Better
+    // a loud commit-time error than a quietly incomplete table.
+    val nullRows = rows.map(_.getLong(4)).sum
+    require(nullRows == 0,
+      s"statCol '$statCol' has $nullRows NULL row(s); zone maps require a " +
+        "non-null cluster column — filter or coalesce before write/append")
+    rows.map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
       .sortBy(_.file).toSeq
   }
@@ -173,10 +185,24 @@ object Snapshot {
                   batchId: Long, nFiles: Int = 4): Unit = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, path)
-    val marker = path + s"/_batch.v$cur"
     val fsys = fs(spark, path)
-    if (fsys.exists(new org.apache.hadoop.fs.Path(marker)) &&
-        readText(spark, marker).trim.toLong == batchId) return // replayed
+    // Replay detection scans EVERY committed batch marker (version ≤
+    // current), not just the current version's: append/delete/compact
+    // commits — or a second stream — can interleave between a batch's
+    // commit and its crash-redelivery, and the marker-of-current check
+    // alone would then let the replayed batch append twice (Delta's
+    // txn-version table solves the same problem). Markers ABOVE _current
+    // are rightly ignored: they belong to a commit that crashed before
+    // its pointer flip, so that batch never became visible and MUST
+    // re-run. Marker count = version count — driver-side and tiny.
+    val replayed = fsys
+      .globStatus(new org.apache.hadoop.fs.Path(path + "/_batch.v*"))
+      .exists { st =>
+        val v = st.getPath.getName.stripPrefix("_batch.v").toInt
+        v <= cur &&
+          readText(spark, st.getPath.toString).trim.toLong == batchId
+      }
+    if (replayed) return
     // hand-rolled commit so the batch marker lands BEFORE the pointer
     // flip: a crash anywhere before the flip leaves _current on the old
     // version, and the retry re-runs this append idempotently (the data

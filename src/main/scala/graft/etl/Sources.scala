@@ -82,16 +82,52 @@ object Sources {
     * scanner skips inter-record whitespace).
     */
   def writeWarc(df: DataFrame, path: String, idCol: String = "doc_id",
-                urlCol: String = "url", textCol: String = "text"): Unit = {
+                urlCol: String = "url", textCol: String = "text",
+                http: Boolean = false): Unit =
+    warcRecords(df, idCol, urlCol, textCol, http)
+      .write.mode("overwrite").text(path)
+
+  /** The gzip twin of [[writeWarc]] — each partition lands as one
+    * `.txt.gz` member stream (Spark's text sink + the gzip codec), the
+    * compressed-at-rest posture every real crawl archive ships in
+    * (Common Crawl is 100% `.warc.gz`). [[readWarc]] detects the gzip
+    * magic per file and inflates ALL members before the record walk, so
+    * per-record-member archives (the Common Crawl layout, which makes
+    * single records randomly accessible) read back identically — the
+    * reader never assumes one member per file.
+    */
+  def writeWarcGz(df: DataFrame, path: String, idCol: String = "doc_id",
+                  urlCol: String = "url", textCol: String = "text",
+                  http: Boolean = false): Unit =
+    warcRecords(df, idCol, urlCol, textCol, http)
+      .write.mode("overwrite").option("compression", "gzip").text(path)
+
+  /** One WARC record string per row. `http = true` writes what a real
+    * crawler stores: `Content-Type: application/http; msgtype=response`
+    * records whose payload is the FULL captured HTTP response — status
+    * line + response headers + blank line + body — with `Content-Length`
+    * counting the whole HTTP block ([[parseWarc]] skips the header block
+    * back off on read). `http = false` keeps the bare-payload records
+    * (`Content-Type: text/plain`-style resource capture).
+    */
+  private def warcRecords(df: DataFrame, idCol: String, urlCol: String,
+                          textCol: String, http: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
-    val payloadBytes = octet_length(col(textCol))
+    val payload =
+      if (http) concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8" +
+          "\r\nX-Crawler: graft\r\n\r\n"), col(textCol))
+      else col(textCol)
+    val ctype =
+      if (http) "application/http; msgtype=response" else "text/plain"
     val rec = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
       col(idCol).cast("string"),
       lit(">\r\nWARC-Target-URI: "), coalesce(col(urlCol), lit("-")),
-      lit("\r\nContent-Length: "), payloadBytes.cast("string"),
-      lit("\r\n\r\n"), col(textCol), lit("\r\n\r\n"))
-    df.select(rec.as("value")).write.mode("overwrite").text(path)
+      lit(s"\r\nContent-Type: $ctype"),
+      lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    df.select(rec.as("value"))
   }
 
   /** Parse a directory of WARC files back to `(doc_id, url, text)` — a
@@ -106,10 +142,35 @@ object Sources {
     */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path + "/*.txt")
+    spark.read.format("binaryFile").load(path + "/*.txt*")
       .select("content").as[Array[Byte]]
-      .flatMap(Sources.parseWarc)
+      .flatMap(b => Sources.parseWarc(Sources.gunzipMembers(b)))
       .toDF("doc_id", "url", "text")
+  }
+
+  /** Inflate a gzipped archive of one-or-MORE back-to-back gzip members
+    * to its raw bytes; non-gzip input (no 1f 8b magic) passes through
+    * untouched, so [[readWarc]] reads mixed plain/gz directories with one
+    * code path. Member-resync matters: Common Crawl writes ONE member per
+    * WARC record (that is what makes a record individually seekable), so
+    * a reader that stopped at the first member trailer would see exactly
+    * one record per file.
+    */
+  def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      return bytes
+    // GZIPInputStream resyncs concatenated members itself (after each
+    // trailer it probes for another member header) — one stream walk
+    // covers both the one-member-per-file and one-member-per-record
+    // layouts.
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 65536)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val chunk = new Array[Byte](65536)
+    var n = in.read(chunk)
+    while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+    in.close()
+    out.toByteArray
   }
 
   /** The per-file record walk — shared by [[readWarc]] and its spec. */
@@ -132,7 +193,7 @@ object Sources {
           else {
             var p = p0
             var id = -1L; var url: String = null; var len = -1L
-            var typ: String = null
+            var typ: String = null; var ctype: String = null
             var line = lineAt(p)
             while (line._1.nonEmpty) {
               val h = line._1
@@ -143,6 +204,7 @@ object Sources {
                 k match {
                   case "warc-type" => typ = v
                   case "warc-target-uri" => url = v
+                  case "content-type" => ctype = v.toLowerCase
                   case "content-length" =>
                     len = try v.toLong catch { case _: Exception => -1L }
                   case "warc-record-id" =>
@@ -156,8 +218,22 @@ object Sources {
             }
             p = line._2 // past the blank header terminator
             if (len >= 0 && p + len <= bytes.length) {
-              val payload = new String(bytes, p, len.toInt,
+              val raw = new String(bytes, p, len.toInt,
                 java.nio.charset.StandardCharsets.UTF_8)
+              // application/http records frame the CAPTURED RESPONSE:
+              // status line + headers + blank line + body, all inside
+              // Content-Length. The document is the body — skip the
+              // header block (tolerating bare-\n captures). A record
+              // with no blank line is all headers: empty body.
+              val payload =
+                if (ctype != null && ctype.startsWith("application/http")) {
+                  val crlf = raw.indexOf("\r\n\r\n")
+                  val lf = raw.indexOf("\n\n")
+                  if (crlf >= 0 && (lf < 0 || crlf <= lf))
+                    raw.substring(crlf + 4)
+                  else if (lf >= 0) raw.substring(lf + 2)
+                  else ""
+                } else raw
               pos = p + len.toInt
               if (typ == "response")
                 nextRec = (id, if (url == "-") null else url, payload)

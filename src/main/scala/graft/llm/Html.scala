@@ -54,6 +54,22 @@ object Html {
     regexp_extract_all(html,
       lit("(?is)<a\\s[^>]*>([^<]*)</a>"), lit(1))
 
+  /** `(href, term)` pairs extracted in ONE regex pass per anchor ELEMENT —
+    * aligned by construction. Zipping [[links]] with [[anchorTexts]] is
+    * wrong on mixed markup: the two regexes match DIFFERENT anchor sets
+    * (href-less or single-quoted anchors appear in one but not the other),
+    * so the arrays silently misalign. Here each matched element yields its
+    * own pair; anchors without a double-quoted href surface as href = ''
+    * (callers filter), never as a shifted pairing.
+    */
+  def anchorPairs(html: Column): Column = {
+    val elems = regexp_extract_all(html,
+      lit("(?is)<a\\s[^>]*>[^<]*</a>"), lit(0))
+    transform(elems, e => struct(
+      regexp_extract(e, "(?is)\\shref=\"([^\"]*)\"", 1).as("href"),
+      regexp_extract(e, "(?is)>([^<]*)</a>", 1).as("term")))
+  }
+
   private def decodeEntities(c: Column): Column = {
     val base = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ")

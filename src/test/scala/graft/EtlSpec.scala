@@ -448,6 +448,50 @@ class EtlSpec extends SparkSpec {
     assert(got == (0L until 90L).map(i => (i, s"v$i")))
   }
 
+  test("snapshot batch replay is detected across interleaved commits") {
+    import spark.implicits._
+    val path = tmpDir("snapinterleave") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 20L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 2)
+    // batch 7 commits...
+    graft.core.Snapshot.appendBatch(
+      (20L until 30L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      batchId = 7L, nFiles = 1)
+    // ...then a NON-streaming commit interleaves before the redelivery
+    // (exactly the window where a marker-of-current-version-only check
+    // would miss the replay and double-append)
+    graft.core.Snapshot.compact(spark, path, "k", nFiles = 2)
+    graft.core.Snapshot.appendBatch(
+      (20L until 30L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      batchId = 7L, nFiles = 1)
+    assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 30L)
+    // a genuinely new batch id still appends after the interleave
+    graft.core.Snapshot.appendBatch(
+      (30L until 35L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      batchId = 8L, nFiles = 1)
+    assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 35L)
+  }
+
+  test("snapshot commit fails fast on NULL statCol rows") {
+    import spark.implicits._
+    val path = tmpDir("snapnullstat") + "/s"
+    val bad = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("k", "v")
+    val err = intercept[IllegalArgumentException] {
+      graft.core.Snapshot.write(bad, path, "k", nFiles = 1)
+    }
+    assert(err.getMessage.contains("NULL"))
+    // and on append into a healthy table
+    graft.core.Snapshot.write(Seq((1L, "a")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.append(bad, path, "k", nFiles = 1)
+    }
+    // the failed append never committed: table still reads v1 intact
+    assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 1L)
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")

@@ -1900,6 +1900,28 @@ class LlmSpec extends SparkSpec {
       out2._3 == math.floor(10.0 / 12 * 1e6 + 0.5) / 1e6)
   }
 
+  test("t-closeness: NULL sensitive values and NULL quasi keys are real groups") {
+    import graft.analytics.Privacy
+    // NULL is a sensitive VALUE here (e.g. a masked lang): group A is all
+    // NULL-lang, group B is all en. N=4, global p = (null: .5, en: .5);
+    // each group is (1, 0) → d = 0.5 for BOTH. An equi-join would drop
+    // the null rows from A's sum and report d(A) wrong.
+    val df = (Seq.fill(2)(("A", null: String)) ++ Seq.fill(2)(("B", "en")))
+      .toDF("source", "lang")
+    val out = Privacy.tCloseness(df, Seq("source"), "lang", t = 0.4)
+      .as[(Long, Long, Double)].collect().head
+    assert(out == ((2L, 2L, 0.5)))
+    // NULL quasi key: its rows form their own group (groupBy semantics)
+    // and must survive the null-safe ng join — same distances as above
+    // with a third all-"fr" null-keyed group. N=6, global (null:2, en:2,
+    // fr:2)/6; each group (1,0,0) vs (1/3,1/3,1/3) → d = 2/3 everywhere.
+    val df2 = df.union(Seq.fill(2)((null: String, "fr")).toDF("source", "lang"))
+    val out2 = Privacy.tCloseness(df2, Seq("source"), "lang", t = 0.7)
+      .as[(Long, Long, Double)].collect().head
+    assert(out2._1 == 3L && out2._2 == 0L &&
+      out2._3 == math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6)
+  }
+
   test("Curation.run front door: html extraction feeds the stages, url dedup drops refetches") {
     import graft.llm.Curation
     def words(tag: String, n: Int) = (1 to n).map(j => s"${tag}w$j").mkString(" ")
@@ -2435,6 +2457,54 @@ class LlmSpec extends SparkSpec {
       "WARC-Record-ID: <urn:graft:9>\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n")
       .getBytes("UTF-8") ++ "WARC/1.0\r\ntruncated".getBytes("UTF-8")
     assert(Sources.parseWarc(mixed).toList == Nil)
+  }
+
+  test("warc.gz round-trip: gzip sink, http payload skip, member resync") {
+    import graft.etl.Sources
+    val dir = tmpDir("warcgz") + "/w"
+    // body containing an HTTP-header lookalike blank-line sequence: only
+    // the FIRST blank line ends the header block
+    val tricky = "para1\r\n\r\npara2 reads like a second header end"
+    val docs = Seq((1L, "http://a.com/x", "plain body"),
+      (2L, null: String, tricky),
+      (3L, "http://b.org/y", "")).toDF("doc_id", "url", "text")
+    Sources.writeWarcGz(docs, dir, http = true)
+    val back = Sources.readWarc(spark, dir).as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(back.keySet == Set(1L, 2L, 3L))
+    assert(back(1L) == (("http://a.com/x", "plain body")))
+    assert(back(2L) == ((null, tricky)))
+    assert(back(3L) == (("http://b.org/y", "")))
+  }
+
+  test("warc.gz member resync: one gzip member PER RECORD (Common Crawl layout)") {
+    import graft.etl.Sources
+    // Build a per-record-member archive by hand: each record is its own
+    // gzip member, members back-to-back in one file — a reader that
+    // stopped at the first member trailer would see one record.
+    def rec(id: Long, body: String): Array[Byte] = {
+      val http = s"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n$body"
+      val s = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+        s"WARC-Target-URI: http://h$id.com/\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val archive = rec(10L, "first body") ++ rec(11L, "second body\nwith nl") ++
+      rec(12L, "third")
+    val dir = java.nio.file.Files.createTempDirectory("warcmm").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-0.txt.gz").toPath, archive)
+    val back = Sources.readWarc(spark, dir.getAbsolutePath)
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq(
+      (10L, "http://h10.com/", "first body"),
+      (11L, "http://h11.com/", "second body\nwith nl"),
+      (12L, "http://h12.com/", "third")))
   }
 
   test("robots: star-group parse, longest match with allow ties, tolerant reader") {
@@ -3543,6 +3613,24 @@ class LlmSpec extends SparkSpec {
       .select(graft.llm.Html.links(col("html")).as("l"))
       .as[Seq[String]].head()
     assert(out == Seq("http://a.com/1", "http://b.com/2", "/rel"))
+  }
+
+  test("html anchor pairs: one-pass (href, term) stays aligned on mixed markup") {
+    // The misalignment trap: an href-less anchor and a single-quoted-href
+    // anchor sit BETWEEN two well-formed ones. Zipping links() with
+    // anchorTexts() would pair "http://a.com" with "no-href" here; the
+    // one-pass extraction pairs by element, so each term stays with its
+    // own href (missing/unquoted hrefs surface as '').
+    val html = "<p><a href=\"http://a.com\">alpha</a>" +
+      "<a name=\"x\">no-href</a><a href='http://q.com'>quoted</a>" +
+      "<a class=\"y\" href=\"http://b.com\">beta</a></p>"
+    val out = Seq(Tuple1(html)).toDF("html")
+      .select(graft.llm.Html.anchorPairs(col("html")).as("p"))
+      .select(explode(col("p")).as("a"))
+      .select(col("a.href"), col("a.term"))
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq("http://a.com" -> "alpha", "" -> "no-href",
+      "" -> "quoted", "http://b.com" -> "beta"))
   }
 
   test("script mix: per-range counts, dominance argmax, tie and none cases") {

@@ -1503,6 +1503,44 @@ class SessionAndStreamSpec extends SparkSpec {
       empty(0).isNullAt(empty(0).fieldIndex("col_min")))
   }
 
+  test("approx summarize (the at-scale default): schema, exact fields, sketch tolerance") {
+    import graft.profile.Profile
+    // summarize's DEFAULT is the one-scan approx path (HLL distinct +
+    // percentile_approx) — pin its contract: same output schema as exact
+    // mode, count/null%/min/max/avg EXACT (they are plain aggregates in
+    // both modes), quantiles and n_distinct within sketch tolerance.
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (1.0, null), (2.0, null), (10.0, null))
+      .toDF("v", "allnull")
+    val approx = Profile.summarize(df, Seq("v", "allnull")) // exact=false
+    val exact = Profile.summarize(df, Seq("v", "allnull"), exact = true)
+    assert(approx.schema.map(f => (f.name, f.dataType)) ==
+      exact.schema.map(f => (f.name, f.dataType)))
+    val out = approx.collect().map(r => r.getString(0) -> r).toMap
+    val v = out("v")
+    assert(v.getDouble(v.fieldIndex("col_min")) == 1.0)
+    assert(v.getDouble(v.fieldIndex("col_max")) == 10.0)
+    assert(v.getDouble(v.fieldIndex("col_avg")) == 3.5)
+    assert(v.getLong(v.fieldIndex("col_cnt")) == 4L)
+    assert(v.getLong(v.fieldIndex("null_cnt")) == 0L)
+    // HLL ±5% at this cardinality is exact in practice; allow ±1
+    assert(math.abs(v.getLong(v.fieldIndex("n_distinct")) - 3L) <= 1L)
+    // percentile_approx picks OBSERVED values (no interpolation): each
+    // quartile must be a member of the column, in quartile order
+    val qs = Seq("q25", "q50", "q75").map(q => v.getDouble(v.fieldIndex(q)))
+    assert(qs.forall(Set(1.0, 2.0, 10.0)) && qs == qs.sorted)
+    // all-null column: null quantiles, zero distinct, full null count
+    val an = out("allnull")
+    assert(an.isNullAt(an.fieldIndex("q50")) &&
+      an.getLong(an.fieldIndex("n_distinct")) == 0L &&
+      an.getLong(an.fieldIndex("null_cnt")) == 4L)
+    // empty relation: one all-default row per requested column
+    val empty = Profile.summarize(df.where(lit(false)), Seq("v")).collect()
+    assert(empty.length == 1 && empty(0).getString(0) == "v" &&
+      empty(0).getLong(empty(0).fieldIndex("col_cnt")) == 0L &&
+      empty(0).isNullAt(empty(0).fieldIndex("col_min")))
+  }
+
   test("exact summarize beyond HitValueCap: distributed ranking path, same arithmetic") {
     import graft.profile.Profile
     // 300001 distinct values packed into ONE 1/16-binade bit-bucket
