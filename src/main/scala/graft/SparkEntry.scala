@@ -378,6 +378,47 @@ object SparkEntry {
       path
     })
 
+  // Versioned snapshot for the SCHEMA-EVOLUTION gate: v1 = even docs
+  // under the narrow schema, v2 = odd docs appended WITH a new trailing
+  // column (append-only ADD COLUMN — the M1-M3 contract wired into the
+  // table format). The gate scans the evolved head: old files must
+  // null-fill the added column through the explicit schema.
+  private val snapshotsEvolve =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def docsSnapshotEvolve(s: SparkSession, d: String): String =
+    snapshotsEvolve.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_evolve", d)
+      val docs = t(s, d, "documents")
+      graft.core.Snapshot.write(
+        docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        path, "doc_id", nFiles = 4)
+      graft.core.Snapshot.append(
+        docs.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            (col("n_chars") % 100).as("quality")),
+        path, "doc_id", nFiles = 4)
+      path
+    })
+
+  // Multi-column zone-map snapshot: part clustered on the Morton key of
+  // (p_retailprice, p_size) with BOTH originals registered as secondary
+  // stat columns — the z-order layout makes every registered dimension's
+  // per-file bands nearly disjoint, so a probe on either prunes files.
+  private val snapshotsMulti =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def partSnapshotMulti(s: SparkSession, d: String): String =
+    snapshotsMulti.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_multi", d)
+      graft.core.Snapshot.write(
+        graft.etl.Etl.zOrderKey(
+          t(s, d, "part").select("p_partkey", "p_retailprice", "p_size"),
+          Seq("p_retailprice", "p_size"), bits = 8),
+        path, "_z", nFiles = 16,
+        statCols2 = Seq("p_size", "p_retailprice"))
+      path
+    })
+
   private val sigStores =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def sigStore(s: SparkSession, d: String): String =
@@ -573,6 +614,36 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // SCHEMA EVOLUTION under the gate: the snapshot's head was committed
+    // by an append that ADDED a column (append-only ADD COLUMN through
+    // the Migrate contract); the scan must see pre-evolution rows with
+    // the new column null-filled and post-evolution rows with their
+    // values — which the oracle states as a two-branch union.
+    "snapshot_evolve" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, docsSnapshotEvolve(s, d),
+          "doc_id", 0L, 1L << 40)
+        .orderBy("doc_id")),
+
+    // TIME TRAVEL BELOW THE EVOLUTION: version 1 read after the evolving
+    // append committed version 2 — the probe must see the ORIGINAL
+    // schema (no quality column) and only the pre-evolution rows.
+    "snapshot_evolve_time_travel" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, docsSnapshotEvolve(s, d),
+          "doc_id", 0L, 1L << 40, version = Some(1))
+        .orderBy("doc_id")),
+
+    // MULTI-COLUMN zone maps under the gate: the snapshot is clustered
+    // on the Morton interleave of (p_retailprice, p_size) and the probe
+    // runs on p_size ALONE — a secondary stat column whose per-file
+    // bands the z-order layout keeps nearly disjoint, so the manifest
+    // prunes files on a column that is neither the cluster key nor a
+    // partition column. Result must equal the plain filter.
+    "snapshot_scan_multi" -> ((s, d) =>
+      graft.core.Snapshot.scanBy(s, partSnapshotMulti(s, d),
+          "p_size", 10L, 20L)
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")),
 
     // Copy-on-write DELETE under the gate: orderkeys [300, 349] removed
     // as a new manifest version (only overlapping files rewrote —
@@ -4207,6 +4278,28 @@ object SparkEntry {
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 AND l_orderkey % 2 = 0 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // schema evolution: the evolved head stated as a two-branch union —
+    // pre-evolution rows carry NULL in the added column, post-evolution
+    // rows carry the formula value
+    "snapshot_evolve" ->
+      ("SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality " +
+        "FROM documents WHERE doc_id % 2 = 0 " +
+        "UNION ALL " +
+        "SELECT doc_id, lang, n_chars, n_chars % 100 AS quality " +
+        "FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id"),
+
+    // time travel below the evolution: version 1's ORIGINAL shape — no
+    // quality column at all, and only the pre-evolution rows
+    "snapshot_evolve_time_travel" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE doc_id % 2 = 0 ORDER BY doc_id"),
+
+    // multi-column zone maps: the secondary-column probe is just the
+    // plain filter — pruning must be invisible in the result
+    "snapshot_scan_multi" ->
+      ("SELECT p_partkey, p_retailprice, p_size FROM part " +
+        "WHERE p_size BETWEEN 10 AND 20 ORDER BY p_partkey"),
 
     // ...and the copy-on-write delete: the filter minus the deleted band
     "snapshot_delete" ->

@@ -21,11 +21,46 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     identical to partition pruning but on a NON-partition column:
   *     a 1% range probe of a clustered 100 TB table schedules ~1% of
   *     the splits.
+  *   - MULTI-COLUMN zone maps: [[write]] may register SECONDARY stat
+  *     columns (`statCols2`); the same single stats pass records their
+  *     per-file min/max too, and [[scanBy]]/[[selectFilesBy]] prune on
+  *     any registered column. Secondary bands are only as tight as the
+  *     physical clustering lets them be — cluster on a z-order
+  *     interleave (`zorderKey`) of the probe columns to make ALL of
+  *     them prune well.
   *
-  * Manifests are VERSIONED (`_manifest.v<N>.tsv` + a `_current`
-  * pointer): [[append]] commits a new version whose manifest is the
+  * Manifests are VERSIONED (`_manifest.v<N>.tsv` + `_commit.v<N>`
+  * markers): [[append]] commits a new version whose manifest is the
   * previous rows plus the increment's — O(batch), history files never
   * rescanned — and every older version stays readable (time travel).
+  *
+  * COMMIT PROTOCOL (optimistic concurrency, the Iceberg idea in
+  * miniature): data files land under a WRITER-UNIQUE directory (two
+  * in-flight commits can never overwrite each other's bytes), the
+  * manifest for version N is written, and the commit point is the
+  * exclusive CREATE of `_commit.v<N>` — first creator wins the version.
+  * A loser re-reads the new head and, when its commit is ADDITIVE
+  * (append / streaming batch: manifest = head rows + its own delta),
+  * REBASES onto the next version — its already-written data files stay
+  * valid verbatim. Non-additive commits (delete, compact — their
+  * rewrite depends on the base manifest) abort with
+  * `ConcurrentModificationException` instead of silently dropping the
+  * other writer's rows; callers re-run against the new head. A crash
+  * anywhere before the marker leaves the table on the old version with
+  * only unreferenced data files behind (no burned version numbers —
+  * versions stay dense 1..current). Same-JVM commits additionally
+  * serialize on a per-table lock, so local multi-threaded writers never
+  * hit the cross-process race window at all.
+  *
+  * SCHEMA EVOLUTION (append-only, the M1–M3 contract from
+  * [[graft.etl.Migrate]]): [[append]] accepts a batch whose schema adds
+  * trailing columns. The evolution is validated append-only (dropping
+  * or retyping a stored column throws), committed as
+  * `_schema.v<N>.json` beside the manifest, and every version reads
+  * with the schema IT was committed under — old data files read through
+  * a newer schema null-fill the added columns (explicit-schema parquet
+  * read, no footer-merge job), and time travel to a pre-evolution
+  * version sees the old shape exactly.
   *
   * The schema is persisted beside the manifest (the [[Layouts]] rule:
   * an empty snapshot must read back as a valid empty relation, and
@@ -34,11 +69,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * probes and silently dropped by [[delete]]'s rewrite) — ENFORCED at
   * commit time: the stats pass counts nulls for free and every
   * write/append fails fast on the first null rather than committing a
-  * quietly incomplete table.
+  * quietly incomplete table. Secondary stat columns MAY hold nulls:
+  * their min/max spans the non-null values, which prunes correctly
+  * because a null never satisfies a range predicate (the residual
+  * filter drops such rows anyway).
   */
 object Snapshot {
 
-  final case class FileStat(file: String, min: Long, max: Long, rows: Long)
+  /** Per-file zone-map row. `extra` aligns positionally with the
+    * table's registered secondary stat columns; `None` marks a file
+    * with no non-null values in that column (prunable by every range).
+    */
+  final case class FileStat(file: String, min: Long, max: Long, rows: Long,
+                            extra: Seq[Option[(Long, Long)]] = Nil)
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -61,29 +104,148 @@ object Snapshot {
     } finally in.close()
   }
 
-  // ---- manifest versions (time travel) ---------------------------------
-  // Each write/append commits a NEW numbered manifest (_manifest.v<N>.tsv)
-  // and then flips the one-line _current pointer — the Iceberg/Delta
-  // commit protocol in miniature. Data files are immutable once written,
-  // so every old version stays readable (time travel), the pointer flip
-  // is the atomic commit point, and a crash between the manifest write
-  // and the flip leaves the previous version intact.
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
-  private def currentVersion(spark: SparkSession, path: String): Int =
-    readText(spark, path + "/_current").trim.toInt
+  private def delete(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), false)
+
+  // ---- the commit protocol ----------------------------------------------
+
+  /** Committed versions = versions with a `_commit.v<N>` marker; the
+    * current version is the highest. Driver-side, version-count-sized.
+    */
+  private def committedVersions(spark: SparkSession, path: String): Seq[Int] =
+    fs(spark, path)
+      .globStatus(new org.apache.hadoop.fs.Path(path + "/_commit.v*"))
+      .toSeq.map(_.getPath.getName.stripPrefix("_commit.v").toInt).sorted
+
+  private def currentVersion(spark: SparkSession, path: String): Int = {
+    val vs = committedVersions(spark, path)
+    require(vs.nonEmpty, s"no committed snapshot version under $path")
+    vs.max
+  }
+
+  /** Exclusive create — the CAS. True iff WE created the marker. */
+  private def tryCommitMarker(spark: SparkSession, path: String,
+                              version: Int): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path + s"/_commit.v$version")
+    try {
+      val out = fs(spark, path).create(p, false) // overwrite = false
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  // Same-JVM commit serialization: one lock object per table path, so
+  // local concurrent writers (the local[32] test posture, or multiple
+  // streams in one driver) never race the on-disk CAS at all. The
+  // on-disk protocol alone covers cross-process writers.
+  private val commitLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def lockFor(path: String): Object =
+    commitLocks.getOrElseUpdate(path, new Object)
+
+  /** One commit attempt's immutable payload: the delta rows (data files
+    * already written under a writer-unique dir) plus optional side
+    * effects to persist for the winning version.
+    */
+  private final case class Commit(
+      delta: Seq[FileStat],
+      additive: Boolean, // manifest = head rows ++ delta (rebase-safe)
+      basedOn: Int, // the version the delta was computed against
+      newSchema: Option[StructType] = None,
+      batchId: Option[Long] = None)
+
+  /** Run the optimistic-commit loop: pick `next = current + 1`, write
+    * the manifest, CAS the commit marker; on a lost race, rebase
+    * (additive) or abort (non-additive). Post-fence, the winner REPAIRS
+    * its version's side files (a loser may have overwritten them before
+    * losing) and clears stale same-numbered files from older crashed
+    * attempts. Returns the committed version.
+    */
+  private def commitLoop(spark: SparkSession, path: String, c: Commit): Int =
+    lockFor(path).synchronized {
+      val attempt = c
+      var done = -1
+      while (done < 0) {
+        val head = currentVersion(spark, path)
+        if (!attempt.additive && head != attempt.basedOn)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot $path moved v${attempt.basedOn} -> v$head during a " +
+              "non-additive commit (delete/compact); re-run against the new head")
+        val next = head + 1
+        val rows =
+          if (attempt.additive) manifest(spark, path, Some(head)) ++ attempt.delta
+          else attempt.delta
+        writeManifest(spark, path, next, rows)
+        attempt.newSchema.foreach(sc =>
+          writeText(spark, path + s"/_schema.v$next.json", sc.json))
+        attempt.batchId.foreach(id =>
+          writeText(spark, path + s"/_batch.v$next", id.toString))
+        if (tryCommitMarker(spark, path, next)) {
+          // fenced: v<next> is ours — repair side files a concurrent
+          // loser may have overwritten pre-fence, and clear stale ones
+          // from crashed attempts at this number
+          writeManifest(spark, path, next, rows)
+          attempt.newSchema match {
+            case Some(sc) =>
+              writeText(spark, path + s"/_schema.v$next.json", sc.json)
+              writeText(spark, path + "/_schema.json", sc.json)
+            case None =>
+              if (exists(spark, path + s"/_schema.v$next.json"))
+                delete(spark, path + s"/_schema.v$next.json")
+          }
+          attempt.batchId match {
+            case Some(id) =>
+              writeText(spark, path + s"/_batch.v$next", id.toString)
+            case None =>
+              if (exists(spark, path + s"/_batch.v$next"))
+                delete(spark, path + s"/_batch.v$next")
+          }
+          writeText(spark, path + "/_current", next.toString)
+          done = next
+        } else {
+          // lost the race — the head moved; loop to rebase: the next
+          // pass re-reads the head and re-carries its manifest rows
+          // (additive), or throws when basedOn no longer matches
+          // (non-additive)
+          ()
+        }
+      }
+      done
+    }
+
+  private def writeManifest(spark: SparkSession, path: String, version: Int,
+                            stats: Seq[FileStat]): Unit = {
+    def cell(e: Option[(Long, Long)]) =
+      e.map { case (a, b) => s"$a:$b" }.getOrElse("-")
+    writeText(spark, path + s"/_manifest.v$version.tsv",
+      stats.map(s => (Seq(s.file, s.min.toString, s.max.toString,
+          s.rows.toString) ++ s.extra.map(cell)).mkString("\t"))
+        .mkString("", "\n", if (stats.isEmpty) "" else "\n"))
+  }
+
+  // ---- stats ------------------------------------------------------------
 
   private def statsOf(spark: SparkSession, statCol: String,
-                      schema: StructType, dir: String): Seq[FileStat] = {
+                      cols2: Seq[String], schema: StructType,
+                      dir: String): Seq[FileStat] = {
     // One scan for the whole manifest delta: per-file min/max/rows keyed
-    // on the file identity Spark already carries with every row.
-    // Explicit schema: an empty write may leave zero data files, which
-    // would otherwise fail schema inference here.
-    val rows = spark.read.schema(schema).parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(statCol)).cast("long").as("mn"),
+    // on the file identity Spark already carries with every row —
+    // secondary columns ride the SAME pass. Explicit schema: an empty
+    // write may leave zero data files, which would otherwise fail schema
+    // inference here.
+    val aggs =
+      Seq(min(col(statCol)).cast("long").as("mn"),
         max(col(statCol)).cast("long").as("mx"),
         count(lit(1)).as("rows"),
-        count(when(col(statCol).isNull, 1)).as("nulls"))
+        count(when(col(statCol).isNull, 1)).as("nulls")) ++
+        cols2.flatMap(c => Seq(min(col(c)).cast("long"),
+          max(col(c)).cast("long")))
+    val rows = spark.read.schema(schema).parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect() // file-count-sized, never data-sized
     // Fail FAST on null statCol values (same pass — no extra scan): zone
     // maps have no null band, so a null row would be invisible to every
@@ -93,33 +255,66 @@ object Snapshot {
     require(nullRows == 0,
       s"statCol '$statCol' has $nullRows NULL row(s); zone maps require a " +
         "non-null cluster column — filter or coalesce before write/append")
-    rows.map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3)))
-      .sortBy(_.file).toSeq
+    rows.map { r =>
+      val extra = cols2.indices.map { i =>
+        if (r.isNullAt(5 + 2 * i)) None // all-null file: prunable always
+        else Some((r.getLong(5 + 2 * i), r.getLong(6 + 2 * i)))
+      }
+      FileStat(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        extra)
+    }.sortBy(_.file).toSeq
   }
 
-  private def commit(spark: SparkSession, path: String, version: Int,
-                     stats: Seq[FileStat]): Unit = {
-    writeText(spark, path + s"/_manifest.v$version.tsv",
-      stats.map(s => s"${s.file}\t${s.min}\t${s.max}\t${s.rows}")
-        .mkString("", "\n", if (stats.isEmpty) "" else "\n"))
-    writeText(spark, path + "/_current", version.toString)
-  }
+  /** Writer-unique data directory — two in-flight commits can never
+    * overwrite each other's parquet bytes, which is what makes the
+    * optimistic rebase sound (a loser's already-written files stay
+    * valid verbatim for its retry).
+    */
+  private def newDataDir(spark: SparkSession, path: String): String =
+    path + "/d" + java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+
+  private def clusterWrite(df: DataFrame, statCol: String, nFiles: Int,
+                           dir: String): Unit =
+    df.repartitionByRange(nFiles, col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("overwrite").parquet(dir)
+
+  /** The registered secondary stat columns ([[write]]'s `statCols2`). */
+  private def statCols2(spark: SparkSession, path: String): Seq[String] =
+    if (!exists(spark, path + "/_statcols")) Nil
+    else readText(spark, path + "/_statcols").split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+
+  // ---- public API ---------------------------------------------------------
 
   /** Write `df` as version 1 of a range-clustered snapshot over
     * long-typed `statCol` with `nFiles` target files, plus the zone-map
-    * manifest.
+    * manifest. `statCols2` registers SECONDARY long-typed stat columns:
+    * their per-file min/max is recorded in this and every future commit
+    * (same stats pass), enabling [[scanBy]] pruning on non-cluster
+    * columns. To make a secondary band tight, cluster on a z-order
+    * interleave of the probe columns and register the originals here.
     */
   def write(df: DataFrame, path: String, statCol: String,
-            nFiles: Int = 16): Unit = {
+            nFiles: Int = 16, statCols2: Seq[String] = Nil): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val spark = df.sparkSession
-    val dataDir = path + "/v1"
-    df.repartitionByRange(nFiles, col(statCol))
-      .sortWithinPartitions(statCol)
-      .write.mode("overwrite").parquet(dataDir)
+    // CREATE OR REPLACE: a previous table at this path (an earlier run
+    // over the same scratch dir) is dropped whole — its commit markers
+    // would otherwise outrank the fresh v1 in the glob-max protocol.
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (fs(spark, path).exists(root)) fs(spark, path).delete(root, true)
+    val dataDir = newDataDir(spark, path)
+    clusterWrite(df, statCol, nFiles, dataDir)
     writeText(spark, path + "/_schema.json", df.schema.json)
-    commit(spark, path, 1, statsOf(spark, statCol, df.schema, dataDir))
+    writeText(spark, path + "/_schema.v1.json", df.schema.json)
+    writeText(spark, path + "/_statcols",
+      statCols2.mkString("", "\n", if (statCols2.isEmpty) "" else "\n"))
+    val stats = statsOf(spark, statCol, statCols2, df.schema, dataDir)
+    writeManifest(spark, path, 1, stats)
+    tryCommitMarker(spark, path, 1)
+    writeText(spark, path + "/_current", "1")
   }
 
   /** Append a batch as a NEW snapshot version: the increment is
@@ -127,20 +322,48 @@ object Snapshot {
     * neither moved nor rescanned; their manifest rows carry over), and
     * the new manifest = history rows + increment rows. Reading the new
     * version sees history ∪ batch; every older version stays readable.
+    *
+    * ADD COLUMN rides this path: a batch whose schema appends new
+    * columns to the stored schema commits an append-only evolution
+    * (validated by the [[graft.etl.Migrate]] contract — dropping or
+    * retyping a stored column throws). Old files null-fill the new
+    * columns on read; time travel below the evolution sees the old
+    * shape.
     */
   def append(df: DataFrame, path: String, statCol: String,
              nFiles: Int = 4): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val spark = df.sparkSession
-    val prev = currentVersion(spark, path)
-    val next = prev + 1
-    val dataDir = path + s"/v$next"
-    df.repartitionByRange(nFiles, col(statCol))
-      .sortWithinPartitions(statCol)
-      .write.mode("overwrite").parquet(dataDir)
-    commit(spark, path, next,
-      manifest(spark, path, Some(prev)) ++
-        statsOf(spark, statCol, snapshotSchema(spark, path), dataDir))
+    val base = currentVersion(spark, path)
+    val stored = schemaAt(spark, path, base)
+    val evolved: Option[StructType] =
+      if (df.schema.json == stored.json) None
+      else {
+        // append-only: every stored flattened path must survive —
+        // Migrate.evolve throws on drops; retypes are caught explicitly
+        graft.etl.Migrate.evolve(
+          graft.etl.Flatten.columnPaths(stored), df.schema)
+        val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        stored.fields.foreach { f =>
+          require(batchTypes.get(f.name).contains(f.dataType),
+            s"append-only migration violated: column '${f.name}' changed " +
+              s"type ${f.dataType.simpleString} -> " +
+              batchTypes.get(f.name).map(_.simpleString).getOrElse("<dropped>"))
+        }
+        val added = df.schema.fields.filterNot(f =>
+          stored.fieldNames.contains(f.name))
+        Some(StructType(stored.fields ++ added))
+      }
+    val writeSchema = evolved.getOrElse(stored)
+    val dataDir = newDataDir(spark, path)
+    // stored-order projection: old columns keep their position, new ones
+    // append — the physical layout every version agrees on
+    clusterWrite(df.select(writeSchema.fieldNames.map(col).toSeq: _*),
+      statCol, nFiles, dataDir)
+    val delta = statsOf(spark, statCol, statCols2(spark, path), writeSchema,
+      dataDir)
+    commitLoop(spark, path,
+      Commit(delta, additive = true, basedOn = base, newSchema = evolved))
   }
 
   /** Copy-on-write range DELETE: commit a new version with every row
@@ -149,24 +372,29 @@ object Snapshot {
     * re-clustered); every other manifest row carries over verbatim —
     * O(overlap), never O(table) — and when no file overlaps, the delete
     * is a pure metadata commit (zero data I/O). Older versions still
-    * read the pre-delete rows (time travel).
+    * read the pre-delete rows (time travel). Non-additive: a concurrent
+    * commit aborts this one with `ConcurrentModificationException`.
     */
   def delete(spark: SparkSession, path: String, statCol: String,
              lo: Long, hi: Long): Unit = {
-    val prev = currentVersion(spark, path)
-    val next = prev + 1
-    val (hit, keep) = manifest(spark, path, Some(prev))
+    val base = currentVersion(spark, path)
+    val (hit, keep) = manifest(spark, path, Some(base))
       .partition(s => s.max >= lo && s.min <= hi)
-    if (hit.isEmpty) { commit(spark, path, next, keep); return }
-    val schema = snapshotSchema(spark, path)
-    val dataDir = path + s"/v$next"
+    if (hit.isEmpty) {
+      commitLoop(spark, path, Commit(keep, additive = false, basedOn = base))
+      return
+    }
+    val schema = schemaAt(spark, path, base)
+    val dataDir = newDataDir(spark, path)
     spark.read.schema(schema).parquet(hit.map(_.file): _*)
       .where(!(col(statCol) >= lo && col(statCol) <= hi))
       .repartitionByRange(math.max(1, hit.size), col(statCol))
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(dataDir)
-    commit(spark, path, next,
-      keep ++ statsOf(spark, statCol, schema, dataDir))
+    val rewritten = statsOf(spark, statCol, statCols2(spark, path), schema,
+      dataDir)
+    commitLoop(spark, path,
+      Commit(keep ++ rewritten, additive = false, basedOn = base))
   }
 
   /** IDEMPOTENT streaming append — the `foreachBatch` sink contract:
@@ -175,8 +403,8 @@ object Snapshot {
     * Streaming re-delivers the last uncommitted batch after a crash) is
     * a no-op instead of a duplicate append. Exactly-once ingestion into
     * the table format falls out of the version protocol: the data write
-    * is invisible until the `_current` flip, and the flip carries the
-    * batch id.
+    * is invisible until the commit marker lands, and the marker's
+    * version carries the batch id.
     *
     * Wire as
     * `stream.writeStream.foreachBatch((df, id) => Snapshot.appendBatch(df, path, col, id))`.
@@ -185,41 +413,29 @@ object Snapshot {
                   batchId: Long, nFiles: Int = 4): Unit = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, path)
+    // Replay detection scans the batch marker of EVERY COMMITTED version
+    // (not just the current one): append/delete/compact commits — or a
+    // second stream — can interleave between a batch's commit and its
+    // crash-redelivery, and the marker-of-current check alone would then
+    // let the replayed batch append twice (Delta's txn-version table
+    // solves the same problem). Markers without a commit marker belong
+    // to a crashed/lost attempt whose batch never became visible and
+    // MUST re-run. Marker count = version count — driver-side and tiny.
     val fsys = fs(spark, path)
-    // Replay detection scans EVERY committed batch marker (version ≤
-    // current), not just the current version's: append/delete/compact
-    // commits — or a second stream — can interleave between a batch's
-    // commit and its crash-redelivery, and the marker-of-current check
-    // alone would then let the replayed batch append twice (Delta's
-    // txn-version table solves the same problem). Markers ABOVE _current
-    // are rightly ignored: they belong to a commit that crashed before
-    // its pointer flip, so that batch never became visible and MUST
-    // re-run. Marker count = version count — driver-side and tiny.
     val replayed = fsys
       .globStatus(new org.apache.hadoop.fs.Path(path + "/_batch.v*"))
       .exists { st =>
         val v = st.getPath.getName.stripPrefix("_batch.v").toInt
-        v <= cur &&
+        v <= cur && exists(spark, path + s"/_commit.v$v") &&
           readText(spark, st.getPath.toString).trim.toLong == batchId
       }
     if (replayed) return
-    // hand-rolled commit so the batch marker lands BEFORE the pointer
-    // flip: a crash anywhere before the flip leaves _current on the old
-    // version, and the retry re-runs this append idempotently (the data
-    // dir and manifest are simply overwritten); a crash after the flip
-    // means the marker is already visible and the retry no-ops.
-    val next = cur + 1
-    val dataDir = path + s"/v$next"
-    df.repartitionByRange(nFiles, col(statCol))
-      .sortWithinPartitions(statCol)
-      .write.mode("overwrite").parquet(dataDir)
-    val stats = manifest(spark, path, Some(cur)) ++
-      statsOf(spark, statCol, snapshotSchema(spark, path), dataDir)
-    writeText(spark, path + s"/_manifest.v$next.tsv",
-      stats.map(s => s"${s.file}\t${s.min}\t${s.max}\t${s.rows}")
-        .mkString("", "\n", if (stats.isEmpty) "" else "\n"))
-    writeText(spark, path + s"/_batch.v$next", batchId.toString)
-    writeText(spark, path + "/_current", next.toString)
+    val dataDir = newDataDir(spark, path)
+    clusterWrite(df, statCol, nFiles, dataDir)
+    val delta = statsOf(spark, statCol, statCols2(spark, path),
+      schemaAt(spark, path, cur), dataDir)
+    commitLoop(spark, path,
+      Commit(delta, additive = true, basedOn = cur, batchId = Some(batchId)))
   }
 
   /** Small-file COMPACTION: fold the current version's live files into
@@ -228,21 +444,27 @@ object Snapshot {
     * split count healthy after many appends (each append adds its own
     * small files) and restores clustering after deletes. Data files are
     * immutable, so every older version keeps reading the originals.
+    * Non-additive: a concurrent commit aborts it cleanly.
     */
   def compact(spark: SparkSession, path: String, statCol: String,
               nFiles: Int = 16): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val prev = currentVersion(spark, path)
-    val next = prev + 1
-    val m = manifest(spark, path, Some(prev))
-    if (m.isEmpty) { commit(spark, path, next, Nil); return }
-    val schema = snapshotSchema(spark, path)
-    val dataDir = path + s"/v$next"
+    val base = currentVersion(spark, path)
+    val m = manifest(spark, path, Some(base))
+    if (m.isEmpty) {
+      commitLoop(spark, path, Commit(Nil, additive = false, basedOn = base))
+      return
+    }
+    val schema = schemaAt(spark, path, base)
+    val dataDir = newDataDir(spark, path)
     spark.read.schema(schema).parquet(m.map(_.file): _*)
       .repartitionByRange(nFiles, col(statCol))
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(dataDir)
-    commit(spark, path, next, statsOf(spark, statCol, schema, dataDir))
+    val rewritten = statsOf(spark, statCol, statCols2(spark, path), schema,
+      dataDir)
+    commitLoop(spark, path,
+      Commit(rewritten, additive = false, basedOn = base))
   }
 
   /** The version log — one row per committed version (1..current) with
@@ -251,7 +473,7 @@ object Snapshot {
     * version-count-sized.
     */
   def history(spark: SparkSession, path: String): Seq[(Int, Int, Long)] =
-    (1 to currentVersion(spark, path)).map { v =>
+    committedVersions(spark, path).map { v =>
       val m = manifest(spark, path, Some(v))
       (v, m.size, m.map(_.rows).sum)
     }
@@ -264,34 +486,80 @@ object Snapshot {
     val v = version.getOrElse(currentVersion(spark, path))
     readText(spark, path + s"/_manifest.v$v.tsv").split("\n").toSeq
       .filter(_.nonEmpty).map { line =>
-        val Array(f, mn, mx, rows) = line.split("\t")
-        FileStat(f, mn.toLong, mx.toLong, rows.toLong)
+        val parts = line.split("\t")
+        val extra = parts.drop(4).toSeq.map {
+          case "-" => None
+          case s =>
+            val Array(a, b) = s.split(":")
+            Some((a.toLong, b.toLong))
+        }
+        FileStat(parts(0), parts(1).toLong, parts(2).toLong,
+          parts(3).toLong, extra)
       }
   }
 
-  /** The data files a `[lo, hi]` probe of `statCol` must read. */
+  /** The data files a `[lo, hi]` probe of the PRIMARY stat column must
+    * read.
+    */
   def selectFiles(spark: SparkSession, path: String, lo: Long, hi: Long,
                   version: Option[Int] = None): Seq[String] =
     manifest(spark, path, version)
       .filter(s => s.max >= lo && s.min <= hi).map(_.file)
 
-  private def snapshotSchema(spark: SparkSession, path: String): StructType =
-    DataType.fromJson(readText(spark, path + "/_schema.json"))
-      .asInstanceOf[StructType]
+  /** The data files a `[lo, hi]` probe of registered stat column
+    * `colName` (primary or secondary) must read. Files with no non-null
+    * values in a secondary column prune away (null never matches a
+    * range).
+    */
+  def selectFilesBy(spark: SparkSession, path: String, colName: String,
+                    lo: Long, hi: Long,
+                    version: Option[Int] = None): Seq[String] = {
+    val cols2 = statCols2(spark, path)
+    val i = cols2.indexOf(colName)
+    if (i < 0) selectFiles(spark, path, lo, hi, version) // primary
+    else manifest(spark, path, version).filter(s =>
+      s.extra.lift(i).flatten.exists { case (mn, mx) =>
+        mx >= lo && mn <= hi
+      }).map(_.file)
+  }
 
-  /** Range probe of a snapshot version (default: current):
-    * manifest-pruned file list + the residual filter. The result is
-    * exactly `read(version).where(statCol between lo and hi)`, but Spark
-    * only ever lists, opens, and scans the overlapping files.
+  /** The schema `version` was committed under: the newest evolution at
+    * or below it (versions without an evolution inherit downward).
+    */
+  def schemaAt(spark: SparkSession, path: String, version: Int): StructType = {
+    val evolutions = fs(spark, path)
+      .globStatus(new org.apache.hadoop.fs.Path(path + "/_schema.v*.json"))
+      .toSeq
+      .map(_.getPath.getName.stripPrefix("_schema.v").stripSuffix(".json").toInt)
+      .filter(_ <= version)
+    val src =
+      if (evolutions.isEmpty) path + "/_schema.json" // pre-evolution tables
+      else path + s"/_schema.v${evolutions.max}.json"
+    DataType.fromJson(readText(spark, src)).asInstanceOf[StructType]
+  }
+
+  /** Range probe of a snapshot version (default: current) on the PRIMARY
+    * stat column: manifest-pruned file list + the residual filter. The
+    * result is exactly `read(version).where(statCol between lo and hi)`,
+    * but Spark only ever lists, opens, and scans the overlapping files.
     */
   def scan(spark: SparkSession, path: String, statCol: String,
-           lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
-    val schema = snapshotSchema(spark, path)
-    val files = selectFiles(spark, path, lo, hi, version)
+           lo: Long, hi: Long, version: Option[Int] = None): DataFrame =
+    scanBy(spark, path, statCol, lo, hi, version)
+
+  /** Range probe on ANY registered stat column (primary or secondary) —
+    * multi-column zone-map pruning: the same manifest prune and residual
+    * filter, driven by that column's per-file bands.
+    */
+  def scanBy(spark: SparkSession, path: String, colName: String,
+             lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    val schema = schemaAt(spark, path, v)
+    val files = selectFilesBy(spark, path, colName, lo, hi, Some(v))
     val base =
       if (files.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(files: _*)
-    base.where(col(statCol) >= lo && col(statCol) <= hi)
+    base.where(col(colName) >= lo && col(colName) <= hi)
   }
 }

@@ -492,6 +492,118 @@ class EtlSpec extends SparkSpec {
     assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 1L)
   }
 
+  test("snapshot schema evolution: add column null-fills old files, time travel keeps the old shape") {
+    import spark.implicits._
+    val path = tmpDir("snapevolve") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 2)
+    // the evolving append: same columns plus a trailing lang
+    graft.core.Snapshot.append(
+      (10L until 15L).map(i => (i, s"v$i", "en")).toDF("k", "v", "lang"),
+      path, "k", nFiles = 1)
+    val head = graft.core.Snapshot.scan(spark, path, "k", 0L, 99L)
+      .orderBy("k").as[(Long, String, Option[String])].collect().toSeq
+    assert(head == (0L until 10L).map(i => (i, s"v$i", None)) ++
+      (10L until 15L).map(i => (i, s"v$i", Some("en"))))
+    // time travel below the evolution: the ORIGINAL two-column shape
+    val v1 = graft.core.Snapshot.scan(spark, path, "k", 0L, 99L,
+      version = Some(1))
+    assert(v1.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(v1.count() == 10L)
+    // a second append WITHOUT the new column is itself an (illegal)
+    // drop — append-only means the schema never shrinks
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.append(Seq((99L, "x")).toDF("k", "v"), path, "k",
+        nFiles = 1)
+    }
+    // retyping a stored column is rejected too
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.append(
+        Seq((99L, 1.0, "en")).toDF("k", "v", "lang"), path, "k", nFiles = 1)
+    }
+    // neither failed append committed anything
+    assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 15L)
+  }
+
+  test("snapshot optimistic concurrency: interleaved appends both survive; a crashed commit is invisible") {
+    import spark.implicits._
+    val path = tmpDir("snapconc") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    // two appends racing from separate threads: the commit protocol
+    // must serialize them onto consecutive versions with BOTH deltas
+    // in the final manifest (no lost update)
+    val t1 = new Thread(() => graft.core.Snapshot.append(
+      (10L until 20L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 1))
+    val t2 = new Thread(() => graft.core.Snapshot.append(
+      (20L until 30L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 1))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val hist = graft.core.Snapshot.history(spark, path)
+    assert(hist.map(_._1) == Seq(1, 2, 3) && hist.last._3 == 30L)
+    val got = graft.core.Snapshot.scan(spark, path, "k", 0L, 99L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (0L until 30L).map(i => (i, s"v$i")))
+    // crash-between-manifest-and-commit-marker: a writer that died after
+    // writing its manifest (but before the _commit marker) left v4
+    // metadata with no marker — the table still reads v3, and the next
+    // real append commits v4 OVER the orphan without seeing its rows
+    val orphan = new java.io.File(path, "_manifest.v4.tsv")
+    java.nio.file.Files.writeString(orphan.toPath,
+      "file:/nonexistent/orphan.parquet\t0\t0\t999\n")
+    assert(graft.core.Snapshot.history(spark, path).map(_._1).max == 3)
+    graft.core.Snapshot.append(
+      (30L until 32L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    val m4 = graft.core.Snapshot.manifest(spark, path, Some(4))
+    assert(m4.map(_.rows).sum == 32L && !m4.exists(_.file.contains("orphan")))
+  }
+
+  test("snapshot multi-column zone maps: secondary bands prune files, result is the plain filter") {
+    import spark.implicits._
+    // k clustered; w correlated (w = 3k) so secondary bands are tight;
+    // u null below k=200 so one whole band has no non-null u values
+    val df = (0L until 1000L).map(i =>
+        (i, i * 3, if (i < 200) None else Some(i + 5000), s"r$i"))
+      .toDF("k", "w", "u", "v")
+    val path = tmpDir("snapmulti") + "/s"
+    graft.core.Snapshot.write(df, path, "k", nFiles = 10,
+      statCols2 = Seq("w", "u"))
+    val total = graft.core.Snapshot.manifest(spark, path).size
+    // a 10% probe on the SECONDARY column w must schedule ~10% of files
+    val wFiles = graft.core.Snapshot
+      .selectFilesBy(spark, path, "w", 300L, 597L).size
+    assert(wFiles <= math.max(2, total / 5),
+      s"w probe read $wFiles of $total files")
+    val got = graft.core.Snapshot.scanBy(spark, path, "w", 300L, 597L)
+      .orderBy("k").as[(Long, Long, Option[Long], String)].collect()
+    assert(got.toSeq == (100L to 199L).map(i =>
+      (i, i * 3, None, s"r$i")))
+    // files with NO non-null u values prune away for every u probe, and
+    // null-u rows never leak into a u range result
+    val uGot = graft.core.Snapshot.scanBy(spark, path, "u", 5000L, 5299L)
+      .orderBy("k").as[(Long, Long, Option[Long], String)].collect()
+    assert(uGot.toSeq == (200L to 299L).map(i =>
+      (i, i * 3, Some(i + 5000), s"r$i")))
+    val uFiles = graft.core.Snapshot
+      .selectFilesBy(spark, path, "u", 5000L, 5299L).size
+    assert(uFiles <= math.max(2, total / 5),
+      s"u probe read $uFiles of $total files")
+    // secondaries persist through append and compact commits
+    graft.core.Snapshot.append(
+      Seq((1000L, 3000L, Some(6000L), "r1000")).toDF("k", "w", "u", "v"),
+      path, "k", nFiles = 1)
+    graft.core.Snapshot.compact(spark, path, "k", nFiles = 4)
+    val after = graft.core.Snapshot.scanBy(spark, path, "w", 3000L, 3000L)
+      .as[(Long, Long, Option[Long], String)].collect()
+    assert(after.toSeq == Seq((1000L, 3000L, Some(6000L), "r1000")))
+    assert(graft.core.Snapshot.manifest(spark, path)
+      .forall(_.extra.size == 2))
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")

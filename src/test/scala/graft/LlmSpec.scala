@@ -480,6 +480,51 @@ class LlmSpec extends SparkSpec {
     assert(ivf.map(_._1).toSet.intersect(brute.map(_._1).toSet).size >= 6)
   }
 
+  test("NSW graph ANN: greedy walk beats IVF recall at equal probe budget, deterministic, save/load") {
+    import graft.llm.Nsw
+    // same planted geometry as the IVF gate: 4 separable clusters in 8
+    // dims — plus low-level noise so within-cluster ranking is nontrivial
+    val vecs = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val id = c * 25 + i
+      val v = Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13))
+      v(2 * c) = 1.0f; v(2 * c + 1) = 0.8f
+      (id.toLong, v.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val idx = Nsw.build(embs, kClusters = 4, degree = 5)
+    // bounded degree: symmetrized kNN ≤ 2·degree out-edges per node
+    val maxDeg = idx.edges.groupBy("src").count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(maxDeg <= 10L, s"degree bound violated: $maxDeg")
+    val q = embs.where(col("vec_id") === 10)
+      .select(col("embedding").as("qvec"))
+    val brute = graft.llm.Similarity.topK(embs, q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val nsw = Nsw.topK(idx, q, k = 10, nprobe = 2, ef = 16, rounds = 3)
+      .as[(Long, Double)].collect().toSeq
+    val ivf = graft.llm.Similarity
+      .ivfTopK(embs, q, 10, kClusters = 4, nprobe = 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val nswRecall = nsw.map(_._1).toSet.intersect(brute).size
+    val ivfRecall = ivf.intersect(brute).size
+    // the self-match tops the list; the walk's recall floor holds and
+    // matches-or-beats IVF at the same nprobe budget
+    assert(nsw.head._1 == 10L && nsw.head._2 == 1.0)
+    assert(nswRecall >= 7, s"nsw recall@10 = $nswRecall")
+    assert(nswRecall >= ivfRecall,
+      s"nsw $nswRecall < ivf $ivfRecall at equal probe budget")
+    // deterministic: the rounded-score + id tie-break walk replays
+    val again = Nsw.topK(idx, q, k = 10, nprobe = 2, ef = 16, rounds = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(again == nsw)
+    // save/load probes from storage with the same answer
+    val dir = tmpDir("nswidx")
+    idx.save(dir)
+    val viaDisk = Nsw.topK(Nsw.load(spark, dir), q, k = 10, nprobe = 2,
+      ef = 16, rounds = 3).as[(Long, Double)].collect().toSeq
+    assert(viaDisk == nsw)
+  }
+
   test("prebuilt IVF index is reused: probe plan has no k-means pass") {
     val vecs = (0 until 100).map { id =>
       (id.toLong, Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13)).toSeq)
