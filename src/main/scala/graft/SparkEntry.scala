@@ -419,6 +419,43 @@ object SparkEntry {
       path
     })
 
+  // Versioned snapshot for the MERGE gate: full lineitem, then one
+  // key-replace upsert — orderkeys [300, 349] re-land with shifted
+  // quantities AND ten brand-new orderkeys insert, in a single commit
+  // that rewrites only the files actually holding a matched key.
+  private val snapshotsMerge =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def lineitemSnapshotMerge(s: SparkSession, d: String): String =
+    snapshotsMerge.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_merge", d)
+      val li = t(s, d, "lineitem")
+      graft.core.Snapshot.write(li, path, "l_orderkey", nFiles = 16)
+      val updates = li.where(col("l_orderkey").between(300, 349))
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+      val inserts = li.where(col("l_orderkey").between(100, 109))
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000)
+      graft.core.Snapshot.merge(updates.unionByName(inserts), path,
+        "l_orderkey", nFiles = 4)
+      path
+    })
+
+  // Snapshot with a PER-FILE BLOOM sidecar for the point-lookup gate:
+  // documents clustered on n_chars (so the zone map is USELESS for a
+  // uid probe — only the bloom can prune) with the bloom registered on
+  // the synthesized high-cardinality uid string.
+  private val snapshotsBloom =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def docsSnapshotBloom(s: SparkSession, d: String): String =
+    snapshotsBloom.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_bloom", d)
+      graft.core.Snapshot.write(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars"),
+          concat(lit("u"), col("doc_id").cast("string")).as("uid")),
+        path, "n_chars", nFiles = 16, bloomCol = Some("uid"))
+      path
+    })
+
   private val sigStores =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   private def sigStore(s: SparkSession, d: String): String =
@@ -644,6 +681,39 @@ object SparkEntry {
           "p_size", 10L, 20L)
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")),
+
+    // Copy-on-write MERGE under the gate: a key-replace upsert (the
+    // Delta MERGE INTO shape on the cluster key) — matched orderkeys'
+    // rows replaced by shifted-quantity versions, new orderkeys
+    // inserted, untouched files carried by manifest row. The full scan
+    // must equal the oracle's three-branch union.
+    "snapshot_merge" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, lineitemSnapshotMerge(s, d),
+          "l_orderkey", 0L, 1L << 40)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // METADATA-ONLY COUNT under the gate: the range count answered from
+    // manifest row totals for fully-covered files plus a scan of only
+    // the boundary-straddling ones (the Iceberg stats-based count) —
+    // must equal the oracle's plain COUNT.
+    "snapshot_count" -> ((s, d) =>
+      graft.core.Snapshot.countRange(s, lineitemSnapshot(s, d),
+        "l_orderkey", 200L, 399L)),
+
+    // BLOOM POINT LOOKUP under the gate: equality probes on a
+    // high-cardinality string column the table is NOT clustered on —
+    // only the per-file bloom sidecar can prune; three lookups, each
+    // reading ~1 file, must return exactly the oracle's rows.
+    "snapshot_lookup" -> ((s, d) => {
+      val path = docsSnapshotBloom(s, d)
+      Seq("u7", "u123", "u400")
+        .map(u => graft.core.Snapshot.lookupEq(s, path, u))
+        .reduce(_ unionByName _)
+        .select("doc_id", "uid", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
 
     // Copy-on-write DELETE under the gate: orderkeys [300, 349] removed
     // as a new manifest version (only overlapping files rewrote —
@@ -4300,6 +4370,33 @@ object SparkEntry {
     "snapshot_scan_multi" ->
       ("SELECT p_partkey, p_retailprice, p_size FROM part " +
         "WHERE p_size BETWEEN 10 AND 20 ORDER BY p_partkey"),
+
+    // merge: the key-replace upsert stated as a three-branch union —
+    // untouched keys verbatim, matched keys with the shifted quantity,
+    // inserted keys under their new orderkeys
+    "snapshot_merge" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey NOT BETWEEN 300 AND 349 " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity + 1000 AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 300 AND 349 " +
+        "UNION ALL " +
+        "SELECT l_orderkey + 1000000, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 100 AND 109 " +
+        "ORDER BY 1, 2, 3"),
+
+    // metadata count: the plain COUNT the manifest answer must equal
+    "snapshot_count" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399"),
+
+    // bloom point lookup: three equality probes stated directly
+    "snapshot_lookup" ->
+      ("SELECT doc_id, 'u' || doc_id AS uid, lang, n_chars " +
+        "FROM documents WHERE doc_id IN (7, 123, 400) ORDER BY doc_id"),
 
     // ...and the copy-on-write delete: the filter minus the deleted band
     "snapshot_delete" ->

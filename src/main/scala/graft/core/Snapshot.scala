@@ -155,7 +155,8 @@ object Snapshot {
       additive: Boolean, // manifest = head rows ++ delta (rebase-safe)
       basedOn: Int, // the version the delta was computed against
       newSchema: Option[StructType] = None,
-      batchId: Option[Long] = None)
+      batchId: Option[Long] = None,
+      bloom: Seq[(String, String)] = Nil) // (file, base64 bitmap) delta
 
   /** Run the optimistic-commit loop: pick `next = current + 1`, write
     * the manifest, CAS the commit marker; on a lost race, rebase
@@ -178,7 +179,18 @@ object Snapshot {
         val rows =
           if (attempt.additive) manifest(spark, path, Some(head)) ++ attempt.delta
           else attempt.delta
+        // bloom sidecar: carry the head's entries for every file that
+        // survives into this version, plus the delta's fresh entries —
+        // uniform across additive and rewrite commits
+        val bloomRows: Option[Seq[(String, String)]] =
+          if (bloomConf(spark, path).isEmpty) None
+          else {
+            val live = rows.map(_.file).toSet
+            Some(bloomOf(spark, path, head)
+              .filter(kv => live(kv._1)).toSeq ++ attempt.bloom)
+          }
         writeManifest(spark, path, next, rows)
+        bloomRows.foreach(b => writeBloom(spark, path, next, b))
         attempt.newSchema.foreach(sc =>
           writeText(spark, path + s"/_schema.v$next.json", sc.json))
         attempt.batchId.foreach(id =>
@@ -188,6 +200,7 @@ object Snapshot {
           // loser may have overwritten pre-fence, and clear stale ones
           // from crashed attempts at this number
           writeManifest(spark, path, next, rows)
+          bloomRows.foreach(b => writeBloom(spark, path, next, b))
           attempt.newSchema match {
             case Some(sc) =>
               writeText(spark, path + s"/_schema.v$next.json", sc.json)
@@ -286,6 +299,71 @@ object Snapshot {
     else readText(spark, path + "/_statcols").split("\n").toSeq
       .map(_.trim).filter(_.nonEmpty)
 
+  // ---- per-file bloom sidecar (equality file-skipping) -------------------
+  // Zone maps prune RANGE probes on clustered columns; a per-file bloom
+  // over a registered high-cardinality column prunes EQUALITY probes on a
+  // column with no useful ordering at all (url, content hash — the
+  // Delta/Iceberg bloom-index idea). Bits ride the engine-agnostic
+  // PolyHash bloom kernel, so a membership decision — false positives
+  // included — replays identically anywhere.
+
+  /** The registered bloom column, if any: `(column, mBits, k)`. */
+  private def bloomConf(spark: SparkSession, path: String)
+      : Option[(String, Int, Int)] =
+    if (!exists(spark, path + "/_bloomcol")) None
+    else {
+      val Array(c, m, k) = readText(spark, path + "/_bloomcol").trim.split("\t")
+      Some((c, m.toInt, k.toInt))
+    }
+
+  private def writeBloom(spark: SparkSession, path: String, version: Int,
+                         rows: Seq[(String, String)]): Unit =
+    writeText(spark, path + s"/_bloom.v$version.tsv",
+      rows.map { case (f, b) => s"$f\t$b" }
+        .mkString("", "\n", if (rows.isEmpty) "" else "\n"))
+
+  /** `file -> base64 bitmap` of `version`'s sidecar (empty when the
+    * table has no bloom column).
+    */
+  private def bloomOf(spark: SparkSession, path: String,
+                      version: Int): Map[String, String] =
+    if (bloomConf(spark, path).isEmpty ||
+        !exists(spark, path + s"/_bloom.v$version.tsv")) Map.empty
+    else readText(spark, path + s"/_bloom.v$version.tsv").split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(f, b) = line.split("\t"); f -> b
+      }.toMap
+
+  /** Per-file bloom bitmaps for the files under `dir` — one aggregate in
+    * the same one-pass-per-commit posture as [[statsOf]] (keyed on
+    * `input_file_name()`; the shuffle carries one fixed-size bitmap per
+    * file). NULL values insert nothing (an equality probe for NULL is
+    * meaningless — use IS NULL semantics upstream).
+    */
+  private def bloomStatsOf(spark: SparkSession, conf: (String, Int, Int),
+                           schema: StructType,
+                           dir: String): Seq[(String, String)] = {
+    val (c, mBits, k) = conf
+    val elems = when(col(c).isNotNull, array(col(c).cast("string")))
+      .otherwise(array().cast("array<string>"))
+    spark.read.schema(schema).parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(graft.functions.native.bloomBits(elems, mBits, k).as("b"))
+      .collect() // file-count-sized
+      .map { r =>
+        val words = r.getSeq[Long](1)
+        val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+        words.foreach(bb.putLong)
+        r.getString(0) -> java.util.Base64.getEncoder.encodeToString(bb.array())
+      }.toSeq.sortBy(_._1)
+  }
+
+  private def bloomDelta(spark: SparkSession, path: String,
+                         schema: StructType,
+                         dir: String): Seq[(String, String)] =
+    bloomConf(spark, path)
+      .map(conf => bloomStatsOf(spark, conf, schema, dir)).getOrElse(Nil)
+
   // ---- public API ---------------------------------------------------------
 
   /** Write `df` as version 1 of a range-clustered snapshot over
@@ -297,7 +375,9 @@ object Snapshot {
     * interleave of the probe columns and register the originals here.
     */
   def write(df: DataFrame, path: String, statCol: String,
-            nFiles: Int = 16, statCols2: Seq[String] = Nil): Unit = {
+            nFiles: Int = 16, statCols2: Seq[String] = Nil,
+            bloomCol: Option[String] = None, bloomBits: Int = 1024,
+            bloomK: Int = 4): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val spark = df.sparkSession
     // CREATE OR REPLACE: a previous table at this path (an earlier run
@@ -311,8 +391,12 @@ object Snapshot {
     writeText(spark, path + "/_schema.v1.json", df.schema.json)
     writeText(spark, path + "/_statcols",
       statCols2.mkString("", "\n", if (statCols2.isEmpty) "" else "\n"))
+    bloomCol.foreach(c =>
+      writeText(spark, path + "/_bloomcol", s"$c\t$bloomBits\t$bloomK"))
     val stats = statsOf(spark, statCol, statCols2, df.schema, dataDir)
     writeManifest(spark, path, 1, stats)
+    if (bloomCol.isDefined)
+      writeBloom(spark, path, 1, bloomDelta(spark, path, df.schema, dataDir))
     tryCommitMarker(spark, path, 1)
     writeText(spark, path + "/_current", "1")
   }
@@ -363,7 +447,8 @@ object Snapshot {
     val delta = statsOf(spark, statCol, statCols2(spark, path), writeSchema,
       dataDir)
     commitLoop(spark, path,
-      Commit(delta, additive = true, basedOn = base, newSchema = evolved))
+      Commit(delta, additive = true, basedOn = base, newSchema = evolved,
+        bloom = bloomDelta(spark, path, writeSchema, dataDir)))
   }
 
   /** Copy-on-write range DELETE: commit a new version with every row
@@ -394,7 +479,8 @@ object Snapshot {
     val rewritten = statsOf(spark, statCol, statCols2(spark, path), schema,
       dataDir)
     commitLoop(spark, path,
-      Commit(keep ++ rewritten, additive = false, basedOn = base))
+      Commit(keep ++ rewritten, additive = false, basedOn = base,
+        bloom = bloomDelta(spark, path, schema, dataDir)))
   }
 
   /** IDEMPOTENT streaming append — the `foreachBatch` sink contract:
@@ -435,7 +521,131 @@ object Snapshot {
     val delta = statsOf(spark, statCol, statCols2(spark, path),
       schemaAt(spark, path, cur), dataDir)
     commitLoop(spark, path,
-      Commit(delta, additive = true, basedOn = cur, batchId = Some(batchId)))
+      Commit(delta, additive = true, basedOn = cur, batchId = Some(batchId),
+        bloom = bloomDelta(spark, path, schemaAt(spark, path, cur), dataDir)))
+  }
+
+  /** Copy-on-write MERGE (key-replace upsert on the PRIMARY stat column
+    * — the Delta `MERGE INTO` shape with the table clustered on the
+    * merge key): every existing row whose `statCol` appears in `batch`
+    * is replaced by the batch's rows for that key; keys absent from the
+    * table insert. Mechanics: ONE pass over the batch's distinct keys
+    * against the broadcast file bands finds exactly the files holding a
+    * matched key; only those rewrite (anti-joined against the batch
+    * keys), every other manifest row carries over verbatim, and the
+    * batch lands as its own clustered files — O(overlap + batch), never
+    * O(table). Non-additive: a concurrent commit aborts it cleanly.
+    */
+  def merge(batch: DataFrame, path: String, statCol: String,
+            nFiles: Int = 4): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val spark = batch.sparkSession
+    val base = currentVersion(spark, path)
+    val m = manifest(spark, path, Some(base))
+    val schema = schemaAt(spark, path, base)
+    val keys = batch.select(col(statCol).cast("long").as("_mk")).distinct()
+    // exact hit-file set in ONE batch pass: a file rewrites iff some
+    // batch key falls inside its band (band overlap alone would rewrite
+    // range-straddling files that hold none of the keys)
+    val bands = spark.createDataFrame(m.map(s => (s.file, s.min, s.max)))
+      .toDF("_f", "_mn", "_mx")
+    val hitFiles = keys
+      .join(broadcast(bands),
+        col("_mk") >= col("_mn") && col("_mk") <= col("_mx"))
+      .select("_f").distinct()
+      .collect().map(_.getString(0)).toSet // file-count-sized
+    val (hit, keep) = m.partition(s => hitFiles(s.file))
+    val survivorDir =
+      if (hit.isEmpty) None
+      else {
+        val dir = newDataDir(spark, path)
+        spark.read.schema(schema).parquet(hit.map(_.file): _*)
+          .join(keys, col(statCol).cast("long") === col("_mk"), "left_anti")
+          .repartitionByRange(math.max(1, hit.size), col(statCol))
+          .sortWithinPartitions(statCol)
+          .write.mode("overwrite").parquet(dir)
+        Some(dir)
+      }
+    val batchDir = newDataDir(spark, path)
+    clusterWrite(batch.select(schema.fieldNames.map(col).toSeq: _*),
+      statCol, nFiles, batchDir)
+    val cols2 = statCols2(spark, path)
+    val fresh = (survivorDir.toSeq :+ batchDir).flatMap(dir =>
+      statsOf(spark, statCol, cols2, schema, dir))
+    val bloom = (survivorDir.toSeq :+ batchDir).flatMap(dir =>
+      bloomDelta(spark, path, schema, dir))
+    commitLoop(spark, path,
+      Commit(keep ++ fresh, additive = false, basedOn = base,
+        bloom = bloom))
+  }
+
+  /** COUNT of a `[lo, hi]` range probe answered from METADATA where
+    * possible (the Iceberg/Delta stats-based count): files whose band
+    * lies FULLY inside the range contribute their manifest row count
+    * with zero I/O; only boundary-straddling files are scanned. A probe
+    * aligned to file bands — or covering the whole table — reads no
+    * data at all. One row `(cnt)`.
+    */
+  def countRange(spark: SparkSession, path: String, statCol: String,
+                 lo: Long, hi: Long,
+                 version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    val m = manifest(spark, path, Some(v))
+    val (full, rest) = m.filter(s => s.max >= lo && s.min <= hi)
+      .partition(s => s.min >= lo && s.max <= hi)
+    val fullRows = full.map(_.rows).sum
+    if (rest.isEmpty)
+      spark.range(1).select(lit(fullRows).as("cnt"))
+    else
+      spark.read.schema(schemaAt(spark, path, v)).parquet(rest.map(_.file): _*)
+        .where(col(statCol) >= lo && col(statCol) <= hi)
+        .agg((count(lit(1)) + lit(fullRows)).as("cnt"))
+  }
+
+  /** The data files an EQUALITY probe of the registered bloom column
+    * must read: every file whose bloom has all of the value's bits set
+    * (false positives keep a file — never lose one). Without a bloom
+    * column, all files.
+    */
+  def selectFilesEq(spark: SparkSession, path: String, value: String,
+                    version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    val m = manifest(spark, path, Some(v))
+    bloomConf(spark, path) match {
+      case None => m.map(_.file)
+      case Some((_, mBits, k)) =>
+        val pos = graft.functions.Bloom.positions(value, mBits, k)
+        val side = bloomOf(spark, path, v)
+        m.map(_.file).filter { f =>
+          side.get(f).forall { b64 =>
+            val bytes = java.util.Base64.getDecoder.decode(b64)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val words = Array.fill(bytes.length / 8)(bb.getLong)
+            pos.forall(p =>
+              (words((p >>> 6).toInt) & (1L << (p & 63))) != 0L)
+          }
+        }
+    }
+  }
+
+  /** Equality probe of the registered bloom column: bloom-pruned file
+    * list + the exact residual filter — point lookups on a column with
+    * no useful ordering (url, content hash) read ~1 file instead of the
+    * table.
+    */
+  def lookupEq(spark: SparkSession, path: String, value: String,
+               version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    val schema = schemaAt(spark, path, v)
+    val c = bloomConf(spark, path)
+      .map(_._1).getOrElse(throw new IllegalArgumentException(
+        s"no bloom column registered under $path"))
+    val files = selectFilesEq(spark, path, value, Some(v))
+    val base =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    base.where(col(c).cast("string") === value)
   }
 
   /** Small-file COMPACTION: fold the current version's live files into
@@ -464,7 +674,8 @@ object Snapshot {
     val rewritten = statsOf(spark, statCol, statCols2(spark, path), schema,
       dataDir)
     commitLoop(spark, path,
-      Commit(rewritten, additive = false, basedOn = base))
+      Commit(rewritten, additive = false, basedOn = base,
+        bloom = bloomDelta(spark, path, schema, dataDir)))
   }
 
   /** The version log — one row per committed version (1..current) with

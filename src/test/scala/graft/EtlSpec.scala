@@ -604,6 +604,103 @@ class EtlSpec extends SparkSpec {
       .forall(_.extra.size == 2))
   }
 
+  test("snapshot merge: key-replace upsert rewrites only matched files") {
+    import spark.implicits._
+    val path = tmpDir("snapmerge") + "/s"
+    // keys 0..99, two rows per key, 10 files → disjoint 20-key bands
+    val df = (0L until 100L).flatMap(k =>
+      Seq((k, 1L, s"a$k"), (k, 2L, s"b$k"))).toDF("k", "ln", "v")
+    graft.core.Snapshot.write(df, path, "k", nFiles = 10)
+    val before = graft.core.Snapshot.manifest(spark, path)
+    // replace keys 40..44 (three rows now, not two) + insert key 200
+    val batch = ((40L until 45L).flatMap(k =>
+      Seq((k, 1L, s"A$k"), (k, 2L, s"B$k"), (k, 3L, s"C$k"))) :+
+      ((200L, 1L, "new"))).toDF("k", "ln", "v")
+    graft.core.Snapshot.merge(batch, path, "k", nFiles = 1)
+    val after = graft.core.Snapshot.manifest(spark, path)
+    // untouched files carried VERBATIM (manifest rows identical)
+    val carried = before.map(_.file).toSet
+      .intersect(after.map(_.file).toSet)
+    assert(carried.size >= 8,
+      s"merge rewrote too much: ${carried.size} of ${before.size} carried")
+    // key-replace semantics: old rows for matched keys are gone, the
+    // batch's rows (even with different multiplicity) stand in; the
+    // insert landed; everything else untouched
+    val got = graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .orderBy("k", "ln").as[(Long, Long, String)].collect().toSeq
+    val expected = ((0L until 100L).filterNot(k => k >= 40 && k < 45)
+      .flatMap(k => Seq((k, 1L, s"a$k"), (k, 2L, s"b$k"))) ++
+      (40L until 45L).flatMap(k =>
+        Seq((k, 1L, s"A$k"), (k, 2L, s"B$k"), (k, 3L, s"C$k"))) :+
+      ((200L, 1L, "new"))).sortBy(r => (r._1, r._2))
+    assert(got == expected)
+    // a merge whose keys match nothing is a pure insert: zero rewrites
+    val b2 = graft.core.Snapshot.manifest(spark, path)
+    graft.core.Snapshot.merge(Seq((300L, 1L, "x")).toDF("k", "ln", "v"),
+      path, "k", nFiles = 1)
+    val a2 = graft.core.Snapshot.manifest(spark, path)
+    assert(b2.map(_.file).toSet.subsetOf(a2.map(_.file).toSet))
+    // pre-merge version still readable (time travel)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 40L, 44L,
+      version = Some(1)).count() == 10L)
+  }
+
+  test("snapshot metadata count: fully-covered files never scan") {
+    import spark.implicits._
+    val path = tmpDir("snapcount") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 10)
+    // whole-table count: every file fully covered → metadata only
+    val whole = graft.core.Snapshot.countRange(spark, path, "k", 0L, 9999L)
+    assert(!whole.queryExecution.executedPlan.toString.contains("parquet"),
+      "whole-range count scanned data files")
+    assert(whole.as[Long].head() == 1000L)
+    // boundary-straddling range: correct count, and only the straddling
+    // files scan (the plan reads parquet but the value is exact)
+    val part = graft.core.Snapshot.countRange(spark, path, "k", 150L, 849L)
+    assert(part.as[Long].head() == 700L)
+    // degenerate: a range hitting nothing
+    assert(graft.core.Snapshot.countRange(spark, path, "k", 5000L, 6000L)
+      .as[Long].head() == 0L)
+  }
+
+  test("snapshot bloom sidecar: equality probes prune files, lookups are exact") {
+    import spark.implicits._
+    val path = tmpDir("snapbloom") + "/s"
+    // clustered on k; uid is a string the clustering cannot help with
+    val df = (0L until 1000L).map(i => (i, s"u$i", s"v$i"))
+      .toDF("k", "uid", "v")
+    graft.core.Snapshot.write(df, path, "k", nFiles = 16,
+      bloomCol = Some("uid"))
+    val total = graft.core.Snapshot.manifest(spark, path).size
+    // each present uid is FOUND (blooms have no false negatives) and
+    // reads a small fraction of files
+    Seq(0L, 123L, 777L, 999L).foreach { i =>
+      val files = graft.core.Snapshot.selectFilesEq(spark, path, s"u$i")
+      assert(files.nonEmpty && files.size <= math.max(2, total / 4),
+        s"u$i read ${files.size} of $total files")
+      val row = graft.core.Snapshot.lookupEq(spark, path, s"u$i")
+        .as[(Long, String, String)].collect().toSeq
+      assert(row == Seq((i, s"u$i", s"v$i")))
+    }
+    // an absent uid returns nothing (false positives may scan a file,
+    // but the residual filter drops every row)
+    assert(graft.core.Snapshot.lookupEq(spark, path, "u12345").count() == 0L)
+    // the sidecar follows appends: a new batch's uid is found afterward
+    graft.core.Snapshot.append(
+      Seq((2000L, "u2000", "v2000")).toDF("k", "uid", "v"), path, "k",
+      nFiles = 1)
+    assert(graft.core.Snapshot.lookupEq(spark, path, "u2000")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((2000L, "u2000", "v2000")))
+    // ...and compaction rebuilds it for the folded files
+    graft.core.Snapshot.compact(spark, path, "k", nFiles = 4)
+    assert(graft.core.Snapshot.lookupEq(spark, path, "u123")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((123L, "u123", "v123")))
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
