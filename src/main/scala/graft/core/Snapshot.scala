@@ -678,16 +678,84 @@ object Snapshot {
         bloom = bloomDelta(spark, path, schema, dataDir)))
   }
 
-  /** The version log — one row per committed version (1..current) with
-    * its file and row totals: the table-format inspection surface (what
-    * `DESCRIBE HISTORY` shows on Delta). Driver-side and
-    * version-count-sized.
+  /** VACUUM — the maintenance job that reclaims storage (Delta's VACUUM
+    * + version expiry in one): keep the newest `keepVersions` committed
+    * versions readable, drop older versions' manifests (and bloom
+    * sidecars), and DELETE every data file no retained manifest
+    * references — which also sweeps the orphans that crashed commits
+    * and lost optimistic races leave behind (writer-unique dirs make
+    * those unreferenced by construction). Commit markers and batch-id
+    * markers stay (one-line files — keeping them preserves the version
+    * numbering and the full exactly-once replay window); time travel
+    * below the retention horizon errors on the missing manifest.
+    * Run WITHOUT concurrent writers (an in-flight commit's data files
+    * are unreferenced until its marker lands — the same retention
+    * caveat Delta documents). Returns (expired versions, deleted data
+    * files). Driver-side metadata walk; one FS delete per orphan.
+    */
+  def vacuum(spark: SparkSession, path: String,
+             keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    lockFor(path).synchronized {
+      val committed = committedVersions(spark, path)
+      val cur = committed.max
+      val retained = committed.filter(_ > cur - keepVersions)
+      val expired = committed
+        .filter(v => v <= cur - keepVersions &&
+          exists(spark, path + s"/_manifest.v$v.tsv"))
+      val live = retained.flatMap(v => manifest(spark, path, Some(v)))
+        .map(s => new org.apache.hadoop.fs.Path(s.file).toUri.getPath)
+        .toSet
+      expired.foreach { v =>
+        delete(spark, path + s"/_manifest.v$v.tsv")
+        if (exists(spark, path + s"/_bloom.v$v.tsv"))
+          delete(spark, path + s"/_bloom.v$v.tsv")
+      }
+      // schema files: keep the one the OLDEST retained version inherits
+      // (schemaAt walks downward) and everything newer
+      val schemaVersions = fs(spark, path)
+        .globStatus(new org.apache.hadoop.fs.Path(path + "/_schema.v*.json"))
+        .toSeq.map(_.getPath.getName.stripPrefix("_schema.v")
+          .stripSuffix(".json").toInt)
+      val effective = schemaVersions.filter(_ <= retained.min)
+        .maxOption.getOrElse(0)
+      schemaVersions.filter(_ < effective).foreach(v =>
+        delete(spark, path + s"/_schema.v$v.json"))
+      // orphan sweep: every parquet part under the data dirs that no
+      // retained manifest references
+      val fsys = fs(spark, path)
+      val parts = fsys
+        .globStatus(new org.apache.hadoop.fs.Path(path + "/d*/*"))
+        .toSeq.filter(_.isFile)
+      var dropped = 0
+      parts.foreach { st =>
+        val p = st.getPath
+        val keep = p.getName.endsWith(".parquet") &&
+          live(p.toUri.getPath)
+        if (!keep) { fsys.delete(p, false); dropped += 1 }
+      }
+      // sweep now-empty data dirs
+      fsys.globStatus(new org.apache.hadoop.fs.Path(path + "/d*"))
+        .foreach { st =>
+          if (st.isDirectory && fsys.listStatus(st.getPath).isEmpty)
+            fsys.delete(st.getPath, false)
+        }
+      (expired.size, dropped)
+    }
+  }
+
+  /** The version log — one row per committed, still-retained version
+    * with its file and row totals: the table-format inspection surface
+    * (what `DESCRIBE HISTORY` shows on Delta); versions expired by
+    * [[vacuum]] drop out. Driver-side and version-count-sized.
     */
   def history(spark: SparkSession, path: String): Seq[(Int, Int, Long)] =
-    committedVersions(spark, path).map { v =>
-      val m = manifest(spark, path, Some(v))
-      (v, m.size, m.map(_.rows).sum)
-    }
+    committedVersions(spark, path)
+      .filter(v => exists(spark, path + s"/_manifest.v$v.tsv"))
+      .map { v =>
+        val m = manifest(spark, path, Some(v))
+        (v, m.size, m.map(_.rows).sum)
+      }
 
   /** The manifest rows of `version` (default: current); empty when that
     * version holds no data files.

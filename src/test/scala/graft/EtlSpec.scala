@@ -701,6 +701,55 @@ class EtlSpec extends SparkSpec {
       Seq((123L, "u123", "v123")))
   }
 
+  test("snapshot vacuum: expired versions and orphaned files reclaimed, retained window intact") {
+    import spark.implicits._
+    val path = tmpDir("snapvacuum") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 4)
+    graft.core.Snapshot.append(
+      (100L until 150L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 2)
+    graft.core.Snapshot.delete(spark, path, "k", 0L, 49L)
+    graft.core.Snapshot.compact(spark, path, "k", nFiles = 2)
+    // plus a crashed commit's orphans: a data dir no manifest references
+    val orphanDir = new java.io.File(path, "dorphan123")
+    orphanDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(orphanDir, "part-0.parquet").toPath, "junk")
+    assert(graft.core.Snapshot.history(spark, path).map(_._1) ==
+      Seq(1, 2, 3, 4))
+    val (expired, dropped) =
+      graft.core.Snapshot.vacuum(spark, path, keepVersions = 2)
+    assert(expired == 2 && dropped > 0)
+    // retained window reads exactly as before the vacuum
+    assert(graft.core.Snapshot.history(spark, path).map(_._1) == Seq(3, 4))
+    val got = graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (50L until 150L).map(i => (i, s"v$i")))
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L,
+      version = Some(3)).count() == 100L)
+    // the orphan dir is gone; expired manifests error clearly
+    assert(!orphanDir.exists())
+    intercept[Exception] {
+      graft.core.Snapshot.manifest(spark, path, Some(1))
+    }
+    // every file still on disk is referenced by a retained manifest
+    val live = (Seq(3, 4)).flatMap(v =>
+      graft.core.Snapshot.manifest(spark, path, Some(v)))
+      .map(s => new org.apache.hadoop.fs.Path(s.file).toUri.getPath).toSet
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("d"))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath)
+    assert(onDisk.nonEmpty && onDisk.forall(live))
+    // the table keeps working after vacuum: append + probe
+    graft.core.Snapshot.append(
+      Seq((500L, "v500")).toDF("k", "v"), path, "k", nFiles = 1)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 500L, 500L)
+      .count() == 1L)
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
