@@ -16,20 +16,20 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
 
   /** The steady top by committed bench cost (BENCH_full.json), the
-    * scaling watch-list — rotated round 12: the standing watch items
-    * (containment, tfidf, winnow, cdc, phash — the ≥2×/decade tail of
-    * round 11b) stay; the flat rows rotate out; the round's new
-    * families (line/script/segment text gates, link graph, zone-map
-    * snapshots, perceptual/spectral dedup, WARC) enter so their growth
-    * is probed from day one. */
+    * scaling watch-list — rotated round 13: the standing watch items
+    * stay (containment at 2.5×/decade, scan_warc volume-bound by the
+    * container's contract, plus the ≥2×/decade text tail); the round's
+    * new families enter so their growth is probed from day one — the
+    * gz WARC container (inflate is pure volume), the table-format
+    * upsert/count/bloom/evolution commits, the multi-column zone-map
+    * probe, and the re-paired anchor extraction. */
   val ScaleQueries: Seq[String] = Seq(
-    "dedup_containment", "tfidf_top_terms", "dedup_winnow",
-    "dedup_cdc", "dedup_phash",
-    "c4_filter", "lang_segments", "script_detect",
-    "html_links", "link_pagerank",
-    "snapshot_scan", "snapshot_scan_incremental",
-    "dedup_phash_dct", "dedup_clips_phash", "dedup_audio_spectral",
-    "scan_warc")
+    "dedup_containment", "scan_warc",
+    "scan_warc_gz", "anchor_terms",
+    "snapshot_merge", "snapshot_count", "snapshot_lookup",
+    "snapshot_evolve", "snapshot_scan_multi",
+    "tfidf_top_terms", "dedup_winnow", "dedup_cdc", "dedup_phash",
+    "html_links", "link_pagerank", "snapshot_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
