@@ -652,6 +652,18 @@ object SparkEntry {
           col("l_quantity").cast("long").as("qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
 
+    // CHANGE-DATA-FEED read under the gate: the rows added between
+    // version 1 and version 2 of the incremental snapshot — the
+    // incremental consumption a downstream pipeline runs per crawl
+    // instead of re-reading the table. Exactly the appended odd-orderkey
+    // half, which the oracle states as the plain filter.
+    "snapshot_changes" -> ((s, d) =>
+      graft.core.Snapshot.changes(s, lineitemSnapshotIncr(s, d),
+          fromV = 1, toV = 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
     // SCHEMA EVOLUTION under the gate: the snapshot's head was committed
     // by an append that ADDED a column (append-only ADD COLUMN through
     // the Migrate contract); the scan must see pre-evolution rows with
@@ -4347,6 +4359,13 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, l_partkey, " +
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 AND l_orderkey % 2 = 0 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // change-data-feed: the appended increment is the odd-orderkey half
+    "snapshot_changes" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey % 2 = 1 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
 
     // schema evolution: the evolved head stated as a two-branch union —

@@ -744,6 +744,31 @@ object Snapshot {
     }
   }
 
+  /** INCREMENTAL READ between two versions (the Delta change-data-feed
+    * idea restricted to what a manifest can answer): the rows of every
+    * data file present in `toV`'s manifest but not in `fromV`'s. For an
+    * append-only history (the ingest case — each version adds files and
+    * carries the rest verbatim) this is EXACTLY the rows added in
+    * `(fromV, toV]`, which is what a downstream incremental pipeline
+    * consumes per crawl instead of re-reading the table. Across rewrite
+    * commits (delete/compact/merge) the new files' rows include
+    * rewritten SURVIVORS — row-level change tracking needs per-row
+    * lineage the format deliberately does not carry; callers diff by key
+    * downstream when they must span a rewrite.
+    */
+  def changes(spark: SparkSession, path: String, fromV: Int,
+              toV: Int): DataFrame = {
+    require(fromV <= toV, s"need fromV <= toV, got $fromV > $toV")
+    val before = manifest(spark, path, Some(fromV)).map(_.file).toSet
+    val added = manifest(spark, path, Some(toV))
+      .filterNot(s => before(s.file)).map(_.file)
+    val schema = schemaAt(spark, path, toV)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(added: _*)
+  }
+
   /** The version log — one row per committed, still-retained version
     * with its file and row totals: the table-format inspection surface
     * (what `DESCRIBE HISTORY` shows on Delta); versions expired by

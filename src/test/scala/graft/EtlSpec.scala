@@ -750,6 +750,37 @@ class EtlSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("snapshot changes: incremental read returns exactly the appended rows") {
+    import spark.implicits._
+    val path = tmpDir("snapchanges") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 2)
+    graft.core.Snapshot.append(
+      (10L until 25L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 2)
+    graft.core.Snapshot.append(
+      (25L until 30L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    // each window returns exactly its appended rows
+    assert(graft.core.Snapshot.changes(spark, path, 1, 2)
+      .orderBy("k").as[(Long, String)].collect().toSeq ==
+      (10L until 25L).map(i => (i, s"v$i")))
+    assert(graft.core.Snapshot.changes(spark, path, 2, 3)
+      .orderBy("k").as[(Long, String)].collect().toSeq ==
+      (25L until 30L).map(i => (i, s"v$i")))
+    // spanning window = union of increments; empty window = no rows
+    assert(graft.core.Snapshot.changes(spark, path, 1, 3).count() == 20L)
+    assert(graft.core.Snapshot.changes(spark, path, 3, 3).count() == 0L)
+    // an evolving append's increment reads under the evolved schema
+    graft.core.Snapshot.append(
+      Seq((30L, "v30", "en")).toDF("k", "v", "lang"), path, "k", nFiles = 1)
+    val evolved = graft.core.Snapshot.changes(spark, path, 3, 4)
+    assert(evolved.schema.fieldNames.toSeq == Seq("k", "v", "lang"))
+    assert(evolved.as[(Long, String, String)].collect().toSeq ==
+      Seq((30L, "v30", "en")))
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
