@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - [[write]] range-clusters the relation on a chosen stat column
   *     (`repartitionByRange` + `sortWithinPartitions`, so each file owns
   *     a narrow value band), then records `(file, min, max, rows)` per
-  *     file in a `_manifest.tsv` beside the data — computed in ONE extra
+  *     file in a staged manifest beside the data — computed in ONE extra
   *     pass grouped by `input_file_name()`, never per-file jobs.
   *   - [[scan]] reads the manifest (driver-side, file-count-sized — the
   *     100 TB corpus never moves), keeps only files whose [min, max]
@@ -29,50 +29,53 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     interleave (`zorderKey`) of the probe columns to make ALL of
   *     them prune well.
   *
-  * Manifests are VERSIONED (`_manifest.v<N>.tsv` + `_commit.v<N>`
-  * markers): [[append]] commits a new version whose manifest is the
-  * previous rows plus the increment's — O(batch), history files never
-  * rescanned — and every older version stays readable (time travel).
-  *
   * COMMIT PROTOCOL (optimistic concurrency, the Iceberg idea in
-  * miniature): data files land under a WRITER-UNIQUE directory (two
-  * in-flight commits can never overwrite each other's bytes), the
-  * manifest for version N is written, and the commit point is the
-  * exclusive CREATE of `_commit.v<N>` — first creator wins the version.
-  * A loser re-reads the new head and, when its commit is ADDITIVE
-  * (append / streaming batch: manifest = head rows + its own delta),
-  * REBASES onto the next version — its already-written data files stay
-  * valid verbatim. Non-additive commits (delete, compact — their
+  * miniature). Every commit is IMMUTABLE, WRITER-UNIQUE state plus one
+  * atomic pointer:
+  *
+  *   1. data files land under a writer-unique directory — two in-flight
+  *      commits can never overwrite each other's bytes;
+  *   2. the version's metadata (manifest rows, evolved schema, bloom
+  *      sidecar) is STAGED under writer-unique names in `_staged/` —
+  *      never under a shared per-version name, so a losing writer
+  *      cannot clobber a winner's committed metadata (the classic
+  *      lost-update window of mutable version files);
+  *   3. the commit point is the exclusive CREATE of `_commit.v<N>`,
+  *      whose CONTENT points at the staged files (and carries the
+  *      streaming batch id) — first creator wins the version; readers
+  *      resolve every version's metadata through its marker only.
+  *
+  * A losing ADDITIVE commit (append / streaming batch) REBASES onto the
+  * new head: its data files and staged rows stay valid verbatim; its
+  * schema evolution is RECOMPUTED against the new head (concurrent ADD
+  * COLUMNs compose to the union instead of the last writer erasing the
+  * first). Non-additive commits (delete / compact / merge — their
   * rewrite depends on the base manifest) abort with
-  * `ConcurrentModificationException` instead of silently dropping the
-  * other writer's rows; callers re-run against the new head. A crash
-  * anywhere before the marker leaves the table on the old version with
-  * only unreferenced data files behind (no burned version numbers —
-  * versions stay dense 1..current). Same-JVM commits additionally
-  * serialize on a per-table lock, so local multi-threaded writers never
-  * hit the cross-process race window at all.
+  * `ConcurrentModificationException`; callers re-run against the new
+  * head. A crash anywhere before the marker leaves the table on the old
+  * version with only unreferenced staged/data files behind (swept by
+  * [[vacuum]]); versions stay dense 1..current. Same-JVM commits
+  * additionally serialize on a per-table lock, so local multi-threaded
+  * writers never exercise the cross-process race window at all.
   *
   * SCHEMA EVOLUTION (append-only, the M1–M3 contract from
-  * [[graft.etl.Migrate]]): [[append]] accepts a batch whose schema adds
-  * trailing columns. The evolution is validated append-only (dropping
-  * or retyping a stored column throws), committed as
-  * `_schema.v<N>.json` beside the manifest, and every version reads
+  * [[graft.etl.Migrate]]): [[append]]/[[appendBatch]] accept a batch
+  * whose schema adds columns. The evolution is validated append-only at
+  * call time (dropping or retyping a stored column throws), committed
+  * as a staged schema the marker references, and every version reads
   * with the schema IT was committed under — old data files read through
   * a newer schema null-fill the added columns (explicit-schema parquet
-  * read, no footer-merge job), and time travel to a pre-evolution
-  * version sees the old shape exactly.
+  * read, no footer-merge job), and time travel below the evolution sees
+  * the old shape exactly.
   *
-  * The schema is persisted beside the manifest (the [[Layouts]] rule:
-  * an empty snapshot must read back as a valid empty relation, and
-  * explicit schemas skip footer inference). `statCol` must be NON-NULL
-  * (zone maps have no null band; a null row would be invisible to range
-  * probes and silently dropped by [[delete]]'s rewrite) — ENFORCED at
-  * commit time: the stats pass counts nulls for free and every
-  * write/append fails fast on the first null rather than committing a
-  * quietly incomplete table. Secondary stat columns MAY hold nulls:
-  * their min/max spans the non-null values, which prunes correctly
-  * because a null never satisfies a range predicate (the residual
-  * filter drops such rows anyway).
+  * `statCol` must be NON-NULL (zone maps have no null band; a null row
+  * would be invisible to range probes and silently dropped by
+  * [[delete]]'s rewrite) — ENFORCED at commit time: the stats pass
+  * counts nulls for free and every commit fails fast on the first null
+  * rather than committing a quietly incomplete table. Secondary stat
+  * columns MAY hold nulls: their min/max spans the non-null values,
+  * which prunes correctly because a null never satisfies a range
+  * predicate (the residual filter drops such rows anyway).
   */
 object Snapshot {
 
@@ -107,10 +110,35 @@ object Snapshot {
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
-  private def delete(spark: SparkSession, path: String): Unit =
+  private def deleteFile(spark: SparkSession, path: String): Unit =
     fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), false)
 
   // ---- the commit protocol ----------------------------------------------
+
+  /** What a commit marker records: the staged files this version's
+    * metadata lives in (writer-unique, immutable once the marker lands)
+    * plus the streaming batch id when the commit came from a sink.
+    */
+  private final case class Marker(manifest: String, schema: Option[String],
+                                  bloom: Option[String],
+                                  batchId: Option[Long]) {
+    def render: String = {
+      def opt(s: Option[String]) = s.getOrElse("-")
+      s"manifest=$manifest\nschema=${opt(schema)}\nbloom=${opt(bloom)}\n" +
+        s"batch=${batchId.map(_.toString).getOrElse("-")}\n"
+    }
+  }
+
+  private def parseMarker(text: String): Marker = {
+    val kv = text.linesIterator.map(_.trim).filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    def opt(k: String) = kv.get(k).filter(_ != "-")
+    Marker(kv("manifest"), opt("schema"), opt("bloom"),
+      opt("batch").map(_.toLong))
+  }
+
+  private def markerOf(spark: SparkSession, path: String, v: Int): Marker =
+    parseMarker(readText(spark, path + s"/_commit.v$v"))
 
   /** Committed versions = versions with a `_commit.v<N>` marker; the
     * current version is the highest. Driver-side, version-count-sized.
@@ -126,16 +154,37 @@ object Snapshot {
     vs.max
   }
 
-  /** Exclusive create — the CAS. True iff WE created the marker. */
+  /** Exclusive create of the marker — the CAS. True iff WE committed
+    * the version. A post-create write failure is re-checked against the
+    * marker's content: if our payload landed, the commit stands; if a
+    * different payload is there, we lost the race; anything else is a
+    * LOUD error (never a silent retry that would double-commit the
+    * delta).
+    */
   private def tryCommitMarker(spark: SparkSession, path: String,
-                              version: Int): Boolean = {
+                              version: Int, payload: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path + s"/_commit.v$version")
     try {
       val out = fs(spark, path).create(p, false) // overwrite = false
-      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
       true
-    } catch { case _: java.io.IOException => false }
+    } catch {
+      case e: java.io.IOException =>
+        if (!fs(spark, path).exists(p)) throw e
+        val there = try readText(spark, p.toString) catch {
+          case _: Exception => null
+        }
+        if (there == payload) true // our write landed despite the error
+        else if (there != null && there.nonEmpty &&
+          parseMarkerSafe(there).isDefined) false // lost the race cleanly
+        else throw new java.io.IOException(
+          s"commit marker _commit.v$version is unreadable after a write " +
+            "failure — the table needs manual inspection", e)
+    }
   }
+
+  private def parseMarkerSafe(text: String): Option[Marker] =
+    try Some(parseMarker(text)) catch { case _: Exception => None }
 
   // Same-JVM commit serialization: one lock object per table path, so
   // local concurrent writers (the local[32] test posture, or multiple
@@ -147,96 +196,96 @@ object Snapshot {
     commitLocks.getOrElseUpdate(path, new Object)
 
   /** One commit attempt's immutable payload: the delta rows (data files
-    * already written under a writer-unique dir) plus optional side
-    * effects to persist for the winning version.
+    * already written under a writer-unique dir), plus what the winning
+    * version must additionally record.
     */
   private final case class Commit(
       delta: Seq[FileStat],
       additive: Boolean, // manifest = head rows ++ delta (rebase-safe)
       basedOn: Int, // the version the delta was computed against
-      newSchema: Option[StructType] = None,
+      batchSchema: Option[StructType] = None, // evolving appends only
       batchId: Option[Long] = None,
       bloom: Seq[(String, String)] = Nil) // (file, base64 bitmap) delta
 
-  /** Run the optimistic-commit loop: pick `next = current + 1`, write
-    * the manifest, CAS the commit marker; on a lost race, rebase
-    * (additive) or abort (non-additive). Post-fence, the winner REPAIRS
-    * its version's side files (a loser may have overwritten them before
-    * losing) and clears stale same-numbered files from older crashed
-    * attempts. Returns the committed version.
+  private def stagedName(kind: String, v: Int, token: String) =
+    s"_staged/$kind.v$v.$token"
+
+  /** Run the optimistic-commit loop: stage this attempt's metadata under
+    * writer-unique names, then CAS the `_commit.v<next>` marker; on a
+    * lost race, rebase (additive — schema evolution recomputed against
+    * the new head so concurrent ADD COLUMNs compose) or abort
+    * (non-additive). No shared file is ever rewritten: committed state
+    * is immutable by construction. Returns the committed version.
     */
   private def commitLoop(spark: SparkSession, path: String, c: Commit): Int =
     lockFor(path).synchronized {
-      val attempt = c
+      val token = java.util.UUID.randomUUID().toString.replace("-", "")
+        .take(12)
       var done = -1
       while (done < 0) {
         val head = currentVersion(spark, path)
-        if (!attempt.additive && head != attempt.basedOn)
+        if (!c.additive && head != c.basedOn)
           throw new java.util.ConcurrentModificationException(
-            s"snapshot $path moved v${attempt.basedOn} -> v$head during a " +
-              "non-additive commit (delete/compact); re-run against the new head")
+            s"snapshot $path moved v${c.basedOn} -> v$head during a " +
+              "non-additive commit (delete/compact/merge); re-run against " +
+              "the new head")
         val next = head + 1
         val rows =
-          if (attempt.additive) manifest(spark, path, Some(head)) ++ attempt.delta
-          else attempt.delta
-        // bloom sidecar: carry the head's entries for every file that
-        // survives into this version, plus the delta's fresh entries —
-        // uniform across additive and rewrite commits
-        val bloomRows: Option[Seq[(String, String)]] =
+          if (c.additive) manifest(spark, path, Some(head)) ++ c.delta
+          else c.delta
+        // schema evolution, recomputed against THIS head: concurrent
+        // evolving appends compose to the field union (each writer adds
+        // its own new fields on top of whatever the head already has);
+        // a shared field whose type diverged is a loud error
+        val evolved: Option[StructType] = c.batchSchema.flatMap { bs =>
+          val stored = schemaAt(spark, path, head)
+          val storedNames = stored.fieldNames.toSet
+          bs.fields.filter(f => storedNames(f.name)).foreach { f =>
+            val st = stored(f.name).dataType
+            require(st == f.dataType,
+              s"append-only migration violated: column '${f.name}' " +
+                s"changed type ${st.simpleString} -> ${f.dataType.simpleString}")
+          }
+          val added = bs.fields.filterNot(f => storedNames(f.name))
+          if (added.isEmpty) None
+          else Some(StructType(stored.fields ++ added))
+        }
+        val manifestFile = stagedName("manifest", next, token) + ".tsv"
+        writeText(spark, s"$path/$manifestFile", renderManifest(rows))
+        val schemaFile = evolved.map { sc =>
+          val f = stagedName("schema", next, token) + ".json"
+          writeText(spark, s"$path/$f", sc.json)
+          f
+        }
+        val bloomFile =
           if (bloomConf(spark, path).isEmpty) None
           else {
+            // carry the head's entries for every surviving file + the
+            // delta's fresh entries — uniform across commit kinds
             val live = rows.map(_.file).toSet
-            Some(bloomOf(spark, path, head)
-              .filter(kv => live(kv._1)).toSeq ++ attempt.bloom)
+            val all = bloomOf(spark, path, head)
+              .filter(kv => live(kv._1)).toSeq ++ c.bloom
+            val f = stagedName("bloom", next, token) + ".tsv"
+            writeText(spark, s"$path/$f",
+              all.map { case (a, b) => s"$a\t$b" }
+                .mkString("", "\n", if (all.isEmpty) "" else "\n"))
+            Some(f)
           }
-        writeManifest(spark, path, next, rows)
-        bloomRows.foreach(b => writeBloom(spark, path, next, b))
-        attempt.newSchema.foreach(sc =>
-          writeText(spark, path + s"/_schema.v$next.json", sc.json))
-        attempt.batchId.foreach(id =>
-          writeText(spark, path + s"/_batch.v$next", id.toString))
-        if (tryCommitMarker(spark, path, next)) {
-          // fenced: v<next> is ours — repair side files a concurrent
-          // loser may have overwritten pre-fence, and clear stale ones
-          // from crashed attempts at this number
-          writeManifest(spark, path, next, rows)
-          bloomRows.foreach(b => writeBloom(spark, path, next, b))
-          attempt.newSchema match {
-            case Some(sc) =>
-              writeText(spark, path + s"/_schema.v$next.json", sc.json)
-              writeText(spark, path + "/_schema.json", sc.json)
-            case None =>
-              if (exists(spark, path + s"/_schema.v$next.json"))
-                delete(spark, path + s"/_schema.v$next.json")
-          }
-          attempt.batchId match {
-            case Some(id) =>
-              writeText(spark, path + s"/_batch.v$next", id.toString)
-            case None =>
-              if (exists(spark, path + s"/_batch.v$next"))
-                delete(spark, path + s"/_batch.v$next")
-          }
-          writeText(spark, path + "/_current", next.toString)
-          done = next
-        } else {
-          // lost the race — the head moved; loop to rebase: the next
-          // pass re-reads the head and re-carries its manifest rows
-          // (additive), or throws when basedOn no longer matches
-          // (non-additive)
-          ()
-        }
+        val marker = Marker(manifestFile, schemaFile, bloomFile, c.batchId)
+        if (tryCommitMarker(spark, path, next, marker.render)) done = next
+        // else: lost the race — loop; the next pass re-reads the head,
+        // re-carries its manifest (additive) or throws (non-additive);
+        // this attempt's staged files become orphans vacuum sweeps
       }
       done
     }
 
-  private def writeManifest(spark: SparkSession, path: String, version: Int,
-                            stats: Seq[FileStat]): Unit = {
+  private def renderManifest(stats: Seq[FileStat]): String = {
     def cell(e: Option[(Long, Long)]) =
       e.map { case (a, b) => s"$a:$b" }.getOrElse("-")
-    writeText(spark, path + s"/_manifest.v$version.tsv",
-      stats.map(s => (Seq(s.file, s.min.toString, s.max.toString,
-          s.rows.toString) ++ s.extra.map(cell)).mkString("\t"))
-        .mkString("", "\n", if (stats.isEmpty) "" else "\n"))
+    stats.map(s => (Seq(s.file, s.min.toString, s.max.toString,
+        s.rows.toString) ++ s.extra.map(cell)).mkString("\t"))
+      .mkString("", "\n", if (stats.isEmpty) "" else "\n")
   }
 
   // ---- stats ------------------------------------------------------------
@@ -293,11 +342,16 @@ object Snapshot {
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(dir)
 
-  /** The registered secondary stat columns ([[write]]'s `statCols2`). */
-  private def statCols2(spark: SparkSession, path: String): Seq[String] =
-    if (!exists(spark, path + "/_statcols")) Nil
-    else readText(spark, path + "/_statcols").split("\n").toSeq
+  /** The registered stat columns: `(primary, secondaries)`. */
+  private def statCols(spark: SparkSession, path: String)
+      : (String, Seq[String]) = {
+    val lines = readText(spark, path + "/_statcols").split("\n").toSeq
       .map(_.trim).filter(_.nonEmpty)
+    (lines.head, lines.tail)
+  }
+
+  private def statCols2(spark: SparkSession, path: String): Seq[String] =
+    statCols(spark, path)._2
 
   // ---- per-file bloom sidecar (equality file-skipping) -------------------
   // Zone maps prune RANGE probes on clustered columns; a per-file bloom
@@ -316,23 +370,19 @@ object Snapshot {
       Some((c, m.toInt, k.toInt))
     }
 
-  private def writeBloom(spark: SparkSession, path: String, version: Int,
-                         rows: Seq[(String, String)]): Unit =
-    writeText(spark, path + s"/_bloom.v$version.tsv",
-      rows.map { case (f, b) => s"$f\t$b" }
-        .mkString("", "\n", if (rows.isEmpty) "" else "\n"))
-
   /** `file -> base64 bitmap` of `version`'s sidecar (empty when the
     * table has no bloom column).
     */
   private def bloomOf(spark: SparkSession, path: String,
                       version: Int): Map[String, String] =
-    if (bloomConf(spark, path).isEmpty ||
-        !exists(spark, path + s"/_bloom.v$version.tsv")) Map.empty
-    else readText(spark, path + s"/_bloom.v$version.tsv").split("\n").toSeq
-      .filter(_.nonEmpty).map { line =>
-        val Array(f, b) = line.split("\t"); f -> b
-      }.toMap
+    markerOf(spark, path, version).bloom match {
+      case None => Map.empty
+      case Some(f) =>
+        readText(spark, s"$path/$f").split("\n").toSeq
+          .filter(_.nonEmpty).map { line =>
+            val Array(a, b) = line.split("\t"); a -> b
+          }.toMap
+    }
 
   /** Per-file bloom bitmaps for the files under `dir` — one aggregate in
     * the same one-pass-per-commit posture as [[statsOf]] (keyed on
@@ -371,8 +421,14 @@ object Snapshot {
     * manifest. `statCols2` registers SECONDARY long-typed stat columns:
     * their per-file min/max is recorded in this and every future commit
     * (same stats pass), enabling [[scanBy]] pruning on non-cluster
-    * columns. To make a secondary band tight, cluster on a z-order
-    * interleave of the probe columns and register the originals here.
+    * columns. `bloomCol` registers a string column whose per-file bloom
+    * sidecar makes [[lookupEq]] point probes skip files.
+    *
+    * CREATE OR REPLACE: an existing table at `path` stays readable
+    * until the replacement's data and stats have been written and
+    * VALIDATED — only then is the old state dropped and v1 committed
+    * (a validation failure, e.g. a NULL statCol row, leaves the old
+    * table untouched).
     */
   def write(df: DataFrame, path: String, statCol: String,
             nFiles: Int = 16, statCols2: Seq[String] = Nil,
@@ -380,25 +436,39 @@ object Snapshot {
             bloomK: Int = 4): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val spark = df.sparkSession
-    // CREATE OR REPLACE: a previous table at this path (an earlier run
-    // over the same scratch dir) is dropped whole — its commit markers
-    // would otherwise outrank the fresh v1 in the glob-max protocol.
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (fs(spark, path).exists(root)) fs(spark, path).delete(root, true)
     val dataDir = newDataDir(spark, path)
     clusterWrite(df, statCol, nFiles, dataDir)
-    writeText(spark, path + "/_schema.json", df.schema.json)
-    writeText(spark, path + "/_schema.v1.json", df.schema.json)
+    val stats = statsOf(spark, statCol, statCols2, df.schema, dataDir)
+    val bloom = bloomCol.map(c =>
+      bloomStatsOf(spark, (c, bloomBits, bloomK), df.schema, dataDir))
+    // validation passed — REPLACE: drop the previous table's state
+    // (its commit markers would otherwise outrank the fresh v1 in the
+    // glob-max protocol), keeping only the new data dir
+    val fsys = fs(spark, path)
+    fsys.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      if (st.getPath.toUri.getPath !=
+          new org.apache.hadoop.fs.Path(dataDir).toUri.getPath)
+        fsys.delete(st.getPath, true)
+    }
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
     writeText(spark, path + "/_statcols",
-      statCols2.mkString("", "\n", if (statCols2.isEmpty) "" else "\n"))
+      (statCol +: statCols2).mkString("", "\n", "\n"))
     bloomCol.foreach(c =>
       writeText(spark, path + "/_bloomcol", s"$c\t$bloomBits\t$bloomK"))
-    val stats = statsOf(spark, statCol, statCols2, df.schema, dataDir)
-    writeManifest(spark, path, 1, stats)
-    if (bloomCol.isDefined)
-      writeBloom(spark, path, 1, bloomDelta(spark, path, df.schema, dataDir))
-    tryCommitMarker(spark, path, 1)
-    writeText(spark, path + "/_current", "1")
+    val manifestFile = stagedName("manifest", 1, token) + ".tsv"
+    writeText(spark, s"$path/$manifestFile", renderManifest(stats))
+    val schemaFile = stagedName("schema", 1, token) + ".json"
+    writeText(spark, s"$path/$schemaFile", df.schema.json)
+    val bloomFile = bloom.map { b =>
+      val f = stagedName("bloom", 1, token) + ".tsv"
+      writeText(spark, s"$path/$f",
+        b.map { case (a, x) => s"$a\t$x" }
+          .mkString("", "\n", if (b.isEmpty) "" else "\n"))
+      f
+    }
+    tryCommitMarker(spark, path, 1,
+      Marker(manifestFile, Some(schemaFile), bloomFile, None).render)
   }
 
   /** Append a batch as a NEW snapshot version: the increment is
@@ -410,9 +480,10 @@ object Snapshot {
     * ADD COLUMN rides this path: a batch whose schema appends new
     * columns to the stored schema commits an append-only evolution
     * (validated by the [[graft.etl.Migrate]] contract — dropping or
-    * retyping a stored column throws). Old files null-fill the new
-    * columns on read; time travel below the evolution sees the old
-    * shape.
+    * retyping a stored column throws at call time; under a concurrent
+    * rebase the evolutions COMPOSE to the field union). Old files
+    * null-fill the new columns on read; time travel below the evolution
+    * sees the old shape.
     */
   def append(df: DataFrame, path: String, statCol: String,
              nFiles: Int = 4): Unit = {
@@ -420,25 +491,25 @@ object Snapshot {
     val spark = df.sparkSession
     val base = currentVersion(spark, path)
     val stored = schemaAt(spark, path, base)
-    val evolved: Option[StructType] =
-      if (df.schema.json == stored.json) None
-      else {
-        // append-only: every stored flattened path must survive —
-        // Migrate.evolve throws on drops; retypes are caught explicitly
-        graft.etl.Migrate.evolve(
-          graft.etl.Flatten.columnPaths(stored), df.schema)
-        val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-        stored.fields.foreach { f =>
-          require(batchTypes.get(f.name).contains(f.dataType),
-            s"append-only migration violated: column '${f.name}' changed " +
-              s"type ${f.dataType.simpleString} -> " +
-              batchTypes.get(f.name).map(_.simpleString).getOrElse("<dropped>"))
-        }
-        val added = df.schema.fields.filterNot(f =>
-          stored.fieldNames.contains(f.name))
-        Some(StructType(stored.fields ++ added))
+    val evolving = df.schema.json != stored.json
+    if (evolving) {
+      // call-time validation against the base the CALLER sees: every
+      // stored flattened path must survive (drops throw), shared
+      // top-level types must match (retypes throw)
+      graft.etl.Migrate.evolve(
+        graft.etl.Flatten.columnPaths(stored), df.schema)
+      val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      stored.fields.foreach { f =>
+        require(batchTypes.get(f.name).contains(f.dataType),
+          s"append-only migration violated: column '${f.name}' changed " +
+            s"type ${f.dataType.simpleString} -> " +
+            batchTypes.get(f.name).map(_.simpleString).getOrElse("<dropped>"))
       }
-    val writeSchema = evolved.getOrElse(stored)
+    }
+    val writeSchema =
+      if (!evolving) stored
+      else StructType(stored.fields ++
+        df.schema.fields.filterNot(f => stored.fieldNames.contains(f.name)))
     val dataDir = newDataDir(spark, path)
     // stored-order projection: old columns keep their position, new ones
     // append — the physical layout every version agrees on
@@ -447,7 +518,8 @@ object Snapshot {
     val delta = statsOf(spark, statCol, statCols2(spark, path), writeSchema,
       dataDir)
     commitLoop(spark, path,
-      Commit(delta, additive = true, basedOn = base, newSchema = evolved,
+      Commit(delta, additive = true, basedOn = base,
+        batchSchema = if (evolving) Some(df.schema) else None,
         bloom = bloomDelta(spark, path, writeSchema, dataDir)))
   }
 
@@ -481,48 +553,6 @@ object Snapshot {
     commitLoop(spark, path,
       Commit(keep ++ rewritten, additive = false, basedOn = base,
         bloom = bloomDelta(spark, path, schema, dataDir)))
-  }
-
-  /** IDEMPOTENT streaming append — the `foreachBatch` sink contract:
-    * each micro-batch lands as one snapshot version whose commit records
-    * the batch id, and a RETRY of the same batch id (Structured
-    * Streaming re-delivers the last uncommitted batch after a crash) is
-    * a no-op instead of a duplicate append. Exactly-once ingestion into
-    * the table format falls out of the version protocol: the data write
-    * is invisible until the commit marker lands, and the marker's
-    * version carries the batch id.
-    *
-    * Wire as
-    * `stream.writeStream.foreachBatch((df, id) => Snapshot.appendBatch(df, path, col, id))`.
-    */
-  def appendBatch(df: DataFrame, path: String, statCol: String,
-                  batchId: Long, nFiles: Int = 4): Unit = {
-    val spark = df.sparkSession
-    val cur = currentVersion(spark, path)
-    // Replay detection scans the batch marker of EVERY COMMITTED version
-    // (not just the current one): append/delete/compact commits — or a
-    // second stream — can interleave between a batch's commit and its
-    // crash-redelivery, and the marker-of-current check alone would then
-    // let the replayed batch append twice (Delta's txn-version table
-    // solves the same problem). Markers without a commit marker belong
-    // to a crashed/lost attempt whose batch never became visible and
-    // MUST re-run. Marker count = version count — driver-side and tiny.
-    val fsys = fs(spark, path)
-    val replayed = fsys
-      .globStatus(new org.apache.hadoop.fs.Path(path + "/_batch.v*"))
-      .exists { st =>
-        val v = st.getPath.getName.stripPrefix("_batch.v").toInt
-        v <= cur && exists(spark, path + s"/_commit.v$v") &&
-          readText(spark, st.getPath.toString).trim.toLong == batchId
-      }
-    if (replayed) return
-    val dataDir = newDataDir(spark, path)
-    clusterWrite(df, statCol, nFiles, dataDir)
-    val delta = statsOf(spark, statCol, statCols2(spark, path),
-      schemaAt(spark, path, cur), dataDir)
-    commitLoop(spark, path,
-      Commit(delta, additive = true, basedOn = cur, batchId = Some(batchId),
-        bloom = bloomDelta(spark, path, schemaAt(spark, path, cur), dataDir)))
   }
 
   /** Copy-on-write MERGE (key-replace upsert on the PRIMARY stat column
@@ -648,6 +678,63 @@ object Snapshot {
     base.where(col(c).cast("string") === value)
   }
 
+  /** IDEMPOTENT streaming append — the `foreachBatch` sink contract:
+    * each micro-batch lands as one snapshot version whose commit marker
+    * records the batch id, and a RETRY of the same batch id (Structured
+    * Streaming re-delivers the last uncommitted batch after a crash) is
+    * a no-op instead of a duplicate append. Exactly-once ingestion into
+    * the table format falls out of the version protocol: the data write
+    * is invisible until the commit marker lands, and the marker carries
+    * the batch id. Schema evolution follows the same append-only
+    * contract as [[append]] (a batch that DROPS or retypes a stored
+    * column fails loudly instead of committing silent null-fill).
+    *
+    * Wire as
+    * `stream.writeStream.foreachBatch((df, id) => Snapshot.appendBatch(df, path, col, id))`.
+    */
+  def appendBatch(df: DataFrame, path: String, statCol: String,
+                  batchId: Long, nFiles: Int = 4): Unit = {
+    val spark = df.sparkSession
+    val cur = currentVersion(spark, path)
+    // Replay detection scans the batch id of EVERY committed marker (not
+    // just the current version's): append/delete/compact commits — or a
+    // second stream — can interleave between a batch's commit and its
+    // crash-redelivery, and the marker-of-current check alone would then
+    // let the replayed batch append twice (Delta's txn-version table
+    // solves the same problem). Markers exist only for COMMITTED
+    // versions, so a crashed attempt's batch rightly re-runs.
+    val replayed = committedVersions(spark, path)
+      .exists(v => markerOf(spark, path, v).batchId.contains(batchId))
+    if (replayed) return
+    val stored = schemaAt(spark, path, cur)
+    val evolving = df.schema.json != stored.json
+    if (evolving) {
+      graft.etl.Migrate.evolve(
+        graft.etl.Flatten.columnPaths(stored), df.schema)
+      val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      stored.fields.foreach { f =>
+        require(batchTypes.get(f.name).contains(f.dataType),
+          s"append-only migration violated: column '${f.name}' changed " +
+            s"type ${f.dataType.simpleString} -> " +
+            batchTypes.get(f.name).map(_.simpleString).getOrElse("<dropped>"))
+      }
+    }
+    val writeSchema =
+      if (!evolving) stored
+      else StructType(stored.fields ++
+        df.schema.fields.filterNot(f => stored.fieldNames.contains(f.name)))
+    val dataDir = newDataDir(spark, path)
+    clusterWrite(df.select(writeSchema.fieldNames.map(col).toSeq: _*),
+      statCol, nFiles, dataDir)
+    val delta = statsOf(spark, statCol, statCols2(spark, path), writeSchema,
+      dataDir)
+    commitLoop(spark, path,
+      Commit(delta, additive = true, basedOn = cur,
+        batchSchema = if (evolving) Some(df.schema) else None,
+        batchId = Some(batchId),
+        bloom = bloomDelta(spark, path, writeSchema, dataDir)))
+  }
+
   /** Small-file COMPACTION: fold the current version's live files into
     * `nFiles` fresh range-clustered files as a new version — same rows,
     * fewer/larger files. This is the maintenance job that keeps the
@@ -678,20 +765,52 @@ object Snapshot {
         bloom = bloomDelta(spark, path, schema, dataDir)))
   }
 
+  /** INCREMENTAL READ between two versions (the Delta change-data-feed
+    * idea restricted to what a manifest can answer): the rows of every
+    * data file present in `toV`'s manifest but not in `fromV`'s —
+    * `fromV = 0` means "from before the first version" (the bootstrap
+    * read: everything through `toV`). For an append-only history (the
+    * ingest case — each version adds files and carries the rest
+    * verbatim) this is EXACTLY the rows added in `(fromV, toV]`, which
+    * is what a downstream incremental pipeline consumes per crawl
+    * instead of re-reading the table. Across rewrite commits
+    * (delete/compact/merge) the new files' rows include rewritten
+    * SURVIVORS — row-level change tracking needs per-row lineage the
+    * format deliberately does not carry; callers diff by key downstream
+    * when they must span a rewrite.
+    */
+  def changes(spark: SparkSession, path: String, fromV: Int,
+              toV: Int): DataFrame = {
+    require(0 <= fromV && fromV <= toV,
+      s"need 0 <= fromV <= toV, got $fromV > $toV")
+    val before =
+      if (fromV == 0) Set.empty[String]
+      else manifest(spark, path, Some(fromV)).map(_.file).toSet
+    val added = manifest(spark, path, Some(toV))
+      .filterNot(s => before(s.file)).map(_.file)
+    val schema = schemaAt(spark, path, toV)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(added: _*)
+  }
+
   /** VACUUM — the maintenance job that reclaims storage (Delta's VACUUM
     * + version expiry in one): keep the newest `keepVersions` committed
-    * versions readable, drop older versions' manifests (and bloom
-    * sidecars), and DELETE every data file no retained manifest
-    * references — which also sweeps the orphans that crashed commits
-    * and lost optimistic races leave behind (writer-unique dirs make
-    * those unreferenced by construction). Commit markers and batch-id
-    * markers stay (one-line files — keeping them preserves the version
-    * numbering and the full exactly-once replay window); time travel
-    * below the retention horizon errors on the missing manifest.
-    * Run WITHOUT concurrent writers (an in-flight commit's data files
-    * are unreferenced until its marker lands — the same retention
-    * caveat Delta documents). Returns (expired versions, deleted data
-    * files). Driver-side metadata walk; one FS delete per orphan.
+    * versions readable, drop older versions' staged metadata, and
+    * DELETE every data file no retained manifest references — which
+    * also sweeps the orphans that crashed commits and lost optimistic
+    * races leave behind (writer-unique dirs and staged files make those
+    * unreferenced by construction). Commit markers stay (one-line files
+    * — keeping them preserves the version numbering and the full
+    * exactly-once batch replay window); time travel below the retention
+    * horizon errors on the missing staged manifest. The one staged
+    * SCHEMA the oldest retained version inherits survives (schemaAt
+    * walks downward). Run WITHOUT concurrent writers (an in-flight
+    * commit's data files are unreferenced until its marker lands — the
+    * same retention caveat Delta documents). Returns (expired versions,
+    * deleted files). Driver-side metadata walk; one FS delete per
+    * orphan.
     */
   def vacuum(spark: SparkSession, path: String,
              keepVersions: Int = 2): (Int, Int) = {
@@ -699,41 +818,48 @@ object Snapshot {
     lockFor(path).synchronized {
       val committed = committedVersions(spark, path)
       val cur = committed.max
-      val retained = committed.filter(_ > cur - keepVersions)
-      val expired = committed
-        .filter(v => v <= cur - keepVersions &&
-          exists(spark, path + s"/_manifest.v$v.tsv"))
+      // retained = the newest keepVersions versions whose manifests are
+      // still present (a previous vacuum with a smaller retention may
+      // already have expired some — they stay expired)
+      val readable = committed.filter(v =>
+        exists(spark, s"$path/${markerOf(spark, path, v).manifest}"))
+      val retained = readable.filter(_ > cur - keepVersions)
+      val expired = readable.filterNot(retained.contains)
       val live = retained.flatMap(v => manifest(spark, path, Some(v)))
         .map(s => new org.apache.hadoop.fs.Path(s.file).toUri.getPath)
         .toSet
-      expired.foreach { v =>
-        delete(spark, path + s"/_manifest.v$v.tsv")
-        if (exists(spark, path + s"/_bloom.v$v.tsv"))
-          delete(spark, path + s"/_bloom.v$v.tsv")
-      }
-      // schema files: keep the one the OLDEST retained version inherits
-      // (schemaAt walks downward) and everything newer
-      val schemaVersions = fs(spark, path)
-        .globStatus(new org.apache.hadoop.fs.Path(path + "/_schema.v*.json"))
-        .toSeq.map(_.getPath.getName.stripPrefix("_schema.v")
-          .stripSuffix(".json").toInt)
-      val effective = schemaVersions.filter(_ <= retained.min)
-        .maxOption.getOrElse(0)
-      schemaVersions.filter(_ < effective).foreach(v =>
-        delete(spark, path + s"/_schema.v$v.json"))
-      // orphan sweep: every parquet part under the data dirs that no
-      // retained manifest references
+      // staged files to KEEP: everything a retained marker references,
+      // plus the newest staged schema at-or-below the oldest retained
+      // version (the shape that version inherits)
+      val markers = committed.map(v => v -> markerOf(spark, path, v)).toMap
+      val schemaCarrier = committed
+        .filter(v => v <= retained.min && markers(v).schema.isDefined &&
+          exists(spark, s"$path/${markers(v).schema.get}"))
+        .maxOption
+      val keepStaged: Set[String] =
+        (retained.flatMap { v =>
+          val mk = markers(v)
+          Seq(mk.manifest) ++ mk.schema ++ mk.bloom
+        } ++ schemaCarrier.flatMap(v => markers(v).schema)).toSet
+          .map((s: String) => new org.apache.hadoop.fs.Path(s"$path/$s")
+            .toUri.getPath)
       val fsys = fs(spark, path)
-      val parts = fsys
-        .globStatus(new org.apache.hadoop.fs.Path(path + "/d*/*"))
-        .toSeq.filter(_.isFile)
       var dropped = 0
-      parts.foreach { st =>
-        val p = st.getPath
-        val keep = p.getName.endsWith(".parquet") &&
-          live(p.toUri.getPath)
-        if (!keep) { fsys.delete(p, false); dropped += 1 }
-      }
+      val stagedDir = new org.apache.hadoop.fs.Path(path + "/_staged")
+      if (fsys.exists(stagedDir))
+        fsys.listStatus(stagedDir).foreach { st =>
+          if (!keepStaged(st.getPath.toUri.getPath)) {
+            fsys.delete(st.getPath, false); dropped += 1
+          }
+        }
+      // orphan sweep: every file under the data dirs that no retained
+      // manifest references
+      fsys.globStatus(new org.apache.hadoop.fs.Path(path + "/d*/*"))
+        .foreach { st =>
+          if (st.isFile && !live(st.getPath.toUri.getPath)) {
+            fsys.delete(st.getPath, false); dropped += 1
+          }
+        }
       // sweep now-empty data dirs
       fsys.globStatus(new org.apache.hadoop.fs.Path(path + "/d*"))
         .foreach { st =>
@@ -744,31 +870,6 @@ object Snapshot {
     }
   }
 
-  /** INCREMENTAL READ between two versions (the Delta change-data-feed
-    * idea restricted to what a manifest can answer): the rows of every
-    * data file present in `toV`'s manifest but not in `fromV`'s. For an
-    * append-only history (the ingest case — each version adds files and
-    * carries the rest verbatim) this is EXACTLY the rows added in
-    * `(fromV, toV]`, which is what a downstream incremental pipeline
-    * consumes per crawl instead of re-reading the table. Across rewrite
-    * commits (delete/compact/merge) the new files' rows include
-    * rewritten SURVIVORS — row-level change tracking needs per-row
-    * lineage the format deliberately does not carry; callers diff by key
-    * downstream when they must span a rewrite.
-    */
-  def changes(spark: SparkSession, path: String, fromV: Int,
-              toV: Int): DataFrame = {
-    require(fromV <= toV, s"need fromV <= toV, got $fromV > $toV")
-    val before = manifest(spark, path, Some(fromV)).map(_.file).toSet
-    val added = manifest(spark, path, Some(toV))
-      .filterNot(s => before(s.file)).map(_.file)
-    val schema = schemaAt(spark, path, toV)
-    if (added.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(added: _*)
-  }
-
   /** The version log — one row per committed, still-retained version
     * with its file and row totals: the table-format inspection surface
     * (what `DESCRIBE HISTORY` shows on Delta); versions expired by
@@ -776,19 +877,21 @@ object Snapshot {
     */
   def history(spark: SparkSession, path: String): Seq[(Int, Int, Long)] =
     committedVersions(spark, path)
-      .filter(v => exists(spark, path + s"/_manifest.v$v.tsv"))
+      .filter(v => exists(spark, s"$path/${markerOf(spark, path, v).manifest}"))
       .map { v =>
         val m = manifest(spark, path, Some(v))
         (v, m.size, m.map(_.rows).sum)
       }
 
   /** The manifest rows of `version` (default: current); empty when that
-    * version holds no data files.
+    * version holds no data files. Resolved through the version's commit
+    * marker — committed metadata is immutable by construction.
     */
   def manifest(spark: SparkSession, path: String,
                version: Option[Int] = None): Seq[FileStat] = {
     val v = version.getOrElse(currentVersion(spark, path))
-    readText(spark, path + s"/_manifest.v$v.tsv").split("\n").toSeq
+    readText(spark, s"$path/${markerOf(spark, path, v).manifest}")
+      .split("\n").toSeq
       .filter(_.nonEmpty).map { line =>
         val parts = line.split("\t")
         val extra = parts.drop(4).toSeq.map {
@@ -813,14 +916,20 @@ object Snapshot {
   /** The data files a `[lo, hi]` probe of registered stat column
     * `colName` (primary or secondary) must read. Files with no non-null
     * values in a secondary column prune away (null never matches a
-    * range).
+    * range). A column that is NEITHER the primary nor a registered
+    * secondary throws — pruning with the wrong column's bands would
+    * silently drop rows.
     */
   def selectFilesBy(spark: SparkSession, path: String, colName: String,
                     lo: Long, hi: Long,
                     version: Option[Int] = None): Seq[String] = {
-    val cols2 = statCols2(spark, path)
+    val (primary, cols2) = statCols(spark, path)
     val i = cols2.indexOf(colName)
-    if (i < 0) selectFiles(spark, path, lo, hi, version) // primary
+    if (colName == primary) selectFiles(spark, path, lo, hi, version)
+    else if (i < 0)
+      throw new IllegalArgumentException(
+        s"'$colName' is not a registered stat column of $path " +
+          s"(primary: $primary; secondaries: ${cols2.mkString(", ")})")
     else manifest(spark, path, version).filter(s =>
       s.extra.lift(i).flatten.exists { case (mn, mx) =>
         mx >= lo && mn <= hi
@@ -828,17 +937,19 @@ object Snapshot {
   }
 
   /** The schema `version` was committed under: the newest evolution at
-    * or below it (versions without an evolution inherit downward).
+    * or below it (versions without an evolution inherit downward;
+    * version 1 always carries its schema).
     */
   def schemaAt(spark: SparkSession, path: String, version: Int): StructType = {
-    val evolutions = fs(spark, path)
-      .globStatus(new org.apache.hadoop.fs.Path(path + "/_schema.v*.json"))
-      .toSeq
-      .map(_.getPath.getName.stripPrefix("_schema.v").stripSuffix(".json").toInt)
-      .filter(_ <= version)
-    val src =
-      if (evolutions.isEmpty) path + "/_schema.json" // pre-evolution tables
-      else path + s"/_schema.v${evolutions.max}.json"
+    val withSchema = committedVersions(spark, path)
+      .filter(_ <= version).sorted.reverse
+      .flatMap(v => markerOf(spark, path, v).schema.map(v -> _))
+      .headOption
+    val src = withSchema match {
+      case Some((_, f)) => s"$path/$f"
+      case None => throw new IllegalStateException(
+        s"no schema recorded at or below v$version of $path")
+    }
     DataType.fromJson(readText(spark, src)).asInstanceOf[StructType]
   }
 

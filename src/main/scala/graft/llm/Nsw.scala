@@ -100,7 +100,12 @@ object Nsw {
             lit(1e-12))).as("s"))
       .groupBy("cluster")
       .agg(max_by(col("id"), struct(col("s"), -col("id"))).as("entry_id"))
-    NswIndex(cents, vecs, edges, entries)
+    // MATERIALIZE the index relations (build once, probe many times):
+    // without this, every probe round's frontier⋈edges join would
+    // re-execute the blocked kNN pair join — the costliest stage —
+    // from scratch. localCheckpoint is eager and truncates lineage.
+    NswIndex(cents.localCheckpoint(), vecs.localCheckpoint(),
+      edges.localCheckpoint(), entries.localCheckpoint())
   }
 
   /** Greedy best-first probe, unrolled as `rounds` expansion steps with

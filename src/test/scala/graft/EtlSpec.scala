@@ -490,6 +490,58 @@ class EtlSpec extends SparkSpec {
     }
     // the failed append never committed: table still reads v1 intact
     assert(graft.core.Snapshot.manifest(spark, path).map(_.rows).sum == 1L)
+    // CREATE OR REPLACE is transactional: a failing REPLACE (null
+    // statCol again) leaves the previous table fully readable
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.write(bad, path, "k", nFiles = 1)
+    }
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 99L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("snapshot concurrent evolving appends compose to the field union") {
+    import spark.implicits._
+    val path = tmpDir("snapevolverace") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 4L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    // two racing appends, each ADDING its own column: whichever commits
+    // second must re-evolve against the winner's schema, so the final
+    // schema is the UNION (k, v, x, y) — not the last writer's view
+    val ta = new Thread(() => graft.core.Snapshot.append(
+      Seq((10L, "v10", 7L)).toDF("k", "v", "x"), path, "k", nFiles = 1))
+    val tb = new Thread(() => graft.core.Snapshot.append(
+      Seq((20L, "v20", "en")).toDF("k", "v", "y"), path, "k", nFiles = 1))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    val head = graft.core.Snapshot.scan(spark, path, "k", 0L, 99L)
+    assert(head.schema.fieldNames.toSet == Set("k", "v", "x", "y"))
+    // field ORDER depends on which append won the race — the union is
+    // the contract, so select in a fixed order for the readout
+    val rows = head.select("k", "v", "x", "y").orderBy("k")
+      .as[(Long, String, Option[Long], Option[String])].collect().toSeq
+    assert(rows.take(4) == (0L until 4L).map(i => (i, s"v$i", None, None)))
+    assert(rows.contains((10L, "v10", Some(7L), None)))
+    assert(rows.contains((20L, "v20", None, Some("en"))))
+  }
+
+  test("snapshot streaming appendBatch enforces the append-only schema contract") {
+    import spark.implicits._
+    val path = tmpDir("snapbatchschema") + "/s"
+    graft.core.Snapshot.write(
+      Seq((1L, "a", "en")).toDF("k", "v", "lang"), path, "k", nFiles = 1)
+    // a batch MISSING a stored column fails loudly instead of silently
+    // null-filling the column for the whole batch
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.appendBatch(Seq((2L, "b")).toDF("k", "v"),
+        path, "k", batchId = 1L, nFiles = 1)
+    }
+    // a batch ADDING a column evolves the schema like append does
+    graft.core.Snapshot.appendBatch(
+      Seq((3L, "c", "fr", 9L)).toDF("k", "v", "lang", "score"),
+      path, "k", batchId = 2L, nFiles = 1)
+    val head = graft.core.Snapshot.scan(spark, path, "k", 0L, 99L)
+      .orderBy("k").as[(Long, String, String, Option[Long])].collect().toSeq
+    assert(head == Seq((1L, "a", "en", None), (3L, "c", "fr", Some(9L))))
   }
 
   test("snapshot schema evolution: add column null-fills old files, time travel keeps the old shape") {
@@ -547,11 +599,12 @@ class EtlSpec extends SparkSpec {
     val got = graft.core.Snapshot.scan(spark, path, "k", 0L, 99L)
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(got == (0L until 30L).map(i => (i, s"v$i")))
-    // crash-between-manifest-and-commit-marker: a writer that died after
-    // writing its manifest (but before the _commit marker) left v4
-    // metadata with no marker — the table still reads v3, and the next
-    // real append commits v4 OVER the orphan without seeing its rows
-    val orphan = new java.io.File(path, "_manifest.v4.tsv")
+    // crash-between-stage-and-commit-marker: a writer that died after
+    // staging its manifest (but before the _commit marker) left v4
+    // metadata unreferenced — the table still reads v3, and the next
+    // real append commits v4 without seeing the orphan's rows (staged
+    // files are writer-unique, so nothing can collide with them)
+    val orphan = new java.io.File(path, "_staged/manifest.v4.deadbeef.tsv")
     java.nio.file.Files.writeString(orphan.toPath,
       "file:/nonexistent/orphan.parquet\t0\t0\t999\n")
     assert(graft.core.Snapshot.history(spark, path).map(_._1).max == 3)
@@ -592,6 +645,11 @@ class EtlSpec extends SparkSpec {
       .selectFilesBy(spark, path, "u", 5000L, 5299L).size
     assert(uFiles <= math.max(2, total / 5),
       s"u probe read $uFiles of $total files")
+    // a probe on an UNREGISTERED column is a loud error, never a
+    // silently partial result pruned with the wrong column's bands
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.scanBy(spark, path, "v", 0L, 10L).count()
+    }
     // secondaries persist through append and compact commits
     graft.core.Snapshot.append(
       Seq((1000L, 3000L, Some(6000L), "r1000")).toDF("k", "w", "u", "v"),
@@ -748,6 +806,12 @@ class EtlSpec extends SparkSpec {
       Seq((500L, "v500")).toDF("k", "v"), path, "k", nFiles = 1)
     assert(graft.core.Snapshot.scan(spark, path, "k", 500L, 500L)
       .count() == 1L)
+    // a later vacuum with a LARGER retention doesn't resurrect or trip
+    // over already-expired versions
+    val (expired2, _) = graft.core.Snapshot.vacuum(spark, path,
+      keepVersions = 10)
+    assert(expired2 == 0)
+    assert(graft.core.Snapshot.history(spark, path).map(_._1) == Seq(3, 4, 5))
   }
 
   test("snapshot changes: incremental read returns exactly the appended rows") {
@@ -772,6 +836,9 @@ class EtlSpec extends SparkSpec {
     // spanning window = union of increments; empty window = no rows
     assert(graft.core.Snapshot.changes(spark, path, 1, 3).count() == 20L)
     assert(graft.core.Snapshot.changes(spark, path, 3, 3).count() == 0L)
+    // bootstrap: fromV = 0 reads everything through toV (v1 included)
+    assert(graft.core.Snapshot.changes(spark, path, 0, 1).count() == 10L)
+    assert(graft.core.Snapshot.changes(spark, path, 0, 3).count() == 30L)
     // an evolving append's increment reads under the evolved schema
     graft.core.Snapshot.append(
       Seq((30L, "v30", "en")).toDF("k", "v", "lang"), path, "k", nFiles = 1)
