@@ -652,6 +652,18 @@ object SparkEntry {
           col("l_quantity").cast("long").as("qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
 
+    // DSv2 CONNECTOR under the gate: the snapshot read through plain
+    // spark.read.format("graft-snapshot") with an ordinary WHERE — the
+    // filter reaches the connector via Catalyst pushdown and becomes
+    // manifest file pruning; Spark's own parquet scan does the reading.
+    // Zero snapshot-specific API in the query.
+    "snapshot_dsv2" -> ((s, d) =>
+      s.read.format("graft-snapshot").load(lineitemSnapshot(s, d))
+        .where(col("l_orderkey") >= 200 && col("l_orderkey") <= 399)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
     // CHANGE-DATA-FEED read under the gate: the rows added between
     // version 1 and version 2 of the incremental snapshot — the
     // incremental consumption a downstream pipeline runs per crawl
@@ -4359,6 +4371,14 @@ object SparkEntry {
       ("SELECT l_orderkey, l_linenumber, l_partkey, " +
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 AND l_orderkey % 2 = 0 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // DSv2 connector: same plain filter as snapshot_scan — the pruning
+    // tier must be invisible in the result
+    "snapshot_dsv2" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
 
     // change-data-feed: the appended increment is the odd-orderkey half

@@ -936,6 +936,45 @@ object Snapshot {
       }).map(_.file)
   }
 
+  /** The current (highest committed) version of the table. */
+  def current(spark: SparkSession, path: String): Int =
+    currentVersion(spark, path)
+
+  /** The registered stat columns: `(primary, secondaries)` — what
+    * [[selectFilesBy]] can prune with.
+    */
+  def registeredStatCols(spark: SparkSession, path: String)
+      : (String, Seq[String]) = statCols(spark, path)
+
+  /** The registered bloom column, if any — what [[selectFilesEq]] can
+    * prune with.
+    */
+  def bloomColumn(spark: SparkSession, path: String): Option[String] =
+    bloomConf(spark, path).map(_._1)
+
+  /** The data files a CONJUNCTION of probes must read: range bounds per
+    * registered stat column (intersected) and equality values on the
+    * bloom column (intersected) — the pruning entry point the DSv2
+    * connector drives from pushed-down filters. Unregistered columns
+    * must not appear (callers route those to the residual filter).
+    */
+  def selectFilesConj(spark: SparkSession, path: String,
+                      ranges: Map[String, (Long, Long)],
+                      bloomEq: Seq[String],
+                      version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, path))
+    var files = manifest(spark, path, Some(v)).map(_.file)
+    ranges.foreach { case (c, (lo, hi)) =>
+      val keep = selectFilesBy(spark, path, c, lo, hi, Some(v)).toSet
+      files = files.filter(keep)
+    }
+    bloomEq.foreach { value =>
+      val keep = selectFilesEq(spark, path, value, Some(v)).toSet
+      files = files.filter(keep)
+    }
+    files
+  }
+
   /** The schema `version` was committed under: the newest evolution at
     * or below it (versions without an evolution inherit downward;
     * version 1 always carries its schema).

@@ -848,6 +848,47 @@ class EtlSpec extends SparkSpec {
       Seq((30L, "v30", "en")))
   }
 
+  test("snapshot DSv2 connector: plain spark.read filters become manifest pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val path = tmpDir("snapdsv2") + "/s"
+    val df = (0L until 1000L).map(i => (i, i * 3, s"u$i", s"v$i"))
+      .toDF("k", "w", "uid", "v")
+    graft.core.Snapshot.write(df, path, "k", nFiles = 10,
+      statCols2 = Seq("w"), bloomCol = Some("uid"))
+    val t = spark.read.format("graft-snapshot").load(path)
+    // a plain WHERE on the cluster key: result == filter, and the scan
+    // reads only the overlapping files (checked via the files the rows
+    // actually came from)
+    val probe = t.where(col("k") >= 100 && col("k") <= 199)
+    assert(probe.orderBy("k").as[(Long, Long, String, String)]
+      .collect().toSeq ==
+      (100L to 199L).map(i => (i, i * 3, s"u$i", s"v$i")))
+    val filesRead = probe.select(input_file_name()).distinct().count()
+    assert(filesRead <= 2L, s"read $filesRead files for a 10% probe")
+    // a SECONDARY-column range prunes too
+    val wProbe = t.where(col("w") >= 300 && col("w") <= 597)
+    assert(wProbe.count() == 100L)
+    assert(wProbe.select(input_file_name()).distinct().count() <= 2L)
+    // bloom-column equality prunes to ~1 file and returns the exact row
+    val uProbe = t.where(col("uid") === "u777")
+    assert(uProbe.as[(Long, Long, String, String)].collect().toSeq ==
+      Seq((777L, 2331L, "u777", "v777")))
+    assert(uProbe.select(input_file_name()).distinct().count() <= 2L)
+    // column pruning reaches the parquet reader through the delegate
+    val plan = probe.select("k").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<k:bigint>"), plan)
+    // time travel through the option: version 1 before an append
+    graft.core.Snapshot.append(
+      Seq((5000L, 1L, "u5000", "x")).toDF("k", "w", "uid", "v"),
+      path, "k", nFiles = 1)
+    assert(spark.read.format("graft-snapshot").load(path).count() == 1001L)
+    assert(spark.read.format("graft-snapshot").option("version", 1)
+      .load(path).count() == 1000L)
+    // an unregistered-column filter stays residual-only: correct rows
+    assert(t.where(col("v") === "v5").count() == 1L)
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
