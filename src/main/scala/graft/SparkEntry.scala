@@ -419,6 +419,25 @@ object SparkEntry {
       path
     })
 
+  // Snapshot whose INCREMENT arrives through the DSv2 WRITE path: the
+  // odd-orderkey half lands via plain df.write.format("graft-snapshot")
+  // .mode("append") — Spark plans the range clustering from the
+  // connector's required distribution, the writers compute the zone-map
+  // rows inline, and the driver commit is the same optimistic protocol.
+  private val snapshotsDsv2W =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def lineitemSnapshotDsv2W(s: SparkSession, d: String): String =
+    snapshotsDsv2W.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_dsv2w", d)
+      val li = t(s, d, "lineitem")
+      graft.core.Snapshot.write(li.where(col("l_orderkey") % 2 === 0),
+        path, "l_orderkey", nFiles = 8)
+      li.where(col("l_orderkey") % 2 === 1)
+        .write.format("graft-snapshot").mode("append")
+        .option("nfiles", 8).save(path)
+      path
+    })
+
   // Versioned snapshot for the MERGE gate: full lineitem, then one
   // key-replace upsert — orderkeys [300, 349] re-land with shifted
   // quantities AND ten brand-new orderkeys insert, in a single commit
@@ -660,6 +679,18 @@ object SparkEntry {
     "snapshot_dsv2" -> ((s, d) =>
       s.read.format("graft-snapshot").load(lineitemSnapshot(s, d))
         .where(col("l_orderkey") >= 200 && col("l_orderkey") <= 399)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // DSv2 WRITE path under the gate: the table's second half arrived
+    // through plain df.write (required-distribution clustering + inline
+    // writer stats); the probe must equal the plain filter over the
+    // UNION — i.e. the DSv2-written increment is indistinguishable from
+    // a Snapshot.append one.
+    "snapshot_dsv2_write" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, lineitemSnapshotDsv2W(s, d),
+          "l_orderkey", 200L, 399L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
@@ -4376,6 +4407,14 @@ object SparkEntry {
     // DSv2 connector: same plain filter as snapshot_scan — the pruning
     // tier must be invisible in the result
     "snapshot_dsv2" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // DSv2 write path: append == rebuild, so the same plain filter over
+    // ALL of lineitem
+    "snapshot_dsv2_write" ->
       ("SELECT l_orderkey, l_linenumber, l_partkey, " +
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 " +

@@ -940,6 +940,65 @@ object Snapshot {
   def current(spark: SparkSession, path: String): Int =
     currentVersion(spark, path)
 
+  // ---- DSv2 write-path hooks (package graft) ----------------------------
+  // The connector's writers compute per-file stats INLINE while writing
+  // (no post-write stats pass at all); these commit the assembled delta
+  // through the same optimistic protocol as every other commit.
+
+  private[graft] def dataDirFor(spark: SparkSession, path: String): String =
+    newDataDir(spark, path)
+
+  private[graft] def commitExternal(spark: SparkSession, path: String,
+                                    delta: Seq[FileStat],
+                                    bloom: Seq[(String, String)],
+                                    truncate: Boolean): Int =
+    if (!truncate)
+      commitLoop(spark, path, Commit(delta, additive = true,
+        basedOn = currentVersion(spark, path), bloom = bloom))
+    else lockFor(path).synchronized {
+      // REPLACE with externally-written data: same transactional order
+      // as write() — the new files already exist; drop everything else
+      // and commit them as v1. Registered stat/bloom columns carry over
+      // from the previous table (the replacing writer computed its
+      // inline stats against them).
+      val keepDirs = delta.map(s =>
+        new org.apache.hadoop.fs.Path(s.file).getParent.toUri.getPath).toSet
+      val statColsText = readText(spark, path + "/_statcols")
+      val bloomColText =
+        if (exists(spark, path + "/_bloomcol"))
+          Some(readText(spark, path + "/_bloomcol"))
+        else None
+      val schema = schemaAt(spark, path, currentVersion(spark, path))
+      val fsys = fs(spark, path)
+      fsys.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+        if (!keepDirs(st.getPath.toUri.getPath))
+          fsys.delete(st.getPath, true)
+      }
+      val token = java.util.UUID.randomUUID().toString.replace("-", "")
+        .take(12)
+      writeText(spark, path + "/_statcols", statColsText)
+      bloomColText.foreach(t => writeText(spark, path + "/_bloomcol", t))
+      val manifestFile = stagedName("manifest", 1, token) + ".tsv"
+      writeText(spark, s"$path/$manifestFile", renderManifest(delta))
+      val schemaFile = stagedName("schema", 1, token) + ".json"
+      writeText(spark, s"$path/$schemaFile", schema.json)
+      val bloomFile =
+        if (bloomColText.isEmpty) None
+        else {
+          val f = stagedName("bloom", 1, token) + ".tsv"
+          writeText(spark, s"$path/$f",
+            bloom.map { case (a, b) => s"$a\t$b" }
+              .mkString("", "\n", if (bloom.isEmpty) "" else "\n"))
+          Some(f)
+        }
+      tryCommitMarker(spark, path, 1,
+        Marker(manifestFile, Some(schemaFile), bloomFile, None).render)
+      1
+    }
+
+  private[graft] def bloomConfExternal(spark: SparkSession, path: String)
+      : Option[(String, Int, Int)] = bloomConf(spark, path)
+
   /** The registered stat columns: `(primary, secondaries)` — what
     * [[selectFilesBy]] can prune with.
     */

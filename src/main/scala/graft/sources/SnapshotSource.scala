@@ -75,13 +75,19 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 
 private[sources] class SnapshotTable(path: String, version: Int,
                                      tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-snapshot `$path` v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(path, version, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(path, info.schema(), info.options())
 }
 
 /** Turns Catalyst's pushed-down conjunction into manifest pruning.
@@ -152,4 +158,254 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
         spark, files, tableSchema, Map.empty),
       required, accepted, tableSchema)
   }
+}
+
+// ---- the WRITE path -------------------------------------------------------
+
+/** `df.write.format("graft-snapshot").mode("append"|"overwrite")
+  * .save(path)` — the DSv2 write half of the connector, over an
+  * EXISTING snapshot table (creation stays [[Snapshot.write]], where
+  * the stat/bloom registration lives):
+  *
+  *   - the Write declares `RequiresDistributionAndOrdering` on the
+  *     table's PRIMARY stat column, so SPARK plans the range exchange
+  *     and local sort that give each output file a narrow zone-map band
+  *     — the clustering contract is declarative, not imperative;
+  *   - every writer computes its file's statistics INLINE while
+  *     streaming rows through Spark's own parquet writer (bridged): the
+  *     zone-map min/max, secondary bands, null fail-fast, and the bloom
+  *     sidecar bits all ride the write itself — ZERO post-write stats
+  *     pass (the helper API pays one);
+  *   - the driver commit assembles the per-file messages into a
+  *     manifest delta and runs the SAME optimistic commit protocol as
+  *     every other writer (append rebases, overwrite replaces as a
+  *     transactional v1).
+  *
+  * Task retries are safe by construction: files are attempt-unique and
+  * only files named in COMMIT MESSAGES enter the manifest — an aborted
+  * attempt's file is an unreferenced orphan [[Snapshot.vacuum]] sweeps.
+  */
+private[sources] class SnapshotWriteBuilder(
+    path: String, writeSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var replaceAll = false
+
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    replaceAll = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val spark = SparkSession.active
+    val (primary, secondaries) = Snapshot.registeredStatCols(spark, path)
+    val stored = Snapshot.schemaAt(spark, path,
+      Snapshot.current(spark, path))
+    val storedSet = stored.fields.map(f => (f.name, f.dataType)).toSet
+    val writeSet = writeSchema.fields.map(f => (f.name, f.dataType)).toSet
+    require(storedSet == writeSet,
+      s"graft-snapshot write schema must match the stored schema exactly " +
+        s"(stored: ${stored.simpleString}; write: ${writeSchema.simpleString}); " +
+        "evolve through Snapshot.append")
+    val nFiles = Option(options.get("nfiles")).map(_.toInt).getOrElse(0)
+    new SnapshotWrite(path, writeSchema, primary, secondaries,
+      Snapshot.bloomConfExternal(spark, path), replaceAll, nFiles)
+  }
+}
+
+private[sources] class SnapshotWrite(
+    path: String, writeSchema: StructType, primary: String,
+    secondaries: Seq[String], bloom: Option[(String, Int, Int)],
+    truncate: Boolean, nFiles: Int)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+
+  private def order = Array(
+    Expressions.sort(Expressions.column(primary), SortDirection.ASCENDING))
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.ordered(order)
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = order
+
+  override def requiredNumPartitions(): Int = nFiles // 0 = Spark decides
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+    val spark = SparkSession.active
+    new SnapshotBatchWrite(path,
+      Snapshot.dataDirFor(spark, path),
+      org.apache.spark.sql.graftbridge.ParquetWriteDelegate
+        .writeConf(spark, writeSchema),
+      writeSchema, primary, secondaries, bloom, truncate)
+  }
+}
+
+private[sources] final case class SnapshotCommitMessage(
+    file: String, min: Long, max: Long, rows: Long,
+    extra: Seq[Option[(Long, Long)]], bloomB64: Option[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class SnapshotBatchWrite(
+    path: String, dataDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    writeSchema: StructType, primary: String, secondaries: Seq[String],
+    bloom: Option[(String, Int, Int)], truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    SnapshotWriterFactory(dataDir, conf, writeSchema, primary,
+      secondaries, bloom)
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val ms = messages.collect {
+      case m: SnapshotCommitMessage if m.rows > 0 => m
+    }.sortBy(_.file)
+    val delta = ms.map(m =>
+      graft.core.Snapshot.FileStat(m.file, m.min, m.max, m.rows, m.extra))
+    val bloomRows = ms.flatMap(m => m.bloomB64.map(b => m.file -> b))
+    graft.core.Snapshot.commitExternal(spark, path, delta.toSeq,
+      bloomRows.toSeq, truncate)
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
+    messages.foreach {
+      case m: SnapshotCommitMessage if m.file != null =>
+        val p = new org.apache.hadoop.fs.Path(m.file)
+        p.getFileSystem(hconf).delete(p, false)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] final case class SnapshotWriterFactory(
+    dataDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    writeSchema: StructType, primary: String, secondaries: Seq[String],
+    bloom: Option[(String, Int, Int)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new SnapshotDataWriter(dataDir, conf, writeSchema, primary,
+      secondaries, bloom, partitionId, taskId)
+}
+
+/** One output file per (range-clustered, sorted) input partition, with
+  * the file's zone-map row and bloom bits computed inline. Lazy open:
+  * an empty partition writes nothing (no empty-file manifest rows).
+  */
+private[sources] class SnapshotDataWriter(
+    dataDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    writeSchema: StructType, primary: String, secondaries: Seq[String],
+    bloom: Option[(String, Int, Int)], partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  private val file = f"$dataDir/part-$partitionId%05d-" +
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12) +
+    ".snappy.parquet"
+  private var writer:
+    org.apache.spark.sql.graftbridge.ParquetWriteDelegate.ParquetRowWriter = _
+
+  private def longAt(row: InternalRow, i: Int): Long =
+    writeSchema.fields(i).dataType match {
+      case LongType => row.getLong(i)
+      case IntegerType => row.getInt(i).toLong
+      case dt => throw new IllegalArgumentException(
+        s"stat column '${writeSchema.fields(i).name}' must be integral, " +
+          s"got ${dt.simpleString}")
+    }
+
+  private val pIdx = writeSchema.fieldIndex(primary)
+  private val sIdx = secondaries.map(writeSchema.fieldIndex)
+  private val bIdx = bloom.map(b => writeSchema.fieldIndex(b._1))
+
+  private var rows = 0L
+  private var mn = Long.MaxValue
+  private var mx = Long.MinValue
+  private val sMn = Array.fill(sIdx.size)(Long.MaxValue)
+  private val sMx = Array.fill(sIdx.size)(Long.MinValue)
+  private val sSeen = Array.fill(sIdx.size)(false)
+  private val bits: Array[Long] =
+    bloom.map(b => new Array[Long](b._2 / 64)).getOrElse(Array.empty)
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null)
+      writer = org.apache.spark.sql.graftbridge.ParquetWriteDelegate
+        .openWriter(conf, file, partitionId, taskId)
+    if (row.isNullAt(pIdx))
+      throw new IllegalArgumentException(
+        s"statCol '$primary' has a NULL row; zone maps require a " +
+          "non-null cluster column")
+    val k = longAt(row, pIdx)
+    if (k < mn) mn = k
+    if (k > mx) mx = k
+    sIdx.indices.foreach { j =>
+      if (!row.isNullAt(sIdx(j))) {
+        val v = longAt(row, sIdx(j))
+        sSeen(j) = true
+        if (v < sMn(j)) sMn(j) = v
+        if (v > sMx(j)) sMx(j) = v
+      }
+    }
+    bIdx.foreach { i =>
+      if (!row.isNullAt(i)) {
+        val s = writeSchema.fields(i).dataType match {
+          case StringType => row.getUTF8String(i).toString
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case dt => String.valueOf(row.get(i, dt))
+        }
+        val (_, mBits, kk) = bloom.get
+        graft.functions.Bloom.positions(s, mBits, kk).foreach { p =>
+          bits((p >>> 6).toInt) |= (1L << (p & 63))
+        }
+      }
+    }
+    rows += 1
+    writer.write(row)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer != null) writer.close()
+    val extra = sIdx.indices.map(j =>
+      if (sSeen(j)) Some((sMn(j), sMx(j))) else None)
+    val b64 =
+      if (bits.isEmpty || rows == 0) None
+      else {
+        val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+        bits.foreach(bb.putLong)
+        Some(java.util.Base64.getEncoder.encodeToString(bb.array()))
+      }
+    // the manifest records the same URI shape input_file_name() yields
+    val uri = "file:" + new org.apache.hadoop.fs.Path(file).toUri.getPath
+    SnapshotCommitMessage(if (rows == 0) null else uri, mn, mx, rows,
+      extra, b64)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    val p = new org.apache.hadoop.fs.Path(file)
+    p.getFileSystem(conf.value).delete(p, false)
+  }
+
+  override def close(): Unit = ()
 }

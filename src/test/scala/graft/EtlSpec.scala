@@ -889,6 +889,72 @@ class EtlSpec extends SparkSpec {
     assert(t.where(col("v") === "v5").count() == 1L)
   }
 
+  test("snapshot DSv2 write: Spark plans the clustering, stats ride the writers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("snapdsv2w") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 100L).map(i => (i, i * 3, s"u$i", s"v$i"))
+        .toDF("k", "w", "uid", "v"),
+      path, "k", nFiles = 4, statCols2 = Seq("w"), bloomCol = Some("uid"))
+    // APPEND through plain df.write: the connector declares the range
+    // distribution + ordering, Spark plans the exchange, each writer
+    // emits one file whose zone-map row and bloom bits were computed
+    // inline — no post-write stats job
+    (100L until 300L).map(i => (i, i * 3, s"u$i", s"v$i"))
+      .toDF("k", "w", "uid", "v")
+      .write.format("graft-snapshot").mode("append")
+      .option("nfiles", 4).save(path)
+    assert(graft.core.Snapshot.current(spark, path) == 2)
+    val m = graft.core.Snapshot.manifest(spark, path)
+    assert(m.map(_.rows).sum == 300L)
+    // the appended files carry real bands and secondary stats
+    val appended = m.filter(_.min >= 100L)
+    assert(appended.nonEmpty && appended.forall(_.extra.head.isDefined))
+    // correctness through every probe tier: key range, secondary range,
+    // bloom lookup of an APPENDED row
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 300L)
+    assert(graft.core.Snapshot.scanBy(spark, path, "w", 600L, 627L)
+      .orderBy("k").as[(Long, Long, String, String)].collect().toSeq ==
+      (200L to 209L).map(i => (i, i * 3, s"u$i", s"v$i")))
+    assert(graft.core.Snapshot.lookupEq(spark, path, "u250")
+      .as[(Long, Long, String, String)].collect().toSeq ==
+      Seq((250L, 750L, "u250", "v250")))
+    // the appended band prunes: a probe inside it reads few files
+    assert(graft.core.Snapshot.selectFiles(spark, path, 150L, 160L)
+      .size <= 2)
+    // OVERWRITE replaces transactionally as a fresh v1, registrations
+    // carried over
+    (0L until 50L).map(i => (i, i * 7, s"x$i", s"y$i"))
+      .toDF("k", "w", "uid", "v")
+      .write.format("graft-snapshot").mode("overwrite")
+      .option("nfiles", 2).save(path)
+    assert(graft.core.Snapshot.current(spark, path) == 1)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 50L)
+    assert(graft.core.Snapshot.lookupEq(spark, path, "x7")
+      .as[(Long, Long, String, String)].collect().toSeq ==
+      Seq((7L, 49L, "x7", "y7")))
+    // and the table keeps appending after the replace
+    Seq((500L, 1L, "x500", "y500")).toDF("k", "w", "uid", "v")
+      .write.format("graft-snapshot").mode("append").save(path)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 500L, 500L)
+      .count() == 1L)
+    // schema drift fails loudly at plan time
+    intercept[Exception] {
+      Seq((1L, "oops")).toDF("k", "v")
+        .write.format("graft-snapshot").mode("append").save(path)
+    }
+    // a NULL statCol row fails the job; nothing commits
+    val before = graft.core.Snapshot.current(spark, path)
+    intercept[Exception] {
+      Seq((None: Option[Long], 1L, "u", "v")).toDF("k", "w", "uid", "v")
+        .write.format("graft-snapshot").mode("append").save(path)
+    }
+    assert(graft.core.Snapshot.current(spark, path) == before)
+  }
+
   test("snapshot zone-map: empty relation round-trips with its schema") {
     import spark.implicits._
     val df = Seq.empty[(Long, String)].toDF("k", "v")
