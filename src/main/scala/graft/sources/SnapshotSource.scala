@@ -81,6 +81,7 @@ private[sources] class SnapshotTable(path: String, version: Int,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(path, version, tableSchema)
@@ -153,11 +154,85 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
     }
     val files = Snapshot.selectFilesConj(spark, path, ranges, bloomEq,
       Some(version))
-    org.apache.spark.sql.graftbridge.ParquetDelegate.buildPruned(
-      org.apache.spark.sql.graftbridge.ParquetDelegate.scanBuilder(
-        spark, files, tableSchema, Map.empty),
-      required, accepted, tableSchema)
+    new SnapshotScan(path, tableSchema,
+      org.apache.spark.sql.graftbridge.ParquetDelegate.buildPruned(
+        org.apache.spark.sql.graftbridge.ParquetDelegate.scanBuilder(
+          spark, files, tableSchema, Map.empty),
+        required, accepted, tableSchema))
   }
+}
+
+/** The connector's Scan: batch reads delegate wholesale; streaming
+  * reads turn the VERSION LOG into micro-batches ([[SnapshotMicroBatchStream]]).
+  */
+private[sources] class SnapshotScan(
+    path: String, tableSchema: StructType,
+    delegate: Scan) extends Scan {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    delegate.toBatch
+  override def description(): String = s"graft-snapshot $path"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(path, tableSchema)
+}
+
+/** STREAMING source over the table format — tail the version log (the
+  * Delta streaming-source idea): each committed version is an offset,
+  * each micro-batch reads exactly the data files that version window
+  * ADDED ([[Snapshot.changes]] semantics — append-only ingest is the
+  * intended producer; a rewrite commit's batch includes rewritten
+  * survivors). Offsets are plain version numbers, so restarts resume
+  * from the checkpoint exactly; the actual reading is Spark's own
+  * parquet batch over the window's files.
+  *
+  * Wire as `spark.readStream.format("graft-snapshot").load(path)` —
+  * the stream starts from version 0 (a full-table bootstrap batch, the
+  * changes(0, v) read) and then follows new commits.
+  */
+private[sources] class SnapshotMicroBatchStream(
+    path: String, tableSchema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class VersionOffset(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = VersionOffset(0)
+
+  override def latestOffset(): Offset =
+    VersionOffset(Snapshot.current(spark, path))
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val fromV = start.asInstanceOf[VersionOffset].v
+    val toV = end.asInstanceOf[VersionOffset].v
+    if (fromV >= toV)
+      return Array.empty
+    val before =
+      if (fromV == 0) Set.empty[String]
+      else Snapshot.manifest(spark, path, Some(fromV)).map(_.file).toSet
+    val added = Snapshot.manifest(spark, path, Some(toV))
+      .filterNot(s => before(s.file)).map(_.file)
+    org.apache.spark.sql.graftbridge.ParquetDelegate
+      .batchFor(spark, added, tableSchema).planInputPartitions()
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    // file-agnostic: the parquet reader factory reads any FilePartition
+    // of this schema, whichever window planned it
+    org.apache.spark.sql.graftbridge.ParquetDelegate
+      .batchFor(spark, Nil, tableSchema).createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 // ---- the WRITE path -------------------------------------------------------

@@ -52,6 +52,14 @@ object ParquetDelegate {
     builder.build()
   }
 
+  /** A ready Batch over exactly `files` — the streaming source's
+    * per-window planner (and its file-agnostic reader factory).
+    */
+  def batchFor(spark: SparkSession, files: Seq[String],
+               schema: StructType)
+      : org.apache.spark.sql.connector.read.Batch =
+    scanBuilder(spark, files, schema, Map.empty).build().toBatch
+
   private def toCatalyst(schema: StructType, f: Filter)
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
