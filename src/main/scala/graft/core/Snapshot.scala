@@ -137,8 +137,29 @@ object Snapshot {
       opt("batch").map(_.toLong))
   }
 
-  private def markerOf(spark: SparkSession, path: String, v: Int): Marker =
-    parseMarker(readText(spark, path + s"/_commit.v$v"))
+  /** Resolve a version's marker. The marker file appears at CREATE time
+    * but its content flushes a moment later (no create-with-content
+    * primitive on a generic FileSystem), so a reader racing a committer
+    * may glimpse an empty/partial marker — retry briefly (the window is
+    * the committer's single small write), then fail LOUDLY with the
+    * recovery step rather than returning anything wrong.
+    */
+  private def markerOf(spark: SparkSession, path: String, v: Int): Marker = {
+    var attempt = 0
+    while (true) {
+      parseMarkerSafe(readText(spark, path + s"/_commit.v$v")) match {
+        case Some(m) => return m
+        case None if attempt < 5 =>
+          attempt += 1; Thread.sleep(20L * attempt)
+        case None => throw new IllegalStateException(
+          s"commit marker _commit.v$v of $path is empty or unreadable — " +
+            "a committer likely crashed between marker create and content " +
+            "flush; delete that marker file to roll the table back to " +
+            s"v${v - 1}")
+      }
+    }
+    sys.error("unreachable")
+  }
 
   /** Committed versions = versions with a `_commit.v<N>` marker; the
     * current version is the highest. Driver-side, version-count-sized.
@@ -155,31 +176,41 @@ object Snapshot {
   }
 
   /** Exclusive create of the marker — the CAS. True iff WE committed
-    * the version. A post-create write failure is re-checked against the
-    * marker's content: if our payload landed, the commit stands; if a
-    * different payload is there, we lost the race; anything else is a
-    * LOUD error (never a silent retry that would double-commit the
-    * delta).
+    * the version. The CREATE is the race decider; the content flush is
+    * ours alone once the create succeeds, so a post-create write
+    * failure is repaired by REWRITING the marker we own (never
+    * misclassified as a lost race, which would re-commit the delta on
+    * top of our own half-committed version — duplicate rows). A create
+    * failure with the marker absent is a real I/O error and propagates.
     */
   private def tryCommitMarker(spark: SparkSession, path: String,
                               version: Int, payload: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path + s"/_commit.v$version")
-    try {
-      val out = fs(spark, path).create(p, false) // overwrite = false
-      try out.write(payload.getBytes("UTF-8")) finally out.close()
-      true
-    } catch {
-      case e: java.io.IOException =>
-        if (!fs(spark, path).exists(p)) throw e
-        val there = try readText(spark, p.toString) catch {
-          case _: Exception => null
+    val created =
+      try Some(fs(spark, path).create(p, false)) // overwrite = false
+      catch {
+        case e: java.io.IOException =>
+          if (fs(spark, path).exists(p)) None // lost the CAS
+          else throw e
+      }
+    created match {
+      case None => false
+      case Some(out) =>
+        try { try out.write(payload.getBytes("UTF-8")) finally out.close() }
+        catch {
+          case e: java.io.IOException =>
+            // the version is OURS — repair the content in place
+            try writeText(spark, p.toString, payload)
+            catch {
+              case e2: java.io.IOException =>
+                e2.addSuppressed(e)
+                throw new java.io.IOException(
+                  s"commit marker _commit.v$version was created but its " +
+                    "content could not be written; delete the marker to " +
+                    "roll back", e2)
+            }
         }
-        if (there == payload) true // our write landed despite the error
-        else if (there != null && there.nonEmpty &&
-          parseMarkerSafe(there).isDefined) false // lost the race cleanly
-        else throw new java.io.IOException(
-          s"commit marker _commit.v$version is unreadable after a write " +
-            "failure — the table needs manual inspection", e)
+        true
     }
   }
 
@@ -239,13 +270,8 @@ object Snapshot {
         // a shared field whose type diverged is a loud error
         val evolved: Option[StructType] = c.batchSchema.flatMap { bs =>
           val stored = schemaAt(spark, path, head)
+          requireTypesKept(stored, bs)
           val storedNames = stored.fieldNames.toSet
-          bs.fields.filter(f => storedNames(f.name)).foreach { f =>
-            val st = stored(f.name).dataType
-            require(st == f.dataType,
-              s"append-only migration violated: column '${f.name}' " +
-                s"changed type ${st.simpleString} -> ${f.dataType.simpleString}")
-          }
           val added = bs.fields.filterNot(f => storedNames(f.name))
           if (added.isEmpty) None
           else Some(StructType(stored.fields ++ added))
@@ -414,6 +440,97 @@ object Snapshot {
     bloomConf(spark, path)
       .map(conf => bloomStatsOf(spark, conf, schema, dir)).getOrElse(Nil)
 
+  /** Shared append-only type check: every stored column present in the
+    * batch must keep its type (the M1-M3 contract's retype guard).
+    */
+  private def requireTypesKept(stored: StructType, batch: StructType): Unit = {
+    val batchTypes = batch.fields.map(f => f.name -> f.dataType).toMap
+    stored.fields.foreach { f =>
+      require(batchTypes.get(f.name).forall(_ == f.dataType),
+        s"append-only migration violated: column '${f.name}' changed " +
+          s"type ${f.dataType.simpleString} -> " +
+          batchTypes.get(f.name).map(_.simpleString).getOrElse("<dropped>"))
+    }
+  }
+
+  /** The shared REPLACE ritual ([[write]] and the DSv2 overwrite): drop
+    * every previous table file except `keepDir`, register the stat/bloom
+    * metadata, stage v1's manifest/schema/bloom, and CAS the v1 marker —
+    * a lost CAS (another replacer won) is a loud
+    * `ConcurrentModificationException`, never a silent no-op.
+    */
+  private def stageAndCommitV1(spark: SparkSession, path: String,
+                               keepDir: String, statColsText: String,
+                               bloomColText: Option[String],
+                               schemaJson: String, stats: Seq[FileStat],
+                               bloom: Seq[(String, String)]): Unit = {
+    val fsys = fs(spark, path)
+    fsys.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      if (st.getPath.toUri.getPath !=
+          new org.apache.hadoop.fs.Path(keepDir).toUri.getPath)
+        fsys.delete(st.getPath, true)
+    }
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    writeText(spark, path + "/_statcols", statColsText)
+    bloomColText.foreach(t => writeText(spark, path + "/_bloomcol", t))
+    val manifestFile = stagedName("manifest", 1, token) + ".tsv"
+    writeText(spark, s"$path/$manifestFile", renderManifest(stats))
+    val schemaFile = stagedName("schema", 1, token) + ".json"
+    writeText(spark, s"$path/$schemaFile", schemaJson)
+    val bloomFile = bloomColText.map { _ =>
+      val f = stagedName("bloom", 1, token) + ".tsv"
+      writeText(spark, s"$path/$f",
+        bloom.map { case (a, x) => s"$a\t$x" }
+          .mkString("", "\n", if (bloom.isEmpty) "" else "\n"))
+      f
+    }
+    if (!tryCommitMarker(spark, path, 1,
+        Marker(manifestFile, Some(schemaFile), bloomFile, None).render))
+      throw new java.util.ConcurrentModificationException(
+        s"another writer replaced $path concurrently; re-run the write")
+  }
+
+  /** The shared additive-append body ([[append]] and the streaming
+    * [[appendBatch]]): call-time evolution validation against the base
+    * the caller sees, stored-order clustered write, inline-manifest
+    * stats, one additive commit (the batch id rides the marker).
+    */
+  private def appendImpl(df: DataFrame, path: String, statCol: String,
+                         nFiles: Int, batchId: Option[Long]): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val spark = df.sparkSession
+    val base = currentVersion(spark, path)
+    val stored = schemaAt(spark, path, base)
+    val evolving = df.schema.json != stored.json
+    if (evolving) {
+      // call-time validation against the base the CALLER sees: every
+      // stored flattened path must survive (drops throw), shared
+      // top-level types must match (retypes throw). Under a concurrent
+      // rebase the commit loop re-derives the union against the new
+      // head, so concurrent ADD COLUMNs compose.
+      graft.etl.Migrate.evolve(
+        graft.etl.Flatten.columnPaths(stored), df.schema)
+      requireTypesKept(stored, df.schema)
+    }
+    val writeSchema =
+      if (!evolving) stored
+      else StructType(stored.fields ++
+        df.schema.fields.filterNot(f => stored.fieldNames.contains(f.name)))
+    val dataDir = newDataDir(spark, path)
+    // stored-order projection: old columns keep their position, new ones
+    // append — the physical layout every version agrees on
+    clusterWrite(df.select(writeSchema.fieldNames.map(col).toSeq: _*),
+      statCol, nFiles, dataDir)
+    val delta = statsOf(spark, statCol, statCols2(spark, path), writeSchema,
+      dataDir)
+    commitLoop(spark, path,
+      Commit(delta, additive = true, basedOn = base,
+        batchSchema = if (evolving) Some(df.schema) else None,
+        batchId = batchId,
+        bloom = bloomDelta(spark, path, writeSchema, dataDir)))
+  }
+
   // ---- public API ---------------------------------------------------------
 
   /** Write `df` as version 1 of a range-clustered snapshot over
@@ -444,31 +561,10 @@ object Snapshot {
     // validation passed — REPLACE: drop the previous table's state
     // (its commit markers would otherwise outrank the fresh v1 in the
     // glob-max protocol), keeping only the new data dir
-    val fsys = fs(spark, path)
-    fsys.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
-      if (st.getPath.toUri.getPath !=
-          new org.apache.hadoop.fs.Path(dataDir).toUri.getPath)
-        fsys.delete(st.getPath, true)
-    }
-    val token = java.util.UUID.randomUUID().toString.replace("-", "")
-      .take(12)
-    writeText(spark, path + "/_statcols",
-      (statCol +: statCols2).mkString("", "\n", "\n"))
-    bloomCol.foreach(c =>
-      writeText(spark, path + "/_bloomcol", s"$c\t$bloomBits\t$bloomK"))
-    val manifestFile = stagedName("manifest", 1, token) + ".tsv"
-    writeText(spark, s"$path/$manifestFile", renderManifest(stats))
-    val schemaFile = stagedName("schema", 1, token) + ".json"
-    writeText(spark, s"$path/$schemaFile", df.schema.json)
-    val bloomFile = bloom.map { b =>
-      val f = stagedName("bloom", 1, token) + ".tsv"
-      writeText(spark, s"$path/$f",
-        b.map { case (a, x) => s"$a\t$x" }
-          .mkString("", "\n", if (b.isEmpty) "" else "\n"))
-      f
-    }
-    tryCommitMarker(spark, path, 1,
-      Marker(manifestFile, Some(schemaFile), bloomFile, None).render)
+    stageAndCommitV1(spark, path, dataDir,
+      (statCol +: statCols2).mkString("", "\n", "\n"),
+      bloomCol.map(c => s"$c\t$bloomBits\t$bloomK"),
+      df.schema.json, stats, bloom.getOrElse(Nil))
   }
 
   /** Append a batch as a NEW snapshot version: the increment is
@@ -486,42 +582,8 @@ object Snapshot {
     * sees the old shape.
     */
   def append(df: DataFrame, path: String, statCol: String,
-             nFiles: Int = 4): Unit = {
-    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
-    val spark = df.sparkSession
-    val base = currentVersion(spark, path)
-    val stored = schemaAt(spark, path, base)
-    val evolving = df.schema.json != stored.json
-    if (evolving) {
-      // call-time validation against the base the CALLER sees: every
-      // stored flattened path must survive (drops throw), shared
-      // top-level types must match (retypes throw)
-      graft.etl.Migrate.evolve(
-        graft.etl.Flatten.columnPaths(stored), df.schema)
-      val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      stored.fields.foreach { f =>
-        require(batchTypes.get(f.name).contains(f.dataType),
-          s"append-only migration violated: column '${f.name}' changed " +
-            s"type ${f.dataType.simpleString} -> " +
-            batchTypes.get(f.name).map(_.simpleString).getOrElse("<dropped>"))
-      }
-    }
-    val writeSchema =
-      if (!evolving) stored
-      else StructType(stored.fields ++
-        df.schema.fields.filterNot(f => stored.fieldNames.contains(f.name)))
-    val dataDir = newDataDir(spark, path)
-    // stored-order projection: old columns keep their position, new ones
-    // append — the physical layout every version agrees on
-    clusterWrite(df.select(writeSchema.fieldNames.map(col).toSeq: _*),
-      statCol, nFiles, dataDir)
-    val delta = statsOf(spark, statCol, statCols2(spark, path), writeSchema,
-      dataDir)
-    commitLoop(spark, path,
-      Commit(delta, additive = true, basedOn = base,
-        batchSchema = if (evolving) Some(df.schema) else None,
-        bloom = bloomDelta(spark, path, writeSchema, dataDir)))
-  }
+             nFiles: Int = 4): Unit =
+    appendImpl(df, path, statCol, nFiles, batchId = None)
 
   /** Copy-on-write range DELETE: commit a new version with every row
     * whose `statCol` lies in `[lo, hi]` removed. Only files whose
@@ -646,15 +708,8 @@ object Snapshot {
       case Some((_, mBits, k)) =>
         val pos = graft.functions.Bloom.positions(value, mBits, k)
         val side = bloomOf(spark, path, v)
-        m.map(_.file).filter { f =>
-          side.get(f).forall { b64 =>
-            val bytes = java.util.Base64.getDecoder.decode(b64)
-            val bb = java.nio.ByteBuffer.wrap(bytes)
-            val words = Array.fill(bytes.length / 8)(bb.getLong)
-            pos.forall(p =>
-              (words((p >>> 6).toInt) & (1L << (p & 63))) != 0L)
-          }
-        }
+        m.map(_.file).filter(f =>
+          side.get(f).forall(b64 => bloomHasAll(b64, pos)))
     }
   }
 
@@ -695,7 +750,6 @@ object Snapshot {
   def appendBatch(df: DataFrame, path: String, statCol: String,
                   batchId: Long, nFiles: Int = 4): Unit = {
     val spark = df.sparkSession
-    val cur = currentVersion(spark, path)
     // Replay detection scans the batch id of EVERY committed marker (not
     // just the current version's): append/delete/compact commits — or a
     // second stream — can interleave between a batch's commit and its
@@ -706,33 +760,7 @@ object Snapshot {
     val replayed = committedVersions(spark, path)
       .exists(v => markerOf(spark, path, v).batchId.contains(batchId))
     if (replayed) return
-    val stored = schemaAt(spark, path, cur)
-    val evolving = df.schema.json != stored.json
-    if (evolving) {
-      graft.etl.Migrate.evolve(
-        graft.etl.Flatten.columnPaths(stored), df.schema)
-      val batchTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-      stored.fields.foreach { f =>
-        require(batchTypes.get(f.name).contains(f.dataType),
-          s"append-only migration violated: column '${f.name}' changed " +
-            s"type ${f.dataType.simpleString} -> " +
-            batchTypes.get(f.name).map(_.simpleString).getOrElse("<dropped>"))
-      }
-    }
-    val writeSchema =
-      if (!evolving) stored
-      else StructType(stored.fields ++
-        df.schema.fields.filterNot(f => stored.fieldNames.contains(f.name)))
-    val dataDir = newDataDir(spark, path)
-    clusterWrite(df.select(writeSchema.fieldNames.map(col).toSeq: _*),
-      statCol, nFiles, dataDir)
-    val delta = statsOf(spark, statCol, statCols2(spark, path), writeSchema,
-      dataDir)
-    commitLoop(spark, path,
-      Commit(delta, additive = true, basedOn = cur,
-        batchSchema = if (evolving) Some(df.schema) else None,
-        batchId = Some(batchId),
-        bloom = bloomDelta(spark, path, writeSchema, dataDir)))
+    appendImpl(df, path, statCol, nFiles, batchId = Some(batchId))
   }
 
   /** Small-file COMPACTION: fold the current version's live files into
@@ -956,48 +984,36 @@ object Snapshot {
       commitLoop(spark, path, Commit(delta, additive = true,
         basedOn = currentVersion(spark, path), bloom = bloom))
     else lockFor(path).synchronized {
-      // REPLACE with externally-written data: same transactional order
-      // as write() — the new files already exist; drop everything else
-      // and commit them as v1. Registered stat/bloom columns carry over
-      // from the previous table (the replacing writer computed its
-      // inline stats against them).
-      val keepDirs = delta.map(s =>
-        new org.apache.hadoop.fs.Path(s.file).getParent.toUri.getPath).toSet
+      // REPLACE with externally-written data: same transactional ritual
+      // as write() — the new files already exist under ONE writer dir;
+      // registered stat/bloom columns and the schema carry over from
+      // the previous table (the replacing writer computed its inline
+      // stats against them).
+      val keepDir = delta.headOption
+        .map(s => new org.apache.hadoop.fs.Path(s.file).getParent.toString)
+        .getOrElse(path + "/dnone")
       val statColsText = readText(spark, path + "/_statcols")
       val bloomColText =
         if (exists(spark, path + "/_bloomcol"))
           Some(readText(spark, path + "/_bloomcol"))
         else None
       val schema = schemaAt(spark, path, currentVersion(spark, path))
-      val fsys = fs(spark, path)
-      fsys.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
-        if (!keepDirs(st.getPath.toUri.getPath))
-          fsys.delete(st.getPath, true)
-      }
-      val token = java.util.UUID.randomUUID().toString.replace("-", "")
-        .take(12)
-      writeText(spark, path + "/_statcols", statColsText)
-      bloomColText.foreach(t => writeText(spark, path + "/_bloomcol", t))
-      val manifestFile = stagedName("manifest", 1, token) + ".tsv"
-      writeText(spark, s"$path/$manifestFile", renderManifest(delta))
-      val schemaFile = stagedName("schema", 1, token) + ".json"
-      writeText(spark, s"$path/$schemaFile", schema.json)
-      val bloomFile =
-        if (bloomColText.isEmpty) None
-        else {
-          val f = stagedName("bloom", 1, token) + ".tsv"
-          writeText(spark, s"$path/$f",
-            bloom.map { case (a, b) => s"$a\t$b" }
-              .mkString("", "\n", if (bloom.isEmpty) "" else "\n"))
-          Some(f)
-        }
-      tryCommitMarker(spark, path, 1,
-        Marker(manifestFile, Some(schemaFile), bloomFile, None).render)
+      stageAndCommitV1(spark, path, keepDir, statColsText, bloomColText,
+        schema.json, delta, bloom)
       1
     }
 
   private[graft] def bloomConfExternal(spark: SparkSession, path: String)
       : Option[(String, Int, Int)] = bloomConf(spark, path)
+
+  /** A stable identity for THIS incarnation of the table: v1's staged
+    * manifest name (it carries the creating writer's unique token, and
+    * every REPLACE commits a fresh v1). Streaming offsets embed it so a
+    * checkpointed stream detects an overwrite instead of silently
+    * misreading the new table's version numbers against the old ones.
+    */
+  private[graft] def tableEpoch(spark: SparkSession, path: String): String =
+    markerOf(spark, path, 1).manifest
 
   /** The registered stat columns: `(primary, secondaries)` — what
     * [[selectFilesBy]] can prune with.
@@ -1021,17 +1037,43 @@ object Snapshot {
                       ranges: Map[String, (Long, Long)],
                       bloomEq: Seq[String],
                       version: Option[Int] = None): Seq[String] = {
+    // ONE metadata pass: the manifest, stat-column registry, and (when
+    // probed) bloom sidecar each read once, then every predicate filters
+    // the in-memory FileStat rows — this sits on the scan-BUILD path of
+    // every DSv2 query, where per-predicate FS round-trips would be
+    // sequential object-store GETs of planning latency.
     val v = version.getOrElse(currentVersion(spark, path))
-    var files = manifest(spark, path, Some(v)).map(_.file)
-    ranges.foreach { case (c, (lo, hi)) =>
-      val keep = selectFilesBy(spark, path, c, lo, hi, Some(v)).toSet
-      files = files.filter(keep)
-    }
-    bloomEq.foreach { value =>
-      val keep = selectFilesEq(spark, path, value, Some(v)).toSet
-      files = files.filter(keep)
-    }
-    files
+    val (primary, cols2) = statCols(spark, path)
+    val m = manifest(spark, path, Some(v))
+    val bconf = if (bloomEq.isEmpty) None else bloomConf(spark, path)
+    val side =
+      if (bconf.isEmpty) Map.empty[String, String]
+      else bloomOf(spark, path, v)
+    val probes = bconf.map { case (_, mBits, k) =>
+      bloomEq.map(value => graft.functions.Bloom.positions(value, mBits, k))
+    }.getOrElse(Nil)
+    m.filter { s =>
+      ranges.forall { case (c, (lo, hi)) =>
+        if (c == primary) s.max >= lo && s.min <= hi
+        else {
+          val i = cols2.indexOf(c)
+          require(i >= 0,
+            s"'$c' is not a registered stat column of $path")
+          s.extra.lift(i).flatten.exists { case (mn, mx) =>
+            mx >= lo && mn <= hi
+          }
+        }
+      } && probes.forall { pos =>
+        side.get(s.file).forall(b64 => bloomHasAll(b64, pos))
+      }
+    }.map(_.file)
+  }
+
+  private def bloomHasAll(b64: String, pos: Array[Long]): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val words = Array.fill(bytes.length / 8)(bb.getLong)
+    pos.forall(p => (words((p >>> 6).toInt) & (1L << (p & 63))) != 0L)
   }
 
   /** The schema `version` was committed under: the newest evolution at

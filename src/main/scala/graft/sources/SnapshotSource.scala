@@ -195,24 +195,41 @@ private[sources] class SnapshotMicroBatchStream(
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class VersionOffset(v: Int) extends Offset {
-    override def json(): String = v.toString
+  // The offset carries the table's INCARNATION id beside the version:
+  // bare version numbers would let a checkpointed stream silently stall
+  // after an overwrite (new table's current < old offset) and then
+  // resume mid-stream with wrong windows once the numbers climb back.
+  private case class VersionOffset(epoch: String, v: Int) extends Offset {
+    override def json(): String = s"$epoch:$v"
   }
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = VersionOffset(0)
+  private def currentEpoch: String = Snapshot.tableEpoch(spark, path)
+
+  private def checkEpoch(o: VersionOffset): Int = {
+    if (o.epoch != currentEpoch)
+      throw new IllegalStateException(
+        s"snapshot $path was REPLACED since this stream's checkpoint " +
+          s"(offset epoch ${o.epoch}, table epoch $currentEpoch); " +
+          "restart the stream with a fresh checkpoint")
+    o.v
+  }
+
+  override def initialOffset(): Offset = VersionOffset(currentEpoch, 0)
 
   override def latestOffset(): Offset =
-    VersionOffset(Snapshot.current(spark, path))
+    VersionOffset(currentEpoch, Snapshot.current(spark, path))
 
-  override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = {
+    val i = json.lastIndexOf(':')
+    VersionOffset(json.take(i), json.drop(i + 1).trim.toInt)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-    val fromV = start.asInstanceOf[VersionOffset].v
-    val toV = end.asInstanceOf[VersionOffset].v
+    val fromV = checkEpoch(start.asInstanceOf[VersionOffset])
+    val toV = checkEpoch(end.asInstanceOf[VersionOffset])
     if (fromV >= toV)
       return Array.empty
     val before =
@@ -470,8 +487,12 @@ private[sources] class SnapshotDataWriter(
         bits.foreach(bb.putLong)
         Some(java.util.Base64.getEncoder.encodeToString(bb.array()))
       }
-    // the manifest records the same URI shape input_file_name() yields
-    val uri = "file:" + new org.apache.hadoop.fs.Path(file).toUri.getPath
+    // record the FULLY-QUALIFIED URI (scheme + authority from the
+    // file's own filesystem — hdfs://nn/..., s3a://..., file:/...): a
+    // hardcoded scheme would point manifest entries of a remote table
+    // at the LOCAL filesystem
+    val p = new org.apache.hadoop.fs.Path(file)
+    val uri = p.getFileSystem(conf.value).makeQualified(p).toUri.toString
     SnapshotCommitMessage(if (rows == 0) null else uri, mn, mx, rows,
       extra, b64)
   }

@@ -1004,6 +1004,23 @@ class EtlSpec extends SparkSpec {
       assert(readOut().orderBy("k").as[(Long, String)].collect().toSeq ==
         (0L until 20L).map(i => (i, s"v$i")))
     } finally q2.stop()
+    // an OVERWRITE under the checkpoint is DETECTED (offsets carry the
+    // table's incarnation id), never silently misread against the new
+    // table's version numbers
+    graft.core.Snapshot.write(Seq((99L, "x")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    val q3 = spark.readStream.format("graft-snapshot").load(path)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable()
+      finally q3.stop()
+      q3.awaitTermination()
+    }
+    assert(err.getMessage.contains("REPLACED") ||
+      Option(err.getCause).exists(_.getMessage.contains("REPLACED")),
+      err.getMessage)
   }
 
   test("snapshot zone-map: empty relation round-trips with its schema") {
