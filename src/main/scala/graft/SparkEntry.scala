@@ -458,6 +458,42 @@ object SparkEntry {
       path
     })
 
+  // Versioned snapshot for the DELETION-VECTOR gate: full lineitem, then
+  // a merge-on-read delete of orderkeys [300, 349] — ZERO data files
+  // rewrite (the commit is a per-file row-ordinal mask); every read
+  // applies the mask via a broadcast _metadata.row_index anti-join.
+  private val snapshotsDv =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def lineitemSnapshotDv(s: SparkSession, d: String): String =
+    snapshotsDv.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_dv", d)
+      graft.core.Snapshot.write(t(s, d, "lineitem"), path,
+        "l_orderkey", nFiles = 16)
+      graft.core.Snapshot.deleteVectors(s, path, "l_orderkey", 300L, 349L)
+      path
+    })
+
+  // Versioned snapshot for the TYPED-CDF gate: full lineitem, then a
+  // copy-on-write delete (v2) and a merge (v3: shifted-quantity updates
+  // + brand-new keys) — changesTyped(1, 3) must reconstruct the exact
+  // insert/delete/update_preimage/update_postimage relation.
+  private val snapshotsCdf =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def lineitemSnapshotCdf(s: SparkSession, d: String): String =
+    snapshotsCdf.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_cdf", d)
+      val li = t(s, d, "lineitem")
+      graft.core.Snapshot.write(li, path, "l_orderkey", nFiles = 16)
+      graft.core.Snapshot.delete(s, path, "l_orderkey", 300L, 349L)
+      val updates = li.where(col("l_orderkey").between(400, 449))
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+      val inserts = li.where(col("l_orderkey").between(100, 109))
+        .withColumn("l_orderkey", col("l_orderkey") + 1000000)
+      graft.core.Snapshot.merge(updates.unionByName(inserts), path,
+        "l_orderkey", nFiles = 4)
+      path
+    })
+
   // Snapshot with a PER-FILE BLOOM sidecar for the point-lookup gate:
   // documents clustered on n_chars (so the zone map is USELESS for a
   // uid probe — only the bloom can prune) with the bloom registered on
@@ -780,6 +816,30 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // MERGE-ON-READ DELETE under the gate (deletion vectors): the same
+    // range removed as snapshot_delete, but as a pure METADATA commit —
+    // zero data files rewrote; the scan applies the per-file row-ordinal
+    // mask and must equal the same plain filter minus the band.
+    "snapshot_dv_delete" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, lineitemSnapshotDv(s, d),
+          "l_orderkey", 200L, 399L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // TYPED CDF under the gate: a delete + merge history replayed as
+    // row-level changes — deletes from the CoW delete, update pre/post
+    // pairs plus inserts from the merge, identically-rewritten survivor
+    // rows emitting NOTHING. Must equal the oracle's four-branch union.
+    "snapshot_cdf_typed" -> ((s, d) =>
+      graft.core.Snapshot.changesTyped(s, lineitemSnapshotCdf(s, d),
+          fromV = 1, toV = 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"),
+          col("_change_type"), col("_commit_version"))
+        .orderBy("_commit_version", "_change_type", "l_orderkey",
+          "l_linenumber", "l_partkey")),
 
     // S5: keyed read with limit + server-ts annotation (reference
     // storage.py:48-58); ORDER BY before LIMIT keeps it deterministic.
@@ -4483,6 +4543,37 @@ object SparkEntry {
         "WHERE l_orderkey BETWEEN 200 AND 399 " +
         "AND l_orderkey NOT BETWEEN 300 AND 349 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // deletion-vector delete: the same relation as the copy-on-write
+    // delete — masking must be invisible in the result
+    "snapshot_dv_delete" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "AND l_orderkey NOT BETWEEN 300 AND 349 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // typed CDF: the delete+merge history stated as a four-branch union
+    // of change rows (deleted band at v2; update pre/post pairs and the
+    // shifted-key inserts at v3)
+    "snapshot_cdf_typed" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty, " +
+        "'delete' AS _change_type, 2 AS _commit_version FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 300 AND 349 " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT), 'update_preimage', 3 FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 400 AND 449 " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity + 1000 AS BIGINT), 'update_postimage', 3 " +
+        "FROM lineitem WHERE l_orderkey BETWEEN 400 AND 449 " +
+        "UNION ALL " +
+        "SELECT l_orderkey + 1000000, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT), 'insert', 3 FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 100 AND 109 " +
+        "ORDER BY 6, 5, 1, 2, 3"),
 
     "scan_limit" ->
       ("SELECT event_id, props AS data, epoch_ms(ts) AS __ts FROM events " +

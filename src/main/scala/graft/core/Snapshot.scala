@@ -30,20 +30,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     them prune well.
   *
   * COMMIT PROTOCOL (optimistic concurrency, the Iceberg idea in
-  * miniature). Every commit is IMMUTABLE, WRITER-UNIQUE state plus one
-  * atomic pointer:
+  * miniature). Every commit — INCLUDING a whole-table REPLACE — is
+  * IMMUTABLE, WRITER-UNIQUE state plus one atomic pointer:
   *
   *   1. data files land under a writer-unique directory — two in-flight
   *      commits can never overwrite each other's bytes;
-  *   2. the version's metadata (manifest rows, evolved schema, bloom
-  *      sidecar) is STAGED under writer-unique names in `_staged/` —
-  *      never under a shared per-version name, so a losing writer
-  *      cannot clobber a winner's committed metadata (the classic
-  *      lost-update window of mutable version files);
-  *   3. the commit point is the exclusive CREATE of `_commit.v<N>`,
-  *      whose CONTENT points at the staged files (and carries the
-  *      streaming batch id) — first creator wins the version; readers
-  *      resolve every version's metadata through its marker only.
+  *   2. the version's metadata (manifest rows, schema, bloom and
+  *      deletion-vector sidecars) is STAGED under writer-unique names in
+  *      `_staged/` — never under a shared per-version name, so a losing
+  *      writer cannot clobber a winner's committed metadata;
+  *   3. the commit point is the conditional publish of `_commit.v<N>`
+  *      through the pluggable [[CommitStore]] (default: HDFS-atomic
+  *      exclusive create; object stores plug a conditional-write
+  *      arbiter — see [[CommitStore]] for the exact filesystem
+  *      contract). The marker's CONTENT points at the staged files;
+  *      first publisher wins the version, and a claimed win is VERIFIED
+  *      by reading the marker back (a non-atomic store that let two
+  *      writers through is detected loudly, never a silent lost
+  *      commit). Readers resolve every version's metadata through its
+  *      marker only.
   *
   * A losing ADDITIVE commit (append / streaming batch) REBASES onto the
   * new head: its data files and staged rows stay valid verbatim; its
@@ -52,8 +57,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * first). Non-additive commits (delete / compact / merge — their
   * rewrite depends on the base manifest) abort with
   * `ConcurrentModificationException`; callers re-run against the new
-  * head. A crash anywhere before the marker leaves the table on the old
-  * version with only unreferenced staged/data files behind (swept by
+  * head. A REPLACE is itself just a commit: version N+1 whose manifest
+  * ignores the past (an INCARNATION start — the marker records the new
+  * stat/bloom registration and schema inline). The old incarnation's
+  * versions stay readable for time travel until [[vacuum]] reclaims
+  * them, and a crash anywhere before the replace's marker leaves the
+  * table on the old version with every byte of old state intact — the
+  * same guarantee every other commit has. A crash before any marker
+  * leaves only unreferenced staged/data files behind (swept by
   * [[vacuum]]); versions stay dense 1..current. Same-JVM commits
   * additionally serialize on a per-table lock, so local multi-threaded
   * writers never exercise the cross-process race window at all.
@@ -67,6 +78,22 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * a newer schema null-fill the added columns (explicit-schema parquet
   * read, no footer-merge job), and time travel below the evolution sees
   * the old shape exactly.
+  *
+  * EXACTLY-ONCE STREAMING INGESTION: every marker carries a per-writer
+  * HIGH-WATER batch id map (`txn`, Delta's txn-version table), merged
+  * forward through every commit — so [[appendBatch]]'s replay check is
+  * ONE read of the head marker, O(1) over the stream's lifetime, and
+  * survives arbitrary interleaved commits.
+  *
+  * DELETION VECTORS (merge-on-read delete): [[deleteVectors]] commits a
+  * per-file row-ordinal mask instead of rewriting files — a point
+  * delete is a pure metadata commit. Every library read applies the
+  * mask (`_metadata.row_index` anti-join against the broadcast,
+  * metadata-sized vector); copy-on-write ops read through it and drop
+  * masks for files they rewrite, so [[compact]] purges vectors. The
+  * DSv2 connector predates the feature and REFUSES a masked table
+  * loudly rather than leak deleted rows — the reader-version gate real
+  * formats use when rolling DVs out.
   *
   * `statCol` must be NON-NULL (zone maps have no null band; a null row
   * would be invisible to range probes and silently dropped by
@@ -110,22 +137,34 @@ object Snapshot {
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
-  private def deleteFile(spark: SparkSession, path: String): Unit =
-    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), false)
-
   // ---- the commit protocol ----------------------------------------------
 
   /** What a commit marker records: the staged files this version's
-    * metadata lives in (writer-unique, immutable once the marker lands)
-    * plus the streaming batch id when the commit came from a sink.
+    * metadata lives in (writer-unique, immutable once the marker
+    * lands), the version that STARTED this incarnation (`incv` — a
+    * replace or v1; its marker carries the stat/bloom registration
+    * inline), the per-writer high-water batch ids (`txn`), and the
+    * streaming batch id when the commit came from a sink.
     */
-  private final case class Marker(manifest: String, schema: Option[String],
-                                  bloom: Option[String],
-                                  batchId: Option[Long]) {
+  private final case class Marker(
+      manifest: String, schema: Option[String], bloom: Option[String],
+      dv: Option[String], batchId: Option[Long], incv: Int,
+      statcols: Option[(String, Seq[String])],
+      bloomconf: Option[(String, Int, Int)],
+      txn: Map[String, Long]) {
     def render: String = {
       def opt(s: Option[String]) = s.getOrElse("-")
       s"manifest=$manifest\nschema=${opt(schema)}\nbloom=${opt(bloom)}\n" +
-        s"batch=${batchId.map(_.toString).getOrElse("-")}\n"
+        s"dv=${opt(dv)}\n" +
+        s"batch=${batchId.map(_.toString).getOrElse("-")}\n" +
+        s"incv=$incv\n" +
+        s"statcols=${statcols.map { case (p, ss) => (p +: ss).mkString(",") }
+          .getOrElse("-")}\n" +
+        s"bloomconf=${bloomconf.map { case (c, m, k) => s"$c:$m:$k" }
+          .getOrElse("-")}\n" +
+        s"txn=${if (txn.isEmpty) "-"
+          else txn.toSeq.sorted.map { case (w, i) => s"$w:$i" }
+            .mkString(";")}\n"
     }
   }
 
@@ -133,16 +172,24 @@ object Snapshot {
     val kv = text.linesIterator.map(_.trim).filter(_.contains('='))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
     def opt(k: String) = kv.get(k).filter(_ != "-")
-    Marker(kv("manifest"), opt("schema"), opt("bloom"),
-      opt("batch").map(_.toLong))
+    Marker(kv("manifest"), opt("schema"), opt("bloom"), opt("dv"),
+      opt("batch").map(_.toLong), kv("incv").toInt,
+      opt("statcols").map { s =>
+        val parts = s.split(",").toSeq; (parts.head, parts.tail)
+      },
+      opt("bloomconf").map { s =>
+        val Array(c, m, k) = s.split(":"); (c, m.toInt, k.toInt)
+      },
+      opt("txn").map(_.split(";").toSeq.map { e =>
+        val i = e.lastIndexOf(':'); e.take(i) -> e.drop(i + 1).toLong
+      }.toMap).getOrElse(Map.empty))
   }
 
-  /** Resolve a version's marker. The marker file appears at CREATE time
-    * but its content flushes a moment later (no create-with-content
-    * primitive on a generic FileSystem), so a reader racing a committer
-    * may glimpse an empty/partial marker — retry briefly (the window is
-    * the committer's single small write), then fail LOUDLY with the
-    * recovery step rather than returning anything wrong.
+  /** Resolve a version's marker. A reader racing a committer on a
+    * non-create-with-content store may glimpse an empty/partial marker —
+    * retry briefly (the window is the committer's single small write),
+    * then fail LOUDLY with the recovery step rather than returning
+    * anything wrong.
     */
   private def markerOf(spark: SparkSession, path: String, v: Int): Marker = {
     var attempt = 0
@@ -175,43 +222,57 @@ object Snapshot {
     vs.max
   }
 
-  /** Exclusive create of the marker — the CAS. True iff WE committed
-    * the version. The CREATE is the race decider; the content flush is
-    * ours alone once the create succeeds, so a post-create write
-    * failure is repaired by REWRITING the marker we own (never
-    * misclassified as a lost race, which would re-commit the delta on
-    * top of our own half-committed version — duplicate rows). A create
-    * failure with the marker absent is a real I/O error and propagates.
+  // Pluggable per-table commit stores (the filesystem-atomicity seam —
+  // see CommitStore). Default: exclusive create, atomic on HDFS/ABFS
+  // and for every same-JVM writer (the per-table lock serializes those
+  // first); object-store deployments register a conditional-write store.
+  private val commitStores =
+    scala.collection.concurrent.TrieMap.empty[String, CommitStore]
+
+  /** Register the [[CommitStore]] that arbitrates this table's commits
+    * (object stores need a conditional-write arbiter; see the
+    * [[CommitStore]] contract). Unregistered tables use the
+    * exclusive-create default.
     */
-  private def tryCommitMarker(spark: SparkSession, path: String,
-                              version: Int, payload: String): Boolean = {
+  def setCommitStore(path: String, store: CommitStore): Unit =
+    commitStores.put(path, store)
+
+  def clearCommitStore(path: String): Unit = commitStores.remove(path)
+
+  private def commitStoreFor(path: String): CommitStore =
+    commitStores.getOrElse(path, CommitStore.AtomicCreate)
+
+  /** Conditional publish of the marker — the CAS, delegated to the
+    * table's [[CommitStore]]. True iff WE committed the version: a
+    * claimed win is VERIFIED by reading the marker back, so a
+    * non-atomic store that let two writers through surfaces as a lost
+    * race for the stomped writer (rebase/abort upstream) instead of a
+    * silently dropped commit. Package-visible so the seam's contract
+    * can be spec-raced directly.
+    */
+  private[graft] def tryCommitMarker(spark: SparkSession, path: String,
+                                     version: Int, payload: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path + s"/_commit.v$version")
-    val created =
-      try Some(fs(spark, path).create(p, false)) // overwrite = false
-      catch {
-        case e: java.io.IOException =>
-          if (fs(spark, path).exists(p)) None // lost the CAS
-          else throw e
+    if (!commitStoreFor(path).putIfAbsent(fs(spark, path), p,
+        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      return false
+    // read-back tripwire (metadata-sized; one GET per commit)
+    var attempt = 0
+    while (true) {
+      val back =
+        try Some(readText(spark, p.toString))
+        catch { case _: java.io.IOException => None }
+      back match {
+        case Some(t) if t == payload => return true
+        case Some(t) if t.nonEmpty => return false // stomped: lost after all
+        case _ if attempt < 5 =>
+          attempt += 1; Thread.sleep(20L * attempt)
+        case _ => throw new java.io.IOException(
+          s"commit marker _commit.v$version was claimed but cannot be " +
+            "read back; delete the marker to roll back")
       }
-    created match {
-      case None => false
-      case Some(out) =>
-        try { try out.write(payload.getBytes("UTF-8")) finally out.close() }
-        catch {
-          case e: java.io.IOException =>
-            // the version is OURS — repair the content in place
-            try writeText(spark, p.toString, payload)
-            catch {
-              case e2: java.io.IOException =>
-                e2.addSuppressed(e)
-                throw new java.io.IOException(
-                  s"commit marker _commit.v$version was created but its " +
-                    "content could not be written; delete the marker to " +
-                    "roll back", e2)
-            }
-        }
-        true
     }
+    sys.error("unreachable")
   }
 
   private def parseMarkerSafe(text: String): Option[Marker] =
@@ -219,12 +280,18 @@ object Snapshot {
 
   // Same-JVM commit serialization: one lock object per table path, so
   // local concurrent writers (the local[32] test posture, or multiple
-  // streams in one driver) never race the on-disk CAS at all. The
-  // on-disk protocol alone covers cross-process writers.
+  // streams in one driver) never race the on-disk CAS at all. Cross-
+  // process writers are covered by the CommitStore contract above.
   private val commitLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
   private def lockFor(path: String): Object =
     commitLocks.getOrElseUpdate(path, new Object)
+
+  /** How a commit composes with a concurrently-moved head. */
+  private sealed trait CommitKind
+  private case object Additive extends CommitKind // rebase onto the new head
+  private case object RewriteK extends CommitKind // abort on any head move
+  private case object ReplaceK extends CommitKind // ignores the base entirely
 
   /** One commit attempt's immutable payload: the delta rows (data files
     * already written under a writer-unique dir), plus what the winning
@@ -232,21 +299,27 @@ object Snapshot {
     */
   private final case class Commit(
       delta: Seq[FileStat],
-      additive: Boolean, // manifest = head rows ++ delta (rebase-safe)
+      kind: CommitKind,
       basedOn: Int, // the version the delta was computed against
       batchSchema: Option[StructType] = None, // evolving appends only
       batchId: Option[Long] = None,
-      bloom: Seq[(String, String)] = Nil) // (file, base64 bitmap) delta
+      writerId: Option[String] = None, // streaming sink identity (txn map)
+      bloom: Seq[(String, String)] = Nil, // (file, base64 bitmap) delta
+      dvDelta: Map[String, Array[Long]] = Map.empty, // new masked ordinals
+      // replace commits carry the fresh incarnation's registration:
+      replaceMeta: Option[(StructType, (String, Seq[String]),
+        Option[(String, Int, Int)])] = None)
 
   private def stagedName(kind: String, v: Int, token: String) =
     s"_staged/$kind.v$v.$token"
 
   /** Run the optimistic-commit loop: stage this attempt's metadata under
-    * writer-unique names, then CAS the `_commit.v<next>` marker; on a
-    * lost race, rebase (additive — schema evolution recomputed against
-    * the new head so concurrent ADD COLUMNs compose) or abort
-    * (non-additive). No shared file is ever rewritten: committed state
-    * is immutable by construction. Returns the committed version.
+    * writer-unique names, then publish the `_commit.v<next>` marker
+    * through the table's [[CommitStore]]; on a lost race, rebase
+    * (additive — schema evolution recomputed against the new head so
+    * concurrent ADD COLUMNs compose), abort (rewrite), or take the next
+    * version (replace). No shared file is ever rewritten: committed
+    * state is immutable by construction. Returns the committed version.
     */
   private def commitLoop(spark: SparkSession, path: String, c: Commit): Int =
     lockFor(path).synchronized {
@@ -254,27 +327,48 @@ object Snapshot {
         .take(12)
       var done = -1
       while (done < 0) {
-        val head = currentVersion(spark, path)
-        if (!c.additive && head != c.basedOn)
-          throw new java.util.ConcurrentModificationException(
-            s"snapshot $path moved v${c.basedOn} -> v$head during a " +
-              "non-additive commit (delete/compact/merge); re-run against " +
-              "the new head")
+        val committed = committedVersions(spark, path)
+        require(committed.nonEmpty || c.kind == ReplaceK,
+          s"no committed snapshot version under $path")
+        val head = if (committed.isEmpty) 0 else committed.max
+        val headMarker =
+          if (head == 0) None else Some(markerOf(spark, path, head))
+        c.kind match {
+          case RewriteK if head != c.basedOn =>
+            throw new java.util.ConcurrentModificationException(
+              s"snapshot $path moved v${c.basedOn} -> v$head during a " +
+                "non-additive commit (delete/compact/merge); re-run " +
+                "against the new head")
+          case Additive if headMarker.exists(_.incv > c.basedOn) =>
+            // the table was REPLACED under this append: its rows belong
+            // to the old incarnation — appending them silently into the
+            // new one would be a lost-update in the other direction
+            throw new java.util.ConcurrentModificationException(
+              s"snapshot $path was replaced (v${headMarker.get.incv}) " +
+                "during this append; re-run against the new table")
+          case _ => ()
+        }
         val next = head + 1
         val rows =
-          if (c.additive) manifest(spark, path, Some(head)) ++ c.delta
+          if (c.kind == Additive) manifest(spark, path, Some(head)) ++ c.delta
           else c.delta
-        // schema evolution, recomputed against THIS head: concurrent
-        // evolving appends compose to the field union (each writer adds
-        // its own new fields on top of whatever the head already has);
-        // a shared field whose type diverged is a loud error
-        val evolved: Option[StructType] = c.batchSchema.flatMap { bs =>
-          val stored = schemaAt(spark, path, head)
-          requireTypesKept(stored, bs)
-          val storedNames = stored.fieldNames.toSet
-          val added = bs.fields.filterNot(f => storedNames(f.name))
-          if (added.isEmpty) None
-          else Some(StructType(stored.fields ++ added))
+        // schema: a replace always stages the fresh incarnation's; an
+        // additive commit stages an evolution recomputed against THIS
+        // head — concurrent evolving appends compose to the field union
+        // (each writer adds its own new fields on top of whatever the
+        // head already has); a shared field whose type diverged is a
+        // loud error
+        val evolved: Option[StructType] = c.kind match {
+          case ReplaceK => Some(c.replaceMeta.get._1)
+          case Additive => c.batchSchema.flatMap { bs =>
+            val stored = schemaAt(spark, path, head)
+            requireTypesKept(stored, bs)
+            val storedNames = stored.fieldNames.toSet
+            val added = bs.fields.filterNot(f => storedNames(f.name))
+            if (added.isEmpty) None
+            else Some(StructType(stored.fields ++ added))
+          }
+          case RewriteK => None
         }
         val manifestFile = stagedName("manifest", next, token) + ".tsv"
         writeText(spark, s"$path/$manifestFile", renderManifest(rows))
@@ -283,24 +377,65 @@ object Snapshot {
           writeText(spark, s"$path/$f", sc.json)
           f
         }
+        val bconf =
+          if (c.kind == ReplaceK) c.replaceMeta.get._3
+          else bloomConfAt(spark, path, head)
         val bloomFile =
-          if (bloomConf(spark, path).isEmpty) None
+          if (bconf.isEmpty) None
           else {
             // carry the head's entries for every surviving file + the
             // delta's fresh entries — uniform across commit kinds
-            val live = rows.map(_.file).toSet
-            val all = bloomOf(spark, path, head)
-              .filter(kv => live(kv._1)).toSeq ++ c.bloom
+            val entries =
+              if (c.kind == ReplaceK) c.bloom
+              else {
+                val live = rows.map(_.file).toSet
+                bloomOf(spark, path, head)
+                  .filter(kv => live(kv._1)).toSeq ++ c.bloom
+              }
             val f = stagedName("bloom", next, token) + ".tsv"
             writeText(spark, s"$path/$f",
-              all.map { case (a, b) => s"$a\t$b" }
-                .mkString("", "\n", if (all.isEmpty) "" else "\n"))
+              entries.map { case (a, b) => s"$a\t$b" }
+                .mkString("", "\n", if (entries.isEmpty) "" else "\n"))
             Some(f)
           }
-        val marker = Marker(manifestFile, schemaFile, bloomFile, c.batchId)
+        // deletion vectors: surviving files keep their masks (per-file
+        // union with the delta); rewritten files' masks drop — the
+        // copy-on-write read already applied them
+        val dvMap: Map[String, Array[Long]] =
+          if (c.kind == ReplaceK) Map.empty
+          else {
+            val live = rows.map(_.file).toSet
+            val carried = dvOf(spark, path, head).filter(kv => live(kv._1))
+            (carried.keySet ++ c.dvDelta.keySet).iterator.map { f =>
+              f -> (carried.getOrElse(f, Array.empty[Long]) ++
+                c.dvDelta.getOrElse(f, Array.empty[Long])).distinct.sorted
+            }.filter(_._2.nonEmpty).toMap
+          }
+        val dvFile =
+          if (dvMap.isEmpty) None
+          else {
+            val f = stagedName("dv", next, token) + ".tsv"
+            writeText(spark, s"$path/$f",
+              dvMap.toSeq.sortBy(_._1).map { case (file, ords) =>
+                s"$file\t${packLongs(ords)}"
+              }.mkString("", "\n", "\n"))
+            Some(f)
+          }
+        val incv = if (c.kind == ReplaceK) next else headMarker.get.incv
+        val baseTxn =
+          if (c.kind == ReplaceK) Map.empty[String, Long]
+          else headMarker.map(_.txn).getOrElse(Map.empty[String, Long])
+        val txn = (for { w <- c.writerId; b <- c.batchId } yield
+          baseTxn + (w -> math.max(b, baseTxn.getOrElse(w, Long.MinValue))))
+          .getOrElse(baseTxn)
+        val marker = Marker(manifestFile, schemaFile, bloomFile, dvFile,
+          c.batchId, incv,
+          if (c.kind == ReplaceK) Some(c.replaceMeta.get._2) else None,
+          if (c.kind == ReplaceK) c.replaceMeta.get._3 else None,
+          txn)
         if (tryCommitMarker(spark, path, next, marker.render)) done = next
         // else: lost the race — loop; the next pass re-reads the head,
-        // re-carries its manifest (additive) or throws (non-additive);
+        // re-carries its manifest (additive) or throws (rewrite);
         // this attempt's staged files become orphans vacuum sweeps
       }
       done
@@ -313,6 +448,39 @@ object Snapshot {
         s.rows.toString) ++ s.extra.map(cell)).mkString("\t"))
       .mkString("", "\n", if (stats.isEmpty) "" else "\n")
   }
+
+  private def packLongs(xs: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(xs.length * 8)
+    xs.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def unpackLongs(b64: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  // ---- incarnation-scoped registration (resolved through markers) --------
+
+  /** The marker of `v`'s INCARNATION start (a replace or v1) — the one
+    * carrying the stat/bloom registration. At most two marker reads.
+    */
+  private def incStartMarker(spark: SparkSession, path: String,
+                             v: Int): Marker = {
+    val m = markerOf(spark, path, v)
+    if (m.statcols.isDefined) m else markerOf(spark, path, m.incv)
+  }
+
+  private def statColsAt(spark: SparkSession, path: String,
+                         v: Int): (String, Seq[String]) =
+    incStartMarker(spark, path, v).statcols.getOrElse(
+      throw new IllegalStateException(
+        s"no stat-column registration reachable from v$v of $path"))
+
+  private def bloomConfAt(spark: SparkSession, path: String,
+                          v: Int): Option[(String, Int, Int)] =
+    if (v == 0) None else incStartMarker(spark, path, v).bloomconf
 
   // ---- stats ------------------------------------------------------------
 
@@ -368,17 +536,6 @@ object Snapshot {
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(dir)
 
-  /** The registered stat columns: `(primary, secondaries)`. */
-  private def statCols(spark: SparkSession, path: String)
-      : (String, Seq[String]) = {
-    val lines = readText(spark, path + "/_statcols").split("\n").toSeq
-      .map(_.trim).filter(_.nonEmpty)
-    (lines.head, lines.tail)
-  }
-
-  private def statCols2(spark: SparkSession, path: String): Seq[String] =
-    statCols(spark, path)._2
-
   // ---- per-file bloom sidecar (equality file-skipping) -------------------
   // Zone maps prune RANGE probes on clustered columns; a per-file bloom
   // over a registered high-cardinality column prunes EQUALITY probes on a
@@ -386,15 +543,6 @@ object Snapshot {
   // Delta/Iceberg bloom-index idea). Bits ride the engine-agnostic
   // PolyHash bloom kernel, so a membership decision — false positives
   // included — replays identically anywhere.
-
-  /** The registered bloom column, if any: `(column, mBits, k)`. */
-  private def bloomConf(spark: SparkSession, path: String)
-      : Option[(String, Int, Int)] =
-    if (!exists(spark, path + "/_bloomcol")) None
-    else {
-      val Array(c, m, k) = readText(spark, path + "/_bloomcol").trim.split("\t")
-      Some((c, m.toInt, k.toInt))
-    }
 
   /** `file -> base64 bitmap` of `version`'s sidecar (empty when the
     * table has no bloom column).
@@ -409,6 +557,28 @@ object Snapshot {
             val Array(a, b) = line.split("\t"); a -> b
           }.toMap
     }
+
+  /** `file -> sorted masked row ordinals` of `version`'s deletion-vector
+    * sidecar (empty when the version has none).
+    */
+  private def dvOf(spark: SparkSession, path: String,
+                   version: Int): Map[String, Array[Long]] =
+    if (version == 0) Map.empty
+    else markerOf(spark, path, version).dv match {
+      case None => Map.empty
+      case Some(f) =>
+        readText(spark, s"$path/$f").split("\n").toSeq
+          .filter(_.nonEmpty).map { line =>
+            val Array(a, b) = line.split("\t"); a -> unpackLongs(b)
+          }.toMap
+    }
+
+  /** Whether `version` carries any deletion-vector mask — the DSv2
+    * connector's reader-version gate.
+    */
+  private[graft] def hasDeletionVectors(spark: SparkSession, path: String,
+                                        version: Int): Boolean =
+    markerOf(spark, path, version).dv.isDefined
 
   /** Per-file bloom bitmaps for the files under `dir` — one aggregate in
     * the same one-pass-per-commit posture as [[statsOf]] (keyed on
@@ -434,10 +604,10 @@ object Snapshot {
       }.toSeq.sortBy(_._1)
   }
 
-  private def bloomDelta(spark: SparkSession, path: String,
+  private def bloomDelta(spark: SparkSession, path: String, base: Int,
                          schema: StructType,
                          dir: String): Seq[(String, String)] =
-    bloomConf(spark, path)
+    bloomConfAt(spark, path, base)
       .map(conf => bloomStatsOf(spark, conf, schema, dir)).getOrElse(Nil)
 
   /** Shared append-only type check: every stored column present in the
@@ -453,42 +623,46 @@ object Snapshot {
     }
   }
 
-  /** The shared REPLACE ritual ([[write]] and the DSv2 overwrite): drop
-    * every previous table file except `keepDir`, register the stat/bloom
-    * metadata, stage v1's manifest/schema/bloom, and CAS the v1 marker —
-    * a lost CAS (another replacer won) is a loud
-    * `ConcurrentModificationException`, never a silent no-op.
+  // ---- deletion-vector-aware reading --------------------------------------
+
+  // _metadata.file_path renders the scheme-qualified URI; manifest rows
+  // carry whatever input_file_name()/the writer recorded. Both normalize
+  // to the bare path (scheme + authority stripped) so the mask join can
+  // never silently miss — and the oracle gates would catch it if it did.
+  private def normUriPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  private val schemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+
+  /** Read `files` of `version` with that version's deletion vectors
+    * applied: the mask is metadata-sized, broadcast, and anti-joined on
+    * `(file, _metadata.row_index)` — zero data movement beyond the scan
+    * itself. No mask on these files → the plain pruned parquet scan.
     */
-  private def stageAndCommitV1(spark: SparkSession, path: String,
-                               keepDir: String, statColsText: String,
-                               bloomColText: Option[String],
-                               schemaJson: String, stats: Seq[FileStat],
-                               bloom: Seq[(String, String)]): Unit = {
-    val fsys = fs(spark, path)
-    fsys.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
-      if (st.getPath.toUri.getPath !=
-          new org.apache.hadoop.fs.Path(keepDir).toUri.getPath)
-        fsys.delete(st.getPath, true)
+  private def readMasked(spark: SparkSession, path: String, version: Int,
+                         files: Seq[String],
+                         schema: StructType): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val fileSet = files.toSet
+    val dv = dvOf(spark, path, version).filter(kv => fileSet(kv._1))
+    val base = spark.read.schema(schema).parquet(files: _*)
+    if (dv.isEmpty) base
+    else {
+      val maskRows = dv.toSeq.flatMap { case (f, ords) =>
+        val nf = normUriPath(f); ords.map(o => (nf, o))
+      }
+      val mask = spark.createDataFrame(maskRows).toDF("_dvf", "_dvo")
+      base
+        .withColumn("_gf",
+          regexp_replace(col("_metadata.file_path"), schemeRe, ""))
+        .withColumn("_go", col("_metadata.row_index"))
+        .join(broadcast(mask),
+          col("_gf") === col("_dvf") && col("_go") === col("_dvo"),
+          "left_anti")
+        .drop("_gf", "_go")
     }
-    val token = java.util.UUID.randomUUID().toString.replace("-", "")
-      .take(12)
-    writeText(spark, path + "/_statcols", statColsText)
-    bloomColText.foreach(t => writeText(spark, path + "/_bloomcol", t))
-    val manifestFile = stagedName("manifest", 1, token) + ".tsv"
-    writeText(spark, s"$path/$manifestFile", renderManifest(stats))
-    val schemaFile = stagedName("schema", 1, token) + ".json"
-    writeText(spark, s"$path/$schemaFile", schemaJson)
-    val bloomFile = bloomColText.map { _ =>
-      val f = stagedName("bloom", 1, token) + ".tsv"
-      writeText(spark, s"$path/$f",
-        bloom.map { case (a, x) => s"$a\t$x" }
-          .mkString("", "\n", if (bloom.isEmpty) "" else "\n"))
-      f
-    }
-    if (!tryCommitMarker(spark, path, 1,
-        Marker(manifestFile, Some(schemaFile), bloomFile, None).render))
-      throw new java.util.ConcurrentModificationException(
-        s"another writer replaced $path concurrently; re-run the write")
   }
 
   /** The shared additive-append body ([[append]] and the streaming
@@ -497,7 +671,8 @@ object Snapshot {
     * stats, one additive commit (the batch id rides the marker).
     */
   private def appendImpl(df: DataFrame, path: String, statCol: String,
-                         nFiles: Int, batchId: Option[Long]): Unit = {
+                         nFiles: Int, batchId: Option[Long],
+                         writerId: Option[String] = None): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val spark = df.sparkSession
     val base = currentVersion(spark, path)
@@ -522,30 +697,32 @@ object Snapshot {
     // append — the physical layout every version agrees on
     clusterWrite(df.select(writeSchema.fieldNames.map(col).toSeq: _*),
       statCol, nFiles, dataDir)
-    val delta = statsOf(spark, statCol, statCols2(spark, path), writeSchema,
-      dataDir)
+    val delta = statsOf(spark, statCol, statColsAt(spark, path, base)._2,
+      writeSchema, dataDir)
     commitLoop(spark, path,
-      Commit(delta, additive = true, basedOn = base,
+      Commit(delta, Additive, basedOn = base,
         batchSchema = if (evolving) Some(df.schema) else None,
-        batchId = batchId,
-        bloom = bloomDelta(spark, path, writeSchema, dataDir)))
+        batchId = batchId, writerId = writerId,
+        bloom = bloomDelta(spark, path, base, writeSchema, dataDir)))
   }
 
   // ---- public API ---------------------------------------------------------
 
-  /** Write `df` as version 1 of a range-clustered snapshot over
-    * long-typed `statCol` with `nFiles` target files, plus the zone-map
-    * manifest. `statCols2` registers SECONDARY long-typed stat columns:
-    * their per-file min/max is recorded in this and every future commit
-    * (same stats pass), enabling [[scanBy]] pruning on non-cluster
-    * columns. `bloomCol` registers a string column whose per-file bloom
-    * sidecar makes [[lookupEq]] point probes skip files.
+  /** Write `df` as a range-clustered snapshot over long-typed `statCol`
+    * with `nFiles` target files, plus the zone-map manifest. `statCols2`
+    * registers SECONDARY long-typed stat columns: their per-file min/max
+    * is recorded in this and every future commit (same stats pass),
+    * enabling [[scanBy]] pruning on non-cluster columns. `bloomCol`
+    * registers a string column whose per-file bloom sidecar makes
+    * [[lookupEq]] point probes skip files.
     *
-    * CREATE OR REPLACE: an existing table at `path` stays readable
-    * until the replacement's data and stats have been written and
-    * VALIDATED — only then is the old state dropped and v1 committed
-    * (a validation failure, e.g. a NULL statCol row, leaves the old
-    * table untouched).
+    * CREATE OR REPLACE, crash-safe like every other commit: on an
+    * existing table the replacement lands as version N+1 — a fresh
+    * INCARNATION whose marker carries the new registration — and the
+    * old incarnation's state is NOT touched (still time-travel-readable
+    * until [[vacuum]] reclaims it). A crash or validation failure (e.g.
+    * a NULL statCol row) anywhere before the marker leaves the previous
+    * table fully intact.
     */
   def write(df: DataFrame, path: String, statCol: String,
             nFiles: Int = 16, statCols2: Seq[String] = Nil,
@@ -556,15 +733,29 @@ object Snapshot {
     val dataDir = newDataDir(spark, path)
     clusterWrite(df, statCol, nFiles, dataDir)
     val stats = statsOf(spark, statCol, statCols2, df.schema, dataDir)
-    val bloom = bloomCol.map(c =>
-      bloomStatsOf(spark, (c, bloomBits, bloomK), df.schema, dataDir))
-    // validation passed — REPLACE: drop the previous table's state
-    // (its commit markers would otherwise outrank the fresh v1 in the
-    // glob-max protocol), keeping only the new data dir
-    stageAndCommitV1(spark, path, dataDir,
-      (statCol +: statCols2).mkString("", "\n", "\n"),
-      bloomCol.map(c => s"$c\t$bloomBits\t$bloomK"),
-      df.schema.json, stats, bloom.getOrElse(Nil))
+    val bconf = bloomCol.map(c => (c, bloomBits, bloomK))
+    val bloom = bconf.map(conf =>
+      bloomStatsOf(spark, conf, df.schema, dataDir)).getOrElse(Nil)
+    commitLoop(spark, path,
+      Commit(stats, ReplaceK, basedOn = 0, bloom = bloom,
+        replaceMeta = Some((df.schema, (statCol, statCols2), bconf))))
+  }
+
+  /** CREATE an EMPTY snapshot table: schema + registration, zero data
+    * files — the `CREATE TABLE` DDL surface the SQL catalog needs
+    * before the first `INSERT INTO`. Same replace semantics as
+    * [[write]] over an existing table.
+    */
+  def create(spark: SparkSession, path: String, schema: StructType,
+             statCol: String, statCols2: Seq[String] = Nil,
+             bloomCol: Option[String] = None, bloomBits: Int = 1024,
+             bloomK: Int = 4): Unit = {
+    require(schema.fieldNames.contains(statCol),
+      s"statCol '$statCol' is not a column of ${schema.simpleString}")
+    val bconf = bloomCol.map(c => (c, bloomBits, bloomK))
+    commitLoop(spark, path,
+      Commit(Nil, ReplaceK, basedOn = 0,
+        replaceMeta = Some((schema, (statCol, statCols2), bconf))))
   }
 
   /** Append a batch as a NEW snapshot version: the increment is
@@ -587,12 +778,13 @@ object Snapshot {
 
   /** Copy-on-write range DELETE: commit a new version with every row
     * whose `statCol` lies in `[lo, hi]` removed. Only files whose
-    * [min, max] band OVERLAPS the range are rewritten (read, filtered,
-    * re-clustered); every other manifest row carries over verbatim —
-    * O(overlap), never O(table) — and when no file overlaps, the delete
-    * is a pure metadata commit (zero data I/O). Older versions still
-    * read the pre-delete rows (time travel). Non-additive: a concurrent
-    * commit aborts this one with `ConcurrentModificationException`.
+    * [min, max] band OVERLAPS the range are rewritten (read through any
+    * deletion-vector mask, filtered, re-clustered); every other manifest
+    * row carries over verbatim — O(overlap), never O(table) — and when
+    * no file overlaps, the delete is a pure metadata commit (zero data
+    * I/O). Older versions still read the pre-delete rows (time travel).
+    * Non-additive: a concurrent commit aborts this one with
+    * `ConcurrentModificationException`.
     */
   def delete(spark: SparkSession, path: String, statCol: String,
              lo: Long, hi: Long): Unit = {
@@ -600,21 +792,58 @@ object Snapshot {
     val (hit, keep) = manifest(spark, path, Some(base))
       .partition(s => s.max >= lo && s.min <= hi)
     if (hit.isEmpty) {
-      commitLoop(spark, path, Commit(keep, additive = false, basedOn = base))
+      commitLoop(spark, path, Commit(keep, RewriteK, basedOn = base))
       return
     }
     val schema = schemaAt(spark, path, base)
     val dataDir = newDataDir(spark, path)
-    spark.read.schema(schema).parquet(hit.map(_.file): _*)
+    readMasked(spark, path, base, hit.map(_.file), schema)
       .where(!(col(statCol) >= lo && col(statCol) <= hi))
       .repartitionByRange(math.max(1, hit.size), col(statCol))
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(dataDir)
-    val rewritten = statsOf(spark, statCol, statCols2(spark, path), schema,
-      dataDir)
+    val rewritten = statsOf(spark, statCol,
+      statColsAt(spark, path, base)._2, schema, dataDir)
     commitLoop(spark, path,
-      Commit(keep ++ rewritten, additive = false, basedOn = base,
-        bloom = bloomDelta(spark, path, schema, dataDir)))
+      Commit(keep ++ rewritten, RewriteK, basedOn = base,
+        bloom = bloomDelta(spark, path, base, schema, dataDir)))
+  }
+
+  /** MERGE-ON-READ range DELETE (deletion vectors): commit a per-file
+    * ROW-ORDINAL MASK for every row whose `statCol` lies in `[lo, hi]`
+    * instead of rewriting any data file — a point delete is a pure
+    * metadata commit (the Delta deletion-vector idea). Library reads
+    * apply the mask via a broadcast `_metadata.row_index` anti-join;
+    * copy-on-write ops read through it and [[compact]] purges it.
+    * Masks transit the driver (they ARE version metadata) — this is the
+    * GDPR-trickle path; bulk range deletes should stay on [[delete]]'s
+    * copy-on-write rewrite. Non-additive: a concurrent commit aborts.
+    */
+  def deleteVectors(spark: SparkSession, path: String, statCol: String,
+                    lo: Long, hi: Long): Unit = {
+    val base = currentVersion(spark, path)
+    val m = manifest(spark, path, Some(base))
+    val hit = m.filter(s => s.max >= lo && s.min <= hi)
+    val delta: Map[String, Array[Long]] =
+      if (hit.isEmpty) Map.empty
+      else {
+        val schema = schemaAt(spark, path, base)
+        val byNorm = hit.map(s => normUriPath(s.file) -> s.file).toMap
+        // already-masked rows may re-match the range: re-adding their
+        // ordinal is a harmless no-op under the per-file union
+        spark.read.schema(schema).parquet(hit.map(_.file): _*)
+          .where(col(statCol) >= lo && col(statCol) <= hi)
+          .select(
+            regexp_replace(col("_metadata.file_path"), schemeRe, "")
+              .as("_f"),
+            col("_metadata.row_index").as("_o"))
+          .collect() // size-of-deletes — metadata by design (see doc)
+          .groupBy(_.getString(0)).map { case (nf, rs) =>
+            byNorm(nf) -> rs.map(_.getLong(1)).sorted
+          }
+      }
+    commitLoop(spark, path,
+      Commit(m, RewriteK, basedOn = base, dvDelta = delta))
   }
 
   /** Copy-on-write MERGE (key-replace upsert on the PRIMARY stat column
@@ -651,7 +880,7 @@ object Snapshot {
       if (hit.isEmpty) None
       else {
         val dir = newDataDir(spark, path)
-        spark.read.schema(schema).parquet(hit.map(_.file): _*)
+        readMasked(spark, path, base, hit.map(_.file), schema)
           .join(keys, col(statCol).cast("long") === col("_mk"), "left_anti")
           .repartitionByRange(math.max(1, hit.size), col(statCol))
           .sortWithinPartitions(statCol)
@@ -661,20 +890,21 @@ object Snapshot {
     val batchDir = newDataDir(spark, path)
     clusterWrite(batch.select(schema.fieldNames.map(col).toSeq: _*),
       statCol, nFiles, batchDir)
-    val cols2 = statCols2(spark, path)
+    val cols2 = statColsAt(spark, path, base)._2
     val fresh = (survivorDir.toSeq :+ batchDir).flatMap(dir =>
       statsOf(spark, statCol, cols2, schema, dir))
     val bloom = (survivorDir.toSeq :+ batchDir).flatMap(dir =>
-      bloomDelta(spark, path, schema, dir))
+      bloomDelta(spark, path, base, schema, dir))
     commitLoop(spark, path,
-      Commit(keep ++ fresh, additive = false, basedOn = base,
-        bloom = bloom))
+      Commit(keep ++ fresh, RewriteK, basedOn = base, bloom = bloom))
   }
 
   /** COUNT of a `[lo, hi]` range probe answered from METADATA where
     * possible (the Iceberg/Delta stats-based count): files whose band
     * lies FULLY inside the range contribute their manifest row count
-    * with zero I/O; only boundary-straddling files are scanned. A probe
+    * (minus any deletion-vector masks — a fully-covered file's masked
+    * rows are necessarily in range) with zero I/O; only
+    * boundary-straddling files are scanned, through the mask. A probe
     * aligned to file bands — or covering the whole table — reads no
     * data at all. One row `(cnt)`.
     */
@@ -683,13 +913,15 @@ object Snapshot {
                  version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, path))
     val m = manifest(spark, path, Some(v))
+    val dv = dvOf(spark, path, v)
     val (full, rest) = m.filter(s => s.max >= lo && s.min <= hi)
       .partition(s => s.min >= lo && s.max <= hi)
-    val fullRows = full.map(_.rows).sum
+    val fullRows = full.map(s =>
+      s.rows - dv.get(s.file).map(_.length.toLong).getOrElse(0L)).sum
     if (rest.isEmpty)
       spark.range(1).select(lit(fullRows).as("cnt"))
     else
-      spark.read.schema(schemaAt(spark, path, v)).parquet(rest.map(_.file): _*)
+      readMasked(spark, path, v, rest.map(_.file), schemaAt(spark, path, v))
         .where(col(statCol) >= lo && col(statCol) <= hi)
         .agg((count(lit(1)) + lit(fullRows)).as("cnt"))
   }
@@ -703,7 +935,7 @@ object Snapshot {
                     version: Option[Int] = None): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, path))
     val m = manifest(spark, path, Some(v))
-    bloomConf(spark, path) match {
+    bloomConfAt(spark, path, v) match {
       case None => m.map(_.file)
       case Some((_, mBits, k)) =>
         val pos = graft.functions.Bloom.positions(value, mBits, k)
@@ -722,15 +954,12 @@ object Snapshot {
                version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, path))
     val schema = schemaAt(spark, path, v)
-    val c = bloomConf(spark, path)
+    val c = bloomConfAt(spark, path, v)
       .map(_._1).getOrElse(throw new IllegalArgumentException(
         s"no bloom column registered under $path"))
     val files = selectFilesEq(spark, path, value, Some(v))
-    val base =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
-    base.where(col(c).cast("string") === value)
+    readMasked(spark, path, v, files, schema)
+      .where(col(c).cast("string") === value)
   }
 
   /** IDEMPOTENT streaming append — the `foreachBatch` sink contract:
@@ -740,36 +969,38 @@ object Snapshot {
     * a no-op instead of a duplicate append. Exactly-once ingestion into
     * the table format falls out of the version protocol: the data write
     * is invisible until the commit marker lands, and the marker carries
-    * the batch id. Schema evolution follows the same append-only
-    * contract as [[append]] (a batch that DROPS or retypes a stored
-    * column fails loudly instead of committing silent null-fill).
+    * a per-writer HIGH-WATER batch id map merged forward through every
+    * commit — so the replay check is ONE head-marker read (O(1) over
+    * the stream's lifetime, Delta's txn-version table) and survives
+    * arbitrary interleaved commits. Batch ids are monotonic per writer
+    * (the Structured Streaming contract); a query restarted from a
+    * FRESH checkpoint must use a fresh `writerId`. Schema evolution
+    * follows the same append-only contract as [[append]].
     *
     * Wire as
     * `stream.writeStream.foreachBatch((df, id) => Snapshot.appendBatch(df, path, col, id))`.
     */
   def appendBatch(df: DataFrame, path: String, statCol: String,
-                  batchId: Long, nFiles: Int = 4): Unit = {
+                  batchId: Long, nFiles: Int = 4,
+                  writerId: String = "stream"): Unit = {
+    require(!writerId.exists(ch => ch == ':' || ch == ';' || ch == '\n'),
+      s"writerId must not contain ':', ';' or newlines: '$writerId'")
     val spark = df.sparkSession
-    // Replay detection scans the batch id of EVERY committed marker (not
-    // just the current version's): append/delete/compact commits — or a
-    // second stream — can interleave between a batch's commit and its
-    // crash-redelivery, and the marker-of-current check alone would then
-    // let the replayed batch append twice (Delta's txn-version table
-    // solves the same problem). Markers exist only for COMMITTED
-    // versions, so a crashed attempt's batch rightly re-runs.
-    val replayed = committedVersions(spark, path)
-      .exists(v => markerOf(spark, path, v).batchId.contains(batchId))
-    if (replayed) return
-    appendImpl(df, path, statCol, nFiles, batchId = Some(batchId))
+    val head = currentVersion(spark, path)
+    if (markerOf(spark, path, head).txn.get(writerId).exists(_ >= batchId))
+      return // replay of an already-committed batch
+    appendImpl(df, path, statCol, nFiles, batchId = Some(batchId),
+      writerId = Some(writerId))
   }
 
   /** Small-file COMPACTION: fold the current version's live files into
     * `nFiles` fresh range-clustered files as a new version — same rows,
     * fewer/larger files. This is the maintenance job that keeps the
     * split count healthy after many appends (each append adds its own
-    * small files) and restores clustering after deletes. Data files are
-    * immutable, so every older version keeps reading the originals.
-    * Non-additive: a concurrent commit aborts it cleanly.
+    * small files), restores clustering after deletes, and PURGES
+    * deletion vectors (the masked rows drop out of the rewrite). Data
+    * files are immutable, so every older version keeps reading the
+    * originals. Non-additive: a concurrent commit aborts it cleanly.
     */
   def compact(spark: SparkSession, path: String, statCol: String,
               nFiles: Int = 16): Unit = {
@@ -777,20 +1008,20 @@ object Snapshot {
     val base = currentVersion(spark, path)
     val m = manifest(spark, path, Some(base))
     if (m.isEmpty) {
-      commitLoop(spark, path, Commit(Nil, additive = false, basedOn = base))
+      commitLoop(spark, path, Commit(Nil, RewriteK, basedOn = base))
       return
     }
     val schema = schemaAt(spark, path, base)
     val dataDir = newDataDir(spark, path)
-    spark.read.schema(schema).parquet(m.map(_.file): _*)
+    readMasked(spark, path, base, m.map(_.file), schema)
       .repartitionByRange(nFiles, col(statCol))
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(dataDir)
-    val rewritten = statsOf(spark, statCol, statCols2(spark, path), schema,
-      dataDir)
+    val rewritten = statsOf(spark, statCol,
+      statColsAt(spark, path, base)._2, schema, dataDir)
     commitLoop(spark, path,
-      Commit(rewritten, additive = false, basedOn = base,
-        bloom = bloomDelta(spark, path, schema, dataDir)))
+      Commit(rewritten, RewriteK, basedOn = base,
+        bloom = bloomDelta(spark, path, base, schema, dataDir)))
   }
 
   /** INCREMENTAL READ between two versions (the Delta change-data-feed
@@ -803,9 +1034,9 @@ object Snapshot {
     * is what a downstream incremental pipeline consumes per crawl
     * instead of re-reading the table. Across rewrite commits
     * (delete/compact/merge) the new files' rows include rewritten
-    * SURVIVORS — row-level change tracking needs per-row lineage the
-    * format deliberately does not carry; callers diff by key downstream
-    * when they must span a rewrite.
+    * SURVIVORS, and a deletion-vector commit adds no files at all —
+    * use [[changesTyped]] when the window may span a rewrite or a DV
+    * delete. Added files read through `toV`'s mask.
     */
   def changes(spark: SparkSession, path: String, fromV: Int,
               toV: Int): DataFrame = {
@@ -816,11 +1047,102 @@ object Snapshot {
       else manifest(spark, path, Some(fromV)).map(_.file).toSet
     val added = manifest(spark, path, Some(toV))
       .filterNot(s => before(s.file)).map(_.file)
-    val schema = schemaAt(spark, path, toV)
-    if (added.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(added: _*)
+    readMasked(spark, path, toV, added, schemaAt(spark, path, toV))
+  }
+
+  /** TYPED change-data-feed (Delta's `_change_type` CDF): the row-level
+    * changes in `(fromV, toV]`, each tagged `insert` / `delete` /
+    * `update_preimage` / `update_postimage` plus the `_commit_version`
+    * it happened in — so a consumer spanning a rewrite never key-diffs
+    * by hand. Derivation is per version step, O(files changed at that
+    * step), with the PRIMARY stat column as the row key (the same key
+    * [[merge]] replaces on):
+    *
+    *   - an append step's added files are pure `insert`s;
+    *   - a rewrite step key-diffs the removed files' rows against the
+    *     added files' rows: keys only in the old side are `delete`s,
+    *     keys only in the new side are `insert`s, keys on both sides
+    *     whose rows differ emit an `update_preimage`/`update_postimage`
+    *     pair — and identically-rewritten rows (a pure [[compact]])
+    *     emit NOTHING;
+    *   - a deletion-vector step emits `delete`s for the newly-masked
+    *     rows.
+    *
+    * Columns follow `toV`'s schema (earlier steps null-fill evolved
+    * columns, exactly as their version reads).
+    */
+  def changesTyped(spark: SparkSession, path: String, fromV: Int,
+                   toV: Int): DataFrame = {
+    require(0 <= fromV && fromV < toV,
+      s"need 0 <= fromV < toV, got $fromV, $toV")
+    val key = statColsAt(spark, path, toV)._1
+    val outSchema = schemaAt(spark, path, toV)
+    val outCols = outSchema.fields.toSeq
+    def shape(df: DataFrame, typ: String, v: Int): DataFrame =
+      df.select(outCols.map(f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+        .withColumn("_change_type", lit(typ))
+        .withColumn("_commit_version", lit(v))
+    val steps = (fromV + 1 to toV).flatMap { v =>
+      val prevFiles =
+        if (v == 1) Set.empty[String]
+        else manifest(spark, path, Some(v - 1)).map(_.file).toSet
+      val curFiles = manifest(spark, path, Some(v)).map(_.file)
+      val added = curFiles.filterNot(prevFiles)
+      val removed = (prevFiles -- curFiles).toSeq
+      val schema = schemaAt(spark, path, v)
+      val rowDiff: Seq[DataFrame] =
+        if (removed.isEmpty && added.isEmpty) Nil
+        else if (removed.isEmpty)
+          Seq(shape(readMasked(spark, path, v, added, schema), "insert", v))
+        else {
+          // a rewrite: key-diff old against new (both through their
+          // version's mask), multiset-exact via exceptAll
+          val oldRows = readMasked(spark, path, v - 1, removed, schema)
+          val newRows = readMasked(spark, path, v, added, schema)
+          val oldKeys = oldRows.select(col(key)).distinct()
+          val newKeys = newRows.select(col(key)).distinct()
+          val dels = oldRows.join(newKeys, Seq(key), "left_anti")
+          val ins = newRows.join(oldKeys, Seq(key), "left_anti")
+          val oldC = oldRows.join(newKeys, Seq(key), "left_semi")
+          val newC = newRows.join(oldKeys, Seq(key), "left_semi")
+          Seq(shape(dels, "delete", v), shape(ins, "insert", v),
+            shape(oldC.exceptAll(newC), "update_preimage", v),
+            shape(newC.exceptAll(oldC), "update_postimage", v))
+        }
+      // deletion-vector step: newly-masked ordinals of SURVIVING files
+      val dvPrev = if (v == 1) Map.empty[String, Array[Long]]
+        else dvOf(spark, path, v - 1)
+      val dvCur = dvOf(spark, path, v)
+      val newlyMasked = dvCur.iterator
+        .filter { case (f, _) => prevFiles(f) && curFiles.contains(f) }
+        .map { case (f, ords) =>
+          f -> (ords.toSet -- dvPrev.getOrElse(f, Array.empty[Long])).toSeq
+        }.filter(_._2.nonEmpty).toSeq
+      val dvDels: Seq[DataFrame] =
+        if (newlyMasked.isEmpty) Nil
+        else {
+          val maskRows = newlyMasked.flatMap { case (f, ords) =>
+            val nf = normUriPath(f); ords.map(o => (nf, o))
+          }
+          val mask = spark.createDataFrame(maskRows).toDF("_dvf", "_dvo")
+          val hit = spark.read.schema(schema)
+            .parquet(newlyMasked.map(_._1): _*)
+            .withColumn("_gf",
+              regexp_replace(col("_metadata.file_path"), schemeRe, ""))
+            .withColumn("_go", col("_metadata.row_index"))
+            .join(broadcast(mask),
+              col("_gf") === col("_dvf") && col("_go") === col("_dvo"))
+            .drop("_gf", "_go", "_dvf", "_dvo")
+          Seq(shape(hit, "delete", v))
+        }
+      rowDiff ++ dvDels
+    }
+    val empty = shape(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema),
+      "insert", 0).limit(0)
+    steps.foldLeft(empty)(_ unionByName _)
   }
 
   /** VACUUM — the maintenance job that reclaims storage (Delta's VACUUM
@@ -828,17 +1150,18 @@ object Snapshot {
     * versions readable, drop older versions' staged metadata, and
     * DELETE every data file no retained manifest references — which
     * also sweeps the orphans that crashed commits and lost optimistic
-    * races leave behind (writer-unique dirs and staged files make those
-    * unreferenced by construction). Commit markers stay (one-line files
-    * — keeping them preserves the version numbering and the full
-    * exactly-once batch replay window); time travel below the retention
-    * horizon errors on the missing staged manifest. The one staged
-    * SCHEMA the oldest retained version inherits survives (schemaAt
-    * walks downward). Run WITHOUT concurrent writers (an in-flight
-    * commit's data files are unreferenced until its marker lands — the
-    * same retention caveat Delta documents). Returns (expired versions,
-    * deleted files). Driver-side metadata walk; one FS delete per
-    * orphan.
+    * races leave behind, AND the previous incarnation's files once a
+    * REPLACE's older versions expire (writer-unique dirs and staged
+    * files make those unreferenced by construction). Commit markers
+    * stay (one-line files — keeping them preserves the version
+    * numbering, the incarnation chain, and the txn replay map); time
+    * travel below the retention horizon errors on the missing staged
+    * manifest. The one staged SCHEMA the oldest retained version
+    * inherits survives (schemaAt walks downward). Run WITHOUT
+    * concurrent writers (an in-flight commit's data files are
+    * unreferenced until its marker lands — the same retention caveat
+    * Delta documents). Returns (expired versions, deleted files).
+    * Driver-side metadata walk; one FS delete per orphan.
     */
   def vacuum(spark: SparkSession, path: String,
              keepVersions: Int = 2): (Int, Int) = {
@@ -867,7 +1190,7 @@ object Snapshot {
       val keepStaged: Set[String] =
         (retained.flatMap { v =>
           val mk = markers(v)
-          Seq(mk.manifest) ++ mk.schema ++ mk.bloom
+          Seq(mk.manifest) ++ mk.schema ++ mk.bloom ++ mk.dv
         } ++ schemaCarrier.flatMap(v => markers(v).schema)).toSet
           .map((s: String) => new org.apache.hadoop.fs.Path(s"$path/$s")
             .toUri.getPath)
@@ -899,16 +1222,18 @@ object Snapshot {
   }
 
   /** The version log — one row per committed, still-retained version
-    * with its file and row totals: the table-format inspection surface
-    * (what `DESCRIBE HISTORY` shows on Delta); versions expired by
-    * [[vacuum]] drop out. Driver-side and version-count-sized.
+    * with its file and LIVE row totals (deletion-vector masks
+    * subtracted): the table-format inspection surface (what `DESCRIBE
+    * HISTORY` shows on Delta); versions expired by [[vacuum]] drop out.
+    * Driver-side and version-count-sized.
     */
   def history(spark: SparkSession, path: String): Seq[(Int, Int, Long)] =
     committedVersions(spark, path)
       .filter(v => exists(spark, s"$path/${markerOf(spark, path, v).manifest}"))
       .map { v =>
         val m = manifest(spark, path, Some(v))
-        (v, m.size, m.map(_.rows).sum)
+        val masked = dvOf(spark, path, v).values.map(_.length.toLong).sum
+        (v, m.size, m.map(_.rows).sum - masked)
       }
 
   /** The manifest rows of `version` (default: current); empty when that
@@ -951,14 +1276,15 @@ object Snapshot {
   def selectFilesBy(spark: SparkSession, path: String, colName: String,
                     lo: Long, hi: Long,
                     version: Option[Int] = None): Seq[String] = {
-    val (primary, cols2) = statCols(spark, path)
+    val v = version.getOrElse(currentVersion(spark, path))
+    val (primary, cols2) = statColsAt(spark, path, v)
     val i = cols2.indexOf(colName)
-    if (colName == primary) selectFiles(spark, path, lo, hi, version)
+    if (colName == primary) selectFiles(spark, path, lo, hi, Some(v))
     else if (i < 0)
       throw new IllegalArgumentException(
         s"'$colName' is not a registered stat column of $path " +
           s"(primary: $primary; secondaries: ${cols2.mkString(", ")})")
-    else manifest(spark, path, version).filter(s =>
+    else manifest(spark, path, Some(v)).filter(s =>
       s.extra.lift(i).flatten.exists { case (mn, mx) =>
         mx >= lo && mn <= hi
       }).map(_.file)
@@ -981,51 +1307,62 @@ object Snapshot {
                                     bloom: Seq[(String, String)],
                                     truncate: Boolean): Int =
     if (!truncate)
-      commitLoop(spark, path, Commit(delta, additive = true,
+      commitLoop(spark, path, Commit(delta, Additive,
         basedOn = currentVersion(spark, path), bloom = bloom))
-    else lockFor(path).synchronized {
-      // REPLACE with externally-written data: same transactional ritual
-      // as write() — the new files already exist under ONE writer dir;
-      // registered stat/bloom columns and the schema carry over from
-      // the previous table (the replacing writer computed its inline
-      // stats against them).
-      val keepDir = delta.headOption
-        .map(s => new org.apache.hadoop.fs.Path(s.file).getParent.toString)
-        .getOrElse(path + "/dnone")
-      val statColsText = readText(spark, path + "/_statcols")
-      val bloomColText =
-        if (exists(spark, path + "/_bloomcol"))
-          Some(readText(spark, path + "/_bloomcol"))
-        else None
-      val schema = schemaAt(spark, path, currentVersion(spark, path))
-      stageAndCommitV1(spark, path, keepDir, statColsText, bloomColText,
-        schema.json, delta, bloom)
-      1
+    else {
+      // REPLACE with externally-written data: the new files already
+      // exist under ONE writer dir; registered stat/bloom columns and
+      // the schema carry over from the replaced incarnation (the
+      // replacing writer computed its inline stats against them). Same
+      // additive replace as write(): old versions stay readable until
+      // vacuum.
+      val head = currentVersion(spark, path)
+      commitLoop(spark, path, Commit(delta, ReplaceK, basedOn = head,
+        bloom = bloom,
+        replaceMeta = Some((schemaAt(spark, path, head),
+          statColsAt(spark, path, head),
+          bloomConfAt(spark, path, head)))))
     }
 
-  private[graft] def bloomConfExternal(spark: SparkSession, path: String)
-      : Option[(String, Int, Int)] = bloomConf(spark, path)
+  /** The SQL row-level-operation commit (general DELETE / UPDATE /
+    * MERGE INTO): the externally-written files REPLACE the whole
+    * manifest at `basedOn` — optimistic-abort if anything committed
+    * concurrently, exactly like [[merge]]/[[compact]].
+    */
+  private[graft] def commitExternalRewrite(spark: SparkSession,
+                                           path: String,
+                                           delta: Seq[FileStat],
+                                           bloom: Seq[(String, String)],
+                                           basedOn: Int): Int =
+    commitLoop(spark, path,
+      Commit(delta, RewriteK, basedOn = basedOn, bloom = bloom))
 
-  /** A stable identity for THIS incarnation of the table: v1's staged
-    * manifest name (it carries the creating writer's unique token, and
-    * every REPLACE commits a fresh v1). Streaming offsets embed it so a
-    * checkpointed stream detects an overwrite instead of silently
-    * misreading the new table's version numbers against the old ones.
+  private[graft] def bloomConfExternal(spark: SparkSession, path: String)
+      : Option[(String, Int, Int)] =
+    bloomConfAt(spark, path, currentVersion(spark, path))
+
+  /** A stable identity for THIS incarnation of the table: the
+    * incarnation-start marker's staged manifest name (it carries the
+    * creating writer's unique token; every REPLACE starts a new
+    * incarnation). Streaming offsets embed it so a checkpointed stream
+    * detects an overwrite instead of silently misreading the new
+    * incarnation's windows against the old ones.
     */
   private[graft] def tableEpoch(spark: SparkSession, path: String): String =
-    markerOf(spark, path, 1).manifest
+    incStartMarker(spark, path, currentVersion(spark, path)).manifest
 
   /** The registered stat columns: `(primary, secondaries)` — what
     * [[selectFilesBy]] can prune with.
     */
   def registeredStatCols(spark: SparkSession, path: String)
-      : (String, Seq[String]) = statCols(spark, path)
+      : (String, Seq[String]) =
+    statColsAt(spark, path, currentVersion(spark, path))
 
   /** The registered bloom column, if any — what [[selectFilesEq]] can
     * prune with.
     */
   def bloomColumn(spark: SparkSession, path: String): Option[String] =
-    bloomConf(spark, path).map(_._1)
+    bloomConfAt(spark, path, currentVersion(spark, path)).map(_._1)
 
   /** The data files a CONJUNCTION of probes must read: range bounds per
     * registered stat column (intersected) and equality values on the
@@ -1043,9 +1380,9 @@ object Snapshot {
     // every DSv2 query, where per-predicate FS round-trips would be
     // sequential object-store GETs of planning latency.
     val v = version.getOrElse(currentVersion(spark, path))
-    val (primary, cols2) = statCols(spark, path)
+    val (primary, cols2) = statColsAt(spark, path, v)
     val m = manifest(spark, path, Some(v))
-    val bconf = if (bloomEq.isEmpty) None else bloomConf(spark, path)
+    val bconf = if (bloomEq.isEmpty) None else bloomConfAt(spark, path, v)
     val side =
       if (bconf.isEmpty) Map.empty[String, String]
       else bloomOf(spark, path, v)
@@ -1077,8 +1414,9 @@ object Snapshot {
   }
 
   /** The schema `version` was committed under: the newest evolution at
-    * or below it (versions without an evolution inherit downward;
-    * version 1 always carries its schema).
+    * or below it (versions without an evolution inherit downward; every
+    * incarnation start — v1 or a replace — always carries its schema,
+    * so inheritance never crosses a replace).
     */
   def schemaAt(spark: SparkSession, path: String, version: Int): StructType = {
     val withSchema = committedVersions(spark, path)
@@ -1104,17 +1442,15 @@ object Snapshot {
 
   /** Range probe on ANY registered stat column (primary or secondary) —
     * multi-column zone-map pruning: the same manifest prune and residual
-    * filter, driven by that column's per-file bands.
+    * filter, driven by that column's per-file bands. Deletion-vector
+    * masks apply.
     */
   def scanBy(spark: SparkSession, path: String, colName: String,
              lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, path))
     val schema = schemaAt(spark, path, v)
     val files = selectFilesBy(spark, path, colName, lo, hi, Some(v))
-    val base =
-      if (files.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
-    base.where(col(colName) >= lo && col(colName) <= hi)
+    readMasked(spark, path, v, files, schema)
+      .where(col(colName) >= lo && col(colName) <= hi)
   }
 }

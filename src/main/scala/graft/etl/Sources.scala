@@ -91,10 +91,11 @@ object Sources {
     * `.txt.gz` member stream (Spark's text sink + the gzip codec), the
     * compressed-at-rest posture every real crawl archive ships in
     * (Common Crawl is 100% `.warc.gz`). [[readWarc]] detects the gzip
-    * magic per file and inflates ALL members before the record walk, so
-    * per-record-member archives (the Common Crawl layout, which makes
-    * single records randomly accessible) read back identically — the
-    * reader never assumes one member per file.
+    * magic per file and inflates INCREMENTALLY through a member-resyncing
+    * stream, so per-record-member archives (the Common Crawl layout,
+    * which makes single records randomly accessible) read back
+    * identically — the reader never assumes one member per file, and
+    * never holds more than one record in memory.
     */
   def writeWarcGz(df: DataFrame, path: String, idCol: String = "doc_id",
                   urlCol: String = "url", textCol: String = "text",
@@ -131,76 +132,128 @@ object Sources {
   }
 
   /** Parse a directory of WARC files back to `(doc_id, url, text)` — a
-    * real byte-offset record walk, not a line reader: each file loads
-    * whole (`binaryFile`, one task per file), the scanner finds each
-    * `WARC/1.0` header block, reads its headers up to the blank line,
-    * takes EXACTLY `Content-Length` payload bytes (newlines inside
-    * payloads cannot break framing), and resumes after the record
-    * delimiter. Records of types other than `response`, and records
-    * missing Content-Length, are skipped — the tolerant-reader posture a
-    * real crawl archive needs.
+    * real byte-counted record walk, not a line reader, and a STREAMING
+    * one: each task opens its file as an InputStream (gzip members
+    * inflate incrementally through [[maybeGunzip]]), the scanner finds
+    * each `WARC/1.0` header block, reads its headers up to the blank
+    * line, takes EXACTLY `Content-Length` payload bytes (newlines inside
+    * payloads cannot break framing), and EMITS the record before
+    * touching the next one — per-task memory is O(largest record), never
+    * O(archive). That is what survives real crawl shards (~1 GB gzipped
+    * / 4-5 GB inflated each): a materialize-then-parse reader would pin
+    * executor memory to the inflated archive size per task. Records of
+    * types other than `response`, and records missing Content-Length,
+    * are skipped — the tolerant-reader posture a real crawl archive
+    * needs. Files are the parallelism unit (WARC is unsplittable by
+    * construction), exactly one task per file.
     */
   def readWarc(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path + "/*.txt*")
-      .select("content").as[Array[Byte]]
-      .flatMap(b => Sources.parseWarc(Sources.gunzipMembers(b)))
-      .toDF("doc_id", "url", "text")
-  }
-
-  /** Inflate a gzipped archive of one-or-MORE back-to-back gzip members
-    * to its raw bytes; non-gzip input (no 1f 8b magic) passes through
-    * untouched, so [[readWarc]] reads mixed plain/gz directories with one
-    * code path. Member-resync matters: Common Crawl writes ONE member per
-    * WARC record (that is what makes a record individually seekable), so
-    * a reader that stopped at the first member trailer would see exactly
-    * one record per file.
-    */
-  def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
-    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
-      return bytes
-    // GZIPInputStream resyncs concatenated members itself (after each
-    // trailer it probes for another member header) — one stream walk
-    // covers both the one-member-per-file and one-member-per-record
-    // layouts.
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes), 65536)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
-    val chunk = new Array[Byte](65536)
-    var n = in.read(chunk)
-    while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
-    in.close()
-    out.toByteArray
-  }
-
-  /** The per-file record walk — shared by [[readWarc]] and its spec. */
-  def parseWarc(bytes: Array[Byte]): Iterator[(Long, String, String)] =
-    new Iterator[(Long, String, String)] {
-      private var pos = 0
-      private var nextRec: (Long, String, String) = _
-      private def lineAt(p: Int): (String, Int) = {
-        var e = p
-        while (e < bytes.length && bytes(e) != '\n') e += 1
-        val raw = new String(bytes, p, e - p,
-          java.nio.charset.StandardCharsets.UTF_8)
-        (raw.stripSuffix("\r"), math.min(e + 1, bytes.length))
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fsys
+      .globStatus(new org.apache.hadoop.fs.Path(path + "/*.txt*"))
+      .map(_.getPath.toString).sorted.toSeq
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val raw = p.getFileSystem(bconf.value.value).open(p)
+        val in = maybeGunzip(new java.io.BufferedInputStream(raw, 1 << 16))
+        // close on task end whether the iterator drains or the task dies
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: java.io.IOException => () }))
+        parseWarcStream(in)
       }
+    spark.createDataset(rdd).toDF("doc_id", "url", "text")
+  }
+
+  /** Wrap `in` in an incrementally-inflating, MEMBER-RESYNCING gzip
+    * stream when it starts with the gzip magic; pass anything else
+    * through untouched, so [[readWarc]] reads mixed plain/gz directories
+    * with one code path. Member-resync matters: Common Crawl writes ONE
+    * member per WARC record (that is what makes a record individually
+    * seekable), and `GZIPInputStream` probes for another member header
+    * after each trailer — one stream walk covers both the
+    * one-member-per-file and one-member-per-record layouts.
+    */
+  def maybeGunzip(in: java.io.InputStream): java.io.InputStream = {
+    val pb = new java.io.PushbackInputStream(in, 2)
+    val head = new Array[Byte](2)
+    var got = 0
+    while (got < 2) {
+      val n = pb.read(head, got, 2 - got)
+      if (n < 0) { if (got > 0) pb.unread(head, 0, got); return pb }
+      got += n
+    }
+    pb.unread(head, 0, 2)
+    if (head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
+      new java.util.zip.GZIPInputStream(pb, 1 << 16)
+    else pb
+  }
+
+  /** Back-compat byte-array walk (specs and ad-hoc use): the same
+    * streaming parser over an in-memory buffer, gzip-aware.
+    */
+  def parseWarc(bytes: Array[Byte]): Iterator[(Long, String, String)] =
+    parseWarcStream(maybeGunzip(new java.io.ByteArrayInputStream(bytes)))
+
+  /** The streaming record walk — O(largest record) memory by
+    * construction: header lines read byte-wise off the (buffered)
+    * stream, the payload read as ONE exact-length buffer, the record
+    * emitted before the next byte of the archive is consumed. Truncated
+    * tails (EOF inside a record) drop the partial record and stop —
+    * tolerant, like the archive readers crawls actually run.
+    */
+  def parseWarcStream(in: java.io.InputStream)
+      : Iterator[(Long, String, String)] =
+    new Iterator[(Long, String, String)] {
+      private var nextRec: (Long, String, String) = _
+      private var eof = false
+
+      /** Bytes up to `\n` as a string (`\r` stripped); null at EOF. A
+        * final unterminated line still returns (then EOF).
+        */
+      private def readLine(): String = {
+        var c = in.read()
+        if (c < 0) { eof = true; return null }
+        val buf = new java.io.ByteArrayOutputStream(96)
+        while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+        if (c < 0) eof = true
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).stripSuffix("\r")
+      }
+
+      /** Exactly `len` payload bytes, or null on a truncated tail. */
+      private def readFully(len: Int): Array[Byte] = {
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val n = in.read(buf, off, len - off)
+          if (n < 0) { eof = true; return null }
+          off += n
+        }
+        buf
+      }
+
       private def advance(): Unit = {
         nextRec = null
-        while (nextRec == null && pos < bytes.length) {
-          val (l0, p0) = lineAt(pos)
-          if (l0.trim != "WARC/1.0") { pos = p0 }
+        while (nextRec == null && !eof) {
+          val l0 = readLine()
+          if (l0 == null || l0.trim != "WARC/1.0") () // resync scan
           else {
-            var p = p0
             var id = -1L; var url: String = null; var len = -1L
             var typ: String = null; var ctype: String = null
-            var line = lineAt(p)
-            while (line._1.nonEmpty) {
-              val h = line._1
-              val ci = h.indexOf(':')
+            var line = readLine()
+            while (line != null && line.nonEmpty) {
+              val ci = line.indexOf(':')
               if (ci > 0) {
-                val k = h.substring(0, ci).trim.toLowerCase
-                val v = h.substring(ci + 1).trim
+                val k = line.substring(0, ci).trim.toLowerCase
+                val v = line.substring(ci + 1).trim
                 k match {
                   case "warc-type" => typ = v
                   case "warc-target-uri" => url = v
@@ -213,31 +266,33 @@ object Sources {
                   case _ => ()
                 }
               }
-              p = line._2
-              line = lineAt(p)
+              line = readLine()
             }
-            p = line._2 // past the blank header terminator
-            if (len >= 0 && p + len <= bytes.length) {
-              val raw = new String(bytes, p, len.toInt,
-                java.nio.charset.StandardCharsets.UTF_8)
-              // application/http records frame the CAPTURED RESPONSE:
-              // status line + headers + blank line + body, all inside
-              // Content-Length. The document is the body — skip the
-              // header block (tolerating bare-\n captures). A record
-              // with no blank line is all headers: empty body.
-              val payload =
-                if (ctype != null && ctype.startsWith("application/http")) {
-                  val crlf = raw.indexOf("\r\n\r\n")
-                  val lf = raw.indexOf("\n\n")
-                  if (crlf >= 0 && (lf < 0 || crlf <= lf))
-                    raw.substring(crlf + 4)
-                  else if (lf >= 0) raw.substring(lf + 2)
-                  else ""
-                } else raw
-              pos = p + len.toInt
-              if (typ == "response")
-                nextRec = (id, if (url == "-") null else url, payload)
-            } else pos = bytes.length // truncated tail: stop tolerant
+            if (line != null && len >= 0 && len <= Int.MaxValue) {
+              val body = readFully(len.toInt)
+              if (body != null) {
+                val raw = new String(body,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                // application/http records frame the CAPTURED RESPONSE:
+                // status line + headers + blank line + body, all inside
+                // Content-Length. The document is the body — skip the
+                // header block (tolerating bare-\n captures). A record
+                // with no blank line is all headers: empty body.
+                val payload =
+                  if (ctype != null && ctype.startsWith("application/http")) {
+                    val crlf = raw.indexOf("\r\n\r\n")
+                    val lf = raw.indexOf("\n\n")
+                    if (crlf >= 0 && (lf < 0 || crlf <= lf))
+                      raw.substring(crlf + 4)
+                    else if (lf >= 0) raw.substring(lf + 2)
+                    else ""
+                  } else raw
+                if (typ == "response")
+                  nextRec = (id, if (url == "-") null else url, payload)
+              }
+            }
+            // len < 0 (missing/huge Content-Length): fall through — the
+            // resync scan walks to the next WARC/1.0 line
           }
         }
       }

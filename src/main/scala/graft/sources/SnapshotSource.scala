@@ -76,7 +76,9 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 private[sources] class SnapshotTable(path: String, version: Int,
                                      tableSchema: StructType)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-snapshot `$path` v$version"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -89,6 +91,127 @@ private[sources] class SnapshotTable(path: String, version: Int,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapshotWriteBuilder(path, info.schema(), info.options())
+
+  // ---- DELETE FROM: the metadata path ------------------------------------
+  // A predicate that folds to a single [lo, hi] conjunction on the
+  // PRIMARY stat column takes Snapshot.delete's O(overlap) copy-on-write
+  // (zero data I/O when no file overlaps); anything else falls through
+  // to the row-level rewrite below (canDeleteWhere = false).
+
+  private def primaryCol: String =
+    Snapshot.registeredStatCols(SparkSession.active, path)._1
+
+  private def foldRange(filters: Array[Filter])
+      : Option[Option[(Long, Long)]] = {
+    // None = not metadata-expressible; Some(None) = delete EVERYTHING
+    // (TRUNCATE); Some(Some(lo, hi)) = one range on the primary column
+    val primary = primaryCol
+    def num(v: Any): Option[Long] = v match {
+      case n: java.lang.Byte => Some(n.longValue())
+      case n: java.lang.Short => Some(n.longValue())
+      case n: java.lang.Integer => Some(n.longValue())
+      case n: java.lang.Long => Some(n.longValue())
+      case _ => None
+    }
+    if (filters.isEmpty ||
+        filters.forall { case _: AlwaysTrue => true; case _ => false })
+      return Some(None)
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    val ok = filters.forall {
+      case EqualTo(a, v) if a == primary =>
+        num(v).exists { x => lo = math.max(lo, x); hi = math.min(hi, x); true }
+      case GreaterThan(a, v) if a == primary =>
+        num(v).exists { x =>
+          x != Long.MaxValue && { lo = math.max(lo, x + 1); true } }
+      case GreaterThanOrEqual(a, v) if a == primary =>
+        num(v).exists { x => lo = math.max(lo, x); true }
+      case LessThan(a, v) if a == primary =>
+        num(v).exists { x =>
+          x != Long.MinValue && { hi = math.min(hi, x - 1); true } }
+      case LessThanOrEqual(a, v) if a == primary =>
+        num(v).exists { x => hi = math.min(hi, x); true }
+      case _ => false
+    }
+    if (ok) Some(Some((lo, hi))) else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    foldRange(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    foldRange(filters) match {
+      case Some(Some((lo, hi))) =>
+        Snapshot.delete(spark, path, primaryCol, lo, hi)
+      case Some(None) => // TRUNCATE: everything out, schema kept
+        Snapshot.delete(spark, path, primaryCol, Long.MinValue,
+          Long.MaxValue)
+      case None => throw new IllegalArgumentException(
+        s"deleteWhere called with non-metadata filters: " +
+          filters.mkString(", "))
+    }
+  }
+
+  // ---- UPDATE / MERGE INTO / general DELETE: group-based rewrite ---------
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapshotRowLevelOperation(path, version, tableSchema,
+      info.command())
+}
+
+/** Group-based COPY-ON-WRITE row-level operation (what Spark's
+  * `RewriteMergeIntoTable` / `RewriteUpdateTable` /
+  * `RewriteDeleteFromTable` plan as `ReplaceData`): the scan reads the
+  * base version UNPRUNED — every file is a group being replaced — Spark
+  * computes the complete post-operation contents (matched rows
+  * transformed, unmatched rows copied), the connector's inline-stats
+  * writers land them range-clustered, and the commit swaps the WHOLE
+  * manifest at the base version through the optimistic protocol
+  * (aborting loudly if anything committed concurrently). O(table) by
+  * design — the Delta/Iceberg copy-on-write posture; the library
+  * [[Snapshot.merge]] stays the O(overlap) path on the cluster key.
+  */
+private[sources] class SnapshotRowLevelOperation(
+    path: String, baseVersion: Int, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = { () =>
+    val spark = SparkSession.active
+    if (Snapshot.hasDeletionVectors(spark, path, baseVersion))
+      throw new IllegalStateException(
+        s"graft-snapshot $path v$baseVersion carries deletion vectors, " +
+          "which this SQL rewrite does not mask; compact the table first")
+    // the FULL base version: a pruned file would silently vanish from
+    // the table when the rewrite swaps the manifest
+    val files = Snapshot.manifest(spark, path, Some(baseVersion))
+      .map(_.file)
+    new SnapshotScan(path, tableSchema,
+      org.apache.spark.sql.graftbridge.ParquetDelegate.buildPruned(
+        org.apache.spark.sql.graftbridge.ParquetDelegate.scanBuilder(
+          spark, files, tableSchema, Map.empty),
+        tableSchema, Array.empty, tableSchema))
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        val spark = SparkSession.active
+        val (primary, secondaries) =
+          Snapshot.registeredStatCols(spark, path)
+        new SnapshotWrite(path, tableSchema, primary, secondaries,
+          Snapshot.bloomConfExternal(spark, path),
+          SnapshotCommitMode.Rewrite(baseVersion), nFiles = 0)
+      }
+    }
 }
 
 /** Turns Catalyst's pushed-down conjunction into manifest pruning.
@@ -133,8 +256,18 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
     // bloom equality probes
     var ranges = Map.empty[String, (Long, Long)]
     var bloomEq = List.empty[String]
+    // INTEGRAL literals only: zone-map bands are longs, and deriving a
+    // bound from a fractional literal via longValue() truncation would
+    // PRUNE WRONG (LessThan(a, 10.5) -> hi = 9 drops files whose band
+    // starts at 10 — rows the residual can never recover because pruned
+    // files are never scanned). Spark's unwrap-cast rule normalizes
+    // literals to the integral column type today; this guard keeps the
+    // tier safe if a decimal/double stat column ever reaches pushdown.
     def num(v: Any): Option[Long] = v match {
-      case n: Number => Some(n.longValue())
+      case n: java.lang.Byte => Some(n.longValue())
+      case n: java.lang.Short => Some(n.longValue())
+      case n: java.lang.Integer => Some(n.longValue())
+      case n: java.lang.Long => Some(n.longValue())
       case _ => None
     }
     def tighten(c: String, lo: Long, hi: Long): Unit = {
@@ -146,12 +279,23 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
         num(v).foreach(x => tighten(a, x, x))
       case EqualTo(a, v) if bloomCol.contains(a) =>
         bloomEq ::= String.valueOf(v)
-      case GreaterThan(a, v) => num(v).foreach(x => tighten(a, x + 1, Long.MaxValue))
+      case GreaterThan(a, v) => num(v).foreach(x =>
+        if (x != Long.MaxValue) tighten(a, x + 1, Long.MaxValue))
       case GreaterThanOrEqual(a, v) => num(v).foreach(x => tighten(a, x, Long.MaxValue))
-      case LessThan(a, v) => num(v).foreach(x => tighten(a, Long.MinValue, x - 1))
+      case LessThan(a, v) => num(v).foreach(x =>
+        if (x != Long.MinValue) tighten(a, Long.MinValue, x - 1))
       case LessThanOrEqual(a, v) => num(v).foreach(x => tighten(a, Long.MinValue, x))
       case _ => ()
     }
+    // reader-version gate: this scan tier delegates wholesale to Spark's
+    // parquet batch and cannot apply row-ordinal masks — REFUSE a table
+    // with deletion vectors loudly rather than leak deleted rows (the
+    // same gate real formats apply when rolling DVs out to old readers)
+    if (Snapshot.hasDeletionVectors(spark, path, version))
+      throw new IllegalStateException(
+        s"graft-snapshot $path v$version carries deletion vectors, which " +
+          "this DSv2 reader does not mask; compact the table first or " +
+          "read via Snapshot.scan")
     val files = Snapshot.selectFilesConj(spark, path, ranges, bloomEq,
       Some(version))
     new SnapshotScan(path, tableSchema,
@@ -232,6 +376,10 @@ private[sources] class SnapshotMicroBatchStream(
     val toV = checkEpoch(end.asInstanceOf[VersionOffset])
     if (fromV >= toV)
       return Array.empty
+    if (Snapshot.hasDeletionVectors(spark, path, toV))
+      throw new IllegalStateException(
+        s"graft-snapshot $path v$toV carries deletion vectors, which the " +
+          "streaming reader does not mask; compact the table first")
     val before =
       if (fromV == 0) Set.empty[String]
       else Snapshot.manifest(spark, path, Some(fromV)).map(_.file).toSet
@@ -303,14 +451,27 @@ private[sources] class SnapshotWriteBuilder(
         "evolve through Snapshot.append")
     val nFiles = Option(options.get("nfiles")).map(_.toInt).getOrElse(0)
     new SnapshotWrite(path, writeSchema, primary, secondaries,
-      Snapshot.bloomConfExternal(spark, path), replaceAll, nFiles)
+      Snapshot.bloomConfExternal(spark, path),
+      if (replaceAll) SnapshotCommitMode.Truncate
+      else SnapshotCommitMode.Append, nFiles)
   }
+}
+
+/** How a DSv2 batch write commits: an additive append, a whole-table
+  * REPLACE (fresh incarnation), or a manifest REWRITE at a known base
+  * version (the row-level-operation path).
+  */
+private[sources] sealed trait SnapshotCommitMode
+private[sources] object SnapshotCommitMode {
+  case object Append extends SnapshotCommitMode
+  case object Truncate extends SnapshotCommitMode
+  final case class Rewrite(baseVersion: Int) extends SnapshotCommitMode
 }
 
 private[sources] class SnapshotWrite(
     path: String, writeSchema: StructType, primary: String,
     secondaries: Seq[String], bloom: Option[(String, Int, Int)],
-    truncate: Boolean, nFiles: Int)
+    mode: SnapshotCommitMode, nFiles: Int)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
@@ -333,7 +494,7 @@ private[sources] class SnapshotWrite(
       Snapshot.dataDirFor(spark, path),
       org.apache.spark.sql.graftbridge.ParquetWriteDelegate
         .writeConf(spark, writeSchema),
-      writeSchema, primary, secondaries, bloom, truncate)
+      writeSchema, primary, secondaries, bloom, mode)
   }
 }
 
@@ -346,7 +507,7 @@ private[sources] class SnapshotBatchWrite(
     path: String, dataDir: String,
     conf: org.apache.spark.util.SerializableConfiguration,
     writeSchema: StructType, primary: String, secondaries: Seq[String],
-    bloom: Option[(String, Int, Int)], truncate: Boolean)
+    bloom: Option[(String, Int, Int)], mode: SnapshotCommitMode)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   override def createBatchWriterFactory(
@@ -365,8 +526,14 @@ private[sources] class SnapshotBatchWrite(
     val delta = ms.map(m =>
       graft.core.Snapshot.FileStat(m.file, m.min, m.max, m.rows, m.extra))
     val bloomRows = ms.flatMap(m => m.bloomB64.map(b => m.file -> b))
-    graft.core.Snapshot.commitExternal(spark, path, delta.toSeq,
-      bloomRows.toSeq, truncate)
+    mode match {
+      case SnapshotCommitMode.Rewrite(base) =>
+        graft.core.Snapshot.commitExternalRewrite(spark, path,
+          delta.toSeq, bloomRows.toSeq, base)
+      case m =>
+        graft.core.Snapshot.commitExternal(spark, path, delta.toSeq,
+          bloomRows.toSeq, m == SnapshotCommitMode.Truncate)
+    }
   }
 
   override def abort(
@@ -438,7 +605,30 @@ private[sources] class SnapshotDataWriter(
   private val bits: Array[Long] =
     bloom.map(b => new Array[Long](b._2 / 64)).getOrElse(Array.empty)
 
-  override def write(row: InternalRow): Unit = {
+  // Spark's group-based row-level rewrite (ReplaceData) PREPENDS an int
+  // `__row_operation` column to every row and only projects it away for
+  // operations that declare metadata attributes — a connector without
+  // them receives the raw layout. Detect it by arity and view the data
+  // columns through a projection; reject any op code that isn't a plain
+  // "write this row" so a future delta-shaped plan can never be
+  // silently misread as data.
+  private val opView = new org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    writeSchema, (1 to writeSchema.length).toIndexedSeq)
+  private def unwrap(row: InternalRow): InternalRow =
+    if (row.numFields == writeSchema.length) row
+    else if (row.numFields == writeSchema.length + 1) {
+      val op = row.getInt(0)
+      require(op == org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_OPERATION ||
+          op == org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_WITH_METADATA_OPERATION,
+        s"unexpected row-level operation code $op in a group-based write")
+      opView.project(row)
+      opView
+    } else throw new IllegalStateException(
+      s"write row has ${row.numFields} fields for a " +
+        s"${writeSchema.length}-column table")
+
+  override def write(rawRow: InternalRow): Unit = {
+    val row = unwrap(rawRow)
     if (writer == null)
       writer = org.apache.spark.sql.graftbridge.ParquetWriteDelegate
         .openWriter(conf, file, partitionId, taskId)

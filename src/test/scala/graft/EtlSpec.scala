@@ -927,15 +927,19 @@ class EtlSpec extends SparkSpec {
     // the appended band prunes: a probe inside it reads few files
     assert(graft.core.Snapshot.selectFiles(spark, path, 150L, 160L)
       .size <= 2)
-    // OVERWRITE replaces transactionally as a fresh v1, registrations
-    // carried over
+    // OVERWRITE replaces transactionally as a fresh INCARNATION at
+    // v(N+1) — old versions stay time-travel-readable until vacuum —
+    // with the registrations carried over
     (0L until 50L).map(i => (i, i * 7, s"x$i", s"y$i"))
       .toDF("k", "w", "uid", "v")
       .write.format("graft-snapshot").mode("overwrite")
       .option("nfiles", 2).save(path)
-    assert(graft.core.Snapshot.current(spark, path) == 1)
+    assert(graft.core.Snapshot.current(spark, path) == 3)
     assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
       .count() == 50L)
+    // the replaced incarnation is still there below the replace
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L,
+      version = Some(2)).count() == 300L)
     assert(graft.core.Snapshot.lookupEq(spark, path, "x7")
       .as[(Long, Long, String, String)].collect().toSeq ==
       Seq((7L, 49L, "x7", "y7")))
@@ -1044,5 +1048,299 @@ class EtlSpec extends SparkSpec {
     val flat = df.select(
       Flatten.extract(df("a"), schema.fields.head.dataType, List("xs", "b", "c")).as("v"))
     assert(flat.as[Seq[Long]].collect().head == Seq(7L, 8L))
+  }
+
+  test("snapshot SQL catalog: CREATE/INSERT/SELECT/time travel/DELETE/UPDATE/MERGE INTO resolve onto the table format") {
+    import spark.implicits._
+    val wh = tmpDir("snapcat")
+    spark.conf.set("spark.sql.catalog.gtest",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gtest.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.db")
+    // CREATE TABLE registers the zone-map cluster key from properties
+    spark.sql("CREATE TABLE gtest.db.t (k BIGINT, ln BIGINT, v STRING) " +
+      "TBLPROPERTIES ('statcol' = 'k')")
+    assert(spark.sql("SHOW TABLES IN gtest.db").count() == 1L)
+    // INSERT INTO rides the DSv2 write (range clustering + inline stats)
+    (0L until 100L).flatMap(k => Seq((k, 1L, s"a$k"), (k, 2L, s"b$k")))
+      .toDF("k", "ln", "v").createOrReplaceTempView("src_rows")
+    spark.sql("INSERT INTO gtest.db.t SELECT * FROM src_rows")
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t").as[Long].head()
+      == 200L)
+    // SELECT with a cluster-key WHERE prunes through the same manifest
+    val probe = spark.sql(
+      "SELECT k, ln, v FROM gtest.db.t WHERE k BETWEEN 10 AND 14")
+    assert(probe.count() == 10L)
+    val tablePath = s"$wh/db/t"
+    // DELETE FROM with a cluster-key range takes the METADATA path
+    // (Snapshot.delete — only overlapping files rewrite)
+    spark.sql("DELETE FROM gtest.db.t WHERE k BETWEEN 90 AND 99")
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t").as[Long].head()
+      == 180L)
+    // time travel: the pre-delete version still reads through SQL
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t VERSION AS OF 2")
+      .as[Long].head() == 200L)
+    // UPDATE (a non-key predicate): the group-based row-level rewrite
+    spark.sql("UPDATE gtest.db.t SET v = 'upd' WHERE ln = 2 AND k < 3")
+    assert(spark.sql(
+      "SELECT count(*) FROM gtest.db.t WHERE v = 'upd'").as[Long].head()
+      == 3L)
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t").as[Long].head()
+      == 180L)
+    // MERGE INTO: key-replace + insert through pure SQL
+    Seq((5L, 1L, "A5"), (5L, 2L, "B5"), (500L, 1L, "new"))
+      .toDF("k", "ln", "v").createOrReplaceTempView("merge_src")
+    spark.sql("MERGE INTO gtest.db.t t USING merge_src s ON t.k = s.k " +
+      "AND t.ln = s.ln " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val merged = spark.sql(
+      "SELECT v FROM gtest.db.t WHERE k = 5 ORDER BY ln")
+      .as[String].collect().toSeq
+    assert(merged == Seq("A5", "B5"))
+    assert(spark.sql("SELECT v FROM gtest.db.t WHERE k = 500")
+      .as[String].head() == "new")
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t").as[Long].head()
+      == 181L)
+    // a general DELETE (non-key predicate) also rides the rewrite
+    spark.sql("DELETE FROM gtest.db.t WHERE v = 'upd'")
+    assert(spark.sql("SELECT count(*) FROM gtest.db.t").as[Long].head()
+      == 178L)
+    // the SQL surface and the library API drive ONE table
+    assert(graft.core.Snapshot.scan(spark, tablePath, "k", 0L, 999L)
+      .count() == 178L)
+    // DROP TABLE removes it
+    spark.sql("DROP TABLE gtest.db.t")
+    assert(spark.sql("SHOW TABLES IN gtest.db").count() == 0L)
+  }
+
+  test("snapshot replace is additive: old incarnation time-travels until vacuum reclaims it") {
+    import spark.implicits._
+    val path = tmpDir("snapreplace") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 100L).map(i => (i, s"old$i")).toDF("k", "v"), path, "k",
+      nFiles = 4)
+    graft.core.Snapshot.append(
+      (100L until 120L).map(i => (i, s"old$i")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    // REPLACE: lands as v3 (a fresh incarnation), not a reset-to-v1 —
+    // and with a DIFFERENT registration (secondary stat column added)
+    graft.core.Snapshot.write(
+      (0L until 10L).map(i => (i, i * 2, s"new$i")).toDF("k", "w", "v"),
+      path, "k", nFiles = 2, statCols2 = Seq("w"))
+    assert(graft.core.Snapshot.current(spark, path) == 3)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 10L)
+    // the NEW registration answers probes; the OLD incarnation's
+    // manifests still read below the replace (time travel)
+    assert(graft.core.Snapshot.scanBy(spark, path, "w", 4L, 8L)
+      .count() == 3L)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L,
+      version = Some(2)).count() == 120L)
+    // version 2 reads under the OLD schema (no w column)
+    assert(graft.core.Snapshot.schemaAt(spark, path, 2)
+      .fieldNames.toSeq == Seq("k", "v"))
+    // a crash "before the marker" (here: a failing replace) leaves the
+    // current incarnation fully intact — nothing was deleted up front
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.write(
+        Seq((Some(1L), "a"), (None: Option[Long], "b")).toDF("k", "v"),
+        path, "k", nFiles = 1)
+    }
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 10L)
+    // vacuum reclaims the replaced incarnation's files once its
+    // versions fall out of retention
+    val (expired, dropped) =
+      graft.core.Snapshot.vacuum(spark, path, keepVersions = 1)
+    assert(expired == 2 && dropped > 0)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 10L)
+    intercept[Exception] {
+      graft.core.Snapshot.manifest(spark, path, Some(2))
+    }
+    // the table keeps working: append onto the new incarnation
+    graft.core.Snapshot.append(
+      Seq((50L, 100L, "new50")).toDF("k", "w", "v"), path, "k", nFiles = 1)
+    assert(graft.core.Snapshot.current(spark, path) == 4)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 11L)
+  }
+
+  test("commit store seam: conditional-CAS arbiter decides races; a non-atomic store loses loudly") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    // 1) the InMemoryCas arbiter (the external-CAS object-store posture):
+    //    registered for the table, racing appends still serialize onto
+    //    dense versions with both deltas present
+    val path = tmpDir("snapcas") + "/s"
+    graft.core.Snapshot.setCommitStore(path,
+      new graft.core.CommitStore.InMemoryCas)
+    try {
+      graft.core.Snapshot.write(
+        (0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+        nFiles = 1)
+      val t1 = new Thread(() => graft.core.Snapshot.append(
+        (10L until 20L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+        nFiles = 1))
+      val t2 = new Thread(() => graft.core.Snapshot.append(
+        (20L until 30L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+        nFiles = 1))
+      t1.start(); t2.start(); t1.join(); t2.join()
+      val hist = graft.core.Snapshot.history(spark, path)
+      assert(hist.map(_._1) == Seq(1, 2, 3) && hist.last._3 == 30L)
+    } finally graft.core.Snapshot.clearCommitStore(path)
+
+    // 2) the raw arbiter race, driven straight at the seam (the commit
+    //    loop's same-JVM lock would otherwise serialize threads before
+    //    the store): exactly one of two simultaneous claims wins
+    val path2 = tmpDir("snapcas2") + "/s"
+    new java.io.File(path2).mkdirs()
+    graft.core.Snapshot.setCommitStore(path2,
+      new graft.core.CommitStore.InMemoryCas)
+    try {
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val ts = Seq("A", "B").map(who => new Thread(() => {
+        gate.await()
+        results.add(graft.core.Snapshot.tryCommitMarker(
+          spark, path2, 1, s"manifest=_staged/m.v1.$who.tsv\nincv=1\n"))
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(results.size == 2 && results.asScala.count(identity) == 1)
+    } finally graft.core.Snapshot.clearCommitStore(path2)
+
+    // 3) a deliberately NON-ATOMIC store (exists-then-create, the S3A
+    //    shape): both racers' creates go through, but the read-back
+    //    tripwire makes the stomped writer LOSE LOUDLY (false -> rebase/
+    //    abort upstream) instead of silently dropping a commit
+    val path3 = tmpDir("snapcas3") + "/s"
+    new java.io.File(path3).mkdirs()
+    val both = new java.util.concurrent.CyclicBarrier(2)
+    val writeLock = new Object
+    val nonAtomic = new graft.core.CommitStore {
+      override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path,
+                               payload: Array[Byte]): Boolean = {
+        if (fs.exists(p)) return false
+        both.await() // both racers pass the exists check...
+        writeLock.synchronized { // (writes serialized: local FS would
+          val out = fs.create(p, true) // corrupt its .crc sidecar on a
+          try out.write(payload) finally out.close() // byte-interleaved
+        } // stomp; a real object store just takes last-write-wins)
+        both.await() // neither verifies until both writes landed
+        true
+      }
+    }
+    graft.core.Snapshot.setCommitStore(path3, nonAtomic)
+    try {
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val ts = Seq("A", "B").map(who => new Thread(() => {
+        results.add(graft.core.Snapshot.tryCommitMarker(
+          spark, path3, 1, s"manifest=_staged/m.v1.$who.tsv\nincv=1\n"))
+      }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      // last write won the content; the OTHER claim must come back false
+      assert(results.size == 2 && results.asScala.count(identity) == 1)
+    } finally graft.core.Snapshot.clearCommitStore(path3)
+  }
+
+  test("deletion vectors: point delete is metadata-only, reads mask, compact purges") {
+    import spark.implicits._
+    val path = tmpDir("snapdv") + "/s"
+    val df = (0L until 1000L).map(i => (i, s"u$i", s"v$i"))
+      .toDF("k", "uid", "v")
+    graft.core.Snapshot.write(df, path, "k", nFiles = 10,
+      bloomCol = Some("uid"))
+    val before = graft.core.Snapshot.manifest(spark, path)
+    graft.core.Snapshot.deleteVectors(spark, path, "k", 300L, 309L)
+    val after = graft.core.Snapshot.manifest(spark, path)
+    // ZERO data files rewritten: the manifest rows are identical
+    assert(after == before)
+    // every library read masks: range scan, point lookup, count
+    val got = graft.core.Snapshot.scan(spark, path, "k", 290L, 319L)
+      .orderBy("k").select("k").as[Long].collect().toSeq
+    assert(got == ((290L to 299L) ++ (310L to 319L)))
+    assert(graft.core.Snapshot.lookupEq(spark, path, "u305").count() == 0L)
+    assert(graft.core.Snapshot.lookupEq(spark, path, "u299")
+      .count() == 1L)
+    // metadata count: full-inside files subtract their mask, straddling
+    // files scan through it
+    assert(graft.core.Snapshot.countRange(spark, path, "k", 0L, 9999L)
+      .as[Long].head() == 990L)
+    assert(graft.core.Snapshot.countRange(spark, path, "k", 250L, 349L)
+      .as[Long].head() == 90L)
+    // history reports LIVE rows
+    assert(graft.core.Snapshot.history(spark, path).last._3 == 990L)
+    // time travel below the DV commit still sees the rows
+    assert(graft.core.Snapshot.scan(spark, path, "k", 300L, 309L,
+      version = Some(1)).count() == 10L)
+    // a second DV delete unions per-file masks
+    graft.core.Snapshot.deleteVectors(spark, path, "k", 305L, 314L)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 290L, 329L)
+      .count() == 25L)
+    // the DSv2 reader refuses the masked table loudly (reader-version
+    // gate) rather than leaking deleted rows
+    val err = intercept[Exception] {
+      spark.read.format("graft-snapshot").load(path).count()
+    }
+    assert(err.getMessage.contains("deletion vectors"))
+    // copy-on-write ops read THROUGH the mask; compact purges it
+    graft.core.Snapshot.compact(spark, path, "k", nFiles = 4)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 9999L)
+      .count() == 985L)
+    assert(spark.read.format("graft-snapshot").load(path).count() == 985L)
+    // ...and the bloom sidecar rebuilt without the masked rows' files
+    assert(graft.core.Snapshot.lookupEq(spark, path, "u307").count() == 0L)
+    assert(graft.core.Snapshot.lookupEq(spark, path, "u999").count() == 1L)
+  }
+
+  test("typed CDF: insert/delete/update pairs across append, delete, DV and merge commits; compact emits nothing") {
+    import spark.implicits._
+    val path = tmpDir("snapcdf") + "/s"
+    // v1: keys 0..99, two rows per key
+    graft.core.Snapshot.write(
+      (0L until 100L).flatMap(k => Seq((k, 1L, s"a$k"), (k, 2L, s"b$k")))
+        .toDF("k", "ln", "v"), path, "k", nFiles = 10)
+    // v2: append keys 100..109
+    graft.core.Snapshot.append(
+      (100L until 110L).map(k => (k, 1L, s"a$k")).toDF("k", "ln", "v"),
+      path, "k", nFiles = 1)
+    // v3: copy-on-write delete of keys 10..14
+    graft.core.Snapshot.delete(spark, path, "k", 10L, 14L)
+    // v4: merge — replace keys 20..24 (new values), insert key 500
+    graft.core.Snapshot.merge(
+      ((20L until 25L).flatMap(k => Seq((k, 1L, s"A$k"), (k, 2L, s"B$k")))
+        :+ ((500L, 1L, "new"))).toDF("k", "ln", "v"), path, "k", nFiles = 1)
+    // v5: DV delete of key 30
+    graft.core.Snapshot.deleteVectors(spark, path, "k", 30L, 30L)
+    // v6: compact — a pure rewrite must emit NOTHING
+    graft.core.Snapshot.compact(spark, path, "k", nFiles = 4)
+    val cdf = graft.core.Snapshot.changesTyped(spark, path, 1, 6)
+      .orderBy("_commit_version", "_change_type", "k", "ln")
+      .as[(Long, Long, String, String, Int)].collect().toSeq
+    val expected = (
+      (100L until 110L).map(k => (k, 1L, s"a$k", "insert", 2)) ++
+      (10L until 15L).flatMap(k =>
+        Seq((k, 1L, s"a$k", "delete", 3), (k, 2L, s"b$k", "delete", 3))) ++
+      Seq((500L, 1L, "new", "insert", 4)) ++
+      (20L until 25L).flatMap(k => Seq(
+        (k, 1L, s"a$k", "update_preimage", 4),
+        (k, 2L, s"b$k", "update_preimage", 4))) ++
+      (20L until 25L).flatMap(k => Seq(
+        (k, 1L, s"A$k", "update_postimage", 4),
+        (k, 2L, s"B$k", "update_postimage", 4))) ++
+      Seq((30L, 1L, "a30", "delete", 5), (30L, 2L, "b30", "delete", 5))
+    ).sortBy(r => (r._5, r._4, r._1, r._2))
+    assert(cdf == expected)
+    // a window over only the compact step is empty
+    assert(graft.core.Snapshot.changesTyped(spark, path, 5, 6).count() == 0L)
+    // schema evolution inside the window null-fills earlier steps
+    graft.core.Snapshot.append(
+      Seq((600L, 1L, "x", 9L)).toDF("k", "ln", "v", "extra"), path, "k",
+      nFiles = 1)
+    val evolved = graft.core.Snapshot.changesTyped(spark, path, 3, 7)
+    assert(evolved.schema.fieldNames.toSeq ==
+      Seq("k", "ln", "v", "extra", "_change_type", "_commit_version"))
+    assert(evolved.where($"_commit_version" === 7).count() == 1L)
   }
 }

@@ -2552,6 +2552,46 @@ class LlmSpec extends SparkSpec {
       (12L, "http://h12.com/", "third")))
   }
 
+  test("warc streaming walk: a multi-hundred-MB archive reads in O(record) memory") {
+    import graft.etl.Sources
+    // Synthesize one ~384 MB-inflated archive (6000 records x 64 KB),
+    // one gzip member per record (the Common Crawl layout), WITHOUT ever
+    // holding the archive in memory — and read it back the same way.
+    // The old materialize-then-parse reader allocated inflated-size*4
+    // buffers per task; the streaming walk's peak is one 64 KB record.
+    val dir = java.nio.file.Files.createTempDirectory("warcbig").toFile
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "part-0.txt.gz")),
+      1 << 16)
+    val unit = "abcdefghijklmnopqrstuvwxyz0123456789\n"
+    val body = unit * (65536 / unit.length)
+    val bodyBytes = body.getBytes("UTF-8")
+    var checksum = 0L
+    (0 until 6000).foreach { i =>
+      val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$i>\r\n" +
+        s"WARC-Target-URI: http://h$i.example/\r\n" +
+        s"Content-Length: ${bodyBytes.length}\r\n\r\n").getBytes("UTF-8")
+      val gz = new java.util.zip.GZIPOutputStream(out, 1 << 14)
+      gz.write(head); gz.write(bodyBytes)
+      gz.write("\r\n\r\n".getBytes("UTF-8"))
+      gz.finish() // one member per record; stream stays open
+      checksum += i
+    }
+    out.close()
+    val got = Sources.readWarc(spark, dir.getAbsolutePath)
+      .select(org.apache.spark.sql.functions.count("*"),
+        org.apache.spark.sql.functions.sum("doc_id"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length($"text")))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((6000L, checksum, 6000L * body.length)))
+    // spot-check one record end-to-end
+    val one = Sources.readWarc(spark, dir.getAbsolutePath)
+      .where($"doc_id" === 4321L).as[(Long, String, String)].head()
+    assert(one._2 == "http://h4321.example/" && one._3 == body)
+  }
+
   test("robots: star-group parse, longest match with allow ties, tolerant reader") {
     import graft.llm.Robots
     val robots = Seq("User-agent: bot", "Disallow: /", "",
