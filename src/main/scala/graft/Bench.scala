@@ -119,11 +119,19 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => Console.err.println(s"[bench] write $outPath failed: $e") }
     // Also persist the FULL per-query map into the repo (driver-captured
-    // BENCH tails truncate at 2000 chars, losing ~30 queries + the total):
-    // BENCH_full.json is committed per round so round-over-round
-    // comparison always covers the whole query surface.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+    // BENCH tails truncate at 2000 chars, losing ~30 queries + the total).
+    // TWO names, so the committed quiet-box reference never shows up
+    // dirty after a loaded-host driver run (a recurring audit cost):
+    //   - BENCH_full.json — the COMMITTED reference; written only when
+    //     SPARK_GRAFT_COMMIT_DUMP=1 (the round-close quiet-box protocol);
+    //   - BENCH_driver_latest.json — every other run (the driver's
+    //     per-round bench lands here; gitignored).
+    val repoDump =
+      if (sys.env.get("SPARK_GRAFT_COMMIT_DUMP").contains("1"))
+        "BENCH_full.json"
+      else "BENCH_driver_latest.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(repoDump),
       (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => Console.err.println(s"[bench] write BENCH_full.json failed: $e") }
+    catch { case e: Throwable => Console.err.println(s"[bench] write $repoDump failed: $e") }
   }
 }

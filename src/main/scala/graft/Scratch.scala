@@ -16,19 +16,19 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
 
   /** The steady top by committed bench cost (BENCH_full.json), the
-    * scaling watch-list — rotated round 13: the standing watch items
-    * stay (containment at 2.5×/decade, scan_warc volume-bound by the
-    * container's contract, plus the ≥2×/decade text tail); the round's
-    * new families enter so their growth is probed from day one — the
-    * gz WARC container (inflate is pure volume), the table-format
-    * upsert/count/bloom/evolution commits, the multi-column zone-map
-    * probe, and the re-paired anchor extraction. */
+    * scaling watch-list — rotated round 14: the standing watch items
+    * stay (containment re-probed per the round-13 verdict — it trended
+    * 2.5×→3.5×/decade; the WARC pair now exercises the STREAMING record
+    * walk), and the round's new families enter so their growth is probed
+    * from day one — the deletion-vector masked scan and the typed-CDF
+    * key-diff replay. */
   val ScaleQueries: Seq[String] = Seq(
     "dedup_containment", "scan_warc",
     "scan_warc_gz", "anchor_terms",
     "snapshot_merge", "snapshot_count", "snapshot_lookup",
+    "snapshot_dv_delete", "snapshot_cdf_typed",
     "snapshot_evolve", "snapshot_scan_multi",
-    "tfidf_top_terms", "dedup_winnow", "dedup_cdc", "dedup_phash",
+    "tfidf_top_terms", "dedup_winnow",
     "html_links", "link_pagerank", "snapshot_scan")
 
   def main(args: Array[String]): Unit = {
@@ -132,6 +132,25 @@ object Scratch {
         Console.err.println(s"[scratch] SUPER-LINEAR growth: ${superLinear.mkString(", ")}")
         sys.exit(1)
       }
+    } else if (args.headOption.contains("spread")) {
+      // ---- timing-spread probe (host-noise attribution) ----
+      // `runMain graft.Scratch spread <query> [reps]`: one warmup, then
+      // `reps` timed runs of the SAME query with min/median/max — the
+      // tool for deciding whether a bench outlier is the PLAN (spread
+      // tight, level high) or the HOST (spread wide around a low min).
+      val q = args(1)
+      val reps = args.lift(2).map(_.toInt).getOrElse(7)
+      runOnce(q, sfDir)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        runOnce(q, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val sorted = ts.sorted
+      println(f"[scratch] spread $q%s reps=$reps min=${sorted.head}%.3f s " +
+        f"med=${sorted(reps / 2)}%.3f s max=${sorted.last}%.3f s " +
+        s"all=[${ts.map(t => f"$t%.2f").mkString(", ")}]")
+      spark.stop()
     } else {
       val list = if (args.nonEmpty) args.toSeq else Seq("lm_score", "lm_score_tri")
       for (q <- list) time(q) { runOnce(q, sfDir) }

@@ -494,6 +494,89 @@ object SparkEntry {
       path
     })
 
+  // SQL-catalog front door: register the graft TableCatalog once per
+  // (session, dir) and build the tables each SQL gate mutates — catalog
+  // name keyed by the data dir so one session can serve several SFs.
+  private def sqlCatalogFor(s: SparkSession, d: String): String = {
+    val cat = "graftsql_" + Integer.toHexString(d.hashCode)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.SnapshotCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      scratchDir(s, "sqlwh", d))
+    cat
+  }
+  private def sqlTablePath(s: SparkSession, d: String, name: String): String =
+    scratchDir(s, "sqlwh", d) + "/" + name
+
+  // CREATE TABLE + INSERT INTO through pure SQL: the whole write path —
+  // DDL registration, DSv2 append with Spark-planned clustering and
+  // inline writer stats — driven by two SQL statements.
+  private val sqlTablesIns =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def sqlTableInsert(s: SparkSession, d: String): String =
+    sqlTablesIns.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val cat = sqlCatalogFor(s, d)
+      t(s, d, "lineitem").createOrReplaceTempView("graft_sql_lineitem")
+      s.sql(s"CREATE TABLE $cat.ins (l_orderkey BIGINT, " +
+        "l_linenumber BIGINT, l_partkey BIGINT, qty BIGINT) " +
+        "TBLPROPERTIES ('statcol' = 'l_orderkey')")
+      s.sql(s"INSERT INTO $cat.ins SELECT l_orderkey, l_linenumber, " +
+        "l_partkey, CAST(l_quantity AS BIGINT) FROM graft_sql_lineitem")
+      cat
+    })
+
+  // MERGE INTO through pure SQL: the same key-replace upsert as the
+  // library merge gate (shifted-quantity updates + shifted-key inserts),
+  // resolved by Spark's group-based row-level-operation plan onto the
+  // connector's copy-on-write rewrite.
+  private val sqlTablesMerge =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def sqlTableMerge(s: SparkSession, d: String): String =
+    sqlTablesMerge.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val cat = sqlCatalogFor(s, d)
+      val li = t(s, d, "lineitem")
+      graft.core.Snapshot.write(li, sqlTablePath(s, d, "m"),
+        "l_orderkey", nFiles = 16)
+      li.where(col("l_orderkey").between(300, 349))
+        .withColumn("l_quantity", col("l_quantity") + 1000)
+        .unionByName(li.where(col("l_orderkey").between(100, 109))
+          .withColumn("l_orderkey", col("l_orderkey") + 1000000))
+        .createOrReplaceTempView("graft_sql_merge_src")
+      s.sql(s"MERGE INTO $cat.m t USING graft_sql_merge_src s " +
+        "ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber " +
+        "AND t.l_partkey = s.l_partkey AND t.l_suppkey = s.l_suppkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      cat
+    })
+
+  // DELETE FROM through pure SQL with a cluster-key range: Spark's
+  // metadata-delete rule hands the predicate to the connector, which
+  // folds it to one band and runs the O(overlap) copy-on-write delete.
+  private val sqlTablesDel =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def sqlTableDelete(s: SparkSession, d: String): String =
+    sqlTablesDel.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val cat = sqlCatalogFor(s, d)
+      graft.core.Snapshot.write(t(s, d, "lineitem"),
+        sqlTablePath(s, d, "del"), "l_orderkey", nFiles = 16)
+      s.sql(s"DELETE FROM $cat.del WHERE l_orderkey BETWEEN 300 AND 349")
+      cat
+    })
+
+  // UPDATE through pure SQL (non-key predicate contribution included):
+  // the group-based rewrite — matched rows transformed, everything else
+  // copied — landing through the connector's inline-stats writers.
+  private val sqlTablesUpd =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def sqlTableUpdate(s: SparkSession, d: String): String =
+    sqlTablesUpd.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val cat = sqlCatalogFor(s, d)
+      graft.core.Snapshot.write(t(s, d, "lineitem"),
+        sqlTablePath(s, d, "upd"), "l_orderkey", nFiles = 16)
+      s.sql(s"UPDATE $cat.upd SET l_quantity = l_quantity + 1000 " +
+        "WHERE l_orderkey BETWEEN 300 AND 349")
+      cat
+    })
+
   // Snapshot with a PER-FILE BLOOM sidecar for the point-lookup gate:
   // documents clustered on n_chars (so the zone map is USELESS for a
   // uid probe — only the bloom can prune) with the bloom registered on
@@ -816,6 +899,56 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // PURE-SQL catalog read: CREATE TABLE + INSERT INTO built the table,
+    // and this SELECT's WHERE prunes through the same manifest tier —
+    // zero library API anywhere in the lifecycle.
+    "snapshot_sql_insert" -> ((s, d) => {
+      val cat = sqlTableInsert(s, d)
+      s.sql(s"SELECT l_orderkey, l_linenumber, l_partkey, qty FROM " +
+        s"$cat.ins WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY 1, 2, 3")
+    }),
+
+    // PURE-SQL MERGE INTO under the gate: the same key-replace upsert as
+    // snapshot_merge, driven by one MERGE statement through the catalog;
+    // the full scan must equal the oracle's three-branch union.
+    "snapshot_sql_merge" -> ((s, d) => {
+      val cat = sqlTableMerge(s, d)
+      s.sql(s"SELECT l_orderkey, l_linenumber, l_partkey, " +
+        s"CAST(l_quantity AS BIGINT) AS qty FROM $cat.m " +
+        "ORDER BY 1, 2, 3")
+    }),
+
+    // PURE-SQL DELETE FROM under the gate: the cluster-key range took
+    // the connector's METADATA path (Snapshot.delete — O(overlap));
+    // the probe must equal the plain filter minus the band.
+    "snapshot_sql_delete" -> ((s, d) => {
+      val cat = sqlTableDelete(s, d)
+      s.sql(s"SELECT l_orderkey, l_linenumber, l_partkey, " +
+        s"CAST(l_quantity AS BIGINT) AS qty FROM $cat.del " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 ORDER BY 1, 2, 3")
+    }),
+
+    // PURE-SQL UPDATE under the gate: the group-based copy-on-write
+    // rewrite; matched rows carry the shifted quantity, everything else
+    // is byte-identical — the oracle states it as a two-branch union.
+    "snapshot_sql_update" -> ((s, d) => {
+      val cat = sqlTableUpdate(s, d)
+      s.sql(s"SELECT l_orderkey, l_linenumber, l_partkey, " +
+        s"CAST(l_quantity AS BIGINT) AS qty FROM $cat.upd " +
+        "ORDER BY 1, 2, 3")
+    }),
+
+    // PURE-SQL TIME TRAVEL: VERSION AS OF 1 of the deleted table reads
+    // the pre-delete state through the catalog.
+    "snapshot_sql_time_travel" -> ((s, d) => {
+      val cat = sqlTableDelete(s, d)
+      s.sql(s"SELECT l_orderkey, l_linenumber, l_partkey, " +
+        s"CAST(l_quantity AS BIGINT) AS qty FROM $cat.del " +
+        "VERSION AS OF 1 " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 ORDER BY 1, 2, 3")
+    }),
 
     // MERGE-ON-READ DELETE under the gate (deletion vectors): the same
     // range removed as snapshot_delete, but as a pure METADATA commit —
@@ -4542,6 +4675,56 @@ object SparkEntry {
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 " +
         "AND l_orderkey NOT BETWEEN 300 AND 349 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // pure-SQL CREATE+INSERT: the plain filter over the inserted rows
+    // (the DDL declared every key column BIGINT, so the oracle casts)
+    "snapshot_sql_insert" ->
+      ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+        "l_partkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // pure-SQL MERGE INTO: the same three-branch union as the library
+    // merge gate — matched rows shifted, new keys inserted, rest intact
+    "snapshot_sql_merge" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey NOT BETWEEN 300 AND 349 " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity + 1000 AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 300 AND 349 " +
+        "UNION ALL " +
+        "SELECT l_orderkey + 1000000, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 100 AND 109 " +
+        "ORDER BY 1, 2, 3"),
+
+    // pure-SQL DELETE FROM: the filter minus the deleted band
+    "snapshot_sql_delete" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "AND l_orderkey NOT BETWEEN 300 AND 349 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // pure-SQL UPDATE: the two-branch union (shifted band + the rest)
+    "snapshot_sql_update" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey NOT BETWEEN 300 AND 349 " +
+        "UNION ALL " +
+        "SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity + 1000 AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 300 AND 349 " +
+        "ORDER BY 1, 2, 3"),
+
+    // pure-SQL time travel below the delete: the untouched plain filter
+    "snapshot_sql_time_travel" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
 
     // deletion-vector delete: the same relation as the copy-on-write

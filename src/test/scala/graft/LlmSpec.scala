@@ -525,6 +525,57 @@ class LlmSpec extends SparkSpec {
     assert(viaDisk == nsw)
   }
 
+  test("HNSW layered ANN: descent matches-or-beats flat NSW at equal layer-0 budget, deterministic, save/load") {
+    import graft.llm.{Hnsw, Nsw}
+    // the planted 4-cluster geometry again, bigger so the geometric
+    // layer law yields a real stack (m=4 → ~1/4 of ids per layer up)
+    val vecs = for (c <- 0 until 4; i <- 0 until 50) yield {
+      val id = c * 50 + i
+      val v = Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13))
+      v(2 * c) = 1.0f; v(2 * c + 1) = 0.8f
+      (id.toLong, v.toSeq)
+    }
+    val embs = vecs.toDF("vec_id", "embedding")
+    val idx = Hnsw.build(embs, kClusters = 4, degree = 5, m = 4)
+    // a real hierarchy: >= 2 layers, geometrically shrinking, degree
+    // bound respected on every layer
+    assert(idx.layers.size >= 2, s"only ${idx.layers.size} layer(s)")
+    val sizes = idx.layers.map(_.select("src").distinct().count())
+    assert(sizes.head == sizes.max, s"layer sizes not decreasing: $sizes")
+    idx.layers.foreach { e =>
+      val maxDeg = e.groupBy("src").count().agg(max(col("count")))
+        .as[Long].head()
+      assert(maxDeg <= 10L, s"degree bound violated: $maxDeg")
+    }
+    val q = embs.where(col("vec_id") === 10)
+      .select(col("embedding").as("qvec"))
+    val brute = graft.llm.Similarity.topK(embs, q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val hnsw = Hnsw.topK(idx, q, k = 10, nprobe = 2, ef = 16, rounds = 2)
+      .as[(Long, Double)].collect().toSeq
+    // flat NSW at the SAME layer-0 probe budget (ef, rounds): the
+    // descent's positioning must not lose recall
+    val flat = Nsw.build(embs, kClusters = 4, degree = 5)
+    val nsw = Nsw.topK(flat, q, k = 10, nprobe = 2, ef = 16, rounds = 2)
+      .as[(Long, Double)].collect().toSeq
+    val hnswRecall = hnsw.map(_._1).toSet.intersect(brute).size
+    val nswRecall = nsw.map(_._1).toSet.intersect(brute).size
+    assert(hnsw.head._1 == 10L && hnsw.head._2 == 1.0)
+    assert(hnswRecall >= 7, s"hnsw recall@10 = $hnswRecall")
+    assert(hnswRecall >= nswRecall,
+      s"hnsw $hnswRecall < nsw $nswRecall at equal layer-0 budget")
+    // deterministic replay
+    val again = Hnsw.topK(idx, q, k = 10, nprobe = 2, ef = 16, rounds = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(again == hnsw)
+    // save/load probes from storage with the same answer
+    val dir = tmpDir("hnswidx")
+    idx.save(dir)
+    val viaDisk = Hnsw.topK(Hnsw.load(spark, dir), q, k = 10, nprobe = 2,
+      ef = 16, rounds = 2).as[(Long, Double)].collect().toSeq
+    assert(viaDisk == hnsw)
+  }
+
   test("prebuilt IVF index is reused: probe plan has no k-means pass") {
     val vecs = (0 until 100).map { id =>
       (id.toLong, Array.tabulate(8)(d => 0.01f * ((id * 7 + d) % 13)).toSeq)
