@@ -577,6 +577,21 @@ object SparkEntry {
       cat
     })
 
+  // Versioned snapshot for the RESTORE gate: full lineitem (v1), a
+  // copy-on-write delete (v2), then RESTORE to v1 (v3) — a pure
+  // metadata rollback that must read as if the delete never happened.
+  private val snapshotsRestore =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def lineitemSnapshotRestore(s: SparkSession, d: String): String =
+    snapshotsRestore.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val path = scratchDir(s, "snapshot_restore", d)
+      graft.core.Snapshot.write(t(s, d, "lineitem"), path,
+        "l_orderkey", nFiles = 16)
+      graft.core.Snapshot.delete(s, path, "l_orderkey", 300L, 349L)
+      graft.core.Snapshot.restore(s, path, 1)
+      path
+    })
+
   // Snapshot with a PER-FILE BLOOM sidecar for the point-lookup gate:
   // documents clustered on n_chars (so the zone map is USELESS for a
   // uid probe — only the bloom can prune) with the bloom registered on
@@ -949,6 +964,36 @@ object SparkEntry {
         "VERSION AS OF 1 " +
         "WHERE l_orderkey BETWEEN 200 AND 399 ORDER BY 1, 2, 3")
     }),
+
+    // RESTORE under the gate: the table rolled BACK to its pre-delete
+    // version as a new commit (pure metadata — nothing moved); the probe
+    // must equal the untouched plain filter, delete and all erased.
+    "snapshot_restore" -> ((s, d) =>
+      graft.core.Snapshot.scan(s, lineitemSnapshotRestore(s, d),
+          "l_orderkey", 200L, 399L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // INCREMENTAL DSv2 READ under the gate: startingVersion turns the
+    // plain spark.read into a change-data-feed consumption — only the
+    // files the window added participate; must equal the appended half.
+    "snapshot_dsv2_changes" -> ((s, d) =>
+      s.read.format("graft-snapshot").option("startingVersion", 1)
+        .load(lineitemSnapshotIncr(s, d))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // AGGREGATE PUSHDOWN under the gate: COUNT/MIN/MAX over the DSv2
+    // read answered ENTIRELY from the manifest through Spark's complete
+    // aggregate-pushdown contract — zero data files read; must equal
+    // the oracle's plain aggregates.
+    "snapshot_dsv2_agg" -> ((s, d) =>
+      s.read.format("graft-snapshot").load(lineitemSnapshot(s, d))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))),
 
     // MERGE-ON-READ DELETE under the gate (deletion vectors): the same
     // range removed as snapshot_delete, but as a pure METADATA commit —
@@ -4726,6 +4771,26 @@ object SparkEntry {
         "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // restore: the delete rolled back — the untouched plain filter
+    "snapshot_restore" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // DSv2 incremental read: the appended increment is the odd half
+    "snapshot_dsv2_changes" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey % 2 = 1 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // DSv2 aggregate pushdown: the plain whole-table aggregates
+    "snapshot_dsv2_agg" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS cnt, " +
+        "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok " +
+        "FROM lineitem"),
 
     // deletion-vector delete: the same relation as the copy-on-write
     // delete — masking must be invisible in the result

@@ -306,6 +306,11 @@ object Snapshot {
       writerId: Option[String] = None, // streaming sink identity (txn map)
       bloom: Seq[(String, String)] = Nil, // (file, base64 bitmap) delta
       dvDelta: Map[String, Array[Long]] = Map.empty, // new masked ordinals
+      // sidecar carry-over: normal commits inherit the HEAD's entries
+      // for surviving files; a RESTORE supplies the target version's
+      // sidecars verbatim instead (carrying the head's would re-apply
+      // masks the restore is meant to undo)
+      carrySidecars: Boolean = true,
       // replace commits carry the fresh incarnation's registration:
       replaceMeta: Option[(StructType, (String, Seq[String]),
         Option[(String, Int, Int)])] = None)
@@ -386,7 +391,7 @@ object Snapshot {
             // carry the head's entries for every surviving file + the
             // delta's fresh entries — uniform across commit kinds
             val entries =
-              if (c.kind == ReplaceK) c.bloom
+              if (c.kind == ReplaceK || !c.carrySidecars) c.bloom
               else {
                 val live = rows.map(_.file).toSet
                 bloomOf(spark, path, head)
@@ -403,6 +408,7 @@ object Snapshot {
         // copy-on-write read already applied them
         val dvMap: Map[String, Array[Long]] =
           if (c.kind == ReplaceK) Map.empty
+          else if (!c.carrySidecars) c.dvDelta
           else {
             val live = rows.map(_.file).toSet
             val carried = dvOf(spark, path, head).filter(kv => live(kv._1))
@@ -993,6 +999,39 @@ object Snapshot {
       writerId = Some(writerId))
   }
 
+  /** RESTORE the table to an earlier version (Delta's RESTORE): commit a
+    * NEW version whose manifest — and deletion-vector/bloom sidecars —
+    * are the target version's, verbatim. Pure metadata (data files are
+    * immutable; nothing moves or rewrites), the history stays linear
+    * (the rolled-back versions remain readable below), and the restore
+    * itself is undoable by another restore. The target must be in the
+    * CURRENT incarnation (restoring across a replace would resurrect a
+    * different registration — recreate instead) and still retained by
+    * vacuum, and the schema must not have evolved past the target
+    * (append-only evolution has no downgrade). Non-additive: a
+    * concurrent commit aborts it cleanly.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Int): Unit = {
+    val base = currentVersion(spark, path)
+    require(toVersion >= 1 && toVersion <= base,
+      s"cannot restore $path to v$toVersion (current: v$base)")
+    val baseMarker = markerOf(spark, path, base)
+    require(toVersion >= baseMarker.incv,
+      s"v$toVersion is below this incarnation's start " +
+        s"(v${baseMarker.incv}); a replace cannot be restored across")
+    require(schemaAt(spark, path, toVersion).json ==
+        schemaAt(spark, path, base).json,
+      s"schema evolved between v$toVersion and v$base; append-only " +
+        "evolution has no downgrade — restore to a version at or above " +
+        "the last evolution")
+    commitLoop(spark, path,
+      Commit(manifest(spark, path, Some(toVersion)), RewriteK,
+        basedOn = base,
+        bloom = bloomOf(spark, path, toVersion).toSeq,
+        dvDelta = dvOf(spark, path, toVersion),
+        carrySidecars = false))
+  }
+
   /** Small-file COMPACTION: fold the current version's live files into
     * `nFiles` fresh range-clustered files as a new version — same rows,
     * fewer/larger files. This is the maintenance job that keeps the
@@ -1336,6 +1375,25 @@ object Snapshot {
                                            basedOn: Int): Int =
     commitLoop(spark, path,
       Commit(delta, RewriteK, basedOn = basedOn, bloom = bloom))
+
+  /** The NATIVE streaming-sink commit (`writeStream.format(...)`): one
+    * micro-batch's externally-written files land as one additive
+    * version, with the txn-map replay check keyed on the stream's query
+    * id — a crash-redelivered epoch is a no-op, same contract as
+    * [[appendBatch]].
+    */
+  private[graft] def commitExternalBatch(spark: SparkSession, path: String,
+                                         delta: Seq[FileStat],
+                                         bloom: Seq[(String, String)],
+                                         batchId: Long,
+                                         writerId: String): Unit = {
+    val head = currentVersion(spark, path)
+    if (markerOf(spark, path, head).txn.get(writerId).exists(_ >= batchId))
+      return // replay of an already-committed epoch
+    commitLoop(spark, path,
+      Commit(delta, Additive, basedOn = head, batchId = Some(batchId),
+        writerId = Some(writerId), bloom = bloom))
+  }
 
   private[graft] def bloomConfExternal(spark: SparkSession, path: String)
       : Option[(String, Int, Int)] =

@@ -84,13 +84,16 @@ private[sources] class SnapshotTable(path: String, version: Int,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(path, version, tableSchema)
+    new SnapshotScanBuilder(path, version, tableSchema,
+      Option(options.get("startingVersion")).map(_.trim.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new SnapshotWriteBuilder(path, info.schema(), info.options())
+    new SnapshotWriteBuilder(path, info.schema(), info.options(),
+      info.queryId())
 
   // ---- DELETE FROM: the metadata path ------------------------------------
   // A predicate that folds to a single [lo, hi] conjunction on the
@@ -217,11 +220,17 @@ private[sources] class SnapshotRowLevelOperation(
 /** Turns Catalyst's pushed-down conjunction into manifest pruning.
   * Only filters over REGISTERED columns participate (anything else
   * stays residual-only); bounds on one column intersect.
+  * `startingVersion` (the read option) turns the scan into an
+  * INCREMENTAL read: only files ADDED in `(startingVersion, version]`
+  * participate — the change-data-feed consumption through the plain
+  * DSv2 front door, composing with zone-map/bloom pruning.
   */
 private[sources] class SnapshotScanBuilder(path: String, version: Int,
-                                           tableSchema: StructType)
+                                           tableSchema: StructType,
+                                           startingVersion: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val spark = SparkSession.active
   private val (primary, secondaries) =
@@ -231,6 +240,91 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
 
   private var required: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
+  private var aggPushed: Option[(StructType, Seq[Any])] = None
+
+  // ---- aggregate pushdown: COUNT/MIN/MAX answered from the MANIFEST ----
+  // Spark only attempts this when every filter was consumed (none are —
+  // we keep all residual), so an accepted aggregation is WHOLE-TABLE:
+  // count(*) = manifest row totals, min/max of a registered stat column
+  // = the extremes of its per-file bands (nulls excluded on both sides —
+  // SQL MIN/MAX ignore nulls and secondary bands span non-null values).
+  // The scan then produces ONE pre-aggregated row and reads NO data —
+  // `SELECT count(*) FROM t` through any SQL front end is a pure
+  // metadata answer, the Iceberg/Delta stats-count through Spark's own
+  // pushdown contract. Refused whenever it cannot be exact: group-bys,
+  // unsupported functions, unregistered columns, deletion-vector masks
+  // (count could subtract them, but a masked row may hold the min),
+  // or an incremental-read window.
+  private def aggAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions().nonEmpty || accepted.nonEmpty ||
+        startingVersion.isDefined ||
+        Snapshot.hasDeletionVectors(spark, path, version))
+      return None
+    val m = Snapshot.manifest(spark, path, Some(version))
+    def bandOf(name: String): Option[(Option[Long], Option[Long])] =
+      if (name == primary)
+        Some((m.map(_.min).minOption, m.map(_.max).maxOption))
+      else {
+        val i = secondaries.indexOf(name)
+        if (i < 0) None
+        else Some((m.flatMap(_.extra.lift(i).flatten.map(_._1)).minOption,
+          m.flatMap(_.extra.lift(i).flatten.map(_._2)).maxOption))
+      }
+    def typed(name: String, v: Option[Long]): Option[Any] =
+      tableSchema.fields.find(_.name == name).map(_.dataType match {
+        case org.apache.spark.sql.types.IntegerType =>
+          v.map(_.toInt).orNull
+        case org.apache.spark.sql.types.LongType =>
+          v.map(Long.box).orNull
+        case _ => return None // non-integral stat columns never registered
+      })
+    val cols = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.types.StructField]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions().foreach {
+      case _: CountStar =>
+        cols += org.apache.spark.sql.types.StructField("count(*)",
+          org.apache.spark.sql.types.LongType, nullable = false)
+        vals += m.map(_.rows).sum
+      case mn: Min => mn.column() match {
+        case f: NamedReference if f.fieldNames().length == 1 =>
+          val name = f.fieldNames()(0)
+          val band = bandOf(name).getOrElse(return None)
+          val v = typed(name, band._1).getOrElse(return None)
+          cols += tableSchema.fields.find(_.name == name).get
+            .copy(name = s"min($name)")
+          vals += v
+        case _ => return None
+      }
+      case mx: Max => mx.column() match {
+        case f: NamedReference if f.fieldNames().length == 1 =>
+          val name = f.fieldNames()(0)
+          val band = bandOf(name).getOrElse(return None)
+          val v = typed(name, band._2).getOrElse(return None)
+          cols += tableSchema.fields.find(_.name == name).get
+            .copy(name = s"max($name)")
+          vals += v
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some((StructType(cols.toSeq), vals.toSeq))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = aggAnswer(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggPushed = aggAnswer(agg)
+    aggPushed.isDefined
+  }
 
   private def prunable(f: Filter): Boolean = f match {
     case EqualTo(a, _) => rangeCols(a) || bloomCol.contains(a)
@@ -252,6 +346,9 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
     required = requiredSchema
 
   override def build(): Scan = {
+    aggPushed.foreach { case (schema, values) =>
+      return new SnapshotAggScan(path, schema, values)
+    }
     // fold the accepted conjunction into per-column [lo, hi] bounds and
     // bloom equality probes
     var ranges = Map.empty[String, (Long, Long)]
@@ -296,29 +393,99 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
         s"graft-snapshot $path v$version carries deletion vectors, which " +
           "this DSv2 reader does not mask; compact the table first or " +
           "read via Snapshot.scan")
-    val files = Snapshot.selectFilesConj(spark, path, ranges, bloomEq,
-      Some(version))
+    val pruned = Snapshot.selectFilesConj(spark, path, ranges, bloomEq,
+      Some(version)).toSet
+    // incremental read: restrict to the files ADDED in the window
+    val before: Set[String] = startingVersion match {
+      case Some(sv) if sv > 0 =>
+        Snapshot.manifest(spark, path, Some(sv)).map(_.file).toSet
+      case _ => Set.empty
+    }
+    val stats = Snapshot.manifest(spark, path, Some(version))
+      .filter(s => pruned(s.file) && !before(s.file))
+    val files = stats.map(_.file)
     new SnapshotScan(path, tableSchema,
       org.apache.spark.sql.graftbridge.ParquetDelegate.buildPruned(
         org.apache.spark.sql.graftbridge.ParquetDelegate.scanBuilder(
           spark, files, tableSchema, Map.empty),
-        required, accepted, tableSchema))
+        required, accepted, tableSchema),
+      // exact post-pruning cardinality from the manifest — Catalyst's
+      // join planning (broadcast thresholds) sees the PRUNED size, not
+      // the whole table's
+      rowCount = Some(stats.map(_.rows).sum),
+      rowWidth = required.defaultSize)
   }
 }
 
 /** The connector's Scan: batch reads delegate wholesale; streaming
-  * reads turn the VERSION LOG into micro-batches ([[SnapshotMicroBatchStream]]).
+  * reads turn the VERSION LOG into micro-batches
+  * ([[SnapshotMicroBatchStream]]). Reports MANIFEST-exact statistics
+  * for the pruned file set (`SupportsReportStatistics`), so Catalyst's
+  * cost decisions — the broadcast-join threshold above all — see the
+  * size a probe actually reads instead of a whole-table guess.
   */
 private[sources] class SnapshotScan(
     path: String, tableSchema: StructType,
-    delegate: Scan) extends Scan {
+    delegate: Scan, rowCount: Option[Long] = None, rowWidth: Int = 0)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     delegate.toBatch
   override def description(): String = s"graft-snapshot $path"
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rowCount.map(n => java.util.OptionalLong.of(
+          n * math.max(1, rowWidth))).getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rowCount.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapshotMicroBatchStream(path, tableSchema)
+}
+
+/** The pre-aggregated one-row Scan a complete aggregate pushdown
+  * returns: the values came from the manifest on the driver; the "scan"
+  * reads zero data files.
+  */
+private[sources] class SnapshotAggScan(path: String, aggSchema: StructType,
+                                       values: Seq[Any])
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-snapshot $path [manifest aggregate]"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array(SnapshotAggPartition(values))
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    SnapshotAggReaderFactory()
+}
+
+private[sources] final case class SnapshotAggPartition(values: Seq[Any])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] final case class SnapshotAggReaderFactory()
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val vs = partition.asInstanceOf[SnapshotAggPartition].values
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vs)
+      override def close(): Unit = ()
+    }
 }
 
 /** STREAMING source over the table format — tail the version log (the
@@ -427,7 +594,7 @@ private[sources] class SnapshotMicroBatchStream(
   */
 private[sources] class SnapshotWriteBuilder(
     path: String, writeSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap, queryId: String = "")
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -453,7 +620,7 @@ private[sources] class SnapshotWriteBuilder(
     new SnapshotWrite(path, writeSchema, primary, secondaries,
       Snapshot.bloomConfExternal(spark, path),
       if (replaceAll) SnapshotCommitMode.Truncate
-      else SnapshotCommitMode.Append, nFiles)
+      else SnapshotCommitMode.Append, nFiles, queryId = queryId)
   }
 }
 
@@ -471,7 +638,7 @@ private[sources] object SnapshotCommitMode {
 private[sources] class SnapshotWrite(
     path: String, writeSchema: StructType, primary: String,
     secondaries: Seq[String], bloom: Option[(String, Int, Int)],
-    mode: SnapshotCommitMode, nFiles: Int)
+    mode: SnapshotCommitMode, nFiles: Int, queryId: String = "")
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
@@ -496,6 +663,83 @@ private[sources] class SnapshotWrite(
         .writeConf(spark, writeSchema),
       writeSchema, primary, secondaries, bloom, mode)
   }
+
+  /** NATIVE streaming sink —
+    * `df.writeStream.format("graft-snapshot").start(path)`: each
+    * micro-batch commits as one snapshot version through the SAME
+    * optimistic protocol, with the stream's query id as the txn-map
+    * writer identity — so a crash-redelivered epoch is a no-op and
+    * ingestion is exactly-once end to end, with no `foreachBatch`
+    * wrapper. Spark plans the range clustering from the declared
+    * distribution exactly as in batch writes.
+    */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(mode == SnapshotCommitMode.Append,
+      "graft-snapshot streaming writes are append-only (outputMode " +
+        "append); complete/truncate is not supported")
+    val spark = SparkSession.active
+    new SnapshotStreamingWrite(path,
+      Snapshot.dataDirFor(spark, path),
+      org.apache.spark.sql.graftbridge.ParquetWriteDelegate
+        .writeConf(spark, writeSchema),
+      writeSchema, primary, secondaries, bloom,
+      if (queryId == null || queryId.isEmpty) "stream" else queryId)
+  }
+}
+
+private[sources] class SnapshotStreamingWrite(
+    path: String, dataDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    writeSchema: StructType, primary: String, secondaries: Seq[String],
+    bloom: Option[(String, Int, Int)], writerId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    SnapshotStreamingWriterFactory(dataDir, conf, writeSchema, primary,
+      secondaries, bloom)
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val ms = messages.collect {
+      case m: SnapshotCommitMessage if m.rows > 0 => m
+    }.sortBy(_.file)
+    graft.core.Snapshot.commitExternalBatch(spark, path,
+      ms.map(m => graft.core.Snapshot.FileStat(m.file, m.min, m.max,
+        m.rows, m.extra)).toSeq,
+      ms.flatMap(m => m.bloomB64.map(b => m.file -> b)).toSeq,
+      batchId = epochId, writerId = writerId)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val spark = SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
+    messages.foreach {
+      case m: SnapshotCommitMessage if m.file != null =>
+        val p = new org.apache.hadoop.fs.Path(m.file)
+        p.getFileSystem(hconf).delete(p, false)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] final case class SnapshotStreamingWriterFactory(
+    dataDir: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    writeSchema: StructType, primary: String, secondaries: Seq[String],
+    bloom: Option[(String, Int, Int)])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new SnapshotDataWriter(dataDir, conf, writeSchema, primary,
+      secondaries, bloom, partitionId, taskId)
 }
 
 private[sources] final case class SnapshotCommitMessage(

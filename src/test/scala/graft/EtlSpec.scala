@@ -1113,6 +1113,168 @@ class EtlSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gtest.db").count() == 0L)
   }
 
+  test("snapshot restore: metadata-only rollback, sidecars restored verbatim, history stays linear") {
+    import spark.implicits._
+    val path = tmpDir("snaprestore") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 4)
+    graft.core.Snapshot.append(
+      (100L until 120L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    graft.core.Snapshot.delete(spark, path, "k", 0L, 49L) // v3
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 70L)
+    // restore to the pre-delete version: pure metadata, nothing rewrites
+    val filesBefore = graft.core.Snapshot.manifest(spark, path, Some(2))
+    graft.core.Snapshot.restore(spark, path, 2)
+    assert(graft.core.Snapshot.current(spark, path) == 4)
+    assert(graft.core.Snapshot.manifest(spark, path) == filesBefore)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 120L)
+    // the rolled-back version still reads below (linear history)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L,
+      version = Some(3)).count() == 70L)
+    // a restore across a DV delete restores the UNMASKED state
+    graft.core.Snapshot.deleteVectors(spark, path, "k", 10L, 19L) // v5
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 110L)
+    graft.core.Snapshot.restore(spark, path, 4) // v6: mask gone
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 120L)
+    // ...and restoring INTO the masked version brings the mask back
+    graft.core.Snapshot.restore(spark, path, 5)
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == 110L)
+    // guards: below the incarnation start, and below a schema evolution
+    graft.core.Snapshot.write(Seq((1L, "x")).toDF("k", "v"), path, "k",
+      nFiles = 1) // replace: v8 starts a new incarnation
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.restore(spark, path, 4)
+    }
+    graft.core.Snapshot.append(
+      Seq((2L, "y", 9L)).toDF("k", "v", "extra"), path, "k", nFiles = 1)
+    intercept[IllegalArgumentException] {
+      graft.core.Snapshot.restore(spark, path, 8)
+    }
+  }
+
+  test("snapshot native streaming sink: writeStream commits versions exactly-once") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmpDir("snapsink") + "/s"
+    graft.core.Snapshot.write(Seq.empty[(Long, String)].toDF("k", "v"),
+      path, "k", nFiles = 1)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .format("graft-snapshot")
+      .option("checkpointLocation", tmpDir("snapsinkckpt"))
+      .start(path)
+    try {
+      input.addData((0L until 50L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+      input.addData((50L until 80L).map(i => (i, s"v$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (0L until 80L).map(i => (i, s"v$i")))
+    // each micro-batch landed as its own version with real bands
+    assert(graft.core.Snapshot.current(spark, path) >= 3)
+    assert(graft.core.Snapshot.selectFiles(spark, path, 60L, 79L)
+      .nonEmpty)
+    // epoch replay through the txn map is a no-op (the crash-redelivery
+    // contract): re-commit an already-committed epoch id directly
+    val before = graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count()
+    graft.core.Snapshot.commitExternalBatch(spark, path,
+      Seq(graft.core.Snapshot.FileStat("file:/nonexistent.parquet",
+        0L, 0L, 999L)), Nil, batchId = 0L,
+      writerId = {
+        // the stream's writer id is its query id — read it off the head
+        // marker's txn map
+        val h = graft.core.Snapshot.current(spark, path)
+        // any existing writer id works for the replay check (read the
+        // marker directly — Spark's file source skips _-prefixed files)
+        java.nio.file.Files.readAllLines(
+            java.nio.file.Paths.get(path, s"_commit.v$h"))
+          .asScala.find(_.startsWith("txn=")).get.stripPrefix("txn=")
+          .split(";").head.split(":").head
+      })
+    assert(graft.core.Snapshot.scan(spark, path, "k", 0L, 999L)
+      .count() == before)
+  }
+
+  test("snapshot DSv2 incremental read and manifest-exact statistics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("snapdsv2incr") + "/s"
+    graft.core.Snapshot.write(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 4)
+    graft.core.Snapshot.append(
+      (100L until 130L).map(i => (i, s"v$i")).toDF("k", "v"), path, "k",
+      nFiles = 1)
+    // startingVersion: only the window's ADDED files participate
+    val incr = spark.read.format("graft-snapshot")
+      .option("startingVersion", 1).load(path)
+    assert(incr.orderBy("k").as[(Long, String)].collect().toSeq ==
+      (100L until 130L).map(i => (i, s"v$i")))
+    // ...and it composes with pruning/residual filters
+    assert(spark.read.format("graft-snapshot")
+      .option("startingVersion", 1).load(path)
+      .where(col("k") >= 110 && col("k") <= 114).count() == 5L)
+    // manifest-exact statistics flow into Catalyst: the PRUNED probe
+    // reports the pruned rows, not the table's
+    val probe = spark.read.format("graft-snapshot").load(path)
+      .where(col("k") >= 100 && col("k") <= 999)
+    val stats = probe.queryExecution.optimizedPlan.collectLeaves().head.stats
+    assert(stats.rowCount.exists(_.toLong == 30L),
+      s"expected pruned rowCount 30, got ${stats.rowCount}")
+    // the unpruned read reports the whole table
+    val all = spark.read.format("graft-snapshot").load(path)
+    assert(all.queryExecution.optimizedPlan.collectLeaves().head
+      .stats.rowCount.exists(_.toLong == 130L))
+  }
+
+  test("snapshot DSv2 aggregate pushdown: COUNT/MIN/MAX answered from the manifest, zero data reads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val path = tmpDir("snapdsv2agg") + "/s"
+    graft.core.Snapshot.write(
+      (5L until 1005L).map(i => (i, i * 3, s"v$i")).toDF("k", "w", "v"),
+      path, "k", nFiles = 8, statCols2 = Seq("w"))
+    val t = spark.read.format("graft-snapshot").load(path)
+    val agg = t.agg(count(lit(1)).as("cnt"), min(col("k")).as("mn"),
+      max(col("k")).as("mx"), min(col("w")).as("wmn"),
+      max(col("w")).as("wmx"))
+    assert(agg.as[(Long, Long, Long, Long, Long)].head() ==
+      ((1000L, 5L, 1004L, 15L, 3012L)))
+    // the answer came from the manifest: no parquet scan anywhere
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest aggregate"), plan)
+    assert(!plan.contains("Parquet"), plan)
+    // a FILTERED aggregate is NOT pushed (bands cannot answer it
+    // exactly) and still computes correctly through the normal scan
+    assert(t.where(col("k") >= 100 && col("k") <= 199)
+      .agg(count(lit(1))).as[Long].head() == 100L)
+    // an aggregate the manifest cannot answer (SUM) is refused too
+    assert(t.agg(org.apache.spark.sql.functions.sum(col("k")))
+      .as[Long].head() == (5L until 1005L).sum)
+    // deletion vectors flip the table to NOT pushable: the masked count
+    // must go through... and the DV read gate throws for this tier, so
+    // the metadata path must NOT answer stale totals silently
+    graft.core.Snapshot.deleteVectors(spark, path, "k", 5L, 14L)
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").load(path)
+        .agg(count(lit(1))).as[Long].head()
+    }
+    assert(graft.core.Snapshot.countRange(spark, path, "k", 0L, 9999L)
+      .as[Long].head() == 990L)
+  }
+
   test("snapshot replace is additive: old incarnation time-travels until vacuum reclaims it") {
     import spark.implicits._
     val path = tmpDir("snapreplace") + "/s"
