@@ -524,6 +524,20 @@ object SparkEntry {
       cat
     })
 
+  // CTAS through pure SQL: schema from the query, registration from
+  // table properties, data through the DSv2 write — one statement.
+  private val sqlTablesCtas =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def sqlTableCtas(s: SparkSession, d: String): String =
+    sqlTablesCtas.getOrElseUpdate((org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d), {
+      val cat = sqlCatalogFor(s, d)
+      t(s, d, "lineitem").createOrReplaceTempView("graft_sql_lineitem")
+      s.sql(s"CREATE TABLE $cat.ctas TBLPROPERTIES ('statcol' = " +
+        "'l_orderkey') AS SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM graft_sql_lineitem")
+      cat
+    })
+
   // MERGE INTO through pure SQL: the same key-replace upsert as the
   // library merge gate (shifted-quantity updates + shifted-key inserts),
   // resolved by Spark's group-based row-level-operation plan onto the
@@ -922,6 +936,15 @@ object SparkEntry {
       val cat = sqlTableInsert(s, d)
       s.sql(s"SELECT l_orderkey, l_linenumber, l_partkey, qty FROM " +
         s"$cat.ins WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY 1, 2, 3")
+    }),
+
+    // PURE-SQL CTAS under the gate: one CREATE TABLE ... AS SELECT built
+    // the table; the probe prunes through the same manifest tier.
+    "snapshot_sql_ctas" -> ((s, d) => {
+      val cat = sqlTableCtas(s, d)
+      s.sql(s"SELECT l_orderkey, l_linenumber, l_partkey, qty FROM " +
+        s"$cat.ctas WHERE l_orderkey BETWEEN 200 AND 399 " +
         "ORDER BY 1, 2, 3")
     }),
 
@@ -4727,6 +4750,13 @@ object SparkEntry {
     "snapshot_sql_insert" ->
       ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
         "l_partkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 200 AND 399 " +
+        "ORDER BY l_orderkey, l_linenumber, l_partkey"),
+
+    // pure-SQL CTAS: the plain filter over the created-as-selected rows
+    "snapshot_sql_ctas" ->
+      ("SELECT l_orderkey, l_linenumber, l_partkey, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
         "WHERE l_orderkey BETWEEN 200 AND 399 " +
         "ORDER BY l_orderkey, l_linenumber, l_partkey"),
 

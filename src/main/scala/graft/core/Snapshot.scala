@@ -151,13 +151,13 @@ object Snapshot {
       dv: Option[String], batchId: Option[Long], incv: Int,
       statcols: Option[(String, Seq[String])],
       bloomconf: Option[(String, Int, Int)],
-      txn: Map[String, Long]) {
+      txn: Map[String, Long], ts: Long = 0L) {
     def render: String = {
       def opt(s: Option[String]) = s.getOrElse("-")
       s"manifest=$manifest\nschema=${opt(schema)}\nbloom=${opt(bloom)}\n" +
         s"dv=${opt(dv)}\n" +
         s"batch=${batchId.map(_.toString).getOrElse("-")}\n" +
-        s"incv=$incv\n" +
+        s"incv=$incv\nts=$ts\n" +
         s"statcols=${statcols.map { case (p, ss) => (p +: ss).mkString(",") }
           .getOrElse("-")}\n" +
         s"bloomconf=${bloomconf.map { case (c, m, k) => s"$c:$m:$k" }
@@ -182,7 +182,8 @@ object Snapshot {
       },
       opt("txn").map(_.split(";").toSeq.map { e =>
         val i = e.lastIndexOf(':'); e.take(i) -> e.drop(i + 1).toLong
-      }.toMap).getOrElse(Map.empty))
+      }.toMap).getOrElse(Map.empty),
+      kv.get("ts").map(_.toLong).getOrElse(0L))
   }
 
   /** Resolve a version's marker. A reader racing a committer on a
@@ -438,7 +439,7 @@ object Snapshot {
           c.batchId, incv,
           if (c.kind == ReplaceK) Some(c.replaceMeta.get._2) else None,
           if (c.kind == ReplaceK) c.replaceMeta.get._3 else None,
-          txn)
+          txn, ts = System.currentTimeMillis())
         if (tryCommitMarker(spark, path, next, marker.render)) done = next
         // else: lost the race — loop; the next pass re-reads the head,
         // re-carries its manifest (additive) or throws (rewrite);
@@ -1030,6 +1031,39 @@ object Snapshot {
         bloom = bloomOf(spark, path, toVersion).toSeq,
         dvDelta = dvOf(spark, path, toVersion),
         carrySidecars = false))
+  }
+
+  /** ADD COLUMNS without data — the `ALTER TABLE ADD COLUMN` DDL: a
+    * pure-metadata ADDITIVE commit staging the evolved schema (the same
+    * M1-M3 append-only contract as an evolving [[append]]; existing
+    * columns may not be redeclared). Every existing file null-fills the
+    * new columns on read; time travel below sees the old shape.
+    */
+  def addColumns(spark: SparkSession, path: String,
+                 added: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    require(added.nonEmpty, "addColumns needs at least one column")
+    val base = currentVersion(spark, path)
+    val stored = schemaAt(spark, path, base)
+    added.foreach(f => require(!stored.fieldNames.contains(f.name),
+      s"column '${f.name}' already exists"))
+    commitLoop(spark, path,
+      Commit(Nil, Additive, basedOn = base,
+        batchSchema = Some(StructType(stored.fields ++ added))))
+  }
+
+  /** The newest version committed AT OR BEFORE `timestampMicros` — the
+    * `TIMESTAMP AS OF` resolution (markers record their commit wall
+    * time). Throws when the table's first commit is later.
+    */
+  def versionAsOf(spark: SparkSession, path: String,
+                  timestampMicros: Long): Int = {
+    val ms = timestampMicros / 1000L
+    val vs = committedVersions(spark, path)
+      .filter(v => markerOf(spark, path, v).ts <= ms)
+    require(vs.nonEmpty,
+      s"no version of $path committed at or before timestamp " +
+        s"${ms}ms (first commit is later)")
+    vs.max
   }
 
   /** Small-file COMPACTION: fold the current version's live files into

@@ -107,6 +107,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     new SnapshotTable(path, v, Snapshot.schemaAt(spark, path, v))
   }
 
+  /** `TIMESTAMP AS OF <t>` time travel: the newest version committed at
+    * or before the timestamp (markers record commit wall time).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val v = Snapshot.versionAsOf(spark, path, timestampMicros)
+    new SnapshotTable(path, v, Snapshot.schemaAt(spark, path, v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
@@ -128,11 +138,28 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE ADD COLUMN(S)` — the one DDL evolution the append-only
+    * contract allows: top-level columns appended as a pure-metadata
+    * commit ([[Snapshot.addColumns]]); anything else (drop, rename,
+    * retype, reposition, nesting) is rejected loudly.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution rides the append path (Snapshot.append with " +
-        "added columns), not ALTER TABLE")
+                          changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft-snapshot supports adding TOP-LEVEL columns only")
+        require(a.position() == null,
+          "append-only evolution adds columns at the END only")
+        org.apache.spark.sql.types.StructField(a.fieldNames()(0),
+          a.dataType(), a.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"append-only evolution supports ADD COLUMN only, got $other")
+    }
+    Snapshot.addColumns(spark, pathOf(ident), added)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = pathOf(ident)

@@ -81,6 +81,17 @@ private[sources] class SnapshotTable(path: String, version: Int,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft-snapshot `$path` v$version"
   override def schema(): StructType = tableSchema
+  override def properties(): java.util.Map[String, String] = {
+    // surface the registration on DESCRIBE EXTENDED / SHOW TBLPROPERTIES
+    val spark = SparkSession.active
+    val (primary, secondaries) = Snapshot.registeredStatCols(spark, path)
+    val m = new java.util.HashMap[String, String]()
+    m.put("statcol", primary)
+    if (secondaries.nonEmpty) m.put("statcols2", secondaries.mkString(","))
+    Snapshot.bloomColumn(spark, path).foreach(c => m.put("bloomcol", c))
+    m.put("version", version.toString)
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

@@ -1275,6 +1275,52 @@ class EtlSpec extends SparkSpec {
       .as[Long].head() == 990L)
   }
 
+  test("snapshot SQL DDL: CTAS, ALTER TABLE ADD COLUMN, TIMESTAMP AS OF, table properties") {
+    import spark.implicits._
+    val wh = tmpDir("snapddl")
+    spark.conf.set("spark.sql.catalog.gddl",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gddl.warehouse", wh)
+    // CTAS: schema from the query, registration from properties
+    (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql("CREATE TABLE gddl.c TBLPROPERTIES ('statcol' = 'k') " +
+      "AS SELECT * FROM ctas_src")
+    assert(spark.sql("SELECT count(*) FROM gddl.c").as[Long].head() == 40L)
+    assert(spark.sql("SELECT v FROM gddl.c WHERE k = 7").as[String]
+      .head() == "v7")
+    // registration surfaces as table properties
+    val props = spark.sql("SHOW TBLPROPERTIES gddl.c")
+      .as[(String, String)].collect().toMap
+    assert(props.get("statcol").contains("k"))
+    // TIMESTAMP AS OF: a mid-point timestamp resolves to the version
+    // committed before it
+    Thread.sleep(30)
+    val mid = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    Thread.sleep(30)
+    spark.sql("INSERT INTO gddl.c SELECT k + 100, v FROM ctas_src")
+    assert(spark.sql("SELECT count(*) FROM gddl.c").as[Long].head() == 80L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM gddl.c TIMESTAMP AS OF '$mid'")
+      .as[Long].head() == 40L)
+    // ALTER TABLE ADD COLUMN: pure metadata; old rows null-fill
+    spark.sql("ALTER TABLE gddl.c ADD COLUMN score BIGINT")
+    assert(spark.sql("SELECT count(*) FROM gddl.c WHERE score IS NULL")
+      .as[Long].head() == 80L)
+    spark.sql("INSERT INTO gddl.c VALUES (500, 'x', 9)")
+    assert(spark.sql("SELECT score FROM gddl.c WHERE k = 500")
+      .as[Long].head() == 9L)
+    // the evolution is append-only: dropping a column is refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gddl.c DROP COLUMN v")
+    }
+    // time travel below the evolution still reads the OLD shape
+    assert(!spark.sql("SELECT * FROM gddl.c VERSION AS OF 2")
+      .columns.contains("score"))
+  }
+
   test("snapshot replace is additive: old incarnation time-travels until vacuum reclaims it") {
     import spark.implicits._
     val path = tmpDir("snapreplace") + "/s"
