@@ -213,8 +213,9 @@ object Snapshot {
     * current version is the highest. Driver-side, version-count-sized.
     */
   private def committedVersions(spark: SparkSession, path: String): Seq[Int] =
-    fs(spark, path)
-      .globStatus(new org.apache.hadoop.fs.Path(path + "/_commit.v*"))
+    Option(fs(spark, path)
+        .globStatus(new org.apache.hadoop.fs.Path(path + "/_commit.v*")))
+      .getOrElse(Array.empty) // some FileSystems glob nonexistent -> null
       .toSeq.map(_.getPath.getName.stripPrefix("_commit.v").toInt).sorted
 
   private def currentVersion(spark: SparkSession, path: String): Int = {
@@ -662,13 +663,13 @@ object Snapshot {
       }
       val mask = spark.createDataFrame(maskRows).toDF("_dvf", "_dvo")
       base
-        .withColumn("_gf",
+        .withColumn("__graft_dv_f",
           regexp_replace(col("_metadata.file_path"), schemeRe, ""))
-        .withColumn("_go", col("_metadata.row_index"))
+        .withColumn("__graft_dv_o", col("_metadata.row_index"))
         .join(broadcast(mask),
-          col("_gf") === col("_dvf") && col("_go") === col("_dvo"),
+          col("__graft_dv_f") === col("_dvf") && col("__graft_dv_o") === col("_dvo"),
           "left_anti")
-        .drop("_gf", "_go")
+        .drop("__graft_dv_f", "__graft_dv_o")
     }
   }
 
@@ -1148,6 +1149,15 @@ object Snapshot {
                    toV: Int): DataFrame = {
     require(0 <= fromV && fromV < toV,
       s"need 0 <= fromV < toV, got $fromV, $toV")
+    // a REPLACE inside the window would diff files of DIFFERENT
+    // incarnations under one schema (old files may not even read under
+    // the new shape) — refuse loudly; consumers restart their feed from
+    // the new incarnation, exactly like the streaming source does
+    val incv = markerOf(spark, path, toV).incv
+    require(incv <= math.max(fromV, 1),
+      s"the window ($fromV, $toV] crosses a REPLACE at v$incv of $path; " +
+        "typed CDF does not span incarnations — restart the feed from " +
+        s"v$incv")
     val key = statColsAt(spark, path, toV)._1
     val outSchema = schemaAt(spark, path, toV)
     val outCols = outSchema.fields.toSeq
@@ -1202,12 +1212,12 @@ object Snapshot {
           val mask = spark.createDataFrame(maskRows).toDF("_dvf", "_dvo")
           val hit = spark.read.schema(schema)
             .parquet(newlyMasked.map(_._1): _*)
-            .withColumn("_gf",
+            .withColumn("__graft_dv_f",
               regexp_replace(col("_metadata.file_path"), schemeRe, ""))
-            .withColumn("_go", col("_metadata.row_index"))
+            .withColumn("__graft_dv_o", col("_metadata.row_index"))
             .join(broadcast(mask),
-              col("_gf") === col("_dvf") && col("_go") === col("_dvo"))
-            .drop("_gf", "_go", "_dvf", "_dvo")
+              col("__graft_dv_f") === col("_dvf") && col("__graft_dv_o") === col("_dvo"))
+            .drop("__graft_dv_f", "__graft_dv_o", "_dvf", "_dvo")
           Seq(shape(hit, "delete", v))
         }
       rowDiff ++ dvDels

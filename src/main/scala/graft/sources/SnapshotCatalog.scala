@@ -77,8 +77,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
 
   private def isTable(path: String): Boolean =
-    fs.globStatus(new org.apache.hadoop.fs.Path(path + "/_commit.v*"))
-      .nonEmpty
+    Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(path + "/_commit.v*")))
+      .exists(_.nonEmpty) // some FileSystems glob nonexistent -> null
 
   override def tableExists(ident: Identifier): Boolean =
     isTable(pathOf(ident))

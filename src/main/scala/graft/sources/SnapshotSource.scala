@@ -307,7 +307,7 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
           val band = bandOf(name).getOrElse(return None)
           val v = typed(name, band._1).getOrElse(return None)
           cols += tableSchema.fields.find(_.name == name).get
-            .copy(name = s"min($name)")
+            .copy(name = s"min($name)", nullable = true)
           vals += v
         case _ => return None
       }
@@ -317,7 +317,7 @@ private[sources] class SnapshotScanBuilder(path: String, version: Int,
           val band = bandOf(name).getOrElse(return None)
           val v = typed(name, band._2).getOrElse(return None)
           cols += tableSchema.fields.find(_.name == name).get
-            .copy(name = s"max($name)")
+            .copy(name = s"max($name)", nullable = true)
           vals += v
         case _ => return None
       }

@@ -1273,6 +1273,14 @@ class EtlSpec extends SparkSpec {
     }
     assert(graft.core.Snapshot.countRange(spark, path, "k", 0L, 9999L)
       .as[Long].head() == 990L)
+    // an EMPTY table answers count 0 and NULL min/max from metadata
+    val empty = tmpDir("snapdsv2agg0") + "/s"
+    graft.core.Snapshot.write(Seq.empty[(Long, String)].toDF("k", "v"),
+      empty, "k", nFiles = 1)
+    val e = spark.read.format("graft-snapshot").load(empty)
+      .agg(count(lit(1)), min(col("k")), max(col("k")))
+      .as[(Long, Option[Long], Option[Long])].head()
+    assert(e == ((0L, None, None)))
   }
 
   test("snapshot SQL DDL: CTAS, ALTER TABLE ADD COLUMN, TIMESTAMP AS OF, table properties") {
@@ -1550,5 +1558,19 @@ class EtlSpec extends SparkSpec {
     assert(evolved.schema.fieldNames.toSeq ==
       Seq("k", "ln", "v", "extra", "_change_type", "_commit_version"))
     assert(evolved.where($"_commit_version" === 7).count() == 1L)
+    // a window crossing a REPLACE is refused loudly: the two sides are
+    // different incarnations (the old files may not even read under the
+    // new schema) — consumers restart the feed, like the streaming source
+    graft.core.Snapshot.write(
+      Seq((1L, "z")).toDF("k", "note"), path, "k", nFiles = 1) // v8
+    val err = intercept[IllegalArgumentException] {
+      graft.core.Snapshot.changesTyped(spark, path, 5, 8)
+    }
+    assert(err.getMessage.contains("REPLACE"))
+    // a window fully inside the new incarnation still works
+    graft.core.Snapshot.append(Seq((2L, "y")).toDF("k", "note"), path,
+      "k", nFiles = 1)
+    assert(graft.core.Snapshot.changesTyped(spark, path, 8, 9)
+      .count() == 1L)
   }
 }
