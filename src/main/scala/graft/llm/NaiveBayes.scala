@@ -59,7 +59,10 @@ object NaiveBayes {
     val vSize = vocab.agg(count(lit(1)).as("v"))
     val docTotals = df.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("nd"))
-    val nDocs = df.agg(count(lit(1)).as("ndt"))
+      .localCheckpoint(false) // feeds the prior AND the doc grand total
+    // the doc grand total is the sum of the per-label counts — derived
+    // from docTotals instead of paying a second full scan of the corpus
+    val nDocs = docTotals.agg(sum("nd").as("ndt"))
     // The label spine is docTotals, NOT the token counts: a label whose
     // training docs are all token-less has no row in `counts` but still has
     // a prior, and must survive into the model (else predict can never emit
@@ -83,35 +86,42 @@ object NaiveBayes {
 
   /** Score every row of `df` under `model`: one (id, label) micro-unit
     * BIGINT score per label — prior + in-vocab conditional terms + the OOV
-    * floor for unseen words. Returns (idCol, label, score_micro).
+    * floor for unseen words. Returns (idCol, passCols..., label,
+    * score_micro); `passCols` are per-row columns of `df` (functionally
+    * dependent on the id) carried through on the spine so callers never
+    * need a doc-sized join to re-attach them.
     */
   def score(df: DataFrame, model: NbModel, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, passCols: Seq[String] = Nil): DataFrame = {
     val tok = df.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("word"))
     val inVocab = tok.join(broadcast(model.condprob), "word")
       .groupBy(col(idCol), col("label"))
       .agg(sum("lp_micro").as("s_in"), count(lit(1)).as("n_in"))
-    df.select(col(idCol), TextStats.tokenCount(col(textCol)).as("n_tok"))
+    df.select(col(idCol) +: passCols.map(col) :+
+        TextStats.tokenCount(col(textCol)).as("n_tok"): _*)
       .crossJoin(broadcast(model.labels))
       .join(inVocab, Seq(idCol, "label"), "left")
-      .select(col(idCol), col("label"),
+      .select(col(idCol) +: passCols.map(col) :+ col("label") :+
         (col("prior_micro") + coalesce(col("s_in"), lit(0L)) +
           (col("n_tok") - coalesce(col("n_in"), lit(0L))) * col("oov_micro"))
-          .as("score_micro"))
+          .as("score_micro"): _*)
   }
 
   /** Argmax label per row (ties broken by label code order — the
-    * [[TextStats.langId]] tiebreak convention). (idCol, pred_label).
+    * [[TextStats.langId]] tiebreak convention). (idCol, passCols...,
+    * pred_label). The argmax is a plain keyed aggregate —
+    * `min(struct(-score, label))` picks the highest score then the
+    * smallest label, exactly the window's (score DESC, label ASC) first
+    * row — so prediction partial-aggregates map-side instead of paying
+    * the window's exchange + sort.
     */
   def predict(df: DataFrame, model: NbModel, textCol: String,
-      idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-      .orderBy(col("score_micro").desc, col("label"))
-    score(df, model, textCol, idCol)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col(idCol), col("label").as("pred_label"))
-  }
+      idCol: String, passCols: Seq[String] = Nil): DataFrame =
+    score(df, model, textCol, idCol, passCols)
+      .groupBy(col(idCol) +: passCols.map(col): _*)
+      .agg(min(struct((-col("score_micro")).as("_ns"), col("label"))).as("_m"))
+      .select(col(idCol) +: passCols.map(col) :+
+        col("_m").getField("label").as("pred_label"): _*)
 
   /** The gate readout: train on the even-id half (the deterministic holdout
     * split), predict EVERY doc, emit the (true label, predicted label)
@@ -120,8 +130,9 @@ object NaiveBayes {
     */
   def confusion(docs: DataFrame): DataFrame = {
     val model = train(docs.where(col("doc_id") % 2 === 0), "text", "lang")
-    predict(docs, model, "text", "doc_id")
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // the true label rides the scoring spine (functionally dependent on
+    // doc_id) — the old doc-sized join to re-attach it is gone
+    predict(docs, model, "text", "doc_id", passCols = Seq("lang"))
       .groupBy(col("lang"), col("pred_label").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .select("lang", "pred_lang", "n")

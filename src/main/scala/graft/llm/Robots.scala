@@ -47,15 +47,26 @@ object Robots {
           .orderBy("pos")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)))
-    val starRuns = lines.where(col("_isUa") && col("_ua") === "*")
-      .select(col("domain"), col("_run")).distinct()
+    // "is this run addressed to *" is a per-(domain, run) window flag, not
+    // a join: the old shape branched `lines` into a distinct star-run
+    // relation and joined it back, which re-executed the whole
+    // explode+regex subtree a second time (the dominant cost of this
+    // parse) and paid a join exchange. The flag window partitions by
+    // (domain, _run) — hash(domain) already satisfies that clustering and
+    // _run is monotone in pos within a domain, so it plans as a local
+    // sort over the existing window exchange, never a new one.
+    val starRun = max(when(col("_isUa") && col("_ua") === "*", 1)
+        .otherwise(0))
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"), col("_run")))
     lines
+      .withColumn("_star", starRun)
       .withColumn("_dir",
         lower(trim(regexp_extract(col("line"), "(?i)^\\s*(allow|disallow)\\s*:.*$", 1))))
       .withColumn("prefix",
         trim(regexp_extract(col("line"), "(?i)^\\s*(?:allow|disallow)\\s*:(.*)$", 1)))
-      .where(col("_dir").isin("allow", "disallow") && col("prefix") =!= "")
-      .join(starRuns, Seq("domain", "_run"))
+      .where(col("_star") === 1 &&
+        col("_dir").isin("allow", "disallow") && col("prefix") =!= "")
       .select(col("domain"), col("prefix"),
         (col("_dir") === "allow").as("allow"))
   }
@@ -73,17 +84,26 @@ object Robots {
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
     val keyed = urls.withColumn("_dom", Urls.registrableDomain(col(urlCol)))
       .withColumn("_path", when(path0 === "", lit("/")).otherwise(path0))
-    val matched = keyed.join(rules.withColumnRenamed("domain", "_dom"), "_dom")
-      .where(col("_path").startsWith(col("prefix")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_dom", "_path")
-      .orderBy(length(col("prefix")).desc, col("allow").desc)
-    val best = matched
-      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select(col("_dom"), col("_path"), col("allow").as("_best"))
-      .distinct()
-    keyed.join(best, Seq("_dom", "_path"), "left")
-      .withColumn("allowed", coalesce(col("_best"), lit(true)))
-      .drop("_dom", "_path", "_best")
+    // ONE pass over the URL relation (the old shape scanned it twice:
+    // once into the matched-rule aggregate, once to join the verdict
+    // back): left-join each URL row to its matching rules (prefix match
+    // in the join condition — the rules side broadcasts), then reduce to
+    // the per-row verdict with a keyed argmax. longest-match is an
+    // argmax, not a ranking: max(struct(len, allow)) picks the longest
+    // prefix with allow winning ties — exactly the RFC 9309 (length
+    // DESC, allow DESC) first row — and the aggregate partial-aggregates
+    // map-side where a window would pay a full sort. The row key `_rid`
+    // keeps duplicate URL rows distinct (multiset in, multiset out).
+    val inCols = urls.columns.toSeq
+    keyed.withColumn("_rid", monotonically_increasing_id())
+      .join(rules.withColumnRenamed("domain", "_dom2"),
+        col("_dom") === col("_dom2") && col("_path").startsWith(col("prefix")),
+        "left")
+      .groupBy(col("_rid") +: inCols.map(col): _*)
+      .agg(max(struct(length(col("prefix")).as("_len"), col("allow")))
+        .as("_m"))
+      .withColumn("allowed",
+        coalesce(col("_m").getField("allow"), lit(true)))
+      .select(inCols.map(col) :+ col("allowed"): _*)
   }
 }
