@@ -763,7 +763,7 @@ object SparkEntry {
     "scan_csv" -> ((s, d) =>
       graft.etl.Sources.csv(s, csvDir(s, d),
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .orderBy("doc_id")),
+        ),
 
     // Zone-map snapshot probe: lineitem range-clustered on l_orderkey
     // with a file-level min/max manifest; a fixed range predicate reads
@@ -775,7 +775,7 @@ object SparkEntry {
           "l_orderkey", 200L, 399L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // JSONL round-trip: the documents table exported as JSON-lines (the
     // ship-to-training format) and read back through the explicit-schema
@@ -785,7 +785,7 @@ object SparkEntry {
       graft.etl.Sources.jsonl(s, jsonlDir(s, d),
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .select("doc_id", "text", "lang", "source", "n_chars")
-        .orderBy("doc_id")),
+        ),
 
     // ORC source round-trip: the documents table written as ORC once per
     // session, read back through the explicit-schema ORC source — the
@@ -794,7 +794,7 @@ object SparkEntry {
     "scan_orc" -> ((s, d) =>
       graft.etl.Sources.orc(s, orcDir(s, d),
         "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .orderBy("doc_id")),
+        ),
 
     // The INCREMENTAL snapshot: the odd-orderkey crawl appended to the
     // even-orderkey history as a NEW manifest version (history files
@@ -806,7 +806,7 @@ object SparkEntry {
           "l_orderkey", 200L, 399L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // TIME TRAVEL under the gate: version 1 of the incremental snapshot
     // read AFTER the append committed version 2 — the probe must see the
@@ -817,7 +817,7 @@ object SparkEntry {
           "l_orderkey", 200L, 399L, version = Some(1))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // DSv2 CONNECTOR under the gate: the snapshot read through plain
     // spark.read.format("graft-snapshot") with an ordinary WHERE — the
@@ -829,7 +829,7 @@ object SparkEntry {
         .where(col("l_orderkey") >= 200 && col("l_orderkey") <= 399)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // DSv2 WRITE path under the gate: the table's second half arrived
     // through plain df.write (required-distribution clustering + inline
@@ -841,7 +841,7 @@ object SparkEntry {
           "l_orderkey", 200L, 399L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // CHANGE-DATA-FEED read under the gate: the rows added between
     // version 1 and version 2 of the incremental snapshot — the
@@ -853,7 +853,7 @@ object SparkEntry {
           fromV = 1, toV = 2)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // SCHEMA EVOLUTION under the gate: the snapshot's head was committed
     // by an append that ADDED a column (append-only ADD COLUMN through
@@ -863,7 +863,7 @@ object SparkEntry {
     "snapshot_evolve" -> ((s, d) =>
       graft.core.Snapshot.scan(s, docsSnapshotEvolve(s, d),
           "doc_id", 0L, 1L << 40)
-        .orderBy("doc_id")),
+        ),
 
     // TIME TRAVEL BELOW THE EVOLUTION: version 1 read after the evolving
     // append committed version 2 — the probe must see the ORIGINAL
@@ -871,7 +871,7 @@ object SparkEntry {
     "snapshot_evolve_time_travel" -> ((s, d) =>
       graft.core.Snapshot.scan(s, docsSnapshotEvolve(s, d),
           "doc_id", 0L, 1L << 40, version = Some(1))
-        .orderBy("doc_id")),
+        ),
 
     // MULTI-COLUMN zone maps under the gate: the snapshot is clustered
     // on the Morton interleave of (p_retailprice, p_size) and the probe
@@ -883,7 +883,7 @@ object SparkEntry {
       graft.core.Snapshot.scanBy(s, partSnapshotMulti(s, d),
           "p_size", 10L, 20L)
         .select("p_partkey", "p_retailprice", "p_size")
-        .orderBy("p_partkey")),
+        ),
 
     // Copy-on-write MERGE under the gate: a key-replace upsert (the
     // Delta MERGE INTO shape on the cluster key) — matched orderkeys'
@@ -895,7 +895,7 @@ object SparkEntry {
           "l_orderkey", 0L, 1L << 40)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // METADATA-ONLY COUNT under the gate: the range count answered from
     // manifest row totals for fully-covered files plus a scan of only
@@ -915,7 +915,7 @@ object SparkEntry {
         .map(u => graft.core.Snapshot.lookupEq(s, path, u))
         .reduce(_ unionByName _)
         .select("doc_id", "uid", "lang", "n_chars")
-        .orderBy("doc_id")
+        
     }),
 
     // Copy-on-write DELETE under the gate: orderkeys [300, 349] removed
@@ -927,7 +927,7 @@ object SparkEntry {
           "l_orderkey", 200L, 399L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // PURE-SQL catalog read: CREATE TABLE + INSERT INTO built the table,
     // and this SELECT's WHERE prunes through the same manifest tier —
@@ -996,7 +996,7 @@ object SparkEntry {
           "l_orderkey", 200L, 399L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // INCREMENTAL DSv2 READ under the gate: startingVersion turns the
     // plain spark.read into a change-data-feed consumption — only the
@@ -1006,7 +1006,7 @@ object SparkEntry {
         .load(lineitemSnapshotIncr(s, d))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // AGGREGATE PUSHDOWN under the gate: COUNT/MIN/MAX over the DSv2
     // read answered ENTIRELY from the manifest through Spark's complete
@@ -1027,7 +1027,7 @@ object SparkEntry {
           "l_orderkey", 200L, 399L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+        ),
 
     // TYPED CDF under the gate: a delete + merge history replayed as
     // row-level changes — deletes from the CoW delete, update pre/post
@@ -1039,8 +1039,7 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("long").as("qty"),
           col("_change_type"), col("_commit_version"))
-        .orderBy("_commit_version", "_change_type", "l_orderkey",
-          "l_linenumber", "l_partkey")),
+        ),
 
     // S5: keyed read with limit + server-ts annotation (reference
     // storage.py:48-58); ORDER BY before LIMIT keeps it deterministic.
@@ -1131,7 +1130,7 @@ object SparkEntry {
     // binary-collation min/max, modal value with a deterministic tiebreak.
     "profile_strings" -> ((s, d) =>
       Profile.summarizeStrings(t(s, d, "documents"), Seq("lang", "source"))
-        .orderBy("column_name")),
+        ),
 
     // (The approximate profile mode — HLL distinct + percentile_approx, the
     // at-scale default — is engine-specific by construction and so lives
@@ -1181,7 +1180,7 @@ object SparkEntry {
     // machinery; the clamp+mean is one map-side-combined keyed agg.
     "winsorize" -> ((s, d) =>
       Profile.winsorizedMean(t(s, d, "events"), "value", "event_type")
-        .orderBy("event_type")),
+        ),
 
     // Rolling per-user anomaly gate: each event vs that user's own
     // trailing-20 baseline (current row excluded) — the time-series
@@ -1190,7 +1189,7 @@ object SparkEntry {
     "rolling_outliers" -> ((s, d) =>
       Profile.rollingOutliers(t(s, d, "events"), "value", "user_id",
           "ts", "event_id")
-        .orderBy("event_id")),
+        ),
 
     // Distributional drift (PSI) between two event populations over fixed
     // config bins: each 100 TB side collapses to ≤nBins rows before any
@@ -1461,7 +1460,7 @@ object SparkEntry {
     // along as the quality readout.
     "distinct_hll" -> ((s, d) =>
       graft.analytics.Sketches.hllDistinctBy(t(s, d, "events"),
-        "event_type", "user_id").orderBy("event_type")),
+        "event_type", "user_id")),
 
     // INCREMENTAL cardinality: the odd-id batch's registers max-merged
     // with the persisted even-id history store — history rows never
@@ -1472,7 +1471,7 @@ object SparkEntry {
     "distinct_hll_incremental" -> ((s, d) =>
       graft.analytics.Sketches.hllMergeProbe(s, hllStore(s, d),
         t(s, d, "events").where(col("event_id") % 2 === 1),
-        "event_type", "user_id").orderBy("event_type")),
+        "event_type", "user_id")),
 
     // Mergeable QUANTILE sketch: per-group binned-count registers (512
     // exact-binary-width bins, so w=(hi-lo)/nBins is an exact double),
@@ -1482,7 +1481,7 @@ object SparkEntry {
     "quantile_sketch" -> ((s, d) =>
       graft.analytics.Sketches.quantileSketchBy(t(s, d, "lineitem"),
         "l_returnflag", col("l_extendedprice"), 0.0, 131072.0, 512,
-        Seq(0.5, 0.95, 0.99)).orderBy("l_returnflag", "q")),
+        Seq(0.5, 0.95, 0.99))),
 
     // INCREMENTAL quantiles: the odd-orderkey batch's registers add-merge
     // with the persisted even-orderkey history store — bit-exactly the
@@ -1492,7 +1491,7 @@ object SparkEntry {
       graft.analytics.Sketches.quantileMergeProbe(s, quantileStore(s, d),
         t(s, d, "orders").where(col("o_orderkey") % 2 === 1),
         "o_orderpriority", col("o_totalprice"), 0.0, 524288.0, 512,
-        Seq(0.5, 0.9)).orderBy("o_orderpriority", "q")),
+        Seq(0.5, 0.9))),
 
     // Theta-style set-operation estimates from two KMV sketches — the
     // cohort/corpus overlap diagnostic without a distinct-join: each side
@@ -1653,7 +1652,7 @@ object SparkEntry {
     // by first-occurrence-wins. The storage-dedup complement of the span
     // operators: O(n) map per doc + ONE (hash, len)-keyed exchange.
     "dedup_cdc" -> ((s, d) =>
-      graft.llm.Cdc.dedupStats(t(s, d, "documents")).orderBy("doc_id")),
+      graft.llm.Cdc.dedupStats(t(s, d, "documents"))),
 
     // The INCREMENTAL CDC ledger: the odd-id crawl accounted against the
     // persisted even-id chunk-hash store — history text never rescanned,
@@ -1661,7 +1660,7 @@ object SparkEntry {
     "dedup_cdc_incremental" -> ((s, d) =>
       graft.llm.Cdc.probeStats(s, cdcStore(s, d),
         t(s, d, "documents").where(col("doc_id") % 2 === 1))
-        .orderBy("doc_id")),
+        ),
 
     // The EDITING form of exact-substring dedup (Lee et al. 2022): cut
     // every non-canonical duplicated 10-token span from the text itself,
@@ -1707,13 +1706,13 @@ object SparkEntry {
     // the oracle can replay the same slice), so the scan reads 1/nBuckets
     // of the pair bytes. Spec-asserted: files read < layout files.
     "dedup_pairs_index" -> ((s, d) =>
-      pairsIdx(s, d).probeBucket(s, bucket = 3L).orderBy("doc_a", "doc_b")),
+      pairsIdx(s, d).probeBucket(s, bucket = 3L)),
 
     // Incremental pair maintenance: history index + one appended crawl
     // must equal the from-scratch pair relation over the full corpus —
     // the oracle is literally the one-shot kernel's SQL.
     "pairs_index_append" -> ((s, d) =>
-      pairsIncIdx(s, d).pairs(s).orderBy("doc_a", "doc_b")),
+      pairsIncIdx(s, d).pairs(s)),
 
     // Near-SUBSET detection: shingle containment |A∩B|/min(|A|,|B|) stays
     // high for an excerpt inside a larger doc where Jaccard collapses.
@@ -1736,7 +1735,7 @@ object SparkEntry {
         .where(col("split_a") =!= col("split_b"))
         .groupBy("split_a", "split_b")
         .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("split_a", "split_b")
+        
     },
 
     // Cross-source duplication matrix: which sources copy from which —
@@ -1751,7 +1750,7 @@ object SparkEntry {
         .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("source_a", "source_b")
+        
     },
 
     // Cluster resolution over the near-dup pair graph: a≈b≈c is ONE cluster
@@ -1774,7 +1773,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Dedup.contaminationFrac(docs.where(col("doc_id") >= 10),
           docs.where(col("doc_id") < 10))
-        .orderBy("doc_id")
+        
     },
 
     // The same scrub through a 2^20-bit bloom of the eval shingles — the
@@ -1863,7 +1862,7 @@ object SparkEntry {
       Similarity.centroidDrift(
           e.where(pmod(col("vec_id"), lit(2)) === 0),
           e.where(pmod(col("vec_id"), lit(2)) === 1))
-        .orderBy("label")
+        
     },
 
     // ---- 2.H similarity ----
@@ -1983,7 +1982,7 @@ object SparkEntry {
     // component sums + upper-triangle second moments (order-invariant
     // integer sums, map-side combined), d²-bounded assembly driver-side.
     "embed_covariance" -> ((s, d) =>
-      Similarity.covariance(t(s, d, "embeddings")).orderBy("i", "j")),
+      Similarity.covariance(t(s, d, "embeddings"))),
 
     // ---- 2.H text analysis ----
     "text_stats" -> ((s, d) =>
@@ -2010,7 +2009,7 @@ object SparkEntry {
       firsts.crossJoin(broadcast(nd))
         .groupBy(expr("first_doc * 10 DIV (max_id + 1)").as("decile"))
         .agg(count(lit(1)).as("n_new_shingles"))
-        .orderBy("decile")
+        
     },
 
     // Per-doc novelty: fraction of a doc's distinct 5-gram shingles that
@@ -2127,7 +2126,7 @@ object SparkEntry {
       crawlHtml(s, d).select(col("doc_id"),
         graft.llm.Html.title(col("html")).as("title"),
         graft.llm.Html.extractText(col("html")).as("content"))
-        .orderBy("doc_id")),
+        ),
 
     // Link-graph extraction under the gate: anchors pulled from real
     // markup by the general href chain, hosts from the general URL rules,
@@ -2137,7 +2136,7 @@ object SparkEntry {
       linkEdges(s, d)
         .groupBy("src_host", "dst_host")
         .agg(count(lit(1)).as("n_links"))
-        .orderBy("src_host", "dst_host")),
+        ),
 
     // Anchor-text index: what OTHER pages call a link target — the
     // classic off-page relevance signal (anchor terms often describe the
@@ -2159,7 +2158,7 @@ object SparkEntry {
         .partitionBy("dst_host").orderBy(col("n").desc, col("term"))
       counts.withColumn("_rk", row_number().over(w))
         .where(col("_rk") <= 3).drop("_rk")
-        .orderBy("dst_host", "term")
+        
     }),
 
     // PageRank over the EXTRACTED host graph — crawl HTML in, ranked
@@ -2172,7 +2171,7 @@ object SparkEntry {
             .select(col("src_host").as("src"), col("dst_host").as("dst")),
           iters = 3)
         .select(col("id").as("host"), col("r").as("rank_micro"))
-        .orderBy("host")),
+        ),
 
     // Crawl-frontier scheduling: the composition a crawler's planner
     // runs — PageRank over the extracted host graph, joined with the
@@ -2199,7 +2198,7 @@ object SparkEntry {
         .withColumn("priority_micro",
           when(col("allowed"),
             expr("rank_micro DIV (n_docs + 1)")).otherwise(lit(0L)))
-        .orderBy("host")
+        
     }),
 
     // URL canonicalization under the gate: four messy raw variants per
@@ -2210,7 +2209,7 @@ object SparkEntry {
     "url_canonicalize" -> ((s, d) =>
       crawlUrls(s, d).select(col("doc_id"), col("url"),
         graft.llm.Urls.canonicalize(col("url")).as("canonical"))
-        .orderBy("doc_id")),
+        ),
 
     // URL dedup: canonical-form groups — the crawl-frontier primitive
     // (same page under URL noise = ONE fetch). Canonicalize riding the
@@ -2221,7 +2220,7 @@ object SparkEntry {
           graft.llm.Urls.canonicalize(col("url")).as("canonical"))
         .groupBy("canonical")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
-        .orderBy("canonical")),
+        ),
 
     // TRAINED language-ID: multinomial Naive Bayes fit on the even-id
     // half, scored over every doc — integer micro-unit log-probs end to
@@ -2252,7 +2251,7 @@ object SparkEntry {
     // counts and dominance argmax must land exactly where the oracle's
     // replay puts them. Four codegen'd regexp counts, shuffle-free.
     "script_detect" -> ((s, d) =>
-      TextStats.scriptMix(crawlScripts(s, d)).orderBy("doc_id")),
+      TextStats.scriptMix(crawlScripts(s, d))),
 
     // LINE-level language segmentation (the CCNet move: language-ID per
     // paragraph/line, not per document — a mixed-language doc routes each
@@ -2264,7 +2263,7 @@ object SparkEntry {
         .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
         .select(col("doc_id"), TextStats.langId(col("line")).as("pred_lang"))
         .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("n_lines"))
-        .orderBy("doc_id", "pred_lang")),
+        ),
 
     // C4 line-structural filtering under the gate: the corpus sliced into
     // decorated lines (terminal punctuation by residue, lorem-ipsum
@@ -2273,7 +2272,7 @@ object SparkEntry {
     // clean_text. Doc-local higher-order expressions: one map stage at
     // any corpus size.
     "c4_filter" -> ((s, d) =>
-      TextStats.c4Filter(crawlLines(s, d)).orderBy("doc_id")),
+      TextStats.c4Filter(crawlLines(s, d))),
 
     "fingerprint_winnow" -> ((s, d) =>
       Dedup.winnowFingerprints(t(s, d, "documents"))),
@@ -2329,7 +2328,7 @@ object SparkEntry {
             graft.functions.Rounding.dround(
               col("n_subtokens").cast("double") / col("n_words"), 6))
             .as("fertility"))
-        .orderBy("lang")),
+        ),
 
     // BPE TRAINING oracle-gated end to end: learn 8 merges ON the corpus
     // (distributed word-frequency aggregate + the deterministic driver
@@ -2381,7 +2380,7 @@ object SparkEntry {
             graft.functions.Rounding.dround(
               col("n_pieces").cast("double") / col("n_words"), 6))
             .as("fertility"))
-        .orderBy("lang")
+        
     },
 
     // Model-based quality scoring (hashed-BoW logistic classifier) under a
@@ -2414,7 +2413,7 @@ object SparkEntry {
             col("_sm").cast("double") / 1000000 / col("n"), 6).as("mean_model"),
           graft.functions.Rounding.dround(
             col("_sh").cast("double") / 1000000 / col("n"), 6).as("mean_heur"))
-        .orderBy("bin")),
+        ),
 
     // Classifier eval readout: accuracy / clamped log-loss / EXACT
     // ties-half AUC against the parity labels quality_train fits. The
@@ -2472,7 +2471,7 @@ object SparkEntry {
     // machinery, so the gap replays exactly.
     "dsir_weights" -> ((s, d) =>
       graft.llm.NgramLm.dsirWeights(t(s, d, "documents"),
-        lmTargetModel(s, d), lmModel(s, d, 2)).orderBy("doc_id")),
+        lmTargetModel(s, d), lmModel(s, d, 2))),
 
     // CCNet's actual consumption of the LM score: the head/middle/tail
     // corpus split on perplexity terciles (exactNtile — no global window).
@@ -2512,7 +2511,7 @@ object SparkEntry {
         .select(col("doc_id"),
           when(col("doc_id") % 7 === 0, concat(col("text"), lit(" refetched")))
             .otherwise(col("text")).as("text"))
-      graft.llm.Corpus.snapshotDiff(prev, cur).orderBy("doc_id")
+      graft.llm.Corpus.snapshotDiff(prev, cur)
     },
 
     "text_normalize" -> ((s, d) =>
@@ -2541,7 +2540,9 @@ object SparkEntry {
       val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val wDoc = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-      tf.join(df_, "term")
+      // df_ is vocab-sized — broadcast it so the corpus-sized tf relation
+      // never pays a by-term exchange for this join (guide §3.1)
+      tf.join(broadcast(df_), "term")
         .crossJoin(broadcast(n))
         .withColumn("score",
           graft.functions.Rounding.dround(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
@@ -2631,7 +2632,7 @@ object SparkEntry {
         col("o_custkey") === col("c_custkey"))
       graft.analytics.Features.targetEncode(df, "c_mktsegment",
           col("o_totalprice"))
-        .orderBy("c_mktsegment")
+        
     },
 
     // Exact two-sample KS drift: max CDF gap between English and
@@ -2651,7 +2652,7 @@ object SparkEntry {
     // Seeded draw = the sampler family's testability convention.
     "dp_counts" -> ((s, d) =>
       graft.analytics.Privacy.dpCounts(t(s, d, "documents"), "source")
-        .orderBy("source")),
+        ),
 
     // ε-DP noisy histogram: every bin of the fixed binning released —
     // empty bins included (suppressing them leaks emptiness) — with the
@@ -2663,12 +2664,12 @@ object SparkEntry {
     "dp_quantile" -> ((s, d) =>
       graft.analytics.Privacy.dpQuantile(t(s, d, "events"), "event_type",
         col("value"), q = 0.5, lo = 0.0, hi = 500.0)
-        .orderBy("event_type")),
+        ),
 
     "dp_histogram" -> ((s, d) =>
       graft.analytics.Privacy.dpHistogram(t(s, d, "events"), col("value"),
           lo = 0.0, hi = 500.0, nBins = 10)
-        .orderBy("bin")),
+        ),
 
     // k-anonymity audit over the (lang, source) quasi-identifiers: the
     // release gate before any extract publication — one keyed count plus
@@ -2690,7 +2691,7 @@ object SparkEntry {
     // replays all three rounds exactly.
     "dp_topk" -> ((s, d) =>
       graft.analytics.Privacy.dpTopK(t(s, d, "documents"), "source", k = 3)
-        .orderBy("rank")),
+        ),
 
     // t-closeness — the anonymity triad's third audit (skewness attack):
     // each source's language distribution must sit within total-variation
@@ -2713,7 +2714,7 @@ object SparkEntry {
           GenLevel(0, Seq("lang" -> col("lang"), "source" -> col("source"))),
           GenLevel(1, Seq("lang" -> col("lang"), "source" -> lit("*"))),
           GenLevel(2, Seq("lang" -> lit("*"), "source" -> lit("*")))),
-        k = 40).orderBy("lang", "source")
+        k = 40)
     },
 
     // ε-DP per-group mean (clamp-and-split: ε/2 on the bounded sum, ε/2
@@ -2722,7 +2723,7 @@ object SparkEntry {
     "dp_mean" -> ((s, d) =>
       graft.analytics.Privacy.dpMean(t(s, d, "events"), col("value"),
           "event_type", lo = 0.0, hi = 500.0)
-        .orderBy("event_type")),
+        ),
 
     // Deterministic train/valid/test split: the label is a pure function
     // of the id (stable under corpus growth — eval docs can never drift
@@ -2732,7 +2733,7 @@ object SparkEntry {
           Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("split", "source")),
+        ),
 
     // Deterministic 10% hash sample: reproducible across runs/engines/
     // partitionings, unlike rand()-based sampling.
@@ -2805,7 +2806,7 @@ object SparkEntry {
           graft.functions.Rounding.dround(
             col("_qs").cast("double") / 10000 / col("n_docs"), 6)
             .as("mean_quality"))
-        .orderBy("source")
+        
     },
 
     // Packing-efficiency readout: per language, how full the context bins
@@ -2825,7 +2826,7 @@ object SparkEntry {
           graft.functions.Rounding.dround(
             col("total_tok").cast("double") / col("n_bins") / 512, 6)
             .as("mean_fill"))
-        .orderBy("lang")),
+        ),
 
     // Overlapping token-window chunking (RAG / context-window prep): pure
     // per-row explode, chunk identity = (doc, ordinal) — deterministic
@@ -2876,7 +2877,7 @@ object SparkEntry {
       graft.llm.Corpus.domainQuota(
           t(s, d, "documents").withColumn("url", url), quota = 3,
           score = TextStats.qualityScore(col("text")))
-        .orderBy("doc_id")
+        
     },
 
     // WARC scan: the crawl-archive container read end to end — the memo
@@ -2885,7 +2886,7 @@ object SparkEntry {
     // the records back out at byte offsets. One task per archive file —
     // the 100 TB crawl-archive sharding.
     "scan_warc" -> ((s, d) =>
-      graft.etl.Sources.readWarc(s, warcDir(s, d)).orderBy("doc_id")),
+      graft.etl.Sources.readWarc(s, warcDir(s, d))),
 
     // Gzipped WARC with captured-HTTP payloads — the Common Crawl
     // container verbatim: per-file gzip member streams (the reader
@@ -2895,7 +2896,7 @@ object SparkEntry {
     // scan_warc; the Spark side must EARN it back through inflate + the
     // byte-offset walk + the HTTP header skip.
     "scan_warc_gz" -> ((s, d) =>
-      graft.etl.Sources.readWarc(s, warcGzDir(s, d)).orderBy("doc_id")),
+      graft.etl.Sources.readWarc(s, warcGzDir(s, d))),
 
     // robots.txt policy: each 4-doc site publishes a robots body with a
     // nested allow-inside-disallow pair, odd sites prepending a `bot`
@@ -2921,7 +2922,7 @@ object SparkEntry {
         t(s, d, "documents").where(col("doc_id") % 4 === 0)
           .select(dom.as("domain"), robots.as("robots")))
       graft.llm.Robots.decide(docs, rules)
-        .select("doc_id", "url", "allowed").orderBy("doc_id")
+        .select("doc_id", "url", "allowed")
     },
 
     // Deterministic Agrawal load corpus (reference locustfile's
@@ -3090,7 +3091,7 @@ object SparkEntry {
       val v = floor(col("doc_id") / 4).cast("long") % 1000
       val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
         graft.functions.native.syntheticWav(n, v).as("content"))
-      Multimodal.audioDupPairs(media).orderBy("clip_a", "clip_b")
+      Multimodal.audioDupPairs(media)
     },
 
     // CLIP near-dup by per-frame DCT pHash, end-to-end real: each group
@@ -3109,7 +3110,7 @@ object SparkEntry {
       val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
         graft.functions.native.syntheticApngGrad(32, 32, nf, g, sh)
           .as("content"))
-      Multimodal.clipDupPairsDct(media).orderBy("clip_a", "clip_b")
+      Multimodal.clipDupPairsDct(media)
     },
 
     // AUDIO near-dup by SPECTRAL fingerprint, end-to-end real: each group
@@ -3126,7 +3127,7 @@ object SparkEntry {
       val g = (lit(1) + col("doc_id") % 4).cast("int")
       val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
         graft.functions.native.syntheticWavGain(n, v, g).as("content"))
-      Multimodal.audioDupPairsSpectral(media).orderBy("clip_a", "clip_b")
+      Multimodal.audioDupPairsSpectral(media)
     },
 
     // COMPRESSED-audio dedup, end-to-end real: clips synthesize genuine
@@ -3143,7 +3144,7 @@ object SparkEntry {
       val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
         graft.functions.native.syntheticWavAdpcm(n, v).as("content"))
       Multimodal.audioDupPairs(media, window = 505)
-        .orderBy("clip_a", "clip_b")
+        
     },
 
     // The typed mapPartitions decode boundary under the gate for IMAGES:
@@ -3222,7 +3223,7 @@ object SparkEntry {
       val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
         graft.functions.native.syntheticApng(w, h, nf, v).as("content"))
       Multimodal.clipDupPairs(media, sampleEvery = 2)
-        .orderBy("clip_a", "clip_b")
+        
     },
 
     // CROSS-CONTAINER clip dedup: each group's clip is stored once as
@@ -3244,7 +3245,7 @@ object SparkEntry {
           .otherwise(graft.functions.native.syntheticGifAnim(w, h, nf, v,
             frameStep = 23)).as("content"))
       Multimodal.clipDupPairs(media, sampleEvery = 2)
-        .orderBy("clip_a", "clip_b")
+        
     },
 
     // IMAGE near-dup by PERCEPTUAL hash, end-to-end real: each doc
@@ -3263,7 +3264,7 @@ object SparkEntry {
       val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
         graft.functions.native.syntheticPngGrad(32, 32, a, b, sh)
           .as("content"))
-      Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
+      Multimodal.imageDupPairs(media)
     },
 
     // IMAGE near-dup by DCT PERCEPTUAL hash (pHash proper), end-to-end
@@ -3284,7 +3285,7 @@ object SparkEntry {
       val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
         graft.functions.native.syntheticPngGrad(32, 32, a, b, sh)
           .as("content"))
-      Multimodal.imageDupPairsDct(media).orderBy("id_a", "id_b")
+      Multimodal.imageDupPairsDct(media)
     },
 
     // CROSS-FORMAT perceptual dedup with the LOSSY codec inside the
@@ -3300,7 +3301,7 @@ object SparkEntry {
       val media = t(s, d, "documents").select(col("doc_id").as("media_id"),
         graft.functions.native.syntheticImageCheck(32, 32, g,
           col("doc_id") % 2 === 1).as("content"))
-      Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
+      Multimodal.imageDupPairs(media)
     },
 
     // THREE codecs under one perceptual gate: each group of three docs is
@@ -3319,7 +3320,7 @@ object SparkEntry {
             32, 32, g, lit(true)))
           .otherwise(graft.functions.native.syntheticImageCheckGif(32, 32, g))
           .as("content"))
-      Multimodal.imageDupPairs(media).orderBy("id_a", "id_b")
+      Multimodal.imageDupPairs(media)
     },
 
     // LOSSY-container frame sampling, end-to-end real: each doc
@@ -3362,7 +3363,7 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"),
           graft.functions.native.syntheticMjpeg(w, h, nf, v).as("content"))
       Multimodal.clipDupPairs(media, sampleEvery = 2)
-        .orderBy("clip_a", "clip_b")
+        
     },
 
     // COMPRESSED audio, end-to-end real: each doc synthesizes a triangle

@@ -45,14 +45,19 @@ object Graph {
       .distinct().localCheckpoint()
     val n = nodes.count()
     if (n == 0) return nodes.select(col("id"), lit(0L).as("r")) // empty graph
+    // out-degree is STATIC across iterations — fold it onto the edge
+    // relation once (lazy checkpoint) instead of paying an edge-sized
+    // deg join inside every iteration (guide §2.4: hoist loop-invariant
+    // joins; at scale this swaps iters× edge joins for one extra column
+    // on the already-materialized edge checkpoint)
     val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edDeg = ed.join(deg, "src").localCheckpoint(false)
     val base = 15L * RankUnit / (100L * n)
     var r = nodes.select(col("id"), lit(RankUnit / n).as("r"))
     var it = 0
     while (it < iters) {
-      val contrib = ed
+      val contrib = edDeg
         .join(r.select(col("id").as("src"), col("r")), "src")
-        .join(deg, "src")
         .select(col("dst").as("id"), expr("r DIV deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
       r = nodes.join(contrib, Seq("id"), "left")

@@ -1181,7 +1181,15 @@ object Snapshot {
           Seq(shape(readMasked(spark, path, v, added, schema), "insert", v))
         else {
           // a rewrite: key-diff old against new (both through their
-          // version's mask), multiset-exact via exceptAll
+          // version's mask), multiset-exact via exceptAll.
+          // Optimization-round note (r14): two rewrites were measured and
+          // BOTH regressed, so this shape stands — (a) lazy-checkpointing
+          // the two sides (0.92 s → 1.80 s: a materialization job per
+          // side per step, and checkpoints erase size stats so the key
+          // broadcasts degrade to sort-merge); (b) fusing each anti+semi
+          // pair into one flagged left join (0.92 s → 1.24 s: consumers
+          // don't share the joined subtree, so the fusion only replaced
+          // two cheap one-sided joins with two wider ones).
           val oldRows = readMasked(spark, path, v - 1, removed, schema)
           val newRows = readMasked(spark, path, v, added, schema)
           val oldKeys = oldRows.select(col(key)).distinct()

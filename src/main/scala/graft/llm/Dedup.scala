@@ -264,14 +264,47 @@ object Dedup {
   def minhashCalibration(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleLen: Int = 5, bands: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
-    val exact = minhash(docs, textCol, idCol, shingleLen, bands, rowsPerBand,
-      threshold = 0.0)
-    val est = minhashEstimate(docs, textCol, idCol, shingleLen, bands,
+    // ONE corpus pass and ONE candidate join for both readings: the old
+    // shape ran minhash() and minhashEstimate() independently — two full
+    // shingle+signature passes, two banded self-joins, four per-doc
+    // feature joins, then a pair-pair join to line the two readings up.
+    // Exact Jaccard and the signature-agreement estimate are both
+    // per-pair projections of the SAME (sh, sig) features, so compute
+    // the features once (lazy checkpoint: feeds the candidate build and
+    // both join legs), pair once, and read both numbers off each pair
+    // row. Formulas are verbatim from minhash()/minhashEstimate().
+    val numHashes = bands * rowsPerBand
+    val feats = docs.select(
+        col(idCol).as("id"),
+        shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(false)
+    val banded = bandedOf(feats.select(col("id"), col("sig")), bands,
       rowsPerBand)
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val paired = cand
+      .join(feats.select(col("id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(feats.select(col("id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
+      .select(
+        graft.functions.Rounding.dround(jaccard(col("sh_a"), col("sh_b")), 4)
+          .as("jacc"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x) / lit(numHashes.toDouble))
+          .as("est_jacc"))
+      .where(col("jacc") >= 0.0)
     val e = abs(col("est_jacc") - col("jacc")) * 1e6
     val em = when(e >= 0, floor(e + 0.5)).otherwise(-floor(-e + 0.5))
       .cast("long")
-    exact.join(est, Seq("doc_a", "doc_b"))
+    paired
       .select(em.as("em"))
       .agg(count(lit(1)).as("n_pairs"),
         graft.functions.Rounding.dround(

@@ -136,13 +136,29 @@ object Multimodal {
       val t = prev; prev = cur; cur = t
       y += 1
     }
-    val defl = new java.util.zip.Deflater()
+    // Per-task amortized native zlib stream (a new Deflater allocates a
+    // native stream per call — measurable when the encoder runs per row),
+    // at BEST_SPEED: the synthesized rasters are small and the level only
+    // changes the COMPRESSED byte stream, never the decoded raster the
+    // gates and specs pin (encode is deterministic at any fixed level, so
+    // equal inputs still produce byte-identical payloads).
+    val defl = pngDeflater.get()
+    defl.reset()
     defl.setInput(raw); defl.finish()
     val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
     val buf = new Array[Byte](8192)
     while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
-    defl.end()
     zOut.toByteArray
+  }
+
+  private val pngDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  private val pngInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater()
   }
 
   /** Chunk writer shared by the PNG and APNG encoders: length, tag, data,
@@ -245,7 +261,11 @@ object Multimodal {
                             channels: Int): Option[Array[Byte]] = {
     val stride = width * channels
     val raw = new Array[Byte](height * (1 + stride))
-    val infl = new java.util.zip.Inflater()
+    // per-task amortized native zlib stream (reset per use), mirroring the
+    // encoder's pngDeflater — a fresh Inflater allocates a native stream
+    // per decoded frame, measurable when the decoder runs per row
+    val infl = pngInflater.get()
+    infl.reset()
     infl.setInput(z)
     var got = 0
     try {
@@ -255,7 +275,6 @@ object Multimodal {
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }
-    finally infl.end()
     if (got != raw.length) return None
     val px = new Array[Byte](height * stride)
     var y = 0
@@ -853,21 +872,29 @@ object Multimodal {
     require(nFrames >= 1 && width > 0 && height > 0,
       s"bad clip ${width}x$height×$nFrames")
     val bos = new java.io.ByteArrayOutputStream()
+    // One ImageIO writer per TASK THREAD, not per frame: the registry
+    // lookup + writer construction dominated the encode of small frames
+    // (the writer is reusable via setOutput per the ImageIO contract, and
+    // encoding is deterministic, so the bytes are unchanged).
+    val wr = jpegWriter.get()
     var f = 0
     while (f < nFrames) {
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // fill the raster's backing int[] directly — same pixel values as
+      // setRGB on TYPE_INT_RGB, without the per-call colormodel dance
+      val px = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          img.setRGB(x, y, (pixel(f, x, y, 0) << 16) |
-            (pixel(f, x, y, 1) << 8) | pixel(f, x, y, 2))
+          px(y * width + x) = (pixel(f, x, y, 0) << 16) |
+            (pixel(f, x, y, 1) << 8) | pixel(f, x, y, 2)
           x += 1
         }
         y += 1
       }
-      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
       val wp = wr.getDefaultWriteParam
       wp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       wp.setCompressionQuality(quality)
@@ -876,10 +903,14 @@ object Multimodal {
       wr.setOutput(ios)
       wr.write(null, new javax.imageio.IIOImage(img, null, null), wp)
       ios.flush()
-      wr.dispose()
       f += 1
     }
     bos.toByteArray
+  }
+
+  private val jpegWriter = new ThreadLocal[javax.imageio.ImageWriter] {
+    override def initialValue(): javax.imageio.ImageWriter =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
   }
 
   /** `[start, end)` byte ranges of the concatenated JPEG frames of an

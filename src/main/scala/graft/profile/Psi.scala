@@ -177,6 +177,10 @@ object Psi {
         coalesce(col("na"), lit(0L)).as("na"),
         coalesce(col("nb"), lit(0L)).as("nb"))
       .withColumn("bk", floor(col("v").cast("double") / bucketWidth).cast("long"))
+      // distinct-value-sized, and consumed by THREE branches (bucket
+      // offsets, totals, per-value CDF) — the lazy checkpoint stops each
+      // branch re-running both count aggregates and the full-outer join
+      .localCheckpoint(false)
     // exclusive prefix offsets per coarse bucket (window over #buckets rows)
     val wb = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off = j.groupBy("bk").agg(sum("na").as("ba"), sum("nb").as("bb"))
