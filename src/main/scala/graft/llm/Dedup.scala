@@ -383,10 +383,17 @@ object Dedup {
       idCol: String, shingleLen: Int, bands: Int, rowsPerBand: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
-    val sh = docs.select(
-      col(idCol).as("id"),
-      shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // one corpus tokenize+shingle+sign pass shared by the candidate build
+    // and the callers' two feature joins (lazy checkpoint) — without it
+    // the shingle subtree re-runs once per consumer (three times in
+    // minhash(): banding + both exact-verify join legs)
+    val feats = docs.select(
+        col(idCol).as("id"),
+        shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(false)
+    val sh = feats.select(col("id"), col("sh"))
+    val sig = feats.select(col("id"), col("sig"))
     val banded = bandedOf(sig, bands, rowsPerBand)
     val cand = banded.alias("a")
       .join(banded.alias("b"),
@@ -816,8 +823,14 @@ object Dedup {
                        blockPrefix: Int = 40, threshold: Double = 0.8,
                        maxBlock: Int = 10000, winK: Int = 3, winW: Int = 4,
                        maxFpDf: Int = 1000): DataFrame = {
+    // the block-key relation feeds BOTH self-join legs, and the shingle
+    // relation BOTH verify legs — lazy checkpoints (the hash64DupPairs
+    // convention) or each leg re-executes the whole blocking pipeline
+    // (prefix sizes + hot-block winnowing + df guard) / the corpus
+    // tokenize+shingle pass
     val keyed = containmentBlocks(docs, textCol, idCol, shingleLen,
       blockPrefix, maxBlock, winK, winW, maxFpDf)
+      .localCheckpoint(false)
     val a = keyed.alias("a")
     val b = keyed.alias("b")
     val cand = a.join(b,
@@ -827,6 +840,7 @@ object Dedup {
       .distinct()
     val shd = docs.select(col(idCol).as("id"),
       shingles(TextStats.tokens(col(textCol)), shingleLen).as("sh"))
+      .localCheckpoint(false)
     cand
       .join(shd.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shd.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -337,8 +337,12 @@ object TextStats {
   def pmiPairs(docs: DataFrame, textCol: String = "text",
                minCount: Int = 5, topN: Int = 50, scale: Int = 6): DataFrame = {
     val ws = docs.select(tokens(col(textCol)).as("ws"))
+    // vocab-sized and consumed three times (grand total + both bigram
+    // join legs) — the lazy checkpoint stops each consumer re-running the
+    // corpus explode+aggregate
     val uni = ws.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
     val tot = uni.agg(sum(col("n")).cast("double").as("nt"))
     val bg = ws.select(explode(zip_with(
         slice(col("ws"), lit(1), size(col("ws")) - 1),
@@ -347,8 +351,10 @@ object TextStats {
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("n12"))
       .where(col("n12") >= minCount)
-    bg.join(uni.select(col("w").as("w1"), col("n").as("n1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("n").as("n2")), "w2")
+    // broadcast the vocab-sized unigram slices so the bigram relation
+    // never re-exchanges by w1 and then again by w2 (guide §3.1)
+    bg.join(broadcast(uni.select(col("w").as("w1"), col("n").as("n1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n2"))), "w2")
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n12"),
         graft.functions.Rounding.dround(
