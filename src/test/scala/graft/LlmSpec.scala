@@ -2668,6 +2668,26 @@ class LlmSpec extends SparkSpec {
       5L -> true, 6L -> true), got.toString)
   }
 
+  test("robots decide: multiset in, multiset out — duplicate URL rows survive") {
+    // the one-pass decide (r14 optimization) groups per input ROW, not per
+    // (domain, path): exact duplicate rows must come out with their
+    // multiplicity, each with the same verdict
+    import graft.llm.Robots
+    val rulesDf = Robots.parseRobots(Seq(
+      ("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+      .toDF("domain", "robots"))
+    val urls = Seq("http://a.com/private/x", "http://a.com/private/x",
+      "http://a.com/private/ok/y", "http://a.com/free",
+      "http://a.com/free").toDF("url")
+    val got = Robots.decide(urls, rulesDf)
+      .select("url", "allowed").as[(String, Boolean)].collect().toSeq
+      .sorted
+    assert(got == Seq(("http://a.com/free", true), ("http://a.com/free", true),
+      ("http://a.com/private/ok/y", true),
+      ("http://a.com/private/x", false), ("http://a.com/private/x", false)),
+      got.toString)
+  }
+
   test("quantile sketch: merge equals one-shot bit-exactly, error within one bin") {
     import graft.analytics.Sketches
     val d = (1 to 1000).map(i => ("a", (i % 700).toDouble)) ++
