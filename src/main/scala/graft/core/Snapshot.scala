@@ -1181,26 +1181,68 @@ object Snapshot {
           Seq(shape(readMasked(spark, path, v, added, schema), "insert", v))
         else {
           // a rewrite: key-diff old against new (both through their
-          // version's mask), multiset-exact via exceptAll.
-          // Optimization-round note (r14): two rewrites were measured and
-          // BOTH regressed, so this shape stands — (a) lazy-checkpointing
-          // the two sides (0.92 s → 1.80 s: a materialization job per
-          // side per step, and checkpoints erase size stats so the key
-          // broadcasts degrade to sort-merge); (b) fusing each anti+semi
-          // pair into one flagged left join (0.92 s → 1.24 s: consumers
-          // don't share the joined subtree, so the fusion only replaced
-          // two cheap one-sided joins with two wider ones).
+          // version's mask), in ONE tagged-union pass. The r13 shape
+          // (anti/semi joins against distinct key sets + two exceptAll
+          // multiset diffs) read each side three times and planned ~4
+          // exchanges per step; this computes the identical relation
+          // from per-distinct-row (old count, new count) pairs plus
+          // per-key totals:
+          //   - key only in old (new total 0)  → every old row a DELETE
+          //     at its multiplicity (= anti join);
+          //   - key only in new                → INSERTs (= anti join);
+          //   - key on both sides              → per-row count surplus:
+          //     old−new > 0 emits update_preimage that many times,
+          //     new−old > 0 update_postimage (= exceptAll both ways —
+          //     identically-rewritten rows cancel, the compact case);
+          //   - NULL keys never match in a join, so they are classed
+          //     one-sided: old rows delete, new rows insert, NO
+          //     cancellation — exactly what the anti joins did.
+          // Grouping normalizes NaN/-0.0 the same way exceptAll's
+          // internal aggregation did, so float columns class alike.
           val oldRows = readMasked(spark, path, v - 1, removed, schema)
           val newRows = readMasked(spark, path, v, added, schema)
-          val oldKeys = oldRows.select(col(key)).distinct()
-          val newKeys = newRows.select(col(key)).distinct()
-          val dels = oldRows.join(newKeys, Seq(key), "left_anti")
-          val ins = newRows.join(oldKeys, Seq(key), "left_anti")
-          val oldC = oldRows.join(newKeys, Seq(key), "left_semi")
-          val newC = newRows.join(oldKeys, Seq(key), "left_semi")
-          Seq(shape(dels, "delete", v), shape(ins, "insert", v),
-            shape(oldC.exceptAll(newC), "update_preimage", v),
-            shape(newC.exceptAll(oldC), "update_postimage", v))
+          val dataCols = schema.fields.toSeq.map(f => col(f.name))
+          val tagged = oldRows
+            .select(dataCols :+ lit(1L).as("__gcdf_o") :+ lit(0L).as("__gcdf_n"): _*)
+            .unionByName(newRows
+              .select(dataCols :+ lit(0L).as("__gcdf_o") :+ lit(1L).as("__gcdf_n"): _*))
+          // distinct-row counts feed BOTH the key totals and the final
+          // classification join — lazy checkpoint so the union+aggregate
+          // runs once; the key-total side is key-cardinality-sized and
+          // broadcast explicitly (a checkpointed relation carries no
+          // size statistics)
+          val byRow = tagged.groupBy(dataCols: _*)
+            .agg(sum("__gcdf_o").as("__gcdf_co"), sum("__gcdf_n").as("__gcdf_cn"))
+            .localCheckpoint(false)
+          val keyTot = byRow.where(col(key).isNotNull).groupBy(col(key))
+            .agg(sum("__gcdf_co").as("__gcdf_to"), sum("__gcdf_cn").as("__gcdf_tn"))
+          val shared = col(key).isNotNull &&
+            coalesce(col("__gcdf_to"), lit(0L)) > 0 &&
+            coalesce(col("__gcdf_tn"), lit(0L)) > 0
+          val emit = byRow.join(broadcast(keyTot), Seq(key), "left")
+            .select(dataCols :+ explode(filter(array(
+              struct(lit("delete").as("t"),
+                when(shared, lit(0L)).otherwise(col("__gcdf_co")).as("n")),
+              struct(lit("insert").as("t"),
+                when(shared, lit(0L)).otherwise(col("__gcdf_cn")).as("n")),
+              struct(lit("update_preimage").as("t"),
+                when(shared, greatest(col("__gcdf_co") - col("__gcdf_cn"), lit(0L)))
+                  .otherwise(lit(0L)).as("n")),
+              struct(lit("update_postimage").as("t"),
+                when(shared, greatest(col("__gcdf_cn") - col("__gcdf_co"), lit(0L)))
+                  .otherwise(lit(0L)).as("n"))),
+              s => s.getField("n") > 0)).as("__gcdf_e"): _*)
+            .select(dataCols :+ col("__gcdf_e").getField("t").as("__gcdf_t") :+
+              explode(sequence(lit(1L), col("__gcdf_e").getField("n"))).as("__gcdf_i"): _*)
+          // shape() inlined: the change type is per-ROW here, not a
+          // branch constant
+          val shaped = emit.select(outCols.map(f =>
+              if (schema.fieldNames.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)) :+
+              col("__gcdf_t"): _*)
+            .withColumn("_change_type", col("__gcdf_t")).drop("__gcdf_t")
+            .withColumn("_commit_version", lit(v))
+          Seq(shaped)
         }
       // deletion-vector step: newly-masked ordinals of SURVIVING files
       val dvPrev = if (v == 1) Map.empty[String, Array[Long]]
