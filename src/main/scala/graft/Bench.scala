@@ -47,7 +47,15 @@ object Bench {
     // executions at small scale and are amortized to zero on a long-lived
     // cluster; a native-engine baseline has no per-query compile step).
     // Also warms the warehouse table cache (sf0.1 fits in memory).
-    spark.conf.set("spark.graft.cacheTables", "true")
+    //
+    // SPARK_GRAFT_TABLE_CACHE=false turns the warm in-memory base tables
+    // OFF so every timed rep scans the parquet inputs cold — the honest
+    // cache-off reference number (the DuckDB replay the baseline ratio is
+    // judged against also reads parquet per query). Default stays true:
+    // the committed round-over-round reference series was measured warm
+    // and must stay comparable.
+    spark.conf.set("spark.graft.cacheTables",
+      sys.env.getOrElse("SPARK_GRAFT_TABLE_CACHE", "true"))
     try {
       graft.core.Tables.all.foreach(n =>
         graft.core.Tables(spark, sfDir, n).count())
@@ -115,6 +123,13 @@ object Bench {
     // print FIRST: the stdout line is the primary contract — a file-write
     // failure must not take it down too
     println(json)
+    // The full line above is ~12 KB at 235 queries; a harness that keeps
+    // only the tail of stdout truncates its head and loses the total (the
+    // per-query map survives, the `{"metric":"total","value":…` prefix
+    // does not). So a SECOND, short summary line — same fields minus the
+    // map — is printed LAST, fitting any tail window. The full line and
+    // the file dumps are unchanged; old consumers keep working.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${results.values.count(_ < 0)},"sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => Console.err.println(s"[bench] write $outPath failed: $e") }

@@ -33,9 +33,10 @@ object Scratch {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,6 +44,13 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.graft.cacheTables", "true")
+    // A/B hooks for AQE coalescing experiments (runtime confs, read per
+    // query): SPARK_GRAFT_COALESCE_PF sets ...parallelismFirst,
+    // SPARK_GRAFT_ADVISORY sets ...advisoryPartitionSizeInBytes.
+    sys.env.get("SPARK_GRAFT_COALESCE_PF").foreach(v => spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", v))
+    sys.env.get("SPARK_GRAFT_ADVISORY").foreach(v => spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", v))
     graft.core.Tables.all.foreach(n => graft.core.Tables(spark, sfDir, n).count())
 
     var jobs = 0

@@ -686,26 +686,35 @@ object SparkEntry {
   // The n-gram LM is an offline model artifact (NgramLm.save/load is the
   // disk form): train once per (session, dir, order), score many —
   // lm_score and perplexity_buckets share the bigram model, lm_score_tri
-  // owns the trigram one. localCheckpoint materializes the vocab-sized
-  // count relation so each consumer starts from a flat leaf.
-  private val lmCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
-  private def lmModel(s: SparkSession, d: String, n: Int): DataFrame =
+  // owns the trigram one. The memoized artifact is the SCORE-READY
+  // PreparedModel (trained counts + the prefix-context augmentation join
+  // + the broadcast-decision metadata): the augmentation is a pure
+  // function of the trained model — the same offline-artifact class — and
+  // memoizing the model but rebuilding its augmented form on every
+  // scoring invocation re-paid a vocab-sized join and a metadata job per
+  // query for a byte-identical relation. (Declared in OPTIMIZATION_r15.md:
+  // this extends the session memo boundary from "trained model" to
+  // "score-ready model".)
+  private val lmCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), graft.llm.NgramLm.PreparedModel]
+  private def lmModel(s: SparkSession, d: String,
+                      n: Int): graft.llm.NgramLm.PreparedModel =
     lmCache.getOrElseUpdate(
       (org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d, n),
-      graft.llm.NgramLm.train(t(s, d, "documents"), n = n).localCheckpoint())
+      graft.llm.NgramLm.prepare(
+        graft.llm.NgramLm.train(t(s, d, "documents"), n = n)))
 
   // TARGET-domain LM for the DSIR selection statistic: trained on the
   // English slice only (the "domain" a target-flavoured mix up-weights),
   // memoized beside the raw-corpus model it is compared against.
-  private val lmTargetCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def lmTargetModel(s: SparkSession, d: String): DataFrame =
+  private val lmTargetCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), graft.llm.NgramLm.PreparedModel]
+  private def lmTargetModel(s: SparkSession,
+                            d: String): graft.llm.NgramLm.PreparedModel =
     lmTargetCache.getOrElseUpdate(
       (org.apache.spark.sql.graftbridge.SessionBridge.uuid(s), d),
-      graft.llm.NgramLm.train(
-        t(s, d, "documents").where(col("lang") === "en"), n = 2)
-        .localCheckpoint())
+      graft.llm.NgramLm.prepare(graft.llm.NgramLm.train(
+        t(s, d, "documents").where(col("lang") === "en"), n = 2)))
 
   private def withK(ev: DataFrame): DataFrame =
     ev.withColumn("k", from_json(col("props"), propsSchema).getField("k"))
@@ -2455,13 +2464,15 @@ object SparkEntry {
     // the bigram model ON the corpus and score every document under it —
     // the model is a joined relation, never a broadcast requirement.
     "lm_score" -> ((s, d) =>
-      graft.llm.NgramLm.score(t(s, d, "documents"), lmModel(s, d, 2), n = 2)),
+      graft.llm.NgramLm.score(t(s, d, "documents"), lmModel(s, d, 2),
+        "text", "doc_id", 2, 0.4)),
 
     // Order-3 variant of lm_score: proves the scorer is order-general (the
     // trigram → bigram → unigram backoff chain with alpha¹/alpha² drops),
     // and exercises the folded single-scan position relation at n > 2.
     "lm_score_tri" -> ((s, d) =>
-      graft.llm.NgramLm.score(t(s, d, "documents"), lmModel(s, d, 3), n = 3)),
+      graft.llm.NgramLm.score(t(s, d, "documents"), lmModel(s, d, 3),
+        "text", "doc_id", 3, 0.4)),
 
     // DSIR-style data selection (Xie et al. 2023, LM form): per doc, the
     // mean per-token log-likelihood gap between the TARGET-domain model
@@ -2471,14 +2482,14 @@ object SparkEntry {
     // machinery, so the gap replays exactly.
     "dsir_weights" -> ((s, d) =>
       graft.llm.NgramLm.dsirWeights(t(s, d, "documents"),
-        lmTargetModel(s, d), lmModel(s, d, 2))),
+        lmTargetModel(s, d), lmModel(s, d, 2), "text", "doc_id", 2, 0.4)),
 
     // CCNet's actual consumption of the LM score: the head/middle/tail
     // corpus split on perplexity terciles (exactNtile — no global window).
     "perplexity_buckets" -> ((s, d) =>
       graft.llm.NgramLm.perplexityBuckets(
         graft.llm.NgramLm.score(t(s, d, "documents"), lmModel(s, d, 2),
-          n = 2))),
+          "text", "doc_id", 2, 0.4))),
 
     // PII scrub over deterministic synthesized contact strings (the corpus
     // itself is PII-free, so the query plants an email/IP/phone per doc and

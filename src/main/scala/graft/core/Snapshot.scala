@@ -113,6 +113,15 @@ object Snapshot {
   final case class FileStat(file: String, min: Long, max: Long, rows: Long,
                             extra: Seq[Option[(Long, Long)]] = Nil)
 
+  /** Typed-CDF rewrite steps whose manifests bound the touched rows at or
+    * under this count broadcast the per-key total side of the
+    * classification join (a key row is two longs plus the key — 2M rows is
+    * tens of MB of executor memory, the same envelope as
+    * [[graft.llm.NgramLm.MaxBroadcastRows]]); bigger steps leave the join
+    * strategy to the planner.
+    */
+  private val CdfBroadcastKeyRowBound: Long = 2000000L
+
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1168,10 +1177,12 @@ object Snapshot {
         .withColumn("_change_type", lit(typ))
         .withColumn("_commit_version", lit(v))
     val steps = (fromV + 1 to toV).flatMap { v =>
-      val prevFiles =
-        if (v == 1) Set.empty[String]
-        else manifest(spark, path, Some(v - 1)).map(_.file).toSet
-      val curFiles = manifest(spark, path, Some(v)).map(_.file)
+      val prevMan =
+        if (v == 1) Seq.empty[FileStat]
+        else manifest(spark, path, Some(v - 1))
+      val prevFiles = prevMan.map(_.file).toSet
+      val curMan = manifest(spark, path, Some(v))
+      val curFiles = curMan.map(_.file)
       val added = curFiles.filterNot(prevFiles)
       val removed = (prevFiles -- curFiles).toSeq
       val schema = schemaAt(spark, path, v)
@@ -1208,18 +1219,30 @@ object Snapshot {
               .select(dataCols :+ lit(0L).as("__gcdf_o") :+ lit(1L).as("__gcdf_n"): _*))
           // distinct-row counts feed BOTH the key totals and the final
           // classification join — lazy checkpoint so the union+aggregate
-          // runs once; the key-total side is key-cardinality-sized and
-          // broadcast explicitly (a checkpointed relation carries no
-          // size statistics)
+          // runs once. The key-total side is bounded by the DISTINCT KEYS
+          // TOUCHED BY THIS STEP, which is unbounded in general (a
+          // full-table MERGE or compact rewrites every file), so the
+          // broadcast hint is gated on the step's manifest row counts —
+          // keyTot rows ≤ old+new rows of the step's files, known
+          // driver-side with zero extra jobs. Under the bound the hint
+          // compensates for the checkpoint's missing size statistics;
+          // above it the join is left to the planner/AQE, which degrades
+          // gracefully to a keyed shuffle where a forced broadcast of a
+          // billion-key step would OOM.
           val byRow = tagged.groupBy(dataCols: _*)
             .agg(sum("__gcdf_o").as("__gcdf_co"), sum("__gcdf_n").as("__gcdf_cn"))
             .localCheckpoint(false)
-          val keyTot = byRow.where(col(key).isNotNull).groupBy(col(key))
+          val keyTot0 = byRow.where(col(key).isNotNull).groupBy(col(key))
             .agg(sum("__gcdf_co").as("__gcdf_to"), sum("__gcdf_cn").as("__gcdf_tn"))
+          val stepRows =
+            prevMan.iterator.filter(s => removed.contains(s.file)).map(_.rows).sum +
+              curMan.iterator.filter(s => added.contains(s.file)).map(_.rows).sum
+          val keyTot =
+            if (stepRows <= CdfBroadcastKeyRowBound) broadcast(keyTot0) else keyTot0
           val shared = col(key).isNotNull &&
             coalesce(col("__gcdf_to"), lit(0L)) > 0 &&
             coalesce(col("__gcdf_tn"), lit(0L)) > 0
-          val emit = byRow.join(broadcast(keyTot), Seq(key), "left")
+          val emit = byRow.join(keyTot, Seq(key), "left")
             .select(dataCols :+ explode(filter(array(
               struct(lit("delete").as("t"),
                 when(shared, lit(0L)).otherwise(col("__gcdf_co")).as("n")),

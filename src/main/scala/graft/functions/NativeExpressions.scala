@@ -2045,6 +2045,56 @@ case class OuterProductMillis(child: Expression)
     copy(child = c)
 }
 
+/** The DISTINCT strings reachable by deleting up to `maxDel` (0–2)
+  * characters — the SymSpell-style deletion neighborhood that powers
+  * [[graft.llm.Dedup.fuzzyPairs]]'s candidate generation. Character-indexed
+  * (UTF8String.substring), matching `levenshtein`'s code-point semantics.
+  * Distinctness matters for cost, not correctness: deleting different
+  * positions of a same-character run yields the same string, and every
+  * duplicate multiplies the candidate join fan-out. The interpreted
+  * transform/sequence/substr equivalent measured ~6 µs per variant at
+  * sf0.1 — the dominant cost of the whole query; this kernel builds the
+  * byte slices directly.
+  */
+case class DeletionNeighborhood(child: Expression, maxDel: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxDel >= 0 && maxDel <= 2, s"maxDel in [0, 2], got $maxDel")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val L = s.numChars()
+    val cap = 1 + L + (if (maxDel >= 2) L * (L - 1) / 2 else 0)
+    val seen = new java.util.HashSet[UTF8String](cap * 2)
+    val out = new java.util.ArrayList[AnyRef](cap)
+    def add(v: UTF8String): Unit = if (seen.add(v)) { out.add(v); () }
+    add(s)
+    if (maxDel >= 1) {
+      var i = 0
+      while (i < L) {
+        add(UTF8String.concat(s.substring(0, i), s.substring(i + 1, L)))
+        i += 1
+      }
+    }
+    if (maxDel >= 2) {
+      var i = 0
+      while (i < L) {
+        var j = i + 1
+        while (j < L) {
+          add(UTF8String.concat(s.substring(0, i), s.substring(i + 1, j),
+            s.substring(j + 1, L)))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DeletionNeighborhood =
+    copy(child = c)
+}
+
 /** Column-level entry points (Spark 4's unified Column wraps/unwraps
   * catalyst expressions via ExpressionUtils).
   */
@@ -2052,6 +2102,8 @@ object native {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def simhash60(c: Column): Column = column(SimHash60(expression(c)))
+  def deletionNeighborhood(c: Column, maxDel: Int): Column =
+    column(DeletionNeighborhood(expression(c), maxDel))
   def wordShingles(c: Column, n: Int): Column = column(WordShingles(expression(c), n))
   def wordGrams(c: Column, n: Int): Column = column(WordGrams(expression(c), n))
 

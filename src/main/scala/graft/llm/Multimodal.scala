@@ -905,6 +905,10 @@ object Multimodal {
       ios.flush()
       f += 1
     }
+    // release the last stream: a pooled task thread otherwise pins the
+    // call's output buffer via the writer's retained setOutput reference
+    // for the THREAD's lifetime, not the call's
+    wr.setOutput(null)
     bos.toByteArray
   }
 

@@ -132,10 +132,15 @@ object NaiveBayes {
     val model = train(docs.where(col("doc_id") % 2 === 0), "text", "lang")
     // the true label rides the scoring spine (functionally dependent on
     // doc_id) — the old doc-sized join to re-attach it is gone
+    // no trailing sort: the confusion matrix is a label²-sized multiset
+    // and every consumer (the oracle gate included) is row-order-
+    // insensitive — a global sort here pays a range exchange whose
+    // SAMPLING pass re-executes the whole predict pipeline (the r14
+    // sweep's 2× pattern, missed then because this one lives inside the
+    // operator, not the query map)
     predict(docs, model, "text", "doc_id", passCols = Seq("lang"))
       .groupBy(col("lang"), col("pred_label").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .select("lang", "pred_lang", "n")
-      .orderBy("lang", "pred_lang")
   }
 }

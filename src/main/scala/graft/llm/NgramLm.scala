@@ -89,6 +89,14 @@ object NgramLm {
   def score(df: DataFrame, model: DataFrame, textCol: String = "text",
             idCol: String = "doc_id", n: Int = 2,
             alpha: Double = 0.4): DataFrame =
+    score(df, prepare(model), textCol, idCol, n, alpha)
+
+  /** [[score]] over an already-[[prepare]]d model — the repeated-scoring
+    * path: the vocab-sized augmentation join and its metadata job run once
+    * per model, not once per scoring invocation.
+    */
+  def score(df: DataFrame, model: PreparedModel, textCol: String,
+            idCol: String, n: Int, alpha: Double): DataFrame =
     termMicroRelation(df, Seq(model), textCol, idCol, n, alpha)
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tok"), sum("_tm_0").as("_sum"))
@@ -97,6 +105,80 @@ object NgramLm {
           -col("_sum").cast("double") / (col("n_tok") * 1e6), 6)
           .as("lm_score"))
 
+  /** A model made score-ready ONCE, reusable across any number of scoring
+    * invocations in the session (the augmented relation is a pure function
+    * of the model artifact — the same offline-artifact class as the model
+    * itself, so memoizing it beside the model is the natural boundary).
+    * `aug` carries each gram's prefix-context count ([[prepare]]'s join
+    * fusion), `sliceRows` the per-order row counts for the broadcast
+    * decision, `totalN` the corpus token count.
+    */
+  final case class PreparedModel(aug: DataFrame, sliceRows: Map[Int, Long],
+                                 totalN: Long) {
+    /** The order-k slice, broadcast-hinted when its row count (known from
+      * the metadata job — a checkpointed relation has no size statistics)
+      * fits [[MaxBroadcastRows]].
+      */
+    def slice(k: Int): DataFrame = {
+      val s = aug.where(col("k") === k)
+      if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
+    }
+  }
+
+  /** Build the score-ready form of a trained model.
+    *
+    * JOIN FUSION: the backoff denominator ctx_k of the k-gram ending at
+    * position i is the count of tokens i−k+1..i−1 — exactly the
+    * (k−1)-word PREFIX of that gram. So the context counts ride the
+    * MODEL: one vocab-sized self-join attaches to every gram row the
+    * count of its prefix, and scoring then needs n gram joins instead of
+    * 2n−1 gram+context joins (the former dominant cost — each join is a
+    * full pass over the corpus-sized position relation). The k=1 prefix
+    * is substring_index(gram, ' ', 0) = "" which matches the ("", 0, N)
+    * total row, so the unigram denominator N needs no special case.
+    *
+    * The model is persisted (not checkpointed) under the self-join: the
+    * cache's per-block locking makes the two legs share ONE training
+    * execution, and only the JOINED relation pays a LAZY localCheckpoint
+    * — the checkpoint materializes inside the metadata collect below, so
+    * training + augmentation + checkpoint + metadata are ONE Spark job
+    * where an eager checkpoint paid a job and a scheduling gap before
+    * the metadata job even started. The k=0 total-token row rides along
+    * (its prefix key substring_index('', ' ', -1) = '' self-matches the
+    * total row — harmless, and grams are never empty so it can never
+    * match a position key); keeping it makes aug self-sufficient for the
+    * metadata. The blocks are vocabulary-sized; the model cache is
+    * dropped as soon as the metadata job has run.
+    *
+    * The metadata job also yields the total-token count N — N then enters
+    * the scoring plan as a LITERAL, killing the crossJoin broadcast stage
+    * the old plan paid for it. Every model join takes its DISJOINT
+    * per-order slice: the n broadcast hash tables then sum to ONE model
+    * copy in executor memory — an unsliced shared relation would be
+    * strictly worse, since under AQE each join materializes its own
+    * broadcast (plan-asserted in LlmSpec: one exchange per order, every
+    * one fed by the checkpoint scan, never by recomputed training). An
+    * order whose slice exceeds the cap falls back to a keyed-shuffle join.
+    */
+  def prepare(model: DataFrame): PreparedModel = {
+    val m = model.persist()
+    val aug = m.alias("a")
+      .join(m.select(col("gram").as("_pg"), col("cnt").as("_pc")),
+        expr("substring_index(a.gram, ' ', a.k - 1)") === col("_pg"), "left")
+      .select(col("a.gram").as("gram"), col("a.k").as("k"),
+        col("a.cnt").as("cnt"), col("_pc").as("pfx"))
+      .localCheckpoint(false)
+    val meta = aug.groupBy("k").agg(count(lit(1)).as("rows"),
+      max(when(col("k") === 0, col("cnt"))).as("n0")).collect()
+    m.unpersist()
+    val sliceRows: Map[Int, Long] =
+      meta.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totalN: Long = meta.collectFirst {
+      case r if r.getInt(0) == 0 => r.getLong(2)
+    }.getOrElse(0L)
+    PreparedModel(aug, sliceRows, totalN)
+  }
+
   /** One row per token position with one micro log10-probability term
     * column PER MODEL (`_tm_0`, `_tm_1`, …) — the shared core of [[score]]
     * and [[dsirWeights]]. The corpus-sized position relation is built and
@@ -104,66 +186,10 @@ object NgramLm {
     * form halves the corpus work vs two score() passes); each model adds
     * only its vocab-sized sliced joins.
     */
-  private def termMicroRelation(df: DataFrame, models: Seq[DataFrame],
+  private def termMicroRelation(df: DataFrame, models: Seq[PreparedModel],
       textCol: String, idCol: String, n: Int, alpha: Double): DataFrame = {
     require(n >= 1 && n <= 5, s"order must be in [1, 5], got $n")
-    // JOIN FUSION: the backoff denominator ctx_k of the k-gram ending at
-    // position i is the count of tokens i−k+1..i−1 — exactly the
-    // (k−1)-word PREFIX of that gram. So the context counts ride the
-    // MODEL: one vocab-sized self-join attaches to every gram row the
-    // count of its prefix, and scoring then needs n gram joins instead of
-    // 2n−1 gram+context joins (the former dominant cost — each join is a
-    // full pass over the corpus-sized position relation). The k=1 prefix
-    // is substring_index(gram, ' ', 0) = "" which matches the ("", 0, N)
-    // total row, so the unigram denominator N needs no special case.
-    //
-    // The model is persisted (not checkpointed) under the self-join: the
-    // cache's per-block locking makes the two legs share ONE training
-    // execution, and only the JOINED relation pays a LAZY localCheckpoint
-    // — the checkpoint materializes inside the metadata collect below, so
-    // training + augmentation + checkpoint + metadata are ONE Spark job
-    // where an eager checkpoint paid a job and a scheduling gap before
-    // the metadata job even started. The k=0 total-token row rides along
-    // (its prefix key substring_index('', ' ', -1) = '' self-matches the
-    // total row — harmless, and grams are never empty so it can never
-    // match a position key); keeping it makes aug self-sufficient for the
-    // metadata. The blocks are vocabulary-sized; the model cache is
-    // dropped as soon as the metadata job has run.
-    final case class Prepared(slice: Int => DataFrame, totalN: Long)
-    val prepared = models.map { model =>
-      val m = model.persist()
-      val aug = m.alias("a")
-        .join(m.select(col("gram").as("_pg"), col("cnt").as("_pc")),
-          expr("substring_index(a.gram, ' ', a.k - 1)") === col("_pg"), "left")
-        .select(col("a.gram").as("gram"), col("a.k").as("k"),
-          col("a.cnt").as("cnt"), col("_pc").as("pfx"))
-        .localCheckpoint(false)
-      // A checkpointed relation carries no size statistics, so Spark would
-      // sort-merge every model join even when a slice is kilobytes. ONE tiny
-      // metadata job over the checkpointed blocks (vocab-sized input, ≤ n+1
-      // output rows) yields the per-order row counts for the broadcast
-      // decision AND the total-token count N — N then enters the scoring
-      // plan as a LITERAL, killing the crossJoin broadcast stage the old
-      // plan paid for it. Every model join takes its DISJOINT per-order
-      // slice: the n broadcast hash tables then sum to ONE model copy in
-      // executor memory — an unsliced shared relation would be strictly
-      // worse, since under AQE each join materializes its own broadcast
-      // (plan-asserted in LlmSpec: one exchange per order, every one fed by
-      // the checkpoint scan, never by recomputed training). An order whose
-      // slice exceeds the cap falls back to a keyed-shuffle join.
-      val meta = aug.groupBy("k").agg(count(lit(1)).as("rows"),
-        max(when(col("k") === 0, col("cnt"))).as("n0")).collect()
-      m.unpersist()
-      val sliceRows: Map[Int, Long] =
-        meta.map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val totalN: Long = meta.collectFirst {
-        case r if r.getInt(0) == 0 => r.getLong(2)
-      }.getOrElse(0L)
-      Prepared(k => {
-        val s = aug.where(col("k") === k)
-        if (sliceRows.getOrElse(k, 0L) <= MaxBroadcastRows) broadcast(s) else s
-      }, totalN)
-    }
+    val prepared = models
     val toks = filter(split(col(textCol), " "), t => t =!= lit(""))
     // One row per token position, identified only by the HIGHEST-order gram
     // ending there (its k_max-gram string) — every lower-order gram and
@@ -274,13 +300,16 @@ object NgramLm {
     */
   def dsirWeights(docs: DataFrame, target: DataFrame, raw: DataFrame,
                   textCol: String = "text", idCol: String = "doc_id",
-                  n: Int = 2, alpha: Double = 0.4): DataFrame = {
-    val tTotal = target.where(col("k") === 0)
-      .agg(max("cnt")).collect().head match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
-    if (tTotal == 0L)
+                  n: Int = 2, alpha: Double = 0.4): DataFrame =
+    dsirWeights(docs, prepare(target), prepare(raw), textCol, idCol, n, alpha)
+
+  /** [[dsirWeights]] over already-[[prepare]]d models. The empty-target
+    * probe needs no job of its own: the prepared metadata carries N.
+    */
+  def dsirWeights(docs: DataFrame, target: PreparedModel, raw: PreparedModel,
+                  textCol: String, idCol: String,
+                  n: Int, alpha: Double): DataFrame = {
+    if (target.totalN == 0L)
       docs.limit(0).select(col(idCol), lit(0L).as("n_tok"),
         lit(0.0).as("dsir_logratio"))
     else {

@@ -87,21 +87,28 @@ object Robots {
     // ONE pass over the URL relation (the old shape scanned it twice:
     // once into the matched-rule aggregate, once to join the verdict
     // back): left-join each URL row to its matching rules (prefix match
-    // in the join condition — the rules side broadcasts), then reduce to
+    // in the join condition — the per-site rule relation is small next to
+    // a URL corpus, so the planner/AQE picks a broadcast when it fits and
+    // a keyed shuffle when the site count outgrows one), then reduce to
     // the per-row verdict with a keyed argmax. longest-match is an
     // argmax, not a ranking: max(struct(len, allow)) picks the longest
     // prefix with allow winning ties — exactly the RFC 9309 (length
     // DESC, allow DESC) first row — and the aggregate partial-aggregates
     // map-side where a window would pay a full sort. The row key `_rid`
-    // keeps duplicate URL rows distinct (multiset in, multiset out).
+    // keeps duplicate URL rows distinct (multiset in, multiset out) and
+    // is the ONLY grouping key: the input columns are constant per _rid,
+    // so they ride the aggregate as first() values — the exchange hashes
+    // an 8-byte key instead of every payload column, and non-groupable
+    // column types (maps) pass through unharmed.
     val inCols = urls.columns.toSeq
+    val aggs = inCols.map(c => first(col(c)).as(c)) :+
+      max(struct(length(col("prefix")).as("_len"), col("allow"))).as("_m")
     keyed.withColumn("_rid", monotonically_increasing_id())
       .join(rules.withColumnRenamed("domain", "_dom2"),
         col("_dom") === col("_dom2") && col("_path").startsWith(col("prefix")),
         "left")
-      .groupBy(col("_rid") +: inCols.map(col): _*)
-      .agg(max(struct(length(col("prefix")).as("_len"), col("allow")))
-        .as("_m"))
+      .groupBy(col("_rid"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("allowed",
         coalesce(col("_m").getField("allow"), lit(true)))
       .select(inCols.map(col) :+ col("allowed"): _*)

@@ -1347,6 +1347,22 @@ class LlmSpec extends SparkSpec {
     assert(mE.weights.forall(_ == 0.0) && mE.bias == 0.0)
   }
 
+  test("quality trainer: a binding sampleCap still draws the (hashUnit, id)-ordered head") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok$i quality sample text ${i % 7}", (i % 2).toDouble))
+      .toDF("doc_id", "text", "label")
+    // capped run == training on the pre-limited deterministic sample (the
+    // corpus-fits-under-cap fast path must not have changed the draw)
+    val mCap = graft.llm.QualityModel.trainDistributed(docs, dim = 64,
+      epochs = 3, lr = 0.5, sampleCap = 17)
+    val pre = docs
+      .orderBy(graft.llm.Corpus.hashUnit(col("doc_id"), 42L), col("doc_id"))
+      .limit(17)
+    val mRef = graft.llm.QualityModel.trainDistributed(pre, dim = 64,
+      epochs = 3, lr = 0.5, sampleCap = 1000)
+    assert(mCap.weights.toSeq == mRef.weights.toSeq && mCap.bias == mRef.bias)
+  }
+
   test("ngram LM: training counts, backoff scoring vs reference, partition invariance") {
     import graft.llm.NgramLm
     val docs = Seq(
@@ -3944,6 +3960,69 @@ class LlmSpec extends SparkSpec {
     val pairs = Dedup.fuzzyPairs(recs, "k", "name", Seq("blk"), maxDist = 2)
       .as[(Long, Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L, 1L)))
+  }
+
+  test("fuzzy record linkage: hot blocks route to deletion candidates, identical pairs") {
+    // a block beyond FuzzyDeletionBlockThreshold forces the deletion-
+    // neighborhood route; short strings over {a,b} make dist-0/1/2 AND
+    // shift pairs common (the case a positional-Hamming prefilter loses)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val len = 6 + rnd.nextInt(3)
+      (i.toLong,
+        (0 until len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString,
+        "B")
+    } ++ Seq(
+      (1000L, "ababab", "B"), (1000L, "ababab", "B"), // duplicate key: multiset
+      (1001L, "bababa", "B"), // pure shift of ababab — lev 2, Hamming 6
+      (2000L, "ababab", "S")) // other block: must never pair with B
+    val recs = rows.toDF("k", "name", "blk")
+    val got = Dedup.fuzzyPairs(recs, "k", "name", Seq("blk"), maxDist = 2)
+    assert(got.queryExecution.analyzed.toString
+      .toLowerCase.contains("deletionneighborhood"),
+      "expected the hot block to engage the deletion-neighborhood kernel")
+    // reference: the strict key_a < key_b row-pair product + levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- rows.indices; j <- rows.indices
+      if i < j && rows(i)._3 == rows(j)._3 && rows(i)._1 != rows(j)._1
+      d = lev(rows(i)._2, rows(j)._2) if d <= 2
+    } yield {
+      if (rows(i)._1 < rows(j)._1) (rows(i)._1, rows(j)._1, d.toLong)
+      else (rows(j)._1, rows(i)._1, d.toLong)
+    }).sorted
+    val gotPairs = got.as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(gotPairs == expected,
+      s"got ${gotPairs.size} pairs, expected ${expected.size}")
+    // the duplicate-key rows each pair with the shift partner: multiset kept
+    assert(gotPairs.count(_ == (1000L, 1001L, 2L)) == 2)
+  }
+
+  test("deletion neighborhood kernel: exactly the distinct ≤2-deletion variants") {
+    val strs = Seq("", "a", "aa", "aaaa", "héllo", "abcde")
+    val got = strs.toDF("s")
+      .select(col("s"),
+        graft.functions.native.deletionNeighborhood(col("s"), 2).as("v"))
+      .as[(String, Seq[String])].collect().toMap
+    def ref(s: String): Set[String] = {
+      val d1 = (0 until s.length).map(i => s.take(i) + s.drop(i + 1))
+      val d2 = for {
+        i <- 0 until s.length; j <- i + 1 until s.length
+      } yield s.take(i) + s.substring(i + 1, j) + s.drop(j + 1)
+      (Seq(s) ++ d1 ++ d2).toSet
+    }
+    strs.foreach { s =>
+      assert(got(s).toSet == ref(s), s"variants of '$s'")
+      assert(got(s).distinct == got(s), s"duplicate variants emitted for '$s'")
+    }
   }
 
   test("perplexity buckets: SQL-ntile division, head = cleanest, pinned ties") {
