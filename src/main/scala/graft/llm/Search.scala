@@ -47,7 +47,9 @@ object Search {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty)
     val toks = TextStats.tokens(col(textCol))
-    val stats = docs.select(size(toks).cast("long").as("dl"))
+    // the corpus-scalar pass needs only doc LENGTHS — the arithmetic
+    // token count, never the token array (a full tokenize pass saved)
+    val stats = docs.select(TextStats.tokenCount(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // only the query's terms survive the scan — nothing else shuffles —
     // and dl rides the SAME scan (functionally dependent on doc_id), so
@@ -163,7 +165,8 @@ object Search {
     val qt = queries.select(col(qidCol),
       explode(array_distinct(TextStats.tokens(col(qtextCol)))).as("term"))
     val termSet = qt.select("term").distinct()
-    val stats = docs.select(size(toks).cast("long").as("dl"))
+    // lengths-only pass: arithmetic token count, no array (see bm25TopK)
+    val stats = docs.select(TextStats.tokenCount(col(textCol)).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // dl rides the tf scan (no corpus-sized doc-length join), and the
     // query-sized tf relation is lazily checkpointed: it feeds both the

@@ -16,7 +16,14 @@ object TextStats {
     */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** `size(tokens(text))` WITHOUT materializing the array: split-on-space
+    * yields exactly (space count + 1) parts — Spark's `split` keeps
+    * trailing empties — so the count is pure codegen'd string arithmetic.
+    * Counting was the only reason several corpus statistics paid a full
+    * tokenize pass. NULL text stays NULL, exactly like `size(null)`.
+    */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(translate(text, " ", "")) + lit(1)).cast("long")
 
   /** Word-ish tokens per a BPE-style pre-tokenizer regex (letters runs /
     * digit runs), an upper bound proxy for subword counts.
