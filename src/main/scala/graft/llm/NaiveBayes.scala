@@ -84,46 +84,33 @@ object NaiveBayes {
     NbModel(labels.select("label", "prior_micro", "oov_micro"), condprob)
   }
 
-  /** Score every doc of `df` under `model`: one (id, label) micro-unit
+  /** Score every row of `df` under `model`: one (id, label) micro-unit
     * BIGINT score per label — prior + in-vocab conditional terms + the OOV
     * floor for unseen words. Returns (idCol, passCols..., label,
     * score_micro); `passCols` are per-row columns of `df` (functionally
-    * dependent on the id) carried through so callers never need a
-    * doc-sized join to re-attach them. The spine is per-DOC (duplicate id
-    * rows collapse — [[predict]]'s terminal aggregate made them
-    * indistinguishable anyway).
+    * dependent on the id) carried through on the spine so callers never
+    * need a doc-sized join to re-attach them.
     *
-    * ONE corpus tokenization pass (the old shape paid a second full
-    * tokenize-the-corpus scan just to build the (id, n_tok) spine): n_tok
-    * and the pass-through columns ride the exploded relation
-    * (explode_outer keeps token-less docs), the LEFT join against the
-    * vocab×labels grid yields per-(doc, label) in-vocab sums — the grid is
-    * complete, so a doc with any in-vocab token carries EVERY label, and a
-    * doc with none carries exactly the null-label group — and the doc
-    * spine is recovered from the (docs × labels)-sized aggregate, which is
-    * lazily checkpointed for its two consumers (spine + score legs)
-    * instead of re-running the corpus join.
+    * Measured and REVERTED (r15): fusing the spine into the token pass —
+    * n_tok/passCols riding an `explode_outer`, OOV counts from a LEFT
+    * grid join, spine recovered from the checkpointed (docs × labels)
+    * aggregate — read the corpus once instead of twice but DOUBLED the
+    * pass's core-time (langid_nb 0.73 → 6.3 s at 4 cores; the widened
+    * exploded relation + outer generate lost the tight codegen'd
+    * inner-join pipeline). The two-pass shape is the measured optimum;
+    * the spine's second pass is a cheap arithmetic token count, not a
+    * tokenize (see [[TextStats.tokenCount]]).
     */
   def score(df: DataFrame, model: NbModel, textCol: String,
       idCol: String, passCols: Seq[String] = Nil): DataFrame = {
-    val tok = df.select(col(idCol) +: passCols.map(col) :+
-      TextStats.tokenCount(col(textCol)).as("_ntok") :+
-      explode_outer(TextStats.tokens(col(textCol))).as("word"): _*)
-    val aggs = passCols.map(c => first(col(c)).as(c)) ++ Seq(
-      first(col("_ntok")).as("_ntok"),
-      sum("lp_micro").as("s_in"), count(col("lp_micro")).as("n_in"))
-    val byLabel = tok.join(broadcast(model.condprob), Seq("word"), "left")
+    val tok = df.select(col(idCol), explode(TextStats.tokens(col(textCol))).as("word"))
+    val inVocab = tok.join(broadcast(model.condprob), "word")
       .groupBy(col(idCol), col("label"))
-      .agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(false)
-    val spineAggs = passCols.map(c => first(col(c)).as(c)) :+
-      first(col("_ntok")).as("n_tok")
-    val perDoc = byLabel.groupBy(col(idCol))
-      .agg(spineAggs.head, spineAggs.tail: _*)
-    perDoc.crossJoin(broadcast(model.labels))
-      .join(byLabel.where(col("label").isNotNull)
-          .select(col(idCol), col("label"), col("s_in"), col("n_in")),
-        Seq(idCol, "label"), "left")
+      .agg(sum("lp_micro").as("s_in"), count(lit(1)).as("n_in"))
+    df.select(col(idCol) +: passCols.map(col) :+
+        TextStats.tokenCount(col(textCol)).as("n_tok"): _*)
+      .crossJoin(broadcast(model.labels))
+      .join(inVocab, Seq(idCol, "label"), "left")
       .select(col(idCol) +: passCols.map(col) :+ col("label") :+
         (col("prior_micro") + coalesce(col("s_in"), lit(0L)) +
           (col("n_tok") - coalesce(col("n_in"), lit(0L))) * col("oov_micro"))
